@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers for the driver testdata tables (`TESTDATA.md`).
+  *
+  * All readers are plain parquet scans so Catalyst pushdown / column
+  * pruning reach the file source. The only special case is `events`:
+  * its `ts` column is physical parquet INT64 TIMESTAMP(NANOS), which
+  * Spark's vectorized reader rejects; we read it as a raw Long of
+  * epoch-nanoseconds (`spark.sql.legacy.parquet.nanosAsLong`) and
+  * expose normalized epoch projections in [[graft.functions.Exprs]].
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** `events` with `ts` as LongType epoch-nanoseconds (see scaladoc above). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+  }
+
+  /** `events.ts` normalized to epoch seconds (truncating, matching the
+    * reference's `int(float_epoch)` truncation, storcrawl.py:368-370). */
+  def eventsWithEpoch(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      // integer `div`, not `/`: double division loses precision above
+      // 2^53 and epoch-nanos (~1.7e18) are far beyond that
+      .withColumn("ts_sec", expr("ts div 1000000000"))
+      .withColumn("ts_us", expr("ts div 1000"))
+}
