@@ -1,0 +1,429 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+import graft.Tables
+import graft.functions.Exprs._
+
+/** The faithful query surface of the reference's report layer
+  * (storage_crawler/report.py) plus the crawl pipeline's relational
+  * semantics (storage_crawler/storcrawl.py), re-expressed as Catalyst
+  * plans over the driver testdata (role mapping: FIXTURES.md §1).
+  *
+  * Every query returns a deterministic result: total ORDER BY with a
+  * unique tiebreaker, decimal casts before arithmetic on doubles, fixed
+  * epoch literals instead of now() (SURVEY.md §4.3). Each entry has a
+  * DuckDB twin in [[oracle]] with identical column names and types.
+  *
+  * Scale notes (100 TB design): every query here is a declarative plan —
+  * filters and projections reach the parquet scan (PushedFilters /
+  * ReadSchema), dimension joins are explicit `broadcast()`, aggregates
+  * are partial+final hash aggregates, and the only full shuffles are the
+  * unavoidable ones on group/join keys. Window queries partition by
+  * their natural key (event_type / user_id), which distributes evenly.
+  */
+object Reports {
+
+  /** Fixed "now" for P2's recency predicate (report.py:186-187,235):
+    * 2001-06-01 UTC, inside the testdata's 1995..2001 date range. */
+  val NowEpoch = 991353600L
+
+  /** 3 GiB size floor and ~7.04-day recency delta, verbatim from the
+    * reference (report.py:184-187,235 — Appendix A9). */
+  val LargeSize = 3221225472L
+  val Delta = 608400L
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- status-table analogs over `events` (ts read as epoch-nanos Long)
+
+  /** report.py:128-131 — units='event' filter + projection + time order. */
+  val qStatusEvents: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    ev.filter(col("event_type") === "signup")
+      .select(
+        nanosToSec(col("ts")).as("ts_sec"),
+        col("event_type").as("status"),
+        col("event_id"))
+      .orderBy(col("ts_sec"), col("event_id"))
+  }
+
+  /** report.py:139-145 — AVG(value) GROUP BY over a LIKE-filtered set. */
+  val qStatusAverages: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    ev.filter(col("event_type").like("%c%"))
+      .groupBy(col("event_type").as("status"))
+      .agg(
+        decAvg6(col("value")).as("avg_value"),
+        count(lit(1)).as("n"))
+      .orderBy("status")
+  }
+
+  /** report.py:153-159 — latest row per metric (id IN (SELECT MAX(id)
+    * ... GROUP BY status)), as the row_number idiom (W1). */
+  val qLatestPerGroup: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val w = Window.partitionBy("event_type").orderBy(col("event_id").desc)
+    ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("event_type").as("status"),
+        col("event_id"),
+        nanosToSec(col("ts")).as("ts_sec"),
+        col("value"))
+      .orderBy("status")
+  }
+
+  /** storcrawl.py:503-505 — rate-from-deltas via lag() per key (W2). */
+  val qRateLag: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    ev.select(
+        col("user_id"),
+        col("event_id"),
+        nanosToSec(col("ts")).as("ts_sec"),
+        (dec2(col("value")) - dec2(lag(col("value"), 1).over(w)))
+          .cast(DecimalType(18, 2)).as("delta"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** storcrawl.py:72-79,641 — global counters as one aggregate row (A1/A4). */
+  val qGlobalAgg: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    li.agg(
+      count(lit(1)).as("n_rows"),
+      decSum2(col("l_quantity")).as("sum_qty"),
+      decSum2(col("l_extendedprice")).as("sum_price"),
+      count(when(col("l_returnflag") === "R", 1)).as("n_returned"))
+  }
+
+  /** J4 — the dimension equi-join spine: fact ⋈ orders ⋈ customer ⋈
+    * nation ⋈ region with broadcast dims, grouped revenue rollup. */
+  val qDimEquijoin: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val ord = Tables.orders(s, d)
+    val cust = Tables.customer(s, d)
+    val nat = Tables.nation(s, d)
+    val reg = Tables.region(s, d)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 4)).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** S3/F9 — owners-file line parsing: pi=dir1:dir2 → exploded dim rows
+    * (storcrawl.py:219-242), lines synthesized from nation⋈region. */
+  val qOwnerDim: Q = (s, d) => {
+    val nat = Tables.nation(s, d)
+    val reg = Tables.region(s, d)
+    val lines = nat
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .select(
+        concat(
+          lower(col("n_name")), lit("=/"), col("r_name"), lit("/"),
+          col("n_name"), lit(":/extra/"), lower(col("n_name"))).as("line"))
+    lines
+      .select(
+        expr("split_part(line, '=', 1)").as("pi"),
+        explode(split(expr("split_part(line, '=', 2)"), ":")).as("dir"))
+      .orderBy("pi", "dir")
+  }
+
+  /** J1/F1 — longest-ancestor-prefix owner lookup (find_owner,
+    * storcrawl.py:245-256): explode each path into its prefixes, join
+    * the owners dim, keep the deepest match. Generic machinery from
+    * Exprs.ancestorPrefixes; the dim stays broadcast-sized (it is the
+    * reference's in-memory dict). */
+  val qOwnerPrefixJoin: Q = (s, d) => {
+    val cust = Tables.customer(s, d)
+    val nat = Tables.nation(s, d)
+    val reg = Tables.region(s, d)
+    val paths = cust
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .select(
+        concat(lit("/"), col("r_name"), lit("/"), col("n_name"), lit("/"),
+               col("c_name")).as("path"))
+    val dim = reg
+      .select(concat(lit("/"), col("r_name")).as("dir"),
+              concat(lit("pi_region_"), col("r_name")).as("pi"))
+      .unionAll(
+        nat.join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("n_nationkey") % 2 === 0)
+          .select(
+            concat(lit("/"), col("r_name"), lit("/"), col("n_name")).as("dir"),
+            concat(lit("pi_nation_"), col("n_name")).as("pi")))
+    val exploded = paths
+      .select(col("path"), explode(ancestorPrefixes(col("path"))).as("a"))
+      .select(col("path"), col("a.prefix").as("prefix"), col("a.depth").as("depth"))
+    val w = Window.partitionBy("path").orderBy(col("depth").desc)
+    val matched = exploded
+      .join(broadcast(dim), col("prefix") === col("dir"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("path"), col("pi").as("owner"))
+    paths.join(matched, Seq("path"), "left").orderBy("path")
+  }
+
+  /** P1/J3/U2 — exclusion-list anti-join (storcrawl.py:466-470). */
+  val qExclusionAnti: Q = (s, d) => {
+    import s.implicits._
+    val cust = Tables.customer(s, d)
+    val nat = Tables.nation(s, d)
+    val excl = Seq(".snapshot", "NATION_3", "NATION_7").toDF("name")
+    cust
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(excl), col("n_name") === col("name"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("n_name"))
+      .orderBy("c_custkey")
+  }
+
+  /** U1 — union of crawl roots, then a rollup (storcrawl.py:578-580). */
+  val qUnionRoots: Q = (s, d) => {
+    val ord = Tables.orders(s, d)
+    val a = ord.filter(col("o_orderstatus") === "F")
+    val b = ord.filter(col("o_orderpriority").like("1%"))
+    a.unionAll(b)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+           decSum2(col("o_totalprice")).as("sum_total"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** A5 — deterministic first-wins dedup (owners dict semantics,
+    * storcrawl.py:238-241): first event per (user_id, event_type). */
+  val qFirstWinsDedup: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val w = Window.partitionBy("user_id", "event_type").orderBy("event_id")
+    ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** O3 — first_thousand (report.py:166-175) with the A10 determinism
+    * fix: a total ORDER BY on the unique key (l_orderkey, l_linenumber,
+    * l_partkey, l_suppkey) — the testdata reuses line numbers within an
+    * order, so the first two columns alone are not unique. */
+  val qFirstThousand: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    li.select(
+        col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), epochSec(col("l_shipdate")).as("l_shipdate_sec"))
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      .limit(1000)
+  }
+
+  /** P2+P3+O2 — large_old_files (report.py:178-209): the flagship
+    * report. `orders` stands in for `files` (FIXTURES.md): st_size from
+    * o_totalprice ×10⁴ (exact decimal scaling), ctime from o_orderdate,
+    * mtime = ctime + deterministic skew. Predicate and sort are
+    * verbatim: size ≥ 3 GiB AND changed within Δ of "now"; ORDER BY
+    * GREATEST(mtime,ctime) DESC, LEAST(mtime,ctime) DESC (A9). */
+  val qLargeOldFiles: Q = (s, d) => {
+    val ord = Tables.orders(s, d)
+    val f = ord.select(
+      col("o_orderkey").as("id"),
+      (dec2(col("o_totalprice")) * lit(10000)).cast(LongType).as("st_size"),
+      epochSec(col("o_orderdate")).as("st_ctime"),
+      (epochSec(col("o_orderdate")) + col("o_orderkey") % 604800).as("st_mtime"))
+    f.filter(
+        col("st_size") >= LargeSize &&
+        (col("st_ctime") + Delta >= NowEpoch ||
+         col("st_mtime") + Delta >= NowEpoch))
+      .orderBy(
+        greatest(col("st_mtime"), col("st_ctime")).desc,
+        least(col("st_mtime"), col("st_ctime")).desc,
+        col("id"))
+  }
+
+  /** F2 — find_extension over p_name-derived filenames (quirks A1/A2). */
+  val qFindExtension: Q = (s, d) => {
+    val part = Tables.part(s, d)
+    part
+      .select(
+        col("p_partkey"),
+        lower(expr("replace(p_name, ' ', '.')")).as("fname"))
+      .withColumn("ext", findExtensionCol(col("fname")))
+      .orderBy("p_partkey")
+  }
+
+  /** F3 — 19-bit st_mode rendering ("{0:019b}", storcrawl.py:361). */
+  val qModeBits: Q = (s, d) => {
+    val part = Tables.part(s, d)
+    part.select(
+        col("p_partkey"),
+        modeBits(col("p_size")).as("mode_bits"))
+      .orderBy("p_partkey")
+  }
+
+  /** F7 — JSON extraction from the status-jsonb analog (events.props). */
+  val qJsonExtract: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    ev.select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k_num"))
+      .orderBy("event_id")
+  }
+
+  /** T1 — 60-second tumbling-window rollup (the status snapshot cadence,
+    * storcrawl.py:491-528) via Spark's window() on event time. */
+  val qWindowTumbling: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    ev.select(timestamp_seconds(nanosToSec(col("ts"))).as("t"), col("value"))
+      .groupBy(window(col("t"), "60 seconds"))
+      .agg(count(lit(1)).as("n_events"), decSum2(col("value")).as("sum_value"))
+      .select(
+        col("window.start").cast(LongType).as("bucket_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy("bucket_start")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_status_events" -> qStatusEvents,
+    "q_status_averages" -> qStatusAverages,
+    "q_latest_per_group" -> qLatestPerGroup,
+    "q_rate_lag" -> qRateLag,
+    "q_global_agg" -> qGlobalAgg,
+    "q_dim_equijoin" -> qDimEquijoin,
+    "q_owner_dim" -> qOwnerDim,
+    "q_owner_prefix_join" -> qOwnerPrefixJoin,
+    "q_exclusion_anti" -> qExclusionAnti,
+    "q_union_roots" -> qUnionRoots,
+    "q_first_wins_dedup" -> qFirstWinsDedup,
+    "q_first_thousand" -> qFirstThousand,
+    "q_large_old_files" -> qLargeOldFiles,
+    "q_find_extension" -> qFindExtension,
+    "q_mode_bits" -> qModeBits,
+    "q_json_extract" -> qJsonExtract,
+    "q_window_tumbling" -> qWindowTumbling
+  )
+
+  /** DuckDB twins — same column names, same types, same total order. */
+  val oracle: Map[String, String] = Map(
+    "q_status_events" ->
+      """SELECT epoch_ms(ts) // 1000 AS ts_sec, event_type AS status, event_id
+        |FROM events WHERE event_type = 'signup'
+        |ORDER BY ts_sec, event_id""".stripMargin,
+    "q_status_averages" ->
+      """SELECT event_type AS status,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) / COUNT(value) AS DECIMAL(18,6)) AS avg_value,
+        |  COUNT(*) AS n
+        |FROM events WHERE event_type LIKE '%c%'
+        |GROUP BY event_type ORDER BY status""".stripMargin,
+    "q_latest_per_group" ->
+      """SELECT event_type AS status, event_id, epoch_ms(ts) // 1000 AS ts_sec, value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY status""".stripMargin,
+    "q_rate_lag" ->
+      """SELECT user_id, event_id, epoch_ms(ts) // 1000 AS ts_sec,
+        |  CAST(CAST(value AS DECIMAL(18,2))
+        |       - lag(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY event_id)
+        |       AS DECIMAL(18,2)) AS delta
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q_global_agg" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+        |  COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_returned
+        |FROM lineitem""".stripMargin,
+    "q_dim_equijoin" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q_owner_dim" ->
+      """SELECT pi, dir FROM (
+        |  SELECT split_part(line, '=', 1) AS pi,
+        |         unnest(string_split(split_part(line, '=', 2), ':')) AS dir
+        |  FROM (SELECT lower(n_name) || '=/' || r_name || '/' || n_name
+        |               || ':/extra/' || lower(n_name) AS line
+        |        FROM nation JOIN region ON n_regionkey = r_regionkey))
+        |ORDER BY pi, dir""".stripMargin,
+    "q_owner_prefix_join" ->
+      """WITH paths AS (
+        |  SELECT '/' || r_name || '/' || n_name || '/' || c_name AS path,
+        |         r_name, n_name
+        |  FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey),
+        |nat AS (
+        |  SELECT '/' || r_name || '/' || n_name AS dir,
+        |         'pi_nation_' || n_name AS pi
+        |  FROM nation JOIN region ON n_regionkey = r_regionkey
+        |  WHERE n_nationkey % 2 = 0),
+        |reg AS (SELECT '/' || r_name AS dir, 'pi_region_' || r_name AS pi FROM region)
+        |SELECT p.path, coalesce(n.pi, r.pi) AS owner
+        |FROM paths p
+        |LEFT JOIN nat n ON '/' || p.r_name || '/' || p.n_name = n.dir
+        |LEFT JOIN reg r ON '/' || p.r_name = r.dir
+        |ORDER BY path""".stripMargin,
+    "q_exclusion_anti" ->
+      """SELECT c_custkey, c_name, n_name
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE n_name NOT IN ('.snapshot', 'NATION_3', 'NATION_7')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_union_roots" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_total
+        |FROM (SELECT * FROM orders WHERE o_orderstatus = 'F'
+        |      UNION ALL
+        |      SELECT * FROM orders WHERE o_orderpriority LIKE '1%')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_first_wins_dedup" ->
+      """SELECT user_id, event_type, event_id
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "q_first_thousand" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+        |  l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+        |  epoch_ms(l_shipdate) // 1000 AS l_shipdate_sec
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey LIMIT 1000""".stripMargin,
+    "q_large_old_files" ->
+      s"""WITH f AS (
+        |  SELECT o_orderkey AS id,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 10000 AS BIGINT) AS st_size,
+        |    epoch_ms(o_orderdate) // 1000 AS st_ctime,
+        |    epoch_ms(o_orderdate) // 1000 + o_orderkey % 604800 AS st_mtime
+        |  FROM orders)
+        |SELECT id, st_size, st_ctime, st_mtime FROM f
+        |WHERE st_size >= $LargeSize
+        |  AND (st_ctime + $Delta >= $NowEpoch OR st_mtime + $Delta >= $NowEpoch)
+        |ORDER BY greatest(st_mtime, st_ctime) DESC, least(st_mtime, st_ctime) DESC, id""".stripMargin,
+    "q_find_extension" ->
+      s"""SELECT p_partkey, fname, ${graft.functions.Exprs.findExtensionDuckSql("fname")} AS ext
+        |FROM (SELECT p_partkey, lower(replace(p_name, ' ', '.')) AS fname FROM part)
+        |ORDER BY p_partkey""".stripMargin,
+    "q_mode_bits" ->
+      """SELECT p_partkey, lpad(bin(p_size), 19, '0') AS mode_bits
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_window_tumbling" ->
+      """SELECT (epoch_ms(ts) // 1000) // 60 * 60 AS bucket_start,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

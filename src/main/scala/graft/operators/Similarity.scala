@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Determinism contract with the DuckDB oracle: vector elements are cast
+  * to DECIMAL(12,8) first, so dot products and norms are EXACT decimal
+  * sums (order-independent); the final cosine divides/sqrts identical
+  * decimals through IEEE-754 double ops, which are correctly rounded in
+  * both engines — the resulting doubles are bitwise identical.
+  *
+  * Scale path: [[qAnnTopk]] is the brute-force baseline (query set ×
+  * corpus, broadcastable query side); [[qEmbeddingNeardup]] is the
+  * LSH-bucketed variant — sign-pattern buckets (random-hyperplane LSH
+  * degenerated to coordinate hyperplanes) keep candidate pairs inside
+  * buckets, the shape that survives 100 TB. [[cosineTopkFloat]] is the
+  * fast non-oracle float path for production use.
+  */
+object Similarity {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Dim = 64
+
+  /** Exploded (vec_id, i, x) elements with exact decimal values. */
+  private def elements(emb: DataFrame): DataFrame =
+    emb
+      .select(col("vec_id"), col("embedding"),
+              explode(sequence(lit(1), lit(Dim))).as("i"))
+      .select(col("vec_id"), col("i"),
+              // float → DOUBLE (exact widening) → decimal: both engines
+              // then round the SAME double; a direct float→decimal cast
+              // rounds differently between Spark and DuckDB
+              element_at(col("embedding"), col("i"))
+                .cast(DoubleType).cast(DecimalType(12, 8)).as("x"))
+
+  private def norms(el: DataFrame): DataFrame =
+    el.groupBy("vec_id").agg(sum(col("x") * col("x")).as("nrm"))
+
+  /** Brute-force cosine top-k: query vectors (vec_id < 8) against the
+    * whole corpus, exact-decimal dots, top-3 by (sim DESC, nid). */
+  val qAnnTopk: Q = (s, d) => {
+    val el = elements(Tables.embeddings(s, d))
+    val nrm = norms(el)
+    val q = el.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qv"), col("i").as("qi"), col("x").as("qx"))
+    val dots = broadcast(q)
+      .join(el, col("qi") === col("i") && col("qv") =!= col("vec_id"))
+      .groupBy(col("qv").as("qid"), col("vec_id").as("nid"))
+      .agg(sum(col("qx") * col("x")).as("dot"))
+    val cosv = dots
+      .join(nrm.select(col("vec_id"), col("nrm").as("nq")), col("qid") === col("vec_id")).drop("vec_id")
+      .join(nrm.select(col("vec_id"), col("nrm").as("nn")), col("nid") === col("vec_id")).drop("vec_id")
+      .select(col("qid"), col("nid"),
+        // rounded to 6 dp: DuckDB's decimal→double conversion is off by
+        // an ulp vs Spark's correctly-rounded one, so raw doubles can't
+        // be compared or ranked; the 6-dp grid absorbs that, and ties
+        // break on nid
+        (col("dot").cast(DoubleType) /
+          sqrt(col("nq").cast(DoubleType) * col("nn").cast(DoubleType)))
+          .cast(DecimalType(10, 6)).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    cosv
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("nid"), col("rnk"), col("sim"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** Sign-pattern LSH bucket key over the first 8 dimensions. */
+  private def signBucket(emb: Column): Column =
+    concat((1 to 8).map(i =>
+      when(element_at(emb, i) >= 0f, lit("1")).otherwise(lit("0"))): _*)
+
+  /** Embedding near-dup: LSH-bucketed pairwise cosine ≥ 0.8. Pairs only
+    * form inside a sign bucket (≈ n²/256 of the cross product). */
+  val qEmbeddingNeardup: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val el = elements(emb)
+    val nrm = norms(el)
+    val buckets = emb.select(col("vec_id"), signBucket(col("embedding")).as("bkt"))
+    val pairs = buckets.as("pa")
+      .join(buckets.as("pb"),
+        col("pa.bkt") === col("pb.bkt") && col("pa.vec_id") < col("pb.vec_id"))
+      .select(col("pa.vec_id").as("a"), col("pb.vec_id").as("b"))
+    val dots = pairs
+      .join(el.select(col("vec_id"), col("i"), col("x").as("ax")), col("a") === col("vec_id")).drop("vec_id")
+      .join(el.select(col("vec_id"), col("i").as("bi"), col("x").as("bx")),
+            col("b") === col("vec_id") && col("i") === col("bi"))
+      .groupBy("a", "b")
+      .agg(sum(col("ax") * col("bx")).as("dot"))
+    dots
+      .join(nrm.select(col("vec_id"), col("nrm").as("na")), col("a") === col("vec_id")).drop("vec_id")
+      .join(nrm.select(col("vec_id"), col("nrm").as("nb")), col("b") === col("vec_id")).drop("vec_id")
+      .select(col("a"), col("b"),
+        (col("dot").cast(DoubleType) /
+          sqrt(col("na").cast(DoubleType) * col("nb").cast(DoubleType)))
+          .cast(DecimalType(10, 6)).as("sim"))
+      .filter(col("sim") >= 0.8)
+      .orderBy("a", "b")
+  }
+
+  /** Production float path (not oracle-verified — FP summation order):
+    * top-k neighbors for an arbitrary query DataFrame (vec_id, embedding)
+    * using codegen'd array ops: zip_with product + aggregate sum. */
+  def cosineTopkFloat(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    def nrm(a: Column): Column = sqrt(dot(a, a))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+    val sims = broadcast(q).join(c, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (dot(col("qe"), col("ne")) / (nrm(col("qe")) * nrm(col("ne")))).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    sims.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_ann_topk" -> qAnnTopk,
+    "q_embedding_neardup" -> qEmbeddingNeardup
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_ann_topk" ->
+      """WITH el AS (
+        |  SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) AS x
+        |  FROM (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS i
+        |        FROM embeddings)),
+        |nrm AS (SELECT vec_id, SUM(x*x) AS nrm FROM el GROUP BY vec_id),
+        |dots AS (
+        |  SELECT q.vec_id AS qid, e.vec_id AS nid, SUM(q.x * e.x) AS dot
+        |  FROM el q JOIN el e ON q.i = e.i AND q.vec_id < 8 AND e.vec_id <> q.vec_id
+        |  GROUP BY q.vec_id, e.vec_id),
+        |cosv AS (
+        |  SELECT qid, nid,
+        |    CAST(CAST(dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(ne.nrm AS DOUBLE)) AS DECIMAL(10,6)) AS sim
+        |  FROM dots
+        |  JOIN nrm nq ON qid = nq.vec_id
+        |  JOIN nrm ne ON nid = ne.vec_id)
+        |SELECT qid, nid, rnk, sim
+        |FROM (SELECT qid, nid, sim,
+        |        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk
+        |      FROM cosv)
+        |WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+    "q_embedding_neardup" ->
+      """WITH el AS (
+        |  SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) AS x
+        |  FROM (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS i
+        |        FROM embeddings)),
+        |nrm AS (SELECT vec_id, SUM(x*x) AS nrm FROM el GROUP BY vec_id),
+        |bkt AS (
+        |  SELECT vec_id,
+        |    (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END) ||
+        |    (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END) ||
+        |    (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END) ||
+        |    (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) ||
+        |    (CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END) ||
+        |    (CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END) ||
+        |    (CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END) ||
+        |    (CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bkt
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM bkt a JOIN bkt b ON a.bkt = b.bkt AND a.vec_id < b.vec_id),
+        |dots AS (
+        |  SELECT p.a, p.b, SUM(ea.x * eb.x) AS dot
+        |  FROM pairs p
+        |  JOIN el ea ON p.a = ea.vec_id
+        |  JOIN el eb ON p.b = eb.vec_id AND ea.i = eb.i
+        |  GROUP BY p.a, p.b)
+        |SELECT a, b, sim FROM (
+        |  SELECT d.a, d.b,
+        |    CAST(CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS DECIMAL(10,6)) AS sim
+        |  FROM dots d
+        |  JOIN nrm na ON d.a = na.vec_id
+        |  JOIN nrm nb ON d.b = nb.vec_id)
+        |WHERE sim >= 0.8 ORDER BY a, b""".stripMargin
+  )
+}

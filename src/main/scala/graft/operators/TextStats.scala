@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+
+/** Text-analysis operators for training-data pipelines over `documents`:
+  * language ID (marker-token heuristic), quality scoring, token
+  * counting (whitespace + regex tokenizer), and document fingerprinting.
+  *
+  * Everything is pure `functions._` column algebra (whole-stage codegen,
+  * no UDFs), embarrassingly parallel per document — at 100 TB these are
+  * scan-only map operators with no shuffle except the final oracle sort.
+  * Counts are exact integer arithmetic so the DuckDB twin matches
+  * bit-for-bit.
+  */
+object TextStats {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Occurrences of `word` as a whitespace-delimited token: pad the text
+    * with spaces, delete every " word " occurrence, divide the length
+    * delta. Non-overlapping left-to-right replace matches DuckDB's. */
+  def occurrences(text: Column, word: String): Column = {
+    val s = concat(lit(" "), text, lit(" "))
+    val needle = " " + word + " "
+    ((length(s) - length(replace(s, lit(needle), lit(""))))
+      / lit(needle.length)).cast(LongType)
+  }
+
+  /** DuckDB rendering of [[occurrences]] for the oracle twins. */
+  def occurrencesDuck(expr: String, word: String): String = {
+    val n = word.length + 2
+    s"(length(' ' || $expr || ' ') - length(replace(' ' || $expr || ' ', ' $word ', ''))) // $n"
+  }
+
+  /** Language ID via marker-token counts with a deterministic argmax
+    * cascade (an n-gram/stopword heuristic — the real lang is carried
+    * alongside for evaluation). */
+  val qLangId: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    docs
+      .select(
+        col("doc_id"), col("lang"),
+        occurrences(col("text"), "the").as("c_the"),
+        occurrences(col("text"), "data").as("c_data"),
+        occurrences(col("text"), "scan").as("c_scan"),
+        occurrences(col("text"), "join").as("c_join"))
+      .withColumn("guess",
+        when(col("c_the") >= col("c_data") && col("c_the") >= col("c_scan")
+               && col("c_the") >= col("c_join"), "en")
+          .when(col("c_data") >= col("c_scan") && col("c_data") >= col("c_join"), "dat")
+          .when(col("c_scan") >= col("c_join"), "scn")
+          .otherwise("jon"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: length, whitespace token count, stopword count and
+    * integer stopword-per-100-tokens score with a keep/drop flag. */
+  val qQualityScore: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val nTokens =
+      (length(col("text")) - length(replace(col("text"), lit(" "), lit(""))) + 1)
+        .cast(LongType)
+    val nStop =
+      occurrences(col("text"), "the") + occurrences(col("text"), "a") +
+      occurrences(col("text"), "of") + occurrences(col("text"), "and")
+    docs
+      .select(col("doc_id"), col("n_chars"), nTokens.as("n_tokens"), nStop.as("n_stop"))
+      .withColumn("score_pct", expr("(n_stop * 100) div n_tokens"))
+      .withColumn("keep_flag", col("score_pct") >= 3 && col("n_tokens") >= 10)
+      .orderBy("doc_id")
+  }
+
+  /** Token counting two ways: whitespace tokens and a BPE-ish regex
+    * tokenizer (letter runs | digit runs | single punctuation). */
+  val qTokenCount: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    docs
+      .select(
+        col("doc_id"),
+        (length(col("text")) - length(replace(col("text"), lit(" "), lit(""))) + 1)
+          .cast(LongType).as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .cast(LongType).as("n_re_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprinting: md5 of the whitespace-normalized lowercase
+    * text, plus a 8-hex-char bucket prefix (the cheap join key for
+    * fingerprint-equality dedup at scale). */
+  val qFingerprint: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    docs
+      .select(
+        col("doc_id"),
+        md5(lower(regexp_replace(col("text"), " +", " "))).as("fp"))
+      .withColumn("fp_prefix", substring(col("fp"), 1, 8))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_lang_id" -> qLangId,
+    "q_quality_score" -> qQualityScore,
+    "q_token_count" -> qTokenCount,
+    "q_fingerprint" -> qFingerprint
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_lang_id" -> {
+      val cThe = occurrencesDuck("text", "the")
+      val cData = occurrencesDuck("text", "data")
+      val cScan = occurrencesDuck("text", "scan")
+      val cJoin = occurrencesDuck("text", "join")
+      s"""SELECT doc_id, lang, c_the, c_data, c_scan, c_join,
+        |  CASE WHEN c_the >= c_data AND c_the >= c_scan AND c_the >= c_join THEN 'en'
+        |       WHEN c_data >= c_scan AND c_data >= c_join THEN 'dat'
+        |       WHEN c_scan >= c_join THEN 'scn'
+        |       ELSE 'jon' END AS guess
+        |FROM (SELECT doc_id, lang, $cThe AS c_the, $cData AS c_data,
+        |             $cScan AS c_scan, $cJoin AS c_join
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin
+    },
+    "q_quality_score" -> {
+      val nStop = Seq("the", "a", "of", "and")
+        .map(w => s"(${occurrencesDuck("text", w)})").mkString(" + ")
+      s"""SELECT doc_id, n_chars, n_tokens, n_stop,
+        |  (n_stop * 100) // n_tokens AS score_pct,
+        |  ((n_stop * 100) // n_tokens >= 3 AND n_tokens >= 10) AS keep_flag
+        |FROM (SELECT doc_id, n_chars,
+        |        length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+        |        $nStop AS n_stop
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin
+    },
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  length(text) - length(replace(text, ' ', '')) + 1 AS n_ws_tokens,
+        |  CAST(length(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id, fp, substr(fp, 1, 8) AS fp_prefix
+        |FROM (SELECT doc_id, md5(lower(regexp_replace(text, ' +', ' ', 'g'))) AS fp
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (Spark result), runs the
+matching oracle_sql.json query in DuckDB over <sfDir>'s tables, and
+compares: row count, schema (column names), and cell values (columns
+sorted by name, exact equality; floats compared bitwise).
+"""
+import json
+import math
+import sys
+
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v.hex()
+    return v
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracle = json.load(f)
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        try:
+            tbl = pq.read_table(f"{out_dir}/{name}")
+        except Exception as e:
+            print(f"FAIL {name}: spark output unreadable: {e}")
+            n_fail += 1
+            continue
+        try:
+            duck = con.execute(sql).fetch_arrow_table()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        s_cols, d_cols = sorted(tbl.column_names), sorted(duck.column_names)
+        if s_cols != d_cols:
+            print(f"FAIL {name}: schema mismatch spark={s_cols} duck={d_cols}")
+            n_fail += 1
+            continue
+        if tbl.num_rows != duck.num_rows:
+            print(f"FAIL {name}: rows spark={tbl.num_rows} duck={duck.num_rows}")
+            n_fail += 1
+            continue
+        srows = [tuple(norm(c[i]) for c in
+                       (tbl.column(n).to_pylist() for n in s_cols))
+                 for i in range(0)]  # placeholder; build below
+        s_data = {n: tbl.column(n).to_pylist() for n in s_cols}
+        d_data = {n: duck.column(n).to_pylist() for n in d_cols}
+        bad = None
+        for n in s_cols:
+            for i, (a, b) in enumerate(zip(s_data[n], d_data[n])):
+                if norm(a) != norm(b):
+                    bad = (n, i, a, b)
+                    break
+            if bad:
+                break
+        if bad:
+            n_, i, a, b = bad
+            print(f"FAIL {name}: value mismatch col={n_} row={i} "
+                  f"spark={a!r} duck={b!r}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({tbl.num_rows} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
