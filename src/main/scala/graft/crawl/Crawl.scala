@@ -1,0 +1,101 @@
+package graft.crawl
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
+
+/** The wired crawl pipeline (storcrawl.py begin_scan, :530-636):
+  * roots → recursive listing (S1) → lstat enrich + extension (S2/F2) →
+  * owner attribution (J1) → sink (S4), one lazily-pipelined Spark job —
+  * the reference's walker/stater/dbproc pools with their three shutdown
+  * barriers collapse into Spark stage pipelining (SURVEY.md §3.1).
+  *
+  * Counters (A1, storcrawl.py:72-79) are lock-free LongAccumulators
+  * merged at task end, replacing the reference's two global
+  * multiprocessing locks — its single biggest contention point.
+  */
+final case class CrawlCounters(
+    filesSeen: LongAccumulator,
+    dirsSeen: LongAccumulator,
+    totalSize: LongAccumulator,
+    statErrors: LongAccumulator)
+
+object Crawl {
+
+  def counters(spark: SparkSession): CrawlCounters = CrawlCounters(
+    spark.sparkContext.longAccumulator("files_seen"),
+    spark.sparkContext.longAccumulator("dirs_seen"),
+    spark.sparkContext.longAccumulator("total_size"),
+    spark.sparkContext.longAccumulator("stat_errors"))
+
+  /** Crawl roots into a `files` DataFrame (FIXTURES.md §2.3 schema).
+    * Pass an owners file to attribute PIs; `useJoinPlan` switches the
+    * J1 implementation between broadcast-UDF walk and explode+join. */
+  def run(
+      spark: SparkSession,
+      roots: Seq[String],
+      ownersFile: Option[String] = None,
+      exclusions: Set[String] = FsScanner.DefaultExclusions,
+      useJoinPlan: Boolean = false,
+      ctrs: Option[CrawlCounters] = None): DataFrame = {
+    import spark.implicits._
+    val entries = FsScanner.scan(spark, roots, exclusions)
+    val counted = ctrs match {
+      case Some(c) =>
+        entries.map { e =>
+          if (e.isDir) c.dirsSeen.add(1) else c.filesSeen.add(1)
+          e
+        }
+      case None => entries
+    }
+    val meta = StatEnricher.enrich(counted)
+    val withSize = ctrs match {
+      case Some(c) =>
+        meta.map { m =>
+          m.st_size.foreach(c.totalSize.add)
+          if (m.error.isDefined) c.statErrors.add(1)
+          m
+        }
+      case None => meta
+    }
+    val df = withSize.toDF().withColumn("insert_time", current_timestamp())
+    ownersFile match {
+      case None => df
+      case Some(of) =>
+        val dim = Owners.load(spark, of)
+        if (useJoinPlan)
+          Owners.attachOwnersByJoin(df.drop("owner"), dim)
+            .withColumnRenamed("owner_joined", "owner")
+        else
+          df.withColumn("owner", Owners.findOwnerUdf(spark, dim))
+    }
+  }
+
+  /** Final one-line summary (storcrawl.py:641). */
+  def summary(c: CrawlCounters): String = {
+    val tb = c.totalSize.value.toDouble / math.pow(1024, 4)
+    f"crawl complete: $tb%.4f TB, ${c.filesSeen.value} files, " +
+      f"${c.dirsSeen.value} dirs, ${c.statErrors.value} stat errors"
+  }
+
+  /** S4 — parquet sink (the oracle-harness sink; storage namespace per
+    * crawl tag like the per-crawl Postgres schema, storcrawl.py:59). */
+  def writeParquet(df: DataFrame, baseDir: String, tag: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(s"$baseDir/crawl_tag=$tag")
+
+  /** S4 — JDBC sink shape (batched inserts, storcrawl.py:314-417):
+    * `batchsize` ↔ commit batching, `numPartitions` ↔ --injects. Not
+    * exercised in tests (no DB in the container); the call shape is the
+    * engine contract. */
+  def writeJdbc(
+      df: DataFrame, url: String, table: String,
+      user: String, password: String,
+      batchSize: Int = 10000, numPartitions: Int = 4): Unit = {
+    val props = new java.util.Properties()
+    props.setProperty("user", user)
+    props.setProperty("password", password)
+    props.setProperty("batchsize", batchSize.toString)
+    df.repartition(numPartitions)
+      .write.mode(SaveMode.Append).jdbc(url, table, props)
+  }
+}

@@ -1,0 +1,54 @@
+package graft.crawl
+
+import org.apache.spark.sql.SparkSession
+
+/** CLI entry point mirroring the reference's `storcrawl` wrapper
+  * (storage_crawler/storcrawl:1-21, storcrawl.py:16-53):
+  *
+  *   runMain graft.crawl.CrawlMain --dir <root> [--dir <root2> ...]
+  *     --tag <tag> --out <baseDir> [--owners <file>]
+  *     [--exclude <name>]... [--join-plan]
+  *
+  * Crawls the roots, writes `files` parquet under `<out>/crawl_tag=<tag>`
+  * and prints the reference's one-line final summary (storcrawl.py:641).
+  */
+object CrawlMain {
+  def main(args: Array[String]): Unit = {
+    var dirs = List.empty[String]
+    var tag = "crawl"
+    var out = "target/crawl_out"
+    var owners: Option[String] = None
+    var excl = FsScanner.DefaultExclusions
+    var joinPlan = false
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--dir"     => dirs ::= args(i + 1); i += 2
+        case "--tag"     => tag = args(i + 1); i += 2
+        case "--out"     => out = args(i + 1); i += 2
+        case "--owners"  => owners = Some(args(i + 1)); i += 2
+        case "--exclude" => excl += args(i + 1); i += 2
+        case "--join-plan" => joinPlan = true; i += 1
+        case other => sys.error(s"unknown arg: $other (expected --dir/--tag/--out/--owners/--exclude/--join-plan)")
+      }
+    }
+    require(dirs.nonEmpty, "at least one --dir is required")
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-crawl-$tag")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val ctrs = Crawl.counters(spark)
+      val df = Crawl.run(spark, dirs.reverse, owners, excl, joinPlan, Some(ctrs))
+      Crawl.writeParquet(df, out, tag)
+      println(Crawl.summary(ctrs))
+      println(s"rows written: ${spark.read.parquet(s"$out/crawl_tag=$tag").count()} -> $out/crawl_tag=$tag")
+    } finally spark.stop()
+  }
+}

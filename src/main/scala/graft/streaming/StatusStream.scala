@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+
+/** T1/T2 — the reference's telemetry loop (storcrawl.py:491-528) and
+  * micro-batched sink commits (storcrawl.py:382-391,404-415) as
+  * Structured Streaming.
+  *
+  * The reference computes rates on a 60-second processing-time cadence
+  * from monotonic counters and appends status rows; here the same
+  * semantics are event-time tumbling windows over a metric stream plus
+  * a `Trigger.ProcessingTime` micro-batch `foreachBatch` sink (exactly
+  * its commit-every-`--timeout`-seconds behavior). No watermark games
+  * beyond late-data cutoff — the reference has no late-data concept
+  * (SURVEY.md §2.9 T3).
+  */
+object StatusStream {
+
+  /** Windowed rate aggregation over a (time, status, value) stream:
+    * events-per-interval and value-sum per metric per window — the W2
+    * rate analog, computed with event-time windows + watermark. */
+  def windowedRates(
+      stream: DataFrame,
+      window_ : String = "60 seconds",
+      watermark: String = "120 seconds"): DataFrame =
+    stream
+      .withWatermark("time", watermark)
+      .groupBy(window(col("time"), window_), col("status"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("bucket_start"),
+        col("status"), col("n"), col("sum_value"))
+
+  /** Micro-batched status sink: commit cadence ↔ the reference's
+    * `--timeout` (T2). Each batch appends to the status table path. */
+  def statusSink(
+      rates: DataFrame,
+      outPath: String,
+      checkpoint: String,
+      cadence: String = "60 seconds"): DataStreamWriter[Row] =
+    rates.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime(cadence))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        batch.write.mode("append").parquet(outPath)
+      }
+}
