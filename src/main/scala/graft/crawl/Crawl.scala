@@ -83,6 +83,35 @@ object Crawl {
   def writeParquet(df: DataFrame, baseDir: String, tag: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(s"$baseDir/crawl_tag=$tag")
 
+  /** T1 — the status time series for a finished batch crawl, in the
+    * flat legacy schema the report layer queries (SURVEY.md §1.3/A11):
+    * begin/end events (units='event', storcrawl.py:575,629) plus final
+    * counter gauges and run-average rates (storcrawl.py:494-521). The
+    * live streaming variant is graft.streaming.StatusStream. */
+  def statusRows(
+      spark: SparkSession,
+      c: CrawlCounters,
+      t0Epoch: Long,
+      t1Epoch: Long): DataFrame = {
+    import spark.implicits._
+    val elapsed = math.max(1L, t1Epoch - t0Epoch).toDouble
+    val metrics = Seq(
+      ("begin", 0.0, "event", t0Epoch),
+      ("files seen", c.filesSeen.value.toDouble, "files", t1Epoch),
+      ("dirs seen", c.dirsSeen.value.toDouble, "dirs", t1Epoch),
+      ("total size", c.totalSize.value.toDouble, "bytes", t1Epoch),
+      ("stat errors", c.statErrors.value.toDouble, "files", t1Epoch),
+      ("file rate", c.filesSeen.value / elapsed, "files/sec", t1Epoch),
+      ("dir rate", c.dirsSeen.value / elapsed, "dirs/sec", t1Epoch),
+      ("end", 0.0, "event", t1Epoch))
+    metrics.zipWithIndex.map { case ((status, v, units, t), i) =>
+      StatusRow(i.toLong + 1, new java.sql.Timestamp(t * 1000), status, v, units)
+    }.toDF()
+  }
+
+  def writeStatus(df: DataFrame, baseDir: String, tag: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(s"$baseDir/status_tag=$tag")
+
   /** S4 — JDBC sink shape (batched inserts, storcrawl.py:314-417):
     * `batchsize` ↔ commit batching, `numPartitions` ↔ --injects. Not
     * exercised in tests (no DB in the container); the call shape is the

@@ -45,8 +45,11 @@ object CrawlMain {
     spark.sparkContext.setLogLevel("WARN")
     try {
       val ctrs = Crawl.counters(spark)
+      val t0 = System.currentTimeMillis() / 1000
       val df = Crawl.run(spark, dirs.reverse, owners, excl, joinPlan, Some(ctrs))
       Crawl.writeParquet(df, out, tag)
+      val t1 = System.currentTimeMillis() / 1000
+      Crawl.writeStatus(Crawl.statusRows(spark, ctrs, t0, t1), out, tag)
       println(Crawl.summary(ctrs))
       println(s"rows written: ${spark.read.parquet(s"$out/crawl_tag=$tag").count()} -> $out/crawl_tag=$tag")
     } finally spark.stop()

@@ -78,12 +78,11 @@ object Owners {
     val exploded = files.select(col("path"),
         explode(Exprs.ancestorPrefixes(col("path"))).as("a"))
       .select(col("path"), col("a.prefix").as("prefix"), col("a.depth").as("depth"))
-    val w = Window.partitionBy("path").orderBy(col("depth").desc)
+    // deepest match via max_by: map-side partial agg, no window sort
     val matched = exploded
       .join(broadcast(dim), col("prefix") === col("dir"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("path"), col("pi").as("owner_joined"))
+      .groupBy("path")
+      .agg(max_by(col("pi"), col("depth")).as("owner_joined"))
     files.join(matched, Seq("path"), "left")
   }
 }

@@ -1,0 +1,161 @@
+package graft.crawl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** The reference report CLI's eight actions (report.py:217-235) over a
+  * crawled `files` table and its `status` stream — the surface a
+  * storage-crawler user actually invokes, re-expressed as Catalyst
+  * plans. Each action is a DataFrame function; [[ReportMain]] is the
+  * CLI.
+  *
+  * Semantics are verbatim from report.py (quirks preserved per
+  * SURVEY.md Appendix A):
+  *  - `large_old_files` (A9) really selects large RECENTLY-CHANGED
+  *    files: size ≥ 3 GiB AND (ctime|mtime within ~7.04 days of now);
+  *  - `status-brief` is latest-row-per-metric via MAX(id);
+  *  - `first_thousand` (A10) gains a total ORDER BY for determinism.
+  */
+object ReportActions {
+
+  val LargeSize = 3221225472L // report.py:235
+  val Delta = 608400L         // report.py:235
+
+  /** S6 — schema introspection (report.py:103-112): one row per column,
+    * like information_schema.columns. */
+  def schemaOf(df: DataFrame, spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    df.schema.fields.toSeq
+      .map(f => (f.name, f.dataType.simpleString, f.nullable))
+      .toDF("column_name", "data_type", "is_nullable")
+  }
+
+  /** status-full (report.py:114-120). */
+  def statusFull(status: DataFrame): DataFrame =
+    status.select(
+        date_trunc("SECOND", col("time")).as("time"),
+        col("status"), col("value"), col("units"))
+      .orderBy("time", "status")
+
+  /** status-events (report.py:123-131): units='event' filter. */
+  def statusEvents(status: DataFrame): DataFrame =
+    status.filter(col("units") === "event")
+      .select(date_trunc("SECOND", col("time")).as("time"), col("status"))
+      .orderBy("time", "status")
+
+  /** status-averages (report.py:134-145): AVG of '%rate' metrics. */
+  def statusAverages(status: DataFrame): DataFrame =
+    status.filter(col("status").like("%rate"))
+      .groupBy("status", "units")
+      .agg(avg(col("value")).as("avg"))
+      .select(col("status"), col("avg"), col("units"))
+      .orderBy("units", "status")
+
+  /** status-brief (report.py:148-159): latest row per metric via the
+    * MAX(id) semi-join idiom, planned as max_by (no sort, no subquery). */
+  def statusBrief(status: DataFrame): DataFrame =
+    status
+      .groupBy("status")
+      .agg(
+        max_by(struct(col("time"), col("value"), col("units")), col("id")).as("s"))
+      .select(
+        date_trunc("SECOND", col("s.time")).as("time"),
+        col("status"), col("s.value").as("value"), col("s.units").as("units"))
+      .orderBy("time", "status")
+
+  /** first_thousand (report.py:162-175) + A10 total order. */
+  def firstThousand(files: DataFrame): DataFrame =
+    files.orderBy("path").limit(1000)
+
+  /** large_old_files (report.py:178-209): predicate+projection+sort as
+    * written, with the reference's JSON column order
+    * (insert_ts,path,ext,uid,gid,size,atime,ctime,mtime,owner). `now`
+    * is injectable for determinism. */
+  def largeOldFiles(files: DataFrame, nowEpoch: Long): DataFrame =
+    files
+      .filter(
+        col("st_size") >= LargeSize &&
+        (col("st_ctime") + Delta >= nowEpoch ||
+         col("st_mtime") + Delta >= nowEpoch))
+      .select(
+        unix_timestamp(date_trunc("SECOND", col("insert_time")))
+          .cast(LongType).as("insert_ts"),
+        col("path"),
+        col("extension").as("ext"),
+        col("st_uid").as("uid"),
+        col("st_gid").as("gid"),
+        col("st_size").as("size"),
+        col("st_atime").as("atime"),
+        col("st_ctime").as("ctime"),
+        col("st_mtime").as("mtime"),
+        col("owner"))
+      .orderBy(
+        greatest(col("st_mtime"), col("st_ctime")).desc,
+        least(col("st_mtime"), col("st_ctime")).desc,
+        col("path"))
+
+  /** Dispatch table mirroring report.py:217-235 action names. */
+  def run(
+      spark: SparkSession,
+      action: String,
+      files: => DataFrame,
+      status: => DataFrame,
+      nowEpoch: Long = System.currentTimeMillis() / 1000): DataFrame =
+    action match {
+      case "schema-files"    => schemaOf(files, spark)
+      case "schema-status"   => schemaOf(status, spark)
+      case "schema-all"      => schemaOf(files, spark).unionAll(schemaOf(status, spark))
+      case "status-full"     => statusFull(status)
+      case "status-events"   => statusEvents(status)
+      case "status-averages" => statusAverages(status)
+      case "status-brief"    => statusBrief(status)
+      case "first_thousand"  => firstThousand(files)
+      case "large_old_files" => largeOldFiles(files, nowEpoch)
+      case other => sys.error(s"unknown action: $other (report.py:217-235 names)")
+    }
+}
+
+/** CLI: runMain graft.crawl.ReportMain <action> --tag <tag> --base <dir>
+  * over parquet written by [[CrawlMain]] (files at
+  * `<base>/crawl_tag=<tag>`, status at `<base>/status_tag=<tag>`). */
+object ReportMain {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: ReportMain <action> [--tag t] [--base dir] [--json]")
+    val action = args(0)
+    var tag = "crawl"
+    var base = "target/crawl_out"
+    var asJson = false
+    var i = 1
+    while (i < args.length) {
+      args(i) match {
+        case "--tag"  => tag = args(i + 1); i += 2
+        case "--base" => base = args(i + 1); i += 2
+        case "--json" => asJson = true; i += 1
+        case other    => sys.error(s"unknown arg: $other")
+      }
+    }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-report-$tag")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      lazy val files = spark.read.parquet(s"$base/crawl_tag=$tag")
+      lazy val status = spark.read.parquet(s"$base/status_tag=$tag")
+      val df = ReportActions.run(spark, action, files, status)
+      // S8/S9 sinks: CSV-ish stdout (report.py:88-101) or JSON
+      // (report.py:194-209)
+      if (asJson) df.toJSON.collect().foreach(println)
+      else {
+        println(df.columns.mkString(","))
+        df.collect().foreach(r => println(r.mkString(",")))
+      }
+    } finally spark.stop()
+  }
+}

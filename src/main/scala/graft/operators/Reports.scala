@@ -165,12 +165,14 @@ object Reports {
     val exploded = paths
       .select(col("path"), explode(ancestorPrefixes(col("path"))).as("a"))
       .select(col("path"), col("a.prefix").as("prefix"), col("a.depth").as("depth"))
-    val w = Window.partitionBy("path").orderBy(col("depth").desc)
+    // deepest match via max_by aggregation: partial (map-side) agg +
+    // hash agg — no sort, unlike a row_number window over the
+    // high-cardinality path key (depths are unique per path, so max_by
+    // is deterministic)
     val matched = exploded
       .join(broadcast(dim), col("prefix") === col("dir"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("path"), col("pi").as("owner"))
+      .groupBy("path")
+      .agg(max_by(col("pi"), col("depth")).as("owner"))
     paths.join(matched, Seq("path"), "left").orderBy("path")
   }
 
