@@ -250,14 +250,20 @@ object Reports {
         col("id"))
   }
 
-  /** F2 — find_extension over p_name-derived filenames (quirks A1/A2). */
+  /** F2 — find_extension over p_name-derived filenames (quirks A1/A2),
+    * through the native codegen expression (FindExtensionExpr),
+    * registered idempotently; Exprs.findExtensionCol is the
+    * builtin-composed equivalent (asserted equal in specs). */
   val qFindExtension: Q = (s, d) => {
+    val reg = s.sessionState.functionRegistry
+    val (ident, info, builder) = graft.GraftExtensions.findExtensionDescriptor
+    if (!reg.functionExists(ident)) reg.registerFunction(ident, info, builder)
     val part = Tables.part(s, d)
     part
       .select(
         col("p_partkey"),
         lower(expr("replace(p_name, ' ', '.')")).as("fname"))
-      .withColumn("ext", findExtensionCol(col("fname")))
+      .withColumn("ext", expr("find_extension(fname)"))
       .orderBy("p_partkey")
   }
 
