@@ -112,6 +112,32 @@ object Crawl {
   def writeStatus(df: DataFrame, baseDir: String, tag: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(s"$baseDir/status_tag=$tag")
 
+  /** F7 — the reference's CURRENT status-writer shape: one jsonb blob
+    * per snapshot, `{"<metric>": {"value": v, "units": u}, "time": t}`
+    * (storcrawl.py:303-311,494-521). Kept as a to_json projection over
+    * the flat rows (the flat schema stays primary — decision A11). */
+  def statusJsonb(status: DataFrame): DataFrame =
+    status.select(
+      col("id"),
+      to_json(struct(
+        col("status"), col("value"), col("units"),
+        unix_timestamp(col("time")).as("time"))).as("entry"))
+
+  /** F12/S5 analog — the reference's crawl tag stamp
+    * (time.strftime('%Y%m%d%H%M%S'), storcrawl.py:58). */
+  def defaultTag(nowMillis: Long = System.currentTimeMillis()): String = {
+    val fmt = new java.text.SimpleDateFormat("yyyyMMddHHmmss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    fmt.format(new java.util.Date(nowMillis))
+  }
+
+  /** S7 — existence check on the per-tag namespace (report.py:56-66:
+    * error unless exactly the schema exists). */
+  def tagExists(spark: SparkSession, baseDir: String, tag: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$baseDir/crawl_tag=$tag")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** S4 — JDBC sink shape (batched inserts, storcrawl.py:314-417):
     * `batchsize` ↔ commit batching, `numPartitions` ↔ --injects. Not
     * exercised in tests (no DB in the container); the call shape is the

@@ -15,7 +15,7 @@ import org.apache.spark.sql.SparkSession
 object CrawlMain {
   def main(args: Array[String]): Unit = {
     var dirs = List.empty[String]
-    var tag = "crawl"
+    var tag = Crawl.defaultTag() // reference stamp format (storcrawl.py:58)
     var out = "target/crawl_out"
     var owners: Option[String] = None
     var excl = FsScanner.DefaultExclusions
