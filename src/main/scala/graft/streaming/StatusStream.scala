@@ -2,8 +2,18 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.Row
+
+/** One monotonic-counter sample (what the reference's status process
+  * reads from shared memory each tick, storcrawl.py:503-512). */
+final case class CounterSample(time: java.sql.Timestamp, status: String, value: Double)
+
+/** A derived rate row ((now − prev) / interval, storcrawl.py:503-505). */
+final case class RateRow(time: java.sql.Timestamp, status: String, rate: Double, units: String)
+
+/** Per-metric state carried between micro-batches. */
+final case class MetricState(lastValue: Double, lastEpochSec: Long)
 
 /** T1/T2 — the reference's telemetry loop (storcrawl.py:491-528) and
   * micro-batched sink commits (storcrawl.py:382-391,404-415) as
@@ -35,6 +45,35 @@ object StatusStream {
       .select(
         col("window.start").as("bucket_start"),
         col("status"), col("n"), col("sum_value"))
+
+  /** The reference's stateful rate computation (W2/T1,
+    * storcrawl.py:503-505): rate = (counter_now − counter_prev) /
+    * elapsed, carrying the previous sample per metric as explicit
+    * streaming state — `flatMapGroupsWithState` is the exact Spark
+    * shape of its `last_*` locals. Works identically on a batch
+    * Dataset (state spans the single batch). */
+  def counterRates(samples: Dataset[CounterSample]): Dataset[RateRow] = {
+    import samples.sparkSession.implicits._
+    samples
+      .groupByKey(_.status)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (status: String, it: Iterator[CounterSample], state: GroupState[MetricState]) => {
+          val sorted = it.toSeq.sortBy(_.time.getTime)
+          var st = state.getOption
+          val out = Seq.newBuilder[RateRow]
+          sorted.foreach { s =>
+            val es = s.time.getTime / 1000
+            st.foreach { prev =>
+              val dt = math.max(1L, es - prev.lastEpochSec).toDouble
+              out += RateRow(s.time, status + " rate",
+                (s.value - prev.lastValue) / dt, "per_sec")
+            }
+            st = Some(MetricState(s.value, es))
+          }
+          st.foreach(state.update)
+          out.result().iterator
+        })
+  }
 
   /** Micro-batched status sink: commit cadence ↔ the reference's
     * `--timeout` (T2). Each batch appends to the status table path. */

@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-import graft.streaming.StatusStream
+import graft.streaming.{CounterSample, StatusStream}
 
 /** T1/T2 — windowed status rates through a real Structured Streaming
   * micro-batch execution (MemoryStream → window agg → memory sink). */
@@ -37,6 +37,39 @@ class StreamingSpec extends SparkSpec {
         .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
       assert(out.contains(("file_rate", 2L, 30.0)))
       assert(out.contains(("dir_rate", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("counterRates: stateful (now-prev)/interval across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[CounterSample]
+    val rates = StatusStream.counterRates(input.toDS())
+    val q = rates.writeStream
+      .format("memory").queryName("counter_rates")
+      .outputMode("append").start()
+    try {
+      val t0 = 1700000000L
+      // batch 1: first samples → no rate yet (no previous state)
+      input.addData(CounterSample(new Timestamp(t0 * 1000), "files", 100.0))
+      q.processAllAvailable()
+      assert(spark.table("counter_rates").count() == 0)
+      // batch 2: 60s later the counter reads 220 → rate (220-100)/60 = 2
+      input.addData(CounterSample(new Timestamp((t0 + 60) * 1000), "files", 220.0))
+      // and a second metric starts
+      input.addData(CounterSample(new Timestamp((t0 + 60) * 1000), "dirs", 5.0))
+      q.processAllAvailable()
+      val out = spark.table("counter_rates")
+        .select("status", "rate").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSet
+      assert(out == Set(("files rate", 2.0)))
+      // batch 3: dirs ticks too
+      input.addData(CounterSample(new Timestamp((t0 + 120) * 1000), "dirs", 65.0))
+      q.processAllAvailable()
+      val out2 = spark.table("counter_rates")
+        .select("status", "rate").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSet
+      assert(out2 == Set(("files rate", 2.0), ("dirs rate", 1.0)))
     } finally q.stop()
   }
 }
