@@ -38,6 +38,12 @@ object Multimodal {
       checksum: Long,
       feature: Array[Float]) // stub embedding
 
+  final case class MediaFrame(
+      media_id: Long,
+      frame_no: Int,
+      t_ms: Long,
+      frame: Array[Byte])
+
   /** STUB decode: deterministic byte-derived pseudo-features standing in
     * for a real image/audio decoder. Replace body for production. */
   private[operators] def decodeStub(r: MediaRow): MediaFeatures = {
@@ -61,6 +67,43 @@ object Multimodal {
     media.mapPartitions { rows =>
       // production: initialize the codec ONCE here, then stream
       rows.map(decodeStub)
+    }
+  }
+
+  /** STUB resize: a real implementation decodes, scales, re-encodes;
+    * the stub deterministically truncates/pads the payload to the
+    * target "pixel count" so tests have stable oracles. The operator
+    * contract — (row, targetW, targetH) → row with updated payload and
+    * metadata, batched per partition — is the real part. */
+  def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // production: codec init once per partition here
+      rows.map { r =>
+        val target = math.max(1, w * h)
+        val bytes = if (r.payload == null) Array.empty[Byte] else r.payload
+        val out = Array.tabulate(target)(i => bytes(i % math.max(1, bytes.length)))
+        r.copy(payload = out, width = Some(w), height = Some(h))
+      }
+    }
+  }
+
+  /** STUB frame sampling: a video row explodes into ~`n` frame rows
+    * (payload slices standing in for decoded frames). The row-explosion
+    * shape — one input row → n output rows, still partition-batched,
+    * frames never shuffled — is what matters at scale. */
+  def sampleFrames(media: Dataset[MediaRow], n: Int): Dataset[MediaFrame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val bytes = if (r.payload == null) Array.empty[Byte] else r.payload
+      val dur = r.duration_ms.getOrElse(0L)
+      (0 until n).map { i =>
+        val tMs = if (n <= 1) 0L else dur * i / (n - 1)
+        val sliceLen = math.max(1, bytes.length / n)
+        val off = math.min(bytes.length, i * sliceLen)
+        MediaFrame(r.media_id, i, tMs,
+          bytes.slice(off, math.min(bytes.length, off + sliceLen)))
+      }
     }
   }
 

@@ -122,6 +122,80 @@ object Similarity {
     sims.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  // ---- IVF scale path (non-oracle: float math; recall-tested in specs)
+
+  private def dotF(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  /** Build an IVF coarse index: k deterministic seed centroids refined
+    * by `iters` Lloyd iterations, all as DataFrame ops (posexplode →
+    * per-dimension mean → array rebuild). Returns (centroids(cid,
+    * centroid), assignments(vec_id, cid)). At 100 TB the assignment
+    * pass is one broadcast-join scan; centroids stay tiny. */
+  def buildIvfIndex(corpus: DataFrame, k: Int, iters: Int = 2): (DataFrame, DataFrame) = {
+    val w = Window.orderBy("vec_id")
+    // deterministic seeds: the k lowest vec_ids
+    var centroids = corpus.orderBy("vec_id").limit(k)
+      .withColumn("cid", row_number().over(Window.orderBy("vec_id")).cast("long") - 1)
+      .select(col("cid"), col("embedding").as("centroid"))
+    var i = 0
+    while (i < iters) {
+      val assigned = assign(corpus, centroids)
+      val joined = corpus.join(assigned, "vec_id")
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy("cid", "i").agg(avg(col("x")).as("m"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("pairs"))
+        .select(col("cid"),
+          transform(col("pairs"), p => p.getField("m").cast("float")).as("centroid"))
+      centroids = joined
+      i += 1
+    }
+    (centroids, assign(corpus, centroids))
+  }
+
+  /** Nearest-centroid assignment (cosine, float path, broadcast dims). */
+  private def assign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val sims = corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("cid"),
+        (dotF(col("embedding"), col("centroid")) /
+          (sqrt(dotF(col("embedding"), col("embedding"))) *
+           sqrt(dotF(col("centroid"), col("centroid"))))).as("sim"))
+    sims.groupBy("vec_id").agg(max_by(col("cid"), struct(col("sim"), -col("cid"))).as("cid"))
+  }
+
+  /** IVF top-k: probe the query's `nprobe` nearest centroid buckets and
+    * brute-force only inside them — the candidate set shrinks by
+    * ~k/nprobe vs the full corpus. */
+  def ivfTopk(
+      queries: DataFrame, corpus: DataFrame,
+      centroids: DataFrame, assignments: DataFrame,
+      topK: Int, nprobe: Int = 2): DataFrame = {
+    val qsims = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .crossJoin(broadcast(centroids))
+      .select(col("qid"), col("qe"), col("cid"),
+        (dotF(col("qe"), col("centroid")) /
+          (sqrt(dotF(col("qe"), col("qe"))) *
+           sqrt(dotF(col("centroid"), col("centroid"))))).as("csim"))
+    val probes = qsims
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("csim").desc, col("cid"))))
+      .filter(col("rnk") <= nprobe)
+      .select(col("qid"), col("qe"), col("cid"))
+    val cands = probes
+      .join(assignments, "cid")
+      .join(corpus.select(col("vec_id").as("nid"), col("embedding").as("ne")),
+            col("vec_id") === col("nid"))
+      .filter(col("qid") =!= col("nid"))
+    val sims = cands.select(col("qid"), col("nid"),
+      (dotF(col("qe"), col("ne")) /
+        (sqrt(dotF(col("qe"), col("qe"))) * sqrt(dotF(col("ne"), col("ne"))))).as("sim"))
+    sims.withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))))
+      .filter(col("rnk") <= topK)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_ann_topk" -> qAnnTopk,
     "q_embedding_neardup" -> qEmbeddingNeardup

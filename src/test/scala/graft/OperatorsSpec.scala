@@ -117,4 +117,25 @@ class OperatorsSpec extends SparkSpec {
       .find(_.media_id == 1L).get
     assert(again.checksum == f1.checksum)
   }
+
+  test("multimodal: resize updates payload size and metadata") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", Array[Byte](1, 2, 3, 4, 5, 6), "image/png",
+        Some(3), Some(2), None)).toDS()
+    val out = Multimodal.resize(media, 4, 4).collect().head
+    assert(out.payload.length == 16 && out.width.contains(4) && out.height.contains(4))
+  }
+
+  test("multimodal: frame sampling explodes one video into n frame rows") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(7L, "video", Array.tabulate(100)(_.toByte), "video/mp4",
+        None, None, Some(10000L))).toDS()
+    val frames = Multimodal.sampleFrames(media, 5).collect().sortBy(_.frame_no)
+    assert(frames.length == 5)
+    assert(frames.map(_.media_id).forall(_ == 7L))
+    assert(frames.last.t_ms == 10000L && frames.head.t_ms == 0L)
+    assert(frames.forall(_.frame.nonEmpty))
+  }
 }
