@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -31,31 +31,44 @@ object Dedup {
   }
 
   /** MinHash + LSH near-dup candidates: char-5-gram shingles (stride 5),
-    * 8 minhash permutations, 4 bands × 2 rows; docs sharing any band key
-    * become a candidate pair. Shuffle volume after shingling is 8 longs
-    * per doc — the scale path for 100 TB (raw text never shuffles). */
+    * 8 minhash permutations (15-hex-char slices of TWO md5 calls per
+    * shingle — 4× less hashing than one md5 per permutation, and all 8
+    * mins aggregate in ONE groupBy pass with no seed explosion), then
+    * 4 bands × 2 rows; docs sharing any band key become a candidate
+    * pair. Shuffle volume after shingling is 8 longs per doc — the
+    * scale path for 100 TB (raw text never shuffles). */
   val qDedupMinhashLsh: Q = (s, d) => {
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val pos = docs.select(
       col("doc_id"), col("text"),
       explode(sequence(lit(1), greatest(length(col("text")) - 4, lit(1)), lit(5))).as("i"))
-    val sh = pos.select(col("doc_id"), expr("substr(text, i, 5)").as("sh"))
-    val hs = sh
-      .select(col("doc_id"), col("sh"), explode(sequence(lit(0), lit(7))).as("seed"))
-      .withColumn("h", md5LongSeeded(col("sh"), col("seed")))
-    val sig = hs.groupBy("doc_id", "seed").agg(min("h").as("mh"))
-    val band = sig
-      .groupBy(col("doc_id"), expr("seed div 2").as("band"))
-      .agg(
-        min(when(col("seed") % 2 === 0, col("mh"))).as("m0"),
-        min(when(col("seed") % 2 === 1, col("mh"))).as("m1"))
-    val keys = band.select(
+    // two 32-hex md5s per shingle → 4 non-overlapping 8-hex (32-bit)
+    // hashes each = 8 independent family members from 2 digest calls
+    val sh = pos.select(
       col("doc_id"),
-      concat(col("band").cast("string"), lit(":"),
-             col("m0").cast("string"), lit(":"),
-             col("m1").cast("string")).as("band_key"))
-    keys.as("a")
-      .join(keys.as("b"),
+      md5(concat(expr("substr(text, i, 5)"), lit("|a"))).as("ha"),
+      md5(concat(expr("substr(text, i, 5)"), lit("|b"))).as("hb"))
+    def sub(c: Column, off: Int): Column =
+      conv(substring(c, off, 8), 16, 10).cast("long")
+    val hashed = sh.select(
+      col("doc_id") +:
+        (0 until 4).map(j => sub(col("ha"), 1 + j * 8).as(s"h$j")) ++:
+        (0 until 4).map(j => sub(col("hb"), 1 + j * 8).as(s"h${j + 4}")): _*)
+    // single aggregation pass: all 8 minima at once
+    val sig = hashed.groupBy("doc_id")
+      .agg(min(col("h0")).as("m0"), min(col("h1")).as("m1"),
+           min(col("h2")).as("m2"), min(col("h3")).as("m3"),
+           min(col("h4")).as("m4"), min(col("h5")).as("m5"),
+           min(col("h6")).as("m6"), min(col("h7")).as("m7"))
+    // 4 bands × 2 rows: band key = "<band>:<m2b>:<m2b+1>"
+    val bandKeys = (0 until 4).map { b =>
+      sig.select(
+        col("doc_id"),
+        concat(lit(s"$b:"), col(s"m${2 * b}").cast("string"), lit(":"),
+               col(s"m${2 * b + 1}").cast("string")).as("band_key"))
+    }.reduce(_ unionAll _)
+    bandKeys.as("a")
+      .join(bandKeys.as("b"),
         col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
       .distinct()
@@ -129,19 +142,30 @@ object Dedup {
         |  SELECT doc_id, text,
         |         unnest(generate_series(1, greatest(length(text)-4, 1), 5)) AS i
         |  FROM documents),
-        |sh AS (SELECT doc_id, substr(text, i, 5) AS sh FROM pos),
-        |hs AS (SELECT doc_id,
-        |         CAST('0x' || substr(md5(sh || '|' || CAST(seed AS VARCHAR)), 1, 15) AS BIGINT) AS h,
-        |         seed
-        |       FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed) seeds),
-        |sig AS (SELECT doc_id, seed, min(h) AS mh FROM hs GROUP BY doc_id, seed),
-        |band AS (SELECT doc_id, seed // 2 AS band,
-        |           min(CASE WHEN seed % 2 = 0 THEN mh END) AS m0,
-        |           min(CASE WHEN seed % 2 = 1 THEN mh END) AS m1
-        |         FROM sig GROUP BY doc_id, seed // 2),
-        |keys AS (SELECT doc_id,
-        |           CAST(band AS VARCHAR) || ':' || CAST(m0 AS VARCHAR) || ':' || CAST(m1 AS VARCHAR) AS band_key
-        |         FROM band)
+        |sh AS (SELECT doc_id, md5(substr(text, i, 5) || '|a') AS ha,
+        |              md5(substr(text, i, 5) || '|b') AS hb FROM pos),
+        |hashed AS (SELECT doc_id,
+        |    CAST('0x' || substr(ha, 1, 8) AS BIGINT) AS h0,
+        |    CAST('0x' || substr(ha, 9, 8) AS BIGINT) AS h1,
+        |    CAST('0x' || substr(ha, 17, 8) AS BIGINT) AS h2,
+        |    CAST('0x' || substr(ha, 25, 8) AS BIGINT) AS h3,
+        |    CAST('0x' || substr(hb, 1, 8) AS BIGINT) AS h4,
+        |    CAST('0x' || substr(hb, 9, 8) AS BIGINT) AS h5,
+        |    CAST('0x' || substr(hb, 17, 8) AS BIGINT) AS h6,
+        |    CAST('0x' || substr(hb, 25, 8) AS BIGINT) AS h7
+        |  FROM sh),
+        |sig AS (SELECT doc_id,
+        |    min(h0) AS m0, min(h1) AS m1, min(h2) AS m2, min(h3) AS m3,
+        |    min(h4) AS m4, min(h5) AS m5, min(h6) AS m6, min(h7) AS m7
+        |  FROM hashed GROUP BY doc_id),
+        |keys AS (
+        |  SELECT doc_id, '0:' || CAST(m0 AS VARCHAR) || ':' || CAST(m1 AS VARCHAR) AS band_key FROM sig
+        |  UNION ALL
+        |  SELECT doc_id, '1:' || CAST(m2 AS VARCHAR) || ':' || CAST(m3 AS VARCHAR) FROM sig
+        |  UNION ALL
+        |  SELECT doc_id, '2:' || CAST(m4 AS VARCHAR) || ':' || CAST(m5 AS VARCHAR) FROM sig
+        |  UNION ALL
+        |  SELECT doc_id, '3:' || CAST(m6 AS VARCHAR) || ':' || CAST(m7 AS VARCHAR) FROM sig)
         |SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
         |FROM keys a JOIN keys b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
         |ORDER BY a, b""".stripMargin,
