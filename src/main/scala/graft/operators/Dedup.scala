@@ -31,12 +31,12 @@ object Dedup {
   }
 
   /** MinHash + LSH near-dup candidates: char-5-gram shingles (stride 5),
-    * 8 minhash permutations (15-hex-char slices of TWO md5 calls per
-    * shingle — 4× less hashing than one md5 per permutation, and all 8
-    * mins aggregate in ONE groupBy pass with no seed explosion), then
-    * 4 bands × 2 rows; docs sharing any band key become a candidate
-    * pair. Shuffle volume after shingling is 8 longs per doc — the
-    * scale path for 100 TB (raw text never shuffles). */
+    * 8 minhash permutations (non-overlapping 8-hex 32-bit slices of TWO
+    * md5 calls per shingle — 4× less digest work than one md5 per
+    * permutation, and all 8 mins aggregate in ONE groupBy pass with no
+    * seed explosion), then 4 bands × 2 rows; docs sharing any band key
+    * become a candidate pair. Shuffle volume after shingling is 8 longs
+    * per doc — the scale path for 100 TB (raw text never shuffles). */
   val qDedupMinhashLsh: Q = (s, d) => {
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val pos = docs.select(
