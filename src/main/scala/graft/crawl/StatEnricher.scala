@@ -26,7 +26,7 @@ import graft.functions.Exprs
   */
 object StatEnricher {
 
-  private def statOne(e: RawEntry): FileMeta = {
+  private[crawl] def statOne(e: RawEntry): FileMeta = {
     try {
       val attrs = Files.readAttributes(
         Paths.get(e.path), "unix:*", LinkOption.NOFOLLOW_LINKS)
