@@ -299,7 +299,46 @@ object Reports {
       .orderBy("bucket_start")
   }
 
+  // ---- beyond-reference relational breadth (SURVEY §2.4/§2.3/§2.7:
+  // "absent in reference; available free" — demonstrated + verified)
+
+  /** Hierarchical rollup totals (GROUPING SETS family). NULLS FIRST is
+    * pinned on both engines — their defaults differ. */
+  val qRollupAgg: Q = (s, d) => {
+    val ord = Tables.orders(s, d)
+    ord.rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        decSum2(col("o_totalprice")).as("sum_total"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+      .orderBy(
+        col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+  }
+
+  /** Left outer join with per-key counts (customers with zero orders
+    * kept at n_orders = 0). */
+  val qOuterJoin: Q = (s, d) => {
+    val cust = Tables.customer(s, d)
+    val ord = Tables.orders(s, d)
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+           decSum2(col("o_totalprice")).as("sum_total"))
+      .orderBy("c_custkey")
+  }
+
+  /** INTERSECT: nation keys present among both customers and suppliers. */
+  val qSetOps: Q = (s, d) => {
+    val cust = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+    val supp = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+    cust.intersect(supp).orderBy("nationkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_rollup_agg" -> qRollupAgg,
+    "q_outer_join" -> qOuterJoin,
+    "q_set_ops" -> qSetOps,
     "q_status_events" -> qStatusEvents,
     "q_status_averages" -> qStatusAverages,
     "q_latest_per_group" -> qLatestPerGroup,
@@ -321,6 +360,22 @@ object Reports {
 
   /** DuckDB twins — same column names, same types, same total order. */
   val oracle: Map[String, String] = Map(
+    "q_rollup_agg" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_total,
+        |  COUNT(DISTINCT o_custkey) AS n_customers
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_outer_join" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_total
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q_set_ops" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
     "q_status_events" ->
       """SELECT epoch_ms(ts) // 1000 AS ts_sec, event_type AS status, event_id
         |FROM events WHERE event_type = 'signup'
