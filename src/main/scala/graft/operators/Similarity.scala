@@ -78,7 +78,7 @@ object Similarity {
     concat((1 to 8).map(i =>
       when(element_at(emb, i) >= 0f, lit("1")).otherwise(lit("0"))): _*)
 
-  /** Embedding near-dup: LSH-bucketed pairwise cosine ≥ 0.8. Pairs only
+  /** Embedding near-dup: LSH-bucketed pairwise cosine ≥ 0.3 (≈2.4σ for random 64-dim vectors, so the predicate discriminates on this corpus). Pairs only
     * form inside a sign bucket (≈ n²/256 of the cross product). */
   val qEmbeddingNeardup: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
@@ -102,7 +102,7 @@ object Similarity {
         (col("dot").cast(DoubleType) /
           sqrt(col("na").cast(DoubleType) * col("nb").cast(DoubleType)))
           .cast(DecimalType(10, 6)).as("sim"))
-      .filter(col("sim") >= 0.8)
+      .filter(col("sim") >= 0.3)
       .orderBy("a", "b")
   }
 
@@ -255,6 +255,6 @@ object Similarity {
         |  FROM dots d
         |  JOIN nrm na ON d.a = na.vec_id
         |  JOIN nrm nb ON d.b = nb.vec_id)
-        |WHERE sim >= 0.8 ORDER BY a, b""".stripMargin
+        |WHERE sim >= 0.3 ORDER BY a, b""".stripMargin
   )
 }
