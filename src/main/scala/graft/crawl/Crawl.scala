@@ -30,15 +30,37 @@ object Crawl {
 
   /** Crawl roots into a `files` DataFrame (FIXTURES.md §2.3 schema).
     * Pass an owners file to attribute PIs; `useJoinPlan` switches the
-    * J1 implementation between broadcast-UDF walk and explode+join. */
+    * J1 implementation between broadcast-UDF walk and explode+join;
+    * `useV2Source` lists+stats through the DataSource V2 provider
+    * (one distributed scan) instead of the BFS pipeline. */
   def run(
       spark: SparkSession,
       roots: Seq[String],
       ownersFile: Option[String] = None,
       exclusions: Set[String] = FsScanner.DefaultExclusions,
       useJoinPlan: Boolean = false,
-      ctrs: Option[CrawlCounters] = None): DataFrame = {
+      ctrs: Option[CrawlCounters] = None,
+      useV2Source: Boolean = false): DataFrame = {
     import spark.implicits._
+    if (useV2Source) {
+      val raw = spark.read.format("graft.crawl.CrawlFsProvider")
+        .option("roots", roots.mkString(","))
+        .option("exclusions", exclusions.mkString(","))
+        .load()
+      val df = raw
+        .drop("name", "is_dir", "is_symlink")
+        .withColumn("owner", org.apache.spark.sql.functions.lit(null: String))
+        .withColumn("insert_time", current_timestamp())
+      return ownersFile match {
+        case None => df
+        case Some(of) =>
+          val dim = Owners.load(spark, of)
+          if (useJoinPlan)
+            Owners.attachOwnersByJoin(df.drop("owner"), dim)
+              .withColumnRenamed("owner_joined", "owner")
+          else df.withColumn("owner", Owners.findOwnerUdf(spark, dim))
+      }
+    }
     val entries = FsScanner.scan(spark, roots, exclusions)
     val counted = ctrs match {
       case Some(c) =>

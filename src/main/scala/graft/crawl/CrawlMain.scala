@@ -20,6 +20,7 @@ object CrawlMain {
     var owners: Option[String] = None
     var excl = FsScanner.DefaultExclusions
     var joinPlan = false
+    var useV2 = false
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -29,6 +30,7 @@ object CrawlMain {
         case "--owners"  => owners = Some(args(i + 1)); i += 2
         case "--exclude" => excl += args(i + 1); i += 2
         case "--join-plan" => joinPlan = true; i += 1
+        case "--source" => useV2 = args(i + 1) == "v2"; i += 2
         case other => sys.error(s"unknown arg: $other (expected --dir/--tag/--out/--owners/--exclude/--join-plan)")
       }
     }
@@ -45,13 +47,19 @@ object CrawlMain {
     spark.sparkContext.setLogLevel("WARN")
     try {
       val ctrs = Crawl.counters(spark)
-      val t0 = System.currentTimeMillis() / 1000
-      val df = Crawl.run(spark, dirs.reverse, owners, excl, joinPlan, Some(ctrs))
+      val t0ms = System.currentTimeMillis()
+      val df = Crawl.run(spark, dirs.reverse, owners, excl, joinPlan,
+        Some(ctrs).filter(_ => !useV2), useV2Source = useV2)
       Crawl.writeParquet(df, out, tag)
-      val t1 = System.currentTimeMillis() / 1000
-      Crawl.writeStatus(Crawl.statusRows(spark, ctrs, t0, t1), out, tag)
-      println(Crawl.summary(ctrs))
-      println(s"rows written: ${spark.read.parquet(s"$out/crawl_tag=$tag").count()} -> $out/crawl_tag=$tag")
+      val t1ms = System.currentTimeMillis()
+      Crawl.writeStatus(
+        Crawl.statusRows(spark, ctrs, t0ms / 1000, math.max(t1ms, t0ms + 1000) / 1000),
+        out, tag)
+      if (!useV2) println(Crawl.summary(ctrs))
+      val rows = spark.read.parquet(s"$out/crawl_tag=$tag").count()
+      val secs = (t1ms - t0ms) / 1000.0
+      println(f"rows written: $rows -> $out/crawl_tag=$tag")
+      println(f"elapsed: $secs%.1f s, rate: ${rows / secs}%.0f entries/sec (source=${if (useV2) "v2" else "bfs"})")
     } finally spark.stop()
   }
 }
