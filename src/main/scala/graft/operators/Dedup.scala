@@ -126,10 +126,38 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** SimHash near-dup pairing: hamming(sig_a, sig_b) ≤ 1 via pigeonhole
+    * blocking — split the 16-bit signature into 2 byte-chunks; any pair
+    * within hamming 1 must share at least one chunk exactly, so pairs
+    * only form inside chunk buckets (lossless blocking; the oracle
+    * brute-forces all pairs and must agree). At 100 TB only (chunk_id,
+    * chunk_value, doc_id) triples shuffle — two small ints per doc per
+    * chunk. */
+  val qSimhashNeardup: Q = (s, d) => {
+    val sig = qDedupSimhash(s, d) // (doc_id, simhash), already computed plan
+    val chunks = sig.select(col("doc_id"), col("simhash"), lit(0).as("ck"),
+        (col("simhash") % 256).as("cv"))
+      .unionAll(sig.select(col("doc_id"), col("simhash"), lit(1).as("ck"),
+        expr("simhash div 256").as("cv")))
+    val pairs = chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.ck") === col("b.ck") && col("a.cv") === col("b.cv") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"),
+              col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .distinct()
+    pairs
+      .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
+      .filter(col("hamming") <= 1)
+      .select("a", "b", "hamming")
+      .orderBy("a", "b")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_minhash_lsh" -> qDedupMinhashLsh,
     "q_dedup_simhash" -> qDedupSimhash,
+    "q_simhash_neardup" -> qSimhashNeardup,
     "q_ngram_jaccard" -> qNgramJaccard
   )
 
@@ -180,6 +208,22 @@ object Dedup {
         |SELECT doc_id,
         |  SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_simhash_neardup" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |wh AS (SELECT doc_id, CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS h
+        |       FROM w WHERE length(word) > 0),
+        |bits AS (SELECT doc_id, b,
+        |           SUM(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END) AS s
+        |         FROM wh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) bs
+        |         GROUP BY doc_id, b),
+        |sig AS (SELECT doc_id,
+        |          SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+        |        FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS a, b.doc_id AS b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+        |ORDER BY a, b""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH pos AS (
         |  SELECT doc_id, source, n_chars // 100 AS blk, text,
