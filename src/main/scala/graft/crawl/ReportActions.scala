@@ -150,11 +150,13 @@ object ReportMain {
       lazy val status = spark.read.parquet(s"$base/status_tag=$tag")
       val df = ReportActions.run(spark, action, files, status)
       // S8/S9 sinks: CSV-ish stdout (report.py:88-101) or JSON
-      // (report.py:194-209)
-      if (asJson) df.toJSON.collect().foreach(println)
+      // (report.py:194-209), streamed like the reference's
+      // fetchmany(1000) batched cursor (S10, report.py:79-86) — the
+      // driver never holds the full result set
+      if (asJson) df.toJSON.toLocalIterator().forEachRemaining(println(_))
       else {
         println(df.columns.mkString(","))
-        df.collect().foreach(r => println(r.mkString(",")))
+        df.toLocalIterator().forEachRemaining(r => println(r.mkString(",")))
       }
     } finally spark.stop()
   }
