@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.crawl.{Crawl, RawEntry, StatEnricher}
+
+/** Breadth coverage: partitioned sink with partition pruning, session
+  * windows, the A3 stat-error branch, and sketch aggregates. */
+class BreadthSpec extends SparkSpec {
+
+  test("partitioned files sink: owner partitions prune at scan") {
+    import spark.implicits._
+    val df = Seq(
+      ("/a/x", 10L, "alice"), ("/a/y", 20L, "alice"),
+      ("/b/z", 30L, "bob"), ("/c/w", 40L, null)
+    ).toDF("path", "st_size", "owner")
+    val out = Files.createTempDirectory(Paths.get("target"), "partsink").toString
+    df.write.mode("overwrite").partitionBy("owner").parquet(out)
+    val scan = spark.read.parquet(out).filter(col("owner") === "alice")
+    val plan = scan.queryExecution.executedPlan.toString
+    // the owner predicate must become a PartitionFilter (pruned
+    // directories), not a post-scan filter
+    assert(plan.contains("PartitionFilters") && plan.contains("alice"),
+      s"no partition pruning in:\n$plan")
+    assert(scan.count() == 2)
+  }
+
+  test("session_window groups events separated by inactivity gaps") {
+    import spark.implicits._
+    val t0 = 1700000000L
+    val ev = Seq(
+      (new Timestamp(t0 * 1000), "u1"),
+      (new Timestamp((t0 + 10) * 1000), "u1"),   // same session (gap 10 < 60)
+      (new Timestamp((t0 + 300) * 1000), "u1"),  // new session (gap 290)
+      (new Timestamp((t0 + 5) * 1000), "u2")
+    ).toDF("ts", "user")
+    val sessions = ev
+      .groupBy(session_window(col("ts"), "60 seconds"), col("user"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user"), col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(sessions.count(_._1 == "u1") == 2) // two sessions for u1
+    assert(sessions.filter(_._1 == "u1").map(_._2).sorted.toSeq == Seq(1L, 2L))
+    assert(sessions.count(_._1 == "u2") == 1)
+  }
+
+  test("A3 divergence: stat error yields null stats + error column") {
+    val bogus = RawEntry("/nonexistent/definitely/missing", "/nonexistent", "missing",
+      isDir = false, isSymlink = false)
+    import spark.implicits._
+    val m = StatEnricher.enrich(Seq(bogus).toDS()).collect().head
+    assert(m.error.isDefined)
+    assert(m.st_size.isEmpty && m.st_ino.isEmpty && m.st_mode.isEmpty)
+    assert(m.path == bogus.path)
+  }
+
+  test("sketch aggregates: approx_count_distinct within tolerance of exact") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val r = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx"))
+      .collect().head
+    val exact = r.getLong(0).toDouble
+    val approx = r.getLong(1).toDouble
+    assert(math.abs(approx - exact) / exact < 0.1,
+      s"approx=$approx exact=$exact")
+  }
+}
