@@ -76,24 +76,23 @@ object Dedup {
   }
 
   /** SimHash document signatures: 16-bit bit-majority over word hashes.
-    * One groupBy per (doc, bit) then per doc — no pairwise work at all,
-    * so it scales linearly; near-dup pairs come from comparing
-    * signatures by hamming distance downstream. */
+    * All 16 bit-balances accumulate as conditional sums in ONE hash
+    * aggregation over the word rows (no per-bit row explosion), then the
+    * signature assembles from the 16 signs — linear work, no pairwise
+    * anything; near-dup pairs come from [[qSimhashNeardup]]. */
   val qDedupSimhash: Q = (s, d) => {
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val words = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
     val wh = words.withColumn("h", md5Long(col("word")))
-    val bits = wh
-      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(15))).as("b"))
-      .groupBy("doc_id", "b")
-      .agg(sum(expr("CASE WHEN shiftright(h, b) % 2 = 1 THEN 1 ELSE -1 END")).as("s"))
-    bits
-      .groupBy("doc_id")
-      .agg(sum(when(col("s") > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("simhash"))
-      .orderBy("doc_id")
+    val sums = (0 until 16).map(b =>
+      sum(expr(s"CASE WHEN shiftright(h, $b) % 2 = 1 THEN 1 ELSE -1 END")).as(s"s$b"))
+    val sig = wh.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+    val simhash = (0 until 16)
+      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    sig.select(col("doc_id"), simhash.as("simhash")).orderBy("doc_id")
   }
 
   /** N-gram Jaccard near-dup: distinct char-8-grams (stride 4), pairs
@@ -106,8 +105,12 @@ object Dedup {
     val pos = docs.select(
       col("doc_id"), col("source"), col("blk"), col("text"),
       explode(sequence(lit(1), greatest(length(col("text")) - 7, lit(1)), lit(4))).as("i"))
+    // grams shuffle as 60-bit md5-family hashes, not strings (the
+    // oracle hashes identically, so intersection counts agree exactly;
+    // 2^-60 collisions are ignorable)
     val g = pos
-      .select(col("doc_id"), col("source"), col("blk"), expr("substr(text, i, 8)").as("gram"))
+      .select(col("doc_id"), col("source"), col("blk"),
+              md5Long(expr("substr(text, i, 8)")).as("gram"))
       .distinct()
     val sz = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = g.as("a")
@@ -229,7 +232,9 @@ object Dedup {
         |  SELECT doc_id, source, n_chars // 100 AS blk, text,
         |         unnest(generate_series(1, greatest(length(text)-7, 1), 4)) AS i
         |  FROM documents),
-        |g AS (SELECT DISTINCT doc_id, source, blk, substr(text, i, 8) AS gram FROM pos),
+        |g AS (SELECT DISTINCT doc_id, source, blk,
+        |        CAST('0x' || substr(md5(substr(text, i, 8)), 1, 15) AS BIGINT) AS gram
+        |      FROM pos),
         |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
         |inter AS (
         |  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter_n

@@ -28,43 +28,43 @@ object Similarity {
 
   private val Dim = 64
 
-  /** Exploded (vec_id, i, x) elements with exact decimal values. */
-  private def elements(emb: DataFrame): DataFrame =
-    emb
-      .select(col("vec_id"), col("embedding"),
-              explode(sequence(lit(1), lit(Dim))).as("i"))
-      .select(col("vec_id"), col("i"),
-              // float → DOUBLE (exact widening) → decimal: both engines
-              // then round the SAME double; a direct float→decimal cast
-              // rounds differently between Spark and DuckDB
-              element_at(col("embedding"), col("i"))
-                .cast(DoubleType).cast(DecimalType(12, 8)).as("x"))
+  /** The embedding as an exact-decimal array: float → DOUBLE (exact
+    * widening) → DECIMAL(12,8); both engines then round the SAME double
+    * (a direct float→decimal cast rounds differently between Spark and
+    * DuckDB). */
+  private def decVec(emb: Column): Column =
+    transform(emb, x => x.cast(DoubleType).cast(DecimalType(12, 8)))
 
-  private def norms(el: DataFrame): DataFrame =
-    el.groupBy("vec_id").agg(sum(col("x") * col("x")).as("nrm"))
+  /** Exact decimal dot product, inline (codegen'd zip_with + aggregate
+    * fold — no row explosion, no join, no shuffle): products are
+    * DECIMAL(25,16) exact, the fold accumulates in DECIMAL(38,16), so
+    * the value is order-independent and equals the oracle's SUM. */
+  private def decDot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x * y),
+      lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 16)),
+      (acc, v) => (acc + v).cast(DecimalType(38, 16)))
+
+  /** Cosine over exact-decimal dots, rounded to 6 dp: DuckDB's
+    * decimal→double conversion is off by an ulp vs Spark's correctly-
+    * rounded one, so raw doubles can't be compared or ranked; the 6-dp
+    * grid absorbs that and ties break on the id column. */
+  private def cosDec(qe: Column, ne: Column): Column =
+    (decDot(qe, ne).cast(DoubleType) /
+      sqrt(decDot(qe, qe).cast(DoubleType) * decDot(ne, ne).cast(DoubleType)))
+      .cast(DecimalType(10, 6))
 
   /** Brute-force cosine top-k: query vectors (vec_id < 8) against the
-    * whole corpus, exact-decimal dots, top-3 by (sim DESC, nid). */
+    * whole corpus — one broadcast nested-loop over (queries × corpus)
+    * rows with the dot computed inline per row; the only shuffle is the
+    * final top-3 window on 8 keys. */
   val qAnnTopk: Q = (s, d) => {
-    val el = elements(Tables.embeddings(s, d))
-    val nrm = norms(el)
-    val q = el.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("qv"), col("i").as("qi"), col("x").as("qx"))
-    val dots = broadcast(q)
-      .join(el, col("qi") === col("i") && col("qv") =!= col("vec_id"))
-      .groupBy(col("qv").as("qid"), col("vec_id").as("nid"))
-      .agg(sum(col("qx") * col("x")).as("dot"))
-    val cosv = dots
-      .join(nrm.select(col("vec_id"), col("nrm").as("nq")), col("qid") === col("vec_id")).drop("vec_id")
-      .join(nrm.select(col("vec_id"), col("nrm").as("nn")), col("nid") === col("vec_id")).drop("vec_id")
-      .select(col("qid"), col("nid"),
-        // rounded to 6 dp: DuckDB's decimal→double conversion is off by
-        // an ulp vs Spark's correctly-rounded one, so raw doubles can't
-        // be compared or ranked; the 6-dp grid absorbs that, and ties
-        // break on nid
-        (col("dot").cast(DoubleType) /
-          sqrt(col("nq").cast(DoubleType) * col("nn").cast(DoubleType)))
-          .cast(DecimalType(10, 6)).as("sim"))
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), decVec(col("embedding")).as("qe"))
+    val c = emb.select(col("vec_id").as("nid"), decVec(col("embedding")).as("ne"))
+    val cosv = broadcast(q).join(c, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), cosDec(col("qe"), col("ne")).as("sim"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
     cosv
       .withColumn("rnk", row_number().over(w).cast(LongType))
@@ -78,30 +78,23 @@ object Similarity {
     concat((1 to 8).map(i =>
       when(element_at(emb, i) >= 0f, lit("1")).otherwise(lit("0"))): _*)
 
-  /** Embedding near-dup: LSH-bucketed pairwise cosine ≥ 0.3 (≈2.4σ for random 64-dim vectors, so the predicate discriminates on this corpus). Pairs only
-    * form inside a sign bucket (≈ n²/256 of the cross product). */
+  /** Embedding near-dup: LSH-bucketed pairwise cosine ≥ 0.3 (≈2.4σ for
+    * random 64-dim vectors, so the predicate discriminates on this
+    * corpus). Pairs only form inside a sign bucket (≈ n²/256 of the
+    * cross product); the dot is inline per pair — one self-join on the
+    * bucket key is the whole shuffle story. */
   val qEmbeddingNeardup: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
-    val el = elements(emb)
-    val nrm = norms(el)
-    val buckets = emb.select(col("vec_id"), signBucket(col("embedding")).as("bkt"))
+    val buckets = emb.select(
+      col("vec_id"), signBucket(col("embedding")).as("bkt"),
+      decVec(col("embedding")).as("de"))
     val pairs = buckets.as("pa")
       .join(buckets.as("pb"),
         col("pa.bkt") === col("pb.bkt") && col("pa.vec_id") < col("pb.vec_id"))
-      .select(col("pa.vec_id").as("a"), col("pb.vec_id").as("b"))
-    val dots = pairs
-      .join(el.select(col("vec_id"), col("i"), col("x").as("ax")), col("a") === col("vec_id")).drop("vec_id")
-      .join(el.select(col("vec_id"), col("i").as("bi"), col("x").as("bx")),
-            col("b") === col("vec_id") && col("i") === col("bi"))
-      .groupBy("a", "b")
-      .agg(sum(col("ax") * col("bx")).as("dot"))
-    dots
-      .join(nrm.select(col("vec_id"), col("nrm").as("na")), col("a") === col("vec_id")).drop("vec_id")
-      .join(nrm.select(col("vec_id"), col("nrm").as("nb")), col("b") === col("vec_id")).drop("vec_id")
-      .select(col("a"), col("b"),
-        (col("dot").cast(DoubleType) /
-          sqrt(col("na").cast(DoubleType) * col("nb").cast(DoubleType)))
-          .cast(DecimalType(10, 6)).as("sim"))
+      .select(col("pa.vec_id").as("a"), col("pb.vec_id").as("b"),
+              col("pa.de").as("ae"), col("pb.de").as("be"))
+    pairs
+      .select(col("a"), col("b"), cosDec(col("ae"), col("be")).as("sim"))
       .filter(col("sim") >= 0.3)
       .orderBy("a", "b")
   }
