@@ -101,11 +101,30 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** Deterministic train/val/test split by content hash — the standard
+    * leakage-safe way to partition a corpus: the assignment depends only
+    * on the document (fingerprint), never on row order, partitioning,
+    * or cluster size, so re-runs and backfills land every doc in the
+    * same split. 90/5/5 via hash mod 100. */
+  val qHashSplit: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val bucket = pmod(
+      graft.functions.Exprs.md5Long(concat(lit("split|"), col("text"))), lit(100))
+    docs
+      .select(col("doc_id"), bucket.cast(LongType).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val")
+          .otherwise("test"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_lang_id" -> qLangId,
     "q_quality_score" -> qQualityScore,
     "q_token_count" -> qTokenCount,
-    "q_fingerprint" -> qFingerprint
+    "q_fingerprint" -> qFingerprint,
+    "q_hash_split" -> qHashSplit
   )
 
   val oracle: Map[String, String] = Map(
@@ -144,6 +163,15 @@ object TextStats {
     "q_fingerprint" ->
       """SELECT doc_id, fp, substr(fp, 1, 8) AS fp_prefix
         |FROM (SELECT doc_id, md5(lower(regexp_replace(text, ' +', ' ', 'g'))) AS fp
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q_hash_split" ->
+      """SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 90 THEN 'train'
+        |       WHEN bucket < 95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        CAST('0x' || substr(md5('split|' || text), 1, 15) AS BIGINT) % 100 AS bucket
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin
   )

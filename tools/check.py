@@ -61,9 +61,6 @@ def main():
             print(f"FAIL {name}: rows spark={tbl.num_rows} duck={duck.num_rows}")
             n_fail += 1
             continue
-        srows = [tuple(norm(c[i]) for c in
-                       (tbl.column(n).to_pylist() for n in s_cols))
-                 for i in range(0)]  # placeholder; build below
         s_data = {n: tbl.column(n).to_pylist() for n in s_cols}
         d_data = {n: duck.column(n).to_pylist() for n in d_cols}
         bad = None
