@@ -40,6 +40,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source stream: parquet landing dir drives windowedRates") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "statstream")
+    val ckpt = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "statckpt")
+    val t0 = 1700000000L
+    // first landing file
+    Seq((new Timestamp(t0 * 1000), "file_rate", 10.0),
+        (new Timestamp((t0 + 30) * 1000), "file_rate", 20.0))
+      .toDF("time", "status", "value")
+      .write.mode("append").parquet(dir.toString)
+    val stream = spark.readStream
+      .schema("time TIMESTAMP, status STRING, value DOUBLE")
+      .parquet(dir.toString)
+    val q = StatusStream.windowedRates(stream)
+      .writeStream.format("memory").queryName("file_rates")
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // second landing file advances the watermark past the first window
+      Seq((new Timestamp((t0 + 600) * 1000), "file_rate", 1.0))
+        .toDF("time", "status", "value")
+        .write.mode("append").parquet(dir.toString)
+      q.processAllAvailable()
+      val out = spark.table("file_rates")
+        .select("status", "n", "sum_value").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(out.contains(("file_rate", 2L, 30.0)))
+    } finally q.stop()
+  }
+
   test("counterRates: stateful (now-prev)/interval across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
