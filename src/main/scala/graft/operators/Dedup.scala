@@ -60,13 +60,15 @@ object Dedup {
            min(col("h2")).as("m2"), min(col("h3")).as("m3"),
            min(col("h4")).as("m4"), min(col("h5")).as("m5"),
            min(col("h6")).as("m6"), min(col("h7")).as("m7"))
-    // 4 bands × 2 rows: band key = "<band>:<m2b>:<m2b+1>"
-    val bandKeys = (0 until 4).map { b =>
-      sig.select(
-        col("doc_id"),
+    // 4 bands × 2 rows: band key = "<band>:<m2b>:<m2b+1>" — exploded
+    // from ONE array so the signature aggregation runs once (a unionAll
+    // of per-band selects would recompute it per branch)
+    val bandKeys = sig.select(
+      col("doc_id"),
+      explode(array((0 until 4).map { b =>
         concat(lit(s"$b:"), col(s"m${2 * b}").cast("string"), lit(":"),
-               col(s"m${2 * b + 1}").cast("string")).as("band_key"))
-    }.reduce(_ unionAll _)
+               col(s"m${2 * b + 1}").cast("string"))
+      }: _*)).as("band_key"))
     bandKeys.as("a")
       .join(bandKeys.as("b"),
         col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))

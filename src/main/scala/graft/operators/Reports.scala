@@ -165,15 +165,18 @@ object Reports {
     val exploded = paths
       .select(col("path"), explode(ancestorPrefixes(col("path"))).as("a"))
       .select(col("path"), col("a.prefix").as("prefix"), col("a.depth").as("depth"))
-    // deepest match via max_by aggregation: partial (map-side) agg +
-    // hash agg — no sort, unlike a row_number window over the
-    // high-cardinality path key (depths are unique per path, so max_by
-    // is deterministic)
-    val matched = exploded
-      .join(broadcast(dim), col("prefix") === col("dir"))
+    // LEFT-join the broadcast dim at prefix level, then take the deepest
+    // NON-NULL match per path in one max_by aggregation (unmatched
+    // prefixes rank at -1, so all-null paths keep a null owner). No
+    // join-back to `paths` — every path has ≥1 prefix row, so the
+    // aggregation itself preserves the full path set. max_by over
+    // unique depths is deterministic; no window sort anywhere.
+    exploded
+      .join(broadcast(dim), col("prefix") === col("dir"), "left")
       .groupBy("path")
-      .agg(max_by(col("pi"), col("depth")).as("owner"))
-    paths.join(matched, Seq("path"), "left").orderBy("path")
+      .agg(max_by(col("pi"),
+        when(col("pi").isNotNull, col("depth")).otherwise(lit(-1))).as("owner"))
+      .orderBy("path")
   }
 
   /** P1/J3/U2 — exclusion-list anti-join (storcrawl.py:466-470). */
