@@ -35,15 +35,16 @@ object Similarity {
   private def decVec(emb: Column): Column =
     transform(emb, x => x.cast(DoubleType).cast(DecimalType(12, 8)))
 
-  /** Exact decimal dot product, inline (codegen'd zip_with + aggregate
-    * fold — no row explosion, no join, no shuffle): products are
-    * DECIMAL(25,16) exact, the fold accumulates in DECIMAL(38,16), so
-    * the value is order-independent and equals the oracle's SUM. */
-  private def decDot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x * y),
-      lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 16)),
-      (acc, v) => (acc + v).cast(DecimalType(38, 16)))
+  /** Exact decimal dot product, inline — the native codegen
+    * [[graft.functions.DecimalDotExpr]] (unscaled-long arithmetic,
+    * order-independent, equals the oracle's SUM exactly). No row
+    * explosion, no join, no shuffle, and unlike a zip_with/aggregate
+    * fold it runs inside whole-stage codegen. */
+  private def decDot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.DecimalDotExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
   /** Cosine over exact-decimal dots, rounded to 6 dp: DuckDB's
     * decimal→double conversion is off by an ulp vs Spark's correctly-
