@@ -57,6 +57,54 @@ class BreadthSpec extends SparkSpec {
     assert(m.path == bogus.path)
   }
 
+  test("ORC source/sink round-trip for the files table") {
+    val root = new CrawlSpec().mkTree()
+    val df = Crawl.run(spark, Seq(root.toString))
+    val out = Files.createTempDirectory(Paths.get("target"), "orcsink").toString
+    df.write.mode("overwrite").orc(out)
+    val back = spark.read.orc(out)
+    assert(back.count() == df.count())
+    assert(back.schema.fieldNames.toSet == df.schema.fieldNames.toSet)
+    // pushdown works against ORC too
+    val plan = back.filter(col("st_size") > 0).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(st_size"))
+  }
+
+  test("streaming exact dedup: dropDuplicatesWithinWatermark on event ids") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val dedup = input.toDF().toDF("ts", "event_id")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = dedup.writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").start()
+    try {
+      val t0 = 1700000000L
+      input.addData((new Timestamp(t0 * 1000), 1L), (new Timestamp(t0 * 1000), 1L),
+                    (new Timestamp((t0 + 5) * 1000), 2L))
+      q.processAllAvailable()
+      input.addData((new Timestamp((t0 + 10) * 1000), 1L)) // dup across batches
+      q.processAllAvailable()
+      val ids = spark.table("stream_dedup").select("event_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids.sorted == Seq(1L, 2L)) // each id exactly once
+    } finally q.stop()
+  }
+
+  test("multi-root crawl unions all roots into one frontier (U1)") {
+    val rootA = new CrawlSpec().mkTree()
+    val rootB = new CrawlSpec().mkTree()
+    val both = Crawl.run(spark, Seq(rootA.toString, rootB.toString))
+    val a = Crawl.run(spark, Seq(rootA.toString))
+    val b = Crawl.run(spark, Seq(rootB.toString))
+    assert(both.count() == a.count() + b.count())
+    val paths = both.select("path").collect().map(_.getString(0)).toSet
+    assert(paths.exists(_.startsWith(rootA.toString)))
+    assert(paths.exists(_.startsWith(rootB.toString)))
+  }
+
   test("sketch aggregates: approx_count_distinct within tolerance of exact") {
     val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
     val r = li.agg(
