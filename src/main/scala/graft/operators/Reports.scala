@@ -302,6 +302,74 @@ object Reports {
       .orderBy("bucket_start")
   }
 
+  /** Synthesized hierarchy: one "file" per customer at
+    * /region/nation/customer with an exact-decimal size (FIXTURES.md
+    * role mapping). Shared by the storage-accounting queries. */
+  private def pathsWithSize(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val nat = Tables.nation(s, d)
+    val reg = Tables.region(s, d)
+    cust
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .select(
+        concat(lit("/"), col("r_name"), lit("/"), col("n_name"), lit("/"),
+               col("c_name")).as("path"),
+        col("r_name"), col("n_name"),
+        dec2(col("c_acctbal")).as("sz"))
+  }
+
+  /** du(1)-style recursive directory rollup — the storage-accounting
+    * query the reference's files table exists to answer: every ancestor
+    * directory gets the recursive total size and file count below it.
+    * One prefix-explode + hash aggregation; at 100 TB the shuffle
+    * carries (prefix, partial sums), i.e. rows × depth, never data. */
+  val qDirRollup: Q = (s, d) => {
+    val files = pathsWithSize(s, d)
+    files
+      .select(explode(ancestorPrefixes(col("path"))).as("a"), col("sz"))
+      .filter(col("a.depth") <= 2) // directories only, not the leaf files
+      .groupBy(col("a.prefix").as("dir"))
+      .agg(
+        sum(col("sz")).cast(DecimalType(18, 2)).as("total_size"),
+        count(lit(1)).as("n_files"))
+      .orderBy("dir")
+  }
+
+  /** Per-owner storage usage: nearest-ancestor owner attribution (J1)
+    * feeding a usage rollup — the PI accounting report the reference
+    * was built for (README.md:4: "collect file metadata ... attribute
+    * storage to PIs"). */
+  val qOwnerUsage: Q = (s, d) => {
+    val nat = Tables.nation(s, d)
+    val reg = Tables.region(s, d)
+    val files = pathsWithSize(s, d)
+    val dim = reg
+      .select(concat(lit("/"), col("r_name")).as("dir"),
+              concat(lit("pi_region_"), col("r_name")).as("pi"))
+      .unionAll(
+        nat.join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("n_nationkey") % 2 === 0)
+          .select(
+            concat(lit("/"), col("r_name"), lit("/"), col("n_name")).as("dir"),
+            concat(lit("pi_nation_"), col("n_name")).as("pi")))
+    val exploded = files
+      .select(col("path"), col("sz"), explode(ancestorPrefixes(col("path"))).as("a"))
+      .select(col("path"), col("sz"), col("a.prefix").as("prefix"), col("a.depth").as("depth"))
+    val owned = exploded
+      .join(broadcast(dim), col("prefix") === col("dir"), "left")
+      .groupBy("path")
+      .agg(
+        max_by(col("pi"),
+          when(col("pi").isNotNull, col("depth")).otherwise(lit(-1))).as("owner"),
+        first(col("sz")).as("sz"))
+    owned
+      .groupBy("owner")
+      .agg(sum(col("sz")).cast(DecimalType(18, 2)).as("total_size"),
+           count(lit(1)).as("n_files"))
+      .orderBy("owner")
+  }
+
   // ---- beyond-reference relational breadth (SURVEY §2.4/§2.3/§2.7:
   // "absent in reference; available free" — demonstrated + verified)
 
@@ -339,6 +407,8 @@ object Reports {
   }
 
   val queries: Map[String, Q] = Map(
+    "q_dir_rollup" -> qDirRollup,
+    "q_owner_usage" -> qOwnerUsage,
     "q_rollup_agg" -> qRollupAgg,
     "q_outer_join" -> qOuterJoin,
     "q_set_ops" -> qSetOps,
@@ -363,6 +433,37 @@ object Reports {
 
   /** DuckDB twins — same column names, same types, same total order. */
   val oracle: Map[String, String] = Map(
+    "q_dir_rollup" ->
+      """WITH f AS (
+        |  SELECT '/' || r_name || '/' || n_name || '/' || c_name AS path,
+        |         r_name, n_name, CAST(c_acctbal AS DECIMAL(18,2)) AS sz
+        |  FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey)
+        |SELECT dir, CAST(SUM(sz) AS DECIMAL(18,2)) AS total_size, COUNT(*) AS n_files
+        |FROM (SELECT '/' || r_name AS dir, sz FROM f
+        |      UNION ALL
+        |      SELECT '/' || r_name || '/' || n_name AS dir, sz FROM f)
+        |GROUP BY dir ORDER BY dir""".stripMargin,
+    "q_owner_usage" ->
+      """WITH f AS (
+        |  SELECT '/' || r_name || '/' || n_name || '/' || c_name AS path,
+        |         r_name, n_name, CAST(c_acctbal AS DECIMAL(18,2)) AS sz
+        |  FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey),
+        |nat AS (
+        |  SELECT '/' || r_name || '/' || n_name AS dir,
+        |         'pi_nation_' || n_name AS pi
+        |  FROM nation JOIN region ON n_regionkey = r_regionkey
+        |  WHERE n_nationkey % 2 = 0),
+        |reg AS (SELECT '/' || r_name AS dir, 'pi_region_' || r_name AS pi FROM region)
+        |SELECT owner, CAST(SUM(sz) AS DECIMAL(18,2)) AS total_size, COUNT(*) AS n_files
+        |FROM (SELECT coalesce(n.pi, r.pi) AS owner, f.sz
+        |      FROM f
+        |      LEFT JOIN nat n ON '/' || f.r_name || '/' || f.n_name = n.dir
+        |      LEFT JOIN reg r ON '/' || f.r_name = r.dir)
+        |GROUP BY owner ORDER BY owner""".stripMargin,
     "q_rollup_agg" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_total,
