@@ -10,7 +10,7 @@ import org.apache.spark.sql.SparkSession
 /** Workload benchmark: runs every declared query at SPARK_GRAFT_SF_DIR
   * and prints one JSON line {"metric","value","unit","queries","sf"}.
   *
-  * The workload executes with 4-way inter-query parallelism (a
+  * The workload executes with 8-way inter-query parallelism (a
   * throughput run — the queries are independent and Spark's FAIR-ready
   * scheduler overlaps plan compilation of one query with execution of
   * others, exactly as a concurrent analytics workload would).
@@ -36,7 +36,7 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().count()
 
-    val pool = Executors.newFixedThreadPool(4)
+    val pool = Executors.newFixedThreadPool(8)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val t0 = System.nanoTime()
     val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
