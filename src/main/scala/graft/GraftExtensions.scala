@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.FindExtensionExpr
+import graft.functions.{DecimalDotExpr, FindExtensionExpr}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions so SQL users get them as builtins.
@@ -21,6 +21,7 @@ import graft.functions.FindExtensionExpr
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.findExtensionDescriptor)
+    ext.injectFunction(GraftExtensions.decimalDotDescriptor)
   }
 }
 
@@ -38,5 +39,20 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.length == 1, "find_extension takes exactly 1 argument")
       FindExtensionExpr(children.head)
+    })
+
+  val decimalDotDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("decimal_dot"),
+    new ExpressionInfo(
+      classOf[DecimalDotExpr].getCanonicalName,
+      null,
+      "decimal_dot",
+      "decimal_dot(a, b) - exact DECIMAL(38,16) dot product of two " +
+        "ARRAY<DECIMAL(12,8)> vectors (codegen, unscaled-long arithmetic)",
+      ""),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "decimal_dot takes exactly 2 arguments")
+      DecimalDotExpr(children.head, children(1))
     })
 }
