@@ -158,6 +158,26 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** The composed corpus-dedup pipeline a training-data job calls:
+    * exact dedup (keep min doc_id per content) then minhash-LSH
+    * near-dup pruning (for each candidate pair a<b, drop b — the
+    * standard deterministic single-pass policy; full transitive
+    * clustering would need connected components, deliberately out of
+    * scope for a pruning pass). Returns the surviving rows of `docs`.
+    *
+    * Shuffle profile at 100 TB: one content-hash shuffle (exact), one
+    * signature shuffle of 8 longs/doc + band-bucket join (near), one
+    * broadcast-able anti join of the drop list. */
+  def dedupCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val keepExact = docs.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val exactDocs = docs.join(keepExact, "doc_id")
+    val dropNear = qDedupMinhashLsh(s, d)
+      .select(col("b").as("doc_id")).distinct()
+    exactDocs.join(dropNear, Seq("doc_id"), "left_anti")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_minhash_lsh" -> qDedupMinhashLsh,

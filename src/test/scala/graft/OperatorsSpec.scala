@@ -76,6 +76,33 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 900003L || p._2 == 900003L))
   }
 
+  test("dedupCorpus: exact dups collapse, near-dup b-sides drop") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "corpus")
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // exact dup of 1
+      (3L, "totally different content with other words entirely here xyz")
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val kept = Dedup.dedupCorpus(spark, tmp.toString)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L)) // 2 dies twice over (exact + near)
+  }
+
+  test("statusJsonb projects the reference's jsonb writer shape (F7)") {
+    import spark.implicits._
+    val st = Seq(graft.crawl.StatusRow(1, new java.sql.Timestamp(1700000000000L),
+      "file rate", 12.5, "files/sec")).toDF()
+    val j = graft.crawl.Crawl.statusJsonb(st).collect().head
+    assert(j.getLong(0) == 1L)
+    val entry = j.getString(1)
+    assert(entry.contains("\"status\":\"file rate\"") &&
+           entry.contains("\"value\":12.5") &&
+           entry.contains("\"time\":1700000000"))
+  }
+
   test("simhash: identical docs get identical signatures") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory(
