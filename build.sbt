@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  "-Dfile.encoding=UTF-8",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// a POSIX-locale JVM maps filesystem paths through ASCII and crashes on
+// non-ASCII filenames (sun.nio.fs.UnixPath.encode); sun.jnu.encoding is
+// fixed from the native locale at JVM start, so the forked processes
+// need a UTF-8 locale in their environment, not a -D flag
+Test / envVars ++= Map("LC_ALL" -> "C.UTF-8", "LANG" -> "C.UTF-8")
+run / envVars ++= Map("LC_ALL" -> "C.UTF-8", "LANG" -> "C.UTF-8")

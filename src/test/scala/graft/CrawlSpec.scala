@@ -20,6 +20,8 @@ class CrawlSpec extends SparkSpec {
       Files.write(p, content.getBytes)
     }
     touch(root.resolve("projA/a.tar.gz"), "data1")
+    touch(root.resolve("projA/ünïcode fïle.txt"))
+    touch(root.resolve("projA/sp ace's.dat"))
     touch(root.resolve("projA/noext"))
     touch(root.resolve("projA/sub/x."))
     touch(root.resolve("projB/archive.backup"))
@@ -109,6 +111,36 @@ class CrawlSpec extends SparkSpec {
     assert(dim(root.resolve("projA").toString) == "alice")
     assert(!dim.contains("Nothing"))
     assert(dim(root.resolve("projB").toString) == "dan")
+  }
+
+  test("hostile filenames survive crawl and sink round-trip") {
+    val root = mkTree()
+    val df = Crawl.run(spark, Seq(root.toString))
+    val paths = df.select("path").collect().map(_.getString(0)).toSet
+    assert(paths.contains(root.resolve("projA/ünïcode fïle.txt").toString))
+    assert(paths.contains(root.resolve("projA/sp ace's.dat").toString))
+    val byPath = df.collect().map(r => r.getAs[String]("path") -> r).toMap
+    assert(byPath(root.resolve("projA/sp ace's.dat").toString)
+      .getAs[String]("extension") == "dat")
+  }
+
+  test("deep tree: V2 source and BFS agree at depth 50") {
+    val root = Files.createTempDirectory(Paths.get("target"), "deeptree")
+    var p = root
+    (1 to 50).foreach { i =>
+      p = p.resolve(s"d$i")
+      Files.createDirectories(p)
+    }
+    Files.write(p.resolve("leaf.txt"), "x".getBytes)
+    val bfs = crawl.StatEnricher.enrich(
+      crawl.FsScanner.scan(spark, Seq(root.toString)))
+      .collect().map(_.path).toSet
+    val v2 = spark.read.format("graft.crawl.CrawlFsProvider")
+      .option("roots", root.toString).load()
+      .select("path").collect().map(_.getString(0)).toSet
+    assert(bfs == v2)
+    assert(bfs.size == 51) // 50 dirs + 1 leaf
+    assert(bfs.contains(p.resolve("leaf.txt").toString))
   }
 
   test("crawl parquet sink roundtrip") {
