@@ -119,7 +119,27 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** Text normalization + redaction — the cleaning stage of a training
+    * pipeline: lowercase, digit-run redaction to <num>, punctuation
+    * strip, whitespace collapse + trim, with before/after lengths.
+    * Regexes stay inside the character-class subset that Java and RE2
+    * interpret identically. */
+  val qTextClean: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val cleaned =
+      trim(regexp_replace(
+        regexp_replace(
+          regexp_replace(lower(col("text")), "[0-9]+", "<num>"),
+          "[^a-z0-9<> ]", ""),
+        "  +", " "))
+    docs
+      .select(col("doc_id"), cleaned.as("clean_text"))
+      .withColumn("n_chars_clean", length(col("clean_text")).cast(LongType))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_text_clean" -> qTextClean,
     "q_lang_id" -> qLangId,
     "q_quality_score" -> qQualityScore,
     "q_token_count" -> qTokenCount,
@@ -128,6 +148,19 @@ object TextStats {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_clean" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(lower(text), '[0-9]+', '<num>', 'g'),
+        |      '[^a-z0-9<> ]', '', 'g'),
+        |    '  +', ' ', 'g')) AS clean_text,
+        |  length(trim(regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(lower(text), '[0-9]+', '<num>', 'g'),
+        |      '[^a-z0-9<> ]', '', 'g'),
+        |    '  +', ' ', 'g'))) AS n_chars_clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_lang_id" -> {
       val cThe = occurrencesDuck("text", "the")
       val cData = occurrencesDuck("text", "data")
