@@ -85,10 +85,14 @@ object Crawl {
       case None => df
       case Some(of) =>
         val dim = Owners.load(spark, of)
-        if (useJoinPlan)
-          Owners.attachOwnersByJoin(df.drop("owner"), dim)
+        if (useJoinPlan) {
+          // the join plan references the crawl twice (explode side +
+          // join-back side); without a cache the second branch would
+          // re-list, re-stat, and double-bump every accumulator
+          val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          Owners.attachOwnersByJoin(cached.drop("owner"), dim)
             .withColumnRenamed("owner_joined", "owner")
-        else
+        } else
           df.withColumn("owner", Owners.findOwnerUdf(spark, dim))
     }
   }

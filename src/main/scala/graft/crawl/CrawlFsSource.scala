@@ -113,7 +113,12 @@ class CrawlFsScan(roots: Seq[String], excl: Set[String], targetParts: Int)
       }
       frontier = next.toSeq
     }
-    val n = math.max(1, math.min(targetParts, math.max(frontier.size, 1)))
+    // partition count driven by total work, not just remaining subtrees:
+    // a shallow-but-huge directory drains the frontier while loading all
+    // its entries into `loose`, and collapsing to 1 partition would stat
+    // the whole tree on one core
+    val workUnits = math.max(frontier.size, loose.size / 1024 + (if (loose.nonEmpty) 1 else 0))
+    val n = math.max(1, math.min(targetParts, workUnits))
     val subtreeGroups = Array.fill(n)(mutable.ArrayBuffer.empty[String])
     frontier.zipWithIndex.foreach { case (d, i) => subtreeGroups(i % n) += d }
     val looseGroups = Array.fill(n)(mutable.ArrayBuffer.empty[RawEntry])

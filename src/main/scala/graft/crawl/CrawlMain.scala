@@ -52,10 +52,21 @@ object CrawlMain {
         Some(ctrs).filter(_ => !useV2), useV2Source = useV2)
       Crawl.writeParquet(df, out, tag)
       val t1ms = System.currentTimeMillis()
+      if (useV2) {
+        // the V2 source bypasses the accumulators; derive the gauges
+        // from the written table so the status stream is never zeroed
+        import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum}
+        val agg = spark.read.parquet(s"$out/crawl_tag=$tag")
+          .agg(count(lit(1)), sum(coalesce(col("st_size"), lit(0L))),
+               count(col("error"))).head()
+        ctrs.filesSeen.add(agg.getLong(0))
+        ctrs.totalSize.add(agg.getLong(1))
+        ctrs.statErrors.add(agg.getLong(2))
+      }
       Crawl.writeStatus(
         Crawl.statusRows(spark, ctrs, t0ms / 1000, math.max(t1ms, t0ms + 1000) / 1000),
         out, tag)
-      if (!useV2) println(Crawl.summary(ctrs))
+      println(Crawl.summary(ctrs))
       val rows = spark.read.parquet(s"$out/crawl_tag=$tag").count()
       val secs = (t1ms - t0ms) / 1000.0
       println(f"rows written: $rows -> $out/crawl_tag=$tag")

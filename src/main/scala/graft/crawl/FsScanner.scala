@@ -85,8 +85,17 @@ object FsScanner {
       levels = levelEntries :: levels
     }
     levels match {
-      case Nil          => spark.emptyDataset[RawEntry]
-      case head :: tail => tail.foldLeft(head)(_ unionAll _)
+      case Nil => spark.emptyDataset[RawEntry]
+      case head :: tail =>
+        // consolidate the per-level caches into ONE persisted dataset and
+        // release them — otherwise every scan pins one cached RDD per
+        // tree level for the life of the session. Callers unpersist the
+        // returned dataset when done.
+        val all = tail.foldLeft(head)(_ unionAll _)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        all.count()
+        levels.foreach(_.unpersist(blocking = false))
+        all
     }
   }
 }

@@ -122,28 +122,36 @@ object Exprs {
     }
   }
 
-  /** Slash-delimited prefixes of an absolute path INCLUDING the path
-    * itself, as (prefix, depth) structs so callers can row_number() by
-    * depth desc for nearest-ancestor-wins (J1, storcrawl.py:245-256 —
-    * the reference checks the exact path first, then walks dirname up).
-    * '/a/b/c' -> [('/a',1), ('/a/b',2), ('/a/b/c',3)].
-    * Relative paths stop at the empty prefix (divergence A7: the
-    * reference recurses forever on them). */
+  /** Slash-delimited prefixes of a path INCLUDING the path itself and
+    * the filesystem root, as (prefix, depth) structs so callers can
+    * take the max depth for nearest-ancestor-wins (J1,
+    * storcrawl.py:245-256 — the reference checks the exact path first,
+    * walks dirname up, and does consult an owner mapped at b'/').
+    * '/a/b/c' -> [('/',0), ('/a',2), ('/a/b',3), ('/a/b/c',4)];
+    * 'a/b' -> [('a',1), ('a/b',2)] (relative paths stop at their first
+    * segment — divergence A7: the reference recurses forever on them).
+    * Depth values are ordering keys only (deeper = nearer), not level
+    * numbers. */
   def ancestorPrefixes(path: Column): Column = {
-    // split('/a/b/c', '/') = ['', 'a', 'b', 'c']; the depth-d prefix
-    // joins the first d+1 parts back with '/'
+    // split('/a/b/c', '/') = ['', 'a', 'b', 'c']; the k-part prefix
+    // joins the first k parts back with '/'; the leading-'' part makes
+    // k=1 empty for absolute paths (dropped, replaced by the '/' root)
     val parts = split(path, "/")
-    val n = size(parts) - 1 // deepest depth = the path itself
-    filter(
+    val n = size(parts)
+    val base = filter(
       transform(
         sequence(lit(1), greatest(n, lit(1))),
-        d =>
+        k =>
           struct(
-            concat_ws("/", slice(parts, lit(1), d + 1)).as("prefix"),
-            d.as("depth")
+            concat_ws("/", slice(parts, lit(1), k)).as("prefix"),
+            k.as("depth")
           )
       ),
       s => s.getField("depth") <= n && length(s.getField("prefix")) > 0
     )
+    val root = when(path.startsWith("/"),
+        array(struct(lit("/").as("prefix"), lit(0).as("depth"))))
+      .otherwise(array().cast("array<struct<prefix:string,depth:int>>"))
+    concat(root, base)
   }
 }

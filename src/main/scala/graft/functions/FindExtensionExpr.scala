@@ -33,30 +33,19 @@ case class FindExtensionExpr(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): FindExtensionExpr =
     copy(child = newChild)
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String]
-    val n = s.numBytes()
-    val bytes = s.getBytes
-    FindExtensionExpr.findDot(bytes, n) match {
-      case -1 => null
-      case i  => UTF8String.fromBytes(bytes, i + 1, n - i - 1)
-    }
-  }
+  override def nullSafeEval(input: Any): Any =
+    FindExtensionExpr.eval(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cls = FindExtensionExpr.getClass.getName.stripSuffix("$") + "$.MODULE$"
     nullSafeCodeGen(ctx, ev, c => {
-      val bytes = ctx.freshName("bytes")
-      val n = ctx.freshName("n")
-      val dot = ctx.freshName("dot")
+      val res = ctx.freshName("res")
       s"""
-         |byte[] $bytes = $c.getBytes();
-         |int $n = $c.numBytes();
-         |int $dot = $cls.findDot($bytes, $n);
-         |if ($dot < 0) {
+         |UTF8String $res = (UTF8String) $cls.eval($c);
+         |if ($res == null) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = UTF8String.fromBytes($bytes, $dot + 1, $n - $dot - 1);
+         |  ${ev.value} = $res;
          |}
        """.stripMargin
     })
@@ -64,22 +53,15 @@ case class FindExtensionExpr(child: Expression)
 }
 
 object FindExtensionExpr {
-  /** Index of the winning '.' per the reference scan order, or -1.
-    * Window = byte positions [n-7, n-2] (clamped at 0); fallback scans
-    * the whole string left to right. */
-  def findDot(bytes: Array[Byte], n: Int): Int = {
-    val winStart = math.max(n - 7, 0)
-    val winEnd = n - 2 // inclusive; final char excluded (A1 slice quirk)
-    var i = winStart
-    while (i <= winEnd) {
-      if (bytes(i) == '.') return i
-      i += 1
-    }
-    i = 0
-    while (i < n) {
-      if (bytes(i) == '.') return i
-      i += 1
-    }
-    -1
+  /** CHARACTER-domain scan (not bytes): the reference operates on bytea
+    * paths, but this engine's path domain is String throughout (SURVEY
+    * §1.2 divergence) and the sibling implementations — the Scala port,
+    * the composed-builtin Column, and the DuckDB oracle's strpos/substr
+    * — are all character-based; a byte window would disagree with them
+    * on multi-byte filenames. Delegates to the one faithful port
+    * (Exprs.findExtensionScala) so equivalence holds by construction. */
+  def eval(s: UTF8String): UTF8String = {
+    val r = Exprs.findExtensionScala(s.toString)
+    if (r == null) null else UTF8String.fromString(r)
   }
 }

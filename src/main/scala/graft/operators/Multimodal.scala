@@ -115,7 +115,9 @@ object Multimodal {
       .option("pathGlobFilter", glob)
       .load(dir)
       .select(
-        abs(hash(col("path"))).cast("long").as("media_id"),
+        // 64-bit identity hash: a 32-bit hash birthday-collides above
+        // ~77k files, silently merging distinct media downstream
+        xxhash64(col("path")).as("media_id"),
         col("path"),
         col("length").as("n_bytes"),
         col("content"))

@@ -328,7 +328,10 @@ object Reports {
     val files = pathsWithSize(s, d)
     files
       .select(explode(ancestorPrefixes(col("path"))).as("a"), col("sz"))
-      .filter(col("a.depth") <= 2) // directories only, not the leaf files
+      // directory prefixes only: depth 0 is the root '/', the leaf file
+      // is the deepest (= number of path parts); /r and /r/n sit at
+      // depths 2 and 3 in ancestorPrefixes' k-part numbering
+      .filter(col("a.depth") >= 2 && col("a.depth") <= 3)
       .groupBy(col("a.prefix").as("dir"))
       .agg(
         sum(col("sz")).cast(DecimalType(18, 2)).as("total_size"),

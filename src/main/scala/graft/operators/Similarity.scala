@@ -127,7 +127,6 @@ object Similarity {
     * centroid), assignments(vec_id, cid)). At 100 TB the assignment
     * pass is one broadcast-join scan; centroids stay tiny. */
   def buildIvfIndex(corpus: DataFrame, k: Int, iters: Int = 2): (DataFrame, DataFrame) = {
-    val w = Window.orderBy("vec_id")
     // deterministic seeds: the k lowest vec_ids
     var centroids = corpus.orderBy("vec_id").limit(k)
       .withColumn("cid", row_number().over(Window.orderBy("vec_id")).cast("long") - 1)

@@ -42,8 +42,10 @@ object Skew {
       small: DataFrame,
       keyCol: String,
       buckets: Int): DataFrame = {
+    // pmod, not abs(hash)%: abs(Int.MinValue) is still negative and a
+    // negative salt would silently drop the row from the join
     val saltedBig = big.withColumn("_salt",
-      (abs(hash(monotonically_increasing_id())) % buckets).cast("int"))
+      pmod(hash(monotonically_increasing_id()), lit(buckets)).cast("int"))
     val saltedSmall = small.withColumn("_salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     saltedBig.join(saltedSmall, Seq(keyCol, "_salt")).drop("_salt")

@@ -52,13 +52,19 @@ class ExprsSpec extends SparkSpec {
     assert(r.forall(_.length == 19))
   }
 
-  test("ancestorPrefixes: includes self, ordered by depth") {
+  test("ancestorPrefixes: root, ancestors, and self, ordered by depth") {
     import spark.implicits._
     val r = Seq("/a/b/c").toDF("p")
       .select(explode(Exprs.ancestorPrefixes(col("p"))).as("x"))
       .select("x.prefix", "x.depth")
       .collect().map(x => (x.getString(0), x.getInt(1)))
-    assert(r.toSeq == Seq(("/a", 1), ("/a/b", 2), ("/a/b/c", 3)))
+    assert(r.toSeq == Seq(("/", 0), ("/a", 2), ("/a/b", 3), ("/a/b/c", 4)))
+    // relative paths yield their own prefixes and stop at the first
+    // segment (A7 divergence guard)
+    val rel = Seq("a/b").toDF("p")
+      .select(explode(Exprs.ancestorPrefixes(col("p"))).as("x"))
+      .select("x.prefix").collect().map(_.getString(0))
+    assert(rel.toSeq == Seq("a", "a/b"))
   }
 
   test("md5Long is stable and positive (shared hash family)") {

@@ -22,7 +22,11 @@ class FindExtensionExprSpec extends SparkSpec {
     val gen = Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.const('.'), Gen.const('/')))
       .map(_.mkString)
     val samples = ((1 to 400).flatMap(_ => gen.sample) ++
-      Seq("a.tar.gz", "x.", ".hidden", "x.abcdefg.", "noext", "…ünïcode.éxt"))
+      // multi-byte regression: the char window [2,7] sees the dot at
+      // char 3, but a byte window would miss it and wrap — the native
+      // expression must be char-domain like its siblings
+      Seq("a.tar.gz", "x.", ".hidden", "x.abcdefg.", "noext",
+          "…ünïcode.éxt", "a.b.cdeéé", "ü.ü.üüüüü"))
       .distinct.filter(s => s != null && s.nonEmpty)
     val df = samples.toDF("p")
     val got = df.selectExpr("p", "find_extension(p) AS e")

@@ -16,7 +16,8 @@ class OwnersPropertySpec extends SparkSpec {
   private val pathGen = for {
     depth <- Gen.choose(1, 6)
     segs <- Gen.listOfN(depth, segGen)
-  } yield "/" + segs.mkString("/")
+    abs <- Gen.frequency(4 -> true, 1 -> false) // some relative paths (A7)
+  } yield (if (abs) "/" else "") + segs.mkString("/")
 
   test("findOwner walk ≡ explode+join plan on random trees") {
     import spark.implicits._
@@ -24,10 +25,13 @@ class OwnersPropertySpec extends SparkSpec {
       (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
 
     val paths = sample(pathGen, 400).distinct
-    // dim only holds depth ≥ 3 dirs so shallow paths genuinely miss
+    // dim holds deep dirs (so shallow relative paths genuinely miss)
+    // plus an owner mapped at the filesystem root — the reference's
+    // find_owner consults b'/' before giving up, so the join plan must
+    // surface a '/' prefix too
     val dimPairs = sample(pathGen, 60).distinct
       .filter(_.count(_ == '/') >= 3).zipWithIndex
-      .map { case (p, i) => (p, s"pi$i") }
+      .map { case (p, i) => (p, s"pi$i") } :+ ("/" -> "piRoot")
     val files = paths.toDF("path")
     val dim = dimPairs.toDF("dir", "pi")
 
