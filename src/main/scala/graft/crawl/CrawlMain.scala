@@ -55,13 +55,17 @@ object CrawlMain {
       if (useV2) {
         // the V2 source bypasses the accumulators; derive the gauges
         // from the written table so the status stream is never zeroed
-        import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum}
+        import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum, when}
+        // S_IFDIR = 0x4000 = bit 14 → position 5 of the 19-char mode
+        val isDir = col("st_mode").substr(5, 1) === "1"
         val agg = spark.read.parquet(s"$out/crawl_tag=$tag")
-          .agg(count(lit(1)), sum(coalesce(col("st_size"), lit(0L))),
+          .agg(count(when(!isDir, 1)), count(when(isDir, 1)),
+               sum(coalesce(col("st_size"), lit(0L))),
                count(col("error"))).head()
         ctrs.filesSeen.add(agg.getLong(0))
-        ctrs.totalSize.add(agg.getLong(1))
-        ctrs.statErrors.add(agg.getLong(2))
+        ctrs.dirsSeen.add(agg.getLong(1))
+        ctrs.totalSize.add(agg.getLong(2))
+        ctrs.statErrors.add(agg.getLong(3))
       }
       Crawl.writeStatus(
         Crawl.statusRows(spark, ctrs, t0ms / 1000, math.max(t1ms, t0ms + 1000) / 1000),
