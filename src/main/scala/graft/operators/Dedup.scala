@@ -34,7 +34,7 @@ object Dedup {
     * 8 minhash permutations (non-overlapping 8-hex 32-bit slices of TWO
     * md5 calls per shingle — 4× less digest work than one md5 per
     * permutation, and all 8 mins aggregate in ONE groupBy pass with no
-    * seed explosion), then 4 bands × 2 rows; docs sharing any band key
+    * seed explosion), then 2 bands × 4 rows; docs sharing any band key
     * become a candidate pair. Shuffle volume after shingling is 8 longs
     * per doc — the scale path for 100 TB (raw text never shuffles). */
   val qDedupMinhashLsh: Q = (s, d) => {
@@ -60,14 +60,16 @@ object Dedup {
            min(col("h2")).as("m2"), min(col("h3")).as("m3"),
            min(col("h4")).as("m4"), min(col("h5")).as("m5"),
            min(col("h6")).as("m6"), min(col("h7")).as("m7"))
-    // 4 bands × 2 rows: band key = "<band>:<m2b>:<m2b+1>" — exploded
-    // from ONE array so the signature aggregation runs once (a unionAll
-    // of per-band selects would recompute it per branch)
+    // 2 bands × 4 rows (threshold ≈ (1/2)^(1/4) ≈ 0.84 — genuine
+    // near-dups; 4 bands × 2 rows fires on ~half-similar docs, which on
+    // a shared-vocabulary corpus floods the candidate set). Keys
+    // explode from ONE array so the signature aggregation runs once.
     val bandKeys = sig.select(
       col("doc_id"),
-      explode(array((0 until 4).map { b =>
-        concat(lit(s"$b:"), col(s"m${2 * b}").cast("string"), lit(":"),
-               col(s"m${2 * b + 1}").cast("string"))
+      explode(array((0 until 2).map { b =>
+        val parts = lit(s"$b") +: (0 until 4).map(j =>
+          concat(lit(":"), col(s"m${4 * b + j}").cast("string")))
+        concat(parts: _*)
       }: _*)).as("band_key"))
     bandKeys.as("a")
       .join(bandKeys.as("b"),
@@ -212,13 +214,11 @@ object Dedup {
         |    min(h4) AS m4, min(h5) AS m5, min(h6) AS m6, min(h7) AS m7
         |  FROM hashed GROUP BY doc_id),
         |keys AS (
-        |  SELECT doc_id, '0:' || CAST(m0 AS VARCHAR) || ':' || CAST(m1 AS VARCHAR) AS band_key FROM sig
+        |  SELECT doc_id, '0:' || CAST(m0 AS VARCHAR) || ':' || CAST(m1 AS VARCHAR)
+        |           || ':' || CAST(m2 AS VARCHAR) || ':' || CAST(m3 AS VARCHAR) AS band_key FROM sig
         |  UNION ALL
-        |  SELECT doc_id, '1:' || CAST(m2 AS VARCHAR) || ':' || CAST(m3 AS VARCHAR) FROM sig
-        |  UNION ALL
-        |  SELECT doc_id, '2:' || CAST(m4 AS VARCHAR) || ':' || CAST(m5 AS VARCHAR) FROM sig
-        |  UNION ALL
-        |  SELECT doc_id, '3:' || CAST(m6 AS VARCHAR) || ':' || CAST(m7 AS VARCHAR) FROM sig)
+        |  SELECT doc_id, '1:' || CAST(m4 AS VARCHAR) || ':' || CAST(m5 AS VARCHAR)
+        |           || ':' || CAST(m6 AS VARCHAR) || ':' || CAST(m7 AS VARCHAR) FROM sig)
         |SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
         |FROM keys a JOIN keys b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
         |ORDER BY a, b""".stripMargin,
