@@ -79,10 +79,10 @@ object Dedup {
       .orderBy("a", "b")
   }
 
-  /** SimHash document signatures: 16-bit bit-majority over word hashes.
-    * All 16 bit-balances accumulate as conditional sums in ONE hash
+  /** SimHash document signatures: 32-bit bit-majority over word hashes.
+    * All 32 bit-balances accumulate as conditional sums in ONE hash
     * aggregation over the word rows (no per-bit row explosion), then the
-    * signature assembles from the 16 signs — linear work, no pairwise
+    * signature assembles from the 32 signs — linear work, no pairwise
     * anything; near-dup pairs come from [[qSimhashNeardup]]. */
   val qDedupSimhash: Q = (s, d) => {
     val docs = Tables.documents(s, d).select("doc_id", "text")
@@ -90,10 +90,10 @@ object Dedup {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
     val wh = words.withColumn("h", md5Long(col("word")))
-    val sums = (0 until 16).map(b =>
+    val sums = (0 until 32).map(b =>
       sum(expr(s"CASE WHEN shiftright(h, $b) % 2 = 1 THEN 1 ELSE -1 END")).as(s"s$b"))
     val sig = wh.groupBy("doc_id").agg(sums.head, sums.tail: _*)
-    val simhash = (0 until 16)
+    val simhash = (0 until 32)
       .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
     sig.select(col("doc_id"), simhash.as("simhash")).orderBy("doc_id")
@@ -134,7 +134,7 @@ object Dedup {
   }
 
   /** SimHash near-dup pairing: hamming(sig_a, sig_b) ≤ 1 via pigeonhole
-    * blocking — split the 16-bit signature into 2 byte-chunks; any pair
+    * blocking — split the 32-bit signature into 2 16-bit chunks; any pair
     * within hamming 1 must share at least one chunk exactly, so pairs
     * only form inside chunk buckets (lossless blocking; the oracle
     * brute-forces all pairs and must agree). At 100 TB only (chunk_id,
@@ -143,9 +143,9 @@ object Dedup {
   val qSimhashNeardup: Q = (s, d) => {
     val sig = qDedupSimhash(s, d) // (doc_id, simhash), already computed plan
     val chunks = sig.select(col("doc_id"), col("simhash"), lit(0).as("ck"),
-        (col("simhash") % 256).as("cv"))
+        (col("simhash") % 65536).as("cv"))
       .unionAll(sig.select(col("doc_id"), col("simhash"), lit(1).as("ck"),
-        expr("simhash div 256").as("cv")))
+        expr("simhash div 65536").as("cv")))
     val pairs = chunks.as("a")
       .join(chunks.as("b"),
         col("a.ck") === col("b.ck") && col("a.cv") === col("b.cv") &&
@@ -228,7 +228,7 @@ object Dedup {
         |       FROM w WHERE length(word) > 0),
         |bits AS (SELECT doc_id, b,
         |           SUM(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END) AS s
-        |         FROM wh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) bs
+        |         FROM wh CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) bs
         |         GROUP BY doc_id, b)
         |SELECT doc_id,
         |  SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
@@ -239,7 +239,7 @@ object Dedup {
         |       FROM w WHERE length(word) > 0),
         |bits AS (SELECT doc_id, b,
         |           SUM(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END) AS s
-        |         FROM wh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) bs
+        |         FROM wh CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) bs
         |         GROUP BY doc_id, b),
         |sig AS (SELECT doc_id,
         |          SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
