@@ -70,6 +70,24 @@ class BreadthSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(st_size"))
   }
 
+  test("CSV source/sink round-trip preserves hostile values") {
+    import spark.implicits._
+    val df = Seq(
+      ("/a/x,with,commas", 10L, "line\nbreak owner"),
+      ("/b/\"quoted\"", 20L, null)
+    ).toDF("path", "st_size", "owner")
+    val out = Files.createTempDirectory(Paths.get("target"), "csvsink").toString
+    df.write.mode("overwrite").option("header", true).option("escape", "\"")
+      .csv(out)
+    val back = spark.read.option("header", true).option("escape", "\"")
+      .option("multiLine", true)
+      .schema("path STRING, st_size LONG, owner STRING").csv(out)
+    val rows = back.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(rows == Set(
+      ("/a/x,with,commas", 10L, "line\nbreak owner"),
+      ("/b/\"quoted\"", 20L, null)))
+  }
+
   test("streaming exact dedup: dropDuplicatesWithinWatermark on event ids") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
