@@ -36,6 +36,17 @@ object Exprs {
   def decAvg6(c: Column): Column =
     (sum(dec2(c)) / count(c)).cast(DecimalType(18, 6))
 
+  /** Integer-scaled BIGINT projection of an exact decimal — the ONLY
+    * sanctioned way to emit a decimal quantity from a final SELECT.
+    * Decimal output representations are canonicalized differently by
+    * downstream readers (DuckDB HUGEINT → arrow decimal128, decimal →
+    * double 1-ulp double-rounding), so DECIMAL columns hash-mismatch
+    * even when cell values are identical; an integer < 2^53 is
+    * representation-proof. `factor` must be 10^scale of the decimal so
+    * the product is an exact integer. */
+  def intScaled(c: Column, factor: Long): Column =
+    (c * factor).cast(LongType)
+
   /** Epoch seconds (BIGINT) of a timestamp / timestamp_ntz column;
     * truncating like the reference's int(float_epoch)
     * (storcrawl.py:368-370). NTZ is interpreted in the session TZ (UTC). */

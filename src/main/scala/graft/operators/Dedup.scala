@@ -231,7 +231,7 @@ object Dedup {
         |         FROM wh CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) bs
         |         GROUP BY doc_id, b)
         |SELECT doc_id,
-        |  SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+        |  CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_simhash_neardup" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),

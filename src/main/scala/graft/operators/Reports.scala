@@ -57,7 +57,7 @@ object Reports {
     ev.filter(col("event_type").like("%c%"))
       .groupBy(col("event_type").as("status"))
       .agg(
-        decAvg6(col("value")).as("avg_value"),
+        intScaled(decAvg6(col("value")), 1000000L).as("avg_micros"),
         count(lit(1)).as("n"))
       .orderBy("status")
   }
@@ -85,8 +85,8 @@ object Reports {
         col("user_id"),
         col("event_id"),
         nanosToSec(col("ts")).as("ts_sec"),
-        (dec2(col("value")) - dec2(lag(col("value"), 1).over(w)))
-          .cast(DecimalType(18, 2)).as("delta"))
+        intScaled(dec2(col("value")) - dec2(lag(col("value"), 1).over(w)),
+          100L).as("delta_cents"))
       .orderBy("user_id", "event_id")
   }
 
@@ -95,8 +95,8 @@ object Reports {
     val li = Tables.lineitem(s, d)
     li.agg(
       count(lit(1)).as("n_rows"),
-      decSum2(col("l_quantity")).as("sum_qty"),
-      decSum2(col("l_extendedprice")).as("sum_price"),
+      intScaled(decSum2(col("l_quantity")), 100L).as("sum_qty_cents"),
+      intScaled(decSum2(col("l_extendedprice")), 100L).as("sum_price_cents"),
       count(when(col("l_returnflag") === "R", 1)).as("n_returned"))
   }
 
@@ -114,8 +114,8 @@ object Reports {
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
-        sum(dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount")))
-          .cast(DecimalType(18, 4)).as("revenue"),
+        intScaled(sum(dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 4)), 10000L).as("revenue_e4"),
         count(lit(1)).as("n_items"))
       .orderBy("r_name", "n_name")
   }
@@ -200,7 +200,7 @@ object Reports {
     a.unionAll(b)
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_orders"),
-           decSum2(col("o_totalprice")).as("sum_total"))
+           intScaled(decSum2(col("o_totalprice")), 100L).as("sum_total_cents"))
       .orderBy("o_orderpriority")
   }
 
@@ -295,10 +295,11 @@ object Reports {
     val ev = Tables.events(s, d)
     ev.select(timestamp_seconds(nanosToSec(col("ts"))).as("t"), col("value"))
       .groupBy(window(col("t"), "60 seconds"))
-      .agg(count(lit(1)).as("n_events"), decSum2(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+           intScaled(decSum2(col("value")), 100L).as("sum_value_cents"))
       .select(
         col("window.start").cast(LongType).as("bucket_start"),
-        col("n_events"), col("sum_value"))
+        col("n_events"), col("sum_value_cents"))
       .orderBy("bucket_start")
   }
 
@@ -334,7 +335,7 @@ object Reports {
       .filter(col("a.depth") >= 2 && col("a.depth") <= 3)
       .groupBy(col("a.prefix").as("dir"))
       .agg(
-        sum(col("sz")).cast(DecimalType(18, 2)).as("total_size"),
+        intScaled(sum(col("sz")).cast(DecimalType(18, 2)), 100L).as("total_size_cents"),
         count(lit(1)).as("n_files"))
       .orderBy("dir")
   }
@@ -368,7 +369,7 @@ object Reports {
         first(col("sz")).as("sz"))
     owned
       .groupBy("owner")
-      .agg(sum(col("sz")).cast(DecimalType(18, 2)).as("total_size"),
+      .agg(intScaled(sum(col("sz")).cast(DecimalType(18, 2)), 100L).as("total_size_cents"),
            count(lit(1)).as("n_files"))
       .orderBy("owner")
   }
@@ -383,7 +384,7 @@ object Reports {
     ord.rollup(col("o_orderstatus"), col("o_orderpriority"))
       .agg(
         count(lit(1)).as("n_orders"),
-        decSum2(col("o_totalprice")).as("sum_total"),
+        intScaled(decSum2(col("o_totalprice")), 100L).as("sum_total_cents"),
         countDistinct(col("o_custkey")).as("n_customers"))
       .orderBy(
         col("o_orderstatus").asc_nulls_first,
@@ -398,7 +399,7 @@ object Reports {
     cust.join(ord, col("c_custkey") === col("o_custkey"), "left")
       .groupBy("c_custkey")
       .agg(count(col("o_orderkey")).as("n_orders"),
-           decSum2(col("o_totalprice")).as("sum_total"))
+           intScaled(decSum2(col("o_totalprice")), 100L).as("sum_total_cents"))
       .orderBy("c_custkey")
   }
 
@@ -443,7 +444,7 @@ object Reports {
         |  FROM customer
         |  JOIN nation ON c_nationkey = n_nationkey
         |  JOIN region ON n_regionkey = r_regionkey)
-        |SELECT dir, CAST(SUM(sz) AS DECIMAL(18,2)) AS total_size, COUNT(*) AS n_files
+        |SELECT dir, CAST(CAST(SUM(sz) AS DECIMAL(18,2)) * 100 AS BIGINT) AS total_size_cents, COUNT(*) AS n_files
         |FROM (SELECT '/' || r_name AS dir, sz FROM f
         |      UNION ALL
         |      SELECT '/' || r_name || '/' || n_name AS dir, sz FROM f)
@@ -461,7 +462,7 @@ object Reports {
         |  FROM nation JOIN region ON n_regionkey = r_regionkey
         |  WHERE n_nationkey % 2 = 0),
         |reg AS (SELECT '/' || r_name AS dir, 'pi_region_' || r_name AS pi FROM region)
-        |SELECT owner, CAST(SUM(sz) AS DECIMAL(18,2)) AS total_size, COUNT(*) AS n_files
+        |SELECT owner, CAST(CAST(SUM(sz) AS DECIMAL(18,2)) * 100 AS BIGINT) AS total_size_cents, COUNT(*) AS n_files
         |FROM (SELECT coalesce(n.pi, r.pi) AS owner, f.sz
         |      FROM f
         |      LEFT JOIN nat n ON '/' || f.r_name || '/' || f.n_name = n.dir
@@ -469,13 +470,13 @@ object Reports {
         |GROUP BY owner ORDER BY owner""".stripMargin,
     "q_rollup_agg" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_total,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) * 100 AS BIGINT) AS sum_total_cents,
         |  COUNT(DISTINCT o_custkey) AS n_customers
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q_outer_join" ->
       """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_total
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) * 100 AS BIGINT) AS sum_total_cents
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
     "q_set_ops" ->
@@ -489,7 +490,7 @@ object Reports {
         |ORDER BY ts_sec, event_id""".stripMargin,
     "q_status_averages" ->
       """SELECT event_type AS status,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) / COUNT(value) AS DECIMAL(18,6)) AS avg_value,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) / COUNT(value) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS avg_micros,
         |  COUNT(*) AS n
         |FROM events WHERE event_type LIKE '%c%'
         |GROUP BY event_type ORDER BY status""".stripMargin,
@@ -500,19 +501,19 @@ object Reports {
         |WHERE rn = 1 ORDER BY status""".stripMargin,
     "q_rate_lag" ->
       """SELECT user_id, event_id, epoch_ms(ts) // 1000 AS ts_sec,
-        |  CAST(CAST(value AS DECIMAL(18,2))
-        |       - lag(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY event_id)
-        |       AS DECIMAL(18,2)) AS delta
+        |  CAST((CAST(value AS DECIMAL(18,2))
+        |       - lag(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY event_id))
+        |       * 100 AS BIGINT) AS delta_cents
         |FROM events ORDER BY user_id, event_id""".stripMargin,
     "q_global_agg" ->
       """SELECT COUNT(*) AS n_rows,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) * 100 AS BIGINT) AS sum_qty_cents,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) * 100 AS BIGINT) AS sum_price_cents,
         |  COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_returned
         |FROM lineitem""".stripMargin,
     "q_dim_equijoin" ->
       """SELECT r_name, n_name,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS revenue,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * 10000 AS BIGINT) AS revenue_e4,
         |  COUNT(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -553,7 +554,7 @@ object Reports {
         |ORDER BY c_custkey""".stripMargin,
     "q_union_roots" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_total
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) * 100 AS BIGINT) AS sum_total_cents
         |FROM (SELECT * FROM orders WHERE o_orderstatus = 'F'
         |      UNION ALL
         |      SELECT * FROM orders WHERE o_orderpriority LIKE '1%')
@@ -593,7 +594,7 @@ object Reports {
     "q_window_tumbling" ->
       """SELECT (epoch_ms(ts) // 1000) // 60 * 60 AS bucket_start,
         |  COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) * 100 AS BIGINT) AS sum_value_cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

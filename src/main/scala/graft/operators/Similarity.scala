@@ -46,14 +46,17 @@ object Similarity {
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 
-  /** Cosine over exact-decimal dots, rounded to 6 dp: DuckDB's
-    * decimal→double conversion is off by an ulp vs Spark's correctly-
-    * rounded one, so raw doubles can't be compared or ranked; the 6-dp
-    * grid absorbs that and ties break on the id column. */
-  private def cosDec(qe: Column, ne: Column): Column =
+  /** Cosine over exact-decimal dots, rounded to 6 dp and emitted as
+    * integer micros: DuckDB's decimal→double conversion is off by an
+    * ulp vs Spark's correctly-rounded one, so raw doubles can't be
+    * compared or ranked; the 6-dp grid absorbs that and ties break on
+    * the id column. The BIGINT micros form (never DECIMAL in a final
+    * SELECT) is representation-proof across engines. */
+  private def cosMicros(qe: Column, ne: Column): Column =
     (decDot(qe, ne).cast(DoubleType) /
       sqrt(decDot(qe, qe).cast(DoubleType) * decDot(ne, ne).cast(DoubleType)))
       .cast(DecimalType(10, 6))
+      .*(lit(1000000L)).cast(LongType)
 
   /** Brute-force cosine top-k: query vectors (vec_id < 8) against the
     * whole corpus — one broadcast nested-loop over (queries × corpus)
@@ -65,12 +68,12 @@ object Similarity {
       .select(col("vec_id").as("qid"), decVec(col("embedding")).as("qe"))
     val c = emb.select(col("vec_id").as("nid"), decVec(col("embedding")).as("ne"))
     val cosv = broadcast(q).join(c, col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), cosDec(col("qe"), col("ne")).as("sim"))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+      .select(col("qid"), col("nid"), cosMicros(col("qe"), col("ne")).as("sim_micros"))
+    val w = Window.partitionBy("qid").orderBy(col("sim_micros").desc, col("nid"))
     cosv
       .withColumn("rnk", row_number().over(w).cast(LongType))
       .filter(col("rnk") <= 3)
-      .select(col("qid"), col("nid"), col("rnk"), col("sim"))
+      .select(col("qid"), col("nid"), col("rnk"), col("sim_micros"))
       .orderBy("qid", "rnk")
   }
 
@@ -95,8 +98,8 @@ object Similarity {
       .select(col("pa.vec_id").as("a"), col("pb.vec_id").as("b"),
               col("pa.de").as("ae"), col("pb.de").as("be"))
     pairs
-      .select(col("a"), col("b"), cosDec(col("ae"), col("be")).as("sim"))
-      .filter(col("sim") >= 0.3)
+      .select(col("a"), col("b"), cosMicros(col("ae"), col("be")).as("sim_micros"))
+      .filter(col("sim_micros") >= 300000L)
       .orderBy("a", "b")
   }
 
@@ -207,13 +210,13 @@ object Similarity {
         |  GROUP BY q.vec_id, e.vec_id),
         |cosv AS (
         |  SELECT qid, nid,
-        |    CAST(CAST(dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(ne.nrm AS DOUBLE)) AS DECIMAL(10,6)) AS sim
+        |    CAST(CAST(CAST(dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(ne.nrm AS DOUBLE)) AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS sim_micros
         |  FROM dots
         |  JOIN nrm nq ON qid = nq.vec_id
         |  JOIN nrm ne ON nid = ne.vec_id)
-        |SELECT qid, nid, rnk, sim
-        |FROM (SELECT qid, nid, sim,
-        |        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk
+        |SELECT qid, nid, rnk, sim_micros
+        |FROM (SELECT qid, nid, sim_micros,
+        |        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim_micros DESC, nid) AS BIGINT) AS rnk
         |      FROM cosv)
         |WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
     "q_embedding_neardup" ->
@@ -242,12 +245,12 @@ object Similarity {
         |  JOIN el ea ON p.a = ea.vec_id
         |  JOIN el eb ON p.b = eb.vec_id AND ea.i = eb.i
         |  GROUP BY p.a, p.b)
-        |SELECT a, b, sim FROM (
+        |SELECT a, b, sim_micros FROM (
         |  SELECT d.a, d.b,
-        |    CAST(CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS DECIMAL(10,6)) AS sim
+        |    CAST(CAST(CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS sim_micros
         |  FROM dots d
         |  JOIN nrm na ON d.a = na.vec_id
         |  JOIN nrm nb ON d.b = nb.vec_id)
-        |WHERE sim >= 0.3 ORDER BY a, b""".stripMargin
+        |WHERE sim_micros >= 300000 ORDER BY a, b""".stripMargin
   )
 }

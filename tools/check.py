@@ -5,20 +5,39 @@ Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 
 Reads each <verifyOutDir>/<name>/ parquet (Spark result), runs the
 matching oracle_sql.json query in DuckDB over <sfDir>'s tables, and
-compares: row count, schema (column names), and cell values (columns
-sorted by name, exact equality; floats compared bitwise).
+compares: row count, schema (column names AND arrow types), and cell
+values (columns sorted by name, exact equality; floats compared
+bitwise).
+
+The arrow-type check mirrors the driver's stricter hasher: a DuckDB
+HUGEINT (arrow decimal128(38,0)) vs a Spark BIGINT (int64) must FAIL
+even when every cell value is equal (round-2 lesson: q_dedup_simhash).
+Only the 64-vs-large offset width is canonicalized away
+(large_string == string) — that is a pyarrow transport detail, not an
+engine type.
 """
 import json
 import math
 import sys
 
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
 ]
+
+
+def canon_type(t):
+    if pa.types.is_large_string(t):
+        return pa.string()
+    if pa.types.is_large_binary(t):
+        return pa.binary()
+    if pa.types.is_dictionary(t):
+        return canon_type(t.value_type)
+    return t
 
 
 def norm(v):
@@ -55,6 +74,18 @@ def main():
         s_cols, d_cols = sorted(tbl.column_names), sorted(duck.column_names)
         if s_cols != d_cols:
             print(f"FAIL {name}: schema mismatch spark={s_cols} duck={d_cols}")
+            n_fail += 1
+            continue
+        type_bad = [
+            (c, tbl.schema.field(c).type, duck.schema.field(c).type)
+            for c in s_cols
+            if canon_type(tbl.schema.field(c).type)
+            != canon_type(duck.schema.field(c).type)
+        ]
+        if type_bad:
+            c, st, dt = type_bad[0]
+            print(f"FAIL {name}: arrow type mismatch col={c} "
+                  f"spark={st} duck={dt}")
             n_fail += 1
             continue
         if tbl.num_rows != duck.num_rows:
