@@ -10,7 +10,7 @@ import org.apache.spark.sql.SparkSession
 /** Workload benchmark: runs every declared query at SPARK_GRAFT_SF_DIR
   * and prints one JSON line {"metric","value","unit","queries","sf"}.
   *
-  * The workload executes with 8-way inter-query parallelism (a
+  * Default mode executes with 8-way inter-query parallelism (a
   * throughput run — the queries are independent and Spark's FAIR-ready
   * scheduler overlaps plan compilation of one query with execution of
   * others, exactly as a concurrent analytics workload would).
@@ -19,11 +19,18 @@ import org.apache.spark.sql.SparkSession
   * concurrent run. Results are fully materialized (collect), never
   * count()-ed — count lets EliminateSorts drop final ORDER BYs and
   * under-measures.
+  *
+  * SPARK_GRAFT_BENCH_MODE=seq runs the queries one at a time instead
+  * (cache cleared between queries) — per-query latencies are then
+  * attributable to the individual plan, the mode used for plan-change
+  * comparisons in PERF.md. The driver's headline number stays the
+  * default concurrent mode.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val mode = sys.env.getOrElse("SPARK_GRAFT_BENCH_MODE", "concurrent")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -36,19 +43,30 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().count()
 
-    val pool = Executors.newFixedThreadPool(8)
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val t0 = System.nanoTime()
-    val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      Future {
-        val s0 = System.nanoTime()
-        try { fn(spark, sfDir).collect() } catch { case _: Throwable => null }
-        name -> (System.nanoTime() - s0) / 1e9
+    val results: Map[String, Double] =
+      if (mode == "seq") {
+        SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+          val s0 = System.nanoTime()
+          try { fn(spark, sfDir).collect() } catch { case _: Throwable => null }
+          spark.catalog.clearCache()
+          name -> (System.nanoTime() - s0) / 1e9
+        }.toMap
+      } else {
+        val pool = Executors.newFixedThreadPool(8)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
+          Future {
+            val s0 = System.nanoTime()
+            try { fn(spark, sfDir).collect() } catch { case _: Throwable => null }
+            name -> (System.nanoTime() - s0) / 1e9
+          }
+        }
+        val r = Await.result(Future.sequence(futures), Duration.Inf).toMap
+        pool.shutdown()
+        r
       }
-    }
-    val results = Await.result(Future.sequence(futures), Duration.Inf).toMap
     val total = (System.nanoTime() - t0) / 1e9
-    pool.shutdown()
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

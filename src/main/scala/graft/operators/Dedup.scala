@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -30,20 +31,17 @@ object Dedup {
       .orderBy("keep_id")
   }
 
-  /** MinHash + LSH near-dup candidates: char-5-gram shingles (stride 5),
-    * 8 minhash permutations (non-overlapping 8-hex 32-bit slices of TWO
-    * md5 calls per shingle — 4× less digest work than one md5 per
+  /** 8-permutation minhash signatures, unsorted: char-5-gram shingles
+    * (stride 5), minhashes from non-overlapping 8-hex 32-bit slices of
+    * TWO md5 calls per shingle — 4× less digest work than one md5 per
     * permutation, and all 8 mins aggregate in ONE groupBy pass with no
-    * seed explosion), then 2 bands × 4 rows; docs sharing any band key
-    * become a candidate pair. Shuffle volume after shingling is 8 longs
-    * per doc — the scale path for 100 TB (raw text never shuffles). */
-  val qDedupMinhashLsh: Q = (s, d) => {
-    val docs = Tables.documents(s, d).select("doc_id", "text")
+    * seed explosion. Factored out (unsorted) so self-join consumers can
+    * persist ONE computation instead of re-deriving the shingle pipeline
+    * per join branch. */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
     val pos = docs.select(
       col("doc_id"), col("text"),
       explode(sequence(lit(1), greatest(length(col("text")) - 4, lit(1)), lit(5))).as("i"))
-    // two 32-hex md5s per shingle → 4 non-overlapping 8-hex (32-bit)
-    // hashes each = 8 independent family members from 2 digest calls
     val sh = pos.select(
       col("doc_id"),
       md5(concat(expr("substr(text, i, 5)"), lit("|a"))).as("ha"),
@@ -55,11 +53,23 @@ object Dedup {
         (0 until 4).map(j => sub(col("ha"), 1 + j * 8).as(s"h$j")) ++:
         (0 until 4).map(j => sub(col("hb"), 1 + j * 8).as(s"h${j + 4}")): _*)
     // single aggregation pass: all 8 minima at once
-    val sig = hashed.groupBy("doc_id")
+    hashed.groupBy("doc_id")
       .agg(min(col("h0")).as("m0"), min(col("h1")).as("m1"),
            min(col("h2")).as("m2"), min(col("h3")).as("m3"),
            min(col("h4")).as("m4"), min(col("h5")).as("m5"),
            min(col("h6")).as("m6"), min(col("h7")).as("m7"))
+  }
+
+  /** MinHash + LSH near-dup candidates: 2 bands × 4 rows over the
+    * 8-permutation signatures; docs sharing any band key become a
+    * candidate pair. Shuffle volume after shingling is 8 longs per doc —
+    * the scale path for 100 TB (raw text never shuffles). The band-key
+    * table is persisted before the self-join so the shingle→signature
+    * pipeline runs ONCE (it is tiny: ≤2 rows/doc of (long-ish string,
+    * id)), not once per join branch. */
+  val qDedupMinhashLsh: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val sig = minhashSignatures(docs)
     // 2 bands × 4 rows (threshold ≈ (1/2)^(1/4) ≈ 0.84 — genuine
     // near-dups; 4 bands × 2 rows fires on ~half-similar docs, which on
     // a shared-vocabulary corpus floods the candidate set). Keys
@@ -70,7 +80,7 @@ object Dedup {
         val parts = lit(s"$b") +: (0 until 4).map(j =>
           concat(lit(":"), col(s"m${4 * b + j}").cast("string")))
         concat(parts: _*)
-      }: _*)).as("band_key"))
+      }: _*)).as("band_key")).persist()
     bandKeys.as("a")
       .join(bandKeys.as("b"),
         col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
@@ -79,13 +89,13 @@ object Dedup {
       .orderBy("a", "b")
   }
 
-  /** SimHash document signatures: 32-bit bit-majority over word hashes.
+  /** SimHash signatures, unsorted: 32-bit bit-majority over word hashes.
     * All 32 bit-balances accumulate as conditional sums in ONE hash
     * aggregation over the word rows (no per-bit row explosion), then the
     * signature assembles from the 32 signs — linear work, no pairwise
-    * anything; near-dup pairs come from [[qSimhashNeardup]]. */
-  val qDedupSimhash: Q = (s, d) => {
-    val docs = Tables.documents(s, d).select("doc_id", "text")
+    * anything. Factored out (no ORDER BY) so [[qSimhashNeardup]] can
+    * persist one computation instead of embedding four sorted copies. */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
     val words = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
@@ -96,33 +106,83 @@ object Dedup {
     val simhash = (0 until 32)
       .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
-    sig.select(col("doc_id"), simhash.as("simhash")).orderBy("doc_id")
+    sig.select(col("doc_id"), simhash.as("simhash"))
+  }
+
+  /** SimHash signature report: the sorted projection of
+    * [[simhashSignatures]]. */
+  val qDedupSimhash: Q = (s, d) =>
+    simhashSignatures(Tables.documents(s, d).select("doc_id", "text"))
+      .orderBy("doc_id")
+
+  /** Distinct char-8-gram (stride 4) keys per document, unsorted — the
+    * shared input of the Jaccard join. The key is xxhash64 of the gram:
+    * a codegen'd 64-bit hash (no digest string allocation, unlike
+    * md5Long) that sorts/joins as a primitive long. The oracle counts
+    * intersections on the raw gram strings — set intersection counts
+    * are identical as long as xxhash64 is injective on the corpus's
+    * grams (64-bit hash, ~4M distinct grams at sf0.1 → collision odds
+    * ~2^-22 for the whole corpus; and the check is deterministic, so
+    * the gate would catch the astronomically unlucky corpus rather
+    * than flake). Consumers persist this once instead of re-deriving
+    * the shingle pipeline per join branch. */
+  def documentGrams(docs: DataFrame): DataFrame = {
+    val pos = docs.select(
+      col("doc_id"), col("source"), col("blk"), col("text"),
+      explode(sequence(lit(1), greatest(length(col("text")) - 7, lit(1)), lit(4))).as("i"))
+    pos
+      .select(col("doc_id"), col("source"), col("blk"),
+              xxhash64(expr("substr(text, i, 8)")).as("gram"))
+      .distinct()
   }
 
   /** N-gram Jaccard near-dup: distinct char-8-grams (stride 4), pairs
     * blocked on (source, n_chars/100) — near-dups share length scale —
     * and the Jaccard ≥ 0.1 test done in exact integer cross-multiplied
-    * form (inter*10 ≥ union), so no FP is involved anywhere. */
+    * form (inter*10 ≥ union), so no FP is involved anywhere.
+    *
+    * Candidate generation uses EXACT prefix filtering (AllPairs/PPJoin
+    * family) under the global rarest-first total order (document
+    * frequency, gram): a pair with Jaccard ≥ t shares ≥ ceil(t·n) grams
+    * of either side, hence shares a gram within the first
+    * n − ceil(t·n) + 1 grams of both sides — so only prefix grams
+    * generate pairs. Ordering by df puts the corpus's hottest grams at
+    * every document's tail, OUTSIDE the prefix: the within-block
+    * hot-gram quadratic (the 100 TB shared-vocabulary failure mode)
+    * never materializes, and unlike a minhash-band prefilter the result
+    * is provably identical to brute force (bands at any practical
+    * threshold measurably drop J≈0.1 pairs on this corpus). α is
+    * computed in integer arithmetic — ceil(n·0.1) through doubles
+    * over-estimates (30×0.1 → 3.0000000000000004) and would shorten the
+    * prefix below the lossless bound. */
   val qNgramJaccard: Q = (s, d) => {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), expr("n_chars div 100").as("blk"), col("text"))
-    val pos = docs.select(
-      col("doc_id"), col("source"), col("blk"), col("text"),
-      explode(sequence(lit(1), greatest(length(col("text")) - 7, lit(1)), lit(4))).as("i"))
-    // grams shuffle as 60-bit md5-family hashes, not strings (the
-    // oracle hashes identically, so intersection counts agree exactly;
-    // 2^-60 collisions are ignorable)
-    val g = pos
-      .select(col("doc_id"), col("source"), col("blk"),
-              md5Long(expr("substr(text, i, 8)")).as("gram"))
-      .distinct()
-    val sz = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = g.as("a")
-      .join(g.as("b"),
+    val g = documentGrams(docs).persist()
+    val df_ = g.groupBy("gram").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy("doc_id")
+    val ranked = g.join(df_, "gram")
+      .select(col("doc_id"), col("source"), col("blk"), col("gram"),
+        row_number().over(wDoc.orderBy(col("df"), col("gram"))).as("rk"),
+        count(lit(1)).over(wDoc).as("n"))
+    val prefix = ranked
+      .filter(col("rk") <= col("n") - expr("(n + 9) div 10") + 1)
+      .select("doc_id", "source", "blk", "gram")
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
         col("a.source") === col("b.source") && col("a.blk") === col("b.blk") &&
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+      .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+      .distinct()
+    // exact verification on candidates only: full intersection counts
+    val ga = g.select(col("doc_id").as("a"), col("gram"))
+    val gb = g.select(col("doc_id").as("bb"), col("gram").as("gramb"))
+    val inter = cand
+      .join(ga, Seq("a"))
+      .join(gb, col("b") === col("bb") && col("gram") === col("gramb"))
+      .groupBy("a", "b")
       .agg(count(lit(1)).as("inter_n"))
+    val sz = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
     inter
       .join(sz.as("sa"), col("a") === col("sa.doc_id"))
       .join(sz.as("sb"), col("b") === col("sb.doc_id"))
@@ -141,7 +201,11 @@ object Dedup {
     * chunk_value, doc_id) triples shuffle — two small ints per doc per
     * chunk. */
   val qSimhashNeardup: Q = (s, d) => {
-    val sig = qDedupSimhash(s, d) // (doc_id, simhash), already computed plan
+    // one signature computation, persisted (a doc_id + a long per doc);
+    // without this the word-explode aggregation runs once per chunk
+    // branch per join side — 4× the most expensive stage, plus sorts
+    val sig = simhashSignatures(Tables.documents(s, d).select("doc_id", "text"))
+      .persist()
     val chunks = sig.select(col("doc_id"), col("simhash"), lit(0).as("ck"),
         (col("simhash") % 65536).as("cv"))
       .unionAll(sig.select(col("doc_id"), col("simhash"), lit(1).as("ck"),
@@ -254,8 +318,7 @@ object Dedup {
         |  SELECT doc_id, source, n_chars // 100 AS blk, text,
         |         unnest(generate_series(1, greatest(length(text)-7, 1), 4)) AS i
         |  FROM documents),
-        |g AS (SELECT DISTINCT doc_id, source, blk,
-        |        CAST('0x' || substr(md5(substr(text, i, 8)), 1, 15) AS BIGINT) AS gram
+        |g AS (SELECT DISTINCT doc_id, source, blk, substr(text, i, 8) AS gram
         |      FROM pos),
         |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
         |inter AS (

@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Exactness of the prefix-filtered Jaccard join (AllPairs/PPJoin
+  * lemma) on an ADVERSARIAL corpus: every document shares a hot run of
+  * text (the shared-vocabulary failure mode the df-ordered prefix is
+  * designed to survive), near-dup pairs exist at both high and
+  * barely-over-threshold Jaccard, and decoys share ONLY the hot run.
+  * The assertion is equality with an in-test brute-force all-pairs
+  * join — the plan may prune candidates however it likes, the result
+  * set may not change by one row. */
+class DedupSpec extends SparkSpec {
+
+  /** Brute-force reference: all-pairs gram intersection within
+    * (source, blk), no prefiltering — the oracle's shape. */
+  private def bruteForce(docs: DataFrame): DataFrame = {
+    val g = docs.select(
+        col("doc_id"), col("source"), expr("n_chars div 100").as("blk"), col("text"),
+        explode(sequence(lit(1), greatest(length(col("text")) - 7, lit(1)), lit(4))).as("i"))
+      .select(col("doc_id"), col("source"), col("blk"),
+              xxhash64(expr("substr(text, i, 8)")).as("gram"))
+      .distinct()
+    val sz = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = g.as("a")
+      .join(g.as("b"),
+        col("a.source") === col("b.source") && col("a.blk") === col("b.blk") &&
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter_n"))
+    inter
+      .join(sz.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("b") === col("sb.doc_id"))
+      .filter(col("inter_n") * 10 >= col("sa.n") + col("sb.n") - col("inter_n"))
+      .select(col("a"), col("b"), col("inter_n"),
+        (col("sa.n") + col("sb.n") - col("inter_n")).as("union_n"))
+      .orderBy("a", "b")
+  }
+
+  test("prefix-filtered ngram Jaccard equals brute force on a hot-gram corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def randText(n: Int): String =
+      (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    // every doc starts with the same hot 80-char run — in a naive
+    // inverted-index join these grams alone produce all-pairs
+    val hot = "thequickbrownfoxjumpsoverthelazydogandthenrunsstraightbackhomeagainatspeed!!"
+    val base = (0 until 40).map(i => (i.toLong, hot + randText(160)))
+    // near-identical dup of doc 0 (J ~ 0.97)
+    val nearDup = Seq((100L, base(0)._2.dropRight(4) + "zzzz"))
+    // borderline pair: docs 101/102 share the hot run + ~35% of tail
+    val sharedTail = randText(60)
+    val borderline = Seq(
+      (101L, hot + sharedTail + randText(100)),
+      (102L, hot + sharedTail + randText(100)))
+    val rows = (base ++ nearDup ++ borderline)
+      .map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+    val docs = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = Files.createTempDirectory("graft-dedup-spec").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val expected = bruteForce(Tables.documents(spark, dir)).collect().toSeq
+    val actual = Dedup.qNgramJaccard(spark, dir).collect().toSeq
+    spark.catalog.clearCache()
+    assert(expected.nonEmpty, "fixture must produce at least one qualifying pair")
+    assert(actual == expected)
+  }
+}
