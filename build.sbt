@@ -21,6 +21,8 @@ val jdk17AddOpens = Seq(
   "java.base/java.util", "java.base/java.util.concurrent",
   "java.base/java.util.concurrent.atomic",
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+  // graft.crawl.PathBytes: raw readdir bytes for bytea-parity paths
+  "java.base/sun.nio.fs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(

@@ -1,5 +1,7 @@
 package graft.crawl
 
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Paths
 import java.util.{Map => JMap}
 
 import scala.collection.mutable
@@ -23,6 +25,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *     .option("roots", "/data1,/data2")
   *     .option("exclusions", ".snapshot")
   *     .option("targetPartitions", "64")
+  *     .option("pathMode", "binary")        // bytea-parity paths
+  *     .option("maxLooseEntries", "100000") // driver buffering cap
   *     .load()
   *
   * Planning: BFS from the roots only until the frontier holds ≥
@@ -30,8 +34,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * InputPartition that walks its whole subtree executor-side. Entries
   * already seen during the shallow expansion are distributed
   * round-robin as "loose" rows so every entry is emitted exactly once.
-  * Reference semantics (A4/A5, symlink non-descent, null-stat errors)
-  * are inherited from FsScanner.listDir / StatEnricher.statOne.
+  * Driver memory is bounded: once maxLooseEntries entries have been
+  * buffered, remaining frontier directories are NOT listed on the
+  * driver — they defer to subtree partitions (a wide-shallow root
+  * cannot balloon the planner). Reference semantics (A4/A5, symlink
+  * non-descent, null-stat errors) are inherited from
+  * FsScanner.listDirBytes / StatEnricher.statOne.
+  *
+  * `pathMode=binary` emits `path`/`name` as BinaryType carrying the
+  * exact readdir bytes (the reference's bytea fidelity,
+  * storcrawl.py:132-148; see [[PathBytes]]) — a crawl over non-UTF-8
+  * filenames is lossless. Default `string` keeps the UTF-8 display
+  * schema.
   *
   * At 1000 executors: the shallow expansion costs the driver a few
   * hundred listdir calls; everything below — the 100 TB of metadata —
@@ -41,86 +55,113 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class CrawlFsProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    CrawlFsSource.schema
+    CrawlFsSource.schemaFor(CrawlFsSource.isBinary(options))
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
-    new CrawlFsTable
+    new CrawlFsTable(
+      CrawlFsSource.isBinary(new CaseInsensitiveStringMap(properties)))
 }
 
 object CrawlFsSource {
-  val schema: StructType = StructType(Seq(
-    StructField("path", StringType, nullable = false),
-    StructField("name", StringType, nullable = false),
-    StructField("is_dir", BooleanType, nullable = false),
-    StructField("is_symlink", BooleanType, nullable = false),
-    StructField("extension", StringType, nullable = true),
-    StructField("st_mode", StringType, nullable = true),
-    StructField("st_ino", LongType, nullable = true),
-    StructField("st_dev", StringType, nullable = true),
-    StructField("st_nlink", IntegerType, nullable = true),
-    StructField("st_uid", LongType, nullable = true),
-    StructField("st_gid", LongType, nullable = true),
-    StructField("st_size", LongType, nullable = true),
-    StructField("st_atime", LongType, nullable = true),
-    StructField("st_mtime", LongType, nullable = true),
-    StructField("st_ctime", LongType, nullable = true),
-    StructField("error", StringType, nullable = true)))
+  private[crawl] def isBinary(options: CaseInsensitiveStringMap): Boolean =
+    options.getOrDefault("pathMode", "string") == "binary"
+
+  def schemaFor(binaryPaths: Boolean): StructType = {
+    val pathType: DataType = if (binaryPaths) BinaryType else StringType
+    StructType(Seq(
+      StructField("path", pathType, nullable = false),
+      StructField("name", pathType, nullable = false),
+      StructField("is_dir", BooleanType, nullable = false),
+      StructField("is_symlink", BooleanType, nullable = false),
+      StructField("extension", StringType, nullable = true),
+      StructField("st_mode", StringType, nullable = true),
+      StructField("st_ino", LongType, nullable = true),
+      StructField("st_dev", StringType, nullable = true),
+      StructField("st_nlink", IntegerType, nullable = true),
+      StructField("st_uid", LongType, nullable = true),
+      StructField("st_gid", LongType, nullable = true),
+      StructField("st_size", LongType, nullable = true),
+      StructField("st_atime", LongType, nullable = true),
+      StructField("st_mtime", LongType, nullable = true),
+      StructField("st_ctime", LongType, nullable = true),
+      StructField("error", StringType, nullable = true)))
+  }
+
+  val schema: StructType = schemaFor(binaryPaths = false)
+
+  val DefaultMaxLooseEntries = 100000
 }
 
-class CrawlFsTable extends Table with SupportsRead {
+class CrawlFsTable(binaryPaths: Boolean) extends Table with SupportsRead {
+  def this() = this(false)
   override def name(): String = "crawlfs"
-  override def schema(): StructType = CrawlFsSource.schema
+  override def schema(): StructType = CrawlFsSource.schemaFor(binaryPaths)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new CrawlFsScanBuilder(
       options.getOrDefault("roots", ""),
       options.getOrDefault("exclusions", FsScanner.DefaultExclusions.mkString(",")),
-      options.getOrDefault("targetPartitions", "64").toInt)
+      options.getOrDefault("targetPartitions", "64").toInt,
+      options.getOrDefault("maxLooseEntries",
+        CrawlFsSource.DefaultMaxLooseEntries.toString).toInt,
+      binaryPaths)
 }
 
-class CrawlFsScanBuilder(roots: String, exclusions: String, targetParts: Int)
-    extends ScanBuilder {
+class CrawlFsScanBuilder(
+    roots: String, exclusions: String, targetParts: Int,
+    maxLoose: Int, binaryPaths: Boolean) extends ScanBuilder {
   override def build(): Scan = new CrawlFsScan(
     roots.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
     exclusions.split(",").map(_.trim).filter(_.nonEmpty).toSet,
-    targetParts)
+    targetParts, maxLoose, binaryPaths)
 }
 
 /** One partition: whole subtrees to walk + loose entries found during
-  * the driver's shallow expansion. */
+  * the driver's shallow expansion. Subtrees travel as raw path bytes so
+  * non-UTF-8 directory names survive driver→executor serialization. */
 final case class CrawlFsPartition(
-    subtrees: Seq[String],
+    subtrees: Seq[Array[Byte]],
     loose: Seq[RawEntry]) extends InputPartition
 
-class CrawlFsScan(roots: Seq[String], excl: Set[String], targetParts: Int)
-    extends Scan with Batch {
-  override def readSchema(): StructType = CrawlFsSource.schema
+class CrawlFsScan(
+    roots: Seq[String], excl: Set[String], targetParts: Int,
+    maxLoose: Int, binaryPaths: Boolean) extends Scan with Batch {
+  def this(roots: Seq[String], excl: Set[String], targetParts: Int) =
+    this(roots, excl, targetParts, CrawlFsSource.DefaultMaxLooseEntries, false)
+  override def readSchema(): StructType = CrawlFsSource.schemaFor(binaryPaths)
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // shallow BFS on the driver until enough subtree roots exist
-    var frontier: Seq[String] = roots
+    // shallow BFS on the driver until enough subtree roots exist; any
+    // directory reached after the loose-entry budget is spent defers to
+    // an executor-side subtree walk instead of being listed here
+    var frontier: Seq[Array[Byte]] = roots.map(r => PathBytes.fromPath(Paths.get(r)))
+    val deferred = mutable.ArrayBuffer.empty[Array[Byte]]
     val loose = mutable.ArrayBuffer.empty[RawEntry]
-    while (frontier.nonEmpty && frontier.size < targetParts) {
-      val next = mutable.ArrayBuffer.empty[String]
+    while (frontier.nonEmpty && frontier.size + deferred.size < targetParts) {
+      val next = mutable.ArrayBuffer.empty[Array[Byte]]
       frontier.foreach { dir =>
-        val (entries, children) = FsScanner.listDir(dir, excl)
-        loose ++= entries
-        next ++= children
+        if (loose.size >= maxLoose) deferred += dir
+        else {
+          val (entries, children) = FsScanner.listDirBytes(dir, excl)
+          loose ++= entries
+          next ++= children
+        }
       }
       frontier = next.toSeq
     }
+    val subtrees = frontier ++ deferred
     // partition count driven by total work, not just remaining subtrees:
     // a shallow-but-huge directory drains the frontier while loading all
     // its entries into `loose`, and collapsing to 1 partition would stat
     // the whole tree on one core
-    val workUnits = math.max(frontier.size, loose.size / 1024 + (if (loose.nonEmpty) 1 else 0))
+    val workUnits = math.max(subtrees.size, loose.size / 1024 + (if (loose.nonEmpty) 1 else 0))
     val n = math.max(1, math.min(targetParts, workUnits))
-    val subtreeGroups = Array.fill(n)(mutable.ArrayBuffer.empty[String])
-    frontier.zipWithIndex.foreach { case (d, i) => subtreeGroups(i % n) += d }
+    val subtreeGroups = Array.fill(n)(mutable.ArrayBuffer.empty[Array[Byte]])
+    subtrees.zipWithIndex.foreach { case (d, i) => subtreeGroups(i % n) += d }
     val looseGroups = Array.fill(n)(mutable.ArrayBuffer.empty[RawEntry])
     loose.zipWithIndex.foreach { case (e, i) => looseGroups(i % n) += e }
     (0 until n).map { i =>
@@ -129,26 +170,29 @@ class CrawlFsScan(roots: Seq[String], excl: Set[String], targetParts: Int)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new CrawlFsReaderFactory(excl)
+    new CrawlFsReaderFactory(excl, binaryPaths)
 }
 
-class CrawlFsReaderFactory(excl: Set[String]) extends PartitionReaderFactory {
+class CrawlFsReaderFactory(excl: Set[String], binaryPaths: Boolean)
+    extends PartitionReaderFactory {
+  def this(excl: Set[String]) = this(excl, false)
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new CrawlFsReader(p.asInstanceOf[CrawlFsPartition], excl)
+    new CrawlFsReader(p.asInstanceOf[CrawlFsPartition], excl, binaryPaths)
 }
 
 /** Executor-side subtree walk + stat, streaming rows (no buffering of
   * the whole subtree in memory — a work stack of pending dirs only). */
-class CrawlFsReader(part: CrawlFsPartition, excl: Set[String])
+class CrawlFsReader(part: CrawlFsPartition, excl: Set[String], binaryPaths: Boolean)
     extends PartitionReader[InternalRow] {
+  def this(part: CrawlFsPartition, excl: Set[String]) = this(part, excl, false)
 
-  private val pendingDirs = mutable.Stack[String](part.subtrees: _*)
+  private val pendingDirs = mutable.Stack[Array[Byte]](part.subtrees: _*)
   private var entryIter: Iterator[RawEntry] = part.loose.iterator
   private var current: InternalRow = _
 
   override def next(): Boolean = {
     while (!entryIter.hasNext && pendingDirs.nonEmpty) {
-      val (entries, children) = FsScanner.listDir(pendingDirs.pop(), excl)
+      val (entries, children) = FsScanner.listDirBytes(pendingDirs.pop(), excl)
       pendingDirs.pushAll(children)
       entryIter = entries.iterator
     }
@@ -164,9 +208,15 @@ class CrawlFsReader(part: CrawlFsPartition, excl: Set[String])
   private def utf(s: String): UTF8String =
     if (s == null) null else UTF8String.fromString(s)
 
-  private def toRow(e: RawEntry, m: FileMeta): InternalRow =
+  private def bytesOf(e: RawEntry): Array[Byte] =
+    if (e.pathBytes.nonEmpty) e.pathBytes else e.path.getBytes(UTF_8)
+
+  private def toRow(e: RawEntry, m: FileMeta): InternalRow = {
+    val (pathVal, nameVal): (Any, Any) =
+      if (binaryPaths) (bytesOf(e), PathBytes.nameOf(bytesOf(e)))
+      else (utf(m.path), utf(e.name))
     new GenericInternalRow(Array[Any](
-      utf(m.path), utf(e.name), e.isDir, e.isSymlink,
+      pathVal, nameVal, e.isDir, e.isSymlink,
       m.extension.map(utf).orNull,
       m.st_mode.map(utf).orNull,
       m.st_ino.map(Long.box).orNull,
@@ -179,4 +229,5 @@ class CrawlFsReader(part: CrawlFsPartition, excl: Set[String])
       m.st_mtime.map(Long.box).orNull,
       m.st_ctime.map(Long.box).orNull,
       m.error.map(utf).orNull))
+  }
 }

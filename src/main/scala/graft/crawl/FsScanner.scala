@@ -1,7 +1,10 @@
 package graft.crawl
 
-import java.io.File
-import java.nio.file.{Files, LinkOption, Paths}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, LinkOption, Path, Paths}
+import java.nio.file.attribute.BasicFileAttributes
+
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.storage.StorageLevel
@@ -35,23 +38,50 @@ object FsScanner {
 
   val DefaultExclusions: Set[String] = Set(".snapshot") // storcrawl.py:39
 
+  /** Byte-compare of an entry's basename against the exclusion list
+    * (the reference byte-compares, storcrawl.py:66-67; a String compare
+    * could false-match after lossy decode of a non-UTF-8 name). */
+  private[crawl] def isExcluded(e: RawEntry, exclusions: Set[String]): Boolean =
+    if (e.pathBytes.isEmpty) exclusions.contains(e.name)
+    else {
+      val nb = PathBytes.nameOf(e.pathBytes)
+      exclusions.exists(x => java.util.Arrays.equals(x.getBytes(UTF_8), nb))
+    }
+
   /** List one directory, reference-style: returns (entries, childDirs).
-    * Any IO error yields an empty listing (log-and-continue). */
-  private[crawl] def listDir(
-      dir: String,
-      exclusions: Set[String]): (Seq[RawEntry], Seq[String]) = {
-    val d = new File(dir)
-    val children = Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
-    val entries = children.map { f =>
-      val p = f.toPath
-      val isLink = Files.isSymbolicLink(p)
-      val isDir = Files.isDirectory(p, LinkOption.NOFOLLOW_LINKS)
-      RawEntry(f.getPath, dir, f.getName, isDir, isLink)
+    * Any IO error yields an empty listing (log-and-continue).
+    *
+    * Listing goes through DirectoryStream, NOT File.listFiles: the
+    * stream's UnixPath objects carry the raw readdir bytes, so entries
+    * whose names are invalid in the JVM locale still stat correctly and
+    * round-trip byte-exact ([[PathBytes]]); a File-based listing mangles
+    * them to U+FFFD and then cannot stat the real file at all. One
+    * NOFOLLOW readAttributes call yields both isDirectory and
+    * isSymbolicLink (the File path needed two). */
+  private[crawl] def listDirBytes(
+      dir: Array[Byte],
+      exclusions: Set[String]): (Seq[RawEntry], Seq[Array[Byte]]) = {
+    val dirPath = PathBytes.toPath(dir)
+    val listed: Seq[Path] =
+      try {
+        val ds = Files.newDirectoryStream(dirPath)
+        try ds.asScala.toVector finally ds.close()
+      } catch { case _: Exception => Vector.empty }
+    val parentStr = dirPath.toString
+    val entries = listed.map { p =>
+      val (isDir, isLink) =
+        try {
+          val a = Files.readAttributes(
+            p, classOf[BasicFileAttributes], LinkOption.NOFOLLOW_LINKS)
+          (a.isDirectory, a.isSymbolicLink)
+        } catch { case _: Exception => (false, false) }
+      RawEntry(p.toString, parentStr, p.getFileName.toString, isDir, isLink,
+        PathBytes.fromPath(p))
     }
     // descend: real dirs, not symlinks (storcrawl.py:465), not excluded
     val next = entries
-      .filter(e => e.isDir && !e.isSymlink && !exclusions.contains(e.name))
-      .map(_.path)
+      .filter(e => e.isDir && !e.isSymlink && !isExcluded(e, exclusions))
+      .map(_.pathBytes)
     (entries, next)
   }
 
@@ -64,7 +94,8 @@ object FsScanner {
     val sc = spark.sparkContext
     val parallelism = sc.defaultParallelism
 
-    var frontier: Seq[String] = roots.map(r => Paths.get(r).toString)
+    var frontier: Seq[Array[Byte]] =
+      roots.map(r => PathBytes.fromPath(Paths.get(r)))
     var levels: List[Dataset[RawEntry]] = Nil
     while (frontier.nonEmpty) {
       val excl = exclusions // avoid closing over `this`
@@ -72,14 +103,15 @@ object FsScanner {
         .createDataset(frontier)
         .repartition(math.min(parallelism, math.max(1, frontier.size)))
         .mapPartitions { dirs =>
-          dirs.flatMap(d => listDir(d, excl)._1)
+          dirs.flatMap(d => listDirBytes(d, excl)._1)
         }
         .persist(StorageLevel.MEMORY_AND_DISK)
       // only child-dir paths come back to the driver (frontier metadata,
-      // not data rows)
+      // not data rows), as raw bytes so non-UTF-8 directory names
+      // survive the driver round-trip
       frontier = levelEntries
-        .filter(e => e.isDir && !e.isSymlink && !excl.contains(e.name))
-        .map(_.path)
+        .filter(e => e.isDir && !e.isSymlink && !isExcluded(e, excl))
+        .map(_.pathBytes)
         .collect()
         .toSeq
       levels = levelEntries :: levels

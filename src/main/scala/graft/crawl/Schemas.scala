@@ -5,17 +5,19 @@ import java.sql.Timestamp
 /** Engine row types (SURVEY.md §1.2-§1.3, FIXTURES.md §2.3).
   *
   * `files` schema follows the reference DDL (storcrawl.py:132-148) with
-  * the SURVEY §1.2 type mapping: paths as STRING (BinaryType fidelity is
-  * a documented divergence — testdata and local filesystems here are
-  * UTF-8 clean), st_mode rendered as the 19-char binary string, times as
-  * truncated epoch seconds.
+  * the SURVEY §1.2 type mapping: paths as STRING for display plus
+  * `pathBytes` carrying the exact readdir bytes (reference bytea
+  * parity via [[PathBytes]]; the DSv2 source's `pathMode=binary`
+  * emits them as BinaryType columns), st_mode rendered as the 19-char
+  * binary string, times as truncated epoch seconds.
   */
 final case class RawEntry(
     path: String,
     parent: String,
     name: String,
     isDir: Boolean,
-    isSymlink: Boolean)
+    isSymlink: Boolean,
+    pathBytes: Array[Byte] = Array.emptyByteArray)
 
 /** One stat-enriched row per directory entry. Divergence A3: on a stat
   * error we emit null stats + the error text instead of replaying the

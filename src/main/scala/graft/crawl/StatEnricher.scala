@@ -28,8 +28,12 @@ object StatEnricher {
 
   private[crawl] def statOne(e: RawEntry): FileMeta = {
     try {
-      val attrs = Files.readAttributes(
-        Paths.get(e.path), "unix:*", LinkOption.NOFOLLOW_LINKS)
+      // raw bytes when the scanner captured them: a Path rebuilt from
+      // the (possibly lossily decoded) String cannot stat a file whose
+      // name is invalid in the JVM locale
+      val p = if (e.pathBytes.nonEmpty) PathBytes.toPath(e.pathBytes)
+              else Paths.get(e.path)
+      val attrs = Files.readAttributes(p, "unix:*", LinkOption.NOFOLLOW_LINKS)
       def l(k: String): Option[Long] = Option(attrs.get(k)).map {
         case n: java.lang.Number => n.longValue()
         case t: java.nio.file.attribute.FileTime => t.to(TimeUnit.SECONDS)
