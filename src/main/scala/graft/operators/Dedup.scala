@@ -81,10 +81,10 @@ object Dedup {
           concat(lit(":"), col(s"m${4 * b + j}").cast("string")))
         concat(parts: _*)
       }: _*)).as("band_key")).persist()
-    bandKeys.as("a")
-      .join(bandKeys.as("b"),
-        col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+    // triangle-salted self-pair join: a hot band bucket (boilerplate-
+    // heavy corpus) spreads its quadratic pair work over the salt
+    // cells instead of landing on one reducer
+    Skew.saltedSelfPairs(bandKeys, Seq("band_key"), "doc_id", buckets = 4)
       .distinct()
       .orderBy("a", "b")
   }

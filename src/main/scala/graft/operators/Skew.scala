@@ -33,6 +33,52 @@ object Skew {
       .agg(sum(col("s")).as("sum_value"), sum(col("c")).as("n"))
   }
 
+  /** Balanced candidate-pair generation for a self-join on a
+    * potentially hot equality key (the LSH band-bucket problem: a
+    * boilerplate-heavy corpus puts thousands of docs in ONE band
+    * bucket, and a plain self-join computes that bucket's c² pairs on
+    * a single reducer).
+    *
+    * Triangle replication: each row gets a deterministic salt
+    * s = hash(id) mod g; the left side replicates to cells (s, j≥s),
+    * the right side to cells (i≤s, s), and the join adds the cell to
+    * the key — every unordered pair meets in EXACTLY one of the
+    * g(g+1)/2 cells (the (min-salt, max-salt) cell), so a hot key's
+    * quadratic work spreads over the cells at ~(c/g)² each instead of
+    * c² on one reducer. Output: all (a < b) id pairs per key match,
+    * each exactly once. Replication costs (g+1)/2 copies of each tiny
+    * (key, id) row — the knob trades linear shuffle volume for
+    * quadratic-reducer headroom. */
+  def saltedSelfPairs(
+      df: DataFrame,
+      keyCols: Seq[String],
+      idCol: String,
+      buckets: Int): DataFrame = {
+    // pmod, not abs(hash)%: abs(Int.MinValue) is still negative and a
+    // negative salt would silently drop rows
+    val salted = df.withColumn("_salt",
+      pmod(hash(col(idCol)), lit(buckets)).cast("int"))
+    val a = salted
+      .withColumn("_j", explode(sequence(col("_salt"), lit(buckets - 1))))
+      .select(keyCols.map(k => col(k).as(s"_ka_$k")) ++
+        Seq(col("_salt").as("_ia"), col("_j").as("_ja"), col(idCol).as("a")): _*)
+    val b = salted
+      .withColumn("_i", explode(sequence(lit(0), col("_salt"))))
+      .select(keyCols.map(k => col(k).as(s"_kb_$k")) ++
+        Seq(col("_i").as("_ib"), col("_salt").as("_jb"), col(idCol).as("b")): _*)
+    // cell roles are ordered by SALT, not id: in an off-diagonal cell
+    // (i<j) the left row is the salt-i doc whatever its id, so accept
+    // either id order there and normalize below; the diagonal cell
+    // (i=i) sees both orderings of a pair and keeps one via a<b
+    val cond = keyCols.map(k => col(s"_ka_$k") === col(s"_kb_$k"))
+      .reduce(_ && _) &&
+      col("_ia") === col("_ib") && col("_ja") === col("_jb") &&
+      (col("_ia") < col("_ja") || col("a") < col("b"))
+    a.join(b, cond)
+      .select(least(col("a"), col("b")).as("a"),
+              greatest(col("a"), col("b")).as("b"))
+  }
+
   /** Salted broadcast-replicated join for one known-hot build side:
     * replicate each small-side row `buckets` times with an explicit
     * salt, salt the big side uniformly, join on (key, salt). The big

@@ -52,6 +52,41 @@ class ScaleSpec extends SparkSpec {
     assert(plain == salted)
   }
 
+  test("triangle-salted self-pairs: exact pair set on a hot key, work split across cells") {
+    import spark.implicits._
+    // one pathologically hot band bucket (500 ids) plus normal ones
+    val rows = (0L until 500L).map(id => ("hot", id)) ++
+      (0L until 40L).map(id => (s"cold_${id % 10}", 1000L + id))
+    val df = rows.toDF("band_key", "doc_id")
+    val g = 4
+    val pairs = Skew.saltedSelfPairs(df, Seq("band_key"), "doc_id", g)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // exactness: every unordered same-key pair exactly once
+    val expected = rows.groupBy(_._1).values.flatMap { grp =>
+      val ids = grp.map(_._2)
+      for (x <- ids; y <- ids if x < y) yield (x, y)
+    }.toSet
+    assert(pairs.length == expected.size, "a pair was dropped or duplicated")
+    assert(pairs.toSet == expected)
+    // balance: the hot key's quadratic work is spread over the
+    // g(g+1)/2 salt cells — no cell (reducer) holds more than a
+    // modest multiple of the ideal share, vs 100% unsalted
+    def salt(id: Long): Int = {
+      val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+        .hash(id, org.apache.spark.sql.types.LongType, 42).toInt
+      ((h % g) + g) % g
+    }
+    val hotPairs = expected.filter(_._1 < 500)
+    val cellCounts = hotPairs
+      .groupBy { case (x, y) =>
+        (math.min(salt(x), salt(y)), math.max(salt(x), salt(y))) }
+      .map(_._2.size)
+    val nCells = g * (g + 1) / 2
+    assert(cellCounts.size == nCells, "hot key did not reach every salt cell")
+    assert(cellCounts.max < hotPairs.size / 2,
+      s"one cell holds ${cellCounts.max} of ${hotPairs.size} hot pairs")
+  }
+
   test("bucketed tables join without a shuffle Exchange") {
     val wh = Files.createTempDirectory(Paths.get("target"), "warehouse")
     val s2 = spark.newSession() // warehouse.dir is static; use explicit paths
