@@ -26,6 +26,19 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
+  /** Spread a narrow scan across the cluster before expensive per-row
+    * work. Parquet splits at row-group granularity, so a small or
+    * single-row-group file reads as ONE partition — and any costly map
+    * pipeline above it (shingle digests, per-pair cosines) serializes
+    * on one core until the first shuffle. When the plan has fewer
+    * input partitions than cores, pay one small shuffle to fan out;
+    * when the scan already has enough splits (the 100 TB case), this
+    * is a no-op and costs nothing. */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** `events` with `ts` as LongType epoch-nanoseconds (see scaladoc above). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

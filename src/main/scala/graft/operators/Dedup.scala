@@ -38,7 +38,8 @@ object Dedup {
     * seed explosion. Factored out (unsorted) so self-join consumers can
     * persist ONE computation instead of re-deriving the shingle pipeline
     * per join branch. */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
+  def minhashSignatures(docsIn: DataFrame): DataFrame = {
+    val docs = Tables.spread(docsIn) // shingle digests must not run on one core
     val pos = docs.select(
       col("doc_id"), col("text"),
       explode(sequence(lit(1), greatest(length(col("text")) - 4, lit(1)), lit(5))).as("i"))
@@ -95,7 +96,8 @@ object Dedup {
     * signature assembles from the 32 signs — linear work, no pairwise
     * anything. Factored out (no ORDER BY) so [[qSimhashNeardup]] can
     * persist one computation instead of embedding four sorted copies. */
-  def simhashSignatures(docs: DataFrame): DataFrame = {
+  def simhashSignatures(docsIn: DataFrame): DataFrame = {
+    val docs = Tables.spread(docsIn) // word-hash explode must not run on one core
     val words = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
@@ -126,7 +128,8 @@ object Dedup {
     * the gate would catch the astronomically unlucky corpus rather
     * than flake). Consumers persist this once instead of re-deriving
     * the shingle pipeline per join branch. */
-  def documentGrams(docs: DataFrame): DataFrame = {
+  def documentGrams(docsIn: DataFrame): DataFrame = {
+    val docs = Tables.spread(docsIn) // gram hashing must not run on one core
     val pos = docs.select(
       col("doc_id"), col("source"), col("blk"), col("text"),
       explode(sequence(lit(1), greatest(length(col("text")) - 7, lit(1)), lit(4))).as("i"))
@@ -159,12 +162,15 @@ object Dedup {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), expr("n_chars div 100").as("blk"), col("text"))
     val g = documentGrams(docs).persist()
+    // document frequency as a partial-aggregated groupBy + shuffled
+    // join — NOT a window over gram: WindowExec pays per-partition
+    // overhead on ~one partition per distinct gram, which measures
+    // slower than the extra join here
     val df_ = g.groupBy("gram").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy("doc_id")
     val ranked = g.join(df_, "gram")
-      .select(col("doc_id"), col("source"), col("blk"), col("gram"),
-        row_number().over(wDoc.orderBy(col("df"), col("gram"))).as("rk"),
-        count(lit(1)).over(wDoc).as("n"))
+      .withColumn("rk", row_number().over(wDoc.orderBy(col("df"), col("gram"))))
+      .withColumn("n", count(lit(1)).over(wDoc))
     val prefix = ranked
       .filter(col("rk") <= col("n") - expr("(n + 9) div 10") + 1)
       .select("doc_id", "source", "blk", "gram")
@@ -174,14 +180,25 @@ object Dedup {
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
       .distinct()
-    // exact verification on candidates only: full intersection counts
-    val ga = g.select(col("doc_id").as("a"), col("gram"))
-    val gb = g.select(col("doc_id").as("bb"), col("gram").as("gramb"))
-    val inter = cand
-      .join(ga, Seq("a"))
-      .join(gb, col("b") === col("bb") && col("gram") === col("gramb"))
-      .groupBy("a", "b")
+      // persisted: the two broadcast consumers below each materialize
+      // eagerly, and an uncached cand would re-run the whole prefix
+      // pipeline per broadcast
+      .persist()
+    // exact verification on candidates only: semi-filter the cached
+    // gram table to candidate docs (broadcast, map-side — no shuffle),
+    // self-join the reduced table for full intersection counts, then
+    // keep candidate pairs. Every qualifying pair IS a candidate
+    // (prefix lemma), so the final inner join drops nothing real.
+    val candDocs = cand.select(col("a").as("doc_id"))
+      .unionAll(cand.select(col("b").as("doc_id"))).distinct()
+    val gc = g.join(broadcast(candDocs), Seq("doc_id"))
+    val inter = gc.as("ia")
+      .join(gc.as("ib"),
+        col("ia.source") === col("ib.source") && col("ia.blk") === col("ib.blk") &&
+        col("ia.gram") === col("ib.gram") && col("ia.doc_id") < col("ib.doc_id"))
+      .groupBy(col("ia.doc_id").as("a"), col("ib.doc_id").as("b"))
       .agg(count(lit(1)).as("inter_n"))
+      .join(broadcast(cand), Seq("a", "b"))
     val sz = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
     inter
       .join(sz.as("sa"), col("a") === col("sa.doc_id"))

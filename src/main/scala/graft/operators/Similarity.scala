@@ -66,7 +66,11 @@ object Similarity {
     val emb = Tables.embeddings(s, d)
     val q = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("qid"), decVec(col("embedding")).as("qe"))
-    val c = emb.select(col("vec_id").as("nid"), decVec(col("embedding")).as("ne"))
+    // spread the probe side: a broadcast join inherits the corpus
+    // scan's partitioning, and a single-row-group file would compute
+    // every pairwise cosine on one core
+    val c = Tables.spread(emb)
+      .select(col("vec_id").as("nid"), decVec(col("embedding")).as("ne"))
     val cosv = broadcast(q).join(c, col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), cosMicros(col("qe"), col("ne")).as("sim_micros"))
     val w = Window.partitionBy("qid").orderBy(col("sim_micros").desc, col("nid"))
