@@ -7,34 +7,37 @@ import org.apache.spark.sql.SparkSession
   *
   *   runMain graft.crawl.CrawlMain --dir <root> [--dir <root2> ...]
   *     --tag <tag> --out <baseDir> [--owners <file>]
-  *     [--exclude <name>]... [--join-plan]
+  *     [--exclude <name>]... [--join-plan] [--config-file <rc>]
+  *
+  * Configuration layers exactly as the reference (configargparse):
+  * CLI flags > STORCRAWL_* env vars > `--config-file` (or the default
+  * chain /etc/storcrawlrc, ~/storcrawlrc, ~/.storcrawlrc) — see
+  * [[ConfigLayers]].
   *
   * Crawls the roots, writes `files` parquet under `<out>/crawl_tag=<tag>`
   * and prints the reference's one-line final summary (storcrawl.py:641).
   */
 object CrawlMain {
   def main(args: Array[String]): Unit = {
-    var dirs = List.empty[String]
-    var tag = Crawl.defaultTag() // reference stamp format (storcrawl.py:58)
-    var out = "target/crawl_out"
-    var owners: Option[String] = None
-    var excl = FsScanner.DefaultExclusions
-    var joinPlan = false
-    var useV2 = false
-    var i = 0
-    while (i < args.length) {
-      args(i) match {
-        case "--dir"     => dirs ::= args(i + 1); i += 2
-        case "--tag"     => tag = args(i + 1); i += 2
-        case "--out"     => out = args(i + 1); i += 2
-        case "--owners"  => owners = Some(args(i + 1)); i += 2
-        case "--exclude" => excl += args(i + 1); i += 2
-        case "--join-plan" => joinPlan = true; i += 1
-        case "--source" => useV2 = args(i + 1) == "v2"; i += 2
-        case other => sys.error(s"unknown arg: $other (expected --dir/--tag/--out/--owners/--exclude/--join-plan)")
-      }
-    }
-    require(dirs.nonEmpty, "at least one --dir is required")
+    val (cli, positional) = ConfigLayers.parseArgs(
+      args.toSeq, flags = Set("join-plan", "debug", "verbose"))
+    require(positional.isEmpty, s"unexpected arguments: $positional")
+    val dirs = ConfigLayers.resolve("dir", cli)
+    // reference stamp format when unset (storcrawl.py:58)
+    val tag = ConfigLayers.resolveOne("tag", cli, Crawl.defaultTag())
+    val out = ConfigLayers.resolveOne("out", cli, "target/crawl_out")
+    val owners = ConfigLayers.resolve("owners", cli).lastOption
+    // the reference's append-with-default quirk: '.snapshot' is always
+    // excluded, layers ADD to it (storcrawl.py:39)
+    val excl = FsScanner.DefaultExclusions ++ ConfigLayers.resolve("exclude", cli)
+    val joinPlan = ConfigLayers.resolve("join-plan", cli)
+      .lastOption.exists(ConfigLayers.isTrue)
+    val useV2 = ConfigLayers.resolveOne("source", cli, "bfs") == "v2"
+    if (ConfigLayers.resolve("debug", cli).lastOption.exists(ConfigLayers.isTrue))
+      System.err.println(
+        s"[config] dirs=$dirs tag=$tag out=$out owners=$owners excl=$excl " +
+        s"joinPlan=$joinPlan source=${if (useV2) "v2" else "bfs"}")
+    require(dirs.nonEmpty, "at least one --dir (or STORCRAWL_DIR / rc `dir`) is required")
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -48,7 +51,7 @@ object CrawlMain {
     try {
       val ctrs = Crawl.counters(spark)
       val t0ms = System.currentTimeMillis()
-      val df = Crawl.run(spark, dirs.reverse, owners, excl, joinPlan,
+      val df = Crawl.run(spark, dirs, owners, excl, joinPlan,
         Some(ctrs).filter(_ => !useV2), useV2Source = useV2)
       Crawl.writeParquet(df, out, tag)
       val t1ms = System.currentTimeMillis()

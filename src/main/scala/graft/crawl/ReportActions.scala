@@ -122,20 +122,17 @@ object ReportActions {
   * `<base>/crawl_tag=<tag>`, status at `<base>/status_tag=<tag>`). */
 object ReportMain {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: ReportMain <action> [--tag t] [--base dir] [--json]")
-    val action = args(0)
-    var tag = "crawl"
-    var base = "target/crawl_out"
-    var asJson = false
-    var i = 1
-    while (i < args.length) {
-      args(i) match {
-        case "--tag"  => tag = args(i + 1); i += 2
-        case "--base" => base = args(i + 1); i += 2
-        case "--json" => asJson = true; i += 1
-        case other    => sys.error(s"unknown arg: $other")
-      }
-    }
+    // configargparse layering as the reference (report.py:14-36):
+    // CLI > STORCRAWL_* env > rc files; ACTION stays positional
+    val (cli, positional) = ConfigLayers.parseArgs(
+      args.toSeq, flags = Set("json", "debug", "verbose"))
+    require(positional.size == 1,
+      "usage: ReportMain <action> [--tag t] [--base dir] [--json] [--config-file rc]")
+    val action = positional.head
+    val tag = ConfigLayers.resolveOne("tag", cli, "crawl")
+    val base = ConfigLayers.resolveOne("base", cli, "target/crawl_out")
+    val asJson = ConfigLayers.resolve("json", cli)
+      .lastOption.exists(ConfigLayers.isTrue)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
