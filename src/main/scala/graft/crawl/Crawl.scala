@@ -179,4 +179,58 @@ object Crawl {
     df.repartition(numPartitions)
       .write.mode(SaveMode.Append).jdbc(url, table, props)
   }
+
+  /** S5 remainder — reporting-role bootstrap (storcrawl.py:166-215):
+    * drop and recreate a read-only reporting principal, then grant it
+    * SELECT over the per-tag namespace. Each element is (statement,
+    * isDropPhase).
+    *
+    * `postgres` emits the reference's statement sequence verbatim
+    * (DROP OWNED BY → DROP USER → CREATE USER → CONNECT/USAGE/
+    * SELECT-ALL grants). `standard` expresses the same contract in
+    * SQL:2003 role form — CREATE ROLE + per-table SELECT grants +
+    * role-to-user grants — which embedded Derby executes, so the
+    * bootstrap is actually TESTED against a real authorization engine
+    * (the reference never tests its own, storcrawl.py has no tests). */
+  def reportingRoleStatements(
+      dialect: String, schema: String, dbName: String,
+      user: String, pass: String,
+      tables: Seq[String] = Seq("files", "status"),
+      grantees: Seq[String] = Nil): Seq[(String, Boolean)] = dialect match {
+    case "postgres" => Seq(
+      (s"DROP OWNED BY $user", true),
+      (s"DROP USER IF EXISTS $user", true),
+      (s"CREATE USER $user WITH ENCRYPTED PASSWORD '$pass'", false),
+      (s"""GRANT CONNECT ON DATABASE "$dbName" TO $user""", false),
+      (s"GRANT USAGE ON SCHEMA $schema TO $user", false),
+      (s"GRANT SELECT ON ALL SEQUENCES IN SCHEMA $schema TO $user", false),
+      (s"GRANT SELECT ON ALL TABLES IN SCHEMA $schema TO $user", false))
+    case "standard" =>
+      Seq((s"DROP ROLE $user", true), (s"CREATE ROLE $user", false)) ++
+        tables.map(t => (s"GRANT SELECT ON $schema.$t TO $user", false)) ++
+        grantees.map(g => (s"GRANT $user TO $g", false))
+    case other => sys.error(s"unknown dialect: $other (postgres|standard)")
+  }
+
+  /** Execute a bootstrap sequence statement-by-statement. Drop-phase
+    * errors are tolerated (the principal may not exist yet — the
+    * reference sys.exit(1)s even on a first run's DROP OWNED BY, a
+    * quirk we deliberately soften so first runs bootstrap cleanly);
+    * create/grant-phase errors are collected and returned. */
+  def bootstrapReportingRole(
+      conn: java.sql.Connection,
+      statements: Seq[(String, Boolean)]): Seq[(String, String)] = {
+    val errors = Seq.newBuilder[(String, String)]
+    statements.foreach { case (sql, dropPhase) =>
+      val st = conn.createStatement()
+      try st.execute(sql)
+      catch {
+        case e: java.sql.SQLException if dropPhase =>
+          System.err.println(s"[bootstrap] ignoring drop-phase error: ${e.getMessage}")
+        case e: java.sql.SQLException =>
+          errors += (sql -> e.getMessage)
+      } finally st.close()
+    }
+    errors.result()
+  }
 }
