@@ -68,7 +68,8 @@ object Dedup {
     * table is persisted before the self-join so the shingle→signature
     * pipeline runs ONCE (it is tiny: ≤2 rows/doc of (long-ish string,
     * id)), not once per join branch. */
-  val qDedupMinhashLsh: Q = (s, d) => {
+  /** Unsorted minhash-LSH candidate pairs (a < b). */
+  def minhashCandidatePairs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val sig = minhashSignatures(docs)
     // 2 bands × 4 rows (threshold ≈ (1/2)^(1/4) ≈ 0.84 — genuine
@@ -87,7 +88,52 @@ object Dedup {
     // cells instead of landing on one reducer
     Skew.saltedSelfPairs(bandKeys, Seq("band_key"), "doc_id", buckets = 4)
       .distinct()
-      .orderBy("a", "b")
+  }
+
+  val qDedupMinhashLsh: Q = (s, d) =>
+    minhashCandidatePairs(s, d).orderBy("a", "b")
+
+  /** Transitive near-dup clustering: connected components over the
+    * minhash-LSH candidate graph, component label = min doc_id in the
+    * component (the cluster representative a dedup pass keeps). The
+    * single-pass pair-pruning policy in [[dedupCorpus]] drops the `b`
+    * of every pair; components make the transitive structure explicit.
+    *
+    * Iterative min-label propagation: each round every node takes the
+    * minimum label among itself and its neighbors — one join + one
+    * aggregation per round, converging in O(diameter) rounds (near-dup
+    * clusters are shallow; the loop is capped and asserts convergence).
+    * At 100 TB each round shuffles (edge, label) pairs only —
+    * candidate-graph sized, not corpus sized; for graphs with long
+    * chains swap in the large-star/small-star variant.
+    *
+    * Lineage MUST be truncated each round (localCheckpoint): labels_n
+    * references labels_(n-1) twice (union + join), so carrying logical
+    * plans across rounds grows them 2^rounds and OOMs the driver long
+    * before the data is large — the classic iterative-Spark trap. */
+  val qDedupComponents: Q = (s, d) => {
+    val edges = minhashCandidatePairs(s, d)
+    val edges2 = edges
+      .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    var labels = edges2.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 50) {
+      val msgs = edges2.join(labels, edges2("a") === labels("id"))
+        .select(col("b").as("id"), col("comp"))
+      val next = labels.unionAll(msgs)
+        .groupBy("id").agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("comp", "prev"), "id")
+        .filter(col("comp") =!= col("prev")).count()
+      labels = next
+      iter += 1
+    }
+    require(changed == 0, s"components did not converge in $iter rounds")
+    labels.orderBy("id")
   }
 
   /** SimHash signatures, unsorted: 32-bit bit-majority over word hashes.
@@ -264,45 +310,64 @@ object Dedup {
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_minhash_lsh" -> qDedupMinhashLsh,
+    "q_dedup_components" -> qDedupComponents,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_simhash_neardup" -> qSimhashNeardup,
     "q_ngram_jaccard" -> qNgramJaccard
   )
 
+  /** Shared oracle CTE chain computing the minhash-LSH candidate pairs
+    * as `cand(a, b)`. */
+  private val minhashCandCte: String =
+    """pos AS (
+      |  SELECT doc_id, text,
+      |         unnest(generate_series(1, greatest(length(text)-4, 1), 5)) AS i
+      |  FROM documents),
+      |sh AS (SELECT doc_id, md5(substr(text, i, 5) || '|a') AS ha,
+      |              md5(substr(text, i, 5) || '|b') AS hb FROM pos),
+      |hashed AS (SELECT doc_id,
+      |    CAST('0x' || substr(ha, 1, 8) AS BIGINT) AS h0,
+      |    CAST('0x' || substr(ha, 9, 8) AS BIGINT) AS h1,
+      |    CAST('0x' || substr(ha, 17, 8) AS BIGINT) AS h2,
+      |    CAST('0x' || substr(ha, 25, 8) AS BIGINT) AS h3,
+      |    CAST('0x' || substr(hb, 1, 8) AS BIGINT) AS h4,
+      |    CAST('0x' || substr(hb, 9, 8) AS BIGINT) AS h5,
+      |    CAST('0x' || substr(hb, 17, 8) AS BIGINT) AS h6,
+      |    CAST('0x' || substr(hb, 25, 8) AS BIGINT) AS h7
+      |  FROM sh),
+      |sig AS (SELECT doc_id,
+      |    min(h0) AS m0, min(h1) AS m1, min(h2) AS m2, min(h3) AS m3,
+      |    min(h4) AS m4, min(h5) AS m5, min(h6) AS m6, min(h7) AS m7
+      |  FROM hashed GROUP BY doc_id),
+      |keys AS (
+      |  SELECT doc_id, '0:' || CAST(m0 AS VARCHAR) || ':' || CAST(m1 AS VARCHAR)
+      |           || ':' || CAST(m2 AS VARCHAR) || ':' || CAST(m3 AS VARCHAR) AS band_key FROM sig
+      |  UNION ALL
+      |  SELECT doc_id, '1:' || CAST(m4 AS VARCHAR) || ':' || CAST(m5 AS VARCHAR)
+      |           || ':' || CAST(m6 AS VARCHAR) || ':' || CAST(m7 AS VARCHAR) FROM sig),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      |  FROM keys a JOIN keys b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, COUNT(*) AS dup_count
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    // no stripMargin around the interpolated CTE: its continuation
+    // lines begin with the || concat operator, which an outer
+    // stripMargin would eat one pipe of
     "q_dedup_minhash_lsh" ->
-      """WITH pos AS (
-        |  SELECT doc_id, text,
-        |         unnest(generate_series(1, greatest(length(text)-4, 1), 5)) AS i
-        |  FROM documents),
-        |sh AS (SELECT doc_id, md5(substr(text, i, 5) || '|a') AS ha,
-        |              md5(substr(text, i, 5) || '|b') AS hb FROM pos),
-        |hashed AS (SELECT doc_id,
-        |    CAST('0x' || substr(ha, 1, 8) AS BIGINT) AS h0,
-        |    CAST('0x' || substr(ha, 9, 8) AS BIGINT) AS h1,
-        |    CAST('0x' || substr(ha, 17, 8) AS BIGINT) AS h2,
-        |    CAST('0x' || substr(ha, 25, 8) AS BIGINT) AS h3,
-        |    CAST('0x' || substr(hb, 1, 8) AS BIGINT) AS h4,
-        |    CAST('0x' || substr(hb, 9, 8) AS BIGINT) AS h5,
-        |    CAST('0x' || substr(hb, 17, 8) AS BIGINT) AS h6,
-        |    CAST('0x' || substr(hb, 25, 8) AS BIGINT) AS h7
-        |  FROM sh),
-        |sig AS (SELECT doc_id,
-        |    min(h0) AS m0, min(h1) AS m1, min(h2) AS m2, min(h3) AS m3,
-        |    min(h4) AS m4, min(h5) AS m5, min(h6) AS m6, min(h7) AS m7
-        |  FROM hashed GROUP BY doc_id),
-        |keys AS (
-        |  SELECT doc_id, '0:' || CAST(m0 AS VARCHAR) || ':' || CAST(m1 AS VARCHAR)
-        |           || ':' || CAST(m2 AS VARCHAR) || ':' || CAST(m3 AS VARCHAR) AS band_key FROM sig
-        |  UNION ALL
-        |  SELECT doc_id, '1:' || CAST(m4 AS VARCHAR) || ':' || CAST(m5 AS VARCHAR)
-        |           || ':' || CAST(m6 AS VARCHAR) || ':' || CAST(m7 AS VARCHAR) FROM sig)
-        |SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-        |FROM keys a JOIN keys b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-        |ORDER BY a, b""".stripMargin,
+      (s"WITH $minhashCandCte\n" +
+       "SELECT a, b FROM cand ORDER BY a, b"),
+    "q_dedup_components" ->
+      (s"WITH RECURSIVE $minhashCandCte,\n" +
+       "edges2 AS (SELECT a, b FROM cand UNION ALL SELECT b, a FROM cand),\n" +
+       "nodes AS (SELECT DISTINCT a AS id FROM edges2),\n" +
+       "reach AS (\n" +
+       "  SELECT id, id AS comp FROM nodes\n" +
+       "  UNION\n" +
+       "  SELECT e.b AS id, r.comp FROM reach r JOIN edges2 e ON e.a = r.id)\n" +
+       "SELECT id, min(comp) AS comp FROM reach GROUP BY id ORDER BY id"),
     "q_dedup_simhash" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
         |wh AS (SELECT doc_id, CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS h

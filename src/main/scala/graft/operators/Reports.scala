@@ -403,6 +403,24 @@ object Reports {
       .orderBy("c_custkey")
   }
 
+  /** Exact discrete quantiles per group (percentile_disc — the SQL
+    * standard "smallest value with cumulative frequency ≥ p", which is
+    * deterministic and engine-portable, unlike interpolating
+    * percentile_cont whose FP arithmetic differs across engines, or
+    * approx sketches which aren't comparable at all). Distributed as a
+    * partial sort-based aggregate per group key. */
+  val qQuantiles: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    def qd(p: String) = expr(
+      s"CAST(percentile_disc($p) WITHIN GROUP (ORDER BY CAST(l_quantity AS BIGINT)) AS BIGINT)")
+    li.groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        qd("0.25").as("q25"), qd("0.5").as("q50"),
+        qd("0.75").as("q75"), qd("0.95").as("q95"))
+      .orderBy("l_returnflag")
+  }
+
   /** INTERSECT: nation keys present among both customers and suppliers. */
   val qSetOps: Q = (s, d) => {
     val cust = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
@@ -414,6 +432,7 @@ object Reports {
     "q_dir_rollup" -> qDirRollup,
     "q_owner_usage" -> qOwnerUsage,
     "q_rollup_agg" -> qRollupAgg,
+    "q_quantiles" -> qQuantiles,
     "q_outer_join" -> qOuterJoin,
     "q_set_ops" -> qSetOps,
     "q_status_events" -> qStatusEvents,
@@ -468,6 +487,13 @@ object Reports {
         |      LEFT JOIN nat n ON '/' || f.r_name || '/' || f.n_name = n.dir
         |      LEFT JOIN reg r ON '/' || f.r_name = r.dir)
         |GROUP BY owner ORDER BY owner""".stripMargin,
+    "q_quantiles" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.25) AS BIGINT) AS q25,
+        |  CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.5) AS BIGINT) AS q50,
+        |  CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.75) AS BIGINT) AS q75,
+        |  CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.95) AS BIGINT) AS q95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_rollup_agg" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) * 100 AS BIGINT) AS sum_total_cents,

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOf, Dedup}
+
+/** As-of join semantics on a hand-built fixture (>= convention: equal
+  * timestamps match; LEFT semantics: unmatched rows keep nulls) and
+  * connected-components correctness via an independent union-find. */
+class AsOfSpec extends SparkSpec {
+
+  test("asofJoin: latest right row at or before each left row, per key") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, 100L), // k=1 t=10 → right t=10 (equality matches)
+      (1L, 15L, 101L), // k=1 t=15 → right t=10
+      (1L, 25L, 102L), // k=1 t=25 → right t=20
+      (2L, 5L, 103L),  // k=2 t=5  → no right row yet → null
+      (3L, 50L, 104L)  // k=3: no right rows at all → null
+    ).toDF("k", "t", "left_id")
+    val right = Seq(
+      (1L, 10L, 900L),
+      (1L, 20L, 901L),
+      (2L, 7L, 902L)
+    ).toDF("k", "t", "right_id")
+
+    val out = AsOf.asofJoin(left, right, key = "k", time = "t",
+        payload = Seq("right_id"))
+      .orderBy("left_id")
+      .collect()
+      .map(r => (r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (100L, 900L), (101L, 900L), (102L, 901L), (103L, -1L), (104L, -1L)))
+  }
+
+  test("components agree with an independent union-find over the pair list") {
+    val d = "/root/testdata/sf0.001"
+    val pairs = Dedup.qDedupMinhashLsh(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val comps = Dedup.qDedupComponents(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    assert(pairs.nonEmpty && comps.nonEmpty)
+
+    // reference union-find
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    pairs.foreach { case (a, b) => union(a, b) }
+    val want = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(x => x -> find(x)).toMap
+    assert(comps == want)
+  }
+}
