@@ -111,8 +111,48 @@ object Dedup {
     * references labels_(n-1) twice (union + join), so carrying logical
     * plans across rounds grows them 2^rounds and OOMs the driver long
     * before the data is large — the classic iterative-Spark trap. */
-  val qDedupComponents: Q = (s, d) => {
-    val edges = minhashCandidatePairs(s, d)
+  /** Edge-count threshold below which the candidate graph contracts to
+    * a single executor task (a 5M-edge union-find is ~100 MB of hash
+    * map and milliseconds of CPU; the iterative rounds cost seconds of
+    * job overhead EACH on any size). */
+  private[graft] val SmallGraphEdges = 5000000L
+
+  /** Single-task union-find over a (tiny, derived) edge list — runs in
+    * an EXECUTOR task via repartition(1), not a driver collect. Union
+    * by minimum root, so each set's root is its minimum member — the
+    * same label the propagation loop and the oracle produce. */
+  private[graft] def componentsContracted(edges: DataFrame): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    edges.select(col("a"), col("b")).as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        val es = it.toArray
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes: Set[Long] =
+          es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+        nodes.iterator.map((x: Long) => (x, find(x)))
+      }
+      .toDF("id", "comp")
+  }
+
+  /** Distributed min-label propagation with pointer jumping — the
+    * >[[SmallGraphEdges]] path. Lineage MUST be truncated each round
+    * (localCheckpoint): labels_n references labels_(n-1) twice, so
+    * carried plans grow 2^rounds and OOM the driver — the classic
+    * iterative-Spark trap (hit at sf0.1 before the checkpoint). */
+  private[graft] def componentsDistributed(edges: DataFrame): DataFrame = {
     val edges2 = edges
       .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
@@ -124,16 +164,34 @@ object Dedup {
     while (changed > 0 && iter < 50) {
       val msgs = edges2.join(labels, edges2("a") === labels("id"))
         .select(col("b").as("id"), col("comp"))
-      val next = labels.unionAll(msgs)
+      val mins = labels.unionAll(msgs)
         .groupBy("id").agg(min(col("comp")).as("comp"))
-        .localCheckpoint()
+      // pointer jumping: also take the label's own label (a comp value
+      // is always a node id), halving remaining chain length — rounds
+      // drop from O(diameter) to O(log diameter)
+      val jumped = mins.as("x")
+        .join(mins.select(col("id").as("cid"), col("comp").as("ccomp")).as("y"),
+          col("x.comp") === col("y.cid"), "left")
+        .select(col("x.id").as("id"),
+          least(col("x.comp"), coalesce(col("ccomp"), col("x.comp"))).as("comp"))
+      val next = jumped.localCheckpoint()
       changed = next.join(labels.withColumnRenamed("comp", "prev"), "id")
         .filter(col("comp") =!= col("prev")).count()
       labels = next
       iter += 1
     }
     require(changed == 0, s"components did not converge in $iter rounds")
-    labels.orderBy("id")
+    labels
+  }
+
+  val qDedupComponents: Q = (s, d) => {
+    // checkpoint the candidate pairs once: both the size probe and the
+    // chosen algorithm read them, and the pair pipeline must not rerun
+    val edges = minhashCandidatePairs(s, d).localCheckpoint()
+    val comps =
+      if (edges.count() <= SmallGraphEdges) componentsContracted(edges)
+      else componentsDistributed(edges)
+    comps.orderBy("id")
   }
 
   /** SimHash signatures, unsorted: 32-bit bit-majority over word hashes.

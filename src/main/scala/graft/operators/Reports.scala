@@ -421,6 +421,34 @@ object Reports {
       .orderBy("l_returnflag")
   }
 
+  /** Gap-based sessionization — the canonical event-pipeline operator:
+    * a new session starts when the gap to the previous event of the
+    * same user exceeds the threshold. lag + running conditional sum
+    * (one shuffle on user_id, one per-user sort), then a hash agg per
+    * session. Frame note: the running sum's default frame is RANGE
+    * UNBOUNDED PRECEDING..CURRENT ROW in both engines, and the window
+    * order (ts_sec, event_id) is total, so RANGE == ROWS and the
+    * session indices agree exactly. */
+  val qSessionize: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val gap = 604800L // 7 days — the testdata spans years, not hours
+    val w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    val indexed = ev
+      .select(col("user_id"), col("event_id"), nanosToSec(col("ts")).as("ts_sec"))
+      .withColumn("prev_ts", lag(col("ts_sec"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull || col("ts_sec") - col("prev_ts") > gap, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("is_new")).over(w))
+    indexed.groupBy("user_id", "session_idx")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_sec")).as("session_start"),
+        max(col("ts_sec")).as("session_end"),
+        min(col("event_id")).as("first_event_id"))
+      .orderBy("user_id", "session_idx")
+  }
+
   /** INTERSECT: nation keys present among both customers and suppliers. */
   val qSetOps: Q = (s, d) => {
     val cust = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
@@ -433,6 +461,7 @@ object Reports {
     "q_owner_usage" -> qOwnerUsage,
     "q_rollup_agg" -> qRollupAgg,
     "q_quantiles" -> qQuantiles,
+    "q_sessionize" -> qSessionize,
     "q_outer_join" -> qOuterJoin,
     "q_set_ops" -> qSetOps,
     "q_status_events" -> qStatusEvents,
@@ -487,6 +516,21 @@ object Reports {
         |      LEFT JOIN nat n ON '/' || f.r_name || '/' || f.n_name = n.dir
         |      LEFT JOIN reg r ON '/' || f.r_name = r.dir)
         |GROUP BY owner ORDER BY owner""".stripMargin,
+    "q_sessionize" ->
+      """SELECT user_id, session_idx, COUNT(*) AS n_events,
+        |  min(ts_sec) AS session_start, max(ts_sec) AS session_end,
+        |  min(event_id) AS first_event_id
+        |FROM (
+        |  SELECT user_id, event_id, ts_sec,
+        |    CAST(SUM(CASE WHEN prev_ts IS NULL OR ts_sec - prev_ts > 604800
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS BIGINT) AS session_idx
+        |  FROM (
+        |    SELECT user_id, event_id, epoch_ms(ts) // 1000 AS ts_sec,
+        |      lag(epoch_ms(ts) // 1000)
+        |        OVER (PARTITION BY user_id ORDER BY epoch_ms(ts) // 1000, event_id) AS prev_ts
+        |    FROM events))
+        |GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
     "q_quantiles" ->
       """SELECT l_returnflag, COUNT(*) AS n,
         |  CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.25) AS BIGINT) AS q25,

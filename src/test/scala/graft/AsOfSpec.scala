@@ -57,4 +57,16 @@ class AsOfSpec extends SparkSpec {
       .map(x => x -> find(x)).toMap
     assert(comps == want)
   }
+
+  test("contracted and distributed component paths agree") {
+    val d = "/root/testdata/sf0.001"
+    val edges = Dedup.minhashCandidatePairs(spark, d).localCheckpoint()
+    val fast = Dedup.componentsContracted(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val loop = Dedup.componentsDistributed(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    assert(fast.nonEmpty)
+    assert(fast == loop)
+  }
 }
