@@ -58,7 +58,10 @@ object Bench {
         val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
           Future {
             val s0 = System.nanoTime()
-            try { fn(spark, sfDir).collect() } catch { case _: Throwable => null }
+            try { fn(spark, sfDir).collect() } catch {
+              case e: Throwable =>
+                System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            }
             name -> (System.nanoTime() - s0) / 1e9
           }
         }
