@@ -75,6 +75,37 @@ object StatusStream {
         })
   }
 
+  /** Streaming gap-based sessionization — the event-time session
+    * analog of the batch `q_sessionize`: activity bursts per metric
+    * separated by more than `gap` become separate sessions, closed and
+    * emitted once the watermark passes. `session_window` keeps state
+    * per open session only (merged on overlap), the 100 TB-friendly
+    * shape — no per-event state retention. */
+  def sessionRollup(
+      stream: DataFrame,
+      gap: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    stream
+      .withWatermark("time", watermark)
+      .groupBy(session_window(col("time"), gap), col("status"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("status"), col("n_events"), col("sum_value"))
+
+  /** Watermarked streaming dedup: drop re-delivered samples (same
+    * (status, time)) within the watermark horizon — bounded state,
+    * unlike dropDuplicates whose key set grows forever. The at-least-
+    * once ingestion guard a telemetry pipeline puts in front of
+    * [[windowedRates]]. */
+  def dedupedSamples(
+      stream: DataFrame,
+      watermark: String = "10 minutes"): DataFrame =
+    stream
+      .withWatermark("time", watermark)
+      .dropDuplicatesWithinWatermark("status", "time")
+
   /** Micro-batched status sink: commit cadence ↔ the reference's
     * `--timeout` (T2). Each batch appends to the status table path. */
   def statusSink(

@@ -73,6 +73,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionRollup: gap-separated bursts become separate sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val stream = input.toDF().toDF("time", "status", "value")
+    val q = StatusStream.sessionRollup(stream, gap = "60 seconds",
+        watermark = "120 seconds")
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      val t0 = 1700000000L
+      // burst 1: three events inside one 60s-gap session
+      input.addData(
+        (new Timestamp(t0 * 1000), "files", 1.0),
+        (new Timestamp((t0 + 30) * 1000), "files", 2.0),
+        (new Timestamp((t0 + 59) * 1000), "files", 3.0))
+      q.processAllAvailable()
+      // burst 2 after a 300s silence, then advance the watermark
+      input.addData((new Timestamp((t0 + 400) * 1000), "files", 7.0))
+      q.processAllAvailable()
+      input.addData((new Timestamp((t0 + 2000) * 1000), "files", 0.0))
+      q.processAllAvailable()
+      val out = spark.table("sessions_out")
+        .select("n_events", "sum_value").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(out.contains((3L, 6.0)), s"burst 1 merged session: $out")
+      assert(out.contains((1L, 7.0)), s"burst 2 own session: $out")
+    } finally q.stop()
+  }
+
+  test("dedupedSamples: re-delivered samples dropped within watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val stream = input.toDF().toDF("time", "status", "value")
+    val q = StatusStream.dedupedSamples(stream)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      val t0 = 1700000000L
+      input.addData(
+        (new Timestamp(t0 * 1000), "files", 1.0),
+        (new Timestamp(t0 * 1000), "files", 1.0), // same-batch duplicate
+        (new Timestamp(t0 * 1000), "dirs", 2.0))
+      q.processAllAvailable()
+      // re-delivery in a later micro-batch, still inside the watermark
+      input.addData((new Timestamp(t0 * 1000), "files", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("dedup_out").collect()
+      assert(out.length == 2, s"expected 2 unique samples, got ${out.length}")
+    } finally q.stop()
+  }
+
   test("counterRates: stateful (now-prev)/interval across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
