@@ -449,6 +449,48 @@ object Reports {
       .orderBy("user_id", "session_idx")
   }
 
+  /** Full CUBE over (status, priority) — all four grouping-set layers
+    * (GROUPING SETS family beyond ROLLUP). */
+  val qCubeAgg: Q = (s, d) => {
+    val ord = Tables.orders(s, d)
+    ord.cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        intScaled(decSum2(col("o_totalprice")), 100L).as("sum_total_cents"))
+      .orderBy(
+        col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+  }
+
+  /** EXISTS-style semi join: customers having at least one urgent
+    * order (planned as left_semi — no row multiplication, the shape an
+    * EXISTS subquery should always take). */
+  val qExistsSemi: Q = (s, d) => {
+    val cust = Tables.customer(s, d)
+    val ord = Tables.orders(s, d)
+    cust.join(
+        ord.filter(col("o_orderpriority").like("1%")),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+
+  /** Per-customer running order total (explicit ROWS frame, pinned on
+    * both engines, over a total order — date ties broken by key). */
+  val qRunningTotal: Q = (s, d) => {
+    val ord = Tables.orders(s, d)
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate_sec", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ord.select(
+        col("o_custkey"), col("o_orderkey"),
+        epochSec(col("o_orderdate")).as("o_orderdate_sec"),
+        dec2(col("o_totalprice")).as("p"))
+      .withColumn("running_cents", intScaled(sum(col("p")).over(w), 100L))
+      .drop("p")
+      .orderBy("o_custkey", "o_orderdate_sec", "o_orderkey")
+  }
+
   /** INTERSECT: nation keys present among both customers and suppliers. */
   val qSetOps: Q = (s, d) => {
     val cust = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
@@ -462,6 +504,9 @@ object Reports {
     "q_rollup_agg" -> qRollupAgg,
     "q_quantiles" -> qQuantiles,
     "q_sessionize" -> qSessionize,
+    "q_cube_agg" -> qCubeAgg,
+    "q_exists_semi" -> qExistsSemi,
+    "q_running_total" -> qRunningTotal,
     "q_outer_join" -> qOuterJoin,
     "q_set_ops" -> qSetOps,
     "q_status_events" -> qStatusEvents,
@@ -516,6 +561,23 @@ object Reports {
         |      LEFT JOIN nat n ON '/' || f.r_name || '/' || f.n_name = n.dir
         |      LEFT JOIN reg r ON '/' || f.r_name = r.dir)
         |GROUP BY owner ORDER BY owner""".stripMargin,
+    "q_cube_agg" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) * 100 AS BIGINT) AS sum_total_cents
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_exists_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderpriority LIKE '1%')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_running_total" ->
+      """SELECT o_custkey, o_orderkey, epoch_ms(o_orderdate) // 1000 AS o_orderdate_sec,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey
+        |          ORDER BY epoch_ms(o_orderdate) // 1000, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100 AS BIGINT) AS running_cents
+        |FROM orders ORDER BY o_custkey, o_orderdate_sec, o_orderkey""".stripMargin,
     "q_sessionize" ->
       """SELECT user_id, session_idx, COUNT(*) AS n_events,
         |  min(ts_sec) AS session_start, max(ts_sec) AS session_end,
