@@ -491,6 +491,22 @@ object Reports {
       .orderBy("o_custkey", "o_orderdate_sec", "o_orderkey")
   }
 
+  /** PIVOT: order counts per priority with one column per status
+    * (explicit pivot value list, so the plan is a single pass of
+    * conditional aggregates — no distinct-values pre-query). */
+  val qPivot: Q = (s, d) => {
+    val ord = Tables.orders(s, d)
+    ord.groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(
+        col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy("o_orderpriority")
+  }
+
   /** INTERSECT: nation keys present among both customers and suppliers. */
   val qSetOps: Q = (s, d) => {
     val cust = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
@@ -505,6 +521,7 @@ object Reports {
     "q_quantiles" -> qQuantiles,
     "q_sessionize" -> qSessionize,
     "q_cube_agg" -> qCubeAgg,
+    "q_pivot" -> qPivot,
     "q_exists_semi" -> qExistsSemi,
     "q_running_total" -> qRunningTotal,
     "q_outer_join" -> qOuterJoin,
@@ -566,6 +583,12 @@ object Reports {
         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) * 100 AS BIGINT) AS sum_total_cents
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+        |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+        |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_exists_semi" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders
