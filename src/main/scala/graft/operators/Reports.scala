@@ -507,6 +507,16 @@ object Reports {
       .orderBy("o_orderpriority")
   }
 
+  /** UNPIVOT (melt): the wide pivot output back to long form — one
+    * Expand node, no shuffle beyond the upstream aggregation. */
+  val qUnpivot: Q = (s, d) => {
+    qPivot(s, d).unpivot(
+        Array(col("o_orderpriority")),
+        Array(col("n_f"), col("n_o"), col("n_p")),
+        "status_col", "n")
+      .orderBy("o_orderpriority", "status_col")
+  }
+
   /** INTERSECT: nation keys present among both customers and suppliers. */
   val qSetOps: Q = (s, d) => {
     val cust = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
@@ -522,6 +532,7 @@ object Reports {
     "q_sessionize" -> qSessionize,
     "q_cube_agg" -> qCubeAgg,
     "q_pivot" -> qPivot,
+    "q_unpivot" -> qUnpivot,
     "q_exists_semi" -> qExistsSemi,
     "q_running_total" -> qRunningTotal,
     "q_outer_join" -> qOuterJoin,
@@ -589,6 +600,20 @@ object Reports {
         |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
         |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_unpivot" ->
+      """WITH p AS (
+        |  SELECT o_orderpriority,
+        |    COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+        |    COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+        |    COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, status_col, n FROM (
+        |  SELECT o_orderpriority, 'n_f' AS status_col, n_f AS n FROM p
+        |  UNION ALL
+        |  SELECT o_orderpriority, 'n_o', n_o FROM p
+        |  UNION ALL
+        |  SELECT o_orderpriority, 'n_p', n_p FROM p)
+        |ORDER BY o_orderpriority, status_col""".stripMargin,
     "q_exists_semi" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders
