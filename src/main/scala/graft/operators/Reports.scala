@@ -517,6 +517,38 @@ object Reports {
       .orderBy("o_orderpriority", "status_col")
   }
 
+  /** Ranking-function family over one total per-priority order:
+    * dense_rank, ntile(4), percent_rank (its (rank−1)/(n−1) double is
+    * an exact small-integer division, correctly rounded identically in
+    * both engines — safe to emit, unlike decimal-derived doubles). */
+  val qNtileRank: Q = (s, d) => {
+    val ord = Tables.orders(s, d)
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("cents"), col("o_orderkey"))
+    ord.select(
+        col("o_orderkey"), col("o_orderpriority"),
+        intScaled(dec2(col("o_totalprice")), 100L).as("cents"))
+      .withColumn("drank", dense_rank().over(w).cast(LongType))
+      .withColumn("quartile", ntile(4).over(w).cast(LongType))
+      .withColumn("prank", percent_rank().over(w))
+      .orderBy("o_orderpriority", "cents", "o_orderkey")
+  }
+
+  /** Ordered string aggregation (LISTAGG/string_agg semantics) via the
+    * deterministic sort-then-join form — order pinned by value, so
+    * both engines emit identical strings. */
+  val qStringAgg: Q = (s, d) => {
+    val cust = Tables.customer(s, d)
+    val nat = Tables.nation(s, d)
+    cust.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .filter(col("c_custkey") % 100 === 0) // keep the strings readable
+      .groupBy("n_name")
+      .agg(
+        count(lit(1)).as("n"),
+        array_join(array_sort(collect_list(col("c_name"))), ",").as("names"))
+      .orderBy("n_name")
+  }
+
   /** INTERSECT: nation keys present among both customers and suppliers. */
   val qSetOps: Q = (s, d) => {
     val cust = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
@@ -533,6 +565,8 @@ object Reports {
     "q_cube_agg" -> qCubeAgg,
     "q_pivot" -> qPivot,
     "q_unpivot" -> qUnpivot,
+    "q_ntile_rank" -> qNtileRank,
+    "q_string_agg" -> qStringAgg,
     "q_exists_semi" -> qExistsSemi,
     "q_running_total" -> qRunningTotal,
     "q_outer_join" -> qOuterJoin,
@@ -614,6 +648,22 @@ object Reports {
         |  UNION ALL
         |  SELECT o_orderpriority, 'n_p', n_p FROM p)
         |ORDER BY o_orderpriority, status_col""".stripMargin,
+    "q_ntile_rank" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drank,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS prank
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT), o_orderkey)
+        |ORDER BY o_orderpriority, cents, o_orderkey""".stripMargin,
+    "q_string_agg" ->
+      """SELECT n_name, COUNT(*) AS n,
+        |  string_agg(c_name, ',' ORDER BY c_name) AS names
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_custkey % 100 = 0
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q_exists_semi" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders
