@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Parameterized sign-random-projection (SRP) LSH for embedding
+  * near-duplicate detection at corpus scale.
+  *
+  * The oracle query `q_embedding_neardup` ([[Similarity.qEmbeddingNeardup]])
+  * uses a FIXED 8-coordinate-sign bucket key — fine as a deterministic
+  * teaching/oracle variant, but its within-bucket pair count is n²/256:
+  * quadratic in the corpus. This is the production-scale replacement:
+  *
+  *   - '''bits per band''' scales with the corpus: b = log₂(n / targetBucket)
+  *     keeps expected bucket occupancy constant as n grows, so
+  *     within-bucket pairing stays ~n·targetBucket/2 — LINEAR in n.
+  *   - '''seeded Gaussian hyperplanes''', not coordinate signs: coordinate
+  *     values correlate on real embeddings (anisotropic dimensions), which
+  *     makes coordinate-sign buckets hot; random rotations spread them.
+  *   - '''banding''' gives closed-form recall: a pair at cosine s collides
+  *     in one b-bit band with p(s)^b where p(s) = 1 − acos(s)/π, so
+  *     L = ⌈ln(1−recall)/ln(1−p^b)⌉ bands guarantee the target recall.
+  *   - '''multiprobe''' flips the lowest-|margin| signature bits on the
+  *     probe side, trading a small candidate increase for fewer bands
+  *     (lower shuffle volume) at the same recall.
+  *   - '''skew-salted pairing''': within-bucket pair generation goes
+  *     through [[Skew.saltedSelfPairs]], so even an adversarially hot
+  *     bucket (boilerplate-heavy corpora produce them) spreads its
+  *     quadratic work over salt cells instead of one reducer.
+  *
+  * Float math throughout (like [[Similarity.cosineTopkFloat]]) — this is
+  * the non-oracle scale path; recall is asserted against the brute-force
+  * ground truth in ScaleSpec rather than a SQL oracle.
+  */
+object SignLsh {
+
+  /** LSH configuration. `bits` sets bucket granularity (2^bits buckets
+    * per band), `bands` sets recall, `multiprobe` (T) additionally
+    * probes the T nearest single-bit-flip buckets per band. */
+  final case class Params(bits: Int, bands: Int, seed: Long, multiprobe: Int = 0) {
+    require(bits >= 1 && bits <= 62, s"bits must be in [1,62], got $bits")
+    require(bands >= 1, s"bands must be >= 1, got $bands")
+    require(multiprobe >= 0 && multiprobe <= bits, s"multiprobe must be in [0,bits]")
+  }
+
+  /** Collision probability of one hyperplane for a pair at cosine `s`. */
+  def collisionP(s: Double): Double = 1.0 - math.acos(math.max(-1.0, math.min(1.0, s))) / math.Pi
+
+  /** Bits per band that keep expected bucket occupancy ≈ targetBucket:
+    * b = ⌈log₂(n / targetBucket)⌉. This is the knob that makes the plan
+    * survive scale — bucket count grows WITH the corpus. */
+  def bitsFor(corpusSize: Long, targetBucket: Int = 1024): Int = {
+    require(corpusSize > 0 && targetBucket > 0)
+    val b = math.ceil(math.log(corpusSize.toDouble / targetBucket) / math.log(2.0)).toInt
+    math.max(1, math.min(62, b))
+  }
+
+  /** Bands needed for `recall` on pairs at cosine ≥ simThreshold:
+    * L = ⌈ln(1−recall) / ln(1−p^b)⌉. */
+  def bandsFor(bits: Int, simThreshold: Double, recall: Double): Int = {
+    require(recall > 0 && recall < 1, "recall must be in (0,1)")
+    val pb = math.pow(collisionP(simThreshold), bits.toDouble)
+    if (pb >= 1.0) 1
+    else math.max(1, math.ceil(math.log1p(-recall) / math.log1p(-pb)).toInt)
+  }
+
+  /** Sized-from-first-principles parameters: bucket width from corpus
+    * size, band count from the recall target at the similarity
+    * threshold. */
+  def paramsFor(
+      corpusSize: Long,
+      simThreshold: Double,
+      recall: Double = 0.9,
+      targetBucket: Int = 1024,
+      seed: Long = 42L,
+      multiprobe: Int = 0): Params = {
+    val b = bitsFor(corpusSize, targetBucket)
+    Params(b, bandsFor(b, simThreshold, recall), seed, math.min(multiprobe, b))
+  }
+
+  /** Deterministic seeded Gaussian hyperplanes, [band][bit][dim]. Tiny
+    * (bands×bits×dim floats) — generated on the driver and inlined as
+    * literals into the plan; nothing is broadcast or shuffled. */
+  def hyperplanes(p: Params, dim: Int): Array[Array[Array[Float]]] = {
+    val rnd = new scala.util.Random(p.seed)
+    Array.fill(p.bands)(Array.fill(p.bits)(Array.fill(dim)(rnd.nextGaussian().toFloat)))
+  }
+
+  private def dotLit(emb: Column, plane: Array[Float]): Column =
+    aggregate(zip_with(emb, typedlit(plane.toSeq), (x, y) => x * y),
+      lit(0.0d), (acc, v) => acc + v)
+
+  /** Per-vector band signatures: one row per (vec_id, band) with the
+    * b-bit bucket `key` and, when multiprobe is on, the T single-bit-flip
+    * `probes` ordered by ascending |margin| (the flips most likely to
+    * recover a near-miss pair). */
+  def signatures(corpus: DataFrame, p: Params, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(p, dim)
+    val bandStructs = (0 until p.bands).map { l =>
+      val projs = (0 until p.bits).map(i => dotLit(col("embedding"), planes(l)(i)))
+      val key = projs.zipWithIndex.map { case (pr, i) =>
+        when(pr >= 0d, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      if (p.multiprobe == 0)
+        struct(lit(l).as("band"), key.as("key"), typedlit(Seq.empty[Long]).as("flipbits"))
+      else {
+        // T lowest-|projection| bit masks — cheapest flips first
+        val margins = array(projs.zipWithIndex.map { case (pr, i) =>
+          struct(abs(pr).as("m"), lit(1L << i).as("bit"))
+        }: _*)
+        val flips = transform(
+          slice(array_sort(margins), 1, p.multiprobe), s => s.getField("bit"))
+        struct(lit(l).as("band"), key.as("key"), flips.as("flipbits"))
+      }
+    }
+    corpus
+      .select(col("vec_id"), col("embedding"),
+        explode(array(bandStructs: _*)).as("s"))
+      .select(col("vec_id"), col("s.band").as("band"), col("s.key").as("key"),
+        col("s.flipbits").as("flipbits"))
+  }
+
+  /** Candidate (a < b) pairs, each exactly once. Exact same-bucket pairs
+    * go through the triangle-salted self-join (hot buckets spread over
+    * `saltBuckets` cells); multiprobe adds asymmetric flipped-bucket
+    * probes. One shuffle on (band, key) is the whole story — no
+    * all-pairs stage anywhere. */
+  def candidatePairs(corpus: DataFrame, p: Params, dim: Int = 64,
+      saltBuckets: Int = 8): DataFrame = {
+    val sigs = signatures(corpus, p, dim).persist()
+    try {
+      val exact = Skew.saltedSelfPairs(sigs, Seq("band", "key"), "vec_id", saltBuckets)
+      val all =
+        if (p.multiprobe == 0) exact
+        else {
+          val probes = sigs
+            .select(col("vec_id").as("pa"), col("band"),
+              explode(col("flipbits")).as("fb"), col("key"))
+            .select(col("pa"), col("band"),
+              (col("key").bitwiseXOR(col("fb"))).as("key"))
+          val hits = probes.join(
+              sigs.select(col("vec_id").as("pb"), col("band"), col("key")),
+              Seq("band", "key"))
+            .filter(col("pa") =!= col("pb"))
+            .select(least(col("pa"), col("pb")).as("a"),
+                    greatest(col("pa"), col("pb")).as("b"))
+          exact.union(hits)
+        }
+      val out = all.distinct().persist()
+      out.count() // materialize before dropping the signature cache
+      out
+    } finally sigs.unpersist()
+  }
+
+  /** End-to-end near-dup: candidates → float-cosine verify → threshold.
+    * Returns (a, b, sim). The verify joins are shuffle joins on vec_id;
+    * candidate volume is ~n·targetBucket·bands/2, linear in n. */
+  def neardup(corpus: DataFrame, p: Params, simThreshold: Double,
+      dim: Int = 64, saltBuckets: Int = 8): DataFrame = {
+    def dotF(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    val cand = candidatePairs(corpus, p, dim, saltBuckets)
+    val ea = corpus.select(col("vec_id").as("a"), col("embedding").as("ae"))
+    val eb = corpus.select(col("vec_id").as("b"), col("embedding").as("be"))
+    cand.join(ea, "a").join(eb, "b")
+      .select(col("a"), col("b"),
+        (dotF(col("ae"), col("be")) /
+          (sqrt(dotF(col("ae"), col("ae"))) * sqrt(dotF(col("be"), col("be"))))).as("sim"))
+      .filter(col("sim") >= simThreshold)
+  }
+}

@@ -16,11 +16,14 @@ import graft.Tables
   * both engines — the resulting doubles are bitwise identical.
   *
   * Scale path: [[qAnnTopk]] is the brute-force baseline (query set ×
-  * corpus, broadcastable query side); [[qEmbeddingNeardup]] is the
-  * LSH-bucketed variant — sign-pattern buckets (random-hyperplane LSH
-  * degenerated to coordinate hyperplanes) keep candidate pairs inside
-  * buckets, the shape that survives 100 TB. [[cosineTopkFloat]] is the
-  * fast non-oracle float path for production use.
+  * corpus, broadcastable query side); [[qEmbeddingNeardup]] is a
+  * deterministic LSH-bucketed variant kept SQL-expressible for the
+  * oracle — its 8 coordinate-sign planes give a FIXED 256 buckets, so
+  * it does not scale past the test corpus. The production near-dup path
+  * is [[SignLsh]]: corpus-scaled bucket width, seeded Gaussian
+  * hyperplanes, banding with closed-form recall, multiprobe, and
+  * skew-salted pairing (recall-asserted in ScaleSpec).
+  * [[cosineTopkFloat]] is the fast non-oracle float top-k path.
   */
 object Similarity {
 
@@ -81,7 +84,9 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
-  /** Sign-pattern LSH bucket key over the first 8 dimensions. */
+  /** Sign-pattern LSH bucket key over the first 8 dimensions — the
+    * deterministic oracle variant only; [[SignLsh.signatures]] is the
+    * corpus-scaled production form. */
   private def signBucket(emb: Column): Column =
     concat((1 to 8).map(i =>
       when(element_at(emb, i) >= 0f, lit("1")).otherwise(lit("0"))): _*)

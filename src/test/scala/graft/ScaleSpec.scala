@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Similarity, Skew}
+import graft.operators.{SignLsh, Similarity, Skew}
 
 /** Scale-path operators: IVF ANN recall, salted aggregation/join
   * equivalence, bucketed co-located join (no Exchange in the plan). */
@@ -85,6 +85,101 @@ class ScaleSpec extends SparkSpec {
     assert(cellCounts.size == nCells, "hot key did not reach every salt cell")
     assert(cellCounts.max < hotPairs.size / 2,
       s"one cell holds ${cellCounts.max} of ${hotPairs.size} hot pairs")
+  }
+
+  // ---- parameterized sign-LSH (the scale path behind q_embedding_neardup)
+
+  /** Brute-force ground truth: every unordered pair at float-cosine ≥ t.
+    * Same zip_with/aggregate dot as the LSH verify stage, so doubles are
+    * bitwise identical and set comparisons are exact. */
+  private def bruteTruth(corpus: org.apache.spark.sql.DataFrame, t: Double): Set[(Long, Long)] = {
+    def dotF(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    val l = corpus.select(col("vec_id").as("a"), col("embedding").as("ae"))
+    val r = corpus.select(col("vec_id").as("b"), col("embedding").as("be"))
+    l.join(r, col("a") < col("b"))
+      .filter(dotF(col("ae"), col("be")) /
+        (sqrt(dotF(col("ae"), col("ae"))) * sqrt(dotF(col("be"), col("be")))) >= t)
+      .select("a", "b").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+  }
+
+  test("sign-LSH: paramsFor sizing meets its recall target vs brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count()
+    val t = 0.3
+    val p = SignLsh.paramsFor(n, t, recall = 0.9, targetBucket = 64, seed = 42L)
+    // corpus-scaled bucket width: 500/64 → 3 bits, 8 buckets per band
+    assert(p.bits == SignLsh.bitsFor(n, 64))
+    val truth = bruteTruth(emb, t)
+    assert(truth.nonEmpty, "fixture has no near-dup pairs at t=0.3")
+    val found = SignLsh.neardup(emb, p, t)
+      .select("a", "b").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    // precision is 1 by construction (explicit verify stage)
+    assert(found.subsetOf(truth), "LSH emitted a pair below the threshold")
+    val recall = found.size.toDouble / truth.size
+    assert(recall >= 0.85, s"recall $recall below sized-for target 0.9 (slack 0.05)")
+  }
+
+  test("sign-LSH: multiprobe recovers recall lost to fewer bands") {
+    val emb = Tables.embeddings(spark, sf)
+    val t = 0.3
+    val truth = bruteTruth(emb, t)
+    // deliberately under-banded: 3 bands instead of the sized ~10
+    val lean = SignLsh.Params(bits = 3, bands = 3, seed = 42L, multiprobe = 0)
+    val probed = lean.copy(multiprobe = 2)
+    def recallOf(p: SignLsh.Params): Double = {
+      val f = SignLsh.neardup(emb, p, t)
+        .select("a", "b").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      f.intersect(truth).size.toDouble / truth.size
+    }
+    val r0 = recallOf(lean)
+    val r1 = recallOf(probed)
+    assert(r1 > r0, s"multiprobe did not improve recall: $r0 -> $r1")
+  }
+
+  test("sign-LSH: hot corpus stays bounded where coordinate-sign buckets collapse") {
+    import spark.implicits._
+    // adversarial corpus: first 8 coordinates all-positive (every vector
+    // lands in coordinate-sign bucket "11111111" — the fixed-256-bucket
+    // scheme degenerates to ONE bucket → n²/2 pairs on one reducer)
+    val rnd = new scala.util.Random(7)
+    val n = 1000
+    val vecs = (0 until n).map { id =>
+      (id.toLong, Seq.tabulate(64) { d =>
+        if (d < 8) (rnd.nextDouble() * 2.0).toFloat
+        else (rnd.nextGaussian()).toFloat
+      })
+    }
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val signBkt = concat((1 to 8).map(i =>
+      when(element_at(col("embedding"), i) >= 0f, lit("1")).otherwise(lit("0"))): _*)
+    assert(corpus.select(signBkt).distinct().count() == 1,
+      "fixture should collapse the coordinate-sign scheme to one bucket")
+    // seeded random hyperplanes spread the same corpus
+    val p = SignLsh.paramsFor(n, 0.3, recall = 0.9, targetBucket = 64, seed = 42L)
+    val sizes = SignLsh.signatures(corpus, p)
+      .groupBy("band", "key").count()
+      .select("count").collect().map(_.getLong(0))
+    val expectedOccupancy = n.toDouble / (1L << p.bits)
+    assert(sizes.max <= (4 * expectedOccupancy).toLong,
+      s"hot bucket: max ${sizes.max} vs expected ~$expectedOccupancy")
+    // within-bucket pair work is linear in n, not quadratic: the worst
+    // band's pair count is far below the single-bucket n²/2 collapse
+    val worstBandPairs = SignLsh.signatures(corpus, p)
+      .groupBy("band", "key").count()
+      .groupBy("band").agg(sum((col("count") * (col("count") - 1) / 2).cast("long")).as("pairs"))
+      .select(max("pairs")).collect().head.getLong(0)
+    assert(worstBandPairs < n.toLong * n / 8,
+      s"a band still does near-quadratic pairing: $worstBandPairs")
+  }
+
+  test("sign-LSH: bucket count scales with the corpus (pure sizing)") {
+    assert(SignLsh.bitsFor(1000000000L, 1024) == 20)      // 1B vecs → 2^20 buckets
+    assert(SignLsh.bitsFor(500, 1024) == 1)               // tiny corpus → no over-split
+    assert(SignLsh.bandsFor(3, 0.3, 0.9) >= 8)            // low threshold needs bands
+    assert(SignLsh.bandsFor(3, 0.9, 0.9) <= 3)            // high threshold needs few
+    val p = SignLsh.collisionP(0.3)
+    assert(math.abs(p - (1 - math.acos(0.3) / math.Pi)) < 1e-12)
   }
 
   test("bucketed tables join without a shuffle Exchange") {
