@@ -30,9 +30,12 @@ object Crawl {
 
   /** Crawl roots into a `files` DataFrame (FIXTURES.md §2.3 schema).
     * Pass an owners file to attribute PIs; `useJoinPlan` switches the
-    * J1 implementation between broadcast-UDF walk and explode+join;
-    * `useV2Source` lists+stats through the DataSource V2 provider
-    * (one distributed scan) instead of the BFS pipeline. */
+    * J1 implementation between broadcast-UDF walk and explode+join.
+    * The default path is the DataSource V2 provider (one distributed
+    * scan, driver does only a shallow oversubscribed expansion);
+    * `useV2Source = false` falls back to the level-by-level BFS
+    * pipeline — a debugging path whose per-level frontier collects to
+    * the driver, fine for small trees only. */
   def run(
       spark: SparkSession,
       roots: Seq[String],
@@ -40,25 +43,43 @@ object Crawl {
       exclusions: Set[String] = FsScanner.DefaultExclusions,
       useJoinPlan: Boolean = false,
       ctrs: Option[CrawlCounters] = None,
-      useV2Source: Boolean = false): DataFrame = {
+      useV2Source: Boolean = true): DataFrame = {
     import spark.implicits._
     if (useV2Source) {
       val raw = spark.read.format("graft.crawl.CrawlFsProvider")
         .option("roots", roots.mkString(","))
         .option("exclusions", exclusions.mkString(","))
         .load()
-      val df = raw
+      val counted = ctrs match {
+        case Some(c) =>
+          val enc = org.apache.spark.sql.Encoders.row(raw.schema)
+          val (iDir, iSize, iErr) =
+            (raw.schema.fieldIndex("is_dir"), raw.schema.fieldIndex("st_size"),
+             raw.schema.fieldIndex("error"))
+          raw.map { r =>
+            if (r.getBoolean(iDir)) c.dirsSeen.add(1) else c.filesSeen.add(1)
+            if (!r.isNullAt(iSize)) c.totalSize.add(r.getLong(iSize))
+            if (!r.isNullAt(iErr)) c.statErrors.add(1)
+            r
+          }(enc)
+        case None => raw
+      }
+      val df = counted
         .drop("name", "is_dir", "is_symlink")
-        .withColumn("owner", org.apache.spark.sql.functions.lit(null: String))
+        .withColumn("owner", lit(null).cast("string"))
         .withColumn("insert_time", current_timestamp())
       return ownersFile match {
         case None => df
         case Some(of) =>
           val dim = Owners.load(spark, of)
-          if (useJoinPlan)
-            Owners.attachOwnersByJoin(df.drop("owner"), dim)
+          if (useJoinPlan) {
+            // the join plan references the crawl twice; cache so the
+            // second branch does not re-list/re-stat (and, with
+            // counters on, double-bump every accumulator)
+            val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            Owners.attachOwnersByJoin(cached.drop("owner"), dim)
               .withColumnRenamed("owner_joined", "owner")
-          else df.withColumn("owner", Owners.findOwnerUdf(spark, dim))
+          } else df.withColumn("owner", Owners.findOwnerUdf(spark, dim))
       }
     }
     val entries = FsScanner.scan(spark, roots, exclusions)
@@ -196,20 +217,29 @@ object Crawl {
       dialect: String, schema: String, dbName: String,
       user: String, pass: String,
       tables: Seq[String] = Seq("files", "status"),
-      grantees: Seq[String] = Nil): Seq[(String, Boolean)] = dialect match {
-    case "postgres" => Seq(
-      (s"DROP OWNED BY $user", true),
-      (s"DROP USER IF EXISTS $user", true),
-      (s"CREATE USER $user WITH ENCRYPTED PASSWORD '$pass'", false),
-      (s"""GRANT CONNECT ON DATABASE "$dbName" TO $user""", false),
-      (s"GRANT USAGE ON SCHEMA $schema TO $user", false),
-      (s"GRANT SELECT ON ALL SEQUENCES IN SCHEMA $schema TO $user", false),
-      (s"GRANT SELECT ON ALL TABLES IN SCHEMA $schema TO $user", false))
-    case "standard" =>
-      Seq((s"DROP ROLE $user", true), (s"CREATE ROLE $user", false)) ++
-        tables.map(t => (s"GRANT SELECT ON $schema.$t TO $user", false)) ++
-        grantees.map(g => (s"GRANT $user TO $g", false))
-    case other => sys.error(s"unknown dialect: $other (postgres|standard)")
+      grantees: Seq[String] = Nil): Seq[(String, Boolean)] = {
+    // values arrive from layered rc/env config, so they are
+    // operator-controlled text: quote identifiers that are not safe
+    // barewords and escape the password literal — the reference
+    // interpolates raw (storcrawl.py:185), a quirk NOT worth porting
+    val u = PgDdl.quoteIdent(user)
+    val sch = PgDdl.quoteIdent(schema)
+    val p = PgDdl.quoteLiteral(pass)
+    dialect match {
+      case "postgres" => Seq(
+        (s"DROP OWNED BY $u", true),
+        (s"DROP USER IF EXISTS $u", true),
+        (s"CREATE USER $u WITH ENCRYPTED PASSWORD '$p'", false),
+        (s"""GRANT CONNECT ON DATABASE "${dbName.replace("\"", "\"\"")}" TO $u""", false),
+        (s"GRANT USAGE ON SCHEMA $sch TO $u", false),
+        (s"GRANT SELECT ON ALL SEQUENCES IN SCHEMA $sch TO $u", false),
+        (s"GRANT SELECT ON ALL TABLES IN SCHEMA $sch TO $u", false))
+      case "standard" =>
+        Seq((s"DROP ROLE $u", true), (s"CREATE ROLE $u", false)) ++
+          tables.map(t => (s"GRANT SELECT ON $sch.${PgDdl.quoteIdent(t)} TO $u", false)) ++
+          grantees.map(g => (s"GRANT $u TO ${PgDdl.quoteIdent(g)}", false))
+      case other => sys.error(s"unknown dialect: $other (postgres|standard)")
+    }
   }
 
   /** Execute a bootstrap sequence statement-by-statement. Drop-phase

@@ -30,16 +30,34 @@ import org.apache.spark.unsafe.types.UTF8String
   *     .load()
   *
   * Planning: BFS from the roots only until the frontier holds ≥
-  * targetPartitions directories; each pending directory becomes an
-  * InputPartition that walks its whole subtree executor-side. Entries
-  * already seen during the shallow expansion are distributed
-  * round-robin as "loose" rows so every entry is emitted exactly once.
-  * Driver memory is bounded: once maxLooseEntries entries have been
-  * buffered, remaining frontier directories are NOT listed on the
-  * driver — they defer to subtree partitions (a wide-shallow root
+  * targetPartitions × oversubscribe subtree units; each pending
+  * directory becomes an InputPartition that walks its whole subtree
+  * executor-side. Entries already seen during the shallow expansion are
+  * distributed round-robin as "loose" rows so every entry is emitted
+  * exactly once. Driver memory is bounded: once maxLooseEntries entries
+  * have been buffered, remaining frontier directories are NOT listed on
+  * the driver — they defer to subtree partitions (a wide-shallow root
   * cannot balloon the planner). Reference semantics (A4/A5, symlink
   * non-descent, null-stat errors) are inherited from
   * FsScanner.listDirBytes / StatEnricher.statOne.
+  *
+  * Skew: subtree sizes are unknowable at plan time (statting them IS
+  * the crawl), so static packing into exactly targetPartitions tasks
+  * would pin the every-real-filesystem-has-one giant project directory
+  * to a single task for the whole job. Instead the planner
+  * OVERSUBSCRIBES: it keeps splitting one shallow level at a time until
+  * ~oversubscribe× more work units than target partitions exist, and
+  * emits each unit as its own InputPartition. Spark's task scheduler
+  * then does the work-stealing — executors that finish small subtrees
+  * pull the next pending one while a giant subtree's task runs alone —
+  * the same dynamic balance as the reference's shared dir_queue,
+  * without the lock. Splitting never stops early on the loose budget:
+  * past it, a listed dir becomes a dir-only `shallow` unit (entries
+  * re-listed executor-side, only the child-dir paths stay on the
+  * driver), so a hot subtree keeps being split regardless of readdir
+  * order. The residual worst case (one directory that is 90% of the
+  * filesystem in ONE flat readdir) degrades to one long listing task,
+  * not a failure.
   *
   * `pathMode=binary` emits `path`/`name` as BinaryType carrying the
   * exact readdir bytes (the reference's bytea fidelity,
@@ -92,6 +110,10 @@ object CrawlFsSource {
   val schema: StructType = schemaFor(binaryPaths = false)
 
   val DefaultMaxLooseEntries = 100000
+
+  /** Subtree units planned per target partition (task-granularity
+    * headroom for scheduler-side work stealing). */
+  val DefaultOversubscribe = 4
 }
 
 class CrawlFsTable(binaryPaths: Boolean) extends Table with SupportsRead {
@@ -107,65 +129,86 @@ class CrawlFsTable(binaryPaths: Boolean) extends Table with SupportsRead {
       options.getOrDefault("targetPartitions", "64").toInt,
       options.getOrDefault("maxLooseEntries",
         CrawlFsSource.DefaultMaxLooseEntries.toString).toInt,
-      binaryPaths)
+      binaryPaths,
+      options.getOrDefault("oversubscribe",
+        CrawlFsSource.DefaultOversubscribe.toString).toInt)
 }
 
 class CrawlFsScanBuilder(
     roots: String, exclusions: String, targetParts: Int,
-    maxLoose: Int, binaryPaths: Boolean) extends ScanBuilder {
+    maxLoose: Int, binaryPaths: Boolean, overSub: Int) extends ScanBuilder {
   override def build(): Scan = new CrawlFsScan(
     roots.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
     exclusions.split(",").map(_.trim).filter(_.nonEmpty).toSet,
-    targetParts, maxLoose, binaryPaths)
+    targetParts, maxLoose, binaryPaths, overSub)
 }
 
-/** One partition: whole subtrees to walk + loose entries found during
-  * the driver's shallow expansion. Subtrees travel as raw path bytes so
+/** One partition: whole subtrees to walk, shallow directories to list
+  * non-recursively (their children are other units), and loose entries
+  * found during the driver's expansion. Paths travel as raw bytes so
   * non-UTF-8 directory names survive driver→executor serialization. */
 final case class CrawlFsPartition(
     subtrees: Seq[Array[Byte]],
-    loose: Seq[RawEntry]) extends InputPartition
+    loose: Seq[RawEntry],
+    shallow: Seq[Array[Byte]] = Nil) extends InputPartition
 
 class CrawlFsScan(
     roots: Seq[String], excl: Set[String], targetParts: Int,
-    maxLoose: Int, binaryPaths: Boolean) extends Scan with Batch {
+    maxLoose: Int, binaryPaths: Boolean, overSub: Int) extends Scan with Batch {
   def this(roots: Seq[String], excl: Set[String], targetParts: Int) =
-    this(roots, excl, targetParts, CrawlFsSource.DefaultMaxLooseEntries, false)
+    this(roots, excl, targetParts, CrawlFsSource.DefaultMaxLooseEntries, false,
+      CrawlFsSource.DefaultOversubscribe)
   override def readSchema(): StructType = CrawlFsSource.schemaFor(binaryPaths)
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // shallow BFS on the driver until enough subtree roots exist; any
-    // directory reached after the loose-entry budget is spent defers to
-    // an executor-side subtree walk instead of being listed here
+    // shallow BFS on the driver until enough work units exist for
+    // scheduler-side work stealing (oversubscribe× the partition
+    // target — one giant subtree then costs one long TASK, not the
+    // whole job). While the loose-entry budget lasts, a listed dir's
+    // entries buffer on the driver; once it is spent, splitting
+    // CONTINUES in dir-only mode: the dir becomes a `shallow` unit
+    // (its direct entries will be re-listed executor-side, nothing
+    // buffers here beyond the one transient listing) and its child
+    // dirs keep feeding the frontier — so a hot subtree keeps being
+    // split no matter where readdir order put it relative to the
+    // budget.
+    val unitTarget = math.max(targetParts, targetParts * math.max(1, overSub))
     var frontier: Seq[Array[Byte]] = roots.map(r => PathBytes.fromPath(Paths.get(r)))
-    val deferred = mutable.ArrayBuffer.empty[Array[Byte]]
+    val shallow = mutable.ArrayBuffer.empty[Array[Byte]]
     val loose = mutable.ArrayBuffer.empty[RawEntry]
-    while (frontier.nonEmpty && frontier.size + deferred.size < targetParts) {
+    while (frontier.nonEmpty && frontier.size + shallow.size < unitTarget) {
       val next = mutable.ArrayBuffer.empty[Array[Byte]]
       frontier.foreach { dir =>
-        if (loose.size >= maxLoose) deferred += dir
-        else {
-          val (entries, children) = FsScanner.listDirBytes(dir, excl)
-          loose ++= entries
-          next ++= children
-        }
+        val (entries, children) = FsScanner.listDirBytes(dir, excl)
+        if (loose.size < maxLoose) loose ++= entries
+        else shallow += dir
+        next ++= children
       }
       frontier = next.toSeq
     }
-    val subtrees = frontier ++ deferred
+    val subtrees = frontier
     // partition count driven by total work, not just remaining subtrees:
     // a shallow-but-huge directory drains the frontier while loading all
     // its entries into `loose`, and collapsing to 1 partition would stat
-    // the whole tree on one core
-    val workUnits = math.max(subtrees.size, loose.size / 1024 + (if (loose.nonEmpty) 1 else 0))
-    val n = math.max(1, math.min(targetParts, workUnits))
+    // the whole tree on one core. Loose entries still cost one lstat
+    // each executor-side, so they spread over at least targetParts
+    // (parallel stat fan-out) in ~1024-entry chunks, never more
+    // partitions than entries.
+    val looseUnits =
+      if (loose.isEmpty) 0
+      else math.min(loose.size, math.max(targetParts, loose.size / 1024))
+    val workUnits = math.max(subtrees.size + shallow.size, looseUnits)
+    val n = math.max(1, math.min(unitTarget, workUnits))
     val subtreeGroups = Array.fill(n)(mutable.ArrayBuffer.empty[Array[Byte]])
     subtrees.zipWithIndex.foreach { case (d, i) => subtreeGroups(i % n) += d }
+    val shallowGroups = Array.fill(n)(mutable.ArrayBuffer.empty[Array[Byte]])
+    shallow.zipWithIndex.foreach { case (d, i) => shallowGroups((i + 1) % n) += d }
     val looseGroups = Array.fill(n)(mutable.ArrayBuffer.empty[RawEntry])
     loose.zipWithIndex.foreach { case (e, i) => looseGroups(i % n) += e }
     (0 until n).map { i =>
-      CrawlFsPartition(subtreeGroups(i).toSeq, looseGroups(i).toSeq): InputPartition
+      CrawlFsPartition(subtreeGroups(i).toSeq, looseGroups(i).toSeq,
+        shallowGroups(i).toSeq): InputPartition
     }.toArray
   }
 
@@ -187,14 +230,21 @@ class CrawlFsReader(part: CrawlFsPartition, excl: Set[String], binaryPaths: Bool
   def this(part: CrawlFsPartition, excl: Set[String]) = this(part, excl, false)
 
   private val pendingDirs = mutable.Stack[Array[Byte]](part.subtrees: _*)
+  private val pendingShallow = mutable.Stack[Array[Byte]](part.shallow: _*)
   private var entryIter: Iterator[RawEntry] = part.loose.iterator
   private var current: InternalRow = _
 
   override def next(): Boolean = {
-    while (!entryIter.hasNext && pendingDirs.nonEmpty) {
-      val (entries, children) = FsScanner.listDirBytes(pendingDirs.pop(), excl)
-      pendingDirs.pushAll(children)
-      entryIter = entries.iterator
+    while (!entryIter.hasNext && (pendingShallow.nonEmpty || pendingDirs.nonEmpty)) {
+      if (pendingShallow.nonEmpty) {
+        // dir-only planner unit: emit direct entries, do NOT descend —
+        // the children are other partitions' units
+        entryIter = FsScanner.listDirBytes(pendingShallow.pop(), excl)._1.iterator
+      } else {
+        val (entries, children) = FsScanner.listDirBytes(pendingDirs.pop(), excl)
+        pendingDirs.pushAll(children)
+        entryIter = entries.iterator
+      }
     }
     if (!entryIter.hasNext) return false
     val e = entryIter.next()

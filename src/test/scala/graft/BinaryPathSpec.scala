@@ -67,14 +67,15 @@ class BinaryPathSpec extends SparkSpec {
     }
     val scan = new CrawlFsScan(
       Seq(root.toString), Set.empty, targetParts = 64, maxLoose = 60,
-      binaryPaths = false)
+      binaryPaths = false, overSub = 1)
     val parts = scan.planInputPartitions().map(_.asInstanceOf[CrawlFsPartition])
     val nLoose = parts.map(_.loose.size).sum
-    val nSubtrees = parts.map(_.subtrees.size).sum
+    val nUnits = parts.map(p => p.subtrees.size + p.shallow.size).sum
     // bounded buffering: budget + at most one directory's overshoot
     assert(nLoose <= 60 + 50)
-    // the unexpanded directories became executor-side subtree walks
-    assert(nSubtrees >= 3)
+    // the over-budget directories became executor-side units (dir-only
+    // shallow listings or subtree walks), not driver buffers
+    assert(nUnits >= 3)
     // and nothing is lost: the full read still sees all 255 entries
     val n = spark.read.format("graft.crawl.CrawlFsProvider")
       .option("roots", root.toString)

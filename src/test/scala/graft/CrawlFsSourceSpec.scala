@@ -1,5 +1,7 @@
 package graft
 
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.functions._
 
 import graft.crawl._
@@ -41,6 +43,40 @@ class CrawlFsSourceSpec extends SparkSpec {
     // and the union over partitions is still exactly-once
     val n = df.count()
     assert(df.select("path").distinct().count() == n)
+  }
+
+  test("adaptive planning: a 90%-hot directory spreads instead of pinning one task") {
+    // one directory holds ~90% of the files (10 subdirs × 90 files);
+    // 16 small siblings hold the rest — the shape of every real
+    // filesystem's giant project dir
+    val root = Files.createTempDirectory(Paths.get("target"), "hottree")
+    (0 until 10).foreach { s =>
+      val d = root.resolve("big").resolve(s"sub$s")
+      Files.createDirectories(d)
+      (0 until 90).foreach(i => Files.write(d.resolve(s"f$i"), Array[Byte]('x')))
+    }
+    (0 until 16).foreach { s =>
+      val d = root.resolve(s"small$s")
+      Files.createDirectories(d)
+      (0 until 6).foreach(i => Files.write(d.resolve(s"f$i"), Array[Byte]('x')))
+    }
+    // small loose budget forces subtree partitions (the scale regime);
+    // ratio = max partition entry-count over mean
+    def ratio(overSub: Int): Double = {
+      val counts = spark.read.format("graft.crawl.CrawlFsProvider")
+        .option("roots", root.toString)
+        .option("targetPartitions", "8")
+        .option("maxLooseEntries", "100")
+        .option("oversubscribe", overSub.toString)
+        .load()
+        .groupBy(spark_partition_id()).count()
+        .collect().map(_.getLong(1))
+      counts.max.toDouble / (counts.sum.toDouble / counts.length)
+    }
+    // static packing (no oversubscription) pins the hot subtree: ~n× skew
+    assert(ratio(1) > 4.0, "fixture too tame: static packing should skew")
+    // oversubscribed planning keeps partitions within the 4× bound
+    assert(ratio(CrawlFsSource.DefaultOversubscribe) <= 4.0)
   }
 
   test("V2 source: column pruning-friendly narrow select works") {
