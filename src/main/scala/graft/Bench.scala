@@ -20,21 +20,26 @@ import org.apache.spark.sql.SparkSession
   * count()-ed — count lets EliminateSorts drop final ORDER BYs and
   * under-measures.
   *
-  * SPARK_GRAFT_BENCH_MODE=seq runs the queries one at a time instead
-  * (cache cleared between queries) — per-query latencies are then
-  * attributable to the individual plan, the mode used for plan-change
-  * comparisons in PERF.md. The driver's headline number stays the
-  * default concurrent mode.
+  * The default mode ("both") follows the concurrent run with a
+  * sequential pass (cache cleared between queries) and reports it as
+  * "queries_seq" in the same JSON line — seq latencies are
+  * attributable to the individual plan, so round-over-round
+  * regressions stop being guesswork about queue contention. The
+  * headline "value" stays the concurrent wall. SPARK_GRAFT_BENCH_MODE=
+  * seq or concurrent runs just that pass. Failures are logged to
+  * stderr in BOTH passes — a failed query's latency is visibly
+  * invalid, never silently fast.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val mode = sys.env.getOrElse("SPARK_GRAFT_BENCH_MODE", "concurrent")
+    val mode = sys.env.getOrElse("SPARK_GRAFT_BENCH_MODE", "both")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -43,37 +48,54 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().count()
 
-    val t0 = System.nanoTime()
-    val results: Map[String, Double] =
-      if (mode == "seq") {
-        SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-          val s0 = System.nanoTime()
-          try { fn(spark, sfDir).collect() } catch { case _: Throwable => null }
-          spark.catalog.clearCache()
-          name -> (System.nanoTime() - s0) / 1e9
-        }.toMap
-      } else {
-        val pool = Executors.newFixedThreadPool(8)
-        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-        val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
-          Future {
-            val s0 = System.nanoTime()
-            try { fn(spark, sfDir).collect() } catch {
-              case e: Throwable =>
-                System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            }
-            name -> (System.nanoTime() - s0) / 1e9
-          }
+    def runSeq(): Map[String, Double] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val s0 = System.nanoTime()
+        try { fn(spark, sfDir).collect() } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] seq $name failed: ${e.getMessage}")
         }
-        val r = Await.result(Future.sequence(futures), Duration.Inf).toMap
-        pool.shutdown()
-        r
-      }
-    val total = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        name -> (System.nanoTime() - s0) / 1e9
+      }.toMap
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def runConcurrent(): Map[String, Double] = {
+      val pool = Executors.newFixedThreadPool(8)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
+        Future {
+          val s0 = System.nanoTime()
+          try { fn(spark, sfDir).collect() } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          }
+          name -> (System.nanoTime() - s0) / 1e9
+        }
+      }
+      val r = Await.result(Future.sequence(futures), Duration.Inf).toMap
+      pool.shutdown()
+      spark.catalog.clearCache() // self-join persists must not leak into the seq pass
+      r
+    }
+
+    def js(m: Map[String, Double]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
+    def timed[A](f: () => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f()
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    // headline wall = the concurrent workload only (seq is diagnostics)
+    val (results, total, seqResults) = mode match {
+      case "seq"        => val (r, w) = timed(runSeq _); (r, w, None)
+      case "concurrent" => val (r, w) = timed(runConcurrent _); (r, w, None)
+      case _ =>
+        val (r, w) = timed(runConcurrent _)
+        (r, w, Some(runSeq()))
+    }
+    val seqField = seqResults.map(s => s""","queries_seq":${js(s)}""").getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)}$seqField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -9,8 +9,13 @@ import org.apache.spark.sql.functions._
   * pruning reach the file source. The only special case is `events`:
   * its `ts` column is physical parquet INT64 TIMESTAMP(NANOS), which
   * Spark's vectorized reader rejects; we read it as a raw Long of
-  * epoch-nanoseconds (`spark.sql.legacy.parquet.nanosAsLong`) and
-  * expose normalized epoch projections in [[graft.functions.Exprs]].
+  * epoch-nanoseconds and expose normalized epoch projections in
+  * [[graft.functions.Exprs]]. Sessions that read `events` must set
+  * `spark.sql.legacy.parquet.nanosAsLong=true` AT BUILD TIME (all the
+  * entry points here do — Verify/Bench/Plans/Diag mains, CLI mains,
+  * SparkSpec); it is deliberately NOT set inside the reader, which
+  * would mutate shared session state from concurrently-running query
+  * functions.
   */
 object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
@@ -39,11 +44,9 @@ object Tables {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
-  /** `events` with `ts` as LongType epoch-nanoseconds (see scaladoc above). */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-  }
+  /** `events` with `ts` as LongType epoch-nanoseconds (see scaladoc
+    * above — requires nanosAsLong set at session build). */
+  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
 
   /** `events.ts` normalized to epoch seconds (truncating, matching the
     * reference's `int(float_epoch)` truncation, storcrawl.py:368-370). */

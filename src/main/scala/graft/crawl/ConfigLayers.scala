@@ -78,9 +78,16 @@ object ConfigLayers {
         env.get(envKey) match {
           case Some(v) => List(v)
           case None =>
-            // explicit config file (CLI/env) replaces the default chain
+            // explicit config file (CLI/env) replaces the default chain;
+            // unlike the silent default chain, a NAMED file that cannot
+            // be read is an error (configargparse parity: a typo'd
+            // --config-file must not silently resolve as if absent)
             val explicit = cli.get("config-file").flatMap(_.headOption)
               .orElse(env.get("STORCRAWL_CONFIG_FILE"))
+            explicit.foreach { p =>
+              require(Files.isReadable(Paths.get(p)),
+                s"config file not readable: $p")
+            }
             val chain = explicit.map(Seq(_)).getOrElse(rcPaths)
             // later files override earlier, per key
             chain.reverseIterator

@@ -16,6 +16,15 @@ import graft.functions.Exprs._
   * minhash-LSH shuffles signatures (tiny: 8 longs/doc), never raw text,
   * and candidate pairs only materialize within a band bucket; simhash is
   * a single aggregation pass per doc.
+  *
+  * Caching contract: the self-join operators persist small derived
+  * intermediates (band keys, gram lists, signatures) so one computation
+  * feeds both join branches. The returned plans are LAZY, so the
+  * operators cannot unpersist them themselves; callers that run many
+  * queries in one session clear between queries (Verify, seq bench) or
+  * at end of workload (concurrent bench) — a long-lived interactive
+  * session otherwise relies on Spark's LRU block eviction, which is
+  * safe (storage blocks are evictable) but keeps memory warm.
   */
 object Dedup {
 

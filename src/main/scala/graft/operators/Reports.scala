@@ -279,13 +279,18 @@ object Reports {
       .orderBy("p_partkey")
   }
 
-  /** F7 — JSON extraction from the status-jsonb analog (events.props). */
+  /** F7 — JSON extraction from the status-jsonb analog (events.props).
+    * json_tuple parses the document ONCE (a generator, so the parse
+    * cannot be duplicated by projection collapsing the way a repeated
+    * get_json_object can); both output columns derive from the single
+    * extracted field — at 100 TB the JSON parse IS the scan cost. */
   val qJsonExtract: Q = (s, d) => {
     val ev = Tables.events(s, d)
-    ev.select(
+    ev.select(col("event_id"), json_tuple(col("props"), "k").as("k_str"))
+      .select(
         col("event_id"),
-        get_json_object(col("props"), "$.k").as("k_str"),
-        get_json_object(col("props"), "$.k").cast(LongType).as("k_num"))
+        col("k_str"),
+        col("k_str").cast(LongType).as("k_num"))
       .orderBy("event_id")
   }
 

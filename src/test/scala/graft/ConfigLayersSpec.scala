@@ -98,4 +98,19 @@ class ConfigLayersSpec extends AnyFunSuite {
     assert(ConfigLayers.resolveOne("tag", Map.empty, "d",
       env = Map.empty, rcPaths = Seq("/nonexistent/rc")) == "d")
   }
+
+  test("an explicitly named config file that is unreadable fails fast") {
+    // configargparse errors on a missing explicit config file; a typo'd
+    // path must not silently resolve as if no rc existed
+    val exCli = intercept[IllegalArgumentException] {
+      ConfigLayers.resolve("tag",
+        Map("config-file" -> List("/nonexistent/typo.rc")), env = Map.empty)
+    }
+    assert(exCli.getMessage.contains("/nonexistent/typo.rc"))
+    val exEnv = intercept[IllegalArgumentException] {
+      ConfigLayers.resolve("tag", Map.empty,
+        env = Map("STORCRAWL_CONFIG_FILE" -> "/nonexistent/typo.rc"))
+    }
+    assert(exEnv.getMessage.contains("not readable"))
+  }
 }
