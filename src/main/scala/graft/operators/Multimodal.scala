@@ -7,12 +7,15 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, processed in partition-batched map
   * operators.
   *
-  * The Spark-side plumbing — schema, batch shape, partitioning — is
-  * real and tested; the codec step is STUBBED (media libraries are not
-  * in this container) behind [[decodeStub]], a deterministic fake that
-  * derives "features" from the bytes so tests have stable oracles. In
-  * production the stub body is the only thing to replace (JNI/ffmpeg/
-  * javax.imageio), the operator shape does not change.
+  * IMAGE decode is REAL: javax.imageio ships in the JDK (PNG, JPEG,
+  * BMP, GIF, WBMP), so [[decode]] reads actual pixel dimensions and
+  * extracts a genuine 8-bin luminance histogram, and [[resize]] does a
+  * real Graphics2D rescale + PNG re-encode. Audio/video codecs are
+  * genuinely absent in-JVM, so those kinds (and undecodable image
+  * payloads) fall back to [[decodeStub]], a deterministic byte-derived
+  * fake, loudly documented as the production replacement point
+  * (JNI/ffmpeg). The operator shapes — schema, batch form,
+  * partitioning — are identical either way.
   *
   * Scale: media blobs never shuffle — every operator here is a
   * scan-side mapPartitions; only extracted features (small, fixed-width)
@@ -36,7 +39,9 @@ object Multimodal {
       kind: String,
       n_bytes: Long,
       checksum: Long,
-      feature: Array[Float]) // stub embedding
+      feature: Array[Float],      // luminance histogram (real) or stub embedding
+      width: Option[Int] = None,  // decoded pixel dims (real image path only)
+      height: Option[Int] = None)
 
   final case class MediaFrame(
       media_id: Long,
@@ -44,12 +49,17 @@ object Multimodal {
       t_ms: Long,
       frame: Array[Byte])
 
-  /** STUB decode: deterministic byte-derived pseudo-features standing in
-    * for a real image/audio decoder. Replace body for production. */
-  private[operators] def decodeStub(r: MediaRow): MediaFeatures = {
-    val bytes = if (r.payload == null) Array.empty[Byte] else r.payload
+  private def checksumOf(bytes: Array[Byte]): Long = {
     var h = 1125899906842597L // deterministic FNV-ish rolling checksum
     bytes.foreach(b => h = h * 31 + (b & 0xff))
+    h
+  }
+
+  /** STUB decode: deterministic byte-derived pseudo-features standing in
+    * for the codecs the JVM lacks (audio/video). Replace body for
+    * production (JNI/ffmpeg). */
+  private[operators] def decodeStub(r: MediaRow): MediaFeatures = {
+    val bytes = if (r.payload == null) Array.empty[Byte] else r.payload
     val feat = Array.tabulate(8) { i =>
       // fake "feature extraction": windowed byte averages
       val slice = bytes.drop(i * math.max(1, bytes.length / 8))
@@ -57,36 +67,98 @@ object Multimodal {
       if (slice.isEmpty) 0f
       else slice.map(b => (b & 0xff).toFloat).sum / slice.length / 255f
     }
-    MediaFeatures(r.media_id, r.kind, bytes.length.toLong, h, feat)
+    MediaFeatures(r.media_id, r.kind, bytes.length.toLong, checksumOf(bytes), feat)
   }
+
+  /** REAL image decode via javax.imageio: actual pixel dimensions and a
+    * normalized 8-bin luminance histogram (Rec. 601 weights). Returns
+    * None when the payload is not a decodable image. */
+  private[operators] def decodeImage(r: MediaRow): Option[MediaFeatures] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val bins = new Array[Long](8)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) * 299 +
+              ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+            bins(math.min(7, lum >> 5)) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val n = img.getWidth.toLong * img.getHeight
+        Some(MediaFeatures(
+          r.media_id, r.kind, r.payload.length.toLong, checksumOf(r.payload),
+          bins.map(_.toFloat / n),
+          Some(img.getWidth), Some(img.getHeight)))
+      }
+    } catch { case _: Exception => None }
+
+  /** Kind dispatch: real image decode, stub for the codec-less kinds
+    * and for payloads imageio cannot parse. */
+  private[operators] def decode(r: MediaRow): MediaFeatures =
+    if (r.kind == "image" && r.payload != null)
+      decodeImage(r).getOrElse(decodeStub(r))
+    else decodeStub(r)
 
   /** Batched feature extraction: the mapPartitions shape a real decoder
     * needs (amortize codec init per partition, stream rows). */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // production: initialize the codec ONCE here, then stream
-      rows.map(decodeStub)
+      // heavier codecs would initialize ONCE here, then stream
+      rows.map(decode)
     }
   }
 
-  /** STUB resize: a real implementation decodes, scales, re-encodes;
-    * the stub deterministically truncates/pads the payload to the
-    * target "pixel count" so tests have stable oracles. The operator
-    * contract — (row, targetW, targetH) → row with updated payload and
-    * metadata, batched per partition — is the real part. */
+  /** Resize. Images: REAL decode → Graphics2D bilinear rescale → PNG
+    * re-encode. Other kinds (and undecodable payloads) keep the stub
+    * truncate/pad so the operator contract — (row, targetW, targetH) →
+    * row with updated payload + metadata, batched per partition — is
+    * uniform across kinds. */
   def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // production: codec init once per partition here
       rows.map { r =>
-        val target = math.max(1, w * h)
-        val bytes = if (r.payload == null) Array.empty[Byte] else r.payload
-        val out = Array.tabulate(target)(i => bytes(i % math.max(1, bytes.length)))
-        r.copy(payload = out, width = Some(w), height = Some(h))
+        val real =
+          if (r.kind == "image" && r.payload != null) resizeImage(r, w, h)
+          else None
+        real.getOrElse {
+          val target = math.max(1, w * h)
+          val bytes = if (r.payload == null) Array.empty[Byte] else r.payload
+          val out = Array.tabulate(target)(i => bytes(i % math.max(1, bytes.length)))
+          r.copy(payload = out, width = Some(w), height = Some(h))
+        }
       }
     }
   }
+
+  private[operators] def resizeImage(r: MediaRow, w: Int, h: Int): Option[MediaRow] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload))
+      if (img == null) None
+      else {
+        val scaled = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = scaled.createGraphics()
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(scaled, "png", bos)
+        Some(r.copy(payload = bos.toByteArray, mime = "image/png",
+          width = Some(w), height = Some(h)))
+      }
+    } catch { case _: Exception => None }
 
   /** STUB frame sampling: a video row explodes into ~`n` frame rows
     * (payload slices standing in for decoded frames). The row-explosion

@@ -1,0 +1,70 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import graft.operators.Multimodal
+import graft.operators.Multimodal.MediaRow
+
+/** Real in-JVM image decode/resize (javax.imageio) + stub fallbacks. */
+class MultimodalSpec extends SparkSpec {
+
+  /** Left half black, right half white — known luminance histogram. */
+  private def halfPng(w: Int, h: Int, format: String = "png"): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xffffff)
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
+  test("image decode extracts real pixel dimensions and luminance histogram") {
+    import spark.implicits._
+    val media = Seq(
+      MediaRow(1L, "image", halfPng(6, 4), "image/png", None, None, None),
+      MediaRow(2L, "image", halfPng(8, 8, "bmp"), "image/bmp", None, None, None)
+    ).toDS()
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(f => f.media_id -> f).toMap
+    val png = feats(1L)
+    assert(png.width.contains(6) && png.height.contains(4), "real decoded dims")
+    // half the pixels are pure black (bin 0), half pure white (bin 7)
+    assert(math.abs(png.feature(0) - 0.5f) < 1e-6f)
+    assert(math.abs(png.feature(7) - 0.5f) < 1e-6f)
+    assert((1 to 6).forall(i => png.feature(i) == 0f))
+    val bmp = feats(2L)
+    assert(bmp.width.contains(8) && bmp.height.contains(8))
+  }
+
+  test("image resize really rescales: output payload decodes at target dims") {
+    import spark.implicits._
+    val media = Seq(
+      MediaRow(1L, "image", halfPng(8, 8), "image/png", Some(8), Some(8), None)
+    ).toDS()
+    val out = Multimodal.resize(media, 3, 2).collect().head
+    assert(out.width.contains(3) && out.height.contains(2))
+    assert(out.mime == "image/png")
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out.payload))
+    assert(back.getWidth == 3 && back.getHeight == 2,
+      "re-encoded payload is a real 3x2 image")
+    // content survives: left edge dark, right edge bright
+    assert((back.getRGB(0, 0) & 0xff) < 0x80)
+    assert((back.getRGB(2, 0) & 0xff) > 0x80)
+  }
+
+  test("undecodable image payload and codec-less kinds fall back to the stub") {
+    import spark.implicits._
+    val media = Seq(
+      MediaRow(3L, "image", Array[Byte](1, 2, 3, 4), "image/png", None, None, None),
+      MediaRow(4L, "audio", Array[Byte](9, 9), "audio/wav", None, None, Some(100L))
+    ).toDS()
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(f => f.media_id -> f).toMap
+    // stub output: 8 features, no decoded dims
+    assert(feats(3L).feature.length == 8 && feats(3L).width.isEmpty)
+    assert(feats(4L).feature.length == 8 && feats(4L).width.isEmpty)
+    assert(feats(3L).n_bytes == 4 && feats(4L).n_bytes == 2)
+  }
+}
