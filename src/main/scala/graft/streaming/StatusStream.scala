@@ -107,7 +107,13 @@ object StatusStream {
       .dropDuplicatesWithinWatermark("status", "time")
 
   /** Micro-batched status sink: commit cadence ↔ the reference's
-    * `--timeout` (T2). Each batch appends to the status table path. */
+    * `--timeout` (T2). foreachBatch is at-least-once — after a crash
+    * between the sink write and the checkpoint commit, the batch is
+    * REPLAYED with the same batchId — so the write must be idempotent
+    * to get exactly-once: each batch overwrites its own
+    * `batch_id=<id>` partition directory instead of blind-appending.
+    * A replay rewrites identical data in place; readers see the whole
+    * table via partition discovery on `outPath`. */
   def statusSink(
       rates: DataFrame,
       outPath: String,
@@ -117,7 +123,7 @@ object StatusStream {
       .outputMode(OutputMode.Append)
       .trigger(Trigger.ProcessingTime(cadence))
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        batch.write.mode("append").parquet(outPath)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
       }
 }

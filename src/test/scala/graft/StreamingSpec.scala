@@ -126,6 +126,74 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("statusSink recovery: checkpoint resume + forced batch replay stay exactly-once") {
+    import spark.implicits._
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), p).toString
+    val landing = tmp("sinkland")
+    val ckpt = tmp("sinkckpt")
+    val outDir = tmp("sinkout")
+    val t0 = 1700000000L
+    def startSink(checkpoint: String) = StatusStream.statusSink(
+      spark.readStream
+        .schema("time TIMESTAMP, status STRING, value DOUBLE")
+        .parquet(landing),
+      outDir, checkpoint, cadence = "1 seconds").start()
+
+    // run 1: two rows land, batch 0 commits, then the stream "dies"
+    Seq((new Timestamp(t0 * 1000), "files", 10.0),
+        (new Timestamp((t0 + 30) * 1000), "files", 20.0))
+      .toDF("time", "status", "value")
+      .write.mode("append").parquet(landing)
+    val q1 = startSink(ckpt)
+    q1.processAllAvailable()
+    q1.stop()
+
+    // simulate the worst crash point: sink output was written but the
+    // checkpoint commit was lost — Spark must REPLAY that batch on
+    // restart, and the idempotent per-batch overwrite must not double.
+    // (The surgery happens on a COPY of the checkpoint: Spark's
+    // same-JVM metadata-log cache would flag in-place deletion as a
+    // concurrent query; a copied path is exactly the restart-from-
+    // backup-checkpoint crash shape.)
+    import scala.jdk.CollectionConverters._
+    val ckpt2 = tmp("sinkckpt2")
+    java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt)).iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .foreach { src =>
+        val dst = java.nio.file.Paths.get(ckpt2)
+          .resolve(java.nio.file.Paths.get(ckpt).relativize(src))
+        java.nio.file.Files.createDirectories(dst.getParent)
+        java.nio.file.Files.copy(src, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    val commits = java.nio.file.Paths.get(ckpt2, "commits")
+    val maxCommit = java.nio.file.Files.list(commits).iterator().asScala
+      .filter(_.getFileName.toString.forall(_.isDigit))
+      .maxBy(_.getFileName.toString.toLong)
+    java.nio.file.Files.delete(maxCommit)
+    // and its Hadoop checksum companion — a stale .N.crc makes the
+    // local filesystem's atomic rewrite fail as a phantom conflict
+    java.nio.file.Files.deleteIfExists(
+      commits.resolve("." + maxCommit.getFileName.toString + ".crc"))
+
+    // more data lands while "down"
+    Seq((new Timestamp((t0 + 90) * 1000), "dirs", 5.0))
+      .toDF("time", "status", "value")
+      .write.mode("append").parquet(landing)
+
+    // run 2: resumes from the copied checkpoint, replays batch 0, takes batch 1
+    val q2 = startSink(ckpt2)
+    q2.processAllAvailable()
+    q2.stop()
+
+    val out = spark.read.parquet(outDir)
+      .select("status", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(out.length == 3, s"exactly-once violated: ${out.toSeq.sorted}")
+    assert(out.toSet == Set(("files", 10.0), ("files", 20.0), ("dirs", 5.0)))
+  }
+
   test("counterRates: stateful (now-prev)/interval across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
