@@ -193,6 +193,61 @@ object Dedup {
     labels
   }
 
+  /** Alternating large-star/small-star connected components (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond") — the variant
+    * for candidate graphs with LONG CHAINS, where min-label propagation
+    * pays O(diameter) rounds and even pointer jumping carries the full
+    * label table through every round. Each round rewrites the EDGE set:
+    *
+    *   large-star: every node's strictly-larger neighbors re-attach to
+    *     the minimum of its closed neighborhood;
+    *   small-star: every node and its smaller neighbors re-attach to
+    *     the smallest of them.
+    *
+    * Both preserve connectivity and strictly flatten the graph; the
+    * fixed point is a star per component centered on its minimum id.
+    * Converges in O(log n) rounds on a path (spec-asserted), each round
+    * two groupBy-join shuffles over the CURRENT edge set (which only
+    * shrinks toward one edge per node). Lineage is truncated per round
+    * (localCheckpoint) like the other iterative path.
+    *
+    * Returns (labels(id, comp), rounds). */
+  private[graft] def componentsLargeSmallStar(
+      edgesIn: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
+    def canon(e: DataFrame): DataFrame = e
+      .select(least(col("a"), col("b")).as("l"), greatest(col("a"), col("b")).as("g"))
+      .filter(col("l") =!= col("g")).distinct()
+    def largeStar(e: DataFrame): DataFrame = {
+      val nb = e.select(col("l").as("u"), col("g").as("v"))
+        .unionAll(e.select(col("g").as("u"), col("l").as("v")))
+      val m = nb.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      nb.filter(col("v") > col("u")).join(m, "u")
+        .select(col("v").as("a"), col("m").as("b"))
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // neighbors smaller than u (the canonical (l,g) edge IS that list)
+      val nbDown = e.select(col("g").as("u"), col("l").as("v"))
+      val m = nbDown.groupBy("u").agg(min(col("v")).as("m"))
+      nbDown.join(m, "u").select(col("v").as("a"), col("m").as("b"))
+        .unionAll(m.select(col("u").as("a"), col("m").as("b")))
+    }
+    var edges = canon(edgesIn).localCheckpoint()
+    var rounds = 0
+    var done = edges.isEmpty
+    while (!done && rounds < maxRounds) {
+      val next = canon(smallStar(canon(largeStar(edges)))).localCheckpoint()
+      done = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      edges = next
+      rounds += 1
+    }
+    require(done, s"large/small-star did not converge in $rounds rounds")
+    val labels = edges.select(col("g").as("id"), col("l").as("comp"))
+      .unionAll(edges.select(col("l").as("id"), col("l").as("comp")))
+      .groupBy("id").agg(min(col("comp")).as("comp"))
+    (labels, rounds)
+  }
+
   val qDedupComponents: Q = (s, d) => {
     // checkpoint the candidate pairs once: both the size probe and the
     // chosen algorithm read them, and the pair pipeline must not rerun

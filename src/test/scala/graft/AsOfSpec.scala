@@ -65,8 +65,33 @@ class AsOfSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val loop = Dedup.componentsDistributed(edges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (starDf, _) = Dedup.componentsLargeSmallStar(edges)
+    val star = starDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     spark.catalog.clearCache()
     assert(fast.nonEmpty)
     assert(fast == loop)
+    assert(fast == star)
+  }
+
+  test("large/small-star: long-chain graph converges in O(log n) rounds") {
+    import spark.implicits._
+    // a 256-node path — the worst case for plain label propagation
+    // (diameter 255) and the shape the star variant exists for
+    val n = 256
+    val path = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("a", "b")
+    val (labelsDf, rounds) = Dedup.componentsLargeSmallStar(path)
+    val labels = labelsDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == n && labels.values.forall(_ == 0L),
+      "every path node must label to the minimum")
+    // O(log n): comfortably under 2·log2(256)=16, vs ~255 propagation rounds
+    assert(rounds <= 16, s"took $rounds rounds on a ${n}-node path")
+
+    // multi-component sanity: two chains + an isolated pair
+    val multi = (Seq((10L, 11L), (11L, 12L), (20L, 21L), (30L, 31L), (21L, 22L)))
+      .toDF("a", "b")
+    val (m, _) = Dedup.componentsLargeSmallStar(multi)
+    val got = m.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 30L -> 30L, 31L -> 30L))
   }
 }
