@@ -32,7 +32,9 @@ object CrawlMain {
     val excl = FsScanner.DefaultExclusions ++ ConfigLayers.resolve("exclude", cli)
     val joinPlan = ConfigLayers.resolve("join-plan", cli)
       .lastOption.exists(ConfigLayers.isTrue)
-    val useV2 = ConfigLayers.resolveOne("source", cli, "bfs") == "v2"
+    // the V2 distributed scan is the default path; --source bfs keeps
+    // the level-by-level debug pipeline
+    val useV2 = ConfigLayers.resolveOne("source", cli, "v2") == "v2"
     if (ConfigLayers.resolve("debug", cli).lastOption.exists(ConfigLayers.isTrue))
       System.err.println(
         s"[config] dirs=$dirs tag=$tag out=$out owners=$owners excl=$excl " +
@@ -51,26 +53,14 @@ object CrawlMain {
     spark.sparkContext.setLogLevel("WARN")
     try {
       val ctrs = Crawl.counters(spark)
+      // the reference's per-10k-records progress cadence (storcrawl.py:80)
+      val progress = ProgressListener.register(spark, ctrs)
       val t0ms = System.currentTimeMillis()
       val df = Crawl.run(spark, dirs, owners, excl, joinPlan,
-        Some(ctrs).filter(_ => !useV2), useV2Source = useV2)
+        Some(ctrs), useV2Source = useV2)
       Crawl.writeParquet(df, out, tag)
       val t1ms = System.currentTimeMillis()
-      if (useV2) {
-        // the V2 source bypasses the accumulators; derive the gauges
-        // from the written table so the status stream is never zeroed
-        import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum, when}
-        // S_IFDIR = 0x4000 = bit 14 → position 5 of the 19-char mode
-        val isDir = col("st_mode").substr(5, 1) === "1"
-        val agg = spark.read.parquet(s"$out/crawl_tag=$tag")
-          .agg(count(when(!isDir, 1)), count(when(isDir, 1)),
-               sum(coalesce(col("st_size"), lit(0L))),
-               count(col("error"))).head()
-        ctrs.filesSeen.add(agg.getLong(0))
-        ctrs.dirsSeen.add(agg.getLong(1))
-        ctrs.totalSize.add(agg.getLong(2))
-        ctrs.statErrors.add(agg.getLong(3))
-      }
+      spark.sparkContext.removeSparkListener(progress)
       Crawl.writeStatus(
         Crawl.statusRows(spark, ctrs, t0ms / 1000, math.max(t1ms, t0ms + 1000) / 1000),
         out, tag)

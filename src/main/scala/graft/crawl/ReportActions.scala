@@ -115,6 +115,120 @@ object ReportActions {
       case "large_old_files" => largeOldFiles(files, nowEpoch)
       case other => sys.error(s"unknown action: $other (report.py:217-235 names)")
     }
+
+  // ---- repr()-faithful CSV display (report.py:88-101) ----------------
+  //
+  // The reference renders each cell with Python `repr()` (datetimes via
+  // isoformat(' ')) and comma-joins — so strings appear quoted with
+  // Python escape rules and floats in Python's shortest round-trip
+  // form. These functions reproduce that byte-for-byte for the types a
+  // report row carries. One deliberate divergence: bytea cells render
+  // as a bytes literal b'..' (psycopg2 hands repr() a memoryview whose
+  // repr embeds a heap address — unreproducible garbage not worth
+  // porting).
+
+  /** Python str repr: preferred single quotes, double when the string
+    * contains ' but no ", backslash escapes, \xNN for control chars. */
+  private[graft] def pyStrRepr(s: String): String = {
+    val q = if (s.contains('\'') && !s.contains('"')) '"' else '\''
+    val sb = new StringBuilder
+    sb += q
+    s.foreach {
+      case '\\'            => sb ++= "\\\\"
+      case c if c == q     => sb += '\\' += q
+      case '\n'            => sb ++= "\\n"
+      case '\r'            => sb ++= "\\r"
+      case '\t'            => sb ++= "\\t"
+      case c if c < ' ' || c == '\u007f' => sb ++= f"\\x${c.toInt}%02x"
+      case c               => sb += c
+    }
+    (sb += q).toString
+  }
+
+  /** Python bytes repr: b'..' with printable ASCII kept. */
+  private[graft] def pyBytesRepr(bytes: Array[Byte]): String = {
+    val sb = new StringBuilder("b'")
+    bytes.foreach { b =>
+      val c = (b & 0xff).toChar
+      c match {
+        case '\\' => sb ++= "\\\\"
+        case '\'' => sb ++= "\\'"
+        case '\n' => sb ++= "\\n"
+        case '\r' => sb ++= "\\r"
+        case '\t' => sb ++= "\\t"
+        case c if c >= ' ' && c < '\u007f' => sb += c
+        case _    => sb ++= f"\\x${b & 0xff}%02x"
+      }
+    }
+    (sb += '\'').toString
+  }
+
+  /** Python float repr: Java's shortest round-trip digits re-laid-out
+    * under Python's formatting rule (positional iff the leading digit's
+    * decimal exponent is in (-5, 16), else `d.dddde±NN`). */
+  private[graft] def pyFloatRepr(d: Double): String = {
+    if (d.isNaN) return "nan"
+    if (d.isInfinite) return if (d > 0) "inf" else "-inf"
+    if (d == 0.0) return if (1 / d < 0) "-0.0" else "0.0"
+    val sign = if (d < 0) "-" else ""
+    val s = java.lang.Double.toString(math.abs(d))
+    // extract (significant digits, exponent of leading digit)
+    val (digits, exp10) =
+      if (s.contains('E')) {
+        val Array(m, e) = s.split('E')
+        val dm = m.replace(".", "").reverse.dropWhile(_ == '0').reverse
+        (if (dm.isEmpty) "0" else dm, e.toInt)
+      } else {
+        val dot = s.indexOf('.')
+        val raw = s.replace(".", "")
+        val lead = raw.indexWhere(_ != '0')
+        val dm = raw.drop(lead).reverse.dropWhile(_ == '0').reverse
+        (if (dm.isEmpty) "0" else dm, dot - 1 - lead)
+      }
+    if (exp10 > -5 && exp10 < 16) {
+      if (exp10 >= 0) {
+        val intPart = digits.padTo(exp10 + 1, '0').take(exp10 + 1)
+        val frac = digits.drop(exp10 + 1)
+        sign + intPart + "." + (if (frac.isEmpty) "0" else frac)
+      } else {
+        sign + "0." + ("0" * (-exp10 - 1)) + digits
+      }
+    } else {
+      val mant =
+        if (digits.length == 1) digits
+        else digits.take(1) + "." + digits.drop(1)
+      val es = if (exp10 >= 0) "+" else "-"
+      sign + mant + f"e$es${math.abs(exp10)}%02d"
+    }
+  }
+
+  /** datetime.isoformat(' '): micros only when nonzero, always 6 digits. */
+  private[graft] def pyTimestampRepr(ts: java.sql.Timestamp): String = {
+    val ldt = java.time.LocalDateTime.ofInstant(
+      ts.toInstant, java.time.ZoneOffset.UTC)
+    val base = f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-${ldt.getDayOfMonth}%02d " +
+      f"${ldt.getHour}%02d:${ldt.getMinute}%02d:${ldt.getSecond}%02d"
+    val micros = ldt.getNano / 1000
+    if (micros == 0) base else f"$base.$micros%06d"
+  }
+
+  /** One cell, report.py:94-100 semantics. */
+  private[graft] def pyRepr(v: Any): String = v match {
+    case null                     => "None"
+    case ts: java.sql.Timestamp   => pyTimestampRepr(ts)
+    case s: String                => pyStrRepr(s)
+    case b: Boolean               => if (b) "True" else "False"
+    case d: Double                => pyFloatRepr(d)
+    case f: Float                 => pyFloatRepr(f.toDouble)
+    case bd: java.math.BigDecimal => s"Decimal('${bd.toPlainString}')"
+    case bd: BigDecimal           => s"Decimal('${bd.bigDecimal.toPlainString}')"
+    case bytes: Array[Byte]       => pyBytesRepr(bytes)
+    case other                    => other.toString // int/long: repr == toString
+  }
+
+  /** One display row: repr-quoted cells, comma-joined (report.py:101). */
+  def csvLine(r: org.apache.spark.sql.Row): String =
+    r.toSeq.map(pyRepr).mkString(",")
 }
 
 /** CLI: runMain graft.crawl.ReportMain <action> --tag <tag> --base <dir>
@@ -154,7 +268,7 @@ object ReportMain {
       if (asJson) df.toJSON.toLocalIterator().forEachRemaining(println(_))
       else {
         println(df.columns.mkString(","))
-        df.toLocalIterator().forEachRemaining(r => println(r.mkString(",")))
+        df.toLocalIterator().forEachRemaining(r => println(ReportActions.csvLine(r)))
       }
     } finally spark.stop()
   }

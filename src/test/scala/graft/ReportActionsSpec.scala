@@ -84,4 +84,63 @@ class ReportActionsSpec extends SparkSpec {
     // brief over generated status works end-to-end
     assert(ReportActions.statusBrief(st).count() == byStatus.size)
   }
+
+  test("csvLine renders cells exactly as Python repr() (report.py:88-101)") {
+    import ReportActions._
+    // expected literals generated with CPython repr()/isoformat(' ')
+    assert(pyRepr("it's") == "\"it's\"")
+    assert(pyRepr("say \"hi\"") == "'say \"hi\"'")
+    assert(pyRepr("both'\"") == "'both\\'\"'")
+    assert(pyRepr("a,b") == "'a,b'")
+    assert(pyRepr("tab\there\nnl") == "'tab\\there\\nnl'")
+    assert(pyRepr(null) == "None")
+    assert(pyRepr(true) == "True" && pyRepr(false) == "False")
+    assert(pyRepr(42L) == "42" && pyRepr(7) == "7")
+    // float layout: positional vs exponent exactly at Python's switches
+    assert(pyRepr(2.0d) == "2.0")
+    assert(pyRepr(1e7) == "10000000.0")
+    assert(pyRepr(1e16) == "1e+16")
+    assert(pyRepr(1.5e-7) == "1.5e-07")
+    assert(pyRepr(0.0001) == "0.0001")
+    assert(pyRepr(0.00001) == "1e-05")
+    assert(pyRepr(-12345.678) == "-12345.678")
+    assert(pyRepr(0.0d) == "0.0")
+    assert(pyRepr(Double.NaN) == "nan")
+    assert(pyRepr(Double.PositiveInfinity) == "inf")
+    // datetimes: isoformat(' '), micros only when nonzero
+    val utc = java.util.TimeZone.getTimeZone("UTC")
+    val cal = java.util.Calendar.getInstance(utc)
+    cal.clear(); cal.set(2021, 5, 1, 0, 0, 0)
+    assert(pyRepr(new Timestamp(cal.getTimeInMillis)) == "2021-06-01 00:00:00")
+    cal.clear(); cal.set(2021, 5, 1, 12, 30, 5)
+    val withMicros = new Timestamp(cal.getTimeInMillis)
+    withMicros.setNanos(123456000)
+    assert(pyRepr(withMicros) == "2021-06-01 12:30:05.123456")
+    // bytes literal (documented memoryview divergence)
+    assert(pyRepr(Array[Byte]('a', 'b', 0xff.toByte, 0)) == "b'ab\\xff\\x00'")
+    assert(pyRepr(new java.math.BigDecimal("123.45")) == "Decimal('123.45')")
+    // whole rows comma-join like ','.join(...)
+    val line = csvLine(org.apache.spark.sql.Row("x,y", 1L, 2.0d, null))
+    assert(line == "'x,y',1,2.0,None")
+  }
+
+  test("progress listener: one line per 10k-analog boundary (log-listener cadence)") {
+    val root = new CrawlSpec().mkTree()
+    val ctrs = Crawl.counters(spark)
+    val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val l = ProgressListener.register(spark, ctrs, every = 3, log = lines.add(_))
+    try {
+      val n = Crawl.run(spark, Seq(root.toString), ctrs = Some(ctrs)).count()
+      // listener bus is async — poll briefly for delivery
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (lines.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(n >= 3, "fixture too small for the cadence test")
+      assert(!lines.isEmpty, "no progress line emitted")
+      val line = lines.peek()
+      assert(line.startsWith("[crawl] total count") && line.contains("files"),
+        s"unexpected format: $line")
+      // cadence, not per-task spam: at most one line per `every` records
+      assert(lines.size <= n / 3 + 1, s"${lines.size} lines for $n records")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
 }
