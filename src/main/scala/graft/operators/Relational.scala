@@ -1,0 +1,221 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+import graft.Tables
+import graft.functions.Exprs._
+
+/** Round-4 relational-breadth queries: grouping sets, bounded window
+  * frames, FILTER-clause aggregation, correlated scalar subqueries,
+  * deterministic mode, multi-join top-k revenue, calendar bucketing,
+  * and higher-order array functions — each with an exact DuckDB twin.
+  *
+  * Determinism follows the house rules: money as exact-decimal cents /
+  * e4 integers (never DECIMAL in a final SELECT), window frames pinned
+  * to ROWS with a unique ordering tiebreaker, NULLS FIRST pinned on
+  * rollup sorts, array math in scaled-integer space (exact, order-
+  * independent).
+  */
+object Relational {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** o_totalprice as exact integer cents. */
+  private def orderCents = (dec2(col("o_totalprice")) * 100).cast(LongType)
+
+  /** GROUPING SETS with grouping_id — the general form behind the
+    * already-verified CUBE/ROLLUP: per (flag,status), per flag, and
+    * grand total in ONE pass (Spark expands to a single shuffle with
+    * one replicated aggregate, not three scans). */
+  val qGroupingSets: Q = (s, d) =>
+    s.sql(
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+         |  COUNT(*) AS n,
+         |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) * 100 AS BIGINT) AS qty_cents
+         |FROM parquet.`$d/lineitem.parquet`
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+         |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+
+  /** Bounded moving-window frame: per-customer trailing-4-order spend.
+    * ROWS (not the default RANGE) with a unique (date, orderkey)
+    * ordering, so the frame contents are identical across engines. */
+  val qMovingWindow: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-3, Window.currentRow)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        orderCents.as("cents"))
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        sum(col("cents")).over(w).cast(LongType).as("mov_cents"),
+        count(lit(1)).over(w).cast(LongType).as("n_win"))
+      .orderBy("o_orderkey")
+  }
+
+  /** FILTER-clause conditional aggregation (count/sum over different
+    * predicates in one pass — one shuffle, no self-joins). */
+  val qFilteredAgg: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_all"),
+        count(when(col("l_quantity") > 25d, 1)).as("n_big"),
+        sum(when(col("l_discount") < 0.03d, dec2(col("l_extendedprice"))))
+          .cast(DecimalType(18, 2)).*(100).cast(LongType).as("lowdisc_cents"))
+      .orderBy("l_returnflag")
+
+  /** Multi-join top-k: revenue per order (the TPC-H Q3 shape) — partial
+    * aggregation on lineitem BEFORE the orders join, so the join input
+    * is one row per order, then a global top-10 (TakeOrderedAndProject,
+    * no full sort). */
+  val qTopRevenueOrders: Q = (s, d) => {
+    val rev = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount")))
+        .cast(DecimalType(18, 4)).*(10000).cast(LongType).as("revenue_e4"))
+    rev.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("revenue_e4"))
+      .orderBy(col("revenue_e4").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Deterministic mode(): most common priority per order status, ties
+    * broken by value — engines disagree on bare mode()'s tie choice, so
+    * the plan IS the definition (count desc, value asc, row_number=1). */
+  val qMostCommon: Q = (s, d) => {
+    val counts = Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("n").desc, col("o_orderpriority"))
+    counts
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"), col("n"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Correlated scalar subquery: orders above their customer's average
+    * spend. The comparison is exact integer cross-multiplication
+    * (cents·count > sum_cents) — no division, no floats, so the oracle's
+    * correlated form and this join form agree bit-for-bit. Spark plans
+    * the decorrelated join automatically for the SQL form too; here the
+    * join is explicit (one shuffle on custkey + broadcast-sized agg). */
+  val qCorrelatedScalar: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), orderCents.as("cents"))
+    val agg = o.groupBy(col("o_custkey"))
+      .agg(sum(col("cents")).as("sum_cents"), count(lit(1)).as("n_orders"))
+    o.join(agg, "o_custkey")
+      .filter(col("cents") * col("n_orders") > col("sum_cents"))
+      .select(col("o_orderkey"), col("cents"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Calendar bucketing: monthly order rollup keyed by yyyymm (integer,
+    * tz-stable under the pinned UTC session). */
+  val qDateBuckets: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+        .cast(LongType).as("yyyymm"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(orderCents).as("sum_cents"))
+      .orderBy("yyyymm")
+
+  /** Higher-order array functions over embeddings: positive-coordinate
+    * count (filter+size) and an EXACT integer sum of squares in 1e-16
+    * units (each coord → DECIMAL(12,8) → scaled long; |x| < 1 and 64
+    * dims keep the sum far under 2^63). No floats anywhere. */
+  val qArrayHof: Q = (s, d) => {
+    val e8 = transform(col("embedding"),
+      x => (x.cast(DoubleType).cast(DecimalType(12, 8)) * 100000000L).cast(LongType))
+    Tables.embeddings(s, d)
+      .select(
+        col("vec_id"),
+        size(filter(col("embedding"), x => x > 0f)).cast(LongType).as("n_pos"),
+        aggregate(e8, lit(0L), (acc, v) => acc + v * v).as("ssq_e16"))
+      .orderBy("vec_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_grouping_sets" -> qGroupingSets,
+    "q_moving_window" -> qMovingWindow,
+    "q_filtered_agg" -> qFilteredAgg,
+    "q_top_revenue_orders" -> qTopRevenueOrders,
+    "q_most_common" -> qMostCommon,
+    "q_correlated_scalar" -> qCorrelatedScalar,
+    "q_date_buckets" -> qDateBuckets,
+    "q_array_hof" -> qArrayHof)
+
+  val oracle: Map[String, String] = Map(
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) * 100 AS BIGINT) AS qty_cents
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_moving_window" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(SUM(cents) OVER w AS BIGINT) AS mov_cents,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_win
+        |FROM (SELECT o_orderkey, o_custkey, o_orderdate,
+        |        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |      FROM orders)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_filtered_agg" ->
+      """SELECT l_returnflag,
+        |  COUNT(*) AS n_all,
+        |  COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |         FILTER (WHERE l_discount < 0.03) AS DECIMAL(18,2)) * 100 AS BIGINT) AS lowdisc_cents
+        |FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_top_revenue_orders" ->
+      """SELECT o_orderkey, o_orderpriority, revenue_e4 FROM (
+        |  SELECT l_orderkey,
+        |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * 10000 AS BIGINT) AS revenue_e4
+        |  FROM lineitem GROUP BY l_orderkey) r
+        |JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY revenue_e4 DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_most_common" ->
+      """SELECT o_orderstatus, mode_priority, n FROM (
+        |  SELECT o_orderstatus, o_orderpriority AS mode_priority, n,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |                       ORDER BY n DESC, o_orderpriority) AS rn
+        |  FROM (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |        FROM orders GROUP BY 1, 2))
+        |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
+    "q_correlated_scalar" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |FROM orders o
+        |WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      * (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |    > (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+        |       FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_date_buckets" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) * 100
+        |          + EXTRACT(month FROM o_orderdate) AS BIGINT) AS yyyymm,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY 1 ORDER BY yyyymm""".stripMargin,
+    "q_array_hof" ->
+      """SELECT vec_id,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+        |  CAST(list_sum(list_transform(embedding, x ->
+        |      CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(12,8)) * 100000000 AS BIGINT)
+        |    * CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(12,8)) * 100000000 AS BIGINT)
+        |  )) AS BIGINT) AS ssq_e16
+        |FROM embeddings ORDER BY vec_id""".stripMargin)
+}
