@@ -143,7 +143,40 @@ object Relational {
       .orderBy("vec_id")
   }
 
+  /** Per-document term-frequency top-k: the tf side of tf-idf — word
+    * explode, (doc, word) hash count, top-3 per doc with ties broken by
+    * the word itself. One explode + one partial-aggregated shuffle +
+    * one per-doc window over exactly 3+ rows. */
+  val qTfTopk: Q = (s, d) => {
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tf").desc, col("word"))
+    tf.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 3)
+      .orderBy("doc_id", "rnk")
+  }
+
+  /** Document frequency per token (the idf denominator, kept integer —
+    * ln() is libm-dependent and belongs in the float production path):
+    * COUNT(DISTINCT doc) per word, words appearing in ≥ 5% of docs.
+    * Partial distinct-aggregation keeps the shuffle at (word, doc_id)
+    * pairs, never raw text. */
+  val qDocFreq: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val n = docs.count()
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") * 20 >= n)
+      .orderBy(col("df").desc, col("word"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_tf_topk" -> qTfTopk,
+    "q_doc_freq" -> qDocFreq,
     "q_grouping_sets" -> qGroupingSets,
     "q_moving_window" -> qMovingWindow,
     "q_filtered_agg" -> qFilteredAgg,
@@ -154,6 +187,22 @@ object Relational {
     "q_array_hof" -> qArrayHof)
 
   val oracle: Map[String, String] = Map(
+    "q_tf_topk" ->
+      """SELECT doc_id, word, tf, rnk FROM (
+        |  SELECT doc_id, word, tf,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, word) AS BIGINT) AS rnk
+        |  FROM (SELECT doc_id, word, COUNT(*) AS tf
+        |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |              FROM documents)
+        |        WHERE length(word) > 0 GROUP BY 1, 2))
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "q_doc_freq" ->
+      """SELECT word, df FROM (
+        |  SELECT word, COUNT(DISTINCT doc_id) AS df
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE length(word) > 0 GROUP BY word)
+        |WHERE df * 20 >= (SELECT COUNT(*) FROM documents)
+        |ORDER BY df DESC, word""".stripMargin,
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
