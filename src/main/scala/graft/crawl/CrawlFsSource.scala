@@ -42,22 +42,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * FsScanner.listDirBytes / StatEnricher.statOne.
   *
   * Skew: subtree sizes are unknowable at plan time (statting them IS
-  * the crawl), so static packing into exactly targetPartitions tasks
-  * would pin the every-real-filesystem-has-one giant project directory
-  * to a single task for the whole job. Instead the planner
-  * OVERSUBSCRIBES: it keeps splitting one shallow level at a time until
-  * ~oversubscribe× more work units than target partitions exist, and
-  * emits each unit as its own InputPartition. Spark's task scheduler
-  * then does the work-stealing — executors that finish small subtrees
-  * pull the next pending one while a giant subtree's task runs alone —
-  * the same dynamic balance as the reference's shared dir_queue,
-  * without the lock. Splitting never stops early on the loose budget:
-  * past it, a listed dir becomes a dir-only `shallow` unit (entries
-  * re-listed executor-side, only the child-dir paths stay on the
-  * driver), so a hot subtree keeps being split regardless of readdir
-  * order. The residual worst case (one directory that is 90% of the
-  * filesystem in ONE flat readdir) degrades to one long listing task,
-  * not a failure.
+  * the crawl), so packing a few coarse subtrees into targetPartitions
+  * tasks would pin the every-real-filesystem-has-one giant project
+  * directory to a single task for the whole job. The planner therefore
+  * OVERSUBSCRIBES the SPLITTING: it keeps expanding one shallow level
+  * at a time until ~oversubscribe× more work units than target
+  * partitions exist, then interleaves those fine units round-robin
+  * into at most targetPartitions partitions — a hot directory's
+  * sub-units spread across tasks while per-task overhead (output
+  * commit, scheduling) stays at targetPartitions. On a large cluster,
+  * raise targetPartitions (2–4× total cores is conventional) and the
+  * same mechanism yields scheduler-level work stealing. Splitting
+  * never stops early on the loose budget: past it, a listed dir
+  * becomes a dir-only `shallow` unit (entries re-listed executor-side,
+  * only the child-dir paths stay on the driver), so a hot subtree
+  * keeps being split regardless of readdir order. The residual worst
+  * case (one directory that is 90% of the filesystem in ONE flat
+  * readdir) degrades to one long listing task, not a failure.
   *
   * `pathMode=binary` emits `path`/`name` as BinaryType carrying the
   * exact readdir bytes (the reference's bytea fidelity,
@@ -114,6 +115,32 @@ object CrawlFsSource {
   /** Subtree units planned per target partition (task-granularity
     * headroom for scheduler-side work stealing). */
   val DefaultOversubscribe = 4
+
+  /** Driver-side bridge handing live crawl counters into the scan: DSv2
+    * options are strings, so [[graft.crawl.Crawl.run]] registers the
+    * accumulators under a token and passes the token as an option. The
+    * scan builder (driver-side) resolves it and the READER FACTORY
+    * carries the accumulators into executor tasks — accumulator
+    * updates then flow back through normal task completion, so counts
+    * tick DURING the scan (live ProgressListener cadence) with zero
+    * plan impact: no extra map stage, columnar codegen untouched.
+    * Standard accumulator caveat applies: a retried/speculative task
+    * re-counts its partition (same contract as counting in any
+    * transformation). Entries are tiny (4 accumulator refs); the
+    * registry caps itself rather than requiring deterministic
+    * unregistration (plan time is lazy, after run() returns). */
+  private val counterRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, CrawlCounters]()
+
+  private[crawl] def registerCounters(c: CrawlCounters): String = {
+    if (counterRegistry.size > 256) counterRegistry.clear()
+    val token = java.util.UUID.randomUUID().toString
+    counterRegistry.put(token, c)
+    token
+  }
+
+  private[crawl] def countersFor(token: String): Option[CrawlCounters] =
+    Option(token).filter(_.nonEmpty).flatMap(t => Option(counterRegistry.get(t)))
 }
 
 class CrawlFsTable(binaryPaths: Boolean) extends Table with SupportsRead {
@@ -131,16 +158,18 @@ class CrawlFsTable(binaryPaths: Boolean) extends Table with SupportsRead {
         CrawlFsSource.DefaultMaxLooseEntries.toString).toInt,
       binaryPaths,
       options.getOrDefault("oversubscribe",
-        CrawlFsSource.DefaultOversubscribe.toString).toInt)
+        CrawlFsSource.DefaultOversubscribe.toString).toInt,
+      options.getOrDefault("countersToken", ""))
 }
 
 class CrawlFsScanBuilder(
     roots: String, exclusions: String, targetParts: Int,
-    maxLoose: Int, binaryPaths: Boolean, overSub: Int) extends ScanBuilder {
+    maxLoose: Int, binaryPaths: Boolean, overSub: Int,
+    countersToken: String = "") extends ScanBuilder {
   override def build(): Scan = new CrawlFsScan(
     roots.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
     exclusions.split(",").map(_.trim).filter(_.nonEmpty).toSet,
-    targetParts, maxLoose, binaryPaths, overSub)
+    targetParts, maxLoose, binaryPaths, overSub, countersToken)
 }
 
 /** One partition: whole subtrees to walk, shallow directories to list
@@ -154,7 +183,8 @@ final case class CrawlFsPartition(
 
 class CrawlFsScan(
     roots: Seq[String], excl: Set[String], targetParts: Int,
-    maxLoose: Int, binaryPaths: Boolean, overSub: Int) extends Scan with Batch {
+    maxLoose: Int, binaryPaths: Boolean, overSub: Int,
+    countersToken: String = "") extends Scan with Batch {
   def this(roots: Seq[String], excl: Set[String], targetParts: Int) =
     this(roots, excl, targetParts, CrawlFsSource.DefaultMaxLooseEntries, false,
       CrawlFsSource.DefaultOversubscribe)
@@ -199,7 +229,12 @@ class CrawlFsScan(
       if (loose.isEmpty) 0
       else math.min(loose.size, math.max(targetParts, loose.size / 1024))
     val workUnits = math.max(subtrees.size + shallow.size, looseUnits)
-    val n = math.max(1, math.min(unitTarget, workUnits))
+    // pack the (oversubscribed, fine-grained) units into at most
+    // targetParts partitions: balance comes from interleaving ~overSub
+    // units per task, WITHOUT multiplying per-task overhead (output
+    // commit per task is pure loss on a local disk; on a cluster, raise
+    // targetPartitions itself for scheduler-level stealing)
+    val n = math.max(1, math.min(targetParts, workUnits))
     val subtreeGroups = Array.fill(n)(mutable.ArrayBuffer.empty[Array[Byte]])
     subtrees.zipWithIndex.foreach { case (d, i) => subtreeGroups(i % n) += d }
     val shallowGroups = Array.fill(n)(mutable.ArrayBuffer.empty[Array[Byte]])
@@ -213,19 +248,26 @@ class CrawlFsScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new CrawlFsReaderFactory(excl, binaryPaths)
+    // resolved driver-side; the factory carries the accumulators into
+    // the serialized task closure
+    new CrawlFsReaderFactory(excl, binaryPaths,
+      CrawlFsSource.countersFor(countersToken))
 }
 
-class CrawlFsReaderFactory(excl: Set[String], binaryPaths: Boolean)
+class CrawlFsReaderFactory(
+    excl: Set[String], binaryPaths: Boolean,
+    ctrs: Option[CrawlCounters] = None)
     extends PartitionReaderFactory {
   def this(excl: Set[String]) = this(excl, false)
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new CrawlFsReader(p.asInstanceOf[CrawlFsPartition], excl, binaryPaths)
+    new CrawlFsReader(p.asInstanceOf[CrawlFsPartition], excl, binaryPaths, ctrs)
 }
 
 /** Executor-side subtree walk + stat, streaming rows (no buffering of
   * the whole subtree in memory — a work stack of pending dirs only). */
-class CrawlFsReader(part: CrawlFsPartition, excl: Set[String], binaryPaths: Boolean)
+class CrawlFsReader(
+    part: CrawlFsPartition, excl: Set[String], binaryPaths: Boolean,
+    ctrs: Option[CrawlCounters] = None)
     extends PartitionReader[InternalRow] {
   def this(part: CrawlFsPartition, excl: Set[String]) = this(part, excl, false)
 
@@ -248,7 +290,13 @@ class CrawlFsReader(part: CrawlFsPartition, excl: Set[String], binaryPaths: Bool
     }
     if (!entryIter.hasNext) return false
     val e = entryIter.next()
-    current = toRow(e, StatEnricher.statOne(e))
+    val m = StatEnricher.statOne(e)
+    ctrs.foreach { c =>
+      if (e.isDir) c.dirsSeen.add(1) else c.filesSeen.add(1)
+      m.st_size.foreach(c.totalSize.add)
+      if (m.error.isDefined) c.statErrors.add(1)
+    }
+    current = toRow(e, m)
     true
   }
 

@@ -56,8 +56,10 @@ object CrawlMain {
       // the reference's per-10k-records progress cadence (storcrawl.py:80)
       val progress = ProgressListener.register(spark, ctrs)
       val t0ms = System.currentTimeMillis()
+      val overSub = ConfigLayers.resolve("oversubscribe", cli)
+        .lastOption.map(_.toInt)
       val df = Crawl.run(spark, dirs, owners, excl, joinPlan,
-        Some(ctrs), useV2Source = useV2)
+        Some(ctrs), useV2Source = useV2, oversubscribe = overSub)
       Crawl.writeParquet(df, out, tag)
       val t1ms = System.currentTimeMillis()
       spark.sparkContext.removeSparkListener(progress)
