@@ -199,6 +199,58 @@ object Crawl {
       .write.mode(SaveMode.Append).jdbc(url, table, props)
   }
 
+  /** The reference's full database sink path (storcrawl.py:88-165 +
+    * 314-417): bootstrap the per-crawl schema with the reference's
+    * typed DDL, append the files rows, and insert the status stream as
+    * jsonb blobs — one call from a crawl DataFrame to a queryable
+    * database. `dialect` keys the DDL type mapping ("postgres" emits
+    * the reference's types verbatim; "derby" is the tested embedded
+    * analog). Returns bootstrap errors (empty = clean). */
+  def writeJdbcFull(
+      files: DataFrame,
+      status: DataFrame,
+      url: String, schema: String,
+      user: String, password: String,
+      dialect: String = "postgres",
+      batchSize: Int = 10000, numPartitions: Int = 4): Seq[(String, String)] = {
+    val conn = java.sql.DriverManager.getConnection(url,
+      new java.util.Properties() {
+        if (user.nonEmpty) { setProperty("user", user); setProperty("password", password) }
+      })
+    val errs =
+      try bootstrapReportingRole(conn, PgDdl.schemaBootstrap(schema, dialect))
+      finally conn.close()
+    if (errs.isEmpty) {
+      // column subset/order of the reference's INSERT (storcrawl.py:330-345);
+      // id is the database's identity column; paths/extensions go as
+      // BYTES (bytea / FOR BIT DATA — the reference's byte-faithful
+      // contract; a no-op when the crawl ran with pathMode=binary).
+      // For live Postgres, append `?stringtype=unspecified` to the URL
+      // so the driver lets the server coerce st_mode→bit(19) and
+      // entry→jsonb from text parameters.
+      // Spark's JDBC writer quotes column identifiers, so their case
+      // must match the database's normalization of the unquoted DDL:
+      // Derby folds to UPPER, Postgres to lower
+      val cased: String => String =
+        if (dialect == "derby") (s: String) => s.toUpperCase else identity
+      val fileRows = files.filter(col("st_mode").isNotNull) // DDL pins stats NOT NULL
+        .select(
+          col("path").cast("binary").as(cased("path")),
+          col("extension").cast("binary").as(cased("extension")),
+          col("st_mode").as(cased("st_mode")), col("st_ino").as(cased("st_ino")),
+          col("st_dev").as(cased("st_dev")), col("st_nlink").as(cased("st_nlink")),
+          col("st_uid").as(cased("st_uid")), col("st_gid").as(cased("st_gid")),
+          col("st_size").as(cased("st_size")), col("st_atime").as(cased("st_atime")),
+          col("st_mtime").as(cased("st_mtime")), col("st_ctime").as(cased("st_ctime")),
+          col("owner").as(cased("owner")))
+      writeJdbc(fileRows, url, s"$schema.files", user, password,
+        batchSize, numPartitions)
+      writeJdbc(statusJsonb(status).select(col("entry").as(cased("entry"))),
+        url, s"$schema.status", user, password, batchSize, numPartitions = 1)
+    }
+    errs
+  }
+
   /** S5 remainder — reporting-role bootstrap (storcrawl.py:166-215):
     * drop and recreate a read-only reporting principal, then grant it
     * SELECT over the per-tag namespace. Each element is (statement,

@@ -63,9 +63,24 @@ object CrawlMain {
       Crawl.writeParquet(df, out, tag)
       val t1ms = System.currentTimeMillis()
       spark.sparkContext.removeSparkListener(progress)
-      Crawl.writeStatus(
-        Crawl.statusRows(spark, ctrs, t0ms / 1000, math.max(t1ms, t0ms + 1000) / 1000),
-        out, tag)
+      val status =
+        Crawl.statusRows(spark, ctrs, t0ms / 1000, math.max(t1ms, t0ms + 1000) / 1000)
+      Crawl.writeStatus(status, out, tag)
+      // optional database sink — the reference's primary path
+      // (storcrawl.py:88-165,314-417): per-tag schema bootstrap with
+      // the reference's DDL types, files append, status jsonb insert
+      ConfigLayers.resolve("jdbc-url", cli).lastOption.foreach { jdbcUrl =>
+        val schema = ConfigLayers.resolveOne("db-schema", cli, s"storcrawl_$tag")
+        val errs = Crawl.writeJdbcFull(
+          spark.read.parquet(s"$out/crawl_tag=$tag"), status,
+          jdbcUrl, schema,
+          user = ConfigLayers.resolveOne("db-user", cli, ""),
+          password = ConfigLayers.resolveOne("db-pass", cli, ""),
+          dialect = ConfigLayers.resolveOne("db-dialect", cli, "postgres"))
+        errs.foreach { case (sql, e) =>
+          System.err.println(s"[jdbc] bootstrap failed: $sql -> $e") }
+        if (errs.isEmpty) println(s"database sink: $jdbcUrl $schema.files/.status")
+      }
       println(Crawl.summary(ctrs))
       val rows = spark.read.parquet(s"$out/crawl_tag=$tag").count()
       val secs = (t1ms - t0ms) / 1000.0

@@ -29,7 +29,11 @@ object PgDdl {
   def quoteLiteral(value: String): String = value.replace("'", "''")
 
   /** The reference's files DDL (storcrawl.py:132-148), types verbatim
-    * for postgres, mapped for derby (no bytea/bit/serial there). */
+    * for postgres, mapped for derby (no bytea/bit/serial there).
+    * Derby's NULLABLE binary/string columns are BLOB/CLOB — Spark's
+    * JDBC writer signals nulls with those JDBC types and Derby rejects
+    * the setNull conversion into `.. FOR BIT DATA`/VARCHAR; NOT NULL
+    * columns keep the tighter types. */
   def filesTableDdl(schema: String, dialect: String = "postgres"): String = {
     val q = quoteIdent(schema)
     dialect match {
@@ -55,7 +59,7 @@ object PgDdl {
            |  id INTEGER GENERATED ALWAYS AS IDENTITY,
            |  insert_time TIMESTAMP DEFAULT CURRENT_TIMESTAMP NOT NULL,
            |  path LONG VARCHAR FOR BIT DATA NOT NULL,
-           |  extension VARCHAR(256) FOR BIT DATA,
+           |  extension BLOB,
            |  st_mode CHAR(19) NOT NULL,
            |  st_ino BIGINT NOT NULL,
            |  st_dev VARCHAR(64) NOT NULL,
@@ -66,7 +70,7 @@ object PgDdl {
            |  st_atime BIGINT NOT NULL,
            |  st_mtime BIGINT NOT NULL,
            |  st_ctime BIGINT NOT NULL,
-           |  owner VARCHAR(256))""".stripMargin
+           |  owner CLOB)""".stripMargin
       case other => sys.error(s"unknown dialect: $other (postgres|derby)")
     }
   }

@@ -126,4 +126,29 @@ object StatusStream {
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         batch.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
       }
+
+  /** Streaming status → database, the reference's live telemetry sink
+    * (update_status, storcrawl.py:303-311): each micro-batch appends
+    * jsonb-shaped entries to `<schema>.status` on the commit cadence.
+    * Telemetry semantics match the reference: at-least-once (a batch
+    * replayed after a crash between insert and checkpoint commit
+    * re-inserts — the reference's own status INSERTs have no
+    * exactly-once either; the parquet [[statusSink]] is the idempotent
+    * path). Expects the schema bootstrapped via [[graft.crawl.PgDdl]]. */
+  def statusJdbcSink(
+      status: DataFrame,
+      url: String, schema: String,
+      user: String, password: String,
+      checkpoint: String,
+      cadence: String = "60 seconds"): DataStreamWriter[Row] =
+    status.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime(cadence))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val entries = batch.select(
+          to_json(struct(batch.columns.map(col): _*)).as("entry"))
+        graft.crawl.Crawl.writeJdbc(
+          entries, url, s"$schema.status", user, password, numPartitions = 1)
+      }
 }

@@ -81,6 +81,40 @@ class JdbcSinkSpec extends SparkSpec {
     assert(d.getJDBCType(StringType).isEmpty) // defer to Spark's default
   }
 
+  test("writeJdbcFull: bootstrap + files + status land in one call (derby)") {
+    val root = new CrawlSpec().mkTree()
+    val ctrs = Crawl.counters(spark)
+    val files = Crawl.run(spark, Seq(root.toString), ctrs = Some(ctrs))
+    val n = files.filter(org.apache.spark.sql.functions.col("st_mode").isNotNull).count()
+    val status = Crawl.statusRows(spark, ctrs, 1000L, 1010L)
+    val dbDir = Files.createTempDirectory(Paths.get("target"), "derbyfull")
+    val url = s"jdbc:derby:$dbDir/fulldb;create=true"
+
+    val errs = Crawl.writeJdbcFull(files, status, url, "crawl_full",
+      user = "", password = "", dialect = "derby")
+    assert(errs.isEmpty, s"bootstrap errors: $errs")
+
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.createStatement()
+        .executeQuery("SELECT COUNT(*) FROM crawl_full.files")
+      rs.next(); assert(rs.getLong(1) == n)
+      // byte-faithful path column: the unicode fixture file round-trips
+      val rs2 = conn.createStatement()
+        .executeQuery("SELECT path FROM crawl_full.files")
+      val paths = Iterator.continually(rs2)
+        .takeWhile(_.next()).map(r => new String(r.getBytes(1), "UTF-8")).toSet
+      assert(paths.contains(root.resolve("projA/ünïcode fïle.txt").toString))
+      // status landed as one jsonb-shaped blob per metric row
+      val rs3 = conn.createStatement()
+        .executeQuery("SELECT entry FROM crawl_full.status")
+      val entries = Iterator.continually(rs3)
+        .takeWhile(_.next()).map(_.getString(1)).toVector
+      assert(entries.size == status.count())
+      assert(entries.exists(_.contains("\"files seen\"")))
+    } finally conn.close()
+  }
+
   test("schema bootstrap executes and round-trips on a live database (derby)") {
     val dbDir = Files.createTempDirectory(Paths.get("target"), "derbyddl")
     val url = s"jdbc:derby:$dbDir/ddldb;create=true"

@@ -194,6 +194,40 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSet == Set(("files", 10.0), ("files", 20.0), ("dirs", 5.0)))
   }
 
+  test("statusJdbcSink streams micro-batches into a live database (derby)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), p).toString
+    val url = s"jdbc:derby:${tmp("derbystream")}/sdb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    val errs = graft.crawl.Crawl.bootstrapReportingRole(
+      conn, graft.crawl.PgDdl.schemaBootstrap("crawl_s", "derby"))
+    assert(errs.isEmpty, s"$errs")
+
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val q = StatusStream.statusJdbcSink(
+      input.toDF().toDF("time", "status", "value"),
+      url, "crawl_s", user = "", password = "",
+      checkpoint = tmp("sjckpt"), cadence = "1 seconds").start()
+    try {
+      val t0 = 1700000000L
+      input.addData(
+        (new Timestamp(t0 * 1000), "files seen", 10.0),
+        (new Timestamp((t0 + 60) * 1000), "files seen", 25.0))
+      q.processAllAvailable()
+      input.addData((new Timestamp((t0 + 120) * 1000), "dirs seen", 3.0))
+      q.processAllAvailable()
+      val rs = conn.createStatement()
+        .executeQuery("SELECT entry FROM crawl_s.status")
+      val entries = Iterator.continually(rs)
+        .takeWhile(_.next()).map(_.getString(1)).toVector
+      assert(entries.size == 3, s"expected 3 status entries, got $entries")
+      assert(entries.count(_.contains("files seen")) == 2)
+      assert(entries.forall(_.startsWith("{")), "entries are json blobs")
+    } finally { q.stop(); conn.close() }
+  }
+
   test("counterRates: stateful (now-prev)/interval across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
