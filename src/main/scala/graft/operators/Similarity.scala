@@ -153,7 +153,10 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("pairs"))
         .select(col("cid"),
           transform(col("pairs"), p => p.getField("m").cast("float")).as("centroid"))
-      centroids = joined
+      // truncate lineage per Lloyd round: each iteration references the
+      // previous centroids twice (assign + join), so carried plans grow
+      // 2^iters — the standard iterative-DataFrame trap
+      centroids = joined.localCheckpoint()
       i += 1
     }
     (centroids, assign(corpus, centroids))

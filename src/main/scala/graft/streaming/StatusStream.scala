@@ -75,6 +75,14 @@ object StatusStream {
         })
   }
 
+  /** Stream-static enrichment join: attach a small dimension (the
+    * owners map, a metric catalog) to a live stream. Spark plans the
+    * static side as a broadcast rebuilt per micro-batch, so dimension
+    * updates between batches are picked up and NOTHING shuffles on the
+    * stream side — the shape that holds at any stream rate. */
+  def enriched(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
+
   /** Streaming gap-based sessionization — the event-time session
     * analog of the batch `q_sessionize`: activity bursts per metric
     * separated by more than `gap` become separate sessions, closed and

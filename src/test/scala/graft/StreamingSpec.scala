@@ -194,6 +194,29 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSet == Set(("files", 10.0), ("files", 20.0), ("dirs", 5.0)))
   }
 
+  test("stream-static broadcast enrichment join attaches dimension columns") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("files seen", "count"), ("file rate", "rate"))
+      .toDF("status", "kind")
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val q = StatusStream.enriched(
+        input.toDF().toDF("time", "status", "value"), dim, "status")
+      .writeStream.format("memory").queryName("enriched_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (new Timestamp(1700000000L * 1000), "files seen", 10.0),
+        (new Timestamp(1700000000L * 1000), "unknown metric", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("enriched_out")
+        .select("status", "kind").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(out("files seen") == "count")
+      assert(out("unknown metric") == null) // left join keeps unmatched rows
+    } finally q.stop()
+  }
+
   test("statusJdbcSink streams micro-batches into a live database (derby)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
