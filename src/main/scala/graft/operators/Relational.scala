@@ -165,12 +165,16 @@ object Relational {
     * pairs, never raw text. */
   val qDocFreq: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val n = docs.count()
+    // corpus size as a broadcast scalar, not an eager driver count():
+    // the plan stays one lazy job and the doc scan is not repeated
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word"))
       .agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") * 20 >= n)
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") * 20 >= col("n_docs"))
+      .select(col("word"), col("df"))
       .orderBy(col("df").desc, col("word"))
   }
 
