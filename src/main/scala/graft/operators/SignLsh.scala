@@ -152,6 +152,111 @@ object SignLsh {
     } finally sigs.unpersist()
   }
 
+  // ---- Oracle-verifiable decimal variant --------------------------------
+  //
+  // The float path above is the production form; this variant proves the
+  // SAME algorithm (corpus-scaled banded sign-LSH) deterministically
+  // against DuckDB: hyperplane weights are 2-dp DECIMAL literals and
+  // coordinates exact DECIMAL(12,8), so every dot product (and therefore
+  // every signature bit) is EXACT and engine-identical — no float sign
+  // boundaries anywhere.
+
+  /** Seeded Gaussian hyperplanes quantized to exact 2-dp decimals,
+    * [band][bit][dim]. */
+  def decimalHyperplanes(p: Params, dim: Int): Array[Array[Array[java.math.BigDecimal]]] = {
+    val rnd = new scala.util.Random(p.seed)
+    Array.fill(p.bands)(Array.fill(p.bits)(Array.fill(dim)(
+      java.math.BigDecimal.valueOf(math.round(rnd.nextGaussian() * 100), 2))))
+  }
+
+  /** Parameters of the oracle query: bits sized by [[bitsFor]](n=500,
+    * target 32) — the same formula the production path uses. */
+  private[operators] val OracleParams = Params(bits = 4, bands = 2, seed = 42L)
+
+  /** Banded sign-LSH near-dup with exact decimal signatures — the
+    * scaled algorithm, hash-verified against the generated-SQL twin in
+    * [[oracle]]. Candidate pairs only form inside a (band, key) bucket;
+    * verification is the exact-decimal cosine at ≥ 0.3. */
+  val qSignlshNeardup: (org.apache.spark.sql.SparkSession, String) => DataFrame = (s, d) => {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val planes = decimalHyperplanes(OracleParams, 64)
+    def dot(a: Column, b: Column): Column =
+      ColumnBridge.column(graft.functions.DecimalDotExpr(
+        ColumnBridge.expression(a), ColumnBridge.expression(b)))
+    def planeCol(w: Array[java.math.BigDecimal]): Column =
+      array(w.map(v => lit(v).cast(org.apache.spark.sql.types.DecimalType(12, 8))): _*)
+    val emb = graft.Tables.embeddings(s, d)
+    val de = Similarity.decVec(col("embedding"))
+    val bandStructs = (0 until OracleParams.bands).map { b =>
+      val key = (0 until OracleParams.bits).map { i =>
+        when(dot(de, planeCol(planes(b)(i))) >= 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), key.as("key"))
+    }
+    val keys = emb
+      .select(col("vec_id"), explode(array(bandStructs: _*)).as("s"))
+      .select(col("vec_id"), col("s.band").as("band"), col("s.key").as("key"))
+    val cand = keys.as("pa")
+      .join(keys.as("pb"),
+        col("pa.band") === col("pb.band") && col("pa.key") === col("pb.key") &&
+          col("pa.vec_id") < col("pb.vec_id"))
+      .select(col("pa.vec_id").as("a"), col("pb.vec_id").as("b"))
+      .distinct()
+    val ea = emb.select(col("vec_id").as("a"), Similarity.decVec(col("embedding")).as("ae"))
+    val eb = emb.select(col("vec_id").as("b"), Similarity.decVec(col("embedding")).as("be"))
+    cand.join(ea, "a").join(eb, "b")
+      .select(col("a"), col("b"),
+        Similarity.cosMicros(col("ae"), col("be")).as("sim_micros"))
+      .filter(col("sim_micros") >= 300000L)
+      .orderBy("a", "b")
+  }
+
+  /** DuckDB twin, generated from the SAME seeded decimal hyperplanes:
+    * weights inlined as a VALUES table of exact decimal literals. */
+  private def oracleSqlText: String = {
+    val planes = decimalHyperplanes(OracleParams, 64)
+    val rows = for {
+      b <- 0 until OracleParams.bands
+      i <- 0 until OracleParams.bits
+      dIx <- 0 until 64
+    } yield s"($b, $i, ${dIx + 1}, ${planes(b)(i)(dIx).toPlainString})"
+    s"""WITH w(band, bit, i, wv) AS (VALUES ${rows.mkString(", ")}),
+       |el AS (
+       |  SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) AS x
+       |  FROM (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS i
+       |        FROM embeddings)),
+       |dots AS (
+       |  SELECT e.vec_id, w.band, w.bit, SUM(e.x * CAST(w.wv AS DECIMAL(12,8))) AS dot
+       |  FROM el e JOIN w ON e.i = w.i GROUP BY 1, 2, 3),
+       |keys AS (
+       |  SELECT vec_id, band,
+       |    CAST(SUM(CASE WHEN dot >= 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS key
+       |  FROM dots GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT DISTINCT a.vec_id AS a, b.vec_id AS b
+       |  FROM keys a JOIN keys b
+       |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+       |nrm AS (SELECT vec_id, SUM(x*x) AS nrm FROM el GROUP BY vec_id),
+       |pd AS (
+       |  SELECT p.a, p.b, SUM(ea.x * eb.x) AS dot
+       |  FROM pairs p
+       |  JOIN el ea ON p.a = ea.vec_id
+       |  JOIN el eb ON p.b = eb.vec_id AND ea.i = eb.i
+       |  GROUP BY 1, 2)
+       |SELECT a, b, sim_micros FROM (
+       |  SELECT d.a, d.b,
+       |    CAST(CAST(CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS sim_micros
+       |  FROM pd d
+       |  JOIN nrm na ON d.a = na.vec_id
+       |  JOIN nrm nb ON d.b = nb.vec_id)
+       |WHERE sim_micros >= 300000 ORDER BY a, b""".stripMargin
+  }
+
+  val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
+    Map("q_signlsh_neardup" -> qSignlshNeardup)
+
+  val oracle: Map[String, String] = Map("q_signlsh_neardup" -> oracleSqlText)
+
   /** End-to-end near-dup: candidates → float-cosine verify → threshold.
     * Returns (a, b, sim). The verify joins are shuffle joins on vec_id;
     * candidate volume is ~n·targetBucket·bands/2, linear in n. */

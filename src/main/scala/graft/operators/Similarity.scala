@@ -35,7 +35,7 @@ object Similarity {
     * widening) → DECIMAL(12,8); both engines then round the SAME double
     * (a direct float→decimal cast rounds differently between Spark and
     * DuckDB). */
-  private def decVec(emb: Column): Column =
+  private[operators] def decVec(emb: Column): Column =
     transform(emb, x => x.cast(DoubleType).cast(DecimalType(12, 8)))
 
   /** Exact decimal dot product, inline — the native codegen
@@ -55,7 +55,7 @@ object Similarity {
     * compared or ranked; the 6-dp grid absorbs that and ties break on
     * the id column. The BIGINT micros form (never DECIMAL in a final
     * SELECT) is representation-proof across engines. */
-  private def cosMicros(qe: Column, ne: Column): Column =
+  private[operators] def cosMicros(qe: Column, ne: Column): Column =
     (decDot(qe, ne).cast(DoubleType) /
       sqrt(decDot(qe, qe).cast(DoubleType) * decDot(ne, ne).cast(DoubleType)))
       .cast(DecimalType(10, 6))
