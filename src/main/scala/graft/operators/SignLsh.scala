@@ -202,11 +202,23 @@ object SignLsh {
           col("pa.vec_id") < col("pb.vec_id"))
       .select(col("pa.vec_id").as("a"), col("pb.vec_id").as("b"))
       .distinct()
-    val ea = emb.select(col("vec_id").as("a"), Similarity.decVec(col("embedding")).as("ae"))
-    val eb = emb.select(col("vec_id").as("b"), Similarity.decVec(col("embedding")).as("be"))
+    // norms once per VECTOR, not per pair — the verify stage then costs
+    // one decimal dot per candidate instead of three (the same
+    // double-conversion order as Similarity.cosMicros, so the emitted
+    // micros are bit-identical)
+    val withNorm = emb.select(col("vec_id"),
+      Similarity.decVec(col("embedding")).as("de"))
+      .select(col("vec_id"), col("de"),
+        dot(col("de"), col("de")).cast(org.apache.spark.sql.types.DoubleType).as("nrm"))
+    val ea = withNorm.select(col("vec_id").as("a"), col("de").as("ae"), col("nrm").as("na"))
+    val eb = withNorm.select(col("vec_id").as("b"), col("de").as("be"), col("nrm").as("nb"))
     cand.join(ea, "a").join(eb, "b")
       .select(col("a"), col("b"),
-        Similarity.cosMicros(col("ae"), col("be")).as("sim_micros"))
+        (dot(col("ae"), col("be")).cast(org.apache.spark.sql.types.DoubleType) /
+          sqrt(col("na") * col("nb")))
+          .cast(org.apache.spark.sql.types.DecimalType(10, 6))
+          .*(lit(1000000L)).cast(org.apache.spark.sql.types.LongType)
+          .as("sim_micros"))
       .filter(col("sim_micros") >= 300000L)
       .orderBy("a", "b")
   }
