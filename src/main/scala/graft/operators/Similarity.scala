@@ -49,17 +49,14 @@ object Similarity {
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 
-  /** Cosine over exact-decimal dots, rounded to 6 dp and emitted as
-    * integer micros: DuckDB's decimal→double conversion is off by an
-    * ulp vs Spark's correctly-rounded one, so raw doubles can't be
-    * compared or ranked; the 6-dp grid absorbs that and ties break on
-    * the id column. The BIGINT micros form (never DECIMAL in a final
-    * SELECT) is representation-proof across engines. */
-  private[operators] def cosMicros(qe: Column, ne: Column): Column =
-    (decDot(qe, ne).cast(DoubleType) /
-      sqrt(decDot(qe, qe).cast(DoubleType) * decDot(ne, ne).cast(DoubleType)))
-      .cast(DecimalType(10, 6))
-      .*(lit(1000000L)).cast(LongType)
+  // Cosine determinism contract (the inlined `sim_micros` expressions
+  // below): exact-decimal dot and norms, cast through DOUBLE in a fixed
+  // order, rounded to a 6-dp grid and emitted as BIGINT micros —
+  // DuckDB's decimal→double conversion is off by an ulp vs Spark's
+  // correctly-rounded one, so raw doubles can't be compared or ranked;
+  // the grid absorbs that and ties break on the id column. Norms are
+  // computed once per VECTOR and joined, so the pairwise stage costs
+  // one decimal dot.
 
   /** Brute-force cosine top-k: query vectors (vec_id < 8) against the
     * whole corpus — one broadcast nested-loop over (queries × corpus)
@@ -67,15 +64,24 @@ object Similarity {
     * final top-3 window on 8 keys. */
   val qAnnTopk: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
+    // norms once per vector (not per pair): the pairwise stage costs ONE
+    // decimal dot; the double-conversion order matches cosMicros so the
+    // emitted micros are bit-identical
     val q = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("qid"), decVec(col("embedding")).as("qe"))
+      .withColumn("nq", decDot(col("qe"), col("qe")).cast(DoubleType))
     // spread the probe side: a broadcast join inherits the corpus
     // scan's partitioning, and a single-row-group file would compute
     // every pairwise cosine on one core
     val c = Tables.spread(emb)
       .select(col("vec_id").as("nid"), decVec(col("embedding")).as("ne"))
+      .withColumn("nc", decDot(col("ne"), col("ne")).cast(DoubleType))
     val cosv = broadcast(q).join(c, col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), cosMicros(col("qe"), col("ne")).as("sim_micros"))
+      .select(col("qid"), col("nid"),
+        (decDot(col("qe"), col("ne")).cast(DoubleType) /
+          sqrt(col("nq") * col("nc")))
+          .cast(DecimalType(10, 6)).*(lit(1000000L)).cast(LongType)
+          .as("sim_micros"))
     val w = Window.partitionBy("qid").orderBy(col("sim_micros").desc, col("nid"))
     cosv
       .withColumn("rnk", row_number().over(w).cast(LongType))
@@ -98,16 +104,23 @@ object Similarity {
     * bucket key is the whole shuffle story. */
   val qEmbeddingNeardup: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
+    // per-vector norms (see qAnnTopk) — one decimal dot per pair
     val buckets = emb.select(
       col("vec_id"), signBucket(col("embedding")).as("bkt"),
       decVec(col("embedding")).as("de"))
+      .withColumn("nrm", decDot(col("de"), col("de")).cast(DoubleType))
     val pairs = buckets.as("pa")
       .join(buckets.as("pb"),
         col("pa.bkt") === col("pb.bkt") && col("pa.vec_id") < col("pb.vec_id"))
       .select(col("pa.vec_id").as("a"), col("pb.vec_id").as("b"),
-              col("pa.de").as("ae"), col("pb.de").as("be"))
+              col("pa.de").as("ae"), col("pb.de").as("be"),
+              col("pa.nrm").as("na"), col("pb.nrm").as("nb"))
     pairs
-      .select(col("a"), col("b"), cosMicros(col("ae"), col("be")).as("sim_micros"))
+      .select(col("a"), col("b"),
+        (decDot(col("ae"), col("be")).cast(DoubleType) /
+          sqrt(col("na") * col("nb")))
+          .cast(DecimalType(10, 6)).*(lit(1000000L)).cast(LongType)
+          .as("sim_micros"))
       .filter(col("sim_micros") >= 300000L)
       .orderBy("a", "b")
   }
