@@ -7,15 +7,18 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, processed in partition-batched map
   * operators.
   *
-  * IMAGE decode is REAL: javax.imageio ships in the JDK (PNG, JPEG,
-  * BMP, GIF, WBMP), so [[decode]] reads actual pixel dimensions and
-  * extracts a genuine 8-bin luminance histogram, and [[resize]] does a
-  * real Graphics2D rescale + PNG re-encode. Audio/video codecs are
-  * genuinely absent in-JVM, so those kinds (and undecodable image
-  * payloads) fall back to [[decodeStub]], a deterministic byte-derived
-  * fake, loudly documented as the production replacement point
-  * (JNI/ffmpeg). The operator shapes — schema, batch form,
-  * partitioning — are identical either way.
+  * IMAGE and AUDIO decode are REAL, in-JVM: javax.imageio (PNG, JPEG,
+  * BMP, GIF, WBMP) gives actual pixel dimensions, a genuine 8-bin
+  * luminance histogram, and a real Graphics2D [[resize]] with PNG
+  * re-encode; javax.sound.sampled (WAV, AIFF, AU) gives channel
+  * count, sample rate, and an 8-bin RMS-energy envelope. VIDEO codecs
+  * (and compressed audio like mp3/ogg) are genuinely absent in-JVM,
+  * so those kinds — and any payload the JVM cannot parse — fall back
+  * to [[decodeStub]], a deterministic byte-derived fake, loudly
+  * documented as the production replacement point (JNI/ffmpeg). The
+  * operator shapes — schema, batch form, partitioning — are identical
+  * either way. For features, `width`/`height` carry pixel dims for
+  * images and (channels, sample rate) for audio.
   *
   * Scale: media blobs never shuffle — every operator here is a
   * scan-side mapPartitions; only extracted features (small, fixed-width)
@@ -100,12 +103,65 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
-  /** Kind dispatch: real image decode, stub for the codec-less kinds
-    * and for payloads imageio cannot parse. */
+  /** REAL audio decode via javax.sound.sampled (WAV/AIFF/AU ship with
+    * the JDK): frame count → duration, and an 8-bin RMS-energy envelope
+    * over equal time slices (a real, if simple, audio feature). Width
+    * carries the channel count, height the sample rate. Returns None
+    * for containers the JVM cannot parse (mp3/ogg — those need the
+    * external-codec stub). */
+  private[operators] def decodeAudio(r: MediaRow): Option[MediaFeatures] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      try {
+        val fmt = in.getFormat
+        val frames = in.getFrameLength
+        if (frames <= 0 || fmt.getFrameSize <= 0) None
+        else {
+          val bytes = in.readAllBytes()
+          val bins = new Array[Double](8)
+          val counts = new Array[Long](8)
+          val frameSize = fmt.getFrameSize
+          val n = bytes.length / frameSize
+          val bytesPerSample = math.max(1, fmt.getSampleSizeInBits / 8)
+          var f = 0
+          while (f < n) {
+            // first channel, first sample of the frame (PCM little- or
+            // big-endian per format; 8-bit PCM is unsigned)
+            val off = f * frameSize
+            val v: Double =
+              if (bytesPerSample == 1) ((bytes(off) & 0xff) - 128) / 128.0
+              else {
+                val (b0, b1) =
+                  if (fmt.isBigEndian) (bytes(off), bytes(off + 1))
+                  else (bytes(off + 1), bytes(off))
+                ((b0 << 8) | (b1 & 0xff)).toShort / 32768.0
+              }
+            val bin = math.min(7, f * 8 / n)
+            bins(bin) += v * v
+            counts(bin) += 1
+            f += 1
+          }
+          val feat = Array.tabulate(8)(i =>
+            if (counts(i) == 0) 0f else math.sqrt(bins(i) / counts(i)).toFloat)
+          Some(MediaFeatures(
+            r.media_id, r.kind, r.payload.length.toLong, checksumOf(r.payload),
+            feat,
+            width = Some(fmt.getChannels),
+            height = Some(fmt.getSampleRate.toInt)))
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Kind dispatch: real image + audio decode (in-JVM codecs), stub for
+    * video and for payloads the JVM cannot parse. */
   private[operators] def decode(r: MediaRow): MediaFeatures =
-    if (r.kind == "image" && r.payload != null)
-      decodeImage(r).getOrElse(decodeStub(r))
-    else decodeStub(r)
+    if (r.payload == null) decodeStub(r)
+    else r.kind match {
+      case "image" => decodeImage(r).getOrElse(decodeStub(r))
+      case "audio" => decodeAudio(r).getOrElse(decodeStub(r))
+      case _       => decodeStub(r)
+    }
 
   /** Batched feature extraction: the mapPartitions shape a real decoder
     * needs (amortize codec init per partition, stream rows). */

@@ -54,6 +54,36 @@ class MultimodalSpec extends SparkSpec {
     assert((back.getRGB(2, 0) & 0xff) > 0x80)
   }
 
+  test("audio decode extracts real channels/sample-rate and RMS envelope (wav)") {
+    import spark.implicits._
+    // 1s mono 8kHz 16-bit PCM: loud sine first half, silence second half
+    val rate = 8000
+    val n = rate
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val v =
+        if (i < n / 2) (math.sin(2 * math.Pi * 440 * i / rate) * 30000).toInt
+        else 0
+      pcm(2 * i) = (v & 0xff).toByte        // little-endian
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val bos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val media = Seq(
+      Multimodal.MediaRow(9L, "audio", bos.toByteArray, "audio/wav",
+        None, None, Some(1000L))).toDS()
+    val f = Multimodal.extractFeatures(media).collect().head
+    assert(f.width.contains(1), "channel count")
+    assert(f.height.contains(8000), "sample rate")
+    // RMS envelope: first-half bins near sine RMS (~0.65), second half 0
+    assert(f.feature.take(4).forall(x => x > 0.5f && x < 0.8f), f.feature.mkString(","))
+    assert(f.feature.drop(4).forall(_ < 1e-3f), f.feature.mkString(","))
+  }
+
   test("undecodable image payload and codec-less kinds fall back to the stub") {
     import spark.implicits._
     val media = Seq(
