@@ -96,6 +96,42 @@ object ReportActions {
         least(col("st_mtime"), col("st_ctime")).desc,
         col("path"))
 
+  /** Directory test on the 19-bit mode string: S_IFDIR = 0x4000 =
+    * bit 14 → position 5 of the rendered string. */
+  private def isDirMode = col("st_mode").substr(5, 1) === "1"
+
+  /** Hardlink groups: non-directory entries sharing (st_dev, st_ino) —
+    * physically ONE file reachable under several names, the case every
+    * naive per-path accounting double-counts. `st_nlink > 1`
+    * prefilters cheaply before the group shuffle; the post-group
+    * `n_links > 1` keeps only inodes with MULTIPLE names inside the
+    * crawl (an inode whose other links live outside the roots is not a
+    * duplicate here). One hash aggregation on (dev, ino). */
+  def hardlinkGroups(files: DataFrame): DataFrame =
+    files
+      .filter(col("st_nlink") > 1 && !isDirMode && col("st_ino").isNotNull)
+      .groupBy(col("st_dev"), col("st_ino"))
+      .agg(
+        count(lit(1)).as("n_links"),
+        min(col("path")).as("canonical_path"),
+        min(col("st_size")).as("st_size"))
+      .filter(col("n_links") > 1)
+      .orderBy("st_dev", "st_ino")
+
+  /** Physical vs logical usage: bytes counted once per inode
+    * (physical — what the filesystem actually stores) next to the
+    * per-name sum (logical — what a path rollup reports). The gap IS
+    * the hardlink double-count. */
+  def physicalUsage(files: DataFrame): DataFrame =
+    files
+      .filter(!isDirMode && col("st_size").isNotNull && col("st_ino").isNotNull)
+      .groupBy(col("st_dev"), col("st_ino"))
+      .agg(min(col("st_size")).as("sz"), count(lit(1)).as("names"))
+      .agg(
+        sum(col("sz")).as("physical_bytes"),
+        sum(col("sz") * col("names")).as("logical_bytes"),
+        count(lit(1)).as("n_inodes"))
+
   /** Dispatch table mirroring report.py:217-235 action names. */
   def run(
       spark: SparkSession,

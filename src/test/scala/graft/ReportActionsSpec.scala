@@ -124,6 +124,30 @@ class ReportActionsSpec extends SparkSpec {
     assert(line == "'x,y',1,2.0,None")
   }
 
+  test("hardlink groups and physical-vs-logical usage over a real crawl") {
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "linktree")
+    val d = root.resolve("d")
+    java.nio.file.Files.createDirectories(d)
+    java.nio.file.Files.write(d.resolve("orig.dat"), "12345".getBytes)
+    java.nio.file.Files.createLink(d.resolve("link.dat"), d.resolve("orig.dat"))
+    java.nio.file.Files.write(d.resolve("solo.dat"), "abc".getBytes)
+    val files = Crawl.run(spark, Seq(root.toString))
+
+    val groups = ReportActions.hardlinkGroups(files).collect()
+    assert(groups.length == 1, "exactly the orig/link pair groups")
+    assert(groups.head.getAs[Long]("n_links") == 2)
+    assert(groups.head.getAs[String]("canonical_path").endsWith("link.dat"),
+      "min path is the canonical name")
+    assert(groups.head.getAs[Long]("st_size") == 5L)
+
+    val usage = ReportActions.physicalUsage(files).collect().head
+    // physical: 5 (inode once) + 3 (solo); logical: 5*2 + 3
+    assert(usage.getAs[Long]("physical_bytes") == 8L)
+    assert(usage.getAs[Long]("logical_bytes") == 13L)
+    assert(usage.getAs[Long]("n_inodes") == 2L)
+  }
+
   test("progress listener: one line per 10k-analog boundary (log-listener cadence)") {
     val root = new CrawlSpec().mkTree()
     val ctrs = Crawl.counters(spark)
