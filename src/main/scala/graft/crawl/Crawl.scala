@@ -243,10 +243,14 @@ object Crawl {
           col("st_size").as(cased("st_size")), col("st_atime").as(cased("st_atime")),
           col("st_mtime").as(cased("st_mtime")), col("st_ctime").as(cased("st_ctime")),
           col("owner").as(cased("owner")))
-      writeJdbc(fileRows, url, s"$schema.files", user, password,
+      // quote the schema exactly as the bootstrap DDL did — a name
+      // quoteIdent had to protect (mixed case, hyphens) must reach the
+      // INSERT identically or it case-folds/errors
+      val q = PgDdl.quoteIdent(schema)
+      writeJdbc(fileRows, url, s"$q.files", user, password,
         batchSize, numPartitions)
       writeJdbc(statusJsonb(status).select(col("entry").as(cased("entry"))),
-        url, s"$schema.status", user, password, batchSize, numPartitions = 1)
+        url, s"$q.status", user, password, batchSize, numPartitions = 1)
     }
     errs
   }

@@ -127,13 +127,18 @@ object CrawlFsSource {
     * Standard accumulator caveat applies: a retried/speculative task
     * re-counts its partition (same contract as counting in any
     * transformation). Entries are tiny (4 accumulator refs); the
-    * registry caps itself rather than requiring deterministic
-    * unregistration (plan time is lazy, after run() returns). */
+    * registry evicts OLDEST-FIRST past a generous cap rather than
+    * requiring deterministic unregistration (plan time is lazy, after
+    * run() returns) — a live registration is only at risk after 256
+    * NEWER crawls registered before its scan planned. */
   private val counterRegistry =
-    new java.util.concurrent.ConcurrentHashMap[String, CrawlCounters]()
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, CrawlCounters](64, 0.75f, false) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, CrawlCounters]): Boolean = size() > 256
+      })
 
   private[crawl] def registerCounters(c: CrawlCounters): String = {
-    if (counterRegistry.size > 256) counterRegistry.clear()
     val token = java.util.UUID.randomUUID().toString
     counterRegistry.put(token, c)
     token

@@ -149,7 +149,12 @@ object ReportActions {
       case "status-brief"    => statusBrief(status)
       case "first_thousand"  => firstThousand(files)
       case "large_old_files" => largeOldFiles(files, nowEpoch)
-      case other => sys.error(s"unknown action: $other (report.py:217-235 names)")
+      // extensions beyond report.py's eight actions
+      case "hardlink_groups" => hardlinkGroups(files)
+      case "physical_usage"  => physicalUsage(files)
+      case other => sys.error(
+        s"unknown action: $other (report.py:217-235 names, " +
+          "or hardlink_groups|physical_usage)")
     }
 
   // ---- repr()-faithful CSV display (report.py:88-101) ----------------
@@ -163,64 +168,97 @@ object ReportActions {
   // repr embeds a heap address — unreproducible garbage not worth
   // porting).
 
+  /** Python str.isprintable() per code point: false for the Unicode
+    * categories C* and Z* (except the plain space) — CPython's rule,
+    * mirrored through Java's category tables (rare UNASSIGNED points
+    * can differ across Unicode table versions). */
+  private val NonPrintableCats: Set[Int] = Set(
+    Character.CONTROL, Character.FORMAT, Character.SURROGATE,
+    Character.PRIVATE_USE, Character.UNASSIGNED,
+    Character.LINE_SEPARATOR, Character.PARAGRAPH_SEPARATOR,
+    Character.SPACE_SEPARATOR).map(_.toInt)
+
+  private def pyPrintable(cp: Int): Boolean =
+    cp == ' ' || !NonPrintableCats.contains(Character.getType(cp))
+
+  private def pyUnicodeEscape(cp: Int): String =
+    if (cp < 0x100) f"\\x$cp%02x"
+    else if (cp <= 0xffff) f"\\u$cp%04x"
+    else f"\\U$cp%08x"
+
   /** Python str repr: preferred single quotes, double when the string
-    * contains ' but no ", backslash escapes, \xNN for control chars. */
+    * contains ' but no ", backslash escapes, \xNN/\uNNNN/\UNNNNNNNN
+    * for everything CPython's isprintable() rejects. */
   private[graft] def pyStrRepr(s: String): String = {
     val q = if (s.contains('\'') && !s.contains('"')) '"' else '\''
     val sb = new StringBuilder
     sb += q
-    s.foreach {
-      case '\\'            => sb ++= "\\\\"
-      case c if c == q     => sb += '\\' += q
-      case '\n'            => sb ++= "\\n"
-      case '\r'            => sb ++= "\\r"
-      case '\t'            => sb ++= "\\t"
-      case c if c < ' ' || c == '\u007f' => sb ++= f"\\x${c.toInt}%02x"
-      case c               => sb += c
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      cp match {
+        case '\\'                 => sb ++= "\\\\"
+        case c if c == q          => sb += '\\' += q
+        case '\n'                 => sb ++= "\\n"
+        case '\r'                 => sb ++= "\\r"
+        case '\t'                 => sb ++= "\\t"
+        case c if !pyPrintable(c) => sb ++= pyUnicodeEscape(c)
+        case c                    => sb.appendAll(Character.toChars(c))
+      }
+      i += Character.charCount(cp)
     }
     (sb += q).toString
   }
 
-  /** Python bytes repr: b'..' with printable ASCII kept. */
+  /** Python bytes repr: same quote preference as str (double quotes
+    * when the bytes contain ' and no "), printable ASCII kept. */
   private[graft] def pyBytesRepr(bytes: Array[Byte]): String = {
-    val sb = new StringBuilder("b'")
+    val hasS = bytes.contains('\''.toByte)
+    val hasD = bytes.contains('"'.toByte)
+    val q: Char = if (hasS && !hasD) '"' else '\''
+    val sb = new StringBuilder("b")
+    sb += q
     bytes.foreach { b =>
       val c = (b & 0xff).toChar
       c match {
-        case '\\' => sb ++= "\\\\"
-        case '\'' => sb ++= "\\'"
-        case '\n' => sb ++= "\\n"
-        case '\r' => sb ++= "\\r"
-        case '\t' => sb ++= "\\t"
+        case '\\'        => sb ++= "\\\\"
+        case c if c == q => sb += '\\' += q
+        case '\n'        => sb ++= "\\n"
+        case '\r'        => sb ++= "\\r"
+        case '\t'        => sb ++= "\\t"
         case c if c >= ' ' && c < '\u007f' => sb += c
-        case _    => sb ++= f"\\x${b & 0xff}%02x"
+        case _           => sb ++= f"\\x${b & 0xff}%02x"
       }
     }
-    (sb += '\'').toString
+    (sb += q).toString
   }
 
-  /** Python float repr: Java's shortest round-trip digits re-laid-out
-    * under Python's formatting rule (positional iff the leading digit's
-    * decimal exponent is in (-5, 16), else `d.dddde±NN`). */
+  /** Python float repr: SHORTEST round-trip digits (not Java 17's
+    * Double.toString, which can emit one extra mantissa digit on large
+    * magnitudes) laid out under Python's formatting rule (positional
+    * iff the leading digit's decimal exponent is in (-5, 16), else
+    * `d.dddde±NN`). Shortest-by-construction: round the exact binary
+    * value to p significant decimals (HALF_EVEN) for growing p until
+    * the result parses back to the same double — the same string the
+    * Grisu/Ryu family produces. */
   private[graft] def pyFloatRepr(d: Double): String = {
     if (d.isNaN) return "nan"
     if (d.isInfinite) return if (d > 0) "inf" else "-inf"
     if (d == 0.0) return if (1 / d < 0) "-0.0" else "0.0"
     val sign = if (d < 0) "-" else ""
-    val s = java.lang.Double.toString(math.abs(d))
-    // extract (significant digits, exponent of leading digit)
-    val (digits, exp10) =
-      if (s.contains('E')) {
-        val Array(m, e) = s.split('E')
-        val dm = m.replace(".", "").reverse.dropWhile(_ == '0').reverse
-        (if (dm.isEmpty) "0" else dm, e.toInt)
-      } else {
-        val dot = s.indexOf('.')
-        val raw = s.replace(".", "")
-        val lead = raw.indexWhere(_ != '0')
-        val dm = raw.drop(lead).reverse.dropWhile(_ == '0').reverse
-        (if (dm.isEmpty) "0" else dm, dot - 1 - lead)
-      }
+    val abs = math.abs(d)
+    val exact = new java.math.BigDecimal(abs) // exact binary expansion
+    var shortest: java.math.BigDecimal = null
+    var p = 1
+    while (shortest == null && p <= 17) {
+      val cand = exact.round(
+        new java.math.MathContext(p, java.math.RoundingMode.HALF_EVEN))
+      if (cand.doubleValue() == abs) shortest = cand
+      p += 1
+    }
+    val norm = shortest.stripTrailingZeros
+    val digits = norm.unscaledValue.toString
+    val exp10 = norm.precision - norm.scale - 1
     if (exp10 > -5 && exp10 < 16) {
       if (exp10 >= 0) {
         val intPart = digits.padTo(exp10 + 1, '0').take(exp10 + 1)

@@ -111,46 +111,53 @@ object Multimodal {
     * external-codec stub). */
   private[operators] def decodeAudio(r: MediaRow): Option[MediaFeatures] =
     try {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(r.payload))
       try {
-        val fmt = in.getFormat
-        val frames = in.getFrameLength
-        if (frames <= 0 || fmt.getFrameSize <= 0) None
-        else {
-          val bytes = in.readAllBytes()
-          val bins = new Array[Double](8)
-          val counts = new Array[Long](8)
+        val srcFmt = raw.getFormat
+        // normalize EVERYTHING through the JDK's converters to signed
+        // 16-bit PCM in the container's endianness — this is what makes
+        // 8-bit AIFF (signed), 8-bit WAV (unsigned), mu-law/a-law AU,
+        // and 24/32-bit PCM all decode correctly instead of being
+        // byte-peeked as if they were 16-bit linear PCM
+        val pcmFmt = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          srcFmt.getSampleRate, 16, srcFmt.getChannels,
+          srcFmt.getChannels * 2, srcFmt.getSampleRate, srcFmt.isBigEndian)
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(pcmFmt, raw)
+        try {
+          val fmt = in.getFormat
           val frameSize = fmt.getFrameSize
-          val n = bytes.length / frameSize
-          val bytesPerSample = math.max(1, fmt.getSampleSizeInBits / 8)
-          var f = 0
-          while (f < n) {
-            // first channel, first sample of the frame (PCM little- or
-            // big-endian per format; 8-bit PCM is unsigned)
-            val off = f * frameSize
-            val v: Double =
-              if (bytesPerSample == 1) ((bytes(off) & 0xff) - 128) / 128.0
-              else {
-                val (b0, b1) =
-                  if (fmt.isBigEndian) (bytes(off), bytes(off + 1))
-                  else (bytes(off + 1), bytes(off))
-                ((b0 << 8) | (b1 & 0xff)).toShort / 32768.0
-              }
-            val bin = math.min(7, f * 8 / n)
-            bins(bin) += v * v
-            counts(bin) += 1
-            f += 1
+          val bytes = in.readAllBytes()
+          val n = if (frameSize > 0) bytes.length / frameSize else 0
+          if (n <= 0) None
+          else {
+            val bins = new Array[Double](8)
+            val counts = new Array[Long](8)
+            var f = 0
+            while (f < n) {
+              // first channel of the frame, signed 16-bit
+              val off = f * frameSize
+              val (b0, b1) =
+                if (fmt.isBigEndian) (bytes(off), bytes(off + 1))
+                else (bytes(off + 1), bytes(off))
+              val v = ((b0 << 8) | (b1 & 0xff)).toShort / 32768.0
+              // long arithmetic: f*8 overflows Int past 2^28 frames
+              val bin = math.min(7L, f.toLong * 8 / n).toInt
+              bins(bin) += v * v
+              counts(bin) += 1
+              f += 1
+            }
+            val feat = Array.tabulate(8)(i =>
+              if (counts(i) == 0) 0f else math.sqrt(bins(i) / counts(i)).toFloat)
+            Some(MediaFeatures(
+              r.media_id, r.kind, r.payload.length.toLong, checksumOf(r.payload),
+              feat,
+              width = Some(fmt.getChannels),
+              height = Some(fmt.getSampleRate.toInt)))
           }
-          val feat = Array.tabulate(8)(i =>
-            if (counts(i) == 0) 0f else math.sqrt(bins(i) / counts(i)).toFloat)
-          Some(MediaFeatures(
-            r.media_id, r.kind, r.payload.length.toLong, checksumOf(r.payload),
-            feat,
-            width = Some(fmt.getChannels),
-            height = Some(fmt.getSampleRate.toInt)))
-        }
-      } finally in.close()
+        } finally in.close()
+      } finally raw.close()
     } catch { case _: Exception => None }
 
   /** Kind dispatch: real image + audio decode (in-JVM codecs), stub for
@@ -188,7 +195,9 @@ object Multimodal {
         real.getOrElse {
           val target = math.max(1, w * h)
           val bytes = if (r.payload == null) Array.empty[Byte] else r.payload
-          val out = Array.tabulate(target)(i => bytes(i % math.max(1, bytes.length)))
+          val out =
+            if (bytes.isEmpty) new Array[Byte](target) // zero-fill, no modulo-by-zero
+            else Array.tabulate(target)(i => bytes(i % bytes.length))
           r.copy(payload = out, width = Some(w), height = Some(h))
         }
       }

@@ -203,9 +203,8 @@ object SignLsh {
       .select(col("pa.vec_id").as("a"), col("pb.vec_id").as("b"))
       .distinct()
     // norms once per VECTOR, not per pair — the verify stage then costs
-    // one decimal dot per candidate instead of three (the same
-    // double-conversion order as Similarity.cosMicros, so the emitted
-    // micros are bit-identical)
+    // one decimal dot per candidate instead of three; the micros
+    // expression is the shared Similarity.cosMicrosPre contract
     val withNorm = emb.select(col("vec_id"),
       Similarity.decVec(col("embedding")).as("de"))
       .select(col("vec_id"), col("de"),
@@ -214,10 +213,7 @@ object SignLsh {
     val eb = withNorm.select(col("vec_id").as("b"), col("de").as("be"), col("nrm").as("nb"))
     cand.join(ea, "a").join(eb, "b")
       .select(col("a"), col("b"),
-        (dot(col("ae"), col("be")).cast(org.apache.spark.sql.types.DoubleType) /
-          sqrt(col("na") * col("nb")))
-          .cast(org.apache.spark.sql.types.DecimalType(10, 6))
-          .*(lit(1000000L)).cast(org.apache.spark.sql.types.LongType)
+        Similarity.cosMicrosPre(dot(col("ae"), col("be")), col("na"), col("nb"))
           .as("sim_micros"))
       .filter(col("sim_micros") >= 300000L)
       .orderBy("a", "b")

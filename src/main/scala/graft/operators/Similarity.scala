@@ -49,14 +49,20 @@ object Similarity {
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 
-  // Cosine determinism contract (the inlined `sim_micros` expressions
-  // below): exact-decimal dot and norms, cast through DOUBLE in a fixed
-  // order, rounded to a 6-dp grid and emitted as BIGINT micros —
-  // DuckDB's decimal→double conversion is off by an ulp vs Spark's
-  // correctly-rounded one, so raw doubles can't be compared or ranked;
-  // the grid absorbs that and ties break on the id column. Norms are
-  // computed once per VECTOR and joined, so the pairwise stage costs
-  // one decimal dot.
+  /** Cosine determinism contract — the ONE expression every oracle
+    * cosine query must share: exact-decimal pair dot and PRECOMPUTED
+    * per-vector norms (already cast to double), divided in a fixed
+    * order, rounded to a 6-dp grid and emitted as BIGINT micros.
+    * DuckDB's decimal→double conversion is off by an ulp vs Spark's
+    * correctly-rounded one, so raw doubles can't be compared or
+    * ranked; the grid absorbs that and ties break on the id column.
+    * Changing the cast order or grid scale here breaks the
+    * Spark↔DuckDB hash match of every consumer at once — which is the
+    * point: one truth, not three hand-kept copies. */
+  private[operators] def cosMicrosPre(dot: Column, na: Column, nb: Column): Column =
+    (dot.cast(DoubleType) / sqrt(na * nb))
+      .cast(DecimalType(10, 6))
+      .*(lit(1000000L)).cast(LongType)
 
   /** Brute-force cosine top-k: query vectors (vec_id < 8) against the
     * whole corpus — one broadcast nested-loop over (queries × corpus)
@@ -78,9 +84,7 @@ object Similarity {
       .withColumn("nc", decDot(col("ne"), col("ne")).cast(DoubleType))
     val cosv = broadcast(q).join(c, col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
-        (decDot(col("qe"), col("ne")).cast(DoubleType) /
-          sqrt(col("nq") * col("nc")))
-          .cast(DecimalType(10, 6)).*(lit(1000000L)).cast(LongType)
+        cosMicrosPre(decDot(col("qe"), col("ne")), col("nq"), col("nc"))
           .as("sim_micros"))
     val w = Window.partitionBy("qid").orderBy(col("sim_micros").desc, col("nid"))
     cosv
@@ -117,9 +121,7 @@ object Similarity {
               col("pa.nrm").as("na"), col("pb.nrm").as("nb"))
     pairs
       .select(col("a"), col("b"),
-        (decDot(col("ae"), col("be")).cast(DoubleType) /
-          sqrt(col("na") * col("nb")))
-          .cast(DecimalType(10, 6)).*(lit(1000000L)).cast(LongType)
+        cosMicrosPre(decDot(col("ae"), col("be")), col("na"), col("nb"))
           .as("sim_micros"))
       .filter(col("sim_micros") >= 300000L)
       .orderBy("a", "b")

@@ -119,6 +119,16 @@ class ReportActionsSpec extends SparkSpec {
     // bytes literal (documented memoryview divergence)
     assert(pyRepr(Array[Byte]('a', 'b', 0xff.toByte, 0)) == "b'ab\\xff\\x00'")
     assert(pyRepr(new java.math.BigDecimal("123.45")) == "Decimal('123.45')")
+    // non-printable unicode escapes exactly as CPython (NEL, NBSP, LS)
+    assert(pyRepr("nel\u0085nbsp\u00a0") == "'nel\\x85nbsp\\xa0'")
+    assert(pyRepr("line\u2028sep") == "'line\\u2028sep'")
+    // bytes quote preference mirrors str
+    assert(pyRepr("it's".getBytes("UTF-8")) == "b\"it's\"")
+    assert(pyRepr("both'\"".getBytes("UTF-8")) == "b'both\\'\"'")
+    // shortest round-trip digits where Java 17's toString has one extra
+    assert(pyRepr(5.7223519193314771e17) == "5.722351919331477e+17")
+    assert(pyRepr(1.7976931348623157e308) == "1.7976931348623157e+308")
+    assert(pyRepr(java.lang.Double.MIN_VALUE) == "5e-324")
     // whole rows comma-join like ','.join(...)
     val line = csvLine(org.apache.spark.sql.Row("x,y", 1L, 2.0d, null))
     assert(line == "'x,y',1,2.0,None")
