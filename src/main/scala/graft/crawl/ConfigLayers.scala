@@ -71,6 +71,17 @@ object ConfigLayers {
       cli: Map[String, List[String]],
       env: Map[String, String] = sys.env,
       rcPaths: Seq[String] = DefaultRcPaths): List[String] = {
+    // explicit config file (CLI/env) replaces the default chain; unlike
+    // the silent default chain, a NAMED file that cannot be read is an
+    // error (configargparse parity: it validates the file at parse time
+    // regardless of which layer ultimately satisfies each key, so the
+    // check runs BEFORE any short-circuit on cli/env hits — a typo'd
+    // --config-file must never silently resolve as if absent)
+    val explicit = cli.get("config-file").flatMap(_.headOption)
+      .orElse(env.get("STORCRAWL_CONFIG_FILE"))
+    explicit.foreach { p =>
+      require(Files.isReadable(Paths.get(p)), s"config file not readable: $p")
+    }
     cli.get(key) match {
       case Some(vs) if vs.nonEmpty => vs
       case _ =>
@@ -78,16 +89,6 @@ object ConfigLayers {
         env.get(envKey) match {
           case Some(v) => List(v)
           case None =>
-            // explicit config file (CLI/env) replaces the default chain;
-            // unlike the silent default chain, a NAMED file that cannot
-            // be read is an error (configargparse parity: a typo'd
-            // --config-file must not silently resolve as if absent)
-            val explicit = cli.get("config-file").flatMap(_.headOption)
-              .orElse(env.get("STORCRAWL_CONFIG_FILE"))
-            explicit.foreach { p =>
-              require(Files.isReadable(Paths.get(p)),
-                s"config file not readable: $p")
-            }
             val chain = explicit.map(Seq(_)).getOrElse(rcPaths)
             // later files override earlier, per key
             chain.reverseIterator

@@ -71,10 +71,15 @@ object Crawl {
         case Some(of) =>
           val dim = Owners.load(spark, of)
           if (useJoinPlan) {
-            // the join plan references the crawl twice; cache so the
-            // second branch does not re-list/re-stat (and, with
-            // counters on, double-bump every accumulator)
+            // the join plan references the crawl twice; cache AND
+            // materialize before handing it to the two join branches —
+            // a lazily-populated cache lets Spark schedule both scan
+            // stages concurrently, computing partitions twice and
+            // (with counters on) double-bumping every accumulator.
+            // The cache lives until the session drops it (LRU) or the
+            // caller clears; it is the price of the two-branch plan.
             val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            cached.count() // populate + bump counters exactly once
             Owners.attachOwnersByJoin(cached.drop("owner"), dim)
               .withColumnRenamed("owner_joined", "owner")
           } else df.withColumn("owner", Owners.findOwnerUdf(spark, dim))
@@ -106,9 +111,11 @@ object Crawl {
         val dim = Owners.load(spark, of)
         if (useJoinPlan) {
           // the join plan references the crawl twice (explode side +
-          // join-back side); without a cache the second branch would
-          // re-list, re-stat, and double-bump every accumulator
+          // join-back side); cache AND materialize so neither branch
+          // re-lists/re-stats and the accumulators bump exactly once
+          // even when Spark schedules both scan stages concurrently
           val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          cached.count()
           Owners.attachOwnersByJoin(cached.drop("owner"), dim)
             .withColumnRenamed("owner_joined", "owner")
         } else
@@ -233,7 +240,16 @@ object Crawl {
       // Derby folds to UPPER, Postgres to lower
       val cased: String => String =
         if (dialect == "derby") (s: String) => s.toUpperCase else identity
-      val fileRows = files.filter(col("st_mode").isNotNull) // DDL pins stats NOT NULL
+      // the DDL pins stats NOT NULL (reference contract), so stat-error
+      // rows cannot land in the database — report what the parquet sink
+      // has that this one will not, instead of silently diverging
+      val dropped = files.filter(col("st_mode").isNull).count()
+      if (dropped > 0)
+        System.err.println(
+          s"[jdbc] $dropped stat-error row(s) excluded from $schema.files " +
+            "(NOT NULL stat columns, storcrawl.py:132-148); " +
+            "they remain in the parquet sink")
+      val fileRows = files.filter(col("st_mode").isNotNull)
         .select(
           col("path").cast("binary").as(cased("path")),
           col("extension").cast("binary").as(cased("extension")),

@@ -273,12 +273,16 @@ object SignLsh {
     def dotF(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
     val cand = candidatePairs(corpus, p, dim, saltBuckets)
-    val ea = corpus.select(col("vec_id").as("a"), col("embedding").as("ae"))
-    val eb = corpus.select(col("vec_id").as("b"), col("embedding").as("be"))
+    // norms once per vector — one dot per candidate pair, not three
+    val withNorm = corpus.select(col("vec_id"), col("embedding"),
+      sqrt(dotF(col("embedding"), col("embedding"))).as("nrm"))
+    val ea = withNorm.select(col("vec_id").as("a"), col("embedding").as("ae"),
+      col("nrm").as("na"))
+    val eb = withNorm.select(col("vec_id").as("b"), col("embedding").as("be"),
+      col("nrm").as("nb"))
     cand.join(ea, "a").join(eb, "b")
       .select(col("a"), col("b"),
-        (dotF(col("ae"), col("be")) /
-          (sqrt(dotF(col("ae"), col("ae"))) * sqrt(dotF(col("be"), col("be"))))).as("sim"))
+        (dotF(col("ae"), col("be")) / (col("na") * col("nb"))).as("sim"))
       .filter(col("sim") >= simThreshold)
   }
 }

@@ -156,7 +156,9 @@ object StatusStream {
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         val entries = batch.select(
           to_json(struct(batch.columns.map(col): _*)).as("entry"))
+        // quote exactly as the bootstrap DDL did (writeJdbcFull parity)
         graft.crawl.Crawl.writeJdbc(
-          entries, url, s"$schema.status", user, password, numPartitions = 1)
+          entries, url, s"${graft.crawl.PgDdl.quoteIdent(schema)}.status",
+          user, password, numPartitions = 1)
       }
 }
