@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DecimalDotExpr, FindExtensionExpr}
+import graft.functions.{DecimalDotExpr, FindExtensionExpr, FloatDotExpr}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions so SQL users get them as builtins.
@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.findExtensionDescriptor)
     ext.injectFunction(GraftExtensions.decimalDotDescriptor)
+    ext.injectFunction(GraftExtensions.floatDotDescriptor)
   }
 }
 
@@ -54,5 +55,20 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.length == 2, "decimal_dot takes exactly 2 arguments")
       DecimalDotExpr(children.head, children(1))
+    })
+
+  val floatDotDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("float_dot"),
+    new ExpressionInfo(
+      classOf[FloatDotExpr].getCanonicalName,
+      null,
+      "float_dot",
+      "float_dot(a, b) - dot product of two ARRAY<FLOAT> vectors " +
+        "(codegen; float multiply, double accumulate)",
+      ""),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "float_dot takes exactly 2 arguments")
+      FloatDotExpr(children.head, children(1))
     })
 }

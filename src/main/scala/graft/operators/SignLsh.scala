@@ -87,8 +87,7 @@ object SignLsh {
   }
 
   private def dotLit(emb: Column, plane: Array[Float]): Column =
-    aggregate(zip_with(emb, typedlit(plane.toSeq), (x, y) => x * y),
-      lit(0.0d), (acc, v) => acc + v)
+    Similarity.dotFloat(emb, typedlit(plane.toSeq))
 
   /** Per-vector band signatures: one row per (vec_id, band) with the
     * b-bit bucket `key` and, when multiprobe is on, the T single-bit-flip
@@ -270,8 +269,7 @@ object SignLsh {
     * candidate volume is ~n·targetBucket·bands/2, linear in n. */
   def neardup(corpus: DataFrame, p: Params, simThreshold: Double,
       dim: Int = 64, saltBuckets: Int = 8): DataFrame = {
-    def dotF(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    def dotF(a: Column, b: Column): Column = Similarity.dotFloat(a, b)
     val cand = candidatePairs(corpus, p, dim, saltBuckets)
     // norms once per vector — one dot per candidate pair, not three
     val withNorm = corpus.select(col("vec_id"), col("embedding"),

@@ -127,12 +127,21 @@ object Similarity {
       .orderBy("a", "b")
   }
 
+  /** Float dot via the native codegen [[graft.functions.FloatDotExpr]]:
+    * bit-identical to the zip_with/aggregate fold (float multiply,
+    * double accumulate, index order) but runs inside whole-stage
+    * codegen instead of interpreted per-element lambda dispatch. */
+  private[graft] def dotFloat(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.FloatDotExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
   /** Production float path (not oracle-verified — FP summation order):
     * top-k neighbors for an arbitrary query DataFrame (vec_id, embedding)
-    * using codegen'd array ops: zip_with product + aggregate sum. */
+    * using the codegen float dot. */
   def cosineTopkFloat(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    def dot(a: Column, b: Column): Column = dotFloat(a, b)
     def nrm(a: Column): Column = sqrt(dot(a, a))
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("ne"))
@@ -145,8 +154,7 @@ object Similarity {
 
   // ---- IVF scale path (non-oracle: float math; recall-tested in specs)
 
-  private def dotF(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+  private def dotF(a: Column, b: Column): Column = dotFloat(a, b)
 
   /** Build an IVF coarse index: k deterministic seed centroids refined
     * by `iters` Lloyd iterations, all as DataFrame ops (posexplode →

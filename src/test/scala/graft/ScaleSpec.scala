@@ -173,6 +173,32 @@ class ScaleSpec extends SparkSpec {
       s"a band still does near-quadratic pairing: $worstBandPairs")
   }
 
+  test("FloatDotExpr: bit-identical to the zip_with/aggregate fold, runs codegen") {
+    val emb = Tables.embeddings(spark, sf)
+    val hof = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    val pairs = emb.select(col("vec_id"), col("embedding").as("a"))
+      .crossJoin(emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("v2"), col("embedding").as("b")))
+    val both = pairs.select(
+      graft.operators.Similarity.dotFloat(col("a"), col("b")).as("fast"),
+      hof.as("slow"))
+    // exact double equality on every pair (same multiply/accumulate order)
+    assert(both.filter(col("fast") =!= col("slow")).count() == 0)
+    // and the expression participates in whole-stage codegen over a
+    // real parquet scan when not co-projected with interpreted HOFs
+    // (AQE finalizes the plan only after execution)
+    val fastOnly = pairs.select(
+      graft.operators.Similarity.dotFloat(col("a"), col("b")).as("fast"))
+    fastOnly.collect()
+    val plan = fastOnly.queryExecution.executedPlan.toString
+    // the '*(n)' prefix is the WholeStageCodegen marker in tree strings
+    assert(plan.contains("*(") && plan.contains("float_dot"), plan.take(800))
+    assert(
+      plan.linesIterator.exists(l => l.contains("float_dot") && l.contains("*(")),
+      s"float_dot Project not inside a codegen span:\n${plan.take(800)}")
+  }
+
   test("sign-LSH: bucket count scales with the corpus (pure sizing)") {
     assert(SignLsh.bitsFor(1000000000L, 1024) == 20)      // 1B vecs → 2^20 buckets
     assert(SignLsh.bitsFor(500, 1024) == 1)               // tiny corpus → no over-split
