@@ -235,37 +235,38 @@ object Crawl {
       // For live Postgres, append `?stringtype=unspecified` to the URL
       // so the driver lets the server coerce st_mode→bit(19) and
       // entry→jsonb from text parameters.
-      // Spark's JDBC writer quotes column identifiers, so their case
-      // must match the database's normalization of the unquoted DDL:
-      // Derby folds to UPPER, Postgres to lower
-      val cased: String => String =
-        if (dialect == "derby") (s: String) => s.toUpperCase else identity
       // the DDL pins stats NOT NULL (reference contract), so stat-error
       // rows cannot land in the database — report what the parquet sink
-      // has that this one will not, instead of silently diverging
-      val dropped = files.filter(col("st_mode").isNull).count()
+      // has that this one will not, instead of silently diverging. One
+      // aggregation job for the diagnostic; callers pass a materialized
+      // table (CrawlMain reads back the written parquet), a live crawl
+      // DataFrame would be re-executed by this scan plus the write.
+      val diag = files.agg(
+        count(when(col("st_mode").isNull, 1)).as("nulls")).head()
+      val dropped = diag.getLong(0)
       if (dropped > 0)
         System.err.println(
           s"[jdbc] $dropped stat-error row(s) excluded from $schema.files " +
             "(NOT NULL stat columns, storcrawl.py:132-148); " +
             "they remain in the parquet sink")
+      // column names stay lowercase for every dialect: Spark's JDBC
+      // append resolves DataFrame columns against the live table's
+      // schema case-insensitively before quoting (proven in-repo by the
+      // streaming sink's lowercase 'entry' landing in Derby's ENTRY)
       val fileRows = files.filter(col("st_mode").isNotNull)
         .select(
-          col("path").cast("binary").as(cased("path")),
-          col("extension").cast("binary").as(cased("extension")),
-          col("st_mode").as(cased("st_mode")), col("st_ino").as(cased("st_ino")),
-          col("st_dev").as(cased("st_dev")), col("st_nlink").as(cased("st_nlink")),
-          col("st_uid").as(cased("st_uid")), col("st_gid").as(cased("st_gid")),
-          col("st_size").as(cased("st_size")), col("st_atime").as(cased("st_atime")),
-          col("st_mtime").as(cased("st_mtime")), col("st_ctime").as(cased("st_ctime")),
-          col("owner").as(cased("owner")))
+          col("path").cast("binary").as("path"),
+          col("extension").cast("binary").as("extension"),
+          col("st_mode"), col("st_ino"), col("st_dev"), col("st_nlink"),
+          col("st_uid"), col("st_gid"), col("st_size"),
+          col("st_atime"), col("st_mtime"), col("st_ctime"), col("owner"))
       // quote the schema exactly as the bootstrap DDL did — a name
       // quoteIdent had to protect (mixed case, hyphens) must reach the
       // INSERT identically or it case-folds/errors
       val q = PgDdl.quoteIdent(schema)
       writeJdbc(fileRows, url, s"$q.files", user, password,
         batchSize, numPartitions)
-      writeJdbc(statusJsonb(status).select(col("entry").as(cased("entry"))),
+      writeJdbc(statusJsonb(status).select("entry"),
         url, s"$q.status", user, password, batchSize, numPartitions = 1)
     }
     errs

@@ -96,9 +96,11 @@ object ReportActions {
         least(col("st_mtime"), col("st_ctime")).desc,
         col("path"))
 
-  /** Directory test on the 19-bit mode string: S_IFDIR = 0x4000 =
-    * bit 14 → position 5 of the rendered string. */
-  private def isDirMode = col("st_mode").substr(5, 1) === "1"
+  /** Directory test on the 19-bit mode string: the FULL S_IFMT nibble
+    * (bits 15..12 → positions 4..7), not just bit 14 — sockets (1100)
+    * and block devices (0110) share bit 14 with directories (0100) and
+    * must not be misclassified. */
+  private def isDirMode = col("st_mode").substr(4, 4) === "0100"
 
   /** Hardlink groups: non-directory entries sharing (st_dev, st_ino) —
     * physically ONE file reachable under several names, the case every

@@ -15,9 +15,13 @@ import org.apache.spark.sql.types._
   * Semantics mirror the HOF fold the operators previously used: each
   * pairwise product is a FLOAT multiply (then widened), accumulated in
   * a double, in index order — so swapping this in changes no result
-  * bits. One divergence: null elements are SKIPPED rather than
-  * null-poisoning the whole sum (embedding columns carry no null
-  * elements; skipping is the useful semantic if one ever appears).
+  * bits, INCLUDING for mismatched-length vectors, which return NULL
+  * exactly as zip_with's null padding poisoned the fold (a truncated
+  * partial dot would let malformed vectors slip into top-k results
+  * with plausible scores). One divergence: null ELEMENTS at matching
+  * length are skipped rather than poisoning the sum (embedding
+  * columns carry no null elements; skipping is the useful semantic if
+  * one ever appears).
   */
 case class FloatDotExpr(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -34,6 +38,7 @@ case class FloatDotExpr(left: Expression, right: Expression)
   }
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // mismatched lengths → NULL
   override def prettyName: String = "float_dot"
 
   override protected def withNewChildrenInternal(
@@ -43,16 +48,19 @@ case class FloatDotExpr(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val av = a.asInstanceOf[ArrayData]
     val bv = b.asInstanceOf[ArrayData]
-    val n = math.min(av.numElements(), bv.numElements())
-    var sum = 0.0d
-    var i = 0
-    while (i < n) {
-      if (!av.isNullAt(i) && !bv.isNullAt(i)) {
-        sum += (av.getFloat(i) * bv.getFloat(i)).toDouble
+    if (av.numElements() != bv.numElements()) null
+    else {
+      val n = av.numElements()
+      var sum = 0.0d
+      var i = 0
+      while (i < n) {
+        if (!av.isNullAt(i) && !bv.isNullAt(i)) {
+          sum += (av.getFloat(i) * bv.getFloat(i)).toDouble
+        }
+        i += 1
       }
-      i += 1
+      sum
     }
-    sum
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -61,14 +69,18 @@ case class FloatDotExpr(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val sum = ctx.freshName("sum")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $sum = 0.0d;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
-         |    $sum += (double)($a.getFloat($i) * $b.getFloat($i));
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $sum = 0.0d;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |      $sum += (double)($a.getFloat($i) * $b.getFloat($i));
+         |    }
          |  }
+         |  ${ev.value} = $sum;
          |}
-         |${ev.value} = $sum;
        """.stripMargin
     })
 }

@@ -154,8 +154,17 @@ object StatusStream {
       .trigger(Trigger.ProcessingTime(cadence))
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        // the SAME entry shape Crawl.statusJsonb writes (status, value,
+        // units, epoch-int time) so batch and streaming rows in one
+        // status table stay queryable with one parser; `units` is null
+        // when the stream doesn't carry it
+        val unitsCol =
+          if (batch.columns.contains("units")) col("units")
+          else lit(null).cast("string")
         val entries = batch.select(
-          to_json(struct(batch.columns.map(col): _*)).as("entry"))
+          to_json(struct(
+            col("status"), col("value"), unitsCol.as("units"),
+            unix_timestamp(col("time")).as("time"))).as("entry"))
         // quote exactly as the bootstrap DDL did (writeJdbcFull parity)
         graft.crawl.Crawl.writeJdbc(
           entries, url, s"${graft.crawl.PgDdl.quoteIdent(schema)}.status",
