@@ -43,8 +43,10 @@ object Multimodal {
       n_bytes: Long,
       checksum: Long,
       feature: Array[Float],      // luminance histogram (real) or stub embedding
-      width: Option[Int] = None,  // decoded pixel dims (real image path only)
-      height: Option[Int] = None)
+      width: Option[Int] = None,  // image: pixels; audio: channels; video: pixels
+      height: Option[Int] = None, // image: pixels; audio: sample rate; video: pixels
+      duration_ms: Option[Long] = None, // audio/video container duration
+      n_tracks: Option[Int] = None)     // video container track count
 
   final case class MediaFrame(
       media_id: Long,
@@ -154,19 +156,85 @@ object Multimodal {
               r.media_id, r.kind, r.payload.length.toLong, checksumOf(r.payload),
               feat,
               width = Some(fmt.getChannels),
-              height = Some(fmt.getSampleRate.toInt)))
+              height = Some(fmt.getSampleRate.toInt),
+              duration_ms = Some(
+                (n.toLong * 1000 / fmt.getSampleRate.toLong).max(0L))))
           }
         } finally in.close()
       } finally raw.close()
     } catch { case _: Exception => None }
 
-  /** Kind dispatch: real image + audio decode (in-JVM codecs), stub for
-    * video and for payloads the JVM cannot parse. */
+  /** REAL MP4/MOV container metadata (no codec needed — plain ISO BMFF
+    * box walking): duration from mvhd, track count and the first video
+    * track's pixel dimensions from trak/tkhd. Frame DECODE stays
+    * stubbed (that genuinely needs external codecs); the returned
+    * features carry real metadata around the stub feature vector.
+    * Returns None for non-ISO-BMFF payloads. */
+  private[operators] def videoContainerMeta(
+      payload: Array[Byte]): Option[(Long, Int, Option[(Int, Int)])] =
+    try {
+      val bb = java.nio.ByteBuffer.wrap(payload) // big-endian per spec
+      def walk(from: Int, to: Int, want: String): Option[(Int, Int)] = {
+        var off = from
+        while (off + 8 <= to) {
+          val size = bb.getInt(off)
+          val tpe = new String(payload, off + 4, 4, "ISO-8859-1")
+          if (size < 8 || off + size > to) return None
+          if (tpe == want) return Some((off + 8, off + size))
+          off += size
+        }
+        None
+      }
+      walk(0, payload.length, "moov").flatMap { case (ms, me) =>
+        walk(ms, me, "mvhd").map { case (hs, _) =>
+          val version = payload(hs) & 0xff
+          val (timescale, duration) =
+            if (version == 1) (bb.getInt(hs + 20).toLong, bb.getLong(hs + 24))
+            else (bb.getInt(hs + 12).toLong, (bb.getInt(hs + 16).toLong & 0xffffffffL))
+          val durMs = if (timescale > 0) duration * 1000 / timescale else 0L
+          // count trak children of moov; first with nonzero tkhd dims
+          var nTracks = 0
+          var dims: Option[(Int, Int)] = None
+          var off = ms
+          while (off + 8 <= me) {
+            val size = bb.getInt(off)
+            if (size < 8 || off + size > me) { off = me }
+            else {
+              if (new String(payload, off + 4, 4, "ISO-8859-1") == "trak") {
+                nTracks += 1
+                if (dims.isEmpty)
+                  dims = walk(off + 8, off + size, "tkhd").flatMap { case (ts, te) =>
+                    // width/height are the LAST 8 bytes, 16.16 fixed point
+                    val w = bb.getInt(te - 8) >>> 16
+                    val h = bb.getInt(te - 4) >>> 16
+                    if (w > 0 && h > 0) Some((w, h)) else None
+                  }
+              }
+              off += size
+            }
+          }
+          (durMs, nTracks, dims)
+        }
+      }
+    } catch { case _: Exception => None }
+
+  private[operators] def decodeVideo(r: MediaRow): Option[MediaFeatures] =
+    videoContainerMeta(r.payload).map { case (durMs, nTracks, dims) =>
+      val stub = decodeStub(r) // frame decode needs external codecs
+      stub.copy(
+        width = dims.map(_._1), height = dims.map(_._2),
+        duration_ms = Some(durMs), n_tracks = Some(nTracks))
+    }
+
+  /** Kind dispatch: real image + audio decode and real video container
+    * metadata (all in-JVM), stub for payloads the JVM cannot parse and
+    * for video FRAME decode. */
   private[operators] def decode(r: MediaRow): MediaFeatures =
     if (r.payload == null) decodeStub(r)
     else r.kind match {
       case "image" => decodeImage(r).getOrElse(decodeStub(r))
       case "audio" => decodeAudio(r).getOrElse(decodeStub(r))
+      case "video" => decodeVideo(r).getOrElse(decodeStub(r))
       case _       => decodeStub(r)
     }
 

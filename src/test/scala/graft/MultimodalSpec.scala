@@ -84,6 +84,40 @@ class MultimodalSpec extends SparkSpec {
     assert(f.feature.drop(4).forall(_ < 1e-3f), f.feature.mkString(","))
   }
 
+  test("video container metadata parses real MP4 boxes (duration, tracks, dims)") {
+    import spark.implicits._
+    // hand-built minimal ISO BMFF: ftyp + moov(mvhd + trak(tkhd))
+    val bb = java.nio.ByteBuffer.allocate(16 + 8 + 108 + 100)
+    def box(size: Int, tpe: String): Unit = {
+      bb.putInt(size); bb.put(tpe.getBytes("ISO-8859-1"))
+    }
+    box(16, "ftyp"); bb.put("isom".getBytes); bb.putInt(0)
+    box(8 + 108 + 100, "moov")
+    box(108, "mvhd")
+    bb.putInt(0)              // version 0 + flags
+    bb.putInt(0); bb.putInt(0) // ctime, mtime
+    bb.putInt(1000)           // timescale
+    bb.putInt(5000)           // duration -> 5000 ms
+    bb.position(bb.position() + 108 - 8 - 20) // rest of mvhd payload
+    box(100, "trak")
+    box(92, "tkhd")
+    val tkhdStart = bb.position()
+    bb.position(tkhdStart + 84 - 8) // skip to the last 8 payload bytes
+    bb.putInt(640 << 16)      // width, 16.16 fixed point
+    bb.putInt(360 << 16)      // height
+    val mp4 = bb.array()
+
+    val media = Seq(
+      Multimodal.MediaRow(11L, "video", mp4, "video/mp4", None, None, None)
+    ).toDS()
+    val f = Multimodal.extractFeatures(media).collect().head
+    assert(f.duration_ms.contains(5000L), s"duration ${f.duration_ms}")
+    assert(f.n_tracks.contains(1))
+    assert(f.width.contains(640) && f.height.contains(360))
+    // frame decode stays stubbed: feature vector is the deterministic fake
+    assert(f.feature.length == 8)
+  }
+
   test("undecodable image payload and codec-less kinds fall back to the stub") {
     import spark.implicits._
     val media = Seq(
