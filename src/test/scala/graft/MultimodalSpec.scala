@@ -79,6 +79,7 @@ class MultimodalSpec extends SparkSpec {
     val f = Multimodal.extractFeatures(media).collect().head
     assert(f.width.contains(1), "channel count")
     assert(f.height.contains(8000), "sample rate")
+    assert(f.duration_ms.contains(1000L), s"duration ${f.duration_ms}")
     // RMS envelope: first-half bins near sine RMS (~0.65), second half 0
     assert(f.feature.take(4).forall(x => x > 0.5f && x < 0.8f), f.feature.mkString(","))
     assert(f.feature.drop(4).forall(_ < 1e-3f), f.feature.mkString(","))
