@@ -37,3 +37,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // need a UTF-8 locale in their environment, not a -D flag
 Test / envVars ++= Map("LC_ALL" -> "C.UTF-8", "LANG" -> "C.UTF-8")
 run / envVars ++= Map("LC_ALL" -> "C.UTF-8", "LANG" -> "C.UTF-8")
+scalacOptions ++= Seq("-deprecation")

@@ -8,7 +8,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{DecimalDotExpr, FindExtensionExpr, FloatDotExpr}
 
 /** SparkSessionExtensions entry point: registers the engine's native
-  * expressions so SQL users get them as builtins.
+  * expressions so SQL users get them as builtins, and the custom
+  * planner strategy ([[graft.plans.GraftStrategy]]) so custom logical
+  * operators ([[graft.plans.RangeJoin]]) plan into their physical
+  * forms.
   *
   *   SparkSession.builder()
   *     .withExtensions(new GraftExtensions)        // programmatic
@@ -16,17 +19,22 @@ import graft.functions.{DecimalDotExpr, FindExtensionExpr, FloatDotExpr}
   *
   * After registration: `SELECT find_extension(path) FROM files` runs the
   * codegen'd [[FindExtensionExpr]] — no UDF registration per session,
-  * no boxing, visible in EXPLAIN like any builtin.
+  * no boxing, visible in EXPLAIN like any builtin. Sessions built
+  * elsewhere get the same surface via [[graft.plans.Graft.install]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.findExtensionDescriptor)
-    ext.injectFunction(GraftExtensions.decimalDotDescriptor)
-    ext.injectFunction(GraftExtensions.floatDotDescriptor)
+    ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
+    GraftExtensions.functionDescriptors.foreach(ext.injectFunction)
   }
 }
 
 object GraftExtensions {
+
+  /** All native SQL function descriptors, in `injectFunction` shape. */
+  def functionDescriptors
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(findExtensionDescriptor, decimalDotDescriptor, floatDotDescriptor)
   val findExtensionDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("find_extension"),

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, TimestampType}
 
 import graft.Tables
 import graft.functions.Exprs._
@@ -178,7 +178,34 @@ object Relational {
       .orderBy(col("df").desc, col("word"))
   }
 
+  /** Interval-containment range join through the custom plan path
+    * ([[graft.plans.RangeJoin]] → `RangeJoinExec`): order dates stabbed
+    * against per-lineitem shipment windows `[shipdate, shipdate +
+    * quantity days]`. The oracle is the plain BETWEEN join; the engine
+    * plans the broadcast sorted-interval binary search instead of
+    * Catalyst's O(n·m) BroadcastNestedLoopJoin. Epoch-second BIGINT
+    * space on both sides (timestamp→long casts floor identically);
+    * quantity floor()'d explicitly (Spark CAST truncates, DuckDB
+    * rounds — floor is the one shared spelling). */
+  val qRangeJoin: Q = (s, d) => {
+    val points = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 211 === 0)
+      .select(col("o_orderkey").as("point_key"),
+        col("o_orderdate").cast(TimestampType).cast(LongType).as("p_s"))
+    val intervals = Tables.lineitem(s, d)
+      .filter(col("l_orderkey") % 397 === 0)
+      .select(
+        (col("l_orderkey") * 100 + col("l_linenumber")).cast(LongType).as("iv_id"),
+        col("l_shipdate").cast(TimestampType).cast(LongType).as("lo_s"),
+        (col("l_shipdate").cast(TimestampType).cast(LongType)
+          + floor(col("l_quantity")).cast(LongType) * 86400L).as("hi_s"))
+    graft.plans.Graft.rangeJoin(points, intervals, "p_s", "lo_s", "hi_s")
+      .select(col("point_key"), col("iv_id"), col("p_s"), col("lo_s"), col("hi_s"))
+      .orderBy(col("point_key"), col("iv_id"), col("lo_s"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_range_join" -> qRangeJoin,
     "q_tf_topk" -> qTfTopk,
     "q_doc_freq" -> qDocFreq,
     "q_grouping_sets" -> qGroupingSets,
@@ -191,6 +218,20 @@ object Relational {
     "q_array_hof" -> qArrayHof)
 
   val oracle: Map[String, String] = Map(
+    "q_range_join" ->
+      """WITH points AS (
+        |  SELECT o_orderkey AS point_key, epoch_ms(o_orderdate) // 1000 AS p_s
+        |  FROM orders WHERE o_orderkey % 211 = 0
+        |), intervals AS (
+        |  SELECT CAST(l_orderkey * 100 + l_linenumber AS BIGINT) AS iv_id,
+        |         epoch_ms(l_shipdate) // 1000 AS lo_s,
+        |         epoch_ms(l_shipdate) // 1000
+        |           + CAST(floor(l_quantity) AS BIGINT) * 86400 AS hi_s
+        |  FROM lineitem WHERE l_orderkey % 397 = 0
+        |)
+        |SELECT point_key, iv_id, p_s, lo_s, hi_s
+        |FROM points p JOIN intervals i ON p.p_s BETWEEN i.lo_s AND i.hi_s
+        |ORDER BY point_key, iv_id, lo_s""".stripMargin,
     "q_tf_topk" ->
       """SELECT doc_id, word, tf, rnk FROM (
         |  SELECT doc_id, word, tf,
