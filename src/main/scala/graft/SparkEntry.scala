@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AsOf, Dedup, Relational, Reports, SignLsh, Similarity, TextStats}
+import graft.operators.{AsOf, Dedup, Ranking, Relational, Reports, SignLsh, Similarity, TextStats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,11 +21,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Reports.queries ++ Dedup.queries ++ TextStats.queries ++
-      Similarity.queries ++ AsOf.queries ++ Relational.queries ++ SignLsh.queries
+      Similarity.queries ++ AsOf.queries ++ Relational.queries ++ SignLsh.queries ++
+      Ranking.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
   def oracleSql: Map[String, String] =
     Reports.oracle ++ Dedup.oracle ++ TextStats.oracle ++
-      Similarity.oracle ++ AsOf.oracle ++ Relational.oracle ++ SignLsh.oracle
+      Similarity.oracle ++ AsOf.oracle ++ Relational.oracle ++ SignLsh.oracle ++
+      Ranking.oracle
 }

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+import graft.functions.Exprs._
+
+/** Distributed GLOBAL ranking — the scale-correct form of
+  * `row_number() OVER (ORDER BY ...)`.
+  *
+  * Spark plans an un-partitioned (or low-cardinality-partitioned)
+  * window by moving every row of the input into ONE task
+  * (`Exchange SinglePartition` under the Window). Fine at 60k rows,
+  * fatal at 100 TB. The scalable plan is the classic two-phase rank:
+  *
+  *   1. `repartitionByRange` on the sort key — a range exchange whose
+  *      sampled boundaries give each of P tasks a contiguous,
+  *      roughly-equal slice of the total order;
+  *   2. a per-partition local `row_number` (window partitioned by
+  *      `spark_partition_id()` — every partition ranks in parallel);
+  *   3. a P-row offset table (count per partition, prefix-summed) is
+  *      broadcast back, and `global rn = offset + local rn`.
+  *
+  * Everything stays in DataFrame/codegen space — no RDD hop, no
+  * collect. The result is exactly the single-window answer as long as
+  * the ordering is TOTAL (unique tiebreaker), which the house oracle
+  * rules require anyway: rank is then a pure function of the row, so
+  * partition boundaries cannot change it.
+  */
+object Ranking {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Append a global `row_number`-style column named `out`, ordered by
+    * `orderCols` (must be a total order for a well-defined result). */
+  def globalRowNumber(df: DataFrame, orderCols: Seq[Column], out: String = "rn"): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val ranged = df.repartitionByRange(parts, orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val local = ranged.withColumn("__lrn",
+      row_number().over(Window.partitionBy("__pid").orderBy(orderCols: _*)).cast(LongType))
+    // P rows total: the only un-partitioned window in the plan runs
+    // over the per-partition counts, not the data
+    val offsets = local.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(
+        sum(col("__cnt")).over(Window.orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    local.join(broadcast(offsets), "__pid")
+      .withColumn(out, (col("__off") + col("__lrn")).cast(LongType))
+      .drop("__pid", "__lrn", "__off")
+  }
+
+  /** SQL-standard NTILE from a global row number: the first `n % k`
+    * buckets take `n/k + 1` rows, the rest `n/k` — pure integer
+    * arithmetic on (rn, n), no second window. */
+  def ntileFromRn(rn: Column, n: Column, k: Int): Column = {
+    val q = (n / k).cast(LongType)
+    val rem = (n % k).cast(LongType)
+    val cut = rem * (q + 1) // rows in the first rem (larger) buckets
+    when(rn <= cut, (rn - 1) / (q + 1))
+      .otherwise(rem + (rn - 1 - cut) / q)
+      .cast(LongType) + 1
+  }
+
+  /** Global ranking of every order by total price without any
+    * single-partition window: distributed rank + arithmetic octile.
+    * The oracle runs the plain `row_number()/ntile(8) OVER (ORDER BY
+    * ...)` — same answer, diametrically different plan shape. */
+  val qGlobalRank: Q = (s, d) => {
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), intScaled(dec2(col("o_totalprice")), 100L).as("cents"))
+    val nRows = base.agg(count(lit(1)).as("__n"))
+    globalRowNumber(base, Seq(col("cents"), col("o_orderkey")), "rn")
+      .crossJoin(broadcast(nRows))
+      .withColumn("octile", ntileFromRn(col("rn"), col("__n"), 8))
+      .drop("__n")
+      .orderBy("rn")
+  }
+
+  val queries: Map[String, Q] = Map("q_global_rank" -> qGlobalRank)
+
+  val oracle: Map[String, String] = Map(
+    "q_global_rank" ->
+      """SELECT o_orderkey, cents,
+        |  CAST(row_number() OVER (ORDER BY cents, o_orderkey) AS BIGINT) AS rn,
+        |  CAST(ntile(8) OVER (ORDER BY cents, o_orderkey) AS BIGINT) AS octile
+        |FROM (SELECT o_orderkey,
+        |        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |      FROM orders)
+        |ORDER BY rn""".stripMargin)
+}
