@@ -138,13 +138,50 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** Stratified downsampling to ~100 docs per language — the class-
+    * balancing stage of corpus prep. Keep predicate is exact integer
+    * cross-multiplication (`h‰ · n_lang < target · 1000`), so the
+    * sample is a deterministic function of (doc_id, language size):
+    * no floats, no rand(), re-runs pick the same docs. Group sizes
+    * come from a broadcast aggregate join, NOT a count-over-partition
+    * window — `lang` has a handful of values, and a window partitioned
+    * by it would funnel the corpus through as many tasks. */
+  val qStratifiedSample: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    docs
+      .withColumn("h", pmod(
+        graft.functions.Exprs.md5Long(concat(lit("strat|"), col("doc_id").cast("string"))),
+        lit(1000)))
+      .join(broadcast(counts), "lang")
+      .filter(col("h") * col("n_lang") < 100L * 1000L)
+      .select(col("doc_id"), col("lang"), col("h").cast(LongType).as("h"))
+      .orderBy("doc_id")
+  }
+
+  /** K-fold assignment for cross-validation: fold = hash(doc_id) mod 5,
+    * reported as per-fold volume (docs + chars). Content-hash folds are
+    * order/partitioning-independent like q_hash_split; one hash-agg
+    * shuffle of 5 groups. */
+  val qKfold: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("fold", pmod(
+        graft.functions.Exprs.md5Long(concat(lit("fold|"), col("doc_id").cast("string"))),
+        lit(5)).cast(LongType))
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast(LongType).as("sum_chars"))
+      .orderBy("fold")
+
   val queries: Map[String, Q] = Map(
     "q_text_clean" -> qTextClean,
     "q_lang_id" -> qLangId,
     "q_quality_score" -> qQualityScore,
     "q_token_count" -> qTokenCount,
     "q_fingerprint" -> qFingerprint,
-    "q_hash_split" -> qHashSplit
+    "q_hash_split" -> qHashSplit,
+    "q_stratified_sample" -> qStratifiedSample,
+    "q_kfold" -> qKfold
   )
 
   val oracle: Map[String, String] = Map(
@@ -206,6 +243,20 @@ object TextStats {
         |FROM (SELECT doc_id,
         |        CAST('0x' || substr(md5('split|' || text), 1, 15) AS BIGINT) % 100 AS bucket
         |      FROM documents)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang, h FROM (
+        |  SELECT doc_id, lang,
+        |    CAST('0x' || substr(md5('strat|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000 AS h,
+        |    COUNT(*) OVER (PARTITION BY lang) AS n_lang
+        |  FROM documents)
+        |WHERE h * n_lang < 100 * 1000
+        |ORDER BY doc_id""".stripMargin,
+    "q_kfold" ->
+      """SELECT fold, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM (SELECT n_chars,
+        |        CAST('0x' || substr(md5('fold|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 5 AS fold
+        |      FROM documents)
+        |GROUP BY fold ORDER BY fold""".stripMargin
   )
 }
