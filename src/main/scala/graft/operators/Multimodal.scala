@@ -11,14 +11,19 @@ import org.apache.spark.sql.functions._
   * BMP, GIF, WBMP) gives actual pixel dimensions, a genuine 8-bin
   * luminance histogram, and a real Graphics2D [[resize]] with PNG
   * re-encode; javax.sound.sampled (WAV, AIFF, AU) gives channel
-  * count, sample rate, and an 8-bin RMS-energy envelope. VIDEO codecs
-  * (and compressed audio like mp3/ogg) are genuinely absent in-JVM,
-  * so those kinds — and any payload the JVM cannot parse — fall back
-  * to [[decodeStub]], a deterministic byte-derived fake, loudly
-  * documented as the production replacement point (JNI/ffmpeg). The
-  * operator shapes — schema, batch form, partitioning — are identical
-  * either way. For features, `width`/`height` carry pixel dims for
-  * images and (channels, sample rate) for audio.
+  * count, sample rate, and an 8-bin RMS-energy envelope. VIDEO:
+  * MJPEG-in-AVI decodes for REAL too (each frame is a JPEG —
+  * [[parseAviMjpeg]] walks the RIFF container, javax.imageio decodes
+  * the frames: true dimensions, first-frame histogram, cadence-exact
+  * timestamps in [[sampleFrames]]); MP4/MOV get real container
+  * metadata (ISO BMFF box walk) with frame decode stubbed.
+  * Compressed codecs (H.264, mp3/ogg) are genuinely absent in-JVM,
+  * so those payloads fall back to [[decodeStub]], a deterministic
+  * byte-derived fake, loudly documented as the production replacement
+  * point (JNI/ffmpeg). The operator shapes — schema, batch form,
+  * partitioning — are identical either way. For features,
+  * `width`/`height` carry pixel dims for images/video and
+  * (channels, sample rate) for audio.
   *
   * Scale: media blobs never shuffle — every operator here is a
   * scan-side mapPartitions; only extracted features (small, fixed-width)
@@ -75,34 +80,40 @@ object Multimodal {
     MediaFeatures(r.media_id, r.kind, bytes.length.toLong, checksumOf(bytes), feat)
   }
 
+  /** Normalized 8-bin luminance histogram (Rec. 601 weights) of a
+    * decoded image — the shared feature for still images and decoded
+    * video frames. */
+  private[operators] def luminanceHistogram(img: java.awt.image.BufferedImage): Array[Float] = {
+    val bins = new Array[Long](8)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 299 +
+          ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+        bins(math.min(7, lum >> 5)) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = img.getWidth.toLong * img.getHeight
+    bins.map(_.toFloat / n)
+  }
+
   /** REAL image decode via javax.imageio: actual pixel dimensions and a
-    * normalized 8-bin luminance histogram (Rec. 601 weights). Returns
-    * None when the payload is not a decodable image. */
+    * normalized 8-bin luminance histogram. Returns None when the
+    * payload is not a decodable image. */
   private[operators] def decodeImage(r: MediaRow): Option[MediaFeatures] =
     try {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(r.payload))
       if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
-      else {
-        val bins = new Array[Long](8)
-        var y = 0
-        while (y < img.getHeight) {
-          var x = 0
-          while (x < img.getWidth) {
-            val rgb = img.getRGB(x, y)
-            val lum = (((rgb >> 16) & 0xff) * 299 +
-              ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
-            bins(math.min(7, lum >> 5)) += 1
-            x += 1
-          }
-          y += 1
-        }
-        val n = img.getWidth.toLong * img.getHeight
+      else
         Some(MediaFeatures(
           r.media_id, r.kind, r.payload.length.toLong, checksumOf(r.payload),
-          bins.map(_.toFloat / n),
+          luminanceHistogram(img),
           Some(img.getWidth), Some(img.getHeight)))
-      }
     } catch { case _: Exception => None }
 
   /** REAL audio decode via javax.sound.sampled (WAV/AIFF/AU ship with
@@ -218,12 +229,91 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
+  /** Parsed MJPEG-AVI: frame cadence plus the (offset, length) of every
+    * JPEG frame chunk in the `movi` list. */
+  private[operators] final case class AviMjpeg(
+      usPerFrame: Long,
+      frames: IndexedSeq[(Int, Int)]) {
+    def durationMs: Long = usPerFrame * frames.length / 1000
+    def frameTimeMs(i: Int): Long = usPerFrame * i / 1000
+  }
+
+  /** REAL video frame access for MJPEG-in-AVI — the one video codec the
+    * JVM can genuinely decode, because each frame IS a JPEG and
+    * javax.imageio does JPEG. Plain RIFF walking (all little-endian):
+    * `RIFF…AVI `, `LIST hdrl → avih` for µs/frame, `LIST movi` for the
+    * `00dc`/`00db` stream-0 frame chunks (chunks pad to even offsets).
+    * Compressed codecs (H.264 & co) still need the external-codec
+    * stub — this parser returns None for them since their frame chunks
+    * are not JPEG. */
+  private[operators] def parseAviMjpeg(payload: Array[Byte]): Option[AviMjpeg] =
+    try {
+      if (payload.length < 12) return None
+      def fourcc(off: Int) = new String(payload, off, 4, "ISO-8859-1")
+      def u32le(off: Int): Long =
+        ((payload(off) & 0xffL)) | ((payload(off + 1) & 0xffL) << 8) |
+          ((payload(off + 2) & 0xffL) << 16) | ((payload(off + 3) & 0xffL) << 24)
+      if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+      var usPerFrame = 0L
+      val frames = IndexedSeq.newBuilder[(Int, Int)]
+      def walkChunks(from: Int, to: Int): Unit = {
+        var off = from
+        while (off + 8 <= to) {
+          val id = fourcc(off)
+          val size = u32le(off + 4)
+          val dataStart = off + 8
+          val dataEnd = dataStart + size.toInt
+          if (size < 0 || size > Int.MaxValue || dataEnd > to) return
+          id match {
+            case "LIST" if size >= 4 =>
+              walkChunks(dataStart + 4, dataEnd) // skip listType, recurse
+            case "avih" if size >= 4 =>
+              usPerFrame = u32le(dataStart)
+            case "00dc" | "00db" if size >= 2 =>
+              // a JPEG frame starts FF D8; anything else = not MJPEG
+              if ((payload(dataStart) & 0xff) == 0xff &&
+                (payload(dataStart + 1) & 0xff) == 0xd8) {
+                frames += ((dataStart, size.toInt))
+              }
+            case _ => ()
+          }
+          off = dataEnd + (size.toInt & 1) // chunks pad to even
+        }
+      }
+      walkChunks(12, payload.length)
+      val fs = frames.result()
+      if (fs.isEmpty) None else Some(AviMjpeg(usPerFrame, fs))
+    } catch { case _: Exception => None }
+
+  /** Decode one MJPEG frame chunk to an image. */
+  private[operators] def decodeAviFrame(
+      payload: Array[Byte], frame: (Int, Int)): Option[java.awt.image.BufferedImage] =
+    try {
+      Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload, frame._1, frame._2)))
+    } catch { case _: Exception => None }
+
+  /** MJPEG-AVI: REAL frame decode — dimensions and luminance histogram
+    * from the first frame, duration from the µs/frame cadence. */
+  private[operators] def decodeAviVideo(r: MediaRow): Option[MediaFeatures] =
+    for {
+      avi <- parseAviMjpeg(r.payload)
+      img <- decodeAviFrame(r.payload, avi.frames.head)
+    } yield MediaFeatures(
+      r.media_id, r.kind, r.payload.length.toLong, checksumOf(r.payload),
+      luminanceHistogram(img),
+      width = Some(img.getWidth), height = Some(img.getHeight),
+      duration_ms = Some(avi.durationMs),
+      n_tracks = Some(1))
+
   private[operators] def decodeVideo(r: MediaRow): Option[MediaFeatures] =
-    videoContainerMeta(r.payload).map { case (durMs, nTracks, dims) =>
-      val stub = decodeStub(r) // frame decode needs external codecs
-      stub.copy(
-        width = dims.map(_._1), height = dims.map(_._2),
-        duration_ms = Some(durMs), n_tracks = Some(nTracks))
+    decodeAviVideo(r).orElse {
+      videoContainerMeta(r.payload).map { case (durMs, nTracks, dims) =>
+        val stub = decodeStub(r) // compressed-codec frame decode needs ffmpeg
+        stub.copy(
+          width = dims.map(_._1), height = dims.map(_._2),
+          duration_ms = Some(durMs), n_tracks = Some(nTracks))
+      }
     }
 
   /** Kind dispatch: real image + audio decode and real video container
@@ -293,21 +383,37 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
-  /** STUB frame sampling: a video row explodes into ~`n` frame rows
-    * (payload slices standing in for decoded frames). The row-explosion
-    * shape — one input row → n output rows, still partition-batched,
-    * frames never shuffled — is what matters at scale. */
+  /** Frame sampling: a video row explodes into ≤`n` frame rows. For
+    * MJPEG-AVI payloads the frames are REAL — `n` evenly-spaced JPEG
+    * frame chunks with their true timestamps (the chunk bytes ARE the
+    * frame images; any JPEG decoder downstream reads them directly).
+    * Other containers fall back to the stub payload slices. Either
+    * way the shape is what matters at scale: one input row → n output
+    * rows, partition-batched, frames never shuffled. */
   def sampleFrames(media: Dataset[MediaRow], n: Int): Dataset[MediaFrame] = {
     import media.sparkSession.implicits._
     media.flatMap { r =>
       val bytes = if (r.payload == null) Array.empty[Byte] else r.payload
-      val dur = r.duration_ms.getOrElse(0L)
-      (0 until n).map { i =>
-        val tMs = if (n <= 1) 0L else dur * i / (n - 1)
-        val sliceLen = math.max(1, bytes.length / n)
-        val off = math.min(bytes.length, i * sliceLen)
-        MediaFrame(r.media_id, i, tMs,
-          bytes.slice(off, math.min(bytes.length, off + sliceLen)))
+      parseAviMjpeg(bytes) match {
+        case Some(avi) =>
+          val total = avi.frames.length
+          val picks =
+            if (n >= total) 0 until total
+            else (0 until n).map(i => i * (total - 1) / math.max(1, n - 1))
+          picks.zipWithIndex.map { case (fi, outIdx) =>
+            val (off, len) = avi.frames(fi)
+            MediaFrame(r.media_id, outIdx, avi.frameTimeMs(fi),
+              java.util.Arrays.copyOfRange(bytes, off, off + len))
+          }
+        case None =>
+          val dur = r.duration_ms.getOrElse(0L)
+          (0 until n).map { i =>
+            val tMs = if (n <= 1) 0L else dur * i / (n - 1)
+            val sliceLen = math.max(1, bytes.length / n)
+            val off = math.min(bytes.length, i * sliceLen)
+            MediaFrame(r.media_id, i, tMs,
+              bytes.slice(off, math.min(bytes.length, off + sliceLen)))
+          }
       }
     }
   }

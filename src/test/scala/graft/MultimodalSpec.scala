@@ -119,6 +119,73 @@ class MultimodalSpec extends SparkSpec {
     assert(f.feature.length == 8)
   }
 
+  /** Minimal MJPEG AVI: RIFF(AVI  LIST(hdrl avih) LIST(movi 00dc…)).
+    * Little-endian sizes, chunks padded to even — the real layout. */
+  private def buildMjpegAvi(frames: Seq[Array[Byte]], usPerFrame: Int): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val pad = if (data.length % 2 == 1) Array[Byte](0) else Array.empty[Byte]
+      id.getBytes("ISO-8859-1") ++ le32(data.length) ++ data ++ pad
+    }
+    val avih = chunk("avih", le32(usPerFrame) ++ new Array[Byte](52))
+    val hdrl = chunk("LIST", "hdrl".getBytes("ISO-8859-1") ++ avih)
+    val movi = chunk("LIST", "movi".getBytes("ISO-8859-1") ++
+      frames.flatMap(f => chunk("00dc", f)).toArray)
+    val body = "AVI ".getBytes("ISO-8859-1") ++ hdrl ++ movi
+    bos.write("RIFF".getBytes("ISO-8859-1")); bos.write(le32(body.length))
+    bos.write(body)
+    bos.toByteArray
+  }
+
+  test("MJPEG-AVI video decodes REAL frames: dims, histogram, duration, timestamps") {
+    import spark.implicits._
+    // 5 JPEG frames, all-white → luminance bin 7 ≈ 1.0; 40ms/frame
+    def solidJpeg(rgb: Int): Array[Byte] = {
+      val img = new BufferedImage(16, 12, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 12; x <- 0 until 16) img.setRGB(x, y, rgb)
+      val bos = new ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val avi = buildMjpegAvi(Seq.fill(5)(solidJpeg(0xffffff)), 40000)
+    val media = Seq(
+      Multimodal.MediaRow(21L, "video", avi, "video/x-msvideo", None, None, None)
+    ).toDS()
+    val f = Multimodal.extractFeatures(media).collect().head
+    assert(f.width.contains(16) && f.height.contains(12), "REAL decoded frame dims")
+    assert(f.duration_ms.contains(200L), s"5 frames x 40ms: ${f.duration_ms}")
+    assert(f.feature(7) > 0.99f, "white frames land in the top luminance bin")
+
+    // sampleFrames returns REAL JPEG bytes at cadence-true timestamps
+    val frames = Multimodal.sampleFrames(media, 3).collect().sortBy(_.frame_no)
+    assert(frames.length === 3)
+    assert(frames.map(_.t_ms).toSeq === Seq(0L, 80L, 160L)) // picks 0,2,4
+    frames.foreach { fr =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(fr.frame))
+      assert(img != null && img.getWidth === 16 && img.getHeight === 12)
+      assert((img.getRGB(8, 6) & 0xffffff) == 0xffffff ||
+        // JPEG is lossy; near-white is fine
+        ((img.getRGB(8, 6) >> 16) & 0xff) > 250)
+    }
+  }
+
+  test("non-MJPEG AVI and H.264-style payloads fall back to the stub sampler") {
+    import spark.implicits._
+    // AVI container whose frame chunks are NOT JPEG (no FFD8)
+    val avi = buildMjpegAvi(Seq(Array[Byte](1, 2, 3, 4)), 40000)
+    val media = Seq(
+      Multimodal.MediaRow(22L, "video", avi, "video/x-msvideo", None, None, Some(100L))
+    ).toDS()
+    val f = Multimodal.extractFeatures(media).collect().head
+    assert(f.width.isEmpty, "no decodable frame → stub features")
+    val frames = Multimodal.sampleFrames(media, 2).collect()
+    assert(frames.length === 2, "stub slicing still explodes the row")
+  }
+
   test("undecodable image payload and codec-less kinds fall back to the stub") {
     import spark.implicits._
     val media = Seq(
