@@ -25,6 +25,7 @@ import graft.functions.{DecimalDotExpr, FindExtensionExpr, FloatDotExpr}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     GraftExtensions.functionDescriptors.foreach(ext.injectFunction)
   }
 }

@@ -189,11 +189,11 @@ object Relational {
     * rounds — floor is the one shared spelling). */
   val qRangeJoin: Q = (s, d) => {
     val points = Tables.orders(s, d)
-      .filter(col("o_orderkey") % 211 === 0)
+      .filter(col("o_orderkey") % 127 === 0)
       .select(col("o_orderkey").as("point_key"),
         col("o_orderdate").cast(TimestampType).cast(LongType).as("p_s"))
     val intervals = Tables.lineitem(s, d)
-      .filter(col("l_orderkey") % 397 === 0)
+      .filter(col("l_orderkey") % 89 === 0)
       .select(
         (col("l_orderkey") * 100 + col("l_linenumber")).cast(LongType).as("iv_id"),
         col("l_shipdate").cast(TimestampType).cast(LongType).as("lo_s"),
@@ -221,13 +221,13 @@ object Relational {
     "q_range_join" ->
       """WITH points AS (
         |  SELECT o_orderkey AS point_key, epoch_ms(o_orderdate) // 1000 AS p_s
-        |  FROM orders WHERE o_orderkey % 211 = 0
+        |  FROM orders WHERE o_orderkey % 127 = 0
         |), intervals AS (
         |  SELECT CAST(l_orderkey * 100 + l_linenumber AS BIGINT) AS iv_id,
         |         epoch_ms(l_shipdate) // 1000 AS lo_s,
         |         epoch_ms(l_shipdate) // 1000
         |           + CAST(floor(l_quantity) AS BIGINT) * 86400 AS hi_s
-        |  FROM lineitem WHERE l_orderkey % 397 = 0
+        |  FROM lineitem WHERE l_orderkey % 89 = 0
         |)
         |SELECT point_key, iv_id, p_s, lo_s, hi_s
         |FROM points p JOIN intervals i ON p.p_s BETWEEN i.lo_s AND i.hi_s

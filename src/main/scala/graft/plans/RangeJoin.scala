@@ -185,6 +185,9 @@ object Graft {
     if (!em.extraStrategies.contains(GraftStrategy)) {
       em.extraStrategies = em.extraStrategies :+ GraftStrategy
     }
+    if (!em.extraOptimizations.contains(RangeJoinRewrite)) {
+      em.extraOptimizations = em.extraOptimizations :+ RangeJoinRewrite
+    }
     graft.GraftExtensions.functionDescriptors.foreach { case (id, _, builder) =>
       if (!GraftSqlBridge.hasFunction(spark, id.funcName)) {
         GraftSqlBridge.registerFunction(spark, id.funcName, builder)
