@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -112,6 +113,12 @@ object CrawlFsSource {
 
   val DefaultMaxLooseEntries = 100000
 
+  /** Streaming watermark safety lag (seconds): `latestOffset` trails
+    * wall clock by this much so an mtime stamped just before planning
+    * is already on disk when the batch's executor-side listing runs.
+    * st_mtime is whole seconds, so sub-second lag buys nothing. */
+  val DefaultWatermarkLagSec = 2L
+
   /** Subtree units planned per target partition (task-granularity
     * headroom for scheduler-side work stealing). */
   val DefaultOversubscribe = 4
@@ -153,7 +160,7 @@ class CrawlFsTable(binaryPaths: Boolean) extends Table with SupportsRead {
   override def name(): String = "crawlfs"
   override def schema(): StructType = CrawlFsSource.schemaFor(binaryPaths)
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new CrawlFsScanBuilder(
       options.getOrDefault("roots", ""),
@@ -164,17 +171,20 @@ class CrawlFsTable(binaryPaths: Boolean) extends Table with SupportsRead {
       binaryPaths,
       options.getOrDefault("oversubscribe",
         CrawlFsSource.DefaultOversubscribe.toString).toInt,
-      options.getOrDefault("countersToken", ""))
+      options.getOrDefault("countersToken", ""),
+      options.getOrDefault("watermarkLagSec",
+        CrawlFsSource.DefaultWatermarkLagSec.toString).toLong)
 }
 
 class CrawlFsScanBuilder(
     roots: String, exclusions: String, targetParts: Int,
     maxLoose: Int, binaryPaths: Boolean, overSub: Int,
-    countersToken: String = "") extends ScanBuilder {
+    countersToken: String = "",
+    watermarkLagSec: Long = CrawlFsSource.DefaultWatermarkLagSec) extends ScanBuilder {
   override def build(): Scan = new CrawlFsScan(
     roots.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
     exclusions.split(",").map(_.trim).filter(_.nonEmpty).toSet,
-    targetParts, maxLoose, binaryPaths, overSub, countersToken)
+    targetParts, maxLoose, binaryPaths, overSub, countersToken, watermarkLagSec)
 }
 
 /** One partition: whole subtrees to walk, shallow directories to list
@@ -187,14 +197,17 @@ final case class CrawlFsPartition(
     shallow: Seq[Array[Byte]] = Nil) extends InputPartition
 
 class CrawlFsScan(
-    roots: Seq[String], excl: Set[String], targetParts: Int,
-    maxLoose: Int, binaryPaths: Boolean, overSub: Int,
-    countersToken: String = "") extends Scan with Batch {
+    roots: Seq[String], val excl: Set[String], targetParts: Int,
+    maxLoose: Int, val binaryPaths: Boolean, overSub: Int,
+    countersToken: String = "",
+    watermarkLagSec: Long = CrawlFsSource.DefaultWatermarkLagSec) extends Scan with Batch {
   def this(roots: Seq[String], excl: Set[String], targetParts: Int) =
     this(roots, excl, targetParts, CrawlFsSource.DefaultMaxLooseEntries, false,
       CrawlFsSource.DefaultOversubscribe)
   override def readSchema(): StructType = CrawlFsSource.schemaFor(binaryPaths)
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new CrawlFsMicroBatchStream(this, watermarkLagSec)
 
   override def planInputPartitions(): Array[InputPartition] = {
     // shallow BFS on the driver until enough work units exist for
@@ -269,10 +282,16 @@ class CrawlFsReaderFactory(
 }
 
 /** Executor-side subtree walk + stat, streaming rows (no buffering of
-  * the whole subtree in memory — a work stack of pending dirs only). */
+  * the whole subtree in memory — a work stack of pending dirs only).
+  *
+  * `mtimeRange = Some((start, end))` turns the reader into one
+  * micro-batch of the streaming source: only entries whose st_mtime
+  * lies in `(start, end]` are emitted (stat-error rows, which have no
+  * mtime, surface in the initial snapshot batch `start < 0` only). */
 class CrawlFsReader(
     part: CrawlFsPartition, excl: Set[String], binaryPaths: Boolean,
-    ctrs: Option[CrawlCounters] = None)
+    ctrs: Option[CrawlCounters] = None,
+    mtimeRange: Option[(Long, Long)] = None)
     extends PartitionReader[InternalRow] {
   def this(part: CrawlFsPartition, excl: Set[String]) = this(part, excl, false)
 
@@ -281,28 +300,41 @@ class CrawlFsReader(
   private var entryIter: Iterator[RawEntry] = part.loose.iterator
   private var current: InternalRow = _
 
+  private def inWindow(m: FileMeta): Boolean = mtimeRange match {
+    case None => true
+    case Some((start, end)) => m.st_mtime match {
+      case Some(t) => t > start && t <= end
+      case None    => start < 0 // error rows belong to the snapshot batch
+    }
+  }
+
   override def next(): Boolean = {
-    while (!entryIter.hasNext && (pendingShallow.nonEmpty || pendingDirs.nonEmpty)) {
-      if (pendingShallow.nonEmpty) {
-        // dir-only planner unit: emit direct entries, do NOT descend —
-        // the children are other partitions' units
-        entryIter = FsScanner.listDirBytes(pendingShallow.pop(), excl)._1.iterator
-      } else {
-        val (entries, children) = FsScanner.listDirBytes(pendingDirs.pop(), excl)
-        pendingDirs.pushAll(children)
-        entryIter = entries.iterator
+    while (true) {
+      while (!entryIter.hasNext && (pendingShallow.nonEmpty || pendingDirs.nonEmpty)) {
+        if (pendingShallow.nonEmpty) {
+          // dir-only planner unit: emit direct entries, do NOT descend —
+          // the children are other partitions' units
+          entryIter = FsScanner.listDirBytes(pendingShallow.pop(), excl)._1.iterator
+        } else {
+          val (entries, children) = FsScanner.listDirBytes(pendingDirs.pop(), excl)
+          pendingDirs.pushAll(children)
+          entryIter = entries.iterator
+        }
+      }
+      if (!entryIter.hasNext) return false
+      val e = entryIter.next()
+      val m = StatEnricher.statOne(e)
+      ctrs.foreach { c =>
+        if (e.isDir) c.dirsSeen.add(1) else c.filesSeen.add(1)
+        m.st_size.foreach(c.totalSize.add)
+        if (m.error.isDefined) c.statErrors.add(1)
+      }
+      if (inWindow(m)) {
+        current = toRow(e, m)
+        return true
       }
     }
-    if (!entryIter.hasNext) return false
-    val e = entryIter.next()
-    val m = StatEnricher.statOne(e)
-    ctrs.foreach { c =>
-      if (e.isDir) c.dirsSeen.add(1) else c.filesSeen.add(1)
-      m.st_size.foreach(c.totalSize.add)
-      if (m.error.isDefined) c.statErrors.add(1)
-    }
-    current = toRow(e, m)
-    true
+    false // unreachable
   }
 
   override def get(): InternalRow = current
@@ -332,5 +364,87 @@ class CrawlFsReader(
       m.st_mtime.map(Long.box).orNull,
       m.st_ctime.map(Long.box).orNull,
       m.error.map(utf).orNull))
+  }
+}
+
+/** Streaming offset: the high-watermark epoch SECOND already emitted
+  * (st_mtime granularity). `-1` = nothing emitted yet. */
+final case class CrawlFsOffset(sec: Long) extends Offset {
+  override def json: String = s"""{"sec":$sec}"""
+}
+
+object CrawlFsOffset {
+  private val SecRe = """\{\s*"sec"\s*:\s*(-?\d+)\s*\}""".r
+  def fromJson(json: String): CrawlFsOffset = json match {
+    case SecRe(s) => CrawlFsOffset(s.toLong)
+    case other => sys.error(s"malformed crawl offset: $other")
+  }
+}
+
+/** T4 — the crawl as a Structured Streaming source: incremental
+  * re-crawl per micro-batch.
+  *
+  * Batch N emits exactly the entries whose `st_mtime` lies in
+  * `(offset(N-1), offset(N)]`; the first batch (`start = -1`) is the
+  * full snapshot. Offsets are planner-chosen wall-clock seconds
+  * trailing real time by `lagSec` — by the time a second is inside a
+  * batch window, every mtime stamped in it was already on disk when
+  * the batch's listing ran (mtimes are second-granular, so the lag
+  * must be ≥ 1s; clock skew between driver and filesystem adds to it).
+  * Deletions don't surface (no tombstones in a listing); pair the
+  * stream with [[CrawlDiff]] over checkpointed snapshots when removal
+  * tracking matters.
+  *
+  * Each batch re-plans the same oversubscribed subtree partitioning as
+  * the batch scan and re-lists executor-side — an incremental crawl IS
+  * a crawl; what's incremental is the emitted delta, which is what
+  * downstream state (dedup, rollups, JDBC sinks) actually pays for.
+  * Offset progression is monotone and checkpoint-replayable: planning
+  * the same `(start, end]` window again re-emits the same mtime
+  * interval (exactly-once downstream via the usual idempotent-sink
+  * contract, e.g. [[graft.streaming.StatusStream]]'s per-batch
+  * overwrite).
+  */
+class CrawlFsMicroBatchStream(scan: CrawlFsScan, lagSec: Long)
+    extends MicroBatchStream {
+
+  private var lastEnd: Long = -1L
+
+  override def initialOffset(): Offset = CrawlFsOffset(-1L)
+
+  override def latestOffset(): Offset = {
+    val now = System.currentTimeMillis() / 1000L - math.max(0L, lagSec)
+    lastEnd = math.max(lastEnd, now)
+    CrawlFsOffset(lastEnd)
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    CrawlFsOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[CrawlFsOffset].sec
+    val e = end.asInstanceOf[CrawlFsOffset].sec
+    if (e <= s) Array.empty
+    else scan.planInputPartitions().map { p =>
+      CrawlFsStreamPartition(p.asInstanceOf[CrawlFsPartition], s, e): InputPartition
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CrawlFsStreamReaderFactory(scan.excl, scan.binaryPaths)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+final case class CrawlFsStreamPartition(
+    inner: CrawlFsPartition, startSec: Long, endSec: Long) extends InputPartition
+
+class CrawlFsStreamReaderFactory(excl: Set[String], binaryPaths: Boolean)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val sp = p.asInstanceOf[CrawlFsStreamPartition]
+    new CrawlFsReader(sp.inner, excl, binaryPaths, None,
+      Some((sp.startSec, sp.endSec)))
   }
 }

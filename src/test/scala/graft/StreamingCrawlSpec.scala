@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.streaming.Trigger
+
+/** The crawl as a Structured Streaming source: initial snapshot batch,
+  * then incremental batches of exactly the entries whose mtime entered
+  * the new offset window — across a checkpoint-recovered restart.
+  */
+class StreamingCrawlSpec extends SparkSpec {
+
+  private def runPhase(root: Path, ckpt: Path): Set[String] = {
+    val seen = mutable.Set.empty[String]
+    val df = spark.readStream.format("graft.crawl.CrawlFsProvider")
+      .option("roots", root.toString)
+      .option("watermarkLagSec", "0") // test fs+clock are the same host
+      .load()
+    val q = df.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = batch.select("path").collect().map(_.getString(0))
+        seen.synchronized { seen ++= rows }
+        ()
+      }
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    seen.toSet
+  }
+
+  test("snapshot batch, then incremental mtime-window batches across restarts") {
+    val root = Files.createTempDirectory("graft-stream-crawl")
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt")
+    Files.write(root.resolve("a.txt"), "one".getBytes)
+    Files.write(root.resolve("b.txt"), "two".getBytes)
+    Files.createDirectory(root.resolve("c"))
+    Files.write(root.resolve("c/d.txt"), "three".getBytes)
+    Thread.sleep(1100) // mtimes are whole seconds; cross the boundary
+
+    val phase1 = runPhase(root, ckpt)
+    assert(phase1 === Set(
+      root.resolve("a.txt"), root.resolve("b.txt"),
+      root.resolve("c"), root.resolve("c/d.txt")).map(_.toString),
+      "snapshot batch emits every entry (root itself is never a row)")
+
+    Thread.sleep(1100)
+    Files.write(root.resolve("c/e.txt"), "new".getBytes)    // added
+    Files.write(root.resolve("a.txt"), "rewritten".getBytes) // modified
+    Thread.sleep(1100)
+
+    val phase2 = runPhase(root, ckpt)
+    // c's own mtime changed too (a child landed in it)
+    assert(phase2 === Set(
+      root.resolve("c/e.txt"), root.resolve("a.txt"), root.resolve("c"))
+      .map(_.toString),
+      s"incremental batch emits exactly the touched entries, got $phase2")
+
+    val phase3 = runPhase(root, ckpt)
+    assert(phase3 === Set.empty[String], "no changes → empty batch")
+  }
+}
