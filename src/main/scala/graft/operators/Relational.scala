@@ -204,7 +204,91 @@ object Relational {
       .orderBy(col("point_key"), col("iv_id"), col("lo_s"))
   }
 
+  /** Exact integer covariance: `n·Σxy − Σx·Σy` per group over scaled
+    * integers (quantity units × floor-dollars). covar_pop/samp are
+    * float folds whose summation order differs across engines; this
+    * carries the full numerator exactly (magnitudes bounded: ≤3e5 rows
+    * per flag × 5.5e6 max product ≈ 1.5e17 < 2^63). */
+  val qCovariance: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        col("l_quantity").cast(LongType).as("qd"),
+        floor(col("l_extendedprice")).cast(LongType).as("cd"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        (count(lit(1)) * sum(col("qd") * col("cd"))
+          - sum(col("qd")) * sum(col("cd"))).cast(LongType).as("cov_n2"))
+      .orderBy("l_returnflag")
+
+  /** Multiset set operations (INTERSECT ALL / EXCEPT ALL — bag
+    * semantics, min/difference of multiplicities) between rich-customer
+    * and supplier nation keys, folded to (op, key, multiplicity). */
+  val qMultisetOps: Q = (s, d) => {
+    val a = Tables.customer(s, d).filter(col("c_acctbal") > 5000d)
+      .select(col("c_nationkey").as("k"))
+    val b = Tables.supplier(s, d).select(col("s_nationkey").as("k"))
+    val ia = a.intersectAll(b).withColumn("op", lit("ia"))
+    val ea = a.exceptAll(b).withColumn("op", lit("ea"))
+    ia.unionByName(ea)
+      .groupBy(col("op"), col("k"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("op", "k")
+  }
+
+  /** Time-series gap filling: a generated month spine LEFT JOINed to
+    * per-month order counts — missing months surface as explicit zero
+    * rows (the standard reporting fix for sparse group-bys). The spine
+    * is `spark.range`, not a table scan; counts broadcast. */
+  val qGapFill: Q = (s, d) => {
+    val months = s.range(0, 84).toDF("i")
+      .select((lit(1992) + col("i") / 12).cast(LongType).as("y"),
+        (col("i") % 12 + 1).cast(LongType).as("m"))
+    val counts = Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).cast(LongType).as("y"),
+        month(col("o_orderdate")).cast(LongType).as("m"))
+      .agg(count(lit(1)).as("n"))
+    months.join(broadcast(counts), Seq("y", "m"), "left")
+      .select((col("y") * 100 + col("m")).cast(LongType).as("yyyymm"),
+        coalesce(col("n"), lit(0L)).as("n_orders"))
+      .orderBy("yyyymm")
+  }
+
+  /** RANGE window frame over integer epoch-days: true 30-DAY trailing
+    * spend per customer (peers at the same day all join the frame —
+    * value-based, unlike the ROWS frame of q_moving_window). Sum over
+    * a set, so same-day tie order cannot change the answer. */
+  val qTrailingWindow: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey").orderBy("d")
+      .rangeBetween(-30, Window.currentRow)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        // integer `div` (not `/`, which is double division in the
+        // Column API) — matches DuckDB's `//` floor on positive epochs
+        expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS BIGINT) div 86400").as("d"),
+        orderCents.as("cents"))
+      .withColumn("trail_cents", sum(col("cents")).over(w).cast(LongType))
+      .drop("cents")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Regex extraction parity: first ≥7-letter lowercase word per doc.
+    * Conservative pattern (plain character class + bounded repeat) —
+    * identical semantics in Java regex (Spark) and RE2 (DuckDB);
+    * filtered to matches so the no-match sentinel ('' vs NULL) never
+    * reaches the output. */
+  val qRegexExtract: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        regexp_extract(lower(col("text")), "([a-z]{7,})", 1).as("long_word"))
+      .filter(length(col("long_word")) > 0)
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
+    "q_covariance" -> qCovariance,
+    "q_multiset_ops" -> qMultisetOps,
+    "q_gap_fill" -> qGapFill,
+    "q_trailing_window" -> qTrailingWindow,
+    "q_regex_extract" -> qRegexExtract,
     "q_range_join" -> qRangeJoin,
     "q_tf_topk" -> qTfTopk,
     "q_doc_freq" -> qDocFreq,
@@ -218,6 +302,54 @@ object Relational {
     "q_array_hof" -> qArrayHof)
 
   val oracle: Map[String, String] = Map(
+    "q_covariance" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(COUNT(*) * SUM(qd * cd) - SUM(qd) * SUM(cd) AS BIGINT) AS cov_n2
+        |FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qd,
+        |             CAST(floor(l_extendedprice) AS BIGINT) AS cd
+        |      FROM lineitem)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_multiset_ops" ->
+      """SELECT op, k, COUNT(*) AS n FROM (
+        |  SELECT 'ia' AS op, k FROM (
+        |    SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 5000
+        |    INTERSECT ALL
+        |    SELECT s_nationkey AS k FROM supplier)
+        |  UNION ALL
+        |  SELECT 'ea' AS op, k FROM (
+        |    SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 5000
+        |    EXCEPT ALL
+        |    SELECT s_nationkey AS k FROM supplier))
+        |GROUP BY op, k ORDER BY op, k""".stripMargin,
+    "q_gap_fill" ->
+      """WITH months AS (
+        |  SELECT CAST(1992 + i // 12 AS BIGINT) AS y,
+        |         CAST(i % 12 + 1 AS BIGINT) AS m
+        |  FROM range(0, 84) t(i)),
+        |counts AS (
+        |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+        |         CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS m,
+        |         COUNT(*) AS n
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT CAST(y * 100 + m AS BIGINT) AS yyyymm,
+        |       CAST(COALESCE(n, 0) AS BIGINT) AS n_orders
+        |FROM months LEFT JOIN counts USING (y, m)
+        |ORDER BY yyyymm""".stripMargin,
+    "q_trailing_window" ->
+      """SELECT o_custkey, o_orderkey, d,
+        |  CAST(SUM(cents) OVER (PARTITION BY o_custkey ORDER BY d
+        |        RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail_cents
+        |FROM (SELECT o_custkey, o_orderkey,
+        |        epoch_ms(o_orderdate) // 86400000 AS d,
+        |        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |      FROM orders)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_regex_extract" ->
+      """SELECT doc_id, long_word FROM (
+        |  SELECT doc_id, regexp_extract(lower(text), '([a-z]{7,})', 1) AS long_word
+        |  FROM documents)
+        |WHERE length(long_word) > 0
+        |ORDER BY doc_id""".stripMargin,
     "q_range_join" ->
       """WITH points AS (
         |  SELECT o_orderkey AS point_key, epoch_ms(o_orderdate) // 1000 AS p_s
