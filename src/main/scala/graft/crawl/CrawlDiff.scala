@@ -49,11 +49,16 @@ object CrawlDiff {
       .otherwise("unchanged")
     val pairs = cols.flatMap(c =>
       Seq(col(s"b.$c").as(s"old_$c"), col(s"a.$c").as(s"new_$c")))
+    // size_delta only exists when st_size survived the column filter —
+    // a zero literal keeps the output schema stable for pruned inputs
+    val sizeDelta =
+      if (cols.contains("st_size"))
+        (coalesce(col("a.st_size"), lit(0L)) - coalesce(col("b.st_size"), lit(0L)))
+          .cast(LongType)
+      else lit(0L)
     val out = joined.select(
       Seq(coalesce(col("a.path"), col("b.path")).as("path"),
-        change.as("change")) ++ pairs ++ Seq(
-        (coalesce(col("a.st_size"), lit(0L)) - coalesce(col("b.st_size"), lit(0L)))
-          .cast(LongType).as("size_delta")): _*)
+        change.as("change")) ++ pairs :+ sizeDelta.as("size_delta"): _*)
     if (includeUnchanged) out else out.filter(col("change") =!= "unchanged")
   }
 

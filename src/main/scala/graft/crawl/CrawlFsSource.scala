@@ -418,8 +418,15 @@ class CrawlFsMicroBatchStream(scan: CrawlFsScan, lagSec: Long)
     CrawlFsOffset(lastEnd)
   }
 
-  override def deserializeOffset(json: String): Offset =
-    CrawlFsOffset.fromJson(json)
+  override def deserializeOffset(json: String): Offset = {
+    val o = CrawlFsOffset.fromJson(json)
+    // restart monotonicity: any offset Spark hands back was emitted by
+    // a previous incarnation — clamp so latestOffset never regresses
+    // below the checkpoint on a driver whose clock is behind (a
+    // regressed watermark would re-emit the already-processed window)
+    lastEnd = math.max(lastEnd, o.sec)
+    o
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[CrawlFsOffset].sec

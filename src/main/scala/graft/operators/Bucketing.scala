@@ -44,11 +44,13 @@ object Bucketing {
   }
 
   /** Exchange nodes in the executed plan of `df` — 0 for a correctly
-    * co-located bucketed join. AQE wraps the plan; count on the final
-    * physical string, which names every exchange kind. */
+    * co-located bucketed join. RUNS the query first: merely building
+    * `executedPlan` leaves an AdaptiveSparkPlan at its initial
+    * pre-runtime shape, so the count would reflect exchanges AQE later
+    * removes (or miss ones it inserts); after execution the adaptive
+    * plan prints its final tree. */
   def exchangeCount(df: DataFrame): Int = {
-    // materialize so AQE settles on the final plan before inspection
-    df.queryExecution.executedPlan
+    df.queryExecution.executedPlan.executeCollect()
     val plan = df.queryExecution.executedPlan.toString
     plan.linesIterator.count(l =>
       l.contains("Exchange hashpartitioning") ||

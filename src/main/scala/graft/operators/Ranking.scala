@@ -44,8 +44,11 @@ object Ranking {
     val local = ranged.withColumn("__lrn",
       row_number().over(Window.partitionBy("__pid").orderBy(orderCols: _*)).cast(LongType))
     // P rows total: the only un-partitioned window in the plan runs
-    // over the per-partition counts, not the data
-    val offsets = local.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+    // over the per-partition counts, not the data. Counts come from
+    // `ranged`, NOT `local` — deriving them above the window would put
+    // the per-partition sort+rank into the offsets branch too (the
+    // range-exchange is shared across branches, the window is not)
+    val offsets = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
       .withColumn("__off", coalesce(
         sum(col("__cnt")).over(Window.orderBy("__pid")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -57,13 +60,22 @@ object Ranking {
 
   /** SQL-standard NTILE from a global row number: the first `n % k`
     * buckets take `n/k + 1` rows, the rest `n/k` — pure integer
-    * arithmetic on (rn, n), no second window. */
+    * arithmetic on (rn, n), no second window. Division is Catalyst
+    * IntegralDivide (the Column `/` operator is DOUBLE division, whose
+    * 53-bit mantissa could misplace a bucket boundary on the >2^52-row
+    * inputs this operator exists for). */
   def ntileFromRn(rn: Column, n: Column, k: Int): Column = {
-    val q = (n / k).cast(LongType)
+    def idiv(a: Column, b: Column): Column =
+      org.apache.spark.sql.GraftSqlBridge.column(
+        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          org.apache.spark.sql.GraftSqlBridge.expression(a.cast(LongType)),
+          org.apache.spark.sql.GraftSqlBridge.expression(b.cast(LongType)),
+          evalMode = org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY))
+    val q = idiv(n, lit(k))
     val rem = (n % k).cast(LongType)
     val cut = rem * (q + 1) // rows in the first rem (larger) buckets
-    when(rn <= cut, (rn - 1) / (q + 1))
-      .otherwise(rem + (rn - 1 - cut) / q)
+    when(rn <= cut, idiv(rn - 1, q + 1))
+      .otherwise(rem + idiv(rn - 1 - cut, q))
       .cast(LongType) + 1
   }
 

@@ -84,11 +84,14 @@ case class RangeJoinExec(
     // parallel arrays of lo/hi values, prefix max over hi.
     val boundLo = BindReferences.bindReference(lo, right.output)
     val boundHi = BindReferences.bindReference(hi, right.output)
-    val collected = right.executeCollect()
+    // executeTake, not executeCollect: the cap must trip BEFORE the
+    // driver materializes an oversized side, or the "guard" is just a
+    // post-mortem note on the OOM
+    val collected = right.executeTake(RangeJoinExec.MaxBroadcastIntervals + 1)
     require(collected.length <= RangeJoinExec.MaxBroadcastIntervals,
-      s"range join interval side has ${collected.length} rows " +
-        s"(max ${RangeJoinExec.MaxBroadcastIntervals} for the broadcast " +
-        "plan); swap sides or pre-aggregate the intervals")
+      s"range join interval side exceeds " +
+        s"${RangeJoinExec.MaxBroadcastIntervals} rows (the broadcast " +
+        "plan's cap); swap sides or pre-aggregate the intervals")
     val entries = collected.flatMap { r =>
       val l = boundLo.eval(r)
       val h = boundHi.eval(r)
@@ -209,7 +212,16 @@ object Graft {
     val spark = points.sparkSession
     install(spark)
     val lp = points.queryExecution.analyzed
-    val rp = intervals.queryExecution.analyzed
+    // self-join hygiene: if the two sides share attribute exprIds (same
+    // source relation), re-alias every right column to fresh exprIds —
+    // the analyzer's DeduplicateRelations handles Join but not custom
+    // nodes, and duplicate ids make the output projection bind BOTH
+    // occurrences to the left side's slot (silent wrong values)
+    val rightDeduped =
+      if (intervals.queryExecution.analyzed.outputSet.intersect(lp.outputSet).nonEmpty)
+        intervals.select(intervals.columns.map(c => intervals(c).as(c)).toSeq: _*)
+      else intervals
+    val rp = rightDeduped.queryExecution.analyzed
     def resolve(plan: LogicalPlan, name: String, side: String): Attribute =
       plan.output.find(_.name == name).getOrElse(
         sys.error(s"rangeJoin: no column '$name' on the $side side " +

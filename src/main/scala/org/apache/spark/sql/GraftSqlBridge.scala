@@ -37,4 +37,12 @@ object GraftSqlBridge {
   def hasFunction(spark: SparkSession, name: String): Boolean =
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
       .functionExists(FunctionIdentifier(name))
+
+  /** Wrap a raw Catalyst expression as a user-facing Column (for the
+    * handful of expressions with no `functions._` spelling, e.g.
+    * IntegralDivide). */
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  /** The Catalyst expression behind a Column. */
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 }

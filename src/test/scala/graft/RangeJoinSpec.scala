@@ -117,6 +117,36 @@ class RangeJoinSpec extends SparkSpec {
     assert(d.head.getDouble(0) === 4.0)
   }
 
+  test("self-join inputs sharing exprIds are deduplicated, right columns survive") {
+    import spark.implicits._
+    val t = (1L to 20L).map(i => (i, i)).toDF("id", "x")
+    val points = t.select(col("id").as("pid"), col("x").as("p"))
+    // same source relation → same underlying exprIds without dedup
+    val intervals = t.select(col("x").as("lo"), (col("x") + 2L).as("hi"),
+      col("id").as("iid"))
+    val got = Graft.rangeJoin(points, intervals, "p", "lo", "hi")
+      .select(col("pid"), col("iid"), col("lo"))
+      .as[(Long, Long, Long)].collect().toSet
+    val want = (for {
+      p <- 1L to 20L
+      i <- 1L to 20L
+      if p >= i && p <= i + 2
+    } yield (p, i, i)).toSet
+    assert(got === want)
+  }
+
+  test("interval-side cap trips before materializing the whole side") {
+    // cap is 10M — fabricate a over-cap side cheaply via range
+    import spark.implicits._
+    val points = Seq((1L, 5L)).toDF("pid", "p")
+    val intervals = spark.range(RangeJoinExec.MaxBroadcastIntervals + 1L)
+      .select(col("id").as("iid"), col("id").as("lo"), (col("id") + 1).as("hi"))
+    val e = intercept[Exception] {
+      Graft.rangeJoin(points, intervals, "p", "lo", "hi").count()
+    }
+    assert(e.getMessage.contains("exceeds"), e.getMessage)
+  }
+
   test("mismatched column types and missing columns fail loudly") {
     import spark.implicits._
     val pdf = Seq((1L, "x")).toDF("pid", "p")
