@@ -173,7 +173,33 @@ object TextStats {
         sum(col("n_chars")).cast(LongType).as("sum_chars"))
       .orderBy("fold")
 
+  /** Repetition detection — the duplicate-n-gram quality filter of
+    * real pretraining pipelines (a doc whose word 3-grams repeat
+    * heavily is boilerplate/spam): per doc, total vs distinct 3-gram
+    * counts and a ≥20%-duplicated flag via integer cross-multiply.
+    * Grams stay inside a per-doc aggregation — the shuffle carries
+    * (doc_id, gram) pairs with map-side partial aggregation, and at
+    * 100 TB the gram explosion never leaves its scan stage unreduced. */
+  val qGramRepetition: Q = (s, d) => {
+    val ws = split(col("text"), " ")
+    val grams = transform(
+      sequence(lit(0), size(ws) - 3),
+      i => concat_ws(" ",
+        element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3)))
+    Tables.documents(s, d)
+      .filter(size(ws) >= 3) // sequence(0, n) needs n >= 0
+      .select(col("doc_id"), explode(grams).as("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        countDistinct(col("g")).as("n_distinct"))
+      .withColumn("rep_flag",
+        when((col("n_grams") - col("n_distinct")) * 5 >= col("n_grams"), 1L)
+          .otherwise(0L))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_gram_repetition" -> qGramRepetition,
     "q_text_clean" -> qTextClean,
     "q_lang_id" -> qLangId,
     "q_quality_score" -> qQualityScore,
@@ -185,6 +211,19 @@ object TextStats {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_gram_repetition" ->
+      """SELECT doc_id, n_grams, n_distinct,
+        |  CAST(CASE WHEN (n_grams - n_distinct) * 5 >= n_grams
+        |       THEN 1 ELSE 0 END AS BIGINT) AS rep_flag
+        |FROM (
+        |  SELECT doc_id, COUNT(*) AS n_grams, COUNT(DISTINCT g) AS n_distinct
+        |  FROM (
+        |    SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |         LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i)
+        |    WHERE len(w) >= 3)
+        |  GROUP BY doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q_text_clean" ->
       """SELECT doc_id,
         |  trim(regexp_replace(
