@@ -35,7 +35,23 @@ object GraftExtensions {
   /** All native SQL function descriptors, in `injectFunction` shape. */
   def functionDescriptors
       : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
-    Seq(findExtensionDescriptor, decimalDotDescriptor, floatDotDescriptor)
+    Seq(findExtensionDescriptor, decimalDotDescriptor, floatDotDescriptor,
+      zOrderDescriptor)
+
+  val zOrderDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("z_order"),
+    new ExpressionInfo(
+      classOf[graft.functions.ZOrderExpr].getCanonicalName,
+      null,
+      "z_order",
+      "z_order(a, b) - Morton interleave of two BIGINT rank keys " +
+        "(codegen) for multi-dimension write clustering",
+      ""),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "z_order takes exactly 2 arguments")
+      graft.functions.ZOrderExpr(children.head, children(1))
+    })
   val findExtensionDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("find_extension"),

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.functions._
+
+import graft.functions.ZOrderExpr
+import graft.plans.Graft
+
+/** Z-order clustering key: bit-exact vs a naive reference interleave,
+  * the locality property that justifies it (z-sorted chunks have small
+  * bounding boxes on BOTH axes, lexicographic sort does not), and the
+  * SQL registration path.
+  */
+class ZOrderSpec extends SparkSpec {
+
+  private def naiveInterleave(a: Long, b: Long): Long = {
+    var out = 0L
+    for (i <- 0 until 32) {
+      out |= ((b >> i) & 1L) << (2 * i)
+      out |= ((a >> i) & 1L) << (2 * i + 1)
+    }
+    out
+  }
+
+  test("interleave matches the bit-by-bit reference, incl. 32-bit extremes") {
+    val cases = Seq(0L, 1L, 2L, 3L, 7L, 255L, 256L, 65535L, 65536L,
+      0x7fffffffL, 0xffffffffL, 0x100000000L /* high bits ignored */)
+    for (a <- cases; b <- cases) {
+      assert(ZOrderExpr.interleave(a, b) === naiveInterleave(a & 0xffffffffL, b & 0xffffffffL),
+        s"a=$a b=$b")
+    }
+    // deterministic pseudo-random sweep
+    var x = 0x2545f4914f6cdd1dL
+    for (_ <- 0 until 500) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      val a = x >>> 32; val b = x & 0xffffffffL
+      assert(ZOrderExpr.interleave(a, b) === naiveInterleave(a, b))
+    }
+  }
+
+  test("z-sorted chunks bound BOTH axes; lexicographic sort does not") {
+    import spark.implicits._
+    val n = 64
+    val grid = for (a <- 0L until n; b <- 0L until n) yield (a, b)
+    def chunkBoxArea(sorted: Seq[(Long, Long)], chunks: Int): Double = {
+      val size = sorted.length / chunks
+      sorted.grouped(size).map { c =>
+        val (as, bs) = (c.map(_._1), c.map(_._2))
+        ((as.max - as.min + 1) * (bs.max - bs.min + 1)).toDouble
+      }.sum / chunks
+    }
+    val zSorted = grid.sortBy { case (a, b) => ZOrderExpr.interleave(a, b) }
+    val lexSorted = grid.sortBy(identity)
+    val zArea = chunkBoxArea(zSorted, n.toInt)
+    val lexArea = chunkBoxArea(lexSorted, n.toInt)
+    // each z chunk of 64 cells is an 8x8 box (area 64); each lex chunk
+    // is one full column (area 64x1=64 on (a,b)... but spans the WHOLE
+    // b range: 1x64). The box AREAS tie on a full grid — the pruning
+    // difference is per-axis extent. Assert both axes are bounded for z.
+    val zMaxExtentB = zSorted.grouped(n.toInt).map(c => c.map(_._2).max - c.map(_._2).min).max
+    val lexMaxExtentB = lexSorted.grouped(n.toInt).map(c => c.map(_._2).max - c.map(_._2).min).max
+    assert(zMaxExtentB <= 7, s"z chunks are 8x8 tiles, b-extent $zMaxExtentB")
+    assert(lexMaxExtentB === n - 1, "lex chunks span the full b range")
+    assert(zArea <= lexArea + 1e-9)
+
+    // the practical consequence: filtering b to one 8-wide band touches
+    // 1/8 of the z chunks but EVERY lex chunk
+    def chunksTouched(sorted: Seq[(Long, Long)], lo: Long, hi: Long): Int =
+      sorted.grouped(n.toInt).count(c => c.exists(p => p._2 >= lo && p._2 <= hi))
+    assert(chunksTouched(zSorted, 8, 15) === n / 8)
+    assert(chunksTouched(lexSorted, 8, 15) === n)
+  }
+
+  test("works as a Column and as a registered SQL function") {
+    import spark.implicits._
+    val df = Seq((3L, 5L)).toDF("a", "b")
+    val viaColumn = df.select(
+      GraftSqlBridge.column(ZOrderExpr(
+        GraftSqlBridge.expression(col("a")),
+        GraftSqlBridge.expression(col("b"))))).as[Long].head()
+    assert(viaColumn === naiveInterleave(3L, 5L))
+    Graft.install(spark)
+    val viaSql = spark.sql("SELECT z_order(3L, 5L)").as[Long].head()
+    assert(viaSql === naiveInterleave(3L, 5L))
+    val nullCase = spark.sql("SELECT z_order(CAST(NULL AS BIGINT), 5L)").collect().head
+    assert(nullCase.isNullAt(0))
+  }
+}
