@@ -199,7 +199,7 @@ final case class CrawlFsPartition(
 class CrawlFsScan(
     roots: Seq[String], val excl: Set[String], targetParts: Int,
     maxLoose: Int, val binaryPaths: Boolean, overSub: Int,
-    countersToken: String = "",
+    val countersToken: String = "",
     watermarkLagSec: Long = CrawlFsSource.DefaultWatermarkLagSec) extends Scan with Batch {
   def this(roots: Seq[String], excl: Set[String], targetParts: Int) =
     this(roots, excl, targetParts, CrawlFsSource.DefaultMaxLooseEntries, false,
@@ -302,10 +302,19 @@ class CrawlFsReader(
 
   private def inWindow(m: FileMeta): Boolean = mtimeRange match {
     case None => true
-    case Some((start, end)) => m.st_mtime match {
-      case Some(t) => t > start && t <= end
-      case None    => start < 0 // error rows belong to the snapshot batch
-    }
+    case Some((start, end)) =>
+      // window on max(mtime, ctime): userspace can back-date mtime
+      // (cp -p, tar -x, rsync -a) but NOT ctime — the kernel stamps it
+      // at creation/metadata change, so an extracted file with a 2019
+      // mtime still enters the stream through its extraction-time
+      // ctime. A pre-epoch (negative) change time still belongs to the
+      // snapshot batch (start < 0 admits every t <= end).
+      (m.st_mtime, m.st_ctime) match {
+        case (None, None) => start < 0 // error rows belong to the snapshot
+        case (mt, ct) =>
+          val t = math.max(mt.getOrElse(Long.MinValue), ct.getOrElse(Long.MinValue))
+          (start < 0 || t > start) && t <= end
+      }
   }
 
   override def next(): Boolean = {
@@ -384,16 +393,19 @@ object CrawlFsOffset {
 /** T4 — the crawl as a Structured Streaming source: incremental
   * re-crawl per micro-batch.
   *
-  * Batch N emits exactly the entries whose `st_mtime` lies in
-  * `(offset(N-1), offset(N)]`; the first batch (`start = -1`) is the
-  * full snapshot. Offsets are planner-chosen wall-clock seconds
-  * trailing real time by `lagSec` — by the time a second is inside a
-  * batch window, every mtime stamped in it was already on disk when
-  * the batch's listing ran (mtimes are second-granular, so the lag
-  * must be ≥ 1s; clock skew between driver and filesystem adds to it).
-  * Deletions don't surface (no tombstones in a listing); pair the
-  * stream with [[CrawlDiff]] over checkpointed snapshots when removal
-  * tracking matters.
+  * Batch N emits exactly the entries whose change time —
+  * `max(st_mtime, st_ctime)`, so additions with PRESERVED old mtimes
+  * (`cp -p`, `tar -x`, `rsync -a`) still surface via their
+  * kernel-stamped ctime — lies in `(offset(N-1), offset(N)]`; the
+  * first batch (`start = -1`) is the full snapshot, including
+  * pre-epoch timestamps and stat-error rows. Offsets are
+  * planner-chosen wall-clock seconds trailing real time by `lagSec` —
+  * by the time a second is inside a batch window, every timestamp
+  * stamped in it was already on disk when the batch's listing ran
+  * (times are second-granular, so the lag must be ≥ 1s; clock skew
+  * between driver and filesystem adds to it). Deletions don't surface
+  * (no tombstones in a listing); pair the stream with [[CrawlDiff]]
+  * over checkpointed snapshots when removal tracking matters.
   *
   * Each batch re-plans the same oversubscribed subtree partitioning as
   * the batch scan and re-lists executor-side — an incremental crawl IS
@@ -438,7 +450,10 @@ class CrawlFsMicroBatchStream(scan: CrawlFsScan, lagSec: Long)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new CrawlFsStreamReaderFactory(scan.excl, scan.binaryPaths)
+    // same counters bridge as the batch path — live accumulators tick
+    // per emitted entry in streaming mode too
+    new CrawlFsStreamReaderFactory(scan.excl, scan.binaryPaths,
+      CrawlFsSource.countersFor(scan.countersToken))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -447,11 +462,13 @@ class CrawlFsMicroBatchStream(scan: CrawlFsScan, lagSec: Long)
 final case class CrawlFsStreamPartition(
     inner: CrawlFsPartition, startSec: Long, endSec: Long) extends InputPartition
 
-class CrawlFsStreamReaderFactory(excl: Set[String], binaryPaths: Boolean)
+class CrawlFsStreamReaderFactory(
+    excl: Set[String], binaryPaths: Boolean,
+    ctrs: Option[CrawlCounters] = None)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val sp = p.asInstanceOf[CrawlFsStreamPartition]
-    new CrawlFsReader(sp.inner, excl, binaryPaths, None,
+    new CrawlFsReader(sp.inner, excl, binaryPaths, ctrs,
       Some((sp.startSec, sp.endSec)))
   }
 }

@@ -19,11 +19,15 @@ import org.apache.spark.sql.types.{DataType, LongType}
   *   df.repartitionByRange(n, zcol).sortWithinPartitions(zcol)
   *     .write.parquet(...)   // zcol = ZOrderExpr of the two filter cols
   *
-  * Semantics: the low 32 bits of each input (values are expected to be
-  * pre-normalized to unsigned 32-bit rank space — raw longs should be
-  * rank- or scale-reduced first; bits above 32 are ignored) are
-  * interleaved a-bit-first into one non-negative 64-bit key. NULL in
-  * either input → NULL (null-safe via BinaryExpression).
+  * Semantics: the low 31 bits of each input (values are expected to be
+  * pre-normalized to 31-bit rank space — raw longs should be rank- or
+  * scale-reduced first; higher bits are ignored) are interleaved
+  * a-bit-first into one NON-NEGATIVE 62-bit key. 31 bits, not 32: a
+  * 32nd `a` bit would land in the long's sign position and flip the
+  * sort order at the halfway boundary — the one chunk straddling the
+  * sign flip would span the whole axis and defeat the min-max pruning
+  * this key exists for. NULL in either input → NULL (null-safe via
+  * BinaryExpression).
   */
 case class ZOrderExpr(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -66,7 +70,8 @@ object ZOrderExpr {
 
   /** Morton interleave: bit i of `a` lands at position 2i+1, bit i of
     * `b` at position 2i — a-bit-first, so `a` is the "major" axis at
-    * equal bit positions. */
+    * equal bit positions. Inputs are masked to 31 bits so the result
+    * stays non-negative (see class doc). */
   def interleave(a: Long, b: Long): Long =
-    (dilate(a) << 1) | dilate(b)
+    (dilate(a & 0x7fffffffL) << 1) | dilate(b & 0x7fffffffL)
 }

@@ -50,7 +50,9 @@ object Bucketing {
     * removes (or miss ones it inserts); after execution the adaptive
     * plan prints its final tree. */
   def exchangeCount(df: DataFrame): Int = {
-    df.queryExecution.executedPlan.executeCollect()
+    // run the job but keep rows on the executors — a collect here
+    // would drag the whole result to the driver just to finalize AQE
+    df.queryExecution.executedPlan.execute().foreachPartition(_ => ())
     val plan = df.queryExecution.executedPlan.toString
     plan.linesIterator.count(l =>
       l.contains("Exchange hashpartitioning") ||

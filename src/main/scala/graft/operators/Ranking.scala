@@ -35,20 +35,32 @@ object Ranking {
   type Q = (SparkSession, String) => DataFrame
 
   /** Append a global `row_number`-style column named `out`, ordered by
-    * `orderCols` (must be a total order for a well-defined result). */
+    * `orderCols` (must be a total order for a well-defined result).
+    *
+    * The local rank is NOT a window partitioned by partition-id — that
+    * would make EnsureRequirements insert a second full-data
+    * `Exchange hashpartitioning(pid)` on top of the range exchange
+    * (RangePartitioning does not satisfy a clustered-on-pid
+    * requirement, even though pid groups are colocated by
+    * construction). Instead `monotonically_increasing_id()` above the
+    * partition-local sort encodes (partitionId << 33 | rowIndex)
+    * directly: pid and local rank fall out with two bit ops, zero
+    * extra shuffles, and the offsets join is broadcast. */
   def globalRowNumber(df: DataFrame, orderCols: Seq[Column], out: String = "rn"): DataFrame = {
     val spark = df.sparkSession
     val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val ranged = df.repartitionByRange(parts, orderCols: _*)
-      .withColumn("__pid", spark_partition_id())
-    val local = ranged.withColumn("__lrn",
-      row_number().over(Window.partitionBy("__pid").orderBy(orderCols: _*)).cast(LongType))
+    val local = ranged.sortWithinPartitions(orderCols: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", shiftrightunsigned(col("__mid"), 33))
+      .withColumn("__lrn", (col("__mid").bitwiseAND(lit((1L << 33) - 1)) + 1L))
+      .drop("__mid")
     // P rows total: the only un-partitioned window in the plan runs
-    // over the per-partition counts, not the data. Counts come from
-    // `ranged`, NOT `local` — deriving them above the window would put
-    // the per-partition sort+rank into the offsets branch too (the
-    // range-exchange is shared across branches, the window is not)
-    val offsets = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+    // over the per-partition counts, not the data; the counts branch
+    // shares the range exchange and needs no sort
+    val offsets = ranged
+      .groupBy(spark_partition_id().cast(LongType).as("__pid"))
+      .agg(count(lit(1)).as("__cnt"))
       .withColumn("__off", coalesce(
         sum(col("__cnt")).over(Window.orderBy("__pid")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

@@ -201,7 +201,10 @@ object Relational {
           + floor(col("l_quantity")).cast(LongType) * 86400L).as("hi_s"))
     graft.plans.Graft.rangeJoin(points, intervals, "p_s", "lo_s", "hi_s")
       .select(col("point_key"), col("iv_id"), col("p_s"), col("lo_s"), col("hi_s"))
-      .orderBy(col("point_key"), col("iv_id"), col("lo_s"))
+      // hi_s completes the total order: iv_id collides (the testdata's
+      // (l_orderkey, l_linenumber) is NOT unique) and tied rows may
+      // differ in hi_s — without it the hash gate could flake on order
+      .orderBy(col("point_key"), col("iv_id"), col("lo_s"), col("hi_s"))
   }
 
   /** Exact integer covariance: `n·Σxy − Σx·Σy` per group over scaled
@@ -212,7 +215,10 @@ object Relational {
   val qCovariance: Q = (s, d) =>
     Tables.lineitem(s, d)
       .select(col("l_returnflag"),
-        col("l_quantity").cast(LongType).as("qd"),
+        // floor, not bare cast: Spark CAST truncates, DuckDB rounds —
+        // floor is the one shared spelling (values are integral today,
+        // but the oracle must not depend on that)
+        floor(col("l_quantity")).cast(LongType).as("qd"),
         floor(col("l_extendedprice")).cast(LongType).as("cd"))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
@@ -305,7 +311,7 @@ object Relational {
     "q_covariance" ->
       """SELECT l_returnflag, COUNT(*) AS n,
         |  CAST(COUNT(*) * SUM(qd * cd) - SUM(qd) * SUM(cd) AS BIGINT) AS cov_n2
-        |FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qd,
+        |FROM (SELECT l_returnflag, CAST(floor(l_quantity) AS BIGINT) AS qd,
         |             CAST(floor(l_extendedprice) AS BIGINT) AS cd
         |      FROM lineitem)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
@@ -363,7 +369,7 @@ object Relational {
         |)
         |SELECT point_key, iv_id, p_s, lo_s, hi_s
         |FROM points p JOIN intervals i ON p.p_s BETWEEN i.lo_s AND i.hi_s
-        |ORDER BY point_key, iv_id, lo_s""".stripMargin,
+        |ORDER BY point_key, iv_id, lo_s, hi_s""".stripMargin,
     "q_tf_topk" ->
       """SELECT doc_id, word, tf, rnk FROM (
         |  SELECT doc_id, word, tf,

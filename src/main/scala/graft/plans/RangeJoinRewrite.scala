@@ -45,15 +45,20 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
-  private def isEquiConjunct(e: Expression, left: LogicalPlan, right: LogicalPlan): Boolean =
+  private def isEquiConjunct(e: Expression, left: LogicalPlan, right: LogicalPlan): Boolean = {
+    def crossSides(a: Expression, b: Expression): Boolean =
+      (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet) &&
+        a.references.nonEmpty && b.references.nonEmpty) ||
+        (b.references.subsetOf(left.outputSet) && a.references.subsetOf(right.outputSet) &&
+          b.references.nonEmpty && a.references.nonEmpty)
     e match {
-      case EqualTo(a, b) =>
-        (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet) &&
-          a.references.nonEmpty && b.references.nonEmpty) ||
-          (b.references.subsetOf(left.outputSet) && a.references.subsetOf(right.outputSet) &&
-            b.references.nonEmpty && a.references.nonEmpty)
+      // EqualNullSafe too: ExtractEquiJoinKeys treats <=> as an equi
+      // key, so a hash join is available and the rewrite must yield
+      case EqualTo(a, b) => crossSides(a, b)
+      case org.apache.spark.sql.catalyst.expressions.EqualNullSafe(a, b) => crossSides(a, b)
       case _ => false
     }
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, Inner, Some(cond), JoinHint.NONE)

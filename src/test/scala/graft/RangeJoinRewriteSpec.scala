@@ -74,6 +74,13 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(plan.collect { case e: RangeJoinExec => e }.isEmpty, plan.toString)
   }
 
+  test("null-safe equi conjunct (<=>) also suppresses the rewrite") {
+    val plan = planOf(
+      """SELECT pid, i.iid FROM points_v p JOIN iv_v i
+        |ON p.pid <=> i.iid AND p.ts BETWEEN i.lo AND i.hi""".stripMargin)
+    assert(plan.collect { case e: RangeJoinExec => e }.isEmpty, plan.toString)
+  }
+
   test("strict inequalities do not rewrite (exec is closed-interval)") {
     val plan = planOf(
       """SELECT pid, iid FROM points_v p JOIN iv_v i

@@ -37,6 +37,14 @@ class RankingSpec extends SparkSpec {
     // the single-partition exchanges (offset branch only, ≤1).
     assert(plan.contains("rangepartitioning"), plan)
     assert(plan.linesIterator.count(_.contains("Exchange SinglePartition")) <= 1, plan)
+    // the local rank must NOT be a pid-partitioned window — that shape
+    // makes EnsureRequirements re-shuffle the whole DATA on pid. The
+    // offsets branch may hash-exchange its P count rows (partition
+    // keys are the derived pid grouping), but never the data columns.
+    val hashExchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashExchanges.forall(l => !l.contains("v#") && !l.contains("id#")),
+      plan)
   }
 
   test("ntileFromRn matches window ntile for ragged n/k") {

@@ -60,5 +60,18 @@ class StreamingCrawlSpec extends SparkSpec {
 
     val phase3 = runPhase(root, ckpt)
     assert(phase3 === Set.empty[String], "no changes → empty batch")
+
+    // an addition with a PRESERVED old mtime (cp -p / tar -x / rsync -a
+    // shape): mtime predates every window, but the kernel-stamped ctime
+    // is now — the max(mtime, ctime) window must still emit it
+    Thread.sleep(1100)
+    val preserved = root.resolve("c/old-mtime.txt")
+    Files.write(preserved, "extracted".getBytes)
+    Files.setLastModifiedTime(preserved,
+      java.nio.file.attribute.FileTime.fromMillis(946684800000L)) // 2000-01-01
+    Thread.sleep(1100)
+    val phase4 = runPhase(root, ckpt)
+    assert(phase4.contains(preserved.toString),
+      s"back-dated addition must surface via ctime, got $phase4")
   }
 }

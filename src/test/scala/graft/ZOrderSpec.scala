@@ -15,25 +15,28 @@ class ZOrderSpec extends SparkSpec {
 
   private def naiveInterleave(a: Long, b: Long): Long = {
     var out = 0L
-    for (i <- 0 until 32) {
+    for (i <- 0 until 31) {
       out |= ((b >> i) & 1L) << (2 * i)
       out |= ((a >> i) & 1L) << (2 * i + 1)
     }
     out
   }
 
-  test("interleave matches the bit-by-bit reference, incl. 32-bit extremes") {
+  test("interleave matches the bit-by-bit reference and never goes negative") {
     val cases = Seq(0L, 1L, 2L, 3L, 7L, 255L, 256L, 65535L, 65536L,
-      0x7fffffffL, 0xffffffffL, 0x100000000L /* high bits ignored */)
+      0x7fffffffL, 0x80000000L, 0xffffffffL /* high bits ignored */)
     for (a <- cases; b <- cases) {
-      assert(ZOrderExpr.interleave(a, b) === naiveInterleave(a & 0xffffffffL, b & 0xffffffffL),
-        s"a=$a b=$b")
+      val z = ZOrderExpr.interleave(a, b)
+      assert(z === naiveInterleave(a & 0x7fffffffL, b & 0x7fffffffL), s"a=$a b=$b")
+      // a 32nd bit would land in the sign position and flip sort order
+      // at the halfway boundary — the key must stay non-negative
+      assert(z >= 0L, s"a=$a b=$b z=$z")
     }
     // deterministic pseudo-random sweep
     var x = 0x2545f4914f6cdd1dL
     for (_ <- 0 until 500) {
       x = x * 6364136223846793005L + 1442695040888963407L
-      val a = x >>> 32; val b = x & 0xffffffffL
+      val a = (x >>> 32) & 0x7fffffffL; val b = x & 0x7fffffffL
       assert(ZOrderExpr.interleave(a, b) === naiveInterleave(a, b))
     }
   }
