@@ -186,12 +186,16 @@ object TextStats {
       sequence(lit(0), size(ws) - 3),
       i => concat_ws(" ",
         element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3)))
-    Tables.documents(s, d)
+    Tables.spread(Tables.documents(s, d)) // single-row-group scan → fan out before the explode
       .filter(size(ws) >= 3) // sequence(0, n) needs n >= 0
       .select(col("doc_id"), explode(grams).as("g"))
+      // two-stage, not countDistinct: count-distinct-with-count(*) in
+      // one agg plans an Expand that doubles the exploded gram stream;
+      // aggregating (doc, gram) first shrinks before the second shuffle
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        countDistinct(col("g")).as("n_distinct"))
+      .agg(sum(col("c")).cast(LongType).as("n_grams"),
+        count(lit(1)).as("n_distinct"))
       .withColumn("rep_flag",
         when((col("n_grams") - col("n_distinct")) * 5 >= col("n_grams"), 1L)
           .otherwise(0L))

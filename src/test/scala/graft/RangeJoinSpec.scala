@@ -147,6 +147,26 @@ class RangeJoinSpec extends SparkSpec {
     assert(e.getMessage.contains("exceeds"), e.getMessage)
   }
 
+  test("any orderable type joins: dates and strings, not just longs") {
+    import spark.implicits._
+    val points = Seq(
+      (1L, java.sql.Date.valueOf("1995-06-15")),
+      (2L, java.sql.Date.valueOf("1997-01-01"))).toDF("pid", "d")
+    val intervals = Seq(
+      (10L, java.sql.Date.valueOf("1995-01-01"), java.sql.Date.valueOf("1995-12-31")),
+      (11L, java.sql.Date.valueOf("1996-01-01"), java.sql.Date.valueOf("1996-12-31")))
+      .toDF("iid", "lo", "hi")
+    val got = Graft.rangeJoin(points, intervals, "d", "lo", "hi")
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 10L)))
+
+    val sPoints = Seq((1L, "banana"), (2L, "zebra")).toDF("pid", "s")
+    val sIv = Seq((20L, "a", "m"), (21L, "n", "q")).toDF("iid", "lo", "hi")
+    val sGot = Graft.rangeJoin(sPoints, sIv, "s", "lo", "hi")
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(sGot === Set((1L, 20L)))
+  }
+
   test("mismatched column types and missing columns fail loudly") {
     import spark.implicits._
     val pdf = Seq((1L, "x")).toDF("pid", "p")
