@@ -333,12 +333,17 @@ class CrawlFsReader(
       if (!entryIter.hasNext) return false
       val e = entryIter.next()
       val m = StatEnricher.statOne(e)
-      ctrs.foreach { c =>
-        if (e.isDir) c.dirsSeen.add(1) else c.filesSeen.add(1)
-        m.st_size.foreach(c.totalSize.add)
-        if (m.error.isDefined) c.statErrors.add(1)
-      }
       if (inWindow(m)) {
+        // counters tick per EMITTED entry (after the streaming window
+        // filter): a micro-batch re-lists the whole tree, and counting
+        // scanned-not-emitted rows would re-add the full tree's volume
+        // every batch. Batch mode has no window, so behavior there is
+        // unchanged.
+        ctrs.foreach { c =>
+          if (e.isDir) c.dirsSeen.add(1) else c.filesSeen.add(1)
+          m.st_size.foreach(c.totalSize.add)
+          if (m.error.isDefined) c.statErrors.add(1)
+        }
         current = toRow(e, m)
         return true
       }

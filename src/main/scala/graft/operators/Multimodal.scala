@@ -229,11 +229,13 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
-  /** Parsed MJPEG-AVI: frame cadence plus the (offset, length) of every
-    * JPEG frame chunk in the `movi` list. */
+  /** Parsed MJPEG-AVI: frame cadence, the (offset, length) of every
+    * JPEG frame chunk in the `movi` list, and the container's stream
+    * count (one `strh` header per track — audio streams included). */
   private[operators] final case class AviMjpeg(
       usPerFrame: Long,
-      frames: IndexedSeq[(Int, Int)]) {
+      frames: IndexedSeq[(Int, Int)],
+      nStreams: Int = 1) {
     def durationMs: Long = usPerFrame * frames.length / 1000
     def frameTimeMs(i: Int): Long = usPerFrame * i / 1000
   }
@@ -255,6 +257,7 @@ object Multimodal {
           ((payload(off + 2) & 0xffL) << 16) | ((payload(off + 3) & 0xffL) << 24)
       if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
       var usPerFrame = 0L
+      var nStreams = 0
       val frames = IndexedSeq.newBuilder[(Int, Int)]
       def walkChunks(from: Int, to: Int): Unit = {
         var off = from
@@ -269,6 +272,8 @@ object Multimodal {
               walkChunks(dataStart + 4, dataEnd) // skip listType, recurse
             case "avih" if size >= 4 =>
               usPerFrame = u32le(dataStart)
+            case "strh" =>
+              nStreams += 1 // one stream header per track (video + audio)
             case "00dc" | "00db" if size >= 2 =>
               // a JPEG frame starts FF D8; anything else = not MJPEG
               if ((payload(dataStart) & 0xff) == 0xff &&
@@ -282,7 +287,8 @@ object Multimodal {
       }
       walkChunks(12, payload.length)
       val fs = frames.result()
-      if (fs.isEmpty) None else Some(AviMjpeg(usPerFrame, fs))
+      if (fs.isEmpty) None
+      else Some(AviMjpeg(usPerFrame, fs, math.max(1, nStreams)))
     } catch { case _: Exception => None }
 
   /** Decode one MJPEG frame chunk to an image. */
@@ -304,7 +310,7 @@ object Multimodal {
       luminanceHistogram(img),
       width = Some(img.getWidth), height = Some(img.getHeight),
       duration_ms = Some(avi.durationMs),
-      n_tracks = Some(1))
+      n_tracks = Some(avi.nStreams))
 
   private[operators] def decodeVideo(r: MediaRow): Option[MediaFeatures] =
     decodeAviVideo(r).orElse {

@@ -49,7 +49,23 @@ object Ranking {
   def globalRowNumber(df: DataFrame, orderCols: Seq[Column], out: String = "rn"): DataFrame = {
     val spark = df.sparkSession
     val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val ranged = df.repartitionByRange(parts, orderCols: _*)
+    // the data branch and the offsets branch below MUST see the same
+    // physical range partitioning: RangePartitioner's sample seed
+    // derives from the RDD id, so two independently-planned exchanges
+    // can pick different boundaries and the offset table would
+    // describe the wrong partitions. With exchange reuse on (the
+    // default) both branches sit in one plan tree and dedup to a
+    // single exchange; if an operator-hostile config disabled it,
+    // pin the partitioning by persisting the ranged child instead.
+    val reuseOn = spark.conf.get("spark.sql.exchange.reuse", "true").toBoolean
+    val ranged0 = df.repartitionByRange(parts, orderCols: _*)
+    val ranged =
+      if (reuseOn) ranged0
+      else {
+        val cached = ranged0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cached.count() // materialize so both branches read the cache
+        cached
+      }
     val local = ranged.sortWithinPartitions(orderCols: _*)
       .withColumn("__mid", monotonically_increasing_id())
       .withColumn("__pid", shiftrightunsigned(col("__mid"), 33))

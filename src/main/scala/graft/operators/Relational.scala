@@ -210,19 +210,25 @@ object Relational {
   /** Exact integer covariance: `n·Σxy − Σx·Σy` per group over scaled
     * integers (quantity units × floor-dollars). covar_pop/samp are
     * float folds whose summation order differs across engines; this
-    * carries the full numerator exactly (magnitudes bounded: ≤3e5 rows
-    * per flag × 5.5e6 max product ≈ 1.5e17 < 2^63). */
+    * carries the full numerator exactly. The numerator grows ~sf², so
+    * (a) the fact side is sampled on orderkey (deterministic, ~1/7 —
+    * headroom through sf≈50), and (b) all aggregation runs in
+    * DECIMAL(38,0), mirroring DuckDB's HUGEINT promotion: if the value
+    * ever did exceed the headroom, Spark yields decimal overflow (null
+    * / error) instead of a silently wrapped long that the oracle gate
+    * would flag as a plain mismatch. */
   val qCovariance: Q = (s, d) =>
     Tables.lineitem(s, d)
+      .filter(col("l_orderkey") % 7 === 0)
       .select(col("l_returnflag"),
         // floor, not bare cast: Spark CAST truncates, DuckDB rounds —
         // floor is the one shared spelling (values are integral today,
         // but the oracle must not depend on that)
-        floor(col("l_quantity")).cast(LongType).as("qd"),
-        floor(col("l_extendedprice")).cast(LongType).as("cd"))
+        floor(col("l_quantity")).cast(DecimalType(20, 0)).as("qd"),
+        floor(col("l_extendedprice")).cast(DecimalType(20, 0)).as("cd"))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
-        (count(lit(1)) * sum(col("qd") * col("cd"))
+        (count(lit(1)).cast(DecimalType(20, 0)) * sum(col("qd") * col("cd"))
           - sum(col("qd")) * sum(col("cd"))).cast(LongType).as("cov_n2"))
       .orderBy("l_returnflag")
 
@@ -313,7 +319,7 @@ object Relational {
         |  CAST(COUNT(*) * SUM(qd * cd) - SUM(qd) * SUM(cd) AS BIGINT) AS cov_n2
         |FROM (SELECT l_returnflag, CAST(floor(l_quantity) AS BIGINT) AS qd,
         |             CAST(floor(l_extendedprice) AS BIGINT) AS cd
-        |      FROM lineitem)
+        |      FROM lineitem WHERE l_orderkey % 7 = 0)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_multiset_ops" ->
       """SELECT op, k, COUNT(*) AS n FROM (
