@@ -86,6 +86,31 @@ object Ranking {
       .drop("__pid", "__lrn", "__off")
   }
 
+  /** Per-group `row_number() OVER (PARTITION BY keys ORDER BY ...)`
+    * without a window — the scale-correct form when the partition key
+    * has FEW distinct values (a plain window then funnels the whole
+    * table through as many tasks as there are keys; 5 priorities at
+    * 100 TB = 5 tasks).
+    *
+    * Shape: one global rank over the total order (keys ++ orderCols)
+    * — groups are contiguous in it — then subtract each group's
+    * min rank: `rn_in_group = rn - min_rn(group) + 1`. The group-min
+    * aggregation is a normal partial+final hash agg (tiny for few
+    * groups, an ordinary shuffle for many), so the plan is
+    * range-exchange + hash-agg + join: every stage fully parallel
+    * regardless of key cardinality. */
+  def groupedRowNumber(
+      df: DataFrame, partitionCols: Seq[Column], orderCols: Seq[Column],
+      out: String = "rn"): DataFrame = {
+    val ranked = globalRowNumber(df, partitionCols ++ orderCols, "__grn")
+    val mins = ranked.groupBy(partitionCols: _*)
+      .agg(min(col("__grn")).as("__gmin"))
+    val keyNames = mins.columns.dropRight(1).toSeq
+    ranked.join(mins, keyNames)
+      .withColumn(out, (col("__grn") - col("__gmin") + 1L).cast(LongType))
+      .drop("__grn", "__gmin")
+  }
+
   /** SQL-standard NTILE from a global row number: the first `n % k`
     * buckets take `n/k + 1` rows, the rest `n/k` — pure integer
     * arithmetic on (rn, n), no second window. Division is Catalyst
@@ -122,7 +147,21 @@ object Ranking {
       .orderBy("rn")
   }
 
-  val queries: Map[String, Q] = Map("q_global_rank" -> qGlobalRank)
+  /** Per-priority order ranking through [[groupedRowNumber]] — the
+    * low-cardinality-partition case (5 priorities) where the plain
+    * window would run on 5 tasks; the oracle IS that plain window. */
+  val qGroupedRank: Q = (s, d) =>
+    groupedRowNumber(
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          intScaled(dec2(col("o_totalprice")), 100L).as("cents")),
+      Seq(col("o_orderpriority")),
+      Seq(col("cents"), col("o_orderkey")))
+      .orderBy("o_orderpriority", "rn")
+
+  val queries: Map[String, Q] = Map(
+    "q_global_rank" -> qGlobalRank,
+    "q_grouped_rank" -> qGroupedRank)
 
   val oracle: Map[String, String] = Map(
     "q_global_rank" ->
@@ -132,5 +171,13 @@ object Ranking {
         |FROM (SELECT o_orderkey,
         |        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
         |      FROM orders)
-        |ORDER BY rn""".stripMargin)
+        |ORDER BY rn""".stripMargin,
+    "q_grouped_rank" ->
+      """SELECT o_orderkey, o_orderpriority, cents,
+        |  CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |       ORDER BY cents, o_orderkey) AS BIGINT) AS rn
+        |FROM (SELECT o_orderkey, o_orderpriority,
+        |        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |      FROM orders)
+        |ORDER BY o_orderpriority, rn""".stripMargin)
 }

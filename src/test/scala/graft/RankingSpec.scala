@@ -47,6 +47,19 @@ class RankingSpec extends SparkSpec {
       plan)
   }
 
+  test("groupedRowNumber equals the partitioned window row_number") {
+    import spark.implicits._
+    val rows = (1L to 500L).map(i => (i, i % 3, (i * 31) % 17))
+    val df = rows.toDF("id", "grp", "v")
+    val got = Ranking.groupedRowNumber(df, Seq(col("grp")), Seq(col("v"), col("id")))
+      .select("id", "rn").as[(Long, Long)].collect().toMap
+    val want = df.withColumn("rn",
+        row_number().over(Window.partitionBy("grp").orderBy(col("v"), col("id")))
+          .cast(LongType))
+      .select("id", "rn").as[(Long, Long)].collect().toMap
+    assert(got === want)
+  }
+
   test("ntileFromRn matches window ntile for ragged n/k") {
     import spark.implicits._
     for (n <- Seq(1, 7, 8, 9, 40, 41); k <- Seq(1, 3, 8)) {
