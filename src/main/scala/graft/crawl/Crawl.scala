@@ -135,6 +135,38 @@ object Crawl {
   def writeParquet(df: DataFrame, baseDir: String, tag: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(s"$baseDir/crawl_tag=$tag")
 
+  /** T4 — continuous incremental crawl to parquet: the streaming form
+    * of the batch crawl (first micro-batch = snapshot, then only
+    * entries whose change time entered the new offset window — see
+    * [[CrawlFsMicroBatchStream]]). `once = true` drains what is
+    * currently available and stops (Trigger.AvailableNow); otherwise
+    * re-crawls every `intervalSec`. Checkpointed: restarts resume from
+    * the committed watermark, never re-emitting processed windows. */
+  def streamToParquet(
+      spark: SparkSession,
+      roots: Seq[String],
+      exclusions: Set[String],
+      baseDir: String,
+      tag: String,
+      intervalSec: Int = 60,
+      once: Boolean = false,
+      watermarkLagSec: Long = CrawlFsSource.DefaultWatermarkLagSec)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.streaming.Trigger
+    val df = spark.readStream.format("graft.crawl.CrawlFsProvider")
+      .option("roots", roots.mkString(","))
+      .option("exclusions", exclusions.mkString(","))
+      .option("watermarkLagSec", watermarkLagSec.toString)
+      .load()
+    df.writeStream.format("parquet")
+      .option("path", s"$baseDir/crawl_stream_tag=$tag")
+      .option("checkpointLocation", s"$baseDir/crawl_stream_ckpt_$tag")
+      .trigger(
+        if (once) Trigger.AvailableNow()
+        else Trigger.ProcessingTime(s"$intervalSec seconds"))
+      .start()
+  }
+
   /** T1 — the status time series for a finished batch crawl, in the
     * flat legacy schema the report layer queries (SURVEY.md §1.3/A11):
     * begin/end events (units='event', storcrawl.py:575,629) plus final

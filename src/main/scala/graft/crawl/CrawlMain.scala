@@ -20,7 +20,7 @@ import org.apache.spark.sql.SparkSession
 object CrawlMain {
   def main(args: Array[String]): Unit = {
     val (cli, positional) = ConfigLayers.parseArgs(
-      args.toSeq, flags = Set("join-plan", "debug", "verbose"))
+      args.toSeq, flags = Set("join-plan", "debug", "verbose", "stream", "once"))
     require(positional.isEmpty, s"unexpected arguments: $positional")
     val dirs = ConfigLayers.resolve("dir", cli)
     // reference stamp format when unset (storcrawl.py:58)
@@ -52,6 +52,18 @@ object CrawlMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
+      // --stream: continuous incremental crawl (T4) — snapshot batch,
+      // then per-interval deltas by change-time window; --once drains
+      // the currently-available window and exits (cron-style runs)
+      if (ConfigLayers.resolve("stream", cli).lastOption.exists(ConfigLayers.isTrue)) {
+        val interval = ConfigLayers.resolveOne("interval", cli, "60").toInt
+        val once = ConfigLayers.resolve("once", cli).lastOption.exists(ConfigLayers.isTrue)
+        val q = Crawl.streamToParquet(spark, dirs, excl, out, tag, interval, once)
+        println(s"streaming crawl -> $out/crawl_stream_tag=$tag " +
+          s"(${if (once) "available-now" else s"every ${interval}s"})")
+        q.awaitTermination()
+        return
+      }
       val ctrs = Crawl.counters(spark)
       // the reference's per-10k-records progress cadence (storcrawl.py:80)
       val progress = ProgressListener.register(spark, ctrs)

@@ -74,4 +74,26 @@ class StreamingCrawlSpec extends SparkSpec {
     assert(phase4.contains(preserved.toString),
       s"back-dated addition must surface via ctime, got $phase4")
   }
+
+  test("streamToParquet --once: snapshot, then delta appends across restarts") {
+    val root = Files.createTempDirectory("graft-stream-pq")
+    val out = Files.createTempDirectory("graft-stream-pq-out").toString
+    Files.write(root.resolve("a.txt"), "one".getBytes)
+    Thread.sleep(1100)
+    def drain(): Set[String] = {
+      val q = graft.crawl.Crawl.streamToParquet(
+        spark, Seq(root.toString), Set(".snapshot"), out, "t1",
+        once = true, watermarkLagSec = 0)
+      q.awaitTermination()
+      spark.read.parquet(s"$out/crawl_stream_tag=t1")
+        .select("path").collect().map(_.getString(0)).toSet
+    }
+    assert(drain() === Set(root.resolve("a.txt").toString))
+    Thread.sleep(1100)
+    Files.write(root.resolve("b.txt"), "two".getBytes)
+    Thread.sleep(1100)
+    val after = drain()
+    assert(after === Set(root.resolve("a.txt"), root.resolve("b.txt")).map(_.toString),
+      s"delta batch appends only the new entry, got $after")
+  }
 }
