@@ -150,13 +150,20 @@ object Crawl {
       tag: String,
       intervalSec: Int = 60,
       once: Boolean = false,
-      watermarkLagSec: Long = CrawlFsSource.DefaultWatermarkLagSec)
+      watermarkLagSec: Long = CrawlFsSource.DefaultWatermarkLagSec,
+      ctrs: Option[CrawlCounters] = None,
+      oversubscribe: Option[Int] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.streaming.Trigger
-    val df = spark.readStream.format("graft.crawl.CrawlFsProvider")
+    val reader0 = spark.readStream.format("graft.crawl.CrawlFsProvider")
       .option("roots", roots.mkString(","))
       .option("exclusions", exclusions.mkString(","))
       .option("watermarkLagSec", watermarkLagSec.toString)
+    val reader1 = oversubscribe
+      .map(o => reader0.option("oversubscribe", o.toString)).getOrElse(reader0)
+    val df = ctrs
+      .map(c => reader1.option("countersToken", CrawlFsSource.registerCounters(c)))
+      .getOrElse(reader1)
       .load()
     df.writeStream.format("parquet")
       .option("path", s"$baseDir/crawl_stream_tag=$tag")

@@ -56,12 +56,26 @@ object CrawlMain {
       // then per-interval deltas by change-time window; --once drains
       // the currently-available window and exits (cron-style runs)
       if (ConfigLayers.resolve("stream", cli).lastOption.exists(ConfigLayers.isTrue)) {
+        // stream mode is the raw incremental scan: no owner attribution,
+        // no JDBC sink, raw source schema (name/is_dir kept, no
+        // owner/insert_time) — say so instead of silently ignoring
+        Seq("owners" -> owners.isDefined,
+          "jdbc-url" -> ConfigLayers.resolve("jdbc-url", cli).nonEmpty,
+          "join-plan" -> joinPlan,
+          "source" -> !useV2)
+          .collect { case (o, true) => o }
+          .foreach(o => System.err.println(
+            s"[stream] --$o is ignored in --stream mode (raw incremental scan)"))
         val interval = ConfigLayers.resolveOne("interval", cli, "60").toInt
         val once = ConfigLayers.resolve("once", cli).lastOption.exists(ConfigLayers.isTrue)
-        val q = Crawl.streamToParquet(spark, dirs, excl, out, tag, interval, once)
+        val ctrs = Crawl.counters(spark)
+        val overSub = ConfigLayers.resolve("oversubscribe", cli).lastOption.map(_.toInt)
+        val q = Crawl.streamToParquet(spark, dirs, excl, out, tag, interval, once,
+          ctrs = Some(ctrs), oversubscribe = overSub)
         println(s"streaming crawl -> $out/crawl_stream_tag=$tag " +
           s"(${if (once) "available-now" else s"every ${interval}s"})")
         q.awaitTermination()
+        println(Crawl.summary(ctrs))
         return
       }
       val ctrs = Crawl.counters(spark)

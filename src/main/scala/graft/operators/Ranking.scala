@@ -87,28 +87,42 @@ object Ranking {
   }
 
   /** Per-group `row_number() OVER (PARTITION BY keys ORDER BY ...)`
-    * without a window — the scale-correct form when the partition key
-    * has FEW distinct values (a plain window then funnels the whole
-    * table through as many tasks as there are keys; 5 priorities at
-    * 100 TB = 5 tasks).
+    * without a per-key window — the scale-correct form when the
+    * partition key has FEW distinct values (a plain window then
+    * funnels the whole table through as many tasks as there are keys;
+    * 5 priorities at 100 TB = 5 tasks). For genuinely high-cardinality
+    * keys the plain window is already parallel — use it instead; this
+    * operator broadcasts one row per group.
     *
     * Shape: one global rank over the total order (keys ++ orderCols)
-    * — groups are contiguous in it — then subtract each group's
-    * min rank: `rn_in_group = rn - min_rn(group) + 1`. The group-min
-    * aggregation is a normal partial+final hash agg (tiny for few
-    * groups, an ordinary shuffle for many), so the plan is
-    * range-exchange + hash-agg + join: every stage fully parallel
-    * regardless of key cardinality. */
+    * — groups are contiguous in it, keys ascending-nulls-first — then
+    * subtract each group's first global rank, computed WITHOUT a
+    * second pass over the ranked data: group-min rank = 1 + prefix
+    * sum of prior groups' row counts (a hash agg straight off the
+    * input and a window over one tiny row per group, the same trick
+    * as [[globalRowNumber]]'s offset table). The join back is
+    * null-safe (`<=>`), so a NULL group keeps its ranks exactly like
+    * the window form. Keys are column NAMES: the group-count branch
+    * and the rank branch must agree on the key expressions, which
+    * names guarantee and arbitrary expressions would not. */
   def groupedRowNumber(
-      df: DataFrame, partitionCols: Seq[Column], orderCols: Seq[Column],
+      df: DataFrame, partitionCols: Seq[String], orderCols: Seq[Column],
       out: String = "rn"): DataFrame = {
-    val ranked = globalRowNumber(df, partitionCols ++ orderCols, "__grn")
-    val mins = ranked.groupBy(partitionCols: _*)
-      .agg(min(col("__grn")).as("__gmin"))
-    val keyNames = mins.columns.dropRight(1).toSeq
-    ranked.join(mins, keyNames)
+    val keys = partitionCols.map(col)
+    val ranked = globalRowNumber(df, keys ++ orderCols, "__grn")
+    val wPrev = Window
+      .orderBy(partitionCols.map(c => col(c).asc_nulls_first): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val mins = df.groupBy(keys: _*).agg(count(lit(1)).as("__gcnt"))
+      .withColumn("__gmin",
+        coalesce(sum(col("__gcnt")).over(wPrev), lit(0L)) + 1L)
+      .select(
+        partitionCols.map(c => col(c).as(s"__k_$c")) :+ col("__gmin"): _*)
+    val cond = partitionCols
+      .map(c => ranked(c) <=> mins(s"__k_$c")).reduce(_ && _)
+    ranked.join(broadcast(mins), cond)
       .withColumn(out, (col("__grn") - col("__gmin") + 1L).cast(LongType))
-      .drop("__grn", "__gmin")
+      .drop(Seq("__grn", "__gmin") ++ partitionCols.map(c => s"__k_$c"): _*)
   }
 
   /** SQL-standard NTILE from a global row number: the first `n % k`
@@ -155,7 +169,7 @@ object Ranking {
       Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderpriority"),
           intScaled(dec2(col("o_totalprice")), 100L).as("cents")),
-      Seq(col("o_orderpriority")),
+      Seq("o_orderpriority"),
       Seq(col("cents"), col("o_orderkey")))
       .orderBy("o_orderpriority", "rn")
 

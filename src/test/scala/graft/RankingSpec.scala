@@ -51,13 +51,29 @@ class RankingSpec extends SparkSpec {
     import spark.implicits._
     val rows = (1L to 500L).map(i => (i, i % 3, (i * 31) % 17))
     val df = rows.toDF("id", "grp", "v")
-    val got = Ranking.groupedRowNumber(df, Seq(col("grp")), Seq(col("v"), col("id")))
+    val got = Ranking.groupedRowNumber(df, Seq("grp"), Seq(col("v"), col("id")))
       .select("id", "rn").as[(Long, Long)].collect().toMap
     val want = df.withColumn("rn",
         row_number().over(Window.partitionBy("grp").orderBy(col("v"), col("id")))
           .cast(LongType))
       .select("id", "rn").as[(Long, Long)].collect().toMap
     assert(got === want)
+  }
+
+  test("groupedRowNumber keeps the NULL-key group, exactly like the window") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("a"), 3L), (2L, None, 1L), (3L, Some("a"), 1L),
+      (4L, None, 2L), (5L, Some("b"), 5L), (6L, None, 0L))
+      .toDF("id", "grp", "v")
+    val got = Ranking.groupedRowNumber(df, Seq("grp"), Seq(col("v"), col("id")))
+      .select("id", "rn").as[(Long, Long)].collect().toMap
+    val want = df.withColumn("rn",
+        row_number().over(Window.partitionBy("grp").orderBy(col("v"), col("id")))
+          .cast(LongType))
+      .select("id", "rn").as[(Long, Long)].collect().toMap
+    assert(got === want)
+    assert(got.size === 6, "NULL-group rows must not be dropped")
   }
 
   test("ntileFromRn matches window ntile for ragged n/k") {
