@@ -295,7 +295,53 @@ object Relational {
       .filter(length(col("long_word")) > 0)
       .orderBy("doc_id")
 
+  /** Fixed-width value histogram of order totals: bucket = integer
+    * division of cents by $50k — one hash agg, the classic profile
+    * query. Integer `div` on both engines (Column `/` is double). */
+  val qHistogram: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(orderCents.as("cents"))
+      .groupBy(expr("cents div 5000000").as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).cast(LongType).as("sum_cents"))
+      .orderBy("bucket")
+
+  /** Generator with ordinality: first five words of each document with
+    * their positions (posexplode ↔ DuckDB list indexing over a LATERAL
+    * range — same construction as the gram queries, positions pinned
+    * 0-based on both sides). */
+  val qPosexplode: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(slice(split(col("text"), " "), 1, 5)))
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+        col("col").as("word"))
+      .orderBy("doc_id", "pos")
+
+  /** first_value / nth_value with the full-partition ROWS frame (the
+    * default frame stops at CURRENT ROW, where nth_value(2) would be
+    * NULL on the first row — the explicit frame is the portable
+    * spelling): each customer's first and second order spend under the
+    * pinned (date, orderkey) total order. */
+  val qFirstLast: Q = (s, d) => {
+    val ord = Window.partitionBy("o_custkey")
+      .orderBy(col("d"), col("o_orderkey"))
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS BIGINT)").as("d"),
+        orderCents.as("cents"))
+      .withColumn("first_cents", first(col("cents")).over(full).cast(LongType))
+      .withColumn("second_cents", nth_value(col("cents"), 2).over(full).cast(LongType))
+      .withColumn("rn", row_number().over(ord))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("first_cents"), col("second_cents"))
+      .orderBy("o_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_histogram" -> qHistogram,
+    "q_posexplode" -> qPosexplode,
+    "q_first_last" -> qFirstLast,
     "q_covariance" -> qCovariance,
     "q_multiset_ops" -> qMultisetOps,
     "q_gap_fill" -> qGapFill,
@@ -314,6 +360,30 @@ object Relational {
     "q_array_hof" -> qArrayHof)
 
   val oracle: Map[String, String] = Map(
+    "q_histogram" ->
+      """SELECT cents // 5000000 AS bucket, COUNT(*) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |      FROM orders)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_posexplode" ->
+      """SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w[i] AS word
+        |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |     LATERAL (SELECT unnest(range(1, least(len(w), 5) + 1)) AS i)
+        |ORDER BY doc_id, pos""".stripMargin,
+    "q_first_last" ->
+      """SELECT o_custkey, first_cents, second_cents FROM (
+        |  SELECT o_custkey,
+        |    CAST(first_value(cents) OVER w AS BIGINT) AS first_cents,
+        |    CAST(nth_value(cents, 2) OVER w AS BIGINT) AS second_cents,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey) AS rn
+        |  FROM (SELECT o_custkey, o_orderkey,
+        |          epoch_ms(o_orderdate) // 1000 AS d,
+        |          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |        FROM orders)
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY d, o_orderkey
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
     "q_covariance" ->
       """SELECT l_returnflag, COUNT(*) AS n,
         |  CAST(COUNT(*) * SUM(qd * cd) - SUM(qd) * SUM(cd) AS BIGINT) AS cov_n2
