@@ -22,6 +22,20 @@ final case class CrawlCounters(
 
 object Crawl {
 
+  /** The DSv2 crawl source options, shared verbatim by the batch read
+    * ([[run]]) and the streaming read ([[streamToParquet]]) so the two
+    * paths cannot silently diverge on reader configuration. */
+  private[crawl] def crawlSourceOptions(
+      roots: Seq[String],
+      exclusions: Set[String],
+      ctrs: Option[CrawlCounters],
+      oversubscribe: Option[Int]): Map[String, String] =
+    Map(
+      "roots" -> roots.mkString(","),
+      "exclusions" -> exclusions.mkString(",")) ++
+      oversubscribe.map(o => "oversubscribe" -> o.toString) ++
+      ctrs.map(c => "countersToken" -> CrawlFsSource.registerCounters(c))
+
   def counters(spark: SparkSession): CrawlCounters = CrawlCounters(
     spark.sparkContext.longAccumulator("files_seen"),
     spark.sparkContext.longAccumulator("dirs_seen"),
@@ -52,15 +66,8 @@ object Crawl {
       // zero plan impact — a driver-side counting map here was measured
       // at ~35% crawl throughput (row de/serialization + broken
       // codegen over the scan)
-      val reader0 = spark.read.format("graft.crawl.CrawlFsProvider")
-        .option("roots", roots.mkString(","))
-        .option("exclusions", exclusions.mkString(","))
-      val reader1 = oversubscribe
-        .map(o => reader0.option("oversubscribe", o.toString))
-        .getOrElse(reader0)
-      val raw = ctrs
-        .map(c => reader1.option("countersToken", CrawlFsSource.registerCounters(c)))
-        .getOrElse(reader1)
+      val raw = spark.read.format("graft.crawl.CrawlFsProvider")
+        .options(crawlSourceOptions(roots, exclusions, ctrs, oversubscribe))
         .load()
       val df = raw
         .drop("name", "is_dir", "is_symlink")
@@ -155,15 +162,9 @@ object Crawl {
       oversubscribe: Option[Int] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.streaming.Trigger
-    val reader0 = spark.readStream.format("graft.crawl.CrawlFsProvider")
-      .option("roots", roots.mkString(","))
-      .option("exclusions", exclusions.mkString(","))
+    val df = spark.readStream.format("graft.crawl.CrawlFsProvider")
+      .options(crawlSourceOptions(roots, exclusions, ctrs, oversubscribe))
       .option("watermarkLagSec", watermarkLagSec.toString)
-    val reader1 = oversubscribe
-      .map(o => reader0.option("oversubscribe", o.toString)).getOrElse(reader0)
-    val df = ctrs
-      .map(c => reader1.option("countersToken", CrawlFsSource.registerCounters(c)))
-      .getOrElse(reader1)
       .load()
     df.writeStream.format("parquet")
       .option("path", s"$baseDir/crawl_stream_tag=$tag")

@@ -311,6 +311,11 @@ object Relational {
     * 0-based on both sides). */
   val qPosexplode: Q = (s, d) =>
     Tables.documents(s, d)
+      // NULL guard pinned on BOTH sides: posexplode of a NULL array
+      // emits zero rows but DuckDB's least(len(NULL), 5) = 5 emits
+      // five NULL words — the equivalence must not hinge on the
+      // fixture having no NULL text
+      .filter(col("text").isNotNull)
       .select(col("doc_id"),
         posexplode(slice(split(col("text"), " "), 1, 5)))
       .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
@@ -368,7 +373,8 @@ object Relational {
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_posexplode" ->
       """SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w[i] AS word
-        |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |      WHERE text IS NOT NULL),
         |     LATERAL (SELECT unnest(range(1, least(len(w), 5) + 1)) AS i)
         |ORDER BY doc_id, pos""".stripMargin,
     "q_first_last" ->
