@@ -159,13 +159,23 @@ object Crawl {
       once: Boolean = false,
       watermarkLagSec: Long = CrawlFsSource.DefaultWatermarkLagSec,
       ctrs: Option[CrawlCounters] = None,
-      oversubscribe: Option[Int] = None)
+      oversubscribe: Option[Int] = None,
+      ownersFile: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.streaming.Trigger
-    val df = spark.readStream.format("graft.crawl.CrawlFsProvider")
+    val raw = spark.readStream.format("graft.crawl.CrawlFsProvider")
       .options(crawlSourceOptions(roots, exclusions, ctrs, oversubscribe))
       .option("watermarkLagSec", watermarkLagSec.toString)
       .load()
+    // owner attribution works in streaming exactly as in the batch
+    // UDF path: a stateless longest-ancestor walk over the broadcast
+    // owners dimension (the explode+join plan stays batch-only — a
+    // stream-static join per micro-batch would re-shuffle each delta)
+    val df = ownersFile match {
+      case None => raw
+      case Some(of) =>
+        raw.withColumn("owner", Owners.findOwnerUdf(spark, Owners.load(spark, of)))
+    }
     df.writeStream.format("parquet")
       .option("path", s"$baseDir/crawl_stream_tag=$tag")
       .option("checkpointLocation", s"$baseDir/crawl_stream_ckpt_$tag")

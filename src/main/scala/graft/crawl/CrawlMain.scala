@@ -56,10 +56,11 @@ object CrawlMain {
       // then per-interval deltas by change-time window; --once drains
       // the currently-available window and exits (cron-style runs)
       if (ConfigLayers.resolve("stream", cli).lastOption.exists(ConfigLayers.isTrue)) {
-        // stream mode is the raw incremental scan: no owner attribution,
-        // no JDBC sink, raw source schema (name/is_dir kept, no
-        // owner/insert_time) — say so instead of silently ignoring
-        Seq("owners" -> owners.isDefined,
+        // stream mode is the incremental scan (+ broadcast-UDF owner
+        // attribution when --owners is given): no JDBC sink, raw
+        // source schema (name/is_dir kept, no insert_time) — say so
+        // instead of silently ignoring
+        Seq(
           "jdbc-url" -> ConfigLayers.resolve("jdbc-url", cli).nonEmpty,
           "join-plan" -> joinPlan,
           "source" -> !useV2)
@@ -71,7 +72,7 @@ object CrawlMain {
         val ctrs = Crawl.counters(spark)
         val overSub = ConfigLayers.resolve("oversubscribe", cli).lastOption.map(_.toInt)
         val q = Crawl.streamToParquet(spark, dirs, excl, out, tag, interval, once,
-          ctrs = Some(ctrs), oversubscribe = overSub)
+          ctrs = Some(ctrs), oversubscribe = overSub, ownersFile = owners)
         println(s"streaming crawl -> $out/crawl_stream_tag=$tag " +
           s"(${if (once) "available-now" else s"every ${interval}s"})")
         q.awaitTermination()

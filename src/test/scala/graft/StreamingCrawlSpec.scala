@@ -79,21 +79,29 @@ class StreamingCrawlSpec extends SparkSpec {
     val root = Files.createTempDirectory("graft-stream-pq")
     val out = Files.createTempDirectory("graft-stream-pq-out").toString
     Files.write(root.resolve("a.txt"), "one".getBytes)
+    val owners = root.resolve("owners.txt")
+    Files.write(owners, s"alice=$root\n".getBytes)
     Thread.sleep(1100)
-    def drain(): Set[String] = {
+    def drain(): Map[String, String] = {
       val q = graft.crawl.Crawl.streamToParquet(
         spark, Seq(root.toString), Set(".snapshot"), out, "t1",
-        once = true, watermarkLagSec = 0)
+        once = true, watermarkLagSec = 0, ownersFile = Some(owners.toString))
       q.awaitTermination()
       spark.read.parquet(s"$out/crawl_stream_tag=t1")
-        .select("path").collect().map(_.getString(0)).toSet
+        .select("path", "owner").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
     }
-    assert(drain() === Set(root.resolve("a.txt").toString))
+    val first = drain()
+    assert(first.keySet === Set(root.resolve("a.txt"), owners).map(_.toString))
+    assert(first(root.resolve("a.txt").toString) === "alice",
+      "streaming owner attribution via the broadcast UDF walk")
     Thread.sleep(1100)
     Files.write(root.resolve("b.txt"), "two".getBytes)
     Thread.sleep(1100)
     val after = drain()
-    assert(after === Set(root.resolve("a.txt"), root.resolve("b.txt")).map(_.toString),
-      s"delta batch appends only the new entry, got $after")
+    assert(after.keySet ===
+      Set(root.resolve("a.txt"), root.resolve("b.txt"), owners).map(_.toString),
+      s"delta batch appends only the new entry, got ${after.keySet}")
+    assert(after(root.resolve("b.txt").toString) === "alice")
   }
 }

@@ -74,6 +74,39 @@ class ZOrderSpec extends SparkSpec {
     assert(chunksTouched(lexSorted, 8, 15) === n)
   }
 
+  test("z-order write layout prunes parquet on the NON-leading column") {
+    import spark.implicits._
+    val n = 64L
+    val grid = (for (a <- 0L until n; b <- 0L until n) yield (a, b)).toDF("a", "b")
+    def zc = GraftSqlBridge.column(ZOrderExpr(
+      GraftSqlBridge.expression(col("a")), GraftSqlBridge.expression(col("b"))))
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    // 16 files along the z-curve vs 16 files along plain (a, b) order —
+    // same data, different layout
+    grid.withColumn("z", zc).repartitionByRange(16, col("z"))
+      .sortWithinPartitions("z").drop("z").write.parquet(s"$dir/zsorted")
+    grid.repartitionByRange(16, col("a"), col("b"))
+      .sortWithinPartitions("a", "b").write.parquet(s"$dir/lex")
+
+    // rows surviving parquet row-group/min-max pruning = the scan
+    // node's output BEFORE the post-scan filter; read it from the
+    // scan's numOutputRows metric after running the query
+    def scannedRows(path: String): Long = {
+      val q = spark.read.parquet(path).filter(col("b") >= 8 && col("b") <= 15)
+      q.collect()
+      val scans = q.queryExecution.executedPlan.collectLeaves()
+      scans.map(_.metrics("numOutputRows").value).sum
+    }
+    val zScanned = scannedRows(s"$dir/zsorted")
+    val lexScanned = scannedRows(s"$dir/lex")
+    val total = n * n
+    // z layout: b is locally bounded per file → most row groups skip.
+    // lex layout: every a-slice spans the whole b range → nothing skips.
+    assert(lexScanned === total, s"lex layout cannot prune on b: $lexScanned")
+    assert(zScanned <= total / 2,
+      s"z layout must prune most row groups on b: $zScanned of $total")
+  }
+
   test("works as a Column and as a registered SQL function") {
     import spark.implicits._
     val df = Seq((3L, 5L)).toDF("a", "b")
