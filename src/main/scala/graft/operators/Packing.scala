@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+import graft.functions.Exprs
+
+/** Sequence packing — the stage of an LLM training pipeline that turns a
+  * deduplicated, filtered corpus into fixed-length training sequences.
+  * Two industry-standard strategies, both deterministic and both
+  * shard-parallel (beyond the reference, which stops at file metadata):
+  *
+  *  1. '''Concat-and-chunk''' ([[qPackChunks]]): documents are laid out
+  *     end-to-end in a fixed order and the stream is cut every
+  *     `contextLen` tokens (GPT-style packing; documents may straddle a
+  *     cut). Pure window arithmetic over a running token sum — a
+  *     document's placement is `[start_off, start_off + tokens)` in its
+  *     shard's stream, and every chunk index falls out of integer
+  *     division. No stateful scan needed.
+  *
+  *  2. '''Greedy no-split bin packing''' ([[greedyPack]] /
+  *     [[qGreedyPack]]): documents never straddle bins; a bin closes
+  *     when the next document would overflow `capacity`. This IS a
+  *     stateful scan (each decision depends on the accumulated fill),
+  *     so it runs as a typed `groupByKey(shard).flatMapGroups` — the
+  *     Spark shape for per-key sequential logic — while the DuckDB twin
+  *     derives the identical assignment with a recursive CTE.
+  *
+  * Scale shape: packing is embarrassingly parallel ACROSS shards and
+  * inherently sequential WITHIN a shard, so the shard is the unit of
+  * distribution. Shard assignment is a content hash (order- and
+  * cluster-size-independent, like q_hash_split); shard count scales
+  * with the corpus so one shard's documents fit one task — at 100 TB
+  * with ~1M-token shards that is millions of independent tasks and the
+  * only shuffle is the one hash partition. Real pipelines pack within
+  * output files exactly this way; a global sequential pack would be
+  * both unscalable and no better for training.
+  */
+object Packing {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Input to the greedy packer: one document in one shard. */
+  case class PackDoc(shard: Long, doc_id: Long, tokens: Long)
+
+  /** Greedy placement: `bin` is per-shard, `bin_off` is the token
+    * offset of the document inside its bin. */
+  case class PackedDoc(doc_id: Long, shard: Long, bin: Long, bin_off: Long, tokens: Long)
+
+  /** Whitespace token count, exact on both engines:
+    * `length(text) - length(replace(text,' ','')) + 1`. */
+  def wsTokens(text: Column): Column =
+    (length(text) - length(replace(text, lit(" "), lit(""))) + 1).cast(LongType)
+
+  /** Content-hash shard in `[0, nShards)` — deterministic under
+    * re-runs, re-partitioning, and cluster resizes. */
+  def shardOf(docId: Column, nShards: Int): Column =
+    pmod(Exprs.md5Long(concat(lit("pack|"), docId.cast("string"))), lit(nShards))
+      .cast(LongType)
+
+  /** Concat-and-chunk layout: per (shard, doc_id) order, the running
+    * token sum places each document at `start_off`; chunk indices are
+    * `start_off div contextLen` … `(start_off + tokens - 1) div
+    * contextLen`. One window per shard — never an unpartitioned window
+    * (the q_global_rank lesson: shards are many, so no task funnel). */
+  def packChunks(docs: DataFrame, nShards: Int, contextLen: Long): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), shardOf(col("doc_id"), nShards).as("shard"),
+        wsTokens(col("text")).as("tokens"))
+      .withColumn("start_off", sum(col("tokens")).over(w) - col("tokens"))
+      .withColumn("first_chunk", expr(s"start_off div $contextLen"))
+      .withColumn("last_chunk", expr(s"(start_off + tokens - 1) div $contextLen"))
+      .withColumn("n_chunks", col("last_chunk") - col("first_chunk") + 1)
+  }
+
+  /** Greedy no-split packing of each shard's documents (ascending
+    * doc_id): close the bin when the next document would push fill past
+    * `capacity`; an oversized document gets a bin of its own. The group
+    * is sorted and folded in memory — by construction a shard is sized
+    * to fit one task. */
+  def greedyPack(docs: Dataset[PackDoc], capacity: Long): Dataset[PackedDoc] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.shard).flatMapGroups { (shard, it) =>
+      val sorted = it.toArray.sortBy(_.doc_id)
+      val out = Array.newBuilder[PackedDoc]
+      var bin = 0L
+      var fill = 0L
+      var first = true
+      sorted.foreach { d =>
+        if (first) { first = false; fill = d.tokens }
+        else if (fill + d.tokens > capacity) { bin += 1; fill = d.tokens }
+        else { fill += d.tokens }
+        out += PackedDoc(d.doc_id, shard, bin, fill - d.tokens, d.tokens)
+      }
+      out.result().iterator
+    }
+  }
+
+  private val NShards = 8
+  private val ContextLen = 512L
+
+  val qPackChunks: Q = (s, d) =>
+    packChunks(Tables.documents(s, d), NShards, ContextLen).orderBy("doc_id")
+
+  val qGreedyPack: Q = (s, d) => {
+    import s.implicits._
+    val in = Tables.documents(s, d)
+      .select(shardOf(col("doc_id"), NShards).as("shard"), col("doc_id"),
+        wsTokens(col("text")).as("tokens"))
+      .as[PackDoc]
+    greedyPack(in, ContextLen).toDF()
+      .select(col("doc_id"), col("shard"), col("bin"), col("bin_off"), col("tokens"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_pack_chunks" -> qPackChunks,
+    "q_greedy_pack" -> qGreedyPack)
+
+  private def shardDuck(expr: String): String =
+    s"CAST('0x' || substr(md5('pack|' || CAST($expr AS VARCHAR)), 1, 15) AS BIGINT) % $NShards"
+
+  val oracle: Map[String, String] = Map(
+    "q_pack_chunks" ->
+      s"""SELECT doc_id, shard, tokens, start_off,
+        |  start_off // $ContextLen AS first_chunk,
+        |  (start_off + tokens - 1) // $ContextLen AS last_chunk,
+        |  (start_off + tokens - 1) // $ContextLen - start_off // $ContextLen + 1 AS n_chunks
+        |FROM (
+        |  SELECT doc_id, shard, tokens,
+    |    CAST(SUM(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens AS BIGINT) AS start_off
+        |  FROM (
+        |    SELECT doc_id, ${shardDuck("doc_id")} AS shard,
+        |      length(text) - length(replace(text, ' ', '')) + 1 AS tokens
+        |    FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+    "q_greedy_pack" ->
+      s"""WITH RECURSIVE ord AS (
+        |  SELECT doc_id, shard, tokens,
+        |    row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+        |  FROM (
+        |    SELECT doc_id, ${shardDuck("doc_id")} AS shard,
+        |      length(text) - length(replace(text, ' ', '')) + 1 AS tokens
+        |    FROM documents)),
+        |packed AS (
+        |  SELECT doc_id, shard, tokens, rn,
+        |    CAST(0 AS BIGINT) AS bin, tokens AS fill
+        |  FROM ord WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.doc_id, o.shard, o.tokens, o.rn,
+        |    CASE WHEN p.fill + o.tokens > $ContextLen THEN p.bin + 1 ELSE p.bin END,
+        |    CASE WHEN p.fill + o.tokens > $ContextLen THEN o.tokens
+        |         ELSE p.fill + o.tokens END
+        |  FROM packed p JOIN ord o ON o.shard = p.shard AND o.rn = p.rn + 1)
+        |SELECT doc_id, shard, bin, fill - tokens AS bin_off, tokens
+        |FROM packed ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Packing
+import graft.operators.Packing.{PackDoc, PackedDoc}
+
+/** Sequence packing: greedy bin invariants vs a plain sequential fold,
+  * and chunk-layout arithmetic consistency. */
+class PackingSpec extends SparkSpec {
+
+  /** Single-threaded reference packer: the spec of [[Packing.greedyPack]]. */
+  private def referencePack(docs: Seq[PackDoc], capacity: Long): Seq[PackedDoc] =
+    docs.groupBy(_.shard).toSeq.flatMap { case (shard, ds) =>
+      var bin = 0L; var fill = 0L; var first = true
+      ds.sortBy(_.doc_id).map { d =>
+        if (first) { first = false; fill = d.tokens }
+        else if (fill + d.tokens > capacity) { bin += 1; fill = d.tokens }
+        else { fill += d.tokens }
+        PackedDoc(d.doc_id, shard, bin, fill - d.tokens, d.tokens)
+      }
+    }
+
+  private val fixture: Seq[PackDoc] = {
+    // deterministic pseudo-random token sizes incl. one oversized doc
+    val sizes = (0 until 200).map(i => 1L + (i * 37 % 90)) :+ 999L
+    sizes.zipWithIndex.map { case (t, i) => PackDoc(i % 5, i.toLong, t) }
+  }
+
+  test("greedyPack matches the sequential fold on every (doc, bin, offset)") {
+    import spark.implicits._
+    val got = Packing.greedyPack(fixture.toDS().repartition(7), 128L)
+      .collect().sortBy(_.doc_id)
+    val want = referencePack(fixture, 128L).sortBy(_.doc_id)
+    assert(got.toSeq == want)
+  }
+
+  test("greedy bins respect capacity except singleton oversized docs") {
+    import spark.implicits._
+    val packed = Packing.greedyPack(fixture.toDS(), 128L).collect()
+    val byBin = packed.groupBy(p => (p.shard, p.bin))
+    byBin.foreach { case (_, ds) =>
+      val total = ds.map(_.tokens).sum
+      assert(total <= 128L || ds.length == 1, s"overfull multi-doc bin: $ds")
+    }
+    // offsets tile each bin contiguously from 0 in doc_id order
+    byBin.foreach { case (_, ds) =>
+      val sorted = ds.sortBy(_.doc_id)
+      var off = 0L
+      sorted.foreach { p => assert(p.bin_off == off); off += p.tokens }
+    }
+  }
+
+  test("packChunks layout is consistent: offsets contiguous, chunk math exact") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Packing.packChunks(docs, 8, 512L).cache()
+    try {
+      // start offsets within a shard tile the concatenated stream exactly
+      val rows = out.select("shard", "doc_id", "tokens", "start_off", "first_chunk", "last_chunk", "n_chunks")
+        .collect().groupBy(_.getLong(0))
+      rows.foreach { case (_, rs) =>
+        var off = 0L
+        rs.sortBy(_.getLong(1)).foreach { r =>
+          assert(r.getLong(3) == off)
+          assert(r.getLong(4) == off / 512L)
+          assert(r.getLong(5) == (off + r.getLong(2) - 1) / 512L)
+          assert(r.getLong(6) == r.getLong(5) - r.getLong(4) + 1)
+          off += r.getLong(2)
+        }
+      }
+      // no unpartitioned window: the plan must not funnel to a single partition
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("SinglePartition"), plan)
+    } finally { out.unpersist(); () }
+  }
+
+  test("shard assignment is content-determined and stable under repartition") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = Packing.packChunks(docs, 8, 512L).select("doc_id", "shard", "start_off")
+    val b = Packing.packChunks(docs.repartition(11), 8, 512L).select("doc_id", "shard", "start_off")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+}
