@@ -343,7 +343,22 @@ object Relational {
       .orderBy("o_custkey")
   }
 
+  /** The skew machinery proven exact through the oracle gate: per-
+    * supplier revenue via [[Skew.saltedSumCount]] (spread each group
+    * over 8 salt cells, partial-agg, merge) must equal the plain GROUP
+    * BY the oracle runs. Sum/count are algebraic, so the two-phase
+    * result is independent of the (random) salt assignment — which is
+    * exactly why salting is safe to deploy on a hot key at 100 TB. */
+  val qSaltedAgg: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_suppkey"), intScaled(dec2(col("l_extendedprice")), 100L).as("cents"))
+    Skew.saltedSumCount(li, col("l_suppkey"), col("cents"), buckets = 8)
+      .select(col("k").as("l_suppkey"), col("sum_value").as("revenue_cents"), col("n"))
+      .orderBy("l_suppkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_salted_agg" -> qSaltedAgg,
     "q_histogram" -> qHistogram,
     "q_posexplode" -> qPosexplode,
     "q_first_last" -> qFirstLast,
@@ -365,6 +380,13 @@ object Relational {
     "q_array_hof" -> qArrayHof)
 
   val oracle: Map[String, String] = Map(
+    "q_salted_agg" ->
+      """SELECT l_suppkey,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
     "q_histogram" ->
       """SELECT cents // 5000000 AS bucket, COUNT(*) AS n,
         |  CAST(SUM(cents) AS BIGINT) AS sum_cents

@@ -202,7 +202,37 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** Inverted index — the retrieval side of a data pipeline: per word,
+    * document frequency, total term frequency, and a BOUNDED posting
+    * sample (first 5 doc_ids). The bound is the scale contract: ranks
+    * come from a window partitioned by word (high cardinality — no
+    * task funnel) and only rn ≤ 5 rows reach the list aggregation, so
+    * a stopword's millions of postings never materialize in one
+    * reducer. Postings render as a CSV string: identical bytes on both
+    * engines, no cross-engine list-type equivalence to rely on. */
+  val qInvertedIndex: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 3)
+      .groupBy(col("word"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy("word").orderBy("doc_id")
+    perDoc
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("word"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tf")).as("total_tf"),
+        // sort NUMERICALLY first, stringify after — a string sort would
+        // order "10" before "2" and diverge from the oracle's ORDER BY
+        array_join(
+          transform(sort_array(collect_list(when(col("rn") <= 5, col("doc_id")))),
+            _.cast("string")), ",").as("top_docs"))
+      .orderBy("word")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_inverted_index" -> qInvertedIndex,
     "q_gram_repetition" -> qGramRepetition,
     "q_text_clean" -> qTextClean,
     "q_lang_id" -> qLangId,
@@ -215,6 +245,20 @@ object TextStats {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_inverted_index" ->
+      """SELECT word, COUNT(*) AS n_docs, CAST(SUM(tf) AS BIGINT) AS total_tf,
+        |  string_agg(CASE WHEN rn <= 5 THEN CAST(doc_id AS VARCHAR) END, ','
+        |             ORDER BY doc_id) AS top_docs
+        |FROM (
+        |  SELECT word, doc_id, tf,
+        |    row_number() OVER (PARTITION BY word ORDER BY doc_id) AS rn
+        |  FROM (
+        |    SELECT word, doc_id, COUNT(*) AS tf
+        |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |          FROM documents)
+        |    WHERE length(word) >= 3
+        |    GROUP BY word, doc_id))
+        |GROUP BY word ORDER BY word""".stripMargin,
     "q_gram_repetition" ->
       """SELECT doc_id, n_grams, n_distinct,
         |  CAST(CASE WHEN (n_grams - n_distinct) * 5 >= n_grams
