@@ -231,7 +231,57 @@ object TextStats {
       .orderBy("word")
   }
 
+  /** Benchmark decontamination — flag training documents that share any
+    * word 3-gram with a held-out eval set (here a deterministic ~5%
+    * hash slice of the corpus standing in for the benchmark). The eval
+    * side reduces to a DISTINCT gram set that is tiny by construction
+    * (eval suites are thousands of docs, not billions), so it
+    * BROADCASTS: the corpus-side gram stream gets filtered map-side and
+    * the only shuffle is the per-doc distinct-shared-gram count. */
+  val qDecontaminate: Q = (s, d) => {
+    val isEval = pmod(
+      graft.functions.Exprs.md5Long(concat(lit("eval|"), col("doc_id").cast("string"))),
+      lit(20)) === 0
+    val docs = Tables.spread(Tables.documents(s, d)).withColumn("is_eval", isEval)
+    val ws = split(col("text"), " ")
+    val grams = transform(
+      sequence(lit(0), size(ws) - 3),
+      i => concat_ws(" ",
+        element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3)))
+    val gramRows = docs
+      .filter(size(ws) >= 3)
+      .select(col("doc_id"), col("is_eval"), explode(grams).as("g"))
+    val evalGrams = gramRows.filter(col("is_eval")).select(col("g")).distinct()
+    val shared = gramRows.filter(!col("is_eval"))
+      .select(col("doc_id"), col("g")).distinct()
+      .join(broadcast(evalGrams), "g")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    Tables.documents(s, d).filter(!isEval)
+      .select(col("doc_id"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("contaminated", (col("n_shared") > 0).cast("boolean"))
+      .orderBy("doc_id")
+  }
+
+  /** One BPE merge-candidate step — the frequency table tokenizer
+    * training starts from: every adjacent character pair in the corpus,
+    * top 20 by count with a pinned (count DESC, pair ASC) total order.
+    * Scale shape: the pair explosion is n_chars rows but collapses
+    * map-side into a ~|alphabet|² partial aggregate; the shuffle
+    * carries only the tiny pair table. */
+  val qBpePairs: Q = (s, d) =>
+    Tables.spread(Tables.documents(s, d))
+      .filter(length(col("text")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(text) - 1), i -> substr(text, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
+
   val queries: Map[String, Q] = Map(
+    "q_decontaminate" -> qDecontaminate,
+    "q_bpe_pairs" -> qBpePairs,
     "q_inverted_index" -> qInvertedIndex,
     "q_gram_repetition" -> qGramRepetition,
     "q_text_clean" -> qTextClean,
@@ -245,6 +295,33 @@ object TextStats {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_decontaminate" ->
+      """WITH grams AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5('eval|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 20 = 0
+        |      AS is_eval,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |       LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i)
+        |  WHERE len(w) >= 3),
+        |eval_grams AS (SELECT DISTINCT g FROM grams WHERE is_eval),
+        |shared AS (
+        |  SELECT doc_id, COUNT(*) AS n_shared
+        |  FROM (SELECT DISTINCT doc_id, g FROM grams WHERE NOT is_eval)
+        |  JOIN eval_grams USING (g)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(s.n_shared, 0) AS n_shared,
+        |  COALESCE(s.n_shared, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN shared s ON d.doc_id = s.doc_id
+        |WHERE CAST('0x' || substr(md5('eval|' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 20 <> 0
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_bpe_pairs" ->
+      """SELECT pair, COUNT(*) AS n
+        |FROM (
+        |  SELECT substr(text, i, 2) AS pair
+        |  FROM documents, LATERAL (SELECT unnest(range(1, length(text))) AS i)
+        |  WHERE length(text) >= 2)
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
     "q_inverted_index" ->
       """SELECT word, COUNT(*) AS n_docs, CAST(SUM(tf) AS BIGINT) AS total_tf,
         |  string_agg(CASE WHEN rn <= 5 THEN CAST(doc_id AS VARCHAR) END, ','
