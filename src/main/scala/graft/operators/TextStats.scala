@@ -252,9 +252,13 @@ object TextStats {
       .filter(size(ws) >= 3)
       .select(col("doc_id"), col("is_eval"), explode(grams).as("g"))
     val evalGrams = gramRows.filter(col("is_eval")).select(col("g")).distinct()
+    // broadcast-join BEFORE the distinct: the corpus gram stream is
+    // filtered map-side to eval matches, so the (doc_id, g) distinct
+    // shuffles only the (tiny) matched subset, never the whole corpus
     val shared = gramRows.filter(!col("is_eval"))
-      .select(col("doc_id"), col("g")).distinct()
+      .select(col("doc_id"), col("g"))
       .join(broadcast(evalGrams), "g")
+      .distinct()
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
     Tables.documents(s, d).filter(!isEval)
       .select(col("doc_id"))
