@@ -283,7 +283,27 @@ object TextStats {
       .orderBy(col("n").desc, col("pair"))
       .limit(20)
 
+  /** Overlapping-window chunking — the retrieval/embedding pipeline's
+    * document splitter: fixed 200-char windows every 150 chars (50
+    * overlap), last chunk ragged, at least one chunk even for empty
+    * text. Pure per-document generate+substring — embarrassingly
+    * parallel, no shuffle but the oracle sort; byte-identical
+    * substring semantics on both engines (1-based, length-clamped). */
+  val qOverlapChunks: Q = (s, d) =>
+    Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), greatest(length(col("text")), lit(1)), lit(150)))
+          .as("start_pos"))
+      .select(
+        col("doc_id"),
+        expr("(start_pos - 1) div 150").cast(LongType).as("chunk_idx"),
+        col("start_pos").cast(LongType).as("start_pos"),
+        expr("substr(text, start_pos, 200)").as("chunk_text"))
+      .withColumn("chunk_len", length(col("chunk_text")).cast(LongType))
+      .orderBy("doc_id", "chunk_idx")
+
   val queries: Map[String, Q] = Map(
+    "q_overlap_chunks" -> qOverlapChunks,
     "q_decontaminate" -> qDecontaminate,
     "q_bpe_pairs" -> qBpePairs,
     "q_inverted_index" -> qInvertedIndex,
@@ -299,6 +319,17 @@ object TextStats {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_overlap_chunks" ->
+      """SELECT doc_id,
+        |  (start_pos - 1) // 150 AS chunk_idx,
+        |  start_pos,
+        |  substr(text, CAST(start_pos AS INTEGER), 200) AS chunk_text,
+        |  length(substr(text, CAST(start_pos AS INTEGER), 200)) AS chunk_len
+        |FROM (
+        |  SELECT doc_id, text, CAST(i AS BIGINT) AS start_pos
+        |  FROM documents,
+        |       LATERAL (SELECT unnest(range(1, greatest(length(text), 1) + 1, 150)) AS i))
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_decontaminate" ->
       """WITH grams AS (
         |  SELECT doc_id,
