@@ -46,6 +46,33 @@ object StatusStream {
         col("window.start").as("bucket_start"),
         col("status"), col("n"), col("sum_value"))
 
+  /** Stream-stream interval join — correlate two live telemetry
+    * streams: each left row pairs with same-key right rows whose event
+    * time lands in `[l.time, l.time + windowSec]`. Watermarks on BOTH
+    * inputs plus the two-sided time bound let Spark expire join state,
+    * so state stays O(window), not O(stream) — the correlation shape
+    * the reference's single-process queues never needed but a
+    * distributed telemetry bus does. Inner join: matches emit as they
+    * arrive; state cleanup follows the watermark. */
+  def pairedWithin(
+      left: DataFrame,
+      right: DataFrame,
+      windowSec: Int = 120,
+      watermark: String = "120 seconds"): DataFrame = {
+    val l = left.toDF("time", "status", "value").withWatermark("time", watermark).alias("l")
+    val r = right.toDF("time", "status", "value").withWatermark("time", watermark).alias("r")
+    l.join(r,
+        col("l.status") === col("r.status") &&
+          col("r.time") >= col("l.time") &&
+          col("r.time") <= col("l.time") + expr(s"INTERVAL $windowSec seconds"))
+      .select(
+        col("l.status").as("status"),
+        col("l.time").as("event_time"),
+        col("r.time").as("sample_time"),
+        col("l.value").as("event_value"),
+        col("r.value").as("sample_value"))
+  }
+
   /** The reference's stateful rate computation (W2/T1,
     * storcrawl.py:503-505): rate = (counter_now − counter_prev) /
     * elapsed, carrying the previous sample per metric as explicit

@@ -283,4 +283,33 @@ class StreamingSpec extends SparkSpec {
       assert(out2 == Set(("files rate", 2.0), ("dirs rate", 1.0)))
     } finally q.stop()
   }
+
+  test("pairedWithin: stream-stream interval join bounds pairs by key and window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = MemoryStream[(Timestamp, String, Double)]
+    val samples = MemoryStream[(Timestamp, String, Double)]
+    val joined = StatusStream.pairedWithin(
+      events.toDF().toDF("time", "status", "value"),
+      samples.toDF().toDF("time", "status", "value"), windowSec = 120)
+    val q = joined.writeStream
+      .format("memory").queryName("paired_out")
+      .outputMode("append").start()
+    try {
+      val t0 = 1700000000L
+      def ts(s: Long) = new Timestamp(s * 1000)
+      events.addData((ts(t0), "file_rate", 1.0))
+      samples.addData(
+        (ts(t0 + 30), "file_rate", 10.0),   // in window, same key → pair
+        (ts(t0 + 90), "file_rate", 20.0),   // in window, same key → pair
+        (ts(t0 + 300), "file_rate", 30.0),  // outside the 120s window
+        (ts(t0 + 30), "dir_rate", 99.0))    // wrong key
+      q.processAllAvailable()
+      val out = spark.table("paired_out")
+        .select("status", "sample_value").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSet
+      assert(out == Set(("file_rate", 10.0), ("file_rate", 20.0)),
+        s"unexpected pairs: $out")
+    } finally q.stop()
+  }
 }
