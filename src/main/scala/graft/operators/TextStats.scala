@@ -302,7 +302,42 @@ object TextStats {
       .withColumn("chunk_len", length(col("chunk_text")).cast(LongType))
       .orderBy("doc_id", "chunk_idx")
 
+  /** Global boilerplate removal — the cross-document cousin of
+    * q_gram_repetition: split every document into fixed 10-word blocks,
+    * count each distinct block's document frequency over the corpus,
+    * drop blocks appearing in ≥ 3 documents (headers, license
+    * banners, nav text), and reassemble the surviving text in block
+    * order. Scale shape: blocks partial-aggregate map-side before the
+    * df count (the only corpus-wide shuffle carries distinct blocks),
+    * and reassembly is a per-doc ordered aggregation — the engines
+    * agree because block index gives a total order within each doc. */
+  val qBoilerplateStrip: Q = (s, d) => {
+    val ws = split(col("text"), " ")
+    val blocks = transform(
+      sequence(lit(0), ((size(ws) - 1) / 10).cast("int")),
+      i => concat_ws(" ", slice(ws, i * 10 + 1, lit(10))))
+    val exploded = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id"), posexplode(blocks).as(Seq("idx", "block")))
+    // the boilerplate set (df >= 3) is small by construction — only
+    // text repeated across documents — so it broadcasts and the
+    // reassembly side never shuffles by block; the one corpus-wide
+    // block shuffle is the document-frequency count itself
+    val boiler = exploded.select(col("doc_id"), col("block")).distinct()
+      .groupBy(col("block")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 3).select(col("block"))
+    val kept = exploded.join(broadcast(boiler), Seq("block"), "left_anti")
+    kept
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("idx"), col("block")))),
+          e => e.getField("block")), " ").as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_boilerplate_strip" -> qBoilerplateStrip,
     "q_overlap_chunks" -> qOverlapChunks,
     "q_decontaminate" -> qDecontaminate,
     "q_bpe_pairs" -> qBpePairs,
@@ -319,6 +354,20 @@ object TextStats {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_boilerplate_strip" ->
+      """WITH blocks AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS idx,
+        |    array_to_string(w[(i*10+1):(i*10+10)], ' ') AS block
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |       LATERAL (SELECT unnest(range(0, (len(w)-1)//10 + 1)) AS i)),
+        |boiler AS (
+        |  SELECT block FROM (SELECT DISTINCT doc_id, block FROM blocks)
+        |  GROUP BY block HAVING COUNT(*) >= 3)
+        |SELECT doc_id, COUNT(*) AS n_kept,
+        |  string_agg(block, ' ' ORDER BY idx) AS clean_text
+        |FROM blocks
+        |WHERE block NOT IN (SELECT block FROM boiler)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_overlap_chunks" ->
       """SELECT doc_id,
         |  (start_pos - 1) // 150 AS chunk_idx,
