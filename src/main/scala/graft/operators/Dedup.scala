@@ -429,10 +429,34 @@ object Dedup {
     exactDocs.join(dropNear, Seq("doc_id"), "left_anti")
   }
 
+  /** Transitive-closure dedup with canonical survivors: keep exactly
+    * one document per minhash component (the min doc_id — the component
+    * label itself), plus every unclustered document. This is the
+    * cluster-aware upgrade of [[dedupCorpus]]'s single-pass policy: a
+    * chain a~b, b~c (where a~c missed the LSH bands) keeps only `a`
+    * here, rather than depending on pair orientation.
+    *
+    * Scale shape: the components machinery runs on the candidate GRAPH
+    * (edges, not documents); the drop list is component-members-minus-
+    * representatives, joined back as an anti join that AQE turns into a
+    * broadcast when small — the corpus itself is scanned once. */
+  val qDedupKeep: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val edges = minhashCandidatePairs(s, d).localCheckpoint()
+    val comps =
+      if (edges.count() <= SmallGraphEdges) componentsContracted(edges)
+      else componentsDistributed(edges)
+    val drop = comps.filter(col("id") =!= col("comp")).select(col("id").as("doc_id"))
+    docs.join(drop, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_minhash_lsh" -> qDedupMinhashLsh,
     "q_dedup_components" -> qDedupComponents,
+    "q_dedup_keep" -> qDedupKeep,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_simhash_neardup" -> qSimhashNeardup,
     "q_ngram_jaccard" -> qNgramJaccard
@@ -490,6 +514,18 @@ object Dedup {
        "  UNION\n" +
        "  SELECT e.b AS id, r.comp FROM reach r JOIN edges2 e ON e.a = r.id)\n" +
        "SELECT id, min(comp) AS comp FROM reach GROUP BY id ORDER BY id"),
+    "q_dedup_keep" ->
+      (s"WITH RECURSIVE $minhashCandCte,\n" +
+       "edges2 AS (SELECT a, b FROM cand UNION ALL SELECT b, a FROM cand),\n" +
+       "nodes AS (SELECT DISTINCT a AS id FROM edges2),\n" +
+       "reach AS (\n" +
+       "  SELECT id, id AS comp FROM nodes\n" +
+       "  UNION\n" +
+       "  SELECT e.b AS id, r.comp FROM reach r JOIN edges2 e ON e.a = r.id),\n" +
+       "labels AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),\n" +
+       "dropped AS (SELECT id FROM labels WHERE id <> comp)\n" +
+       "SELECT doc_id, source, n_chars FROM documents\n" +
+       "WHERE doc_id NOT IN (SELECT id FROM dropped) ORDER BY doc_id"),
     "q_dedup_simhash" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
         |wh AS (SELECT doc_id, CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS h

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Relevance}
+
+/** Semantics of the relevance/corpus-health operators on inline
+  * fixtures (the sf oracle gate covers the testdata equivalence; these
+  * pin the properties the gate can't see). */
+class RelevanceSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String, Long)*) =
+    rows.toDF("doc_id", "text", "source", "n_chars")
+
+  private def writeFixture(rows: (Long, String, String, Long)*): String = {
+    val dir = java.nio.file.Files.createTempDirectory("relevance").toString
+    docs(rows: _*)
+      .select(col("doc_id"), col("text"),
+        lit("en").as("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("bm25: rarer terms score higher at equal tf and length") {
+    // "scan" appears in 1 of 3 docs, "data" in all 3 → the scan doc
+    // must outrank the data docs at identical tf and length.
+    val dir = writeFixture(
+      (1L, "data alpha beta", "s", 15L),
+      (2L, "data gamma delta", "s", 16L),
+      (3L, "scan alpha beta", "s", 15L))
+    val r = Relevance.qBm25(spark, dir).select("doc_id", "score").as[(Long, Long)].collect().toMap
+    assert(r(3L) > r(1L) && r(3L) > r(2L))
+  }
+
+  test("bm25: length normalization decays the score") {
+    val filler = Seq.fill(50)("x").mkString(" ")
+    val dir = writeFixture(
+      (1L, "data", "s", 4L),
+      (2L, s"data $filler", "s", 104L))
+    val r = Relevance.qBm25(spark, dir).select("doc_id", "score").as[(Long, Long)].collect().toMap
+    assert(r(1L) > r(2L))
+  }
+
+  test("mad outliers: one extreme length is fenced, the bulk is not") {
+    val bulk = (1L to 20L).map(i => (i, "t", "s", 100L + (i % 3)))
+    val dir = writeFixture(bulk :+ ((99L, "t", "s", 100000L)): _*)
+    val out = Relevance.qMadOutliers(spark, dir).select("doc_id").as[Long].collect()
+    assert(out.toSeq == Seq(99L))
+  }
+
+  test("dup by source: exact duplicate counting per source") {
+    val dir = writeFixture(
+      (1L, "same text", "a", 9L), (2L, "same text", "a", 9L),
+      (3L, "other", "a", 5L), (4L, "unique", "b", 6L))
+    val r = Relevance.qDupBySource(spark, dir)
+      .select("source", "n_docs", "n_uniq", "dup_rows").as[(String, Long, Long, Long)]
+      .collect().toSet
+    assert(r == Set(("a", 3L, 2L, 1L), ("b", 1L, 1L, 1L - 1L)))
+  }
+
+  test("dedup keep: one survivor per near-dup chain, singletons kept") {
+    // Three shingle-identical copies (a transitive chain through LSH
+    // bands) plus one unrelated doc: survivors = min-id of the chain +
+    // the singleton.
+    val near = "the quick brown fox jumps over the lazy dog again and again"
+    val dir = writeFixture(
+      (10L, near, "s", near.length.toLong),
+      (11L, near, "s", near.length.toLong),
+      (12L, near, "s", near.length.toLong),
+      (20L, "completely unrelated content with different words entirely", "s", 58L))
+    val kept = Dedup.qDedupKeep(spark, dir).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(10L, 20L))
+  }
+}
