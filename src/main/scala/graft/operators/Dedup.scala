@@ -378,6 +378,67 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** N-gram CONTAINMENT join: ordered pairs (a, b) where at least 80%
+    * of a's distinct 8-grams occur in b — the asymmetric near-subset
+    * test that catches a document quoted/embedded inside a larger one,
+    * which symmetric Jaccard structurally misses (a 100-gram doc inside
+    * a 10,000-gram doc has J ≈ 0.01 but containment 1.0). No length
+    * blocking for the same reason: the interesting pairs CROSS length
+    * scales, so blocking is source-only.
+    *
+    * Candidate generation is the index form of prefix filtering: if
+    * |A∩B| ≥ ⌈t·|A|⌉ then A's rarest-first prefix of
+    * |A| − ⌈t·|A|⌉ + 1 grams must hit B's FULL gram set (everything
+    * after the prefix is fewer grams than the required intersection).
+    * So candidates = prefix(probe) ⋈ full(corpus) on gram — one
+    * shuffled join keyed by gram, rarest grams only on the probe side
+    * (df-order keeps the corpus's hot grams out of every prefix), then
+    * exact intersection counting on candidates. Provably lossless at
+    * t = 4/5, like the Jaccard twin — and t high means the prefix is
+    * SHORT (n/5 + 1 grams), so the index join stays cheap. */
+  val qNgramContainment: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), lit(0L).as("blk"), col("text"))
+    val g = documentGrams(docs).persist()
+    val df_ = g.groupBy("gram").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy("doc_id")
+    val ranked = g.join(df_, "gram")
+      .withColumn("rk", row_number().over(wDoc.orderBy(col("df"), col("gram"))))
+      .withColumn("n", count(lit(1)).over(wDoc))
+    // t = 4/5: prefix length n − ⌈4n/5⌉ + 1, exact integer arithmetic
+    val prefix = ranked
+      .filter(col("rk") <= col("n") - expr("(4 * n + 4) div 5") + 1)
+      .select("doc_id", "source", "gram")
+    val cand = prefix.as("pa")
+      .join(g.as("pb"),
+        col("pa.source") === col("pb.source") && col("pa.gram") === col("pb.gram") &&
+        col("pa.doc_id") =!= col("pb.doc_id"))
+      .select(col("pa.doc_id").as("a"), col("pb.doc_id").as("b"))
+      .distinct()
+      .persist()
+    val candDocs = cand.select(col("a").as("doc_id"))
+      .unionAll(cand.select(col("b").as("doc_id"))).distinct()
+    val gc = g.join(broadcast(candDocs), Seq("doc_id"))
+    // intersections counted once per unordered pair, then emitted in
+    // both orientations (containment is per-direction)
+    val interLt = gc.as("ia")
+      .join(gc.as("ib"),
+        col("ia.source") === col("ib.source") && col("ia.gram") === col("ib.gram") &&
+        col("ia.doc_id") < col("ib.doc_id"))
+      .groupBy(col("ia.doc_id").as("a"), col("ib.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter_n"))
+    val inter = interLt.unionAll(
+      interLt.select(col("b").as("a"), col("a").as("b"), col("inter_n")))
+    val sz = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    inter
+      .join(cand, Seq("a", "b"))
+      .join(sz, col("a") === sz("doc_id"))
+      .filter(col("inter_n") * 5 >= col("n") * 4)
+      .select(col("a"), col("b"), col("inter_n"), col("n").as("na"),
+        expr("(inter_n * 100) div n").as("cont_pct"))
+      .orderBy("a", "b")
+  }
+
   /** SimHash near-dup pairing: hamming(sig_a, sig_b) ≤ 1 via pigeonhole
     * blocking — split the 32-bit signature into 2 16-bit chunks; any pair
     * within hamming 1 must share at least one chunk exactly, so pairs
@@ -459,7 +520,8 @@ object Dedup {
     "q_dedup_keep" -> qDedupKeep,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_simhash_neardup" -> qSimhashNeardup,
-    "q_ngram_jaccard" -> qNgramJaccard
+    "q_ngram_jaccard" -> qNgramJaccard,
+    "q_ngram_containment" -> qNgramContainment
   )
 
   /** Shared oracle CTE chain computing the minhash-LSH candidate pairs
@@ -571,6 +633,25 @@ object Dedup {
         |JOIN sz sa ON i.a = sa.doc_id
         |JOIN sz sb ON i.b = sb.doc_id
         |WHERE i.inter_n * 10 >= sa.n + sb.n - i.inter_n
+        |ORDER BY a, b""".stripMargin,
+    "q_ngram_containment" ->
+      """WITH pos AS (
+        |  SELECT doc_id, source, text,
+        |         unnest(generate_series(1, greatest(length(text)-7, 1), 4)) AS i
+        |  FROM documents),
+        |g AS (SELECT DISTINCT doc_id, source, substr(text, i, 8) AS gram
+        |      FROM pos),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter_n
+        |  FROM g a JOIN g b ON a.source = b.source AND a.gram = b.gram
+        |                   AND a.doc_id <> b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT i.a, i.b, i.inter_n, sa.n AS na,
+        |  CAST((i.inter_n * 100) // sa.n AS BIGINT) AS cont_pct
+        |FROM inter i
+        |JOIN sz sa ON i.a = sa.doc_id
+        |WHERE i.inter_n * 5 >= sa.n * 4
         |ORDER BY a, b""".stripMargin
   )
 }

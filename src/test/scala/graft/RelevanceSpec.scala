@@ -61,6 +61,22 @@ class RelevanceSpec extends SparkSpec {
     assert(r == Set(("a", 3L, 2L, 1L), ("b", 1L, 1L, 1L - 1L)))
   }
 
+  test("containment: embedded doc is caught in both lengths' orientations, jaccard misses it") {
+    // B = A plus a long unrelated tail: containment(A→B) ≈ 1 but
+    // Jaccard(A,B) is small — the asymmetric operator's whole point.
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val tail = (1 to 30).map(i => s"filler$i word$i more$i").mkString(" ")
+    val dir = writeFixture(
+      (1L, a, "s", a.length.toLong),
+      (2L, s"$a $tail", "s", (a.length + 1 + tail.length).toLong))
+    val pairs = Dedup.qNgramContainment(spark, dir)
+      .select("a", "b", "cont_pct").as[(Long, Long, Long)].collect()
+    assert(pairs.exists { case (x, y, pct) => x == 1L && y == 2L && pct >= 80 })
+    assert(!pairs.exists { case (x, y, _) => x == 2L && y == 1L }) // big doc not contained in small
+    val jac = Dedup.qNgramJaccard(spark, dir).count()
+    assert(jac == 0L) // same fixture, symmetric test blind to it
+  }
+
   test("dedup keep: one survivor per near-dup chain, singletons kept") {
     // Three shingle-identical copies (a transitive chain through LSH
     // bands) plus one unrelated doc: survivors = min-id of the chain +
