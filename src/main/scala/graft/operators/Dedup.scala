@@ -513,7 +513,22 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Near-dup cluster size histogram — the dedup diagnostic report:
+    * how many clusters of each size the candidate graph produced (the
+    * number every dedup run is judged by before anyone trusts its drop
+    * list). Components machinery reused; two tiny aggs on top. */
+  val qClusterSizes: Q = (s, d) => {
+    val edges = minhashCandidatePairs(s, d).localCheckpoint()
+    val comps =
+      if (edges.count() <= SmallGraphEdges) componentsContracted(edges)
+      else componentsDistributed(edges)
+    comps.groupBy("comp").agg(count(lit(1)).as("size"))
+      .groupBy("size").agg(count(lit(1)).as("n_clusters"))
+      .orderBy("size")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_cluster_sizes" -> qClusterSizes,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_minhash_lsh" -> qDedupMinhashLsh,
     "q_dedup_components" -> qDedupComponents,
@@ -576,6 +591,17 @@ object Dedup {
        "  UNION\n" +
        "  SELECT e.b AS id, r.comp FROM reach r JOIN edges2 e ON e.a = r.id)\n" +
        "SELECT id, min(comp) AS comp FROM reach GROUP BY id ORDER BY id"),
+    "q_cluster_sizes" ->
+      (s"WITH RECURSIVE $minhashCandCte,\n" +
+       "edges2 AS (SELECT a, b FROM cand UNION ALL SELECT b, a FROM cand),\n" +
+       "nodes AS (SELECT DISTINCT a AS id FROM edges2),\n" +
+       "reach AS (\n" +
+       "  SELECT id, id AS comp FROM nodes\n" +
+       "  UNION\n" +
+       "  SELECT e.b AS id, r.comp FROM reach r JOIN edges2 e ON e.a = r.id),\n" +
+       "labels AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),\n" +
+       "sizes AS (SELECT comp, COUNT(*) AS size FROM labels GROUP BY comp)\n" +
+       "SELECT size, COUNT(*) AS n_clusters FROM sizes GROUP BY size ORDER BY size"),
     "q_dedup_keep" ->
       (s"WITH RECURSIVE $minhashCandCte,\n" +
        "edges2 AS (SELECT a, b FROM cand UNION ALL SELECT b, a FROM cand),\n" +

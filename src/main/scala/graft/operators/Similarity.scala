@@ -227,9 +227,30 @@ object Similarity {
       .filter(col("rnk") <= topK)
   }
 
+  /** Embedding-corpus health report: per label, exact squared-norm
+    * statistics in integer micros (zero/degenerate vectors and
+    * un-normalized batches are the two embedding-pipeline bugs this
+    * catches first). One scan, the dot inline per row (codegen, no
+    * explosion), one tiny hash agg — norm² stays in exact decimal until
+    * the final floor-to-micros so the DuckDB twin is bit-identical. */
+  val qEmbeddingNorms: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val de = decVec(col("embedding"))
+    val m = floor(decDot(de, de) * lit(1000000L)).cast(LongType).as("m")
+    emb.select(col("label"), m)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+           sum(col("m")).cast(LongType).as("sum_norm2_micros"),
+           min(col("m")).as("min_norm2_micros"),
+           max(col("m")).as("max_norm2_micros"))
+      .withColumn("avg_norm2_micros", expr("sum_norm2_micros div n"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_ann_topk" -> qAnnTopk,
-    "q_embedding_neardup" -> qEmbeddingNeardup
+    "q_embedding_neardup" -> qEmbeddingNeardup,
+    "q_embedding_norms" -> qEmbeddingNorms
   )
 
   val oracle: Map[String, String] = Map(
@@ -286,6 +307,20 @@ object Similarity {
         |  FROM dots d
         |  JOIN nrm na ON d.a = na.vec_id
         |  JOIN nrm nb ON d.b = nb.vec_id)
-        |WHERE sim_micros >= 300000 ORDER BY a, b""".stripMargin
+        |WHERE sim_micros >= 300000 ORDER BY a, b""".stripMargin,
+    "q_embedding_norms" ->
+      """WITH el AS (
+        |  SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) AS x
+        |  FROM (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS i
+        |        FROM embeddings)),
+        |n2 AS (SELECT vec_id, SUM(x*x) AS n2 FROM el GROUP BY vec_id),
+        |m AS (SELECT e.label, CAST(floor(n2.n2 * 1000000) AS BIGINT) AS m
+        |      FROM n2 JOIN embeddings e ON n2.vec_id = e.vec_id)
+        |SELECT label, COUNT(*) AS n,
+        |  CAST(SUM(m) AS BIGINT) AS sum_norm2_micros,
+        |  CAST(MIN(m) AS BIGINT) AS min_norm2_micros,
+        |  CAST(MAX(m) AS BIGINT) AS max_norm2_micros,
+        |  CAST(CAST(SUM(m) AS BIGINT) // COUNT(*) AS BIGINT) AS avg_norm2_micros
+        |FROM m GROUP BY label ORDER BY label""".stripMargin
   )
 }

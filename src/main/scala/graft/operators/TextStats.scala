@@ -336,7 +336,30 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** Adjacent-word bigram collocations — the word-level counterpart of
+    * the BPE char-pair step (language-model co-occurrence statistics):
+    * top-20 adjacent pairs by corpus frequency under a pinned total
+    * order. The pairing is per-row array algebra (zip the word array
+    * with its own tail — no window, no per-doc shuffle); the only
+    * shuffle is the partial-aggregated (w1, w2) count, and the top-20
+    * plans as TakeOrdered, never a global sort. */
+  val qWordBigrams: Q = (s, d) => {
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+    val pairs = docs
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("tl", slice(col("ws"), lit(2), greatest(size(col("ws")) - 1, lit(0))))
+      // arrays_zip pads the shorter side with null: the final (w_n,
+      // null) struct drops in the null filter below
+      .select(explode(arrays_zip(col("ws"), col("tl"))).as("p"))
+      .select(col("p.ws").as("w1"), col("p.tl").as("w2"))
+      .filter(col("w2").isNotNull && length(col("w1")) > 0 && length(col("w2")) > 0)
+    pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_word_bigrams" -> qWordBigrams,
     "q_boilerplate_strip" -> qBoilerplateStrip,
     "q_overlap_chunks" -> qOverlapChunks,
     "q_decontaminate" -> qDecontaminate,
@@ -354,6 +377,13 @@ object TextStats {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_word_bigrams" ->
+      """SELECT w[i] AS w1, w[i+1] AS w2, COUNT(*) AS n
+        |FROM (SELECT string_split(text, ' ') AS w FROM documents
+        |      WHERE text IS NOT NULL),
+        |     LATERAL (SELECT unnest(range(1, len(w))) AS i)
+        |WHERE length(w[i]) > 0 AND length(w[i+1]) > 0
+        |GROUP BY w1, w2 ORDER BY n DESC, w1, w2 LIMIT 20""".stripMargin,
     "q_boilerplate_strip" ->
       """WITH blocks AS (
         |  SELECT doc_id, CAST(i AS INTEGER) AS idx,

@@ -70,4 +70,52 @@ class DedupSpec extends SparkSpec {
     assert(expected.nonEmpty, "fixture must produce at least one qualifying pair")
     assert(actual == expected)
   }
+
+  /** Brute-force ordered containment: all ordered same-source pairs,
+    * no prefix filtering — the oracle's shape. */
+  private def bruteForceContainment(docs: DataFrame): DataFrame = {
+    val g = docs.select(
+        col("doc_id"), col("source"), col("text"),
+        explode(sequence(lit(1), greatest(length(col("text")) - 7, lit(1)), lit(4))).as("i"))
+      .select(col("doc_id"), col("source"),
+              xxhash64(expr("substr(text, i, 8)")).as("gram"))
+      .distinct()
+    val sz = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    g.as("a")
+      .join(g.as("b"),
+        col("a.source") === col("b.source") && col("a.gram") === col("b.gram") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter_n"))
+      .join(sz.withColumnRenamed("doc_id", "a"), "a")
+      .filter(col("inter_n") * 5 >= col("n") * 4)
+      .select(col("a"), col("b"), col("inter_n"), col("n").as("na"),
+        expr("(inter_n * 100) div n").as("cont_pct"))
+      .orderBy("a", "b")
+  }
+
+  test("prefix-index containment equals brute force incl. cross-length embeds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def randText(n: Int): String =
+      (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val hot = "thequickbrownfoxjumpsoverthelazydogandthenrunsstraightbackhomeagainatspeed!!"
+    val base = (0 until 30).map(i => (i.toLong, hot + randText(160)))
+    // doc 200 fully embedded at offset 0 of a 4x longer doc 201 (the
+    // cross-length pair Jaccard's length blocking can never see)
+    val small = hot + randText(80)
+    val embeds = Seq((200L, small), (201L, small + randText(480)))
+    val rows = (base ++ embeds)
+      .map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+    val docs = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = Files.createTempDirectory("graft-cont-spec").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val expected = bruteForceContainment(Tables.documents(spark, dir)).collect().toSeq
+    val actual = Dedup.qNgramContainment(spark, dir).collect().toSeq
+    spark.catalog.clearCache()
+    assert(expected.exists(r => r.getLong(0) == 200L && r.getLong(1) == 201L),
+      "fixture must contain the embedded cross-length pair")
+    assert(actual == expected)
+  }
 }
