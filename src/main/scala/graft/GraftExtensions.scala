@@ -36,7 +36,23 @@ object GraftExtensions {
   def functionDescriptors
       : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(findExtensionDescriptor, decimalDotDescriptor, floatDotDescriptor,
-      zOrderDescriptor)
+      zOrderDescriptor, topKDescriptor)
+
+  val topKDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("top_k"),
+    new ExpressionInfo(
+      classOf[graft.functions.TopKLongsAgg].getCanonicalName,
+      null,
+      "top_k",
+      "top_k(value, k) - the k largest BIGINT values of the group, " +
+        "sorted descending (bounded-heap aggregate: the shuffle carries " +
+        "at most k values per partition per group)",
+      ""),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "top_k takes exactly 2 arguments")
+      graft.functions.TopKLongsAgg(children.head, children(1))
+    })
 
   val zOrderDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (

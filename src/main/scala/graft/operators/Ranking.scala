@@ -173,9 +173,35 @@ object Ranking {
       Seq(col("cents"), col("o_orderkey")))
       .orderBy("o_orderpriority", "rn")
 
+  /** Per-group top-k through the native bounded-heap aggregate
+    * ([[graft.functions.TopKLongsAgg]], SQL name `top_k`): per return
+    * flag, the 5 largest lineitem prices. The oracle runs the window
+    * form (`row_number ... <= 5`), which must SORT every row of every
+    * group; the aggregate's partial phase truncates to k values
+    * map-side, so the shuffle carries ≤ k longs per partition per
+    * group — the same answer from a plan that never sorts the table.
+    * Multiset semantics (values only, ties collapse) keep the result
+    * deterministic under any input order. */
+  val qTopkAgg: Q = (s, d) => {
+    import org.apache.spark.sql.GraftSqlBridge
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        intScaled(dec2(col("l_extendedprice")), 100L).as("cents"))
+    val topk = GraftSqlBridge.column(
+      graft.functions.TopKLongsAgg(
+        GraftSqlBridge.expression(col("cents")),
+        org.apache.spark.sql.catalyst.expressions.Literal(5))
+        .toAggregateExpression())
+    li.groupBy("l_returnflag").agg(topk.as("topv"))
+      .select(col("l_returnflag"), posexplode(col("topv")).as(Seq("p", "cents")))
+      .select(col("l_returnflag"), (col("p") + 1).cast(LongType).as("rnk"), col("cents"))
+      .orderBy("l_returnflag", "rnk")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_global_rank" -> qGlobalRank,
-    "q_grouped_rank" -> qGroupedRank)
+    "q_grouped_rank" -> qGroupedRank,
+    "q_topk_agg" -> qTopkAgg)
 
   val oracle: Map[String, String] = Map(
     "q_global_rank" ->
@@ -193,5 +219,14 @@ object Ranking {
         |FROM (SELECT o_orderkey, o_orderpriority,
         |        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
         |      FROM orders)
-        |ORDER BY o_orderpriority, rn""".stripMargin)
+        |ORDER BY o_orderpriority, rn""".stripMargin,
+    "q_topk_agg" ->
+      """SELECT l_returnflag, CAST(rn AS BIGINT) AS rnk, cents
+        |FROM (SELECT l_returnflag, cents,
+        |        row_number() OVER (PARTITION BY l_returnflag
+        |                           ORDER BY cents DESC) AS rn
+        |      FROM (SELECT l_returnflag,
+        |              CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |            FROM lineitem))
+        |WHERE rn <= 5 ORDER BY l_returnflag, rnk""".stripMargin)
 }
