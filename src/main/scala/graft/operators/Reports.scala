@@ -434,6 +434,54 @@ object Reports {
     * UNBOUNDED PRECEDING..CURRENT ROW in both engines, and the window
     * order (ts_sec, event_id) is total, so RANGE == ROWS and the
     * session indices agree exactly. */
+  /** Three-stage event funnel (signup → click → purchase, each stage
+    * strictly after the user's entry into the previous one and within
+    * a 1-day conversion window) — the
+    * product-analytics staple. Per stage: one filtered min-aggregation
+    * on user_id plus an equi-join to the previous stage's entry time;
+    * every shuffle is keyed on user_id (high-cardinality, even), and
+    * the stage tables shrink monotonically, so at 100 TB the funnel is
+    * three cheap narrowing joins, not an event-level self-join. */
+  val qFunnel: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), nanosToSec(col("ts")).as("t"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("t")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click").join(s1, "user_id")
+      .filter(col("t") > col("t1") && col("t") <= col("t1") + 86400L)
+      .groupBy("user_id").agg(min(col("t")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
+      .filter(col("t") > col("t2") && col("t") <= col("t2") + 86400L)
+      .groupBy("user_id").agg(min(col("t")).as("t3"))
+    def stageCount(df: DataFrame, label: String) =
+      df.agg(count(lit(1)).as("n_users")).select(lit(label).as("stage"), col("n_users"))
+    stageCount(s1, "1_signup")
+      .unionAll(stageCount(s2, "2_click"))
+      .unionAll(stageCount(s3, "3_purchase"))
+      .orderBy("stage")
+  }
+
+  /** Weekly cohort retention: users grouped by the week of their first
+    * event; for each (cohort week, weeks-since-first) cell, how many of
+    * the cohort were active. All time arithmetic in integer epoch-day /
+    * epoch-week space (no calendar functions — engine-portable and
+    * timezone-free). Two aggs + one join, everything keyed on user_id
+    * then on the (cohort, offset) pair — nothing wider than the
+    * distinct (user, week) activity set ever shuffles. */
+  val qRetention: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), nanosToSec(col("ts")).as("sec"))
+      .withColumn("day", expr("sec div 86400"))
+    val first = ev.groupBy("user_id").agg(min(col("day")).as("day0"))
+    ev.join(first, "user_id")
+      .select(col("user_id"), expr("day0 div 7").as("cohort_week"),
+        expr("(day - day0) div 7").as("week_offset"))
+      .distinct()
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   val qSessionize: Q = (s, d) => {
     val ev = Tables.events(s, d)
     val gap = 604800L // 7 days — the testdata spans years, not hours
@@ -567,6 +615,8 @@ object Reports {
     "q_rollup_agg" -> qRollupAgg,
     "q_quantiles" -> qQuantiles,
     "q_sessionize" -> qSessionize,
+    "q_funnel" -> qFunnel,
+    "q_retention" -> qRetention,
     "q_cube_agg" -> qCubeAgg,
     "q_pivot" -> qPivot,
     "q_unpivot" -> qUnpivot,
@@ -681,6 +731,28 @@ object Reports {
         |          ORDER BY epoch_ms(o_orderdate) // 1000, o_orderkey
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100 AS BIGINT) AS running_cents
         |FROM orders ORDER BY o_custkey, o_orderdate_sec, o_orderkey""".stripMargin,
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) // 1000 AS t FROM events),
+        |s1 AS (SELECT user_id, MIN(t) AS t1 FROM e
+        |       WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(t) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND t > t1 AND t <= t1 + 86400 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(t) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND t > t2 AND t <= t2 + 86400 GROUP BY e.user_id)
+        |SELECT '1_signup' AS stage, COUNT(*) AS n_users FROM s1
+        |UNION ALL SELECT '2_click', COUNT(*) FROM s2
+        |UNION ALL SELECT '3_purchase', COUNT(*) FROM s3
+        |ORDER BY stage""".stripMargin,
+    "q_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, (epoch_ms(ts) // 1000) // 86400 AS day FROM events),
+        |f AS (SELECT user_id, MIN(day) AS day0 FROM e GROUP BY user_id),
+        |x AS (SELECT DISTINCT e.user_id, day0 // 7 AS cohort_week,
+        |        (day - day0) // 7 AS week_offset
+        |      FROM e JOIN f USING (user_id))
+        |SELECT cohort_week, week_offset, COUNT(*) AS n_users
+        |FROM x GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin,
     "q_sessionize" ->
       """SELECT user_id, session_idx, COUNT(*) AS n_events,
         |  min(ts_sec) AS session_start, max(ts_sec) AS session_end,

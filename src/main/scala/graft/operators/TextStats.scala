@@ -358,7 +358,32 @@ object TextStats {
       .limit(20)
   }
 
+  /** TF-IDF keyword extraction: each document's single most distinctive
+    * term — tf × scaled-integer idf, argmax per doc under a pinned
+    * (score desc, word) order. The canonical "what is this document
+    * about" operator; composes the tf (X21) and df (X22) primitives
+    * into one plan: words shuffle once as (doc, word) counts, the df
+    * table joins on word, and the per-doc argmax window partitions on
+    * doc_id (high-cardinality — fully parallel, no funnel). */
+  val qDistinctiveTerms: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+    val words = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfw = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfw, "word").crossJoin(broadcast(nDocs))
+      .withColumn("score", expr("tf * (((n_docs - df + 1) * 1000000) div (df + 1))"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("word"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("word"), col("tf"), col("df"), col("score"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_distinctive_terms" -> qDistinctiveTerms,
     "q_word_bigrams" -> qWordBigrams,
     "q_boilerplate_strip" -> qBoilerplateStrip,
     "q_overlap_chunks" -> qOverlapChunks,
@@ -377,6 +402,23 @@ object TextStats {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_distinctive_terms" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents WHERE text IS NOT NULL),
+        |wf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w
+        |       WHERE length(word) > 0 GROUP BY doc_id, word),
+        |dfw AS (SELECT word, COUNT(*) AS df FROM wf GROUP BY word),
+        |nd AS (SELECT COUNT(*) AS n_docs FROM documents WHERE text IS NOT NULL),
+        |s AS (
+        |  SELECT wf.doc_id, wf.word, wf.tf, dfw.df,
+        |    wf.tf * (((nd.n_docs - dfw.df + 1) * 1000000) // (dfw.df + 1)) AS score
+        |  FROM wf JOIN dfw USING (word), nd),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, word) AS rn FROM s)
+        |SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |  CAST(score AS BIGINT) AS score
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q_word_bigrams" ->
       """SELECT w[i] AS w1, w[i+1] AS w2, COUNT(*) AS n
         |FROM (SELECT string_split(text, ' ') AS w FROM documents
