@@ -415,27 +415,23 @@ object Dedup {
         col("pa.doc_id") =!= col("pb.doc_id"))
       .select(col("pa.doc_id").as("a"), col("pb.doc_id").as("b"))
       .distinct()
-      .persist()
-    val candDocs = cand.select(col("a").as("doc_id"))
-      .unionAll(cand.select(col("b").as("doc_id"))).distinct()
-    val gc = g.join(broadcast(candDocs), Seq("doc_id"))
-    // intersections counted once per unordered pair, then emitted in
-    // both orientations (containment is per-direction)
-    val interLt = gc.as("ia")
-      .join(gc.as("ib"),
-        col("ia.source") === col("ib.source") && col("ia.gram") === col("ib.gram") &&
-        col("ia.doc_id") < col("ib.doc_id"))
-      .groupBy(col("ia.doc_id").as("a"), col("ib.doc_id").as("b"))
-      .agg(count(lit(1)).as("inter_n"))
-    val inter = interLt.unionAll(
-      interLt.select(col("b").as("a"), col("a").as("b"), col("inter_n")))
-    val sz = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    inter
-      .join(cand, Seq("a", "b"))
-      .join(sz, col("a") === sz("doc_id"))
-      .filter(col("inter_n") * 5 >= col("n") * 4)
-      .select(col("a"), col("b"), col("inter_n"), col("n").as("na"),
-        expr("(inter_n * 100) div n").as("cont_pct"))
+    // PPJoin-style verification: intersect the two gram SETS per
+    // candidate pair (array_intersect over per-doc gram arrays), not a
+    // gram-level self-join — a high-containment corpus makes nearly
+    // every doc *some* pair's member, so the self-join would compute
+    // every co-candidate intersection (~5× the candidate count here)
+    // while this form does exactly one bounded array intersection per
+    // candidate pair. The gram arrays are doc-sized (distinct 8-grams,
+    // stride 4 → ≤ len/4 longs); the joins shuffle on doc_id.
+    val ga = g.groupBy("doc_id").agg(collect_list(col("gram")).as("grams"))
+    cand
+      .join(ga.select(col("doc_id").as("a"), col("grams").as("ga")), Seq("a"))
+      .join(ga.select(col("doc_id").as("b"), col("grams").as("gb")), Seq("b"))
+      .withColumn("inter_n", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      .withColumn("na", size(col("ga")).cast("long"))
+      .filter(col("inter_n") * 5 >= col("na") * 4)
+      .select(col("a"), col("b"), col("inter_n"), col("na"),
+        expr("(inter_n * 100) div na").as("cont_pct"))
       .orderBy("a", "b")
   }
 
