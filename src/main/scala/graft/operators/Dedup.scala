@@ -523,7 +523,34 @@ object Dedup {
       .orderBy("size")
   }
 
+  /** LSH candidate precision — the sketch-quality report that decides
+    * band/row tuning: of the minhash-LSH candidate pairs, how many are
+    * TRUE near-dups at char-8-gram Jaccard ≥ 1/2. Verification is one
+    * bounded array intersection per candidate (the PPJoin verify form);
+    * zero-overlap candidates survive via the left join + coalesce, so
+    * precision counts them as the false positives they are. */
+  val qLshPrecision: Q = (s, d) => {
+    val cand = minhashCandidatePairs(s, d)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), lit(0L).as("blk"), col("text"))
+    val ga = documentGrams(docs)
+      .groupBy("doc_id").agg(collect_list(col("gram")).as("grams"))
+    cand
+      .join(ga.select(col("doc_id").as("a"), col("grams").as("ga")), Seq("a"))
+      .join(ga.select(col("doc_id").as("b"), col("grams").as("gb")), Seq("b"))
+      .select(
+        size(array_intersect(col("ga"), col("gb"))).cast("long").as("inter_n"),
+        (size(col("ga")) + size(col("gb"))).cast("long").as("sz_sum"))
+      .agg(
+        count(lit(1)).as("n_cand"),
+        sum(when(col("inter_n") * 3 >= col("sz_sum"), 1L).otherwise(0L)).as("n_true"))
+      // J = i/(sa+sb-i) >= 1/2  <=>  3i >= sa+sb (integer cross-multiply)
+      .withColumn("precision_pct",
+        when(col("n_cand") > 0, expr("(n_true * 100) div n_cand")).otherwise(lit(0L)))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_lsh_precision" -> qLshPrecision,
     "q_cluster_sizes" -> qClusterSizes,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_minhash_lsh" -> qDedupMinhashLsh,
@@ -587,6 +614,28 @@ object Dedup {
        "  UNION\n" +
        "  SELECT e.b AS id, r.comp FROM reach r JOIN edges2 e ON e.a = r.id)\n" +
        "SELECT id, min(comp) AS comp FROM reach GROUP BY id ORDER BY id"),
+    "q_lsh_precision" ->
+      (s"WITH $minhashCandCte,\n" +
+       """gpos AS (
+         |  SELECT doc_id, unnest(generate_series(1, greatest(length(text)-7, 1), 4)) AS i, text
+         |  FROM documents),
+         |g2 AS (SELECT DISTINCT doc_id, substr(text, i, 8) AS gram FROM gpos),
+         |sz2 AS (SELECT doc_id, COUNT(*) AS n FROM g2 GROUP BY doc_id),
+         |iv AS (
+         |  SELECT c.a, c.b, COUNT(gb2.gram) AS inter_n
+         |  FROM cand c
+         |  LEFT JOIN g2 ga2 ON ga2.doc_id = c.a
+         |  LEFT JOIN g2 gb2 ON gb2.doc_id = c.b AND ga2.gram = gb2.gram
+         |  GROUP BY c.a, c.b),
+         |scored AS (
+         |  SELECT iv.inter_n, sa.n + sb.n AS sz_sum
+         |  FROM iv JOIN sz2 sa ON iv.a = sa.doc_id JOIN sz2 sb ON iv.b = sb.doc_id)
+         |SELECT COUNT(*) AS n_cand,
+         |  CAST(SUM(CASE WHEN inter_n * 3 >= sz_sum THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+         |  CASE WHEN COUNT(*) > 0
+         |    THEN CAST((SUM(CASE WHEN inter_n * 3 >= sz_sum THEN 1 ELSE 0 END) * 100) // COUNT(*) AS BIGINT)
+         |    ELSE 0 END AS precision_pct
+         |FROM scored""".stripMargin),
     "q_cluster_sizes" ->
       (s"WITH RECURSIVE $minhashCandCte,\n" +
        "edges2 AS (SELECT a, b FROM cand UNION ALL SELECT b, a FROM cand),\n" +
