@@ -39,6 +39,7 @@ case class TopKLongsAgg(
   // min-heap: head is the SMALLEST retained value, evicted first
   private def heapOrdering: Ordering[Long] = Ordering.Long.reverse
 
+  // checkInputDataTypes validates foldability/range before this is read
   @transient private lazy val k: Int = kExpr.eval(InternalRow.empty) match {
     case i: Int => i
     case l: Long => l.toInt
@@ -56,9 +57,15 @@ case class TopKLongsAgg(
     else if (!kExpr.foldable ||
              !(kExpr.dataType == IntegerType || kExpr.dataType == LongType))
       TypeCheckResult.TypeCheckFailure("top_k k must be an integral literal")
-    else if (k <= 0)
-      TypeCheckResult.TypeCheckFailure(s"top_k k must be positive, got $k")
-    else TypeCheckResult.TypeCheckSuccess
+    else kExpr.eval(InternalRow.empty) match {
+      case null =>
+        TypeCheckResult.TypeCheckFailure("top_k k must not be NULL")
+      case l: Long if l < 1L || l > Int.MaxValue =>
+        TypeCheckResult.TypeCheckFailure(s"top_k k out of range [1, 2^31): $l")
+      case i: Int if i < 1 =>
+        TypeCheckResult.TypeCheckFailure(s"top_k k must be positive, got $i")
+      case _ => TypeCheckResult.TypeCheckSuccess
+    }
   }
 
   override def createAggregationBuffer(): mutable.PriorityQueue[Long] =

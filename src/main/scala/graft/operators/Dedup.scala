@@ -248,15 +248,19 @@ object Dedup {
     (labels, rounds)
   }
 
-  val qDedupComponents: Q = (s, d) => {
-    // checkpoint the candidate pairs once: both the size probe and the
-    // chosen algorithm read them, and the pair pipeline must not rerun
+  /** Connected components of the minhash candidate graph — the shared
+    * dispatch for every component-consuming query: checkpoint the pairs
+    * once (the size probe and the chosen algorithm both read them; the
+    * pair pipeline must not rerun), contract small graphs to a single
+    * executor-task union-find, propagate large ones distributed. */
+  private[graft] def minhashComponents(s: SparkSession, d: String): DataFrame = {
     val edges = minhashCandidatePairs(s, d).localCheckpoint()
-    val comps =
-      if (edges.count() <= SmallGraphEdges) componentsContracted(edges)
-      else componentsDistributed(edges)
-    comps.orderBy("id")
+    if (edges.count() <= SmallGraphEdges) componentsContracted(edges)
+    else componentsDistributed(edges)
   }
+
+  val qDedupComponents: Q = (s, d) =>
+    minhashComponents(s, d).orderBy("id")
 
   /** SimHash signatures, unsorted: 32-bit bit-majority over word hashes.
     * All 32 bit-balances accumulate as conditional sums in ONE hash
@@ -499,11 +503,8 @@ object Dedup {
     * broadcast when small — the corpus itself is scanned once. */
   val qDedupKeep: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val edges = minhashCandidatePairs(s, d).localCheckpoint()
-    val comps =
-      if (edges.count() <= SmallGraphEdges) componentsContracted(edges)
-      else componentsDistributed(edges)
-    val drop = comps.filter(col("id") =!= col("comp")).select(col("id").as("doc_id"))
+    val drop = minhashComponents(s, d)
+      .filter(col("id") =!= col("comp")).select(col("id").as("doc_id"))
     docs.join(drop, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("source"), col("n_chars"))
       .orderBy("doc_id")
@@ -513,26 +514,30 @@ object Dedup {
     * how many clusters of each size the candidate graph produced (the
     * number every dedup run is judged by before anyone trusts its drop
     * list). Components machinery reused; two tiny aggs on top. */
-  val qClusterSizes: Q = (s, d) => {
-    val edges = minhashCandidatePairs(s, d).localCheckpoint()
-    val comps =
-      if (edges.count() <= SmallGraphEdges) componentsContracted(edges)
-      else componentsDistributed(edges)
-    comps.groupBy("comp").agg(count(lit(1)).as("size"))
+  val qClusterSizes: Q = (s, d) =>
+    minhashComponents(s, d)
+      .groupBy("comp").agg(count(lit(1)).as("size"))
       .groupBy("size").agg(count(lit(1)).as("n_clusters"))
       .orderBy("size")
-  }
 
   /** LSH candidate precision — the sketch-quality report that decides
     * band/row tuning: of the minhash-LSH candidate pairs, how many are
     * TRUE near-dups at char-8-gram Jaccard ≥ 1/2. Verification is one
     * bounded array intersection per candidate (the PPJoin verify form);
-    * zero-overlap candidates survive via the left join + coalesce, so
-    * precision counts them as the false positives they are. */
+    * the joins are on doc_id only, so a zero-overlap candidate keeps
+    * its row (array_intersect just returns empty) and precision counts
+    * it as the false positive it is. Gram arrays are built only for
+    * docs that appear in some candidate pair (broadcast semi-filter) —
+    * at the 0.84-threshold band config that is a small fraction of the
+    * corpus, so the corpus-wide gram pipeline never materializes
+    * per-doc arrays for non-candidates. */
   val qLshPrecision: Q = (s, d) => {
-    val cand = minhashCandidatePairs(s, d)
+    val cand = minhashCandidatePairs(s, d).persist()
+    val candDocs = cand.select(col("a").as("doc_id"))
+      .unionAll(cand.select(col("b").as("doc_id"))).distinct()
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), lit(0L).as("blk"), col("text"))
+      .join(broadcast(candDocs), Seq("doc_id"))
     val ga = documentGrams(docs)
       .groupBy("doc_id").agg(collect_list(col("gram")).as("grams"))
     cand

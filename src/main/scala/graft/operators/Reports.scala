@@ -426,14 +426,6 @@ object Reports {
       .orderBy("l_returnflag")
   }
 
-  /** Gap-based sessionization — the canonical event-pipeline operator:
-    * a new session starts when the gap to the previous event of the
-    * same user exceeds the threshold. lag + running conditional sum
-    * (one shuffle on user_id, one per-user sort), then a hash agg per
-    * session. Frame note: the running sum's default frame is RANGE
-    * UNBOUNDED PRECEDING..CURRENT ROW in both engines, and the window
-    * order (ts_sec, event_id) is total, so RANGE == ROWS and the
-    * session indices agree exactly. */
   /** Three-stage event funnel (signup → click → purchase, each stage
     * strictly after the user's entry into the previous one and within
     * a 1-day conversion window) — the
@@ -482,6 +474,14 @@ object Reports {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Gap-based sessionization — the canonical event-pipeline operator:
+    * a new session starts when the gap to the previous event of the
+    * same user exceeds the threshold. lag + running conditional sum
+    * (one shuffle on user_id, one per-user sort), then a hash agg per
+    * session. Frame note: the running sum's default frame is RANGE
+    * UNBOUNDED PRECEDING..CURRENT ROW in both engines, and the window
+    * order (ts_sec, event_id) is total, so RANGE == ROWS and the
+    * session indices agree exactly. */
   val qSessionize: Q = (s, d) => {
     val ev = Tables.events(s, d)
     val gap = 604800L // 7 days — the testdata spans years, not hours

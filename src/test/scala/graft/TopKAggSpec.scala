@@ -14,8 +14,9 @@ class TopKAggSpec extends SparkSpec {
   test("top_k equals the window top-k under random repartitioning") {
     val rnd = new scala.util.Random(13)
     val rows = (1 to 5000).map(_ => (rnd.nextInt(7), rnd.nextInt(1000).toLong))
-    // 20 partitions in random order: partial heaps must merge right
-    val df = rows.toDF("g", "v").repartition(20, rnd.nextInt(100) match { case _ => col("v") })
+    // hash-partition on v: every group's members span many partitions,
+    // so the final answer exists only through partial-heap merges
+    val df = rows.toDF("g", "v").repartition(20, col("v"))
     Graft.install(spark)
     df.createOrReplaceTempView("topk_in")
     val agg = spark.sql(
