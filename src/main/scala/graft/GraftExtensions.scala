@@ -36,7 +36,23 @@ object GraftExtensions {
   def functionDescriptors
       : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(findExtensionDescriptor, decimalDotDescriptor, floatDotDescriptor,
-      zOrderDescriptor, topKDescriptor)
+      zOrderDescriptor, topKDescriptor, freqItemsDescriptor)
+
+  val freqItemsDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("freq_items"),
+    new ExpressionInfo(
+      classOf[graft.functions.FreqItemsAgg].getCanonicalName,
+      null,
+      "freq_items",
+      "freq_items(value, maxMapSize) - mergeable heavy-hitters sketch " +
+        "(DataSketches frequent-items): bounded counter map per group, " +
+        "array<struct<item,estimate,lb,ub>> under NO_FALSE_POSITIVES",
+      ""),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "freq_items takes exactly 2 arguments")
+      graft.functions.FreqItemsAgg(children.head, children(1))
+    })
 
   val topKDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
