@@ -36,7 +36,39 @@ object GraftExtensions {
   def functionDescriptors
       : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(findExtensionDescriptor, decimalDotDescriptor, floatDotDescriptor,
-      zOrderDescriptor, topKDescriptor, freqItemsDescriptor)
+      zOrderDescriptor, topKDescriptor, freqItemsDescriptor) ++ kllDescriptors
+
+  val kllDescriptors
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("kll_sketch_bytes"),
+      new ExpressionInfo(
+        classOf[graft.functions.KllSketchAgg].getCanonicalName, null,
+        "kll_sketch_bytes",
+        "kll_sketch_bytes(value) - mergeable KLL quantile sketch over DOUBLEs " +
+          "(serialized bytes; ~3 KB per group)", ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "kll_sketch_bytes takes exactly 1 argument")
+        graft.functions.KllSketchAgg(children.head)
+      }),
+    (FunctionIdentifier("kll_merge_bytes"),
+      new ExpressionInfo(
+        classOf[graft.functions.KllMergeAgg].getCanonicalName, null,
+        "kll_merge_bytes",
+        "kll_merge_bytes(sketch) - union serialized KLL sketches without rescanning data", ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "kll_merge_bytes takes exactly 1 argument")
+        graft.functions.KllMergeAgg(children.head)
+      }),
+    (FunctionIdentifier("kll_quantile"),
+      new ExpressionInfo(
+        classOf[graft.functions.KllQuantileExpr].getCanonicalName, null,
+        "kll_quantile",
+        "kll_quantile(sketch, rank) - quantile estimate from a KLL sketch value " +
+          "(inclusive rank semantics)", ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "kll_quantile takes exactly 2 arguments")
+        graft.functions.KllQuantileExpr(children.head, children(1))
+      }))
 
   val freqItemsDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
