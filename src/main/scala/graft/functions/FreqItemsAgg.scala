@@ -62,8 +62,12 @@ case class FreqItemsAgg(
     else maxMapSizeExpr.eval(InternalRow.empty) match {
       case null =>
         TypeCheckResult.TypeCheckFailure("freq_items maxMapSize must not be NULL")
-      case _ if maxMapSize < 8 || maxMapSize > (1 << 26) ||
-                (maxMapSize & (maxMapSize - 1)) != 0 =>
+      // range-check the RAW value before any truncation to Int — a
+      // BIGINT ≥ 2^32 must not wrap into a small accepted map size
+      case l: Long if l < 8L || l > (1L << 26) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"freq_items maxMapSize must be a power of 2 in [8, 2^26], got $l")
+      case _ if (maxMapSize & (maxMapSize - 1)) != 0 || maxMapSize < 8 =>
         TypeCheckResult.TypeCheckFailure(
           s"freq_items maxMapSize must be a power of 2 in [8, 2^26], got $maxMapSize")
       case _ => TypeCheckResult.TypeCheckSuccess

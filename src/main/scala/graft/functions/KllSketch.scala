@@ -128,23 +128,27 @@ case class KllMergeAgg(
   override def prettyName: String = "kll_merge_bytes"
 }
 
-/** Scalar quantile read from sketch bytes (INCLUSIVE rank). */
+/** Scalar quantile read from sketch bytes (INCLUSIVE rank).
+  * `ImplicitCastInputTypes` so the natural `kll_quantile(s, 0.5)`
+  * works — a bare fractional literal parses as DECIMAL(1,1) and must
+  * coerce to DOUBLE. */
 case class KllQuantileExpr(left: Expression, right: Expression)
-  extends BinaryExpression {
+  extends BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
   override def nullable: Boolean = true
   override def dataType: DataType = DoubleType
-
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType != BinaryType)
-      TypeCheckResult.TypeCheckFailure("kll_quantile sketch must be BINARY")
-    else if (right.dataType != DoubleType)
-      TypeCheckResult.TypeCheckFailure("kll_quantile rank must be DOUBLE")
-    else TypeCheckResult.TypeCheckSuccess
+  // return type inferred: AbstractDataType is private[sql], the
+  // inherited signature supplies it
+  override def inputTypes = Seq(BinaryType, DoubleType)
 
   override def nullSafeEval(sketch: Any, rank: Any): Any = {
+    val r = rank.asInstanceOf[Double]
+    // clean message instead of a library stack trace mid-task
+    if (r < 0.0 || r > 1.0)
+      throw new IllegalArgumentException(s"kll_quantile rank must be in [0, 1], got $r")
     val sk = KllSketch.heapify(sketch.asInstanceOf[Array[Byte]])
-    if (sk.isEmpty) null else sk.getQuantile(rank.asInstanceOf[Double])
+    if (sk.isEmpty) null else sk.getQuantile(r)
   }
 
   // per-row deserialization: this reads ROLLUP rows (one per group /

@@ -16,8 +16,9 @@ class KllSketchSpec extends SparkSpec {
     val n = 20000
     val rows = new scala.util.Random(11).shuffle((1 to n).map(_.toDouble))
     rows.toDF("v").repartition(16).createOrReplaceTempView("kll_in")
+    // plain fractional literals (DECIMAL) must coerce to DOUBLE rank
     val got = spark.sql(
-      """SELECT kll_quantile(s, 0.5d) AS p50, kll_quantile(s, 0.95d) AS p95
+      """SELECT kll_quantile(s, 0.5) AS p50, kll_quantile(s, 0.95) AS p95
         |FROM (SELECT kll_sketch_bytes(v) AS s FROM kll_in)""".stripMargin)
       .as[(Double, Double)].head()
     // k=200 → ~1.7% rank error ⇒ value error ~n*0.017 on uniform ranks
@@ -54,5 +55,22 @@ class KllSketchSpec extends SparkSpec {
       "SELECT kll_quantile(kll_sketch_bytes(v), 0.5d) FROM kll_null WHERE v IS NULL AND g = 2")
       .as[Option[Double]].head()
     assert(empty.isEmpty)
+  }
+
+  test("argument hygiene: out-of-range kll rank and wrapped freq_items size rejected") {
+    Graft.install(spark)
+    Seq(1.0, 2.0).toDF("v").createOrReplaceTempView("kll_rank")
+    val e = intercept[Exception] {
+      spark.sql("SELECT kll_quantile(kll_sketch_bytes(v), 1.5) FROM kll_rank").collect()
+    }
+    def hasMsg(t: Throwable, m: String): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains(m)) || hasMsg(t.getCause, m))
+    assert(hasMsg(e, "rank must be in [0, 1]"))
+    // a BIGINT map size >= 2^32 must not wrap into a small accepted value
+    Seq(1L, 2L).toDF("v").createOrReplaceTempView("fi_wrap")
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT freq_items(v, 4294967360) FROM fi_wrap").collect()
+    }
+    assert(hasMsg(e2, "power of 2 in [8, 2^26]"))
   }
 }
