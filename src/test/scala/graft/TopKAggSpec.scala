@@ -34,6 +34,30 @@ class TopKAggSpec extends SparkSpec {
     assert(agg == window)
   }
 
+  test("top_k under streaming update mode: state serde across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.SQLContext]
+    Graft.install(spark)
+    val input = MemoryStream[(Int, Long)]
+    val agg = input.toDF().toDF("g", "v")
+      .groupBy("g").agg(expr("top_k(v, 3)").as("topv"))
+    val q = agg.writeStream.format("memory").queryName("topk_stream")
+      .outputMode("update").start()
+    try {
+      // the state store must round-trip partial heaps between batches
+      input.addData((1, 10L), (1, 30L), (2, 5L))
+      q.processAllAvailable()
+      input.addData((1, 20L), (1, 40L), (2, 1L))
+      q.processAllAvailable()
+      val last = spark.sql("SELECT g, topv FROM topk_stream")
+        .as[(Int, Seq[Long])].collect()
+        .groupBy(_._1).map { case (g, rows) => (g, rows.last._2) }
+      assert(last(1) == Seq(40L, 30L, 20L)) // merged across both batches
+      assert(last(2) == Seq(5L, 1L))
+    } finally q.stop()
+  }
+
   test("top_k: groups smaller than k, nulls skipped, k=1") {
     Graft.install(spark)
     Seq((1, Some(10L)), (1, None), (2, Some(5L)), (2, Some(7L)), (2, Some(3L)))
