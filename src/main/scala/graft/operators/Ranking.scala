@@ -198,10 +198,33 @@ object Ranking {
       .orderBy("l_returnflag", "rnk")
   }
 
+  /** The heavy-hitters sketch proven EXACT through the oracle gate:
+    * `freq_items` over l_linenumber (7 distinct values) with a 64-slot
+    * map never evicts, so every estimate is the true count (lb == ub)
+    * and the result is sharding-independent — the oracle is the plain
+    * GROUP BY count. Same pattern as q_salted_agg: the scale machinery
+    * verified in the regime where an exact twin exists, spec-covered
+    * in the approximate regime beyond it (FreqItemsSpec). */
+  val qFreqExact: Q = (s, d) => {
+    import org.apache.spark.sql.GraftSqlBridge
+    val fi = GraftSqlBridge.column(
+      graft.functions.FreqItemsAgg(
+        GraftSqlBridge.expression(col("v")),
+        org.apache.spark.sql.catalyst.expressions.Literal(64))
+        .toAggregateExpression())
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_linenumber").cast(LongType).as("v"))
+      .groupBy("l_returnflag").agg(fi.as("fi"))
+      .select(col("l_returnflag"), explode(col("fi")).as("r"))
+      .select(col("l_returnflag"), col("r.item").as("item"), col("r.estimate").as("n"))
+      .orderBy(col("l_returnflag"), col("n").desc, col("item"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_global_rank" -> qGlobalRank,
     "q_grouped_rank" -> qGroupedRank,
-    "q_topk_agg" -> qTopkAgg)
+    "q_topk_agg" -> qTopkAgg,
+    "q_freq_exact" -> qFreqExact)
 
   val oracle: Map[String, String] = Map(
     "q_global_rank" ->
@@ -228,5 +251,9 @@ object Ranking {
         |      FROM (SELECT l_returnflag,
         |              CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
         |            FROM lineitem))
-        |WHERE rn <= 5 ORDER BY l_returnflag, rnk""".stripMargin)
+        |WHERE rn <= 5 ORDER BY l_returnflag, rnk""".stripMargin,
+    "q_freq_exact" ->
+      """SELECT l_returnflag, CAST(l_linenumber AS BIGINT) AS item, COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linenumber
+        |ORDER BY l_returnflag, n DESC, item""".stripMargin)
 }
