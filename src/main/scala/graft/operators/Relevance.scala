@@ -91,10 +91,33 @@ object Relevance {
       .withColumn("dup_pct", expr("(dup_rows * 100) div n_docs"))
       .orderBy("source")
 
+  /** The corpus datasheet: the one-row summary card a dataset release
+    * ships with — volume, source diversity, duplication, length
+    * distribution (exact discrete percentiles), language mix. ONE scan
+    * and one aggregate; at 100 TB this is the cheapest query in the
+    * library and the first one anyone runs. */
+  val qDatasheet: Q = (s, d) =>
+    Tables.documents(s, d).agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("source")).as("n_sources"),
+      sum(col("n_chars")).cast(LongType).as("total_chars"),
+      countDistinct(md5(col("text"))).as("n_uniq"),
+      expr("CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)")
+        .as("p25_chars"),
+      expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)")
+        .as("p50_chars"),
+      expr("CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)")
+        .as("p95_chars"),
+      min(col("n_chars")).cast(LongType).as("min_chars"),
+      max(col("n_chars")).cast(LongType).as("max_chars"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+    .withColumn("dup_pct", expr("((n_docs - n_uniq) * 100) div n_docs"))
+
   val queries: Map[String, Q] = Map(
     "q_bm25" -> qBm25,
     "q_mad_outliers" -> qMadOutliers,
-    "q_dup_by_source" -> qDupBySource)
+    "q_dup_by_source" -> qDupBySource,
+    "q_datasheet" -> qDatasheet)
 
   val oracle: Map[String, String] = Map(
     "q_bm25" -> {
@@ -129,6 +152,19 @@ object Relevance {
         |  FROM devs)
         |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, CAST(dev AS BIGINT) AS dev
         |FROM devs, mad WHERE dev > 2 * mad ORDER BY doc_id""".stripMargin,
+    "q_datasheet" ->
+      """SELECT COUNT(*) AS n_docs,
+        |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_uniq,
+        |  CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p25_chars,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p50_chars,
+        |  CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p95_chars,
+        |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+        |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+        |  CAST(((COUNT(*) - COUNT(DISTINCT md5(text))) * 100) // COUNT(*) AS BIGINT) AS dup_pct
+        |FROM documents""".stripMargin,
     "q_dup_by_source" ->
       """SELECT source,
         |  COUNT(*) AS n_docs,
