@@ -27,6 +27,16 @@ object Relevance {
 
   private val terms = Seq("data", "scan", "join")
 
+  /** Distinct-content count over md5 digests — the duplication metric
+    * shared by [[qDupBySource]] and [[qDatasheet]] (32-byte shuffle
+    * keys, never raw text). Engine + oracle spellings kept in lockstep
+    * here. */
+  private def nUniqCol = countDistinct(md5(col("text"))).as("n_uniq")
+  private def dupPctCol = expr("((n_docs - n_uniq) * 100) div n_docs").as("dup_pct")
+  private val nUniqSql = "CAST(COUNT(DISTINCT md5(text)) AS BIGINT)"
+  private val dupPctSql =
+    s"CAST(((COUNT(*) - COUNT(DISTINCT md5(text))) * 100) // COUNT(*) AS BIGINT)"
+
   /** BM25-shaped relevance of each document to the fixed query
     * {data, scan, join}: per-term contribution
     * `tf * idf_scaled div (dl + 100)` with
@@ -84,11 +94,9 @@ object Relevance {
   val qDupBySource: Q = (s, d) =>
     Tables.documents(s, d)
       .groupBy(col("source"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        countDistinct(md5(col("text"))).as("n_uniq"))
+      .agg(count(lit(1)).as("n_docs"), nUniqCol)
       .withColumn("dup_rows", col("n_docs") - col("n_uniq"))
-      .withColumn("dup_pct", expr("(dup_rows * 100) div n_docs"))
+      .withColumn("dup_pct", dupPctCol)
       .orderBy("source")
 
   /** The corpus datasheet: the one-row summary card a dataset release
@@ -101,7 +109,7 @@ object Relevance {
       count(lit(1)).as("n_docs"),
       countDistinct(col("source")).as("n_sources"),
       sum(col("n_chars")).cast(LongType).as("total_chars"),
-      countDistinct(md5(col("text"))).as("n_uniq"),
+      nUniqCol,
       expr("CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)")
         .as("p25_chars"),
       expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)")
@@ -111,7 +119,7 @@ object Relevance {
       min(col("n_chars")).cast(LongType).as("min_chars"),
       max(col("n_chars")).cast(LongType).as("max_chars"),
       sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
-    .withColumn("dup_pct", expr("((n_docs - n_uniq) * 100) div n_docs"))
+    .withColumn("dup_pct", dupPctCol)
 
   val queries: Map[String, Q] = Map(
     "q_bm25" -> qBm25,
@@ -153,23 +161,23 @@ object Relevance {
         |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, CAST(dev AS BIGINT) AS dev
         |FROM devs, mad WHERE dev > 2 * mad ORDER BY doc_id""".stripMargin,
     "q_datasheet" ->
-      """SELECT COUNT(*) AS n_docs,
+      s"""SELECT COUNT(*) AS n_docs,
         |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-        |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_uniq,
+        |  $nUniqSql AS n_uniq,
         |  CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p25_chars,
         |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p50_chars,
         |  CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p95_chars,
         |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
         |  CAST(MAX(n_chars) AS BIGINT) AS max_chars,
         |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
-        |  CAST(((COUNT(*) - COUNT(DISTINCT md5(text))) * 100) // COUNT(*) AS BIGINT) AS dup_pct
+        |  $dupPctSql AS dup_pct
         |FROM documents""".stripMargin,
     "q_dup_by_source" ->
-      """SELECT source,
+      s"""SELECT source,
         |  COUNT(*) AS n_docs,
-        |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_uniq,
+        |  $nUniqSql AS n_uniq,
         |  CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS dup_rows,
-        |  CAST(((COUNT(*) - COUNT(DISTINCT md5(text))) * 100) // COUNT(*) AS BIGINT) AS dup_pct
+        |  $dupPctSql AS dup_pct
         |FROM documents GROUP BY source ORDER BY source""".stripMargin)
 }

@@ -36,8 +36,7 @@ class TopKAggSpec extends SparkSpec {
 
   test("top_k under streaming update mode: state serde across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
-      spark.sqlContext.asInstanceOf[org.apache.spark.sql.SQLContext]
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     Graft.install(spark)
     val input = MemoryStream[(Int, Long)]
     val agg = input.toDF().toDF("g", "v")
