@@ -382,7 +382,55 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** PMI-style collocation mining: adjacent pairs ranked by association
+    * strength `p(xy) / (p(x)p(y))`, not raw frequency — frequency
+    * surfaces "of the"; association surfaces genuinely bound pairs.
+    * Scaled-integer cross-multiplied form
+    * `n_xy · N · 1000 div (n_x · n_y)` (the ×1000 keeps ~9×10^17
+    * headroom under Long at N ≈ 3×10^7 unigrams; log-PMI is a
+    * monotone transform so the ranking is identical). Min support
+    * n_xy ≥ 5 kills the one-off-pair noise PMI is notorious for. */
+  val qPmiBigrams: Q = (s, d) => {
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+    val words = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val uni = words.groupBy("w").agg(count(lit(1)).as("n_w"))
+    val total = words.agg(count(lit(1)).as("n_total"))
+    val pairs = docs
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("tl", slice(col("ws"), lit(2), greatest(size(col("ws")) - 1, lit(0))))
+      .select(explode(arrays_zip(col("ws"), col("tl"))).as("p"))
+      .select(col("p.ws").as("w1"), col("p.tl").as("w2"))
+      .filter(col("w2").isNotNull && length(col("w1")) > 0 && length(col("w2")) > 0)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_xy"))
+      .filter(col("n_xy") >= 5)
+    pairs
+      .join(uni.select(col("w").as("w1"), col("n_w").as("n_x")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("n_w").as("n_y")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .withColumn("pmi_scaled", expr("(n_xy * n_total * 1000) div (n_x * n_y)"))
+      .select(col("w1"), col("w2"), col("n_xy"), col("pmi_scaled"))
+      .orderBy(col("pmi_scaled").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  /** Type-token ratio per document — the lexical-diversity quality
+    * signal (low TTR = repetitive/boilerplate text): distinct words
+    * over total words as an integer percentage. One explode, one
+    * two-function hash agg per doc. */
+  val qTypeTokenRatio: Q = (s, d) =>
+    Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("w")).as("n_types"))
+      .withColumn("ttr_pct", expr("(n_types * 100) div n_tokens"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
+    "q_pmi_bigrams" -> qPmiBigrams,
+    "q_type_token_ratio" -> qTypeTokenRatio,
     "q_distinctive_terms" -> qDistinctiveTerms,
     "q_word_bigrams" -> qWordBigrams,
     "q_boilerplate_strip" -> qBoilerplateStrip,
@@ -402,6 +450,33 @@ object TextStats {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_pmi_bigrams" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        |  WHERE text IS NOT NULL),
+        |uni AS (SELECT w, COUNT(*) AS n_w FROM w WHERE length(w) > 0 GROUP BY w),
+        |total AS (SELECT COUNT(*) AS n_total FROM w WHERE length(w) > 0),
+        |pairs AS (
+        |  SELECT wl[i] AS w1, wl[i+1] AS w2, COUNT(*) AS n_xy
+        |  FROM (SELECT string_split(text, ' ') AS wl FROM documents
+        |        WHERE text IS NOT NULL),
+        |       LATERAL (SELECT unnest(range(1, len(wl))) AS i)
+        |  WHERE length(wl[i]) > 0 AND length(wl[i+1]) > 0
+        |  GROUP BY w1, w2 HAVING COUNT(*) >= 5)
+        |SELECT p.w1, p.w2, p.n_xy,
+        |  CAST((p.n_xy * t.n_total * 1000) // (ux.n_w * uy.n_w) AS BIGINT) AS pmi_scaled
+        |FROM pairs p
+        |JOIN uni ux ON p.w1 = ux.w
+        |JOIN uni uy ON p.w2 = uy.w, total t
+        |ORDER BY pmi_scaled DESC, w1, w2 LIMIT 20""".stripMargin,
+    "q_type_token_ratio" ->
+      """SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(COUNT(DISTINCT w) AS BIGINT) AS n_types,
+        |  CAST((COUNT(DISTINCT w) * 100) // COUNT(*) AS BIGINT) AS ttr_pct
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        |      WHERE text IS NOT NULL)
+        |WHERE length(w) > 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_distinctive_terms" ->
       """WITH w AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
