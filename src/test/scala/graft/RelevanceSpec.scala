@@ -77,6 +77,33 @@ class RelevanceSpec extends SparkSpec {
     assert(jac == 0L) // same fixture, symmetric test blind to it
   }
 
+  test("pmi: a bound pair outranks a frequent-but-independent pair") {
+    import graft.operators.TextStats
+    // "kuala lumpur" always co-occur (bound); "the cat/dog/sun/..." is
+    // frequent but independent — PMI must rank the bound pair first
+    // even though "the X" pairs are more frequent in total.
+    val partners = Seq("cat", "dog", "sun", "sky", "map", "pen", "cup", "box")
+    val docs = (1L to 8L).map { i =>
+      val filler = partners.map(p => s"the $p").mkString(" ")
+      (i, s"kuala lumpur $filler", "s", 1L)
+    }
+    val dir = writeFixture(docs: _*)
+    val top = TextStats.qPmiBigrams(spark, dir)
+      .select("w1", "w2").as[(String, String)].collect().head
+    assert(top == ("kuala", "lumpur"))
+  }
+
+  test("type-token ratio: repetitive text scores below diverse text") {
+    import graft.operators.TextStats
+    val dir = writeFixture(
+      (1L, Seq.fill(20)("spam").mkString(" "), "s", 99L),
+      (2L, (1 to 20).map(i => s"word$i").mkString(" "), "s", 99L))
+    val r = TextStats.qTypeTokenRatio(spark, dir)
+      .select("doc_id", "ttr_pct").as[(Long, Long)].collect().toMap
+    assert(r(1L) == 5L)   // 1 type / 20 tokens
+    assert(r(2L) == 100L) // all distinct
+  }
+
   test("dedup keep: one survivor per near-dup chain, singletons kept") {
     // Three shingle-identical copies (a transitive chain through LSH
     // bands) plus one unrelated doc: survivors = min-id of the chain +
