@@ -95,7 +95,14 @@ object Bench {
         (r, w, Some(runSeq()))
     }
     val seqField = seqResults.map(s => s""","queries_seq":${js(s)}""").getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)}$seqField,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)}$seqField,"sf":"$sfDir"}"""
+    println(line)
+    // stdout of an sbt run gets tail-truncated by capture harnesses (a
+    // 96-entry concurrent+seq map exceeds their buffer) — persist the
+    // full line where nothing can clip it
+    val out = java.nio.file.Paths.get("target/bench.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -141,14 +141,20 @@ object ReportActions {
       files: => DataFrame,
       status: => DataFrame,
       nowEpoch: Long = System.currentTimeMillis() / 1000): DataFrame =
-    action match {
+    // report.py:217 lowercases the action before dispatch
+    // (config.action.lower()), and report.py:224-225 accepts bare
+    // "status" as an alias for the brief view — both mirrored here.
+    action.toLowerCase match {
       case "schema-files"    => schemaOf(files, spark)
       case "schema-status"   => schemaOf(status, spark)
       case "schema-all"      => schemaOf(files, spark).unionAll(schemaOf(status, spark))
       case "status-full"     => statusFull(status)
       case "status-events"   => statusEvents(status)
       case "status-averages" => statusAverages(status)
-      case "status-brief"    => statusBrief(status)
+      case "status" | "status-brief" => statusBrief(status)
+      // report.py defines first_thousand (report.py:166) but never
+      // wires it into the dispatch table — dispatching it here is a
+      // deliberate completion, not reference behavior
       case "first_thousand"  => firstThousand(files)
       case "large_old_files" => largeOldFiles(files, nowEpoch)
       // extensions beyond report.py's eight actions

@@ -62,15 +62,19 @@ case class FreqItemsAgg(
     else maxMapSizeExpr.eval(InternalRow.empty) match {
       case null =>
         TypeCheckResult.TypeCheckFailure("freq_items maxMapSize must not be NULL")
-      // range-check the RAW value before any truncation to Int — a
-      // BIGINT ≥ 2^32 must not wrap into a small accepted map size
-      case l: Long if l < 8L || l > (1L << 26) =>
-        TypeCheckResult.TypeCheckFailure(
-          s"freq_items maxMapSize must be a power of 2 in [8, 2^26], got $l")
-      case _ if (maxMapSize & (maxMapSize - 1)) != 0 || maxMapSize < 8 =>
-        TypeCheckResult.TypeCheckFailure(
-          s"freq_items maxMapSize must be a power of 2 in [8, 2^26], got $maxMapSize")
-      case _ => TypeCheckResult.TypeCheckSuccess
+      case raw =>
+        // normalize Int and Long to one Long before range-checking, so
+        // both widths go through the identical [8, 2^26] power-of-2
+        // validation (and a BIGINT ≥ 2^32 never wraps into a small
+        // accepted map size)
+        val l = raw match {
+          case i: java.lang.Integer => i.longValue
+          case j: java.lang.Long    => j.longValue
+        }
+        if (l < 8L || l > (1L << 26) || (l & (l - 1L)) != 0L)
+          TypeCheckResult.TypeCheckFailure(
+            s"freq_items maxMapSize must be a power of 2 in [8, 2^26], got $l")
+        else TypeCheckResult.TypeCheckSuccess
     }
   }
 

@@ -17,14 +17,14 @@ import graft.functions.Exprs._
   * and candidate pairs only materialize within a band bucket; simhash is
   * a single aggregation pass per doc.
   *
-  * Caching contract: the self-join operators persist small derived
-  * intermediates (band keys, gram lists, signatures) so one computation
-  * feeds both join branches. The returned plans are LAZY, so the
-  * operators cannot unpersist them themselves; callers that run many
-  * queries in one session clear between queries (Verify, seq bench) or
-  * at end of workload (concurrent bench) — a long-lived interactive
-  * session otherwise relies on Spark's LRU block eviction, which is
-  * safe (storage blocks are evictable) but keeps memory warm.
+  * Caching contract: the self-join operators localCheckpoint small
+  * derived intermediates (band keys, gram tables, signatures) so one
+  * computation feeds both join branches. Unlike `persist` (whose
+  * CacheManager entries survive until an explicit unpersist/clearCache),
+  * localCheckpoint blocks are registered with the ContextCleaner and
+  * free automatically when the checkpointed frame is garbage-collected —
+  * repeated query calls in a long-lived session cannot accumulate
+  * cached blocks.
   */
 object Dedup {
 
@@ -74,9 +74,9 @@ object Dedup {
     * 8-permutation signatures; docs sharing any band key become a
     * candidate pair. Shuffle volume after shingling is 8 longs per doc —
     * the scale path for 100 TB (raw text never shuffles). The band-key
-    * table is persisted before the self-join so the shingle→signature
-    * pipeline runs ONCE (it is tiny: ≤2 rows/doc of (long-ish string,
-    * id)), not once per join branch. */
+    * table is localCheckpointed before the self-join so the
+    * shingle→signature pipeline runs ONCE (it is tiny: ≤2 rows/doc of
+    * (long-ish string, id)), not once per join branch. */
   /** Unsorted minhash-LSH candidate pairs (a < b). */
   def minhashCandidatePairs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
@@ -91,7 +91,7 @@ object Dedup {
         val parts = lit(s"$b") +: (0 until 4).map(j =>
           concat(lit(":"), col(s"m${4 * b + j}").cast("string")))
         concat(parts: _*)
-      }: _*)).as("band_key")).persist()
+      }: _*)).as("band_key")).localCheckpoint()
     // triangle-salted self-pair join: a hot band bucket (boilerplate-
     // heavy corpus) spreads its quadratic pair work over the salt
     // cells instead of landing on one reducer
@@ -333,7 +333,7 @@ object Dedup {
   val qNgramJaccard: Q = (s, d) => {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), expr("n_chars div 100").as("blk"), col("text"))
-    val g = documentGrams(docs).persist()
+    val g = documentGrams(docs).localCheckpoint()
     // document frequency as a partial-aggregated groupBy + shuffled
     // join — NOT a window over gram: WindowExec pays per-partition
     // overhead on ~one partition per distinct gram, which measures
@@ -352,10 +352,11 @@ object Dedup {
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
       .distinct()
-      // persisted: the two broadcast consumers below each materialize
-      // eagerly, and an uncached cand would re-run the whole prefix
-      // pipeline per broadcast
-      .persist()
+      // checkpointed: the two broadcast consumers below each
+      // materialize eagerly, and an uncached cand would re-run the
+      // whole prefix pipeline per broadcast. localCheckpoint (not
+      // persist) so the blocks free on GC in a long-lived session.
+      .localCheckpoint()
     // exact verification on candidates only: semi-filter the cached
     // gram table to candidate docs (broadcast, map-side — no shuffle),
     // self-join the reduced table for full intersection counts, then
@@ -403,7 +404,7 @@ object Dedup {
   val qNgramContainment: Q = (s, d) => {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), lit(0L).as("blk"), col("text"))
-    val g = documentGrams(docs).persist()
+    val g = documentGrams(docs).localCheckpoint()
     val df_ = g.groupBy("gram").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy("doc_id")
     val ranked = g.join(df_, "gram")
@@ -451,7 +452,7 @@ object Dedup {
     // without this the word-explode aggregation runs once per chunk
     // branch per join side — 4× the most expensive stage, plus sorts
     val sig = simhashSignatures(Tables.documents(s, d).select("doc_id", "text"))
-      .persist()
+      .localCheckpoint()
     val chunks = sig.select(col("doc_id"), col("simhash"), lit(0).as("ck"),
         (col("simhash") % 65536).as("cv"))
       .unionAll(sig.select(col("doc_id"), col("simhash"), lit(1).as("ck"),
@@ -523,29 +524,43 @@ object Dedup {
   /** LSH candidate precision — the sketch-quality report that decides
     * band/row tuning: of the minhash-LSH candidate pairs, how many are
     * TRUE near-dups at char-8-gram Jaccard ≥ 1/2. Verification is one
-    * bounded array intersection per candidate (the PPJoin verify form);
-    * the joins are on doc_id only, so a zero-overlap candidate keeps
-    * its row (array_intersect just returns empty) and precision counts
-    * it as the false positive it is. Gram arrays are built only for
-    * docs that appear in some candidate pair (broadcast semi-filter) —
-    * at the 0.84-threshold band config that is a small fraction of the
-    * corpus, so the corpus-wide gram pipeline never materializes
-    * per-doc arrays for non-candidates. */
+    * gram-level intersect join: candidate pairs join a's grams, then
+    * equi-join (b, gram) against the gram table — the match count per
+    * pair IS |A∩B| (grams are distinct per doc, set semantics). Every
+    * intermediate row carries ONE gram, so a pathologically large
+    * document never materializes a multi-million-element array in a
+    * single row (the previous collect_list verify form did;
+    * LshPrecisionBoundSpec pins the bound). Zero-overlap candidates
+    * drop out of the inner gram join and are reinstated by the left
+    * join with inter_n = 0, so precision still counts them as the
+    * false positives they are. Grams are built only for docs that
+    * appear in some candidate pair (broadcast semi-filter) — at the
+    * 0.84-threshold band config that is a small fraction of the
+    * corpus. */
   val qLshPrecision: Q = (s, d) => {
-    val cand = minhashCandidatePairs(s, d).persist()
+    // localCheckpoint, not persist: same single-computation guarantee
+    // for the branches below, but the blocks are context-cleaned when
+    // the frame is GC'd — repeated calls in a long-lived session do
+    // not accumulate cached blocks
+    val cand = minhashCandidatePairs(s, d).localCheckpoint()
     val candDocs = cand.select(col("a").as("doc_id"))
       .unionAll(cand.select(col("b").as("doc_id"))).distinct()
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), lit(0L).as("blk"), col("text"))
       .join(broadcast(candDocs), Seq("doc_id"))
-    val ga = documentGrams(docs)
-      .groupBy("doc_id").agg(collect_list(col("gram")).as("grams"))
+    val g = documentGrams(docs).localCheckpoint()
+    val sz = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(g.select(col("doc_id").as("a"), col("gram")), Seq("a"))
+      .join(g.select(col("doc_id").as("b"), col("gram")), Seq("b", "gram"))
+      .groupBy("a", "b").agg(count(lit(1)).as("i_n"))
     cand
-      .join(ga.select(col("doc_id").as("a"), col("grams").as("ga")), Seq("a"))
-      .join(ga.select(col("doc_id").as("b"), col("grams").as("gb")), Seq("b"))
+      .join(inter, Seq("a", "b"), "left")
+      .join(sz.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+      .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
       .select(
-        size(array_intersect(col("ga"), col("gb"))).cast("long").as("inter_n"),
-        (size(col("ga")) + size(col("gb"))).cast("long").as("sz_sum"))
+        coalesce(col("i_n"), lit(0L)).as("inter_n"),
+        (col("na") + col("nb")).cast("long").as("sz_sum"))
       .agg(
         count(lit(1)).as("n_cand"),
         sum(when(col("inter_n") * 3 >= col("sz_sum"), 1L).otherwise(0L)).as("n_true"))

@@ -104,12 +104,18 @@ object Packing {
   private val NShards = 8
   private val ContextLen = 512L
 
+  // NULL-text documents carry no tokens to pack; without the filter a
+  // NULL tokens value would crash the non-nullable PackDoc encoder at
+  // runtime while DuckDB silently emitted NULL-token rows — filter on
+  // both engines instead (same predicate the sibling text queries use)
   val qPackChunks: Q = (s, d) =>
-    packChunks(Tables.documents(s, d), NShards, ContextLen).orderBy("doc_id")
+    packChunks(Tables.documents(s, d).filter(col("text").isNotNull),
+      NShards, ContextLen).orderBy("doc_id")
 
   val qGreedyPack: Q = (s, d) => {
     import s.implicits._
     val in = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
       .select(shardOf(col("doc_id"), NShards).as("shard"), col("doc_id"),
         wsTokens(col("text")).as("tokens"))
       .as[PackDoc]
@@ -138,7 +144,7 @@ object Packing {
         |  FROM (
         |    SELECT doc_id, ${shardDuck("doc_id")} AS shard,
         |      length(text) - length(replace(text, ' ', '')) + 1 AS tokens
-        |    FROM documents))
+        |    FROM documents WHERE text IS NOT NULL))
         |ORDER BY doc_id""".stripMargin,
     "q_greedy_pack" ->
       s"""WITH RECURSIVE ord AS (
@@ -147,7 +153,7 @@ object Packing {
         |  FROM (
         |    SELECT doc_id, ${shardDuck("doc_id")} AS shard,
         |      length(text) - length(replace(text, ' ', '')) + 1 AS tokens
-        |    FROM documents)),
+        |    FROM documents WHERE text IS NOT NULL)),
         |packed AS (
         |  SELECT doc_id, shard, tokens, rn,
         |    CAST(0 AS BIGINT) AS bin, tokens AS fill

@@ -61,11 +61,9 @@ object Ranking {
     val ranged0 = df.repartitionByRange(parts, orderCols: _*)
     val ranged =
       if (reuseOn) ranged0
-      else {
-        val cached = ranged0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        cached.count() // materialize so both branches read the cache
-        cached
-      }
+      // eager localCheckpoint pins the sampled range boundaries: both
+      // branches read the materialized blocks, which free on GC
+      else ranged0.localCheckpoint()
     val local = ranged.sortWithinPartitions(orderCols: _*)
       .withColumn("__mid", monotonically_increasing_id())
       .withColumn("__pid", shiftrightunsigned(col("__mid"), 33))

@@ -145,9 +145,10 @@ object SignLsh {
                     greatest(col("pa"), col("pb")).as("b"))
           exact.union(hits)
         }
-      val out = all.distinct().persist()
-      out.count() // materialize before dropping the signature cache
-      out
+      // eager localCheckpoint: materialized before the signature cache
+      // drops, and the blocks free on GC instead of leaking in a
+      // long-lived session
+      all.distinct().localCheckpoint()
     } finally sigs.unpersist()
   }
 

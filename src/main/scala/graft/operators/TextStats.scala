@@ -318,14 +318,16 @@ object TextStats {
       i => concat_ws(" ", slice(ws, i * 10 + 1, lit(10))))
     val exploded = Tables.spread(Tables.documents(s, d))
       .select(col("doc_id"), posexplode(blocks).as(Seq("idx", "block")))
-    // the boilerplate set (df >= 3) is small by construction — only
-    // text repeated across documents — so it broadcasts and the
-    // reassembly side never shuffles by block; the one corpus-wide
-    // block shuffle is the document-frequency count itself
+    // the df>=3 boilerplate set is usually small, but on template-heavy
+    // corpora (headers, footers, license blurbs) it grows with corpus
+    // vocabulary — a forced broadcast would OOM executors at 100×.
+    // No hint: AQE sees the post-aggregation size at runtime and picks
+    // broadcast when the set is genuinely small, shuffled anti join
+    // when it is not (BoilerplateFallbackSpec pins both behaviors).
     val boiler = exploded.select(col("doc_id"), col("block")).distinct()
       .groupBy(col("block")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 3).select(col("block"))
-    val kept = exploded.join(broadcast(boiler), Seq("block"), "left_anti")
+    val kept = exploded.join(boiler, Seq("block"), "left_anti")
     kept
       .groupBy(col("doc_id"))
       .agg(

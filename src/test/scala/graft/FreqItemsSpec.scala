@@ -42,6 +42,25 @@ class FreqItemsSpec extends SparkSpec {
     assert(heavy._3 <= 2000L && 2000L <= heavy._4) // lb <= truth <= ub
   }
 
+  test("freq_items: maxMapSize validation is width-independent (Int and Long literals)") {
+    Graft.install(spark)
+    spark.range(1).createOrReplaceTempView("fi_one")
+    def run(sizeLiteral: String) =
+      spark.sql(s"SELECT freq_items(id, $sizeLiteral) FROM fi_one").collect()
+    // in-range powers of 2 pass at both widths
+    run("64"); run("CAST(64 AS BIGINT)")
+    // above 2^26, below 2^31: must fail as an INT literal too (the
+    // Int fall-through used to skip the upper bound)
+    Seq("134217728" /* 2^27 Int */,
+        "CAST(134217728 AS BIGINT)",
+        s"CAST(${1L << 33} AS BIGINT)" /* would wrap if truncated */,
+        "63" /* non-power-of-2 */,
+        "4"  /* below lower bound */).foreach { bad =>
+      val e = intercept[Exception](run(bad))
+      assert(e.getMessage.contains("power of 2"), s"$bad: ${e.getMessage}")
+    }
+  }
+
   private def rnd(xs: Seq[Long]): Seq[Long] =
     new scala.util.Random(5).shuffle(xs)
 }

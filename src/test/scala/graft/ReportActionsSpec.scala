@@ -177,4 +177,17 @@ class ReportActionsSpec extends SparkSpec {
       assert(lines.size <= n / 3 + 1, s"${lines.size} lines for $n records")
     } finally spark.sparkContext.removeSparkListener(l)
   }
+
+  test("dispatch: bare 'status' aliases status-brief, actions case-insensitive (report.py:217-225)") {
+    val brief = ReportActions.run(spark, "status-brief", filesDf, statusDf).collect()
+    val alias = ReportActions.run(spark, "status", filesDf, statusDf).collect()
+    assert(alias.toSeq == brief.toSeq)
+    // report.py lowercases config.action before dispatch — mixed case works
+    val upper = ReportActions.run(spark, "Status-Events", filesDf, statusDf)
+      .collect().map(_.getAs[String]("status"))
+    assert(upper.toSeq == Seq("begin", "end"))
+    // unknown actions still fail loudly
+    assertThrows[RuntimeException](
+      ReportActions.run(spark, "nonsense", filesDf, statusDf))
+  }
 }

@@ -229,4 +229,49 @@ class ScaleSpec extends SparkSpec {
     s2.sql("DROP TABLE IF EXISTS li_b")
     s2.sql("DROP TABLE IF EXISTS ord_b")
   }
+
+  test("large/small-star at adversarial scale: 100k edges, long path + high fanout") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    // the two shapes that break naive propagation, at spec-meaningful
+    // size: a 50k-edge path (diameter 50k — O(n) rounds for plain
+    // label propagation) and a 30k-leaf star hub (max fanout — the
+    // groupBy("u") hot key), plus 20k seeded random edges over a 60k-id
+    // block forming many mid-size components
+    val path = spark.range(0L, 50000L).select(col("id").as("a"), (col("id") + 1).as("b"))
+    val star = spark.range(100001L, 130001L).select(lit(100000L).as("a"), col("id").as("b"))
+    val rnd = new scala.util.Random(13)
+    val random = (1 to 20000)
+      .map(_ => (200000L + rnd.nextInt(60000), 200000L + rnd.nextInt(60000)))
+      .toDF("a", "b")
+    val edges = path.unionAll(star).unionAll(random).localCheckpoint()
+    val nEdges = edges.count()
+    assert(nEdges >= 100000L, s"fixture too small: $nEdges edges")
+
+    val (labelsDf, rounds) = Dedup.componentsLargeSmallStar(edges)
+    // O(log n), not O(diameter): 2·log2(50001) ≈ 31 vs ~50k propagation
+    // rounds on the path alone
+    assert(rounds <= 32, s"took $rounds rounds — not O(log n)")
+
+    val labels = labelsDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        if (a != b) {
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+      }
+      labels.keys.map(x => x -> find(x)).toMap
+    }
+    assert(labels == want, "star labels diverge from union-find ground truth")
+  }
 }
