@@ -262,6 +262,52 @@ object Dedup {
   val qDedupComponents: Q = (s, d) =>
     minhashComponents(s, d).orderBy("id")
 
+  // ---- Materialized dedup artifacts --------------------------------------
+  //
+  // The component-consuming queries (components, cluster_sizes,
+  // dedup_keep, lsh_precision) all sit on the SAME minhash signature →
+  // band bucket → candidate-pair pipeline. Run directly, each re-derives
+  // it from the corpus — four corpus scans for one dedup report at
+  // 100 TB. buildArtifacts materializes the pipeline ONCE as size-
+  // targeted parquet ([[OutputLayout.writeSized]]); the *FromArtifacts
+  // variants answer the same queries from the artifact (result-identical
+  // to the direct forms — DedupArtifactsSpec pins equality against the
+  // oracle-verified queries).
+
+  /** One-scan artifact build: candidate pairs (clustered on `a` for
+    * min/max pruning) and component labels (clustered on `id`). */
+  def buildArtifacts(s: SparkSession, d: String, out: String,
+      targetBytes: Long = 64L << 20): Unit = {
+    val pairs = minhashCandidatePairs(s, d).localCheckpoint()
+    OutputLayout.writeSized(pairs, s"$out/candidate_pairs", targetBytes, Seq("a", "b"))
+    val comps =
+      if (pairs.count() <= SmallGraphEdges) componentsContracted(pairs)
+      else componentsDistributed(pairs)
+    OutputLayout.writeSized(comps, s"$out/components", targetBytes, Seq("id"))
+  }
+
+  def candidatePairsArtifact(s: SparkSession, out: String): DataFrame =
+    s.read.parquet(s"$out/candidate_pairs")
+
+  def componentsArtifact(s: SparkSession, out: String): DataFrame =
+    s.read.parquet(s"$out/components")
+
+  /** Artifact-backed [[qDedupComponents]]. */
+  def componentsFromArtifacts(s: SparkSession, out: String): DataFrame =
+    componentsArtifact(s, out).orderBy("id")
+
+  /** Artifact-backed [[qClusterSizes]]. */
+  def clusterSizesFromArtifacts(s: SparkSession, out: String): DataFrame =
+    clusterSizesFrom(componentsArtifact(s, out))
+
+  /** Artifact-backed [[qDedupKeep]]. */
+  def dedupKeepFromArtifacts(s: SparkSession, d: String, out: String): DataFrame =
+    dedupKeepFrom(Tables.documents(s, d), componentsArtifact(s, out))
+
+  /** Artifact-backed [[qLshPrecision]]. */
+  def lshPrecisionFromArtifacts(s: SparkSession, d: String, out: String): DataFrame =
+    lshPrecisionFrom(s, d, candidatePairsArtifact(s, out))
+
   /** SimHash signatures, unsorted: 32-bit bit-majority over word hashes.
     * All 32 bit-balances accumulate as conditional sums in ONE hash
     * aggregation over the word rows (no per-bit row explosion), then the
@@ -502,9 +548,11 @@ object Dedup {
     * (edges, not documents); the drop list is component-members-minus-
     * representatives, joined back as an anti join that AQE turns into a
     * broadcast when small — the corpus itself is scanned once. */
-  val qDedupKeep: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-    val drop = minhashComponents(s, d)
+  val qDedupKeep: Q = (s, d) =>
+    dedupKeepFrom(Tables.documents(s, d), minhashComponents(s, d))
+
+  private def dedupKeepFrom(docs: DataFrame, comps: DataFrame): DataFrame = {
+    val drop = comps
       .filter(col("id") =!= col("comp")).select(col("id").as("doc_id"))
     docs.join(drop, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("source"), col("n_chars"))
@@ -516,7 +564,10 @@ object Dedup {
     * number every dedup run is judged by before anyone trusts its drop
     * list). Components machinery reused; two tiny aggs on top. */
   val qClusterSizes: Q = (s, d) =>
-    minhashComponents(s, d)
+    clusterSizesFrom(minhashComponents(s, d))
+
+  private def clusterSizesFrom(comps: DataFrame): DataFrame =
+    comps
       .groupBy("comp").agg(count(lit(1)).as("size"))
       .groupBy("size").agg(count(lit(1)).as("n_clusters"))
       .orderBy("size")
@@ -542,7 +593,10 @@ object Dedup {
     // for the branches below, but the blocks are context-cleaned when
     // the frame is GC'd — repeated calls in a long-lived session do
     // not accumulate cached blocks
-    val cand = minhashCandidatePairs(s, d).localCheckpoint()
+    lshPrecisionFrom(s, d, minhashCandidatePairs(s, d).localCheckpoint())
+  }
+
+  private def lshPrecisionFrom(s: SparkSession, d: String, cand: DataFrame): DataFrame = {
     val candDocs = cand.select(col("a").as("doc_id"))
       .unionAll(cand.select(col("b").as("doc_id"))).distinct()
     val docs = Tables.documents(s, d)

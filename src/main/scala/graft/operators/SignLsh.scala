@@ -177,14 +177,31 @@ object SignLsh {
     * scaled algorithm, hash-verified against the generated-SQL twin in
     * [[oracle]]. Candidate pairs only form inside a (band, key) bucket;
     * verification is the exact-decimal cosine at ≥ 0.3. */
-  val qSignlshNeardup: (org.apache.spark.sql.SparkSession, String) => DataFrame = (s, d) => {
+  private def decDot(a: Column, b: Column): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.DecimalDotExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** One hyperplane as ONE array literal node. The previous form —
+    * `array(64 × lit(v).cast(decimal))` — put 512 Cast(Literal) nodes
+    * into the pre-optimization plan per query (8 planes × 64 dims);
+    * constant folding collapsed them to the same single literal this
+    * builds directly, but the analyzer/optimizer paid for the big tree
+    * on every compile (~0.35 s/query of the seq bench was plan
+    * compilation). Identical decimals, identical plan after folding —
+    * only compile time changes. */
+  private def planeCol(w: Array[java.math.BigDecimal]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(org.apache.spark.sql.catalyst.expressions.Literal.create(
+      w.toSeq,
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DecimalType(12, 8), containsNull = false)))
+  }
+
+  val qSignlshNeardup: (org.apache.spark.sql.SparkSession, String) => DataFrame = (s, d) => {
     val planes = decimalHyperplanes(OracleParams, 64)
-    def dot(a: Column, b: Column): Column =
-      ColumnBridge.column(graft.functions.DecimalDotExpr(
-        ColumnBridge.expression(a), ColumnBridge.expression(b)))
-    def planeCol(w: Array[java.math.BigDecimal]): Column =
-      array(w.map(v => lit(v).cast(org.apache.spark.sql.types.DecimalType(12, 8))): _*)
+    def dot(a: Column, b: Column): Column = decDot(a, b)
     val emb = graft.Tables.embeddings(s, d)
     val de = Similarity.decVec(col("embedding"))
     val bandStructs = (0 until OracleParams.bands).map { b =>
@@ -193,9 +210,12 @@ object SignLsh {
       }.reduce(_ + _)
       struct(lit(b).as("band"), key.as("key"))
     }
+    // checkpoint: keys feeds BOTH sides of the self-join — uncached,
+    // the 4-dot-per-band signature pipeline would run once per branch
     val keys = emb
       .select(col("vec_id"), explode(array(bandStructs: _*)).as("s"))
       .select(col("vec_id"), col("s.band").as("band"), col("s.key").as("key"))
+      .localCheckpoint()
     val cand = keys.as("pa")
       .join(keys.as("pb"),
         col("pa.band") === col("pb.band") && col("pa.key") === col("pb.key") &&
@@ -204,11 +224,13 @@ object SignLsh {
       .distinct()
     // norms once per VECTOR, not per pair — the verify stage then costs
     // one decimal dot per candidate instead of three; the micros
-    // expression is the shared Similarity.cosMicrosPre contract
+    // expression is the shared Similarity.cosMicrosPre contract.
+    // Checkpointed for the same two-branch reason as keys.
     val withNorm = emb.select(col("vec_id"),
       Similarity.decVec(col("embedding")).as("de"))
       .select(col("vec_id"), col("de"),
         dot(col("de"), col("de")).cast(org.apache.spark.sql.types.DoubleType).as("nrm"))
+      .localCheckpoint()
     val ea = withNorm.select(col("vec_id").as("a"), col("de").as("ae"), col("nrm").as("na"))
     val eb = withNorm.select(col("vec_id").as("b"), col("de").as("be"), col("nrm").as("nb"))
     cand.join(ea, "a").join(eb, "b")
@@ -219,9 +241,75 @@ object SignLsh {
       .orderBy("a", "b")
   }
 
-  /** DuckDB twin, generated from the SAME seeded decimal hyperplanes:
-    * weights inlined as a VALUES table of exact decimal literals. */
-  private def oracleSqlText: String = {
+  /** Multiprobe sign-LSH through the oracle — the last branch of the
+    * production ANN path ([[candidatePairs]]'s `multiprobe > 0` arm)
+    * proven decimal-exact against DuckDB. Per (vector, band), the probe
+    * flips the single lowest-|margin| signature bit (the flip most
+    * likely to recover a near-miss pair); candidates are the exact
+    * same-bucket pairs UNION the asymmetric probe-bucket hits. Margins
+    * are exact decimals, so the flip-bit choice is engine-identical
+    * (ties break on bit index — also deterministic); verification is
+    * the same exact-decimal cosine at ≥ 0.3 as [[qSignlshNeardup]],
+    * making the result a strict superset of the exact-bucket query's. */
+  val qSignlshMultiprobe: (org.apache.spark.sql.SparkSession, String) => DataFrame = (s, d) => {
+    val planes = decimalHyperplanes(OracleParams, 64)
+    val emb = graft.Tables.embeddings(s, d)
+    val de = Similarity.decVec(col("embedding"))
+    val bandStructs = (0 until OracleParams.bands).map { b =>
+      val dots = (0 until OracleParams.bits).map(i => decDot(de, planeCol(planes(b)(i))))
+      val key = dots.zipWithIndex.map { case (dt, i) =>
+        when(dt >= 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      // lowest-|margin| bit mask: lexicographic struct sort on
+      // (|dot|, mask) — mask is monotone in bit index, so the tiebreak
+      // matches the oracle's ORDER BY abs(dot), bit
+      val margins = array(dots.zipWithIndex.map { case (dt, i) =>
+        struct(abs(dt).as("m"), lit(1L << i).as("bit"))
+      }: _*)
+      val flip = element_at(array_sort(margins), 1).getField("bit")
+      struct(lit(b).as("band"), key.as("key"), flip.as("flip"))
+    }
+    // checkpoint: keys feeds FOUR consumers (both exact self-join
+    // branches, the probe side, and the probe-target side) — uncached,
+    // the 8-dot signature+margin pipeline would run once per branch
+    val keys = emb
+      .select(col("vec_id"), explode(array(bandStructs: _*)).as("s"))
+      .select(col("vec_id"), col("s.band").as("band"), col("s.key").as("key"),
+        col("s.flip").as("flip"))
+      .localCheckpoint()
+    val exact = keys.as("pa")
+      .join(keys.as("pb"),
+        col("pa.band") === col("pb.band") && col("pa.key") === col("pb.key") &&
+          col("pa.vec_id") < col("pb.vec_id"))
+      .select(col("pa.vec_id").as("a"), col("pb.vec_id").as("b"))
+    val probes = keys.select(col("vec_id").as("qa"), col("band"),
+      col("key").bitwiseXOR(col("flip")).as("key"))
+    val hits = probes
+      .join(keys.select(col("vec_id").as("qb"), col("band"), col("key")),
+        Seq("band", "key"))
+      .filter(col("qa") =!= col("qb"))
+      .select(least(col("qa"), col("qb")).as("a"),
+        greatest(col("qa"), col("qb")).as("b"))
+    val cand = exact.unionAll(hits).distinct()
+    val withNorm = emb.select(col("vec_id"),
+      Similarity.decVec(col("embedding")).as("de"))
+      .select(col("vec_id"), col("de"),
+        decDot(col("de"), col("de")).cast(org.apache.spark.sql.types.DoubleType).as("nrm"))
+      .localCheckpoint()
+    val ea = withNorm.select(col("vec_id").as("a"), col("de").as("ae"), col("nrm").as("na"))
+    val eb = withNorm.select(col("vec_id").as("b"), col("de").as("be"), col("nrm").as("nb"))
+    cand.join(ea, "a").join(eb, "b")
+      .select(col("a"), col("b"),
+        Similarity.cosMicrosPre(decDot(col("ae"), col("be")), col("na"), col("nb"))
+          .as("sim_micros"))
+      .filter(col("sim_micros") >= 300000L)
+      .orderBy("a", "b")
+  }
+
+  /** Shared oracle CTE prefix: seeded weights as a VALUES table of
+    * exact decimal literals, exploded embedding elements, per-(vector,
+    * band, bit) exact decimal dots. */
+  private def dotsCtePrefix: String = {
     val planes = decimalHyperplanes(OracleParams, 64)
     val rows = for {
       b <- 0 until OracleParams.bands
@@ -239,12 +327,12 @@ object SignLsh {
        |keys AS (
        |  SELECT vec_id, band,
        |    CAST(SUM(CASE WHEN dot >= 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS key
-       |  FROM dots GROUP BY 1, 2),
-       |pairs AS (
-       |  SELECT DISTINCT a.vec_id AS a, b.vec_id AS b
-       |  FROM keys a JOIN keys b
-       |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
-       |nrm AS (SELECT vec_id, SUM(x*x) AS nrm FROM el GROUP BY vec_id),
+       |  FROM dots GROUP BY 1, 2),""".stripMargin
+  }
+
+  /** Shared oracle suffix: exact-decimal cosine verify over `pairs`. */
+  private val verifySqlSuffix: String =
+    s"""nrm AS (SELECT vec_id, SUM(x*x) AS nrm FROM el GROUP BY vec_id),
        |pd AS (
        |  SELECT p.a, p.b, SUM(ea.x * eb.x) AS dot
        |  FROM pairs p
@@ -258,12 +346,49 @@ object SignLsh {
        |  JOIN nrm na ON d.a = na.vec_id
        |  JOIN nrm nb ON d.b = nb.vec_id)
        |WHERE sim_micros >= 300000 ORDER BY a, b""".stripMargin
-  }
+
+  /** DuckDB twin of [[qSignlshNeardup]], generated from the SAME seeded
+    * decimal hyperplanes. */
+  private def oracleSqlText: String =
+    s"""$dotsCtePrefix
+       |pairs AS (
+       |  SELECT DISTINCT a.vec_id AS a, b.vec_id AS b
+       |  FROM keys a JOIN keys b
+       |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+       |$verifySqlSuffix""".stripMargin
+
+  /** DuckDB twin of [[qSignlshMultiprobe]]: the flip bit is the
+    * row_number()=1 bit under (abs(dot), bit) — the same total order as
+    * the Spark struct sort. */
+  private def multiprobeSqlText: String =
+    s"""$dotsCtePrefix
+       |fb AS (
+       |  SELECT vec_id, band, CAST(1 << bit AS BIGINT) AS flip FROM (
+       |    SELECT vec_id, band, bit,
+       |      row_number() OVER (PARTITION BY vec_id, band ORDER BY abs(dot), bit) AS rn
+       |    FROM dots) WHERE rn = 1),
+       |k2 AS (
+       |  SELECT k.vec_id, k.band, k.key, xor(k.key, f.flip) AS pkey
+       |  FROM keys k JOIN fb f ON k.vec_id = f.vec_id AND k.band = f.band),
+       |pairs AS (
+       |  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM (
+       |    SELECT a.vec_id AS x, b.vec_id AS y
+       |    FROM k2 a JOIN k2 b
+       |      ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+       |    UNION ALL
+       |    SELECT a.vec_id, b.vec_id
+       |    FROM k2 a JOIN k2 b
+       |      ON a.band = b.band AND a.pkey = b.key AND a.vec_id <> b.vec_id)),
+       |$verifySqlSuffix""".stripMargin
 
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
-    Map("q_signlsh_neardup" -> qSignlshNeardup)
+    Map(
+      "q_signlsh_neardup" -> qSignlshNeardup,
+      "q_signlsh_multiprobe" -> qSignlshMultiprobe)
 
-  val oracle: Map[String, String] = Map("q_signlsh_neardup" -> oracleSqlText)
+  val oracle: Map[String, String] = Map(
+    "q_signlsh_neardup" -> oracleSqlText,
+    "q_signlsh_multiprobe" -> multiprobeSqlText)
 
   /** End-to-end near-dup: candidates → float-cosine verify → threshold.
     * Returns (a, b, sim). The verify joins are shuffle joins on vec_id;

@@ -109,10 +109,13 @@ object Similarity {
   val qEmbeddingNeardup: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     // per-vector norms (see qAnnTopk) — one decimal dot per pair
+    // checkpointed: both self-join branches read the signature table;
+    // uncached, the decVec + norm-dot pipeline would run once per side
     val buckets = emb.select(
       col("vec_id"), signBucket(col("embedding")).as("bkt"),
       decVec(col("embedding")).as("de"))
       .withColumn("nrm", decDot(col("de"), col("de")).cast(DoubleType))
+      .localCheckpoint()
     val pairs = buckets.as("pa")
       .join(buckets.as("pb"),
         col("pa.bkt") === col("pb.bkt") && col("pa.vec_id") < col("pb.vec_id"))
