@@ -18,6 +18,7 @@ object Diag {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$sfDir/lineitem.parquet").count() // warm
+    if (name == "dedup_family") { dedupFamily(spark, sfDir); spark.stop(); return }
     val fn = SparkEntry.queries(name)
     fn(spark, sfDir).explain("formatted")
     (1 to 3).foreach { i =>
@@ -26,5 +27,32 @@ object Diag {
       println(f"run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
     spark.stop()
+  }
+
+  /** Direct vs artifact-backed dedup report family (components,
+    * cluster_sizes, dedup_keep, lsh_precision): four pipeline
+    * re-derivations vs one build + four artifact reads. */
+  private def dedupFamily(spark: SparkSession, sfDir: String): Unit = {
+    import graft.operators.Dedup
+    def timed(label: String)(f: => Long): Double = {
+      val t0 = System.nanoTime()
+      val n = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"$label: $s%.2f s ($n rows)")
+      s
+    }
+    val direct =
+      timed("direct components")(Dedup.qDedupComponents(spark, sfDir).collect().length.toLong) +
+      timed("direct cluster_sizes")(Dedup.qClusterSizes(spark, sfDir).collect().length.toLong) +
+      timed("direct dedup_keep")(Dedup.qDedupKeep(spark, sfDir).collect().length.toLong) +
+      timed("direct lsh_precision")(Dedup.qLshPrecision(spark, sfDir).collect().length.toLong)
+    val out = java.nio.file.Files.createTempDirectory("dedup-artifacts").toString
+    val build = timed("buildArtifacts")({ Dedup.buildArtifacts(spark, sfDir, out); 0L })
+    val art =
+      timed("artifact components")(Dedup.componentsFromArtifacts(spark, out).collect().length.toLong) +
+      timed("artifact cluster_sizes")(Dedup.clusterSizesFromArtifacts(spark, out).collect().length.toLong) +
+      timed("artifact dedup_keep")(Dedup.dedupKeepFromArtifacts(spark, sfDir, out).collect().length.toLong) +
+      timed("artifact lsh_precision")(Dedup.lshPrecisionFromArtifacts(spark, sfDir, out).collect().length.toLong)
+    println(f"family total: direct $direct%.2f s vs build $build%.2f s + artifact-backed $art%.2f s")
   }
 }

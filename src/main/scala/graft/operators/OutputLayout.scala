@@ -19,12 +19,22 @@ object OutputLayout {
 
   /** Output partition (≈ file) count so each file lands near
     * `targetBytes` of in-memory row data. Parquet compresses 2-5×, so
-    * aim `targetBytes` at ~3× the on-disk size you want. */
+    * aim `targetBytes` at ~3× the on-disk size you want.
+    *
+    * Leaf nodes without statistics (a localCheckpointed frame plans as
+    * LogicalRDD, whose size estimate is the `defaultSizeInBytes`
+    * "unknown" sentinel ≈ Long.MaxValue) would clamp to the 2^20 cap —
+    * a million-partition shuffle write for a table of any size. Fall
+    * back to the frame's current partition count instead: checkpointed
+    * data is already shaped by the shuffle that produced it. */
   def sizedPartitionCount(df: DataFrame, targetBytes: Long): Int = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val n = (bytes + targetBytes - 1) / targetBytes
-    n.min(BigInt(1) << 20).max(1).toInt
+    if (bytes >= BigInt(Long.MaxValue) / 2) df.rdd.getNumPartitions.max(1)
+    else {
+      val n = (bytes + targetBytes - 1) / targetBytes
+      n.min(BigInt(1) << 20).max(1).toInt
+    }
   }
 
   /** Write `df` as ~`targetBytes`-sized parquet files. With
