@@ -10,11 +10,17 @@ import org.apache.spark.sql.types._
   * sequence (drop schema cascade → create schema → search_path → drop
   * tables → create files/status).
   *
-  * No live Postgres exists in the test environment, so fidelity is
-  * asserted two ways: the `postgres` dialect's generated DDL text is
-  * spec-pinned verbatim, and the `derby` dialect maps the same logical
-  * schema onto embedded Derby types and is executed + round-tripped
-  * against a real database in JdbcSinkSpec.
+  * Fidelity is asserted three ways: the `postgres` dialect's generated
+  * DDL text is spec-pinned verbatim; the `derby` dialect maps the same
+  * logical schema onto embedded Derby types and is executed +
+  * round-tripped against a real database in JdbcSinkSpec; and the
+  * postgres dialect is EXECUTED against a live throwaway PostgreSQL 15
+  * cluster in PgLiveSpec (catalog types, hostile bytea/bit(19) rows,
+  * live role authorization — everything the reference itself runs
+  * through DDL/DML). The one leg still untestable in this sandbox is
+  * Spark's own `df.write.jdbc` against postgres: no postgresql JDBC
+  * driver jar is available offline, so [[PgCrawlDialect]]'s type
+  * mapping is exercised only through the dialect unit tests.
   */
 object PgDdl {
 
