@@ -623,7 +623,27 @@ object Dedup {
         when(col("n_cand") > 0, expr("(n_true * 100) div n_cand")).otherwise(lit(0L)))
   }
 
+  /** Cross-source near-dup contamination matrix — which source pairs
+    * leak into each other (the diagnostic behind train/eval splits and
+    * crawl-overlap audits): minhash-LSH candidate pairs joined back to
+    * each side's source, counted per unordered source pair. The pair
+    * table is candidate-graph sized (not corpus sized) and the source
+    * dimension joins shuffle on doc_id; the matrix itself is
+    * |sources|² rows at most — tiny at any scale. */
+  val qDupMatrix: Q = (s, d) => {
+    val pairs = minhashCandidatePairs(s, d)
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("a"), col("source").as("sa")), Seq("a"))
+      .join(src.select(col("doc_id").as("b"), col("source").as("sb")), Seq("b"))
+      .select(least(col("sa"), col("sb")).as("src1"),
+              greatest(col("sa"), col("sb")).as("src2"))
+      .groupBy("src1", "src2").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("src1", "src2")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_dup_matrix" -> qDupMatrix,
     "q_lsh_precision" -> qLshPrecision,
     "q_cluster_sizes" -> qClusterSizes,
     "q_dedup_exact" -> qDedupExact,
@@ -679,6 +699,15 @@ object Dedup {
     "q_dedup_minhash_lsh" ->
       (s"WITH $minhashCandCte\n" +
        "SELECT a, b FROM cand ORDER BY a, b"),
+    "q_dup_matrix" ->
+      (s"WITH $minhashCandCte\n" +
+       """SELECT least(da.source, db.source) AS src1,
+         |  greatest(da.source, db.source) AS src2,
+         |  COUNT(*) AS n_pairs
+         |FROM cand c
+         |JOIN documents da ON c.a = da.doc_id
+         |JOIN documents db ON c.b = db.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     "q_dedup_components" ->
       (s"WITH RECURSIVE $minhashCandCte,\n" +
        "edges2 AS (SELECT a, b FROM cand UNION ALL SELECT b, a FROM cand),\n" +

@@ -250,10 +250,38 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Symmetric int8 embedding quantization — the model-ready storage
+    * step of an embedding pipeline (4× smaller vectors for the ANN
+    * index/serving tier). Per vector: scale = max |x_i| and
+    * q_i = round(127·x_i/scale), computed ENTIRELY in integer unscaled
+    * space (u_i = x_i·10⁸ exact; round-half-away = sign·((254·|u|+S)
+    * div (2·S)) — truncating integer division on non-negatives is
+    * engine-identical, so no float or decimal-division rounding rule
+    * is ever consulted). Scale shape: one scan, a per-vec_id window
+    * max on a high-cardinality key (fully parallel), no join. The
+    * oracle slice keeps vec_id < 100 to bound output; the operator
+    * itself has no such limit. */
+  val qQuantizeEmbed: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, d).filter(col("vec_id") < 100)
+    emb.select(col("vec_id"), posexplode(decVec(col("embedding"))).as(Seq("i0", "x")))
+      .withColumn("u", (col("x") * lit(100000000L)).cast(LongType))
+      .withColumn("sc", max(abs(col("u"))).over(Window.partitionBy("vec_id")))
+      .select(
+        col("vec_id"),
+        (col("i0") + 1).cast(LongType).as("idx"),
+        when(col("sc") === 0L, 0L).otherwise(
+          (when(col("u") < 0L, -1L).otherwise(when(col("u") > 0L, 1L).otherwise(0L))) *
+            expr("(254 * abs(u) + sc) div (2 * sc)")).as("q"),
+        col("sc").as("scale_unscaled"))
+      .orderBy("vec_id", "idx")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_ann_topk" -> qAnnTopk,
     "q_embedding_neardup" -> qEmbeddingNeardup,
-    "q_embedding_norms" -> qEmbeddingNorms
+    "q_embedding_norms" -> qEmbeddingNorms,
+    "q_quantize_embed" -> qQuantizeEmbed
   )
 
   val oracle: Map[String, String] = Map(
@@ -324,6 +352,21 @@ object Similarity {
         |  CAST(MIN(m) AS BIGINT) AS min_norm2_micros,
         |  CAST(MAX(m) AS BIGINT) AS max_norm2_micros,
         |  CAST(CAST(SUM(m) AS BIGINT) // COUNT(*) AS BIGINT) AS avg_norm2_micros
-        |FROM m GROUP BY label ORDER BY label""".stripMargin
+        |FROM m GROUP BY label ORDER BY label""".stripMargin,
+    "q_quantize_embed" ->
+      """WITH el AS (
+        |  SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) AS x
+        |  FROM (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS i
+        |        FROM embeddings WHERE vec_id < 100)),
+        |u AS (SELECT vec_id, i, CAST(x * 100000000 AS BIGINT) AS u FROM el),
+        |sc AS (SELECT vec_id, MAX(abs(u)) AS sc FROM u GROUP BY vec_id)
+        |SELECT u.vec_id, CAST(u.i AS BIGINT) AS idx,
+        |  CASE WHEN sc.sc = 0 THEN 0
+        |       ELSE (CASE WHEN u.u < 0 THEN -1 WHEN u.u > 0 THEN 1 ELSE 0 END)
+        |            * CAST((254 * abs(u.u) + sc.sc) // (2 * sc.sc) AS BIGINT)
+        |  END AS q,
+        |  sc.sc AS scale_unscaled
+        |FROM u JOIN sc ON u.vec_id = sc.vec_id
+        |ORDER BY u.vec_id, idx""".stripMargin
   )
 }
