@@ -1,0 +1,102 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming near-duplicate suppression — the ingest-time half of the
+  * dedup story (operators/Dedup.scala is the batch half): a document
+  * stream keeps only the FIRST arrival per 32-bit simhash signature,
+  * so re-crawled pages, mirrored posts, and word-order shuffles of
+  * already-seen text (same word multiset → same signature) never reach
+  * the corpus.
+  *
+  * Shape: the signature is a pure per-row JVM computation (no shuffle,
+  * no state), then ONE `flatMapGroupsWithState` keyed by signature with
+  * O(1) state per distinct signature — the first doc_id — and an
+  * event-time TTL so state is bounded by the dedup horizon, not the
+  * stream's lifetime (the same contract as
+  * `dropDuplicatesWithinWatermark`, which covers EXACT text; this
+  * covers the word-multiset near-dup class that exact hashing misses).
+  * At scale the state shuffles as (signature, first_id) pairs only.
+  *
+  * Determinism within a micro-batch: arrivals sort by (event time,
+  * doc_id) before the keep decision, so replay after failure keeps the
+  * same winner (exactly the A5 first-wins rule the batch side uses).
+  */
+object StreamDedup {
+
+  case class StreamDoc(doc_id: Long, text: String, ts: Timestamp)
+  case class KeptDoc(doc_id: Long, simhash: Long, ts: Timestamp)
+  private[streaming] case class SigState(firstId: Long)
+
+  /** Plain-JVM twin of [[graft.functions.Exprs.md5Long]]: first 15 hex
+    * chars of md5, parsed base-16 (60-bit positive). Bit-identical to
+    * the Catalyst expression — StreamDedupSpec pins equality against
+    * the batch [[graft.operators.Dedup.simhashSignatures]]. */
+  def md5Long(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = d.take(8).map(b => f"$b%02x").mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  /** Plain-JVM twin of the batch simhash: per word (whitespace split,
+    * empties dropped) each of the 32 low bits of md5Long votes ±1; the
+    * signature sets bit b iff the vote sum is strictly positive. */
+  def simhash32(text: String): Long = {
+    val votes = new Array[Long](32)
+    text.split(" ").foreach { w =>
+      if (w.nonEmpty) {
+        val h = md5Long(w)
+        var b = 0
+        while (b < 32) {
+          if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 32) { if (votes(b) > 0) sig |= 1L << b; b += 1 }
+    sig
+  }
+
+  /** First-arrival-wins near-dup suppression. `ttl` bounds how long a
+    * signature blocks re-ingestion (and therefore state size); after
+    * the watermark passes a signature's last arrival + ttl, the state
+    * drops and the text may enter again (the re-crawl refresh case). */
+  def suppressNearDups(
+      docs: Dataset[StreamDoc],
+      watermarkDelay: String = "10 seconds",
+      ttlMillis: Long = 3600 * 1000L): Dataset[KeptDoc] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .map(d => (d.doc_id, simhash32(d.text), d.ts))
+      .toDF("doc_id", "simhash", "ts")
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, Long, Timestamp)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (sig: Long, rows: Iterator[(Long, Long, Timestamp)],
+         st: GroupState[SigState]) => {
+          if (st.hasTimedOut) { st.remove(); Iterator.empty }
+          else {
+            // deterministic first-wins within the batch: event time,
+            // then doc_id (replay-stable)
+            val arrivals = rows.toArray.sortBy(r => (r._3.getTime, r._1))
+            val kept: Iterator[KeptDoc] =
+              if (st.exists) Iterator.empty
+              else arrivals.headOption.map { first =>
+                st.update(SigState(first._1))
+                KeptDoc(first._1, sig, first._3)
+              }.iterator
+            if (st.exists && arrivals.nonEmpty)
+              st.setTimeoutTimestamp(arrivals.map(_._3.getTime).max + ttlMillis)
+            kept
+          }
+        })
+  }
+}
