@@ -623,6 +623,55 @@ object Dedup {
         when(col("n_cand") > 0, expr("(n_true * 100) div n_cand")).otherwise(lit(0L)))
   }
 
+  /** MinHash calibration report — the sketch-accuracy counterpart of
+    * [[qLshPrecision]]: per candidate pair, the Jaccard ESTIMATE the
+    * 8-permutation signature implies (agreeing components / 8, as
+    * permille) next to the TRUE distinct-5-gram Jaccard (gram-level
+    * intersect join, integer cross-multiplied). This is the number
+    * that justifies permutation count: est−true spread shrinks as
+    * 1/√k, and a fleet tunes k from THIS report, not from folklore.
+    * All integer arithmetic — engine-identical by construction; the
+    * exact side is bounded one-gram-per-row work on candidate docs
+    * only, like the precision report. */
+  val qMinhashEstimate: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val sig = minhashSignatures(docs).localCheckpoint()
+    val cand = minhashCandidatePairs(s, d).localCheckpoint()
+    val sa = sig.select(col("doc_id").as("a") +:
+      (0 until 8).map(j => col(s"m$j").as(s"a$j")): _*)
+    val sb = sig.select(col("doc_id").as("b") +:
+      (0 until 8).map(j => col(s"m$j").as(s"b$j")): _*)
+    val est = (0 until 8)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
+      .reduce(_ + _) * lit(125L)
+    // exact side: distinct 5-gram sets (the signature's own shingle
+    // family) intersected gram-by-gram — one gram per row, bounded
+    val candDocs = cand.select(col("a").as("doc_id"))
+      .unionAll(cand.select(col("b").as("doc_id"))).distinct()
+    val g = Tables.spread(docs.join(broadcast(candDocs), Seq("doc_id")))
+      .select(col("doc_id"),
+        explode(sequence(lit(1), greatest(length(col("text")) - 4, lit(1)), lit(5))).as("i"),
+        col("text"))
+      .select(col("doc_id"), expr("substr(text, i, 5)").as("gram"))
+      .distinct()
+      .localCheckpoint()
+    val sz = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(g.select(col("doc_id").as("a"), col("gram")), Seq("a"))
+      .join(g.select(col("doc_id").as("b"), col("gram")), Seq("b", "gram"))
+      .groupBy("a", "b").agg(count(lit(1)).as("i_n"))
+    cand
+      .join(inter, Seq("a", "b"), "left")
+      .join(sz.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+      .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+      .join(sa, Seq("a")).join(sb, Seq("b"))
+      .select(col("a"), col("b"),
+        est.as("est_permille"),
+        expr("coalesce(i_n, 0) * 1000 div (na + nb - coalesce(i_n, 0))")
+          .cast(org.apache.spark.sql.types.LongType).as("jac_permille"))
+      .orderBy("a", "b")
+  }
+
   /** Cross-source near-dup contamination matrix — which source pairs
     * leak into each other (the diagnostic behind train/eval splits and
     * crawl-overlap audits): minhash-LSH candidate pairs joined back to
@@ -643,6 +692,7 @@ object Dedup {
   }
 
   val queries: Map[String, Q] = Map(
+    "q_minhash_estimate" -> qMinhashEstimate,
     "q_dup_matrix" -> qDupMatrix,
     "q_lsh_precision" -> qLshPrecision,
     "q_cluster_sizes" -> qClusterSizes,
@@ -699,6 +749,36 @@ object Dedup {
     "q_dedup_minhash_lsh" ->
       (s"WITH $minhashCandCte\n" +
        "SELECT a, b FROM cand ORDER BY a, b"),
+    "q_minhash_estimate" ->
+      (s"WITH $minhashCandCte,\n" +
+       """gpos AS (
+         |  SELECT doc_id, unnest(generate_series(1, greatest(length(text)-4, 1), 5)) AS i, text
+         |  FROM documents),
+         |g2 AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS gram FROM gpos),
+         |sz2 AS (SELECT doc_id, COUNT(*) AS n FROM g2 GROUP BY doc_id),
+         |iv AS (
+         |  SELECT c.a, c.b, COUNT(gb2.gram) AS inter_n
+         |  FROM cand c
+         |  LEFT JOIN g2 ga2 ON ga2.doc_id = c.a
+         |  LEFT JOIN g2 gb2 ON gb2.doc_id = c.b AND ga2.gram = gb2.gram
+         |  GROUP BY c.a, c.b)
+         |SELECT c.a, c.b,
+         |  CAST(((CASE WHEN x.m0 = y.m0 THEN 1 ELSE 0 END) +
+         |        (CASE WHEN x.m1 = y.m1 THEN 1 ELSE 0 END) +
+         |        (CASE WHEN x.m2 = y.m2 THEN 1 ELSE 0 END) +
+         |        (CASE WHEN x.m3 = y.m3 THEN 1 ELSE 0 END) +
+         |        (CASE WHEN x.m4 = y.m4 THEN 1 ELSE 0 END) +
+         |        (CASE WHEN x.m5 = y.m5 THEN 1 ELSE 0 END) +
+         |        (CASE WHEN x.m6 = y.m6 THEN 1 ELSE 0 END) +
+         |        (CASE WHEN x.m7 = y.m7 THEN 1 ELSE 0 END)) * 125 AS BIGINT) AS est_permille,
+         |  CAST(iv.inter_n * 1000 // (sa.n + sb.n - iv.inter_n) AS BIGINT) AS jac_permille
+         |FROM cand c
+         |JOIN sig x ON c.a = x.doc_id
+         |JOIN sig y ON c.b = y.doc_id
+         |JOIN iv ON iv.a = c.a AND iv.b = c.b
+         |JOIN sz2 sa ON c.a = sa.doc_id
+         |JOIN sz2 sb ON c.b = sb.doc_id
+         |ORDER BY c.a, c.b""".stripMargin),
     "q_dup_matrix" ->
       (s"WITH $minhashCandCte\n" +
        """SELECT least(da.source, db.source) AS src1,
