@@ -74,7 +74,10 @@ object Bench {
       }
       val r = Await.result(Future.sequence(futures), Duration.Inf).toMap
       pool.shutdown()
-      spark.catalog.clearCache() // self-join persists must not leak into the seq pass
+      // CacheManager entries (if any query persists) must not leak into
+      // the seq pass; localCheckpoint blocks free via ContextCleaner
+      // once the per-query frames are unreferenced and GC runs
+      spark.catalog.clearCache()
       r
     }
 

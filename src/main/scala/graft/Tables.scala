@@ -30,9 +30,16 @@ object Tables {
   private val tableCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // drop entries for stopped sessions so a JVM that churns sessions
+    // (the test suite) does not retain every dead session's plans and
+    // file listings for its lifetime
+    tableCache.keysIterator
+      .filter(_._1.sparkContext.isStopped)
+      .foreach(tableCache.remove)
     tableCache.getOrElseUpdate((spark, s"$dir/$name.parquet"),
       spark.read.parquet(s"$dir/$name.parquet"))
+  }
 
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")

@@ -144,7 +144,10 @@ object ReportActions {
     // report.py:217 lowercases the action before dispatch
     // (config.action.lower()), and report.py:224-225 accepts bare
     // "status" as an alias for the brief view — both mirrored here.
-    action.toLowerCase match {
+    // Locale.ROOT: Python's str.lower() is locale-independent; the
+    // default-locale toLowerCase would turn "FILES" into dotless-ı
+    // "fıles" under Turkish-family locales and miss every case.
+    action.toLowerCase(java.util.Locale.ROOT) match {
       case "schema-files"    => schemaOf(files, spark)
       case "schema-status"   => schemaOf(status, spark)
       case "schema-all"      => schemaOf(files, spark).unionAll(schemaOf(status, spark))

@@ -24,7 +24,15 @@ import graft.functions.Exprs._
   * localCheckpoint blocks are registered with the ContextCleaner and
   * free automatically when the checkpointed frame is garbage-collected —
   * repeated query calls in a long-lived session cannot accumulate
-  * cached blocks.
+  * cached blocks. Two deliberate trade-offs, chosen because these are
+  * QUERY-SCOPED intermediates (derived in seconds, dead at query end):
+  * lineage is truncated, so an executor lost mid-query fails that one
+  * query instead of recomputing the lost partitions (rerun-on-failure,
+  * the normal contract for interactive analytics — a multi-hour
+  * pipeline stage should persist/write instead); and
+  * `catalog.clearCache()` does not free them (only GC does), so block
+  * lifetime is bounded by reference lifetime, not by cache-management
+  * calls.
   */
 object Dedup {
 
@@ -78,9 +86,15 @@ object Dedup {
     * shingle→signature pipeline runs ONCE (it is tiny: ≤2 rows/doc of
     * (long-ish string, id)), not once per join branch. */
   /** Unsorted minhash-LSH candidate pairs (a < b). */
-  def minhashCandidatePairs(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select("doc_id", "text")
-    val sig = minhashSignatures(docs)
+  def minhashCandidatePairs(s: SparkSession, d: String): DataFrame =
+    candidatePairsFromSig(minhashSignatures(
+      Tables.documents(s, d).select("doc_id", "text")))
+
+  /** Candidate pairs from an already-computed signature table —
+    * consumers that also need the signatures themselves
+    * ([[qMinhashEstimate]]) pass their checkpointed frame so the
+    * shingle→md5→min aggregation runs ONCE, not once per use. */
+  private[graft] def candidatePairsFromSig(sig: DataFrame): DataFrame = {
     // 2 bands × 4 rows (threshold ≈ (1/2)^(1/4) ≈ 0.84 — genuine
     // near-dups; 4 bands × 2 rows fires on ~half-similar docs, which on
     // a shared-vocabulary corpus floods the candidate set). Keys
@@ -636,7 +650,9 @@ object Dedup {
   val qMinhashEstimate: Q = (s, d) => {
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val sig = minhashSignatures(docs).localCheckpoint()
-    val cand = minhashCandidatePairs(s, d).localCheckpoint()
+    // candidates derive from the SAME checkpointed signature table the
+    // estimate columns read — the shingle pipeline runs once
+    val cand = candidatePairsFromSig(sig).localCheckpoint()
     val sa = sig.select(col("doc_id").as("a") +:
       (0 until 8).map(j => col(s"m$j").as(s"a$j")): _*)
     val sb = sig.select(col("doc_id").as("b") +:

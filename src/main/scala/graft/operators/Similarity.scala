@@ -258,12 +258,9 @@ object Similarity {
     * div (2·S)) — truncating integer division on non-negatives is
     * engine-identical, so no float or decimal-division rounding rule
     * is ever consulted). Scale shape: one scan, a per-vec_id window
-    * max on a high-cardinality key (fully parallel), no join. The
-    * oracle slice keeps vec_id < 100 to bound output; the operator
-    * itself has no such limit. */
-  val qQuantizeEmbed: Q = (s, d) => {
+    * max on a high-cardinality key (fully parallel), no join. */
+  def quantizeEmbeddings(emb: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val emb = Tables.embeddings(s, d).filter(col("vec_id") < 100)
     emb.select(col("vec_id"), posexplode(decVec(col("embedding"))).as(Seq("i0", "x")))
       .withColumn("u", (col("x") * lit(100000000L)).cast(LongType))
       .withColumn("sc", max(abs(col("u"))).over(Window.partitionBy("vec_id")))
@@ -276,6 +273,11 @@ object Similarity {
         col("sc").as("scale_unscaled"))
       .orderBy("vec_id", "idx")
   }
+
+  /** Oracle slice of [[quantizeEmbeddings]]: vec_id < 100 bounds the
+    * dumped output; the operator itself is unlimited. */
+  val qQuantizeEmbed: Q = (s, d) =>
+    quantizeEmbeddings(Tables.embeddings(s, d).filter(col("vec_id") < 100))
 
   val queries: Map[String, Q] = Map(
     "q_ann_topk" -> qAnnTopk,

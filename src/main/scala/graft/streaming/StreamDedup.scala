@@ -74,6 +74,11 @@ object StreamDedup {
     val s = docs.sparkSession
     import s.implicits._
     docs
+      // NULL-text docs carry no signature: the batch twin's explode
+      // emits no word rows for them, so they are absent from batch
+      // signatures — mirror that by dropping them here instead of
+      // NPE-ing the stream on text.split
+      .filter((d: StreamDoc) => d.text != null)
       .map(d => (d.doc_id, simhash32(d.text), d.ts))
       .toDF("doc_id", "simhash", "ts")
       .withWatermark("ts", watermarkDelay)
@@ -93,8 +98,16 @@ object StreamDedup {
                 st.update(SigState(first._1))
                 KeptDoc(first._1, sig, first._3)
               }.iterator
-            if (st.exists && arrivals.nonEmpty)
-              st.setTimeoutTimestamp(arrivals.map(_._3.getTime).max + ttlMillis)
+            if (st.exists && arrivals.nonEmpty) {
+              // clamp: a replayed/backfilled arrival older than
+              // (watermark - ttl) would compute a timeout BEHIND the
+              // watermark, and setTimeoutTimestamp throws on that —
+              // which would kill the whole ingest query. Late data
+              // still gets a state entry; it just expires at the next
+              // watermark advance instead of crashing.
+              val computed = arrivals.map(_._3.getTime).max + ttlMillis
+              st.setTimeoutTimestamp(math.max(computed, st.getCurrentWatermarkMs() + 1))
+            }
             kept
           }
         })

@@ -63,15 +63,22 @@ class PgLiveSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def beforeAll(): Unit = {
     super.beforeAll()
-    pgBin.foreach { bin =>
+    // any bootstrap failure (no postgres OS user, non-root JVM that
+    // cannot chown/su, server refuses to start) leaves up=false and
+    // the tests CANCEL via live() instead of aborting the suite — the
+    // same environment-block contract as absent binaries
+    try pgBin.foreach { bin =>
       base = Files.createTempDirectory("graft-pglive")
-      assert(Seq("chown", "-R", "postgres:postgres", base.toString).! == 0)
+      require(Seq("chown", "-R", "postgres:postgres", base.toString).! == 0, "chown failed")
       val (i, iOut) = sh(s"$bin/initdb -D $base/data -E UTF8 --no-sync")
-      assert(i == 0, s"initdb failed:\n$iOut")
+      require(i == 0, s"initdb failed:\n$iOut")
       val (s0, sOut) = sh(
         s"""$bin/pg_ctl -D $base/data -o "-k $base -p $port -c listen_addresses=''" -w -l $base/pg.log start""")
-      assert(s0 == 0, s"pg_ctl start failed:\n$sOut")
+      require(s0 == 0, s"pg_ctl start failed:\n$sOut")
       up = true
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[PgLiveSpec] live PG unavailable, tests will cancel: ${e.getMessage}")
     }
   }
 
@@ -84,7 +91,7 @@ class PgLiveSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   private def live(): Unit =
-    assume(up, "PostgreSQL server binaries not present in this environment")
+    assume(up, "live PostgreSQL unavailable in this environment (binaries, OS user, or privileges)")
 
   private val schema = "storcrawl_live"
 
