@@ -159,6 +159,52 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** Deterministic source-mixture rebalancing — the data-mixing stage
+    * of a training pipeline: every source downsamples to (approximately)
+    * the SMALLEST source's volume, giving a uniform mixture without
+    * hardcoded per-source weights. Keep rule is the stratified-sample
+    * integer cross-multiply (h·n_source < min_n·1000) on a content
+    * hash, so membership is order-, partitioning-, and cluster-size-
+    * independent, and the kept fraction tracks min_n/n_source exactly
+    * in expectation. One hash-agg for the counts (broadcast — one row
+    * per source), one scan for the keep predicate. */
+  val qSourceMixture: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_source"))
+    val minN = counts.agg(min(col("n_source")).as("min_n"))
+    docs
+      .withColumn("h", pmod(
+        graft.functions.Exprs.md5Long(concat(lit("mix|"), col("doc_id").cast("string"))),
+        lit(1000)))
+      .join(broadcast(counts), "source")
+      .crossJoin(broadcast(minN))
+      .filter(col("h") * col("n_source") < col("min_n") * lit(1000L))
+      .groupBy(col("source"))
+      .agg(max(col("n_source")).as("n_source"), count(lit(1)).as("n_kept"))
+      .orderBy("source")
+  }
+
+  /** Per-source token-budget selection — "take the first N tokens of
+    * each source": ascending doc_id, keep documents while the running
+    * whitespace-token sum stays within budget. Per-source running sums
+    * are inherently sequential, so the window partitions on source —
+    * S parallel chains, the same shape [[Packing.packChunks]] uses per
+    * shard; for a corpus with few huge sources, decompose like
+    * [[Ranking.globalRowNumber]] (range partition + broadcast offsets)
+    * instead of funneling one source through one task. */
+  val qTokenBudget: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        Packing.wsTokens(col("text")).as("tokens"))
+      .withColumn("cum_tokens", sum(col("tokens")).over(w).cast(LongType))
+      .filter(col("cum_tokens") <= 20000L)
+      .orderBy("doc_id")
+  }
+
   /** K-fold assignment for cross-validation: fold = hash(doc_id) mod 5,
     * reported as per-fold volume (docs + chars). Content-hash folds are
     * order/partitioning-independent like q_hash_split; one hash-agg
@@ -447,6 +493,8 @@ object TextStats {
     "q_token_count" -> qTokenCount,
     "q_fingerprint" -> qFingerprint,
     "q_hash_split" -> qHashSplit,
+    "q_source_mixture" -> qSourceMixture,
+    "q_token_budget" -> qTokenBudget,
     "q_stratified_sample" -> qStratifiedSample,
     "q_kfold" -> qKfold
   )
@@ -640,6 +688,24 @@ object TextStats {
         |FROM (SELECT doc_id,
         |        CAST('0x' || substr(md5('split|' || text), 1, 15) AS BIGINT) % 100 AS bucket
         |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q_source_mixture" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n_source FROM documents GROUP BY source),
+        |mn AS (SELECT MIN(n_source) AS min_n FROM c)
+        |SELECT d.source, MAX(c.n_source) AS n_source, COUNT(*) AS n_kept
+        |FROM documents d JOIN c ON d.source = c.source CROSS JOIN mn
+        |WHERE CAST('0x' || substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000
+        |      * c.n_source < mn.min_n * 1000
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    "q_token_budget" ->
+      """SELECT doc_id, source, tokens, cum_tokens FROM (
+        |  SELECT doc_id, source, tokens,
+        |    CAST(SUM(tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM (SELECT doc_id, source,
+        |          CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS tokens
+        |        FROM documents WHERE text IS NOT NULL))
+        |WHERE cum_tokens <= 20000
         |ORDER BY doc_id""".stripMargin,
     "q_stratified_sample" ->
       """SELECT doc_id, lang, h FROM (
