@@ -74,6 +74,49 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style composite quality rules (Rae et al. 2021 §A1.1
+    * adapted to integer-exact arithmetic) — the multi-rule document
+    * filter real pipelines run BEFORE training, with each rule
+    * reported as its own named flag so a corpus audit can see WHICH
+    * rule kills which slice (a single score can't):
+    *
+    *   r_len:   10 ≤ words ≤ 100000     (fragment / runaway bound)
+    *   r_wlen:  mean word length in [3, 10] chars ×100-scaled
+    *            (gibberish and minified-code catch)
+    *   r_stop:  ≥ 2 occurrences of {the, a, of, and}
+    *            (the Gopher "stop word" presence rule)
+    *   r_alpha: ≥ 70% of non-space chars in [a-z]
+    *            (symbol/markup-soup catch)
+    *
+    * One scan, all rules from length/replace algebra — no explosion,
+    * no shuffle before the final sort; keep = conjunction. */
+  val qQualityRules: Q = (s, d) => {
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+    val nWords =
+      (length(col("text")) - length(replace(col("text"), lit(" "), lit(""))) + 1)
+        .cast(LongType)
+    val nCharsNospace = length(replace(col("text"), lit(" "), lit(""))).cast(LongType)
+    val nAlpha =
+      (length(col("text")) - length(regexp_replace(col("text"), "[a-z]", "")))
+        .cast(LongType)
+    val nStop =
+      occurrences(col("text"), "the") + occurrences(col("text"), "a") +
+      occurrences(col("text"), "of") + occurrences(col("text"), "and")
+    docs
+      .select(col("doc_id"), nWords.as("n_words"),
+        nCharsNospace.as("nc"), nAlpha.as("n_alpha"), nStop.as("n_stop"))
+      .withColumn("mean_wlen_c", expr("(nc * 100) div n_words"))
+      .withColumn("alpha_pct", expr("(n_alpha * 100) div greatest(nc, 1)"))
+      .withColumn("r_len", col("n_words") >= 10 && col("n_words") <= 100000L)
+      .withColumn("r_wlen", col("mean_wlen_c") >= 300 && col("mean_wlen_c") <= 1000)
+      .withColumn("r_stop", col("n_stop") >= 2)
+      .withColumn("r_alpha", col("alpha_pct") >= 70)
+      .withColumn("keep", col("r_len") && col("r_wlen") && col("r_stop") && col("r_alpha"))
+      .select("doc_id", "n_words", "mean_wlen_c", "n_stop", "alpha_pct",
+        "r_len", "r_wlen", "r_stop", "r_alpha", "keep")
+      .orderBy("doc_id")
+  }
+
   /** Token counting two ways: whitespace tokens and a BPE-ish regex
     * tokenizer (letter runs | digit runs | single punctuation). */
   val qTokenCount: Q = (s, d) => {
@@ -493,6 +536,7 @@ object TextStats {
     "q_token_count" -> qTokenCount,
     "q_fingerprint" -> qFingerprint,
     "q_hash_split" -> qHashSplit,
+    "q_quality_rules" -> qQualityRules,
     "q_source_mixture" -> qSourceMixture,
     "q_token_budget" -> qTokenBudget,
     "q_stratified_sample" -> qStratifiedSample,
@@ -689,6 +733,32 @@ object TextStats {
         |        CAST('0x' || substr(md5('split|' || text), 1, 15) AS BIGINT) % 100 AS bucket
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "q_quality_rules" -> {
+      val nStop = Seq("the", "a", "of", "and")
+        .map(w => s"(${occurrencesDuck("text", w)})").mkString(" + ")
+      s"""SELECT doc_id, n_words, mean_wlen_c, n_stop, alpha_pct,
+        |  r_len, r_wlen, r_stop, r_alpha,
+        |  (r_len AND r_wlen AND r_stop AND r_alpha) AS keep
+        |FROM (
+        |  SELECT doc_id, n_words, mean_wlen_c, n_stop, alpha_pct,
+        |    (n_words >= 10 AND n_words <= 100000) AS r_len,
+        |    (mean_wlen_c >= 300 AND mean_wlen_c <= 1000) AS r_wlen,
+        |    (n_stop >= 2) AS r_stop,
+        |    (alpha_pct >= 70) AS r_alpha
+        |  FROM (
+        |    SELECT doc_id, n_words,
+        |      (nc * 100) // n_words AS mean_wlen_c,
+        |      (n_alpha * 100) // greatest(nc, 1) AS alpha_pct,
+        |      n_stop
+        |    FROM (
+        |      SELECT doc_id,
+        |        length(text) - length(replace(text, ' ', '')) + 1 AS n_words,
+        |        length(replace(text, ' ', '')) AS nc,
+        |        length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) AS n_alpha,
+        |        $nStop AS n_stop
+        |      FROM documents WHERE text IS NOT NULL)))
+        |ORDER BY doc_id""".stripMargin
+    },
     "q_source_mixture" ->
       """WITH c AS (SELECT source, COUNT(*) AS n_source FROM documents GROUP BY source),
         |mn AS (SELECT MIN(n_source) AS min_n FROM c)
