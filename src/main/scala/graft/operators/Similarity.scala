@@ -279,10 +279,30 @@ object Similarity {
   val qQuantizeEmbed: Q = (s, d) =>
     quantizeEmbeddings(Tables.embeddings(s, d).filter(col("vec_id") < 100))
 
+  /** Per-label embedding centroids, DIVISION-FREE: per (label, dim) the
+    * exact unscaled component sum (u = x·10⁸) and the label count —
+    * centroid_d = sum_u/(n·10⁸) is the caller's one float division,
+    * keeping the oracle integer-exact (a decimal AVG would drag both
+    * engines' division-rounding rules into the hash). The class-mean
+    * report behind embedding-space bias checks and k-means seeding.
+    * Scale shape: component rows partial-aggregate map-side; the one
+    * shuffle carries (label, dim) pairs — |labels|·64 groups, tiny. */
+  val qEmbeddingCentroids: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    emb
+      .select(col("label"), posexplode(decVec(col("embedding"))).as(Seq("i0", "x")))
+      .withColumn("u", (col("x") * lit(100000000L)).cast(LongType))
+      .groupBy(col("label"), (col("i0") + 1).cast(LongType).as("dim"))
+      .agg(sum(col("u")).cast(LongType).as("sum_unscaled"),
+           count(lit(1)).as("n"))
+      .orderBy("label", "dim")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_ann_topk" -> qAnnTopk,
     "q_embedding_neardup" -> qEmbeddingNeardup,
     "q_embedding_norms" -> qEmbeddingNorms,
+    "q_embedding_centroids" -> qEmbeddingCentroids,
     "q_quantize_embed" -> qQuantizeEmbed
   )
 
@@ -355,6 +375,15 @@ object Similarity {
         |  CAST(MAX(m) AS BIGINT) AS max_norm2_micros,
         |  CAST(CAST(SUM(m) AS BIGINT) // COUNT(*) AS BIGINT) AS avg_norm2_micros
         |FROM m GROUP BY label ORDER BY label""".stripMargin,
+    "q_embedding_centroids" ->
+      """SELECT label, CAST(i AS BIGINT) AS dim,
+        |  CAST(SUM(CAST(x * 100000000 AS BIGINT)) AS BIGINT) AS sum_unscaled,
+        |  COUNT(*) AS n
+        |FROM (
+        |  SELECT label, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) AS x
+        |  FROM (SELECT label, embedding, unnest(generate_series(1, 64)) AS i
+        |        FROM embeddings))
+        |GROUP BY label, i ORDER BY label, dim""".stripMargin,
     "q_quantize_embed" ->
       """WITH el AS (
         |  SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) AS x
