@@ -288,7 +288,11 @@ object Similarity {
     * Scale shape: component rows partial-aggregate map-side; the one
     * shuffle carries (label, dim) pairs — |labels|·64 groups, tiny. */
   val qEmbeddingCentroids: Q = (s, d) => {
+    // guard the dimension contract explicitly: a NULL or short vector
+    // would silently change `n` between the posexplode form and the
+    // oracle's fixed generate_series(1, 64)
     val emb = Tables.embeddings(s, d)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === 64)
     emb
       .select(col("label"), posexplode(decVec(col("embedding"))).as(Seq("i0", "x")))
       .withColumn("u", (col("x") * lit(100000000L)).cast(LongType))
@@ -382,7 +386,8 @@ object Similarity {
         |FROM (
         |  SELECT label, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) AS x
         |  FROM (SELECT label, embedding, unnest(generate_series(1, 64)) AS i
-        |        FROM embeddings))
+        |        FROM embeddings
+        |        WHERE embedding IS NOT NULL AND len(embedding) = 64))
         |GROUP BY label, i ORDER BY label, dim""".stripMargin,
     "q_quantize_embed" ->
       """WITH el AS (

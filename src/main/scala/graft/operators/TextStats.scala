@@ -57,16 +57,23 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** The four-stopword presence count both quality queries share.
+    * Counting caveat (identical on both engines, documented rather than
+    * hidden): matches are non-overlapping " word " windows, so
+    * CONSECUTIVE stopwords ("the the") count once — the separator space
+    * is consumed by the first match. A presence signal, not an exact
+    * frequency; [[qWordBigrams]]-style explode counting is the exact
+    * form when frequencies matter. */
+  private def nStop4(text: Column): Column =
+    occurrences(text, "the") + occurrences(text, "a") +
+    occurrences(text, "of") + occurrences(text, "and")
+
   /** Quality scoring: length, whitespace token count, stopword count and
     * integer stopword-per-100-tokens score with a keep/drop flag. */
   val qQualityScore: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val nTokens =
-      (length(col("text")) - length(replace(col("text"), lit(" "), lit(""))) + 1)
-        .cast(LongType)
-    val nStop =
-      occurrences(col("text"), "the") + occurrences(col("text"), "a") +
-      occurrences(col("text"), "of") + occurrences(col("text"), "and")
+    val nTokens = Packing.wsTokens(col("text"))
+    val nStop = nStop4(col("text"))
     docs
       .select(col("doc_id"), col("n_chars"), nTokens.as("n_tokens"), nStop.as("n_stop"))
       .withColumn("score_pct", expr("(n_stop * 100) div n_tokens"))
@@ -83,28 +90,30 @@ object TextStats {
     *   r_len:   10 ≤ words ≤ 100000     (fragment / runaway bound)
     *   r_wlen:  mean word length in [3, 10] chars ×100-scaled
     *            (gibberish and minified-code catch)
-    *   r_stop:  ≥ 2 occurrences of {the, a, of, and}
-    *            (the Gopher "stop word" presence rule)
+    *   r_stop:  ≥ 2 non-overlapping occurrences of {the, a, of, and}
+    *            (the Gopher "stop word" presence rule; [[nStop4]]'s
+    *            counting caveat applies — consecutive stopwords count
+    *            once, which both engines agree on)
     *   r_alpha: ≥ 70% of non-space chars in [a-z]
     *            (symbol/markup-soup catch)
     *
-    * One scan, all rules from length/replace algebra — no explosion,
-    * no shuffle before the final sort; keep = conjunction. */
+    * Word counting is the [[Packing.wsTokens]] separator form: runs of
+    * k spaces count as k separators (an empty "word" per extra space),
+    * which DEFLATES mean word length on ragged text — acceptable
+    * because ragged whitespace is itself a quality signal, and exact
+    * on both engines. One scan, all rules from length/replace
+    * algebra — no explosion, no shuffle before the final sort;
+    * keep = conjunction. */
   val qQualityRules: Q = (s, d) => {
     val docs = Tables.documents(s, d).filter(col("text").isNotNull)
-    val nWords =
-      (length(col("text")) - length(replace(col("text"), lit(" "), lit(""))) + 1)
-        .cast(LongType)
+    val nWords = Packing.wsTokens(col("text"))
     val nCharsNospace = length(replace(col("text"), lit(" "), lit(""))).cast(LongType)
     val nAlpha =
       (length(col("text")) - length(regexp_replace(col("text"), "[a-z]", "")))
         .cast(LongType)
-    val nStop =
-      occurrences(col("text"), "the") + occurrences(col("text"), "a") +
-      occurrences(col("text"), "of") + occurrences(col("text"), "and")
     docs
       .select(col("doc_id"), nWords.as("n_words"),
-        nCharsNospace.as("nc"), nAlpha.as("n_alpha"), nStop.as("n_stop"))
+        nCharsNospace.as("nc"), nAlpha.as("n_alpha"), nStop4(col("text")).as("n_stop"))
       .withColumn("mean_wlen_c", expr("(nc * 100) div n_words"))
       .withColumn("alpha_pct", expr("(n_alpha * 100) div greatest(nc, 1)"))
       .withColumn("r_len", col("n_words") >= 10 && col("n_words") <= 100000L)
@@ -206,11 +215,13 @@ object TextStats {
     * of a training pipeline: every source downsamples to (approximately)
     * the SMALLEST source's volume, giving a uniform mixture without
     * hardcoded per-source weights. Keep rule is the stratified-sample
-    * integer cross-multiply (h·n_source < min_n·1000) on a content
-    * hash, so membership is order-, partitioning-, and cluster-size-
-    * independent, and the kept fraction tracks min_n/n_source exactly
-    * in expectation. One hash-agg for the counts (broadcast — one row
-    * per source), one scan for the keep predicate. */
+    * integer cross-multiply (h·n_source < min_n·1000) on a
+    * deterministic doc_id hash (like qStratifiedSample/qKfold — stable
+    * under re-runs and repartitioning; re-INGESTING with different id
+    * assignment reselects, unlike qHashSplit's content hash), so the
+    * kept fraction tracks min_n/n_source exactly in expectation. One
+    * hash-agg for the counts (broadcast — one row per source), one
+    * scan for the keep predicate. */
   val qSourceMixture: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val counts = docs.groupBy("source").agg(count(lit(1)).as("n_source"))
@@ -543,6 +554,10 @@ object TextStats {
     "q_kfold" -> qKfold
   )
 
+  /** DuckDB twin of [[nStop4]]. */
+  private lazy val nStop4Duck: String = Seq("the", "a", "of", "and")
+    .map(w => s"(${occurrencesDuck("text", w)})").mkString(" + ")
+
   val oracle: Map[String, String] = Map(
     "q_pmi_bigrams" ->
       """WITH w AS (
@@ -703,8 +718,7 @@ object TextStats {
         |ORDER BY doc_id""".stripMargin
     },
     "q_quality_score" -> {
-      val nStop = Seq("the", "a", "of", "and")
-        .map(w => s"(${occurrencesDuck("text", w)})").mkString(" + ")
+      val nStop = nStop4Duck
       s"""SELECT doc_id, n_chars, n_tokens, n_stop,
         |  (n_stop * 100) // n_tokens AS score_pct,
         |  ((n_stop * 100) // n_tokens >= 3 AND n_tokens >= 10) AS keep_flag
@@ -734,8 +748,7 @@ object TextStats {
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
     "q_quality_rules" -> {
-      val nStop = Seq("the", "a", "of", "and")
-        .map(w => s"(${occurrencesDuck("text", w)})").mkString(" + ")
+      val nStop = nStop4Duck
       s"""SELECT doc_id, n_words, mean_wlen_c, n_stop, alpha_pct,
         |  r_len, r_wlen, r_stop, r_alpha,
         |  (r_len AND r_wlen AND r_stop AND r_alpha) AS keep
