@@ -279,6 +279,57 @@ object Similarity {
   val qQuantizeEmbed: Q = (s, d) =>
     quantizeEmbeddings(Tables.embeddings(s, d).filter(col("vec_id") < 100))
 
+  /** IVF top-k through the oracle — the production ANN shape
+    * ([[ivfTopk]], float k-means, recall-tested) re-expressed
+    * decimal-exact so DuckDB can verify the WHOLE pipeline: fixed
+    * centroids (vec_id < 8 — deterministic seeding, no float k-means
+    * iterations), exact-decimal cosine assignment of every corpus
+    * vector to its nearest centroid (argmax under sim desc, cid asc),
+    * nprobe=3 bucket probing per query (vec_id < 3), exact top-3
+    * within the probed buckets. IVF semantics end to end: the result
+    * is the INDEX's answer, not brute force — recall loss from
+    * unprobed buckets is part of what the oracle pins. Scale shape:
+    * assignment is a broadcast of 8 centroid rows against the corpus
+    * scan (map-side, no shuffle), the per-vector argmax window keys on
+    * vec_id (high cardinality — parallel), and candidates are
+    * bucket-joined, never all-pairs. */
+  val qIvfTopk: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, d)
+    // one decVec+norm pass feeds centroids, corpus, and queries
+    val withNorm = emb.select(col("vec_id"), decVec(col("embedding")).as("de"))
+      .withColumn("nrm", decDot(col("de"), col("de")).cast(DoubleType))
+      .localCheckpoint()
+    val cent = withNorm.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("de").as("ce"), col("nrm").as("ncn"))
+    val simCc = withNorm.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cid"),
+        cosMicrosPre(decDot(col("de"), col("ce")), col("nrm"), col("ncn")).as("sim"))
+      .localCheckpoint() // feeds both the assignment and the probe set
+    val wv = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))
+    val assign = simCc
+      .withColumn("rk", row_number().over(wv)).filter(col("rk") === 1)
+      .select(col("cid"), col("vec_id").as("nid"))
+    val probes = simCc.filter(col("vec_id") < 3)
+      .withColumn("rk", row_number().over(wv)).filter(col("rk") <= 3)
+      .select(col("vec_id").as("qid"), col("cid"))
+    val cand = probes.join(assign, Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .select("qid", "nid").distinct()
+    val qs = withNorm.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("de").as("qe"), col("nrm").as("nq"))
+    val ns = withNorm
+      .select(col("vec_id").as("nid"), col("de").as("ne"), col("nrm").as("nn"))
+    val wq = Window.partitionBy("qid").orderBy(col("sim_micros").desc, col("nid"))
+    cand.join(broadcast(qs), Seq("qid")).join(ns, Seq("nid"))
+      .select(col("qid"), col("nid"),
+        cosMicrosPre(decDot(col("qe"), col("ne")), col("nq"), col("nn")).as("sim_micros"))
+      .withColumn("rnk", row_number().over(wq).cast(LongType))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("nid"), col("rnk"), col("sim_micros"))
+      .orderBy("qid", "rnk")
+  }
+
   /** Per-label embedding centroids, DIVISION-FREE: per (label, dim) the
     * exact unscaled component sum (u = x·10⁸) and the label count —
     * centroid_d = sum_u/(n·10⁸) is the caller's one float division,
@@ -307,7 +358,8 @@ object Similarity {
     "q_embedding_neardup" -> qEmbeddingNeardup,
     "q_embedding_norms" -> qEmbeddingNorms,
     "q_embedding_centroids" -> qEmbeddingCentroids,
-    "q_quantize_embed" -> qQuantizeEmbed
+    "q_quantize_embed" -> qQuantizeEmbed,
+    "q_ivf_topk" -> qIvfTopk
   )
 
   val oracle: Map[String, String] = Map(
@@ -379,6 +431,53 @@ object Similarity {
         |  CAST(MAX(m) AS BIGINT) AS max_norm2_micros,
         |  CAST(CAST(SUM(m) AS BIGINT) // COUNT(*) AS BIGINT) AS avg_norm2_micros
         |FROM m GROUP BY label ORDER BY label""".stripMargin,
+    "q_ivf_topk" ->
+      """WITH el AS (
+        |  SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) AS x
+        |  FROM (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS i
+        |        FROM embeddings)),
+        |nrm AS (SELECT vec_id, SUM(x*x) AS nrm FROM el GROUP BY vec_id),
+        |dots_cc AS (
+        |  SELECT ea.vec_id, eb.vec_id AS cid, SUM(ea.x * eb.x) AS dot
+        |  FROM el ea JOIN el eb ON ea.i = eb.i AND eb.vec_id < 8
+        |  GROUP BY 1, 2),
+        |sim_cc AS (
+        |  SELECT d.vec_id, d.cid,
+        |    CAST(CAST(CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS sim
+        |  FROM dots_cc d
+        |  JOIN nrm na ON d.vec_id = na.vec_id
+        |  JOIN nrm nb ON d.cid = nb.vec_id),
+        |assign AS (
+        |  SELECT cid, vec_id AS nid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk
+        |    FROM sim_cc) WHERE rk = 1),
+        |probes AS (
+        |  SELECT vec_id AS qid, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk
+        |    FROM sim_cc WHERE vec_id < 3) WHERE rk <= 3),
+        |cand AS (
+        |  SELECT DISTINCT p.qid, a.nid
+        |  FROM probes p JOIN assign a ON p.cid = a.cid
+        |  WHERE p.qid <> a.nid),
+        |dots_q AS (
+        |  SELECT c.qid, c.nid, SUM(ea.x * eb.x) AS dot
+        |  FROM cand c
+        |  JOIN el ea ON c.qid = ea.vec_id
+        |  JOIN el eb ON c.nid = eb.vec_id AND ea.i = eb.i
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT d.qid, d.nid,
+        |    CAST(CAST(CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS sim_micros
+        |  FROM dots_q d
+        |  JOIN nrm na ON d.qid = na.vec_id
+        |  JOIN nrm nb ON d.nid = nb.vec_id)
+        |SELECT qid, nid, rnk, sim_micros FROM (
+        |  SELECT qid, nid, sim_micros,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim_micros DESC, nid) AS BIGINT) AS rnk
+        |  FROM scored) WHERE rnk <= 3
+        |ORDER BY qid, rnk""".stripMargin,
     "q_embedding_centroids" ->
       """SELECT label, CAST(i AS BIGINT) AS dim,
         |  CAST(SUM(CAST(x * 100000000 AS BIGINT)) AS BIGINT) AS sum_unscaled,
