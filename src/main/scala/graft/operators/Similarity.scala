@@ -330,6 +330,24 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** IVF recall measured THROUGH the oracle: per query, how many of the
+    * exact brute-force top-3 ([[qAnnTopk]]'s metric, restricted to the
+    * IVF query set) the probed-bucket index answer ([[qIvfTopk]])
+    * recovered. The ANN quality number every index deployment is judged
+    * by — here both sides are decimal-exact, so DuckDB pins recall
+    * itself, not just the two answers. Composes the two existing plans;
+    * the join is 9 rows against 9 rows. */
+  val qIvfRecall: Q = (s, d) => {
+    val brute = qAnnTopk(s, d).filter(col("qid") < 3).select(col("qid"), col("nid"))
+    val ivf = qIvfTopk(s, d).select(col("qid"), col("nid")).withColumn("m", lit(1L))
+    brute.join(ivf, Seq("qid", "nid"), "left")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_exact"),
+           sum(coalesce(col("m"), lit(0L))).cast(LongType).as("n_match"))
+      .withColumn("recall_pct", expr("(n_match * 100) div n_exact"))
+      .orderBy("qid")
+  }
+
   /** Per-label embedding centroids, DIVISION-FREE: per (label, dim) the
     * exact unscaled component sum (u = x·10⁸) and the label count —
     * centroid_d = sum_u/(n·10⁸) is the caller's one float division,
@@ -359,8 +377,56 @@ object Similarity {
     "q_embedding_norms" -> qEmbeddingNorms,
     "q_embedding_centroids" -> qEmbeddingCentroids,
     "q_quantize_embed" -> qQuantizeEmbed,
-    "q_ivf_topk" -> qIvfTopk
+    "q_ivf_topk" -> qIvfTopk,
+    "q_ivf_recall" -> qIvfRecall
   )
+
+  /** Shared oracle CTE chain of the IVF pipeline, through `scored`
+    * (per-candidate exact cosine micros) — [[qIvfTopk]] takes its
+    * top-3; [[qIvfRecall]] additionally derives the brute-force truth
+    * and joins. */
+  private val ivfOracleCtes: String =
+    """el AS (
+      |  SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) AS x
+      |  FROM (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS i
+      |        FROM embeddings)),
+      |nrm AS (SELECT vec_id, SUM(x*x) AS nrm FROM el GROUP BY vec_id),
+      |dots_cc AS (
+      |  SELECT ea.vec_id, eb.vec_id AS cid, SUM(ea.x * eb.x) AS dot
+      |  FROM el ea JOIN el eb ON ea.i = eb.i AND eb.vec_id < 8
+      |  GROUP BY 1, 2),
+      |sim_cc AS (
+      |  SELECT d.vec_id, d.cid,
+      |    CAST(CAST(CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS sim
+      |  FROM dots_cc d
+      |  JOIN nrm na ON d.vec_id = na.vec_id
+      |  JOIN nrm nb ON d.cid = nb.vec_id),
+      |assign AS (
+      |  SELECT cid, vec_id AS nid FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk
+      |    FROM sim_cc) WHERE rk = 1),
+      |probes AS (
+      |  SELECT vec_id AS qid, cid FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk
+      |    FROM sim_cc WHERE vec_id < 3) WHERE rk <= 3),
+      |cand AS (
+      |  SELECT DISTINCT p.qid, a.nid
+      |  FROM probes p JOIN assign a ON p.cid = a.cid
+      |  WHERE p.qid <> a.nid),
+      |dots_q AS (
+      |  SELECT c.qid, c.nid, SUM(ea.x * eb.x) AS dot
+      |  FROM cand c
+      |  JOIN el ea ON c.qid = ea.vec_id
+      |  JOIN el eb ON c.nid = eb.vec_id AND ea.i = eb.i
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT d.qid, d.nid,
+      |    CAST(CAST(CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS sim_micros
+      |  FROM dots_q d
+      |  JOIN nrm na ON d.qid = na.vec_id
+      |  JOIN nrm nb ON d.nid = nb.vec_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_ann_topk" ->
@@ -431,53 +497,40 @@ object Similarity {
         |  CAST(MAX(m) AS BIGINT) AS max_norm2_micros,
         |  CAST(CAST(SUM(m) AS BIGINT) // COUNT(*) AS BIGINT) AS avg_norm2_micros
         |FROM m GROUP BY label ORDER BY label""".stripMargin,
-    "q_ivf_topk" ->
-      """WITH el AS (
-        |  SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) AS x
-        |  FROM (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS i
-        |        FROM embeddings)),
-        |nrm AS (SELECT vec_id, SUM(x*x) AS nrm FROM el GROUP BY vec_id),
-        |dots_cc AS (
-        |  SELECT ea.vec_id, eb.vec_id AS cid, SUM(ea.x * eb.x) AS dot
-        |  FROM el ea JOIN el eb ON ea.i = eb.i AND eb.vec_id < 8
-        |  GROUP BY 1, 2),
-        |sim_cc AS (
-        |  SELECT d.vec_id, d.cid,
-        |    CAST(CAST(CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS sim
-        |  FROM dots_cc d
-        |  JOIN nrm na ON d.vec_id = na.vec_id
-        |  JOIN nrm nb ON d.cid = nb.vec_id),
-        |assign AS (
-        |  SELECT cid, vec_id AS nid FROM (
-        |    SELECT vec_id, cid,
-        |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk
-        |    FROM sim_cc) WHERE rk = 1),
-        |probes AS (
-        |  SELECT vec_id AS qid, cid FROM (
-        |    SELECT vec_id, cid,
-        |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk
-        |    FROM sim_cc WHERE vec_id < 3) WHERE rk <= 3),
-        |cand AS (
-        |  SELECT DISTINCT p.qid, a.nid
-        |  FROM probes p JOIN assign a ON p.cid = a.cid
-        |  WHERE p.qid <> a.nid),
-        |dots_q AS (
-        |  SELECT c.qid, c.nid, SUM(ea.x * eb.x) AS dot
-        |  FROM cand c
-        |  JOIN el ea ON c.qid = ea.vec_id
-        |  JOIN el eb ON c.nid = eb.vec_id AND ea.i = eb.i
-        |  GROUP BY 1, 2),
-        |scored AS (
-        |  SELECT d.qid, d.nid,
-        |    CAST(CAST(CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS sim_micros
-        |  FROM dots_q d
-        |  JOIN nrm na ON d.qid = na.vec_id
-        |  JOIN nrm nb ON d.nid = nb.vec_id)
-        |SELECT qid, nid, rnk, sim_micros FROM (
+    "q_ivf_topk" -> (s"WITH $ivfOracleCtes\n" +
+      """SELECT qid, nid, rnk, sim_micros FROM (
         |  SELECT qid, nid, sim_micros,
         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim_micros DESC, nid) AS BIGINT) AS rnk
         |  FROM scored) WHERE rnk <= 3
-        |ORDER BY qid, rnk""".stripMargin,
+        |ORDER BY qid, rnk""".stripMargin),
+    "q_ivf_recall" -> (s"WITH $ivfOracleCtes,\n" +
+      """ivf AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT qid, nid,
+        |      row_number() OVER (PARTITION BY qid ORDER BY sim_micros DESC, nid) AS rk
+        |    FROM scored) WHERE rk <= 3),
+        |dots_b AS (
+        |  SELECT ea.vec_id AS qid, eb.vec_id AS nid, SUM(ea.x * eb.x) AS dot
+        |  FROM el ea JOIN el eb ON ea.i = eb.i
+        |    AND ea.vec_id < 3 AND ea.vec_id <> eb.vec_id
+        |  GROUP BY 1, 2),
+        |scored_b AS (
+        |  SELECT d.qid, d.nid,
+        |    CAST(CAST(CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS sim_micros
+        |  FROM dots_b d
+        |  JOIN nrm na ON d.qid = na.vec_id
+        |  JOIN nrm nb ON d.nid = nb.vec_id),
+        |brute AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT qid, nid,
+        |      row_number() OVER (PARTITION BY qid ORDER BY sim_micros DESC, nid) AS rk
+        |    FROM scored_b) WHERE rk <= 3)
+        |SELECT b.qid, COUNT(*) AS n_exact,
+        |  CAST(COUNT(i.nid) AS BIGINT) AS n_match,
+        |  CAST(COUNT(i.nid) * 100 // COUNT(*) AS BIGINT) AS recall_pct
+        |FROM brute b
+        |LEFT JOIN ivf i ON b.qid = i.qid AND b.nid = i.nid
+        |GROUP BY b.qid ORDER BY b.qid""".stripMargin),
     "q_embedding_centroids" ->
       """SELECT label, CAST(i AS BIGINT) AS dim,
         |  CAST(SUM(CAST(x * 100000000 AS BIGINT)) AS BIGINT) AS sum_unscaled,
