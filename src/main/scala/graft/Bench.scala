@@ -30,6 +30,23 @@ import org.apache.spark.sql.SparkSession
   * stderr in BOTH passes — a failed query's latency is visibly
   * invalid, never silently fast.
   */
+/** Checked-in per-query seq medians of the prior accepted round
+  * (`bench_baseline.json`, flat {"query":seconds} map — regenerated
+  * each round from the shipped artifact). Parsed with a two-token
+  * regex, not a JSON library: the file is machine-written flat pairs.
+  */
+object BenchBaseline {
+  private val pair = """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r
+  def load(path: String = "bench_baseline.json"): Option[Map[String, Double]] = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.isReadable(p)) None
+    else scala.util.Try {
+      val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      pair.findAllMatchIn(s).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }.toOption.filter(_.nonEmpty)
+  }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -92,8 +109,13 @@ object Bench {
     // per-query MEDIAN over repeated seq passes: single-run latencies
     // on a shared host swing ±20-30% with co-tenant load (r5's 32.9 s
     // q_global_rank scare, r6's 18.5-40 s wall spread were both
-    // measurement noise) — medians make a regression claim falsifiable
-    val seqRepeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "1").toInt.max(1)
+    // measurement noise) — medians make a regression claim falsifiable.
+    // Default is 5 passes (not 1): the artifact the driver ships each
+    // round must BE medians without needing an env var set.
+    val seqRepeat = sys.env.get("SPARK_GRAFT_BENCH_REPEAT")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption
+        .orElse { System.err.println(s"[bench] bad SPARK_GRAFT_BENCH_REPEAT='$v', using 5"); None })
+      .getOrElse(5).max(1)
     def runSeqMedian(): Map[String, Double] = {
       val runs = (1 to seqRepeat).map(_ => runSeq())
       runs.head.keys.map { k =>
@@ -101,17 +123,38 @@ object Bench {
         k -> xs(xs.size / 2)
       }.toMap
     }
-    // headline wall = the concurrent workload only (seq is diagnostics)
+    // headline value: concurrent wall when a concurrent pass ran (the
+    // workload number); in seq-only mode the SUM OF PER-QUERY MEDIANS —
+    // a total that corresponds to the per-query map, not the wall of
+    // all repeat passes
     val (results, total, seqResults) = mode match {
-      case "seq"        => val (r, w) = timed(runSeqMedian _); (r, w, None)
+      case "seq"        => val r = runSeqMedian(); (r, r.values.sum, Some(r))
       case "concurrent" => val (r, w) = timed(runConcurrent _); (r, w, None)
       case _ =>
         val (r, w) = timed(runConcurrent _)
         (r, w, Some(runSeqMedian()))
     }
-    val seqField = seqResults.map(s => s""","queries_seq":${js(s)}""").getOrElse("") +
-      s""","seq_repeat":$seqRepeat"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)}$seqField,"sf":"$sfDir"}"""
+    // median-vs-median regression gate: bench_baseline.json (checked in,
+    // per-query seq medians of the prior accepted round) → any query
+    // whose current median exceeds 2× its baseline is named in the
+    // artifact itself. A missing baseline or query is skipped, never
+    // fatal — the gate flags regressions, it must not brick the bench.
+    val gateField = (for {
+      seq <- seqResults
+      base <- BenchBaseline.load()
+    } yield {
+      val regs = seq.toSeq.sortBy(_._1).collect {
+        case (q, t) if base.get(q).exists(b => t > 2.0 * b && t - b > 0.5) =>
+          f""""$q":{"median":$t%.3f,"baseline":${base(q)}%.3f}"""
+      }
+      regs.foreach(r => System.err.println(s"[bench] REGRESSION $r"))
+      s""","regressions":${regs.mkString("{", ",", "}")}"""
+    }).getOrElse("")
+    val seqField = (if (mode != "seq")
+        seqResults.map(s => s""","queries_seq":${js(s)}""").getOrElse("")
+      else "") +
+      seqResults.map(_ => s""","seq_repeat":$seqRepeat""").getOrElse("")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)}$seqField$gateField,"sf":"$sfDir"}"""
     println(line)
     // stdout of an sbt run gets tail-truncated by capture harnesses (a
     // 96-entry concurrent+seq map exceeds their buffer) — persist the

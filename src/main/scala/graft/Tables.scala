@@ -41,6 +41,18 @@ object Tables {
       spark.read.parquet(s"$dir/$name.parquet"))
   }
 
+  /** Drop every cached reader whose path starts with `pathPrefix`, for
+    * all sessions. The memoization contract is "a path is immutable
+    * once read"; any code that overwrites or appends under a previously
+    * read directory MUST call this afterwards, or same-session readers
+    * keep the stale file listing (silently stale data, not an error).
+    * Writers inside this repo ([[graft.operators.Dedup.buildArtifacts]],
+    * spec fixtures that rewrite a dir) do. */
+  def invalidate(pathPrefix: String): Unit =
+    tableCache.keysIterator
+      .filter(_._2.startsWith(pathPrefix))
+      .foreach(tableCache.remove)
+
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")

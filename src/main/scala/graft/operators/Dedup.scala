@@ -298,6 +298,9 @@ object Dedup {
       if (pairs.count() <= SmallGraphEdges) componentsContracted(pairs)
       else componentsDistributed(pairs)
     OutputLayout.writeSized(comps, s"$out/components", targetBytes, Seq("id"))
+    // if a prior run's artifacts under `out` were read through Tables,
+    // same-session readers must not keep the stale file listing
+    Tables.invalidate(out)
   }
 
   def candidatePairsArtifact(s: SparkSession, out: String): DataFrame =

@@ -165,9 +165,18 @@ object Similarity {
     * centroid), assignments(vec_id, cid)). At 100 TB the assignment
     * pass is one broadcast-join scan; centroids stay tiny. */
   def buildIvfIndex(corpus: DataFrame, k: Int, iters: Int = 2): (DataFrame, DataFrame) = {
-    // deterministic seeds: the k lowest vec_ids
-    var centroids = corpus.orderBy("vec_id").limit(k)
-      .withColumn("cid", row_number().over(Window.orderBy("vec_id")).cast("long") - 1)
+    // deterministic hash-spread seeds: take the k lowest xxhash64(vec_id)
+    // values, so seeds sample uniformly across the corpus. The k LOWEST
+    // vec_ids (the previous rule) are temporally correlated on ingest-
+    // ordered corpora — near-identical seeds collapse into adjacent
+    // Voronoi cells and one giant catch-all cell absorbs the rest, which
+    // at scale is both a recall and a bucket-skew problem. orderBy+limit
+    // plans as TakeOrderedAndProject (per-partition top-k + driver merge
+    // of k rows), not a full sort.
+    var centroids = corpus
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
+      .withColumn("cid",
+        row_number().over(Window.orderBy("vec_id")).cast("long") - 1)
       .select(col("cid"), col("embedding").as("centroid"))
     var i = 0
     while (i < iters) {

@@ -35,11 +35,24 @@ object StreamDedup {
     * chars of md5, parsed base-16 (60-bit positive). Bit-identical to
     * the Catalyst expression — StreamDedupSpec pins equality against
     * the batch [[graft.operators.Dedup.simhashSignatures]]. */
+  // one MessageDigest per thread: simhash32 calls md5Long once per WORD
+  // on the ingest hot path, and getInstance("MD5") is a provider lookup
+  // + allocation per call — measurable at stream rates
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   def md5Long(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8"))
-    val hex = d.take(8).map(b => f"$b%02x").mkString.substring(0, 15)
-    java.lang.Long.parseLong(hex, 16)
+    val md = md5Digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    // first 15 hex chars == top 60 bits of the first 8 bytes, parsed
+    // directly from the bytes (no hex-string round trip per word)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
   }
 
   /** Plain-JVM twin of the batch simhash: per word (whitespace split,
