@@ -92,31 +92,49 @@ object SignLsh {
   /** Per-vector band signatures: one row per (vec_id, band) with the
     * b-bit bucket `key` and, when multiprobe is on, the T single-bit-flip
     * `probes` ordered by ascending |margin| (the flips most likely to
-    * recover a near-miss pair). */
+    * recover a near-miss pair).
+    *
+    * All bands compute inside ONE native expression
+    * ([[graft.functions.SignBandsExpr]]): the per-projection column
+    * construction this replaces emitted bands×bits dot nodes into a
+    * single Project, which at corpus-sized parameters (12 bits × 12
+    * bands at 20k vectors — StressSpec) exceeded the JVM's 64 KB
+    * generated-method limit and silently dropped the whole stage to
+    * interpreted eval. SignBandsSpec pins bit-equality against the
+    * column construction AND that the stage still compiles with
+    * `spark.sql.codegen.fallback=false` at those parameters. */
   def signatures(corpus: DataFrame, p: Params, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     val planes = hyperplanes(p, dim)
-    val bandStructs = (0 until p.bands).map { l =>
-      val projs = (0 until p.bits).map(i => dotLit(col("embedding"), planes(l)(i)))
-      val key = projs.zipWithIndex.map { case (pr, i) =>
-        when(pr >= 0d, lit(1L << i)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      if (p.multiprobe == 0)
-        struct(lit(l).as("band"), key.as("key"), typedlit(Seq.empty[Long]).as("flipbits"))
-      else {
-        // T lowest-|projection| bit masks — cheapest flips first
-        val margins = array(projs.zipWithIndex.map { case (pr, i) =>
-          struct(abs(pr).as("m"), lit(1L << i).as("bit"))
-        }: _*)
-        val flips = transform(
-          slice(array_sort(margins), 1, p.multiprobe), s => s.getField("bit"))
-        struct(lit(l).as("band"), key.as("key"), flips.as("flipbits"))
-      }
-    }
+    val flat: IndexedSeq[Float] =
+      planes.iterator.flatMap(_.iterator.flatMap(_.iterator)).toIndexedSeq
+    val sig = ColumnBridge.column(graft.functions.SignBandsExpr(
+      ColumnBridge.expression(col("embedding")), flat, p.bands, p.bits, p.multiprobe))
     corpus
-      .select(col("vec_id"), col("embedding"),
-        explode(array(bandStructs: _*)).as("s"))
+      .select(col("vec_id"), col("embedding"), explode(sig).as("s"))
       .select(col("vec_id"), col("s.band").as("band"), col("s.key").as("key"),
         col("s.flipbits").as("flipbits"))
+  }
+
+  /** The pre-[[graft.functions.SignBandsExpr]] column construction of
+    * one band's struct — retained as the equality reference for
+    * SignBandsSpec (bands×bits dot nodes; do not use at scale). */
+  private[graft] def bandStructColumn(
+      planes: Array[Array[Array[Float]]], l: Int, p: Params): Column = {
+    val projs = (0 until p.bits).map(i => dotLit(col("embedding"), planes(l)(i)))
+    val key = projs.zipWithIndex.map { case (pr, i) =>
+      when(pr >= 0d, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    if (p.multiprobe == 0)
+      struct(lit(l).as("band"), key.as("key"), typedlit(Seq.empty[Long]).as("flipbits"))
+    else {
+      val margins = array(projs.zipWithIndex.map { case (pr, i) =>
+        struct(abs(pr).as("m"), lit(1L << i).as("bit"))
+      }: _*)
+      val flips = transform(
+        slice(array_sort(margins), 1, p.multiprobe), s => s.getField("bit"))
+      struct(lit(l).as("band"), key.as("key"), flips.as("flipbits"))
+    }
   }
 
   /** Candidate (a < b) pairs, each exactly once. Exact same-bucket pairs
