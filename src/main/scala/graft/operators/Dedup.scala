@@ -710,7 +710,30 @@ object Dedup {
       .orderBy("src1", "src2")
   }
 
+  /** Multi-signal near-dup consensus — lexical (simhash hamming ≤ 1,
+    * [[qSimhashNeardup]]) and semantic (embedding cosine ≥ 0.3,
+    * [[Similarity.qEmbeddingNeardup]]) candidate sets full-outer-joined
+    * on the shared document id (doc_id ≡ vec_id in this corpus). Real
+    * pipelines run both families because each misses what the other
+    * catches (paraphrase vs verbatim-with-noise); the agreement matrix
+    * this emits — lex-only / sem-only / both, with each signal's score
+    * — is the operator that decides which drops to trust. Scale shape:
+    * composes two bucketed candidate generators (never all-pairs); the
+    * consensus join is candidate-graph-sized. */
+  val qHybridNeardup: Q = (s, d) => {
+    val lex = qSimhashNeardup(s, d).withColumn("lex", lit(1L))
+    val sem = Similarity.qEmbeddingNeardup(s, d).withColumn("sem", lit(1L))
+    lex.join(sem, Seq("a", "b"), "full_outer")
+      .select(col("a"), col("b"),
+        coalesce(col("lex"), lit(0L)).as("lex"),
+        coalesce(col("sem"), lit(0L)).as("sem"),
+        coalesce(col("hamming"), lit(-1L)).as("hamming"),
+        coalesce(col("sim_micros"), lit(-1L)).as("sim_micros"))
+      .orderBy("a", "b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_hybrid_neardup" -> qHybridNeardup,
     "q_minhash_estimate" -> qMinhashEstimate,
     "q_dup_matrix" -> qDupMatrix,
     "q_lsh_precision" -> qLshPrecision,
@@ -872,6 +895,62 @@ object Dedup {
         |SELECT doc_id,
         |  CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_hybrid_neardup" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |wh AS (SELECT doc_id, CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS h
+        |       FROM w WHERE length(word) > 0),
+        |bits AS (SELECT doc_id, b,
+        |           SUM(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END) AS s
+        |         FROM wh CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) bs
+        |         GROUP BY doc_id, b),
+        |sig AS (SELECT doc_id,
+        |          SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+        |        FROM bits GROUP BY doc_id),
+        |lex AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 1),
+        |el AS (
+        |  SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) AS x
+        |  FROM (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS i
+        |        FROM embeddings)),
+        |nrm AS (SELECT vec_id, SUM(x*x) AS nrm FROM el GROUP BY vec_id),
+        |bkt AS (
+        |  SELECT vec_id,
+        |    (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END) ||
+        |    (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END) ||
+        |    (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END) ||
+        |    (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) ||
+        |    (CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END) ||
+        |    (CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END) ||
+        |    (CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END) ||
+        |    (CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bkt
+        |  FROM embeddings),
+        |epairs AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM bkt a JOIN bkt b ON a.bkt = b.bkt AND a.vec_id < b.vec_id),
+        |edots AS (
+        |  SELECT p.a, p.b, SUM(ea.x * eb.x) AS dot
+        |  FROM epairs p
+        |  JOIN el ea ON p.a = ea.vec_id
+        |  JOIN el eb ON p.b = eb.vec_id AND ea.i = eb.i
+        |  GROUP BY p.a, p.b),
+        |sem AS (
+        |  SELECT a, b, sim_micros FROM (
+        |    SELECT d.a, d.b,
+        |      CAST(CAST(CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS sim_micros
+        |    FROM edots d
+        |    JOIN nrm na ON d.a = na.vec_id
+        |    JOIN nrm nb ON d.b = nb.vec_id)
+        |  WHERE sim_micros >= 300000)
+        |SELECT COALESCE(l.a, s.a) AS a, COALESCE(l.b, s.b) AS b,
+        |  CAST(CASE WHEN l.a IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS lex,
+        |  CAST(CASE WHEN s.a IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS sem,
+        |  COALESCE(l.hamming, -1) AS hamming,
+        |  COALESCE(s.sim_micros, -1) AS sim_micros
+        |FROM lex l FULL OUTER JOIN sem s ON l.a = s.a AND l.b = s.b
+        |ORDER BY a, b""".stripMargin,
     "q_simhash_neardup" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
         |wh AS (SELECT doc_id, CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS h

@@ -380,6 +380,124 @@ object Similarity {
       .orderBy("label", "dim")
   }
 
+  /** One exact Lloyd iteration of k-means (k=8, seeds = vec_id < 8 —
+    * the IVF oracle's deterministic seeding): assign every vector to
+    * its nearest seed centroid by exact-decimal cosine (argmax under
+    * sim desc, cid asc — the [[qIvfTopk]] assignment rule), then emit
+    * the new centroids DIVISION-FREE as per-(cid, dim) exact unscaled
+    * component sums + member counts (the [[qEmbeddingCentroids]]
+    * contract: centroid_d = sum_unscaled/(n·10⁸) is the caller's one
+    * float division). This is the iteration step [[buildIvfIndex]]
+    * runs in float — here decimal-exact so DuckDB verifies a full
+    * assign→recompute round, not just a static mean. Scale shape:
+    * assignment is a broadcast of 8 centroid rows against the corpus
+    * scan; the argmax is a tiny per-vector agg (high-cardinality key);
+    * the recompute shuffle carries (cid, dim) groups — k·64 rows. */
+  val qKmeansStep: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === 64)
+    // one decVec+norm pass feeds the centroid side, the assignment and
+    // the recompute; checkpointed so the pipeline runs once, not thrice
+    val withNorm = Tables.spread(emb)
+      .select(col("vec_id"), decVec(col("embedding")).as("de"))
+      .withColumn("nrm", decDot(col("de"), col("de")).cast(DoubleType))
+      .localCheckpoint()
+    val cent = withNorm.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("de").as("ce"), col("nrm").as("nc"))
+    val assign = withNorm.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cid"),
+        cosMicrosPre(decDot(col("de"), col("ce")), col("nrm"), col("nc")).as("sim"))
+      .groupBy(col("vec_id"))
+      // max_by under struct(sim, -cid): max sim, ties to the LOWEST cid —
+      // the oracle's row_number() ORDER BY sim DESC, cid
+      .agg(max_by(col("cid"), struct(col("sim"), -col("cid"))).as("cid"))
+    withNorm.join(assign, "vec_id")
+      .select(col("cid"), posexplode(col("de")).as(Seq("i0", "x")))
+      .withColumn("u", (col("x") * lit(100000000L)).cast(LongType))
+      .groupBy(col("cid"), (col("i0") + 1).cast(LongType).as("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("u")).cast(LongType).as("sum_unscaled"))
+      .orderBy("cid", "dim")
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication — cluster the corpus by nearest centroid, then
+    * prune cosine-near-duplicates ONLY within each cluster, so the
+    * pairwise work is n²/k per cluster instead of n² (the clustering
+    * IS the blocking). Centroids here are the deterministic seed set
+    * vec_id < 128 (production would feed [[buildIvfIndex]] output);
+    * the drop rule is the repo-wide deterministic policy: b is dropped
+    * iff some a < b in the same cluster has sim_micros ≥ 300000 (the
+    * [[qEmbeddingNeardup]] discrimination threshold — ≈2.4σ for random
+    * 64-dim vectors), and
+    * each dropped row reports its smallest such witness. Scale shape:
+    * assignment is a 128-row broadcast against the scan; members
+    * self-join on cid (bounded cluster width — never all-pairs); the
+    * checkpoint keeps the decVec+norm+assign pipeline from running
+    * once per join side. */
+  val qSemdedup: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === 64)
+    val withNorm = Tables.spread(emb)
+      .select(col("vec_id"), decVec(col("embedding")).as("de"))
+      .withColumn("nrm", decDot(col("de"), col("de")).cast(DoubleType))
+      .localCheckpoint()
+    val cent = withNorm.filter(col("vec_id") < 128)
+      .select(col("vec_id").as("cid"), col("de").as("ce"), col("nrm").as("nc"))
+    val assign = withNorm.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cid"),
+        cosMicrosPre(decDot(col("de"), col("ce")), col("nrm"), col("nc")).as("sim"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("sim"), -col("cid"))).as("cid"))
+    val members = withNorm.join(assign, "vec_id").localCheckpoint()
+    val pairs = members.as("ma")
+      .join(members.as("mb"),
+        col("ma.cid") === col("mb.cid") && col("ma.vec_id") < col("mb.vec_id"))
+      .select(col("ma.cid").as("cid"),
+        col("ma.vec_id").as("a"), col("mb.vec_id").as("b"),
+        cosMicrosPre(decDot(col("ma.de"), col("mb.de")),
+          col("ma.nrm"), col("mb.nrm")).as("sim_micros"))
+      .filter(col("sim_micros") >= 300000L)
+    pairs.groupBy(col("cid"), col("b"))
+      .agg(min(col("a")).as("kept_by"), max(col("sim_micros")).as("max_sim_micros"))
+      .select(col("b").as("vec_id"), col("cid"), col("kept_by"),
+        col("max_sim_micros"))
+      .orderBy("vec_id")
+  }
+
+  /** k-NN label classification — the label-propagation / eval arm of
+    * an embedding pipeline (predict each query's label from its 5
+    * nearest neighbors' majority vote): query set vec_id < 20 against
+    * the corpus, exact-decimal cosine, top-5 under (sim desc, nid),
+    * vote winner under (votes desc, label asc). Scale shape: the query
+    * side broadcasts; per-query top-5 is a window on a high-cardinality
+    * key; the vote is a 20-group aggregation. */
+  val qKnnClassify: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("label").as("true_label"),
+        decVec(col("embedding")).as("qe"))
+      .withColumn("nq", decDot(col("qe"), col("qe")).cast(DoubleType))
+    val c = Tables.spread(emb)
+      .select(col("vec_id").as("nid"), col("label").as("nlabel"),
+        decVec(col("embedding")).as("ne"))
+      .withColumn("nn", decDot(col("ne"), col("ne")).cast(DoubleType))
+    val w = Window.partitionBy("qid").orderBy(col("sim_micros").desc, col("nid"))
+    val top = broadcast(q).join(c, col("qid") =!= col("nid"))
+      .select(col("qid"), col("true_label"), col("nid"), col("nlabel"),
+        cosMicrosPre(decDot(col("qe"), col("ne")), col("nq"), col("nn"))
+          .as("sim_micros"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+    top.groupBy(col("qid"), col("true_label"), col("nlabel"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("qid"), col("true_label"))
+      .agg(max_by(col("nlabel"), struct(col("votes"), -col("nlabel"))).as("pred_label"),
+           max(col("votes")).as("n_votes"))
+      .withColumn("correct",
+        when(col("pred_label") === col("true_label"), 1L).otherwise(0L))
+      .orderBy("qid")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_ann_topk" -> qAnnTopk,
     "q_embedding_neardup" -> qEmbeddingNeardup,
@@ -387,7 +505,10 @@ object Similarity {
     "q_embedding_centroids" -> qEmbeddingCentroids,
     "q_quantize_embed" -> qQuantizeEmbed,
     "q_ivf_topk" -> qIvfTopk,
-    "q_ivf_recall" -> qIvfRecall
+    "q_ivf_recall" -> qIvfRecall,
+    "q_kmeans_step" -> qKmeansStep,
+    "q_semdedup" -> qSemdedup,
+    "q_knn_classify" -> qKnnClassify
   )
 
   /** Shared oracle CTE chain of the IVF pipeline, through `scored`
@@ -550,6 +671,108 @@ object Similarity {
         |        FROM embeddings
         |        WHERE embedding IS NOT NULL AND len(embedding) = 64))
         |GROUP BY label, i ORDER BY label, dim""".stripMargin,
+    "q_kmeans_step" ->
+      """WITH el AS (
+        |  SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) AS x
+        |  FROM (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS i
+        |        FROM embeddings
+        |        WHERE embedding IS NOT NULL AND len(embedding) = 64)),
+        |nrm AS (SELECT vec_id, SUM(x*x) AS nrm FROM el GROUP BY vec_id),
+        |dots_cc AS (
+        |  SELECT ea.vec_id, eb.vec_id AS cid, SUM(ea.x * eb.x) AS dot
+        |  FROM el ea JOIN el eb ON ea.i = eb.i AND eb.vec_id < 8
+        |  GROUP BY 1, 2),
+        |sim_cc AS (
+        |  SELECT d.vec_id, d.cid,
+        |    CAST(CAST(CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS sim
+        |  FROM dots_cc d
+        |  JOIN nrm na ON d.vec_id = na.vec_id
+        |  JOIN nrm nb ON d.cid = nb.vec_id),
+        |assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk
+        |    FROM sim_cc) WHERE rk = 1)
+        |SELECT a.cid, CAST(e.i AS BIGINT) AS dim,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(e.x * 100000000 AS BIGINT)) AS BIGINT) AS sum_unscaled
+        |FROM assign a JOIN el e ON a.vec_id = e.vec_id
+        |GROUP BY a.cid, e.i ORDER BY cid, dim""".stripMargin,
+    "q_semdedup" ->
+      """WITH el AS (
+        |  SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) AS x
+        |  FROM (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS i
+        |        FROM embeddings
+        |        WHERE embedding IS NOT NULL AND len(embedding) = 64)),
+        |nrm AS (SELECT vec_id, SUM(x*x) AS nrm FROM el GROUP BY vec_id),
+        |dots_cc AS (
+        |  SELECT ea.vec_id, eb.vec_id AS cid, SUM(ea.x * eb.x) AS dot
+        |  FROM el ea JOIN el eb ON ea.i = eb.i AND eb.vec_id < 128
+        |  GROUP BY 1, 2),
+        |sim_cc AS (
+        |  SELECT d.vec_id, d.cid,
+        |    CAST(CAST(CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS sim
+        |  FROM dots_cc d
+        |  JOIN nrm na ON d.vec_id = na.vec_id
+        |  JOIN nrm nb ON d.cid = nb.vec_id),
+        |assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk
+        |    FROM sim_cc) WHERE rk = 1),
+        |pairs AS (
+        |  SELECT a.cid, a.vec_id AS a, b.vec_id AS b
+        |  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+        |dots AS (
+        |  SELECT p.cid, p.a, p.b, SUM(ea.x * eb.x) AS dot
+        |  FROM pairs p
+        |  JOIN el ea ON p.a = ea.vec_id
+        |  JOIN el eb ON p.b = eb.vec_id AND ea.i = eb.i
+        |  GROUP BY 1, 2, 3),
+        |scored AS (
+        |  SELECT d.cid, d.a, d.b,
+        |    CAST(CAST(CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS sim_micros
+        |  FROM dots d
+        |  JOIN nrm na ON d.a = na.vec_id
+        |  JOIN nrm nb ON d.b = nb.vec_id)
+        |SELECT b AS vec_id, cid, MIN(a) AS kept_by,
+        |  CAST(MAX(sim_micros) AS BIGINT) AS max_sim_micros
+        |FROM scored WHERE sim_micros >= 300000
+        |GROUP BY b, cid ORDER BY vec_id""".stripMargin,
+    "q_knn_classify" ->
+      """WITH el AS (
+        |  SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) AS x
+        |  FROM (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS i
+        |        FROM embeddings)),
+        |nrm AS (SELECT vec_id, SUM(x*x) AS nrm FROM el GROUP BY vec_id),
+        |dots AS (
+        |  SELECT q.vec_id AS qid, e.vec_id AS nid, SUM(q.x * e.x) AS dot
+        |  FROM el q JOIN el e ON q.i = e.i AND q.vec_id < 20 AND e.vec_id <> q.vec_id
+        |  GROUP BY 1, 2),
+        |cosv AS (
+        |  SELECT qid, nid,
+        |    CAST(CAST(CAST(dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(ne.nrm AS DOUBLE)) AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS sim_micros
+        |  FROM dots
+        |  JOIN nrm nq ON qid = nq.vec_id
+        |  JOIN nrm ne ON nid = ne.vec_id),
+        |top AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT qid, nid,
+        |      row_number() OVER (PARTITION BY qid ORDER BY sim_micros DESC, nid) AS rk
+        |    FROM cosv) WHERE rk <= 5),
+        |votes AS (
+        |  SELECT t.qid, e.label AS nlabel, COUNT(*) AS votes
+        |  FROM top t JOIN embeddings e ON t.nid = e.vec_id
+        |  GROUP BY 1, 2),
+        |win AS (
+        |  SELECT qid, nlabel, votes,
+        |    row_number() OVER (PARTITION BY qid ORDER BY votes DESC, nlabel) AS rk
+        |  FROM votes)
+        |SELECT w.qid, q.label AS true_label, w.nlabel AS pred_label,
+        |  CAST(w.votes AS BIGINT) AS n_votes,
+        |  CAST(CASE WHEN w.nlabel = q.label THEN 1 ELSE 0 END AS BIGINT) AS correct
+        |FROM win w JOIN embeddings q ON w.qid = q.vec_id
+        |WHERE w.rk = 1 ORDER BY qid""".stripMargin,
     "q_quantize_embed" ->
       """WITH el AS (
         |  SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) AS x
