@@ -710,6 +710,42 @@ object Dedup {
       .orderBy("src1", "src2")
   }
 
+  /** Quality-policy survivor dedup — the keep rule real pipelines
+    * actually use: within each duplicate group keep the HIGHEST-QUALITY
+    * copy (stopword score, [[TextStats.qQualityScore]]'s integer
+    * metric), not the smallest id — duplicate crawls differ in
+    * boilerplate/truncation and min-id keeps whichever was ingested
+    * first. Groups are identical 32-bit simhash signatures
+    * ([[simhashSignatures]] — signature-level dedup catches the
+    * verbatim AND trivially-reordered copies exact hashing misses;
+    * this corpus has no byte-exact dups, so content-hash groups would
+    * be an empty oracle). Tiebreak to the smallest id keeps it
+    * deterministic; only contested groups (dup_count ≥ 2) report.
+    * Scale shape: the signature pass is linear ([[qDedupSimhash]]),
+    * the score computes inline on the same scan, and the survivor
+    * argmax is one hash aggregation on the high-cardinality signature
+    * key — no pairwise work anywhere. */
+  val qDedupBest: Q = (s, d) => {
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+    val nTokens = Packing.wsTokens(col("text"))
+    val nStop = TextStats.occurrences(col("text"), "the") +
+      TextStats.occurrences(col("text"), "a") +
+      TextStats.occurrences(col("text"), "of") +
+      TextStats.occurrences(col("text"), "and")
+    val scored = docs
+      .select(col("doc_id"), nTokens.as("n_tokens"), nStop.as("n_stop"))
+      .withColumn("score_pct", expr("(n_stop * 100) div n_tokens"))
+    simhashSignatures(docs.select("doc_id", "text"))
+      .join(scored, "doc_id")
+      .groupBy(col("simhash"))
+      .agg(count(lit(1)).as("dup_count"),
+        max_by(col("doc_id"), struct(col("score_pct"), -col("doc_id"))).as("keep_id"),
+        max(col("score_pct")).as("best_score"))
+      .filter(col("dup_count") >= 2)
+      .select(col("simhash"), col("keep_id"), col("dup_count"), col("best_score"))
+      .orderBy("keep_id")
+  }
+
   /** Multi-signal near-dup consensus — lexical (simhash hamming ≤ 1,
     * [[qSimhashNeardup]]) and semantic (embedding cosine ≥ 0.3,
     * [[Similarity.qEmbeddingNeardup]]) candidate sets full-outer-joined
@@ -733,6 +769,7 @@ object Dedup {
   }
 
   val queries: Map[String, Q] = Map(
+    "q_dedup_best" -> qDedupBest,
     "q_hybrid_neardup" -> qHybridNeardup,
     "q_minhash_estimate" -> qMinhashEstimate,
     "q_dup_matrix" -> qDupMatrix,
@@ -895,6 +932,36 @@ object Dedup {
         |SELECT doc_id,
         |  CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_dedup_best" -> {
+      val nStop = Seq("the", "a", "of", "and")
+        .map(w => TextStats.occurrencesDuck("text", w)).mkString("(", " + ", ")")
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |           FROM documents WHERE text IS NOT NULL),
+        |wh AS (SELECT doc_id, CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS h
+        |       FROM w WHERE length(word) > 0),
+        |bits AS (SELECT doc_id, b,
+        |           SUM(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END) AS s
+        |         FROM wh CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) bs
+        |         GROUP BY doc_id, b),
+        |sig AS (SELECT doc_id,
+        |          SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+        |        FROM bits GROUP BY doc_id),
+        |scored AS (
+        |  SELECT doc_id,
+        |    ($nStop * 100) // (length(text) - length(replace(text, ' ', '')) + 1) AS score_pct
+        |  FROM documents WHERE text IS NOT NULL),
+        |ranked AS (
+        |  SELECT g.simhash, g.doc_id, sc.score_pct,
+        |    row_number() OVER (PARTITION BY g.simhash ORDER BY sc.score_pct DESC, g.doc_id) AS rk,
+        |    COUNT(*) OVER (PARTITION BY g.simhash) AS dup_count,
+        |    MAX(sc.score_pct) OVER (PARTITION BY g.simhash) AS best_score
+        |  FROM sig g JOIN scored sc ON g.doc_id = sc.doc_id)
+        |SELECT CAST(simhash AS BIGINT) AS simhash, doc_id AS keep_id,
+        |  CAST(dup_count AS BIGINT) AS dup_count,
+        |  CAST(best_score AS BIGINT) AS best_score
+        |FROM ranked WHERE rk = 1 AND dup_count >= 2
+        |ORDER BY keep_id""".stripMargin
+    },
     "q_hybrid_neardup" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
         |wh AS (SELECT doc_id, CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS h

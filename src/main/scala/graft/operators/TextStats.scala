@@ -273,6 +273,37 @@ object TextStats {
         sum(col("n_chars")).cast(LongType).as("sum_chars"))
       .orderBy("fold")
 
+  /** Vocabulary-coverage audit — the tokenizer-fit report of a training
+    * pipeline: build the corpus top-20 vocabulary (frequency desc,
+    * word asc — pinned boundary ties; 20 ≈ ⅔ of this corpus's 31
+    * distinct words, so the rate actually discriminates — a tokenizer
+    * vocab always truncates the tail) and report each document's
+    * out-of-vocabulary token count and integer permille rate. A doc
+    * whose OOV rate spikes is in the wrong language, the wrong domain,
+    * or binary soup — and a tokenizer trained on this corpus would
+    * explode it into bytes. Scale shape: per-(doc, word) counts
+    * partial-aggregate map-side and are checkpointed ONCE to feed both
+    * the vocabulary aggregation and the per-doc rollup (the word
+    * explode never runs twice); the top-20 plans as TakeOrdered (no
+    * global sort) and broadcasts back as a 20-row left join. */
+  val qVocabCoverage: Q = (s, d) => {
+    val tf = Tables.spread(Tables.documents(s, d).filter(col("text").isNotNull))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val vocab = tf.groupBy(col("word")).agg(sum(col("tf")).as("freq"))
+      .orderBy(col("freq").desc, col("word")).limit(20)
+      .select(col("word"), lit(1L).as("in_vocab"))
+    tf.join(broadcast(vocab), Seq("word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast(LongType).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("tf")).otherwise(0L))
+          .cast(LongType).as("n_oov"))
+      .withColumn("oov_permille", expr("(n_oov * 1000) div n_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** Repetition detection — the duplicate-n-gram quality filter of
     * real pretraining pipelines (a doc whose word 3-grams repeat
     * heavily is boilerplate/spam): per doc, total vs distinct 3-gram
@@ -541,6 +572,7 @@ object TextStats {
     "q_bpe_pairs" -> qBpePairs,
     "q_inverted_index" -> qInvertedIndex,
     "q_gram_repetition" -> qGramRepetition,
+    "q_vocab_coverage" -> qVocabCoverage,
     "q_text_clean" -> qTextClean,
     "q_lang_id" -> qLangId,
     "q_quality_score" -> qQualityScore,
@@ -688,6 +720,22 @@ object TextStats {
         |         LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i)
         |    WHERE len(w) >= 3)
         |  GROUP BY doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q_vocab_coverage" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |           FROM documents WHERE text IS NOT NULL),
+        |wf AS (SELECT doc_id, word, COUNT(*) AS tf
+        |       FROM w WHERE length(word) > 0 GROUP BY doc_id, word),
+        |vocab AS (
+        |  SELECT word FROM (SELECT word, SUM(tf) AS freq FROM wf GROUP BY word)
+        |  ORDER BY freq DESC, word LIMIT 20)
+        |SELECT doc_id, n_tokens, n_oov,
+        |  CAST(n_oov * 1000 // n_tokens AS BIGINT) AS oov_permille
+        |FROM (
+        |  SELECT wf.doc_id, CAST(SUM(wf.tf) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(CASE WHEN v.word IS NULL THEN wf.tf ELSE 0 END) AS BIGINT) AS n_oov
+        |  FROM wf LEFT JOIN vocab v ON wf.word = v.word
+        |  GROUP BY wf.doc_id)
         |ORDER BY doc_id""".stripMargin,
     "q_text_clean" ->
       """SELECT doc_id,

@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.{Dedup, TextStats}
+
+/** Behavioral pins for the quality-policy survivor dedup
+  * ([[Dedup.qDedupBest]]) and the vocabulary-coverage audit
+  * ([[TextStats.qVocabCoverage]]) on hand-built fixtures where the
+  * expected winners are provable, not just oracle-matched:
+  * simhash's per-occurrence voting means a doc dominated by one word
+  * keeps its signature when that word's count grows (no sign can
+  * cross zero), so same-signature groups with DIFFERENT quality
+  * scores are constructible. */
+class QualitySurvivorSpec extends SparkSpec {
+
+  private def writeDocs(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val docs = rows
+      .map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = Files.createTempDirectory("graft-quality-spec").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("qDedupBest keeps the highest-quality copy, min-id on ties") {
+    // group A: doc 2 is doc 1 with more stopword mass — every simhash
+    // bit's vote sum is 10*v(the)+v(dog) vs 20*v(the)+v(dog): same
+    // signs, same signature, but score 45 vs 47 (the delimited-token
+    // count matches every OTHER word in a stopword run — both engines
+    // replace non-overlapping " the " occurrences) → doc 2 must win
+    // group B: byte-identical docs 3/4 → equal score, tiebreak to id 3
+    // doc 5 is a singleton and must not report
+    val dir = writeDocs(Seq(
+      1L -> ("the " * 10 + "dog"),
+      2L -> ("the " * 20 + "dog"),
+      3L -> ("of " * 8 + "fox"),
+      4L -> ("of " * 8 + "fox"),
+      5L -> "and and zebra"))
+    val rows = Dedup.qDedupBest(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))) // keep, count, best
+    spark.catalog.clearCache()
+    assert(rows.toSeq == Seq((2L, 2L, 47L), (3L, 2L, 44L)), rows.mkString(","))
+  }
+
+  test("qVocabCoverage: top-20 vocab with pinned boundary tie, OOV rate") {
+    // 19 words at freq 5 fill ranks 1-19; "aa" and "ab" tie at freq 2
+    // for the last slot → word-asc admits "aa", makes "ab" OOV; "rare1"
+    // (freq 1) is OOV regardless
+    val common = (1 to 19).map(i => f"w$i%02d").mkString(" ")
+    val dir = writeDocs(Seq(
+      10L -> Seq.fill(5)(common).mkString(" "), // 95 tokens, all in-vocab
+      11L -> "aa aa ab ab rare1")) // 5 tokens, 3 OOV
+    val rows = TextStats.qVocabCoverage(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    spark.catalog.clearCache()
+    assert(rows.toSeq == Seq(
+      (10L, 95L, 0L, 0L),
+      (11L, 5L, 3L, 600L)), rows.mkString(","))
+  }
+}
