@@ -57,6 +57,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // static conf, must precede the first session: the janino class
+      // cache defaults to 100 entries, but one pass over this surface
+      // generates ~4 codegen stages × >100 queries — every pass evicts
+      // everything and re-compiles. 4096 entries (~tens of MB of
+      // classes) lets repeat passes and the shared fragments between
+      // queries actually reuse compiled code, so medians measure
+      // steady-state runtime, not janino.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -21,9 +21,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * covers the word-multiset near-dup class that exact hashing misses).
   * At scale the state shuffles as (signature, first_id) pairs only.
   *
-  * Determinism within a micro-batch: arrivals sort by (event time,
-  * doc_id) before the keep decision, so replay after failure keeps the
-  * same winner (exactly the A5 first-wins rule the batch side uses).
+  * Determinism within a micro-batch: the keep decision is the running
+  * (event time, doc_id) minimum over the group's arrivals — one pass,
+  * O(1) memory even when a template-heavy stream lands a whole batch
+  * on one hot signature — so replay after failure keeps the same
+  * winner (exactly the A5 first-wins rule the batch side uses).
   */
 object StreamDedup {
 
@@ -102,23 +104,38 @@ object StreamDedup {
          st: GroupState[SigState]) => {
           if (st.hasTimedOut) { st.remove(); Iterator.empty }
           else {
-            // deterministic first-wins within the batch: event time,
-            // then doc_id (replay-stable)
-            val arrivals = rows.toArray.sortBy(r => (r._3.getTime, r._1))
+            // deterministic first-wins within the batch: the running
+            // (event time, doc_id) minimum in ONE pass over the
+            // iterator — replay-stable like a sort, but O(1) memory
+            // when a template-heavy stream lands 10^6 rows on one hot
+            // signature in a single batch (a sort would buffer the
+            // whole group); the running max feeds the TTL
+            var any = false
+            var minTs = Long.MaxValue; var minId = Long.MaxValue
+            var minStamp: Timestamp = null
+            var maxTs = Long.MinValue
+            rows.foreach { r =>
+              any = true
+              val t = r._3.getTime
+              if (t > maxTs) maxTs = t
+              if (t < minTs || (t == minTs && r._1 < minId)) {
+                minTs = t; minId = r._1; minStamp = r._3
+              }
+            }
             val kept: Iterator[KeptDoc] =
-              if (st.exists) Iterator.empty
-              else arrivals.headOption.map { first =>
-                st.update(SigState(first._1))
-                KeptDoc(first._1, sig, first._3)
-              }.iterator
-            if (st.exists && arrivals.nonEmpty) {
+              if (st.exists || !any) Iterator.empty
+              else {
+                st.update(SigState(minId))
+                Iterator.single(KeptDoc(minId, sig, minStamp))
+              }
+            if (st.exists && any) {
               // clamp: a replayed/backfilled arrival older than
               // (watermark - ttl) would compute a timeout BEHIND the
               // watermark, and setTimeoutTimestamp throws on that —
               // which would kill the whole ingest query. Late data
               // still gets a state entry; it just expires at the next
               // watermark advance instead of crashing.
-              val computed = arrivals.map(_._3.getTime).max + ttlMillis
+              val computed = maxTs + ttlMillis
               st.setTimeoutTimestamp(math.max(computed, st.getCurrentWatermarkMs() + 1))
             }
             kept

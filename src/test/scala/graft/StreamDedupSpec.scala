@@ -69,4 +69,36 @@ class StreamDedupSpec extends SparkSpec {
       assert(out.contains(6L), "after TTL expiry the signature reopens")
     } finally q.stop()
   }
+
+  test("hot-signature skew: 10^6 same-signature rows in one batch, O(1) group pass") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000L
+    // a template-heavy burst: every row is the same short text → ONE
+    // simhash group receives the entire batch. The group handler must
+    // stream the iterator (running min/max), not buffer-and-sort it;
+    // the winner is the (event time, doc_id) minimum — planted at a
+    // mid-stream position with an earlier timestamp so a "first row
+    // wins" or "min id wins" shortcut would both fail.
+    val n = 1000000
+    val text = "hot template text"
+    val docs = (0 until n).map { i =>
+      val off = if (i == 777777) 0L else 5L + (i % 7)
+      StreamDoc(i + 10L, text, new Timestamp((t0 + off) * 1000))
+    }
+    val input = MemoryStream[StreamDoc]
+    val kept = StreamDedup.suppressNearDups(
+      input.toDS(), watermarkDelay = "5 seconds", ttlMillis = 60 * 1000L)
+    val q = kept.writeStream.format("memory").queryName("dedup_hot")
+      .outputMode("append").start()
+    try {
+      input.addData(docs)
+      q.processAllAvailable()
+      val out = spark.table("dedup_hot")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(2).getTime))
+      assert(out.length == 1, s"exactly one survivor, got ${out.length}")
+      assert(out.head == (777777L + 10L, t0 * 1000),
+        s"winner must be the (ts, doc_id) minimum, got ${out.head}")
+    } finally q.stop()
+  }
 }
