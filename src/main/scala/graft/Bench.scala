@@ -63,8 +63,10 @@ object Bench {
       // everything and re-compiles. 4096 entries (~tens of MB of
       // classes) lets repeat passes and the shared fragments between
       // queries actually reuse compiled code, so medians measure
-      // steady-state runtime, not janino.
-      .config("spark.sql.codegen.cache.maxEntries", "4096")
+      // steady-state runtime, not janino. Env knob is the A/B lever
+      // (PERF.md "codegen class cache" section).
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

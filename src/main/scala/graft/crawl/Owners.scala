@@ -50,8 +50,18 @@ object Owners {
 
   /** Broadcast dict + ancestor walk — the faithful find_owner. Guard
     * divergence A7: relative paths stop at "" instead of recursing
-    * forever. */
-  def findOwner(owners: Map[String, String])(path: String): Option[String] = {
+    * forever.
+    *
+    * `maxSlashBound` bounds the walk by the DIMENSION's depth: a
+    * prefix containing more '/' than the deepest dim key can never be
+    * a key of `owners`, so the walk jumps straight to the deepest
+    * possibly-matching prefix (one forward char scan) instead of
+    * re-substringing its way down from a 50-level leaf. Cost becomes
+    * O(dim depth) lookups per path — tree depth drops out entirely —
+    * and results are provably unchanged (every skipped prefix is a
+    * guaranteed miss; OwnersPropertySpec pins bounded ≡ unbounded). */
+  def findOwner(owners: Map[String, String], maxSlashBound: Int = Int.MaxValue)(
+      path: String): Option[String] = {
     @annotation.tailrec
     def walk(p: String): Option[String] =
       owners.get(p) match {
@@ -61,22 +71,53 @@ object Owners {
           val idx = p.lastIndexOf('/')
           walk(if (idx <= 0) (if (p.startsWith("/")) "/" else "") else p.substring(0, idx))
       }
-    walk(path)
+    val start =
+      if (maxSlashBound == Int.MaxValue) path
+      else {
+        // cut before the (maxSlashBound+1)-th '/': the deepest prefix
+        // with ≤ maxSlashBound separators (raw char count, so the
+        // bound is sound even for '//' paths)
+        var slashes = 0; var i = 0; var cut = -1
+        while (i < path.length && cut < 0) {
+          if (path.charAt(i) == '/') {
+            slashes += 1
+            if (slashes > maxSlashBound) cut = i
+          }
+          i += 1
+        }
+        if (cut < 0) path
+        else if (cut == 0) (if (path.startsWith("/")) "/" else "")
+        else path.substring(0, cut)
+      }
+    walk(start)
   }
+
+  /** Largest '/'-count over the dim's keys — the useful-prefix depth
+    * bound shared by both J1 plans. */
+  def maxSlashOf(dirs: Iterable[String]): Int =
+    if (dirs.isEmpty) 0 else dirs.iterator.map(_.count(_ == '/')).max
 
   def findOwnerUdf(spark: SparkSession, dim: DataFrame): Column = {
     val m: Map[String, String] = dim
       .select("dir", "pi").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
+    val bound = maxSlashOf(m.keys)
     val bc: Broadcast[Map[String, String]] = spark.sparkContext.broadcast(m)
-    udf((p: String) => findOwner(bc.value)(p)).apply(col("path"))
+    udf((p: String) => findOwner(bc.value, bound)(p)).apply(col("path"))
   }
 
   /** The pure-Catalyst plan: explode ancestor prefixes (incl. self),
-    * broadcast-join the dim, keep the deepest match per path. */
+    * broadcast-join the dim, keep the deepest match per path. The
+    * explode is bounded by the dim's depth too — a k-part prefix has
+    * k-1 separators, so parts beyond (max dim '/'-count)+1 are
+    * guaranteed join misses and are never emitted: on a 50-level tree
+    * with a 3-level owners file the explode emits 4 rows per path,
+    * not 50. */
   def attachOwnersByJoin(files: DataFrame, dim: DataFrame): DataFrame = {
+    val maxParts = maxSlashOf(
+      dim.select("dir").collect().map(_.getString(0))) + 1
     val exploded = files.select(col("path"),
-        explode(Exprs.ancestorPrefixes(col("path"))).as("a"))
+        explode(Exprs.ancestorPrefixes(col("path"), maxParts)).as("a"))
       .select(col("path"), col("a.prefix").as("prefix"), col("a.depth").as("depth"))
     // deepest match via max_by: map-side partial agg, no window sort
     val matched = exploded

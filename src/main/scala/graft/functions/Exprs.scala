@@ -143,15 +143,22 @@ object Exprs {
     * segment — divergence A7: the reference recurses forever on them).
     * Depth values are ordering keys only (deeper = nearer), not level
     * numbers. */
-  def ancestorPrefixes(path: Column): Column = {
+  def ancestorPrefixes(path: Column, maxParts: Int = Int.MaxValue): Column = {
     // split('/a/b/c', '/') = ['', 'a', 'b', 'c']; the k-part prefix
     // joins the first k parts back with '/'; the leading-'' part makes
-    // k=1 empty for absolute paths (dropped, replaced by the '/' root)
+    // k=1 empty for absolute paths (dropped, replaced by the '/' root).
+    // maxParts caps k when the consumer knows deeper prefixes are
+    // useless (a k-part prefix has k-1 separators — Owners bounds k by
+    // the dim's max '/'-count + 1); default keeps the original
+    // expression tree node-for-node.
     val parts = split(path, "/")
     val n = size(parts)
+    val kMax =
+      if (maxParts == Int.MaxValue) greatest(n, lit(1))
+      else greatest(least(n, lit(maxParts)), lit(1))
     val base = filter(
       transform(
-        sequence(lit(1), greatest(n, lit(1))),
+        sequence(lit(1), kMax),
         k =>
           struct(
             concat_ws("/", slice(parts, lit(1), k)).as("prefix"),

@@ -59,6 +59,14 @@ object Multimodal {
       t_ms: Long,
       frame: Array[Byte])
 
+  final case class MediaTrack(
+      media_id: Long,
+      track_no: Int,
+      handler: String,   // vide | soun | ... (mdia/hdlr handler type)
+      codec: String,     // first stsd sample-entry fourcc: avc1, mp4a, ...
+      timescale: Long,   // track-local mdhd timescale
+      duration_ms: Long)
+
   private def checksumOf(bytes: Array[Byte]): Long = {
     var h = 1125899906842597L // deterministic FNV-ish rolling checksum
     bytes.foreach(b => h = h * 31 + (b & 0xff))
@@ -298,6 +306,85 @@ object Multimodal {
       Option(javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(payload, frame._1, frame._2)))
     } catch { case _: Exception => None }
+
+  /** Per-track MP4/MOV metadata (pure box walk, no codec): for each
+    * `moov/trak` the `mdia/mdhd` track-local timescale + duration, the
+    * `mdia/hdlr` handler type (`vide`/`soun`/…), and the codec fourcc
+    * from the first `stbl/stsd` sample entry (`avc1`, `mp4a`, `hvc1`,
+    * …) — the fields a corpus datasheet needs to slice media by codec
+    * without decoding a frame. Returns (handler, codec, timescale,
+    * duration_ms) per track, empty for non-BMFF payloads. */
+  private[operators] def mp4Tracks(
+      payload: Array[Byte]): Seq[(String, String, Long, Long)] =
+    try {
+      val bb = java.nio.ByteBuffer.wrap(payload)
+      def children(from: Int, to: Int): Seq[(String, Int, Int)] = {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+        var off = from
+        while (off + 8 <= to) {
+          val size = bb.getInt(off)
+          val tpe = new String(payload, off + 4, 4, "ISO-8859-1")
+          if (size < 8 || off + size > to) return buf.toSeq
+          buf += ((tpe, off + 8, off + size))
+          off += size
+        }
+        buf.toSeq
+      }
+      def child(from: Int, to: Int, want: String): Option[(Int, Int)] =
+        children(from, to).collectFirst { case (t, s, e) if t == want => (s, e) }
+      child(0, payload.length, "moov").toSeq.flatMap { case (ms, me) =>
+        children(ms, me).filter(_._1 == "trak").flatMap { case (_, ts, te) =>
+          child(ts, te, "mdia").map { case (ds, de) =>
+            val (timescale, durMs) = child(ds, de, "mdhd").map { case (hs, _) =>
+              val v = payload(hs) & 0xff
+              val (tsc, dur) = // same v0/v1 layout split as mvhd
+                if (v == 1) (bb.getInt(hs + 20).toLong, bb.getLong(hs + 24))
+                else (bb.getInt(hs + 12).toLong, bb.getInt(hs + 16).toLong & 0xffffffffL)
+              (tsc, if (tsc > 0) dur * 1000 / tsc else 0L)
+            }.getOrElse((0L, 0L))
+            val handler = child(ds, de, "hdlr")
+              .filter { case (hs, he) => he - hs >= 12 }
+              .map { case (hs, _) => new String(payload, hs + 8, 4, "ISO-8859-1") }
+              .getOrElse("")
+            val codec = (for {
+              (ns, ne) <- child(ds, de, "minf")
+              (bs, be) <- child(ns, ne, "stbl")
+              (ss, se) <- child(bs, be, "stsd")
+              if se - ss >= 16 && bb.getInt(ss + 8) >= 8 // first entry present
+            } yield new String(payload, ss + 12, 4, "ISO-8859-1")).getOrElse("")
+            (handler, codec, timescale, durMs)
+          }
+        }
+      }
+    } catch { case _: Exception => Seq.empty }
+
+  /** One row per MP4/MOV track: the explode-shaped twin of
+    * [[extractFeatures]] for container-level analytics (codec mix,
+    * per-track durations). Partition-batched scan-side flatMap — blobs
+    * never shuffle, only the fixed-width track rows flow downstream. */
+  def describeTracks(media: Dataset[MediaRow]): Dataset[MediaTrack] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      if (r.payload == null) Seq.empty[MediaTrack]
+      else mp4Tracks(r.payload).zipWithIndex.map {
+        case ((handler, codec, tsc, durMs), i) =>
+          MediaTrack(r.media_id, i, handler, codec, tsc, durMs)
+      }
+    }
+  }
+
+  /** AudioFileReader SPI providers visible to this JVM. [[decodeAudio]]
+    * goes through AudioSystem, which consults this registry — dropping
+    * a public FLAC/Vorbis reader jar on the classpath lights those
+    * formats up with NO code change here. The stock JDK ships WAV,
+    * AIFF, and AU readers only; MultimodalSpec records the probe so the
+    * claimed-real format list stays honest per environment. */
+  def audioReaderProviders(): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator().asScala.map(_.getClass.getName).toSeq
+  }
 
   /** MJPEG-AVI: REAL frame decode — dimensions and luminance histogram
     * from the first frame, duration from the µs/frame cadence. */

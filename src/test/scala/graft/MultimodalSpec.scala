@@ -119,6 +119,64 @@ class MultimodalSpec extends SparkSpec {
     assert(f.feature.length == 8)
   }
 
+  test("MP4 per-track metadata: handler, codec fourcc, mdhd durations") {
+    import spark.implicits._
+    // spec-layout ISO BMFF with two full trak trees
+    def box(tpe: String, parts: Array[Byte]*): Array[Byte] = {
+      val body = parts.flatten.toArray
+      java.nio.ByteBuffer.allocate(8 + body.length)
+        .putInt(8 + body.length).put(tpe.getBytes("ISO-8859-1")).put(body).array()
+    }
+    def be32(v: Int) = java.nio.ByteBuffer.allocate(4).putInt(v).array()
+    def mdhd(timescale: Int, duration: Int) = box("mdhd",
+      be32(0), be32(0), be32(0), be32(timescale), be32(duration), be32(0))
+    def hdlr(handler: String) = box("hdlr",
+      be32(0), be32(0), handler.getBytes("ISO-8859-1"), new Array[Byte](13))
+    def stsd(fourcc: String) = box("stsd",
+      be32(0), be32(1), // version/flags, entry_count
+      be32(16), fourcc.getBytes("ISO-8859-1"), new Array[Byte](8)) // sample entry
+    def trak(handler: String, fourcc: String, timescale: Int, duration: Int) =
+      box("trak", box("mdia",
+        mdhd(timescale, duration), hdlr(handler),
+        box("minf", box("stbl", stsd(fourcc)))))
+    val mvhd = box("mvhd", be32(0), be32(0), be32(0), be32(1000), be32(7000),
+      new Array[Byte](80))
+    val mp4 = box("ftyp", "isom".getBytes("ISO-8859-1"), be32(0)) ++
+      box("moov", mvhd,
+        trak("vide", "avc1", 30000, 150000),  // 5000 ms video track
+        trak("soun", "mp4a", 48000, 96000))   // 2000 ms audio track
+
+    val media = Seq(
+      Multimodal.MediaRow(21L, "video", mp4, "video/mp4", None, None, None)).toDS()
+    val tracks = Multimodal.describeTracks(media).collect()
+      .map(t => (t.track_no, t.handler, t.codec, t.timescale, t.duration_ms))
+      .sortBy(_._1)
+    assert(tracks.toSeq == Seq(
+      (0, "vide", "avc1", 30000L, 5000L),
+      (1, "soun", "mp4a", 48000L, 2000L)), tracks.mkString(","))
+    // the whole-container path sees both traks too
+    val f = Multimodal.extractFeatures(media).collect().head
+    assert(f.n_tracks.contains(2))
+    assert(f.duration_ms.contains(7000L))
+  }
+
+  test("audio reader SPI probe: stock WAV/AIFF/AU, FLAC/Vorbis documented") {
+    val providers = Multimodal.audioReaderProviders()
+    // the three stock OpenJDK readers back the claimed-real formats
+    assert(providers.exists(_.contains("WaveFile")), providers.mkString(","))
+    assert(providers.exists(_.contains("AiffFile")), providers.mkString(","))
+    assert(providers.exists(_.contains("AuFile")), providers.mkString(","))
+    // honest-claims check: if no FLAC/Vorbis SPI is on the classpath,
+    // those formats must NOT be claimed real (decodeAudio falls back to
+    // the stub for them); if a provider ever appears, they light up
+    // with no code change and this records it
+    val compressed = providers.filter(p =>
+      p.toLowerCase.contains("flac") || p.toLowerCase.contains("vorbis") ||
+        p.toLowerCase.contains("ogg"))
+    info(s"FLAC/Vorbis SPI providers present: ${
+      if (compressed.isEmpty) "none (formats stay stubbed)" else compressed.mkString(",")}")
+  }
+
   /** Minimal MJPEG AVI: RIFF(AVI  LIST(hdrl avih) LIST(movi 00dc…)).
     * Little-endian sizes, chunks padded to even — the real layout. */
   private def buildMjpegAvi(frames: Seq[Array[Byte]], usPerFrame: Int): Array[Byte] = {

@@ -118,6 +118,68 @@ class StressSpec extends SparkSpec {
     ((h % buckets) + buckets) % buckets
   }
 
+  test("task-skew telemetry at 10×: no heavy stage runs max/mean > 8 (PERF.md section)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    import scala.collection.concurrent.TrieMap
+    import scala.collection.mutable.ArrayBuffer
+    // per-stage successful-task durations, straight off the scheduler —
+    // the same signal a cluster UI aggregates; this is the measured
+    // form of the salt/bucket invariants above (a hot key that dodged
+    // them would surface here as one straggler task)
+    val stages = TrieMap.empty[Int, ArrayBuffer[Long]]
+    val listener = new SparkListener {
+      // listener-bus events arrive on one dispatch thread; plain append
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskInfo != null && t.taskInfo.successful)
+          stages.getOrElseUpdate(t.stageId, ArrayBuffer.empty) += t.taskInfo.duration
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Dedup.minhashCandidatePairs(spark, docsDir).count()
+      val emb = Tables.embeddings(spark, embDir)
+      val p = SignLsh.paramsFor(NVecs.toLong, 0.8, recall = 0.9,
+        targetBucket = 8, seed = 42L)
+      SignLsh.neardup(emb, p, 0.8).count()
+      val (centroids, assignments) = Similarity.buildIvfIndex(emb, k = 32, iters = 2)
+      Similarity.ivfTopk(emb.limit(16), emb, centroids, assignments,
+        topK = 10, nprobe = 4).count()
+      // the listener bus drains asynchronously; poll until the task
+      // counts stop moving instead of sleeping a fixed guess
+      var last = -1; var same = 0
+      while (same < 3) {
+        val now = stages.values.map(_.size).sum
+        if (now == last) same += 1 else { same = 0; last = now }
+        Thread.sleep(200)
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // judge a stage only when skew could matter: enough tasks to skew
+    // across and enough total work to hide a hot key (tiny stages are
+    // all jitter — a 40 ms max over a 5 ms mean is scheduling noise)
+    val heavy = stages.toSeq.flatMap { case (sid, durs) =>
+      val n = durs.size
+      val total = durs.sum
+      // 500 ms floor: high enough to skip pure-jitter stages, low
+      // enough that a warm full-suite run (page cache + codegen hot)
+      // still yields judgeable stages
+      if (n >= 8 && total >= 500L) {
+        val mean = total.toDouble / n
+        Some((sid, n, mean, durs.max.toDouble, durs.max / mean))
+      } else None
+    }.sortBy(-_._5)
+    assert(heavy.nonEmpty, "no stage was heavy enough to judge — fixture shrank?")
+    val report = heavy.map { case (sid, n, mean, mx, ratio) =>
+      f"stage $sid%4d: tasks=$n%3d mean=${mean / 1000}%.2fs max=${mx / 1000}%.2fs ratio=$ratio%.1f"
+    }.mkString("\n")
+    info(s"per-stage task skew on the 10x corpus:\n$report")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("target", "stress_skew.txt"),
+      (report + "\n").getBytes("UTF-8"))
+    heavy.foreach { case (sid, n, mean, mx, ratio) =>
+      assert(ratio <= 8.0,
+        f"stage $sid (tasks=$n, mean=${mean / 1000}%.2fs) has a ${mx / 1000}%.2fs straggler — hot-key skew")
+    }
+  }
+
   test("minhash-LSH at 10×: exact-dup recall 1.0, near-dup recall ≥ 0.75, hot family spread over salt cells") {
     val cand = Dedup.minhashCandidatePairs(spark, docsDir)
       .collect().map(row => (row.getLong(0), row.getLong(1))).toSet
@@ -239,4 +301,5 @@ class StressSpec extends SparkSpec {
     val twinHits = (0L until 5L).count(q => ivf.contains((q, q + PlantedPairs)))
     assert(twinHits >= 4, s"only $twinHits/5 planted twins survived IVF probing")
   }
+
 }
