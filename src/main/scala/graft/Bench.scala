@@ -20,15 +20,17 @@ import org.apache.spark.sql.SparkSession
   * count()-ed — count lets EliminateSorts drop final ORDER BYs and
   * under-measures.
   *
-  * The default mode ("both") follows the concurrent run with a
-  * sequential pass (cache cleared between queries) and reports it as
-  * "queries_seq" in the same JSON line — seq latencies are
-  * attributable to the individual plan, so round-over-round
-  * regressions stop being guesswork about queue contention. The
-  * headline "value" stays the concurrent wall. SPARK_GRAFT_BENCH_MODE=
+  * The default mode ("both") runs the repeated sequential passes FIRST
+  * (per-query medians, cache cleared between queries — attributable to
+  * the individual plan, so round-over-round regressions stop being
+  * guesswork about queue contention; the passes double as codegen
+  * warm-up) and then the concurrent run, whose wall is the headline
+  * "value" (value_kind "concurrent_wall_warm"). SPARK_GRAFT_BENCH_MODE=
   * seq or concurrent runs just that pass. Failures are logged to
   * stderr in BOTH passes — a failed query's latency is visibly
-  * invalid, never silently fast.
+  * invalid, never silently fast. Stdout carries one compact ms-rounded
+  * line (must survive a ~4 KB tail capture); target/bench.json carries
+  * the full-precision dual-map artifact.
   */
 /** Checked-in per-query seq medians of the prior accepted round
   * (`bench_baseline.json`, flat {"query":seconds} map — regenerated
@@ -37,13 +39,21 @@ import org.apache.spark.sql.SparkSession
   */
 object BenchBaseline {
   private val pair = """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r
-  def load(path: String = "bench_baseline.json"): Option[Map[String, Double]] = {
+  /** Looks in SPARK_GRAFT_BENCH_BASELINE, else cwd. A missing or
+    * unparseable baseline DISABLES the regression gate, so that state
+    * must be loud: one stderr line, never silence — a silently
+    * disabled gate is indistinguishable from a clean run. */
+  def load(path: String = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
+                                            "bench_baseline.json")): Option[Map[String, Double]] = {
     val p = java.nio.file.Paths.get(path)
-    if (!java.nio.file.Files.isReadable(p)) None
+    val r = if (!java.nio.file.Files.isReadable(p)) None
     else scala.util.Try {
       val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
       pair.findAllMatchIn(s).map(m => m.group(1) -> m.group(2).toDouble).toMap
     }.toOption.filter(_.nonEmpty)
+    if (r.isEmpty) System.err.println(
+      s"[bench] no baseline at ${p.toAbsolutePath} — regression gate SKIPPED")
+    r
   }
 }
 
@@ -133,23 +143,28 @@ object Bench {
         k -> xs(xs.size / 2)
       }.toMap
     }
-    // headline value: concurrent wall when a concurrent pass ran (the
-    // workload number); in seq-only mode the SUM OF PER-QUERY MEDIANS —
-    // a total that corresponds to the per-query map, not the wall of
-    // all repeat passes
-    val (results, total, seqResults) = mode match {
-      case "seq"        => val r = runSeqMedian(); (r, r.values.sum, Some(r))
-      case "concurrent" => val (r, w) = timed(runConcurrent _); (r, w, None)
+    // Headline value + its explicit kind (ADVICE r7: the semantics must
+    // live IN the artifact, not in a code comment):
+    //   seq mode        → sum of per-query medians   ("sum_of_seq_medians")
+    //   concurrent mode → cold concurrent wall       ("concurrent_wall")
+    //   both (default)  → seq-median passes FIRST (they double as the
+    //     codegen warm-up), then the concurrent wall — so the headline
+    //     measures steady-state workload throughput, not janino compile
+    //     storms of 112 cold plans on 8 threads ("concurrent_wall_warm").
+    val (results, total, kind, seqResults) = mode match {
+      case "seq"        => val r = runSeqMedian(); (r, r.values.sum, "sum_of_seq_medians", Some(r))
+      case "concurrent" => val (r, w) = timed(runConcurrent _); (r, w, "concurrent_wall", None)
       case _ =>
+        val s = runSeqMedian()
         val (r, w) = timed(runConcurrent _)
-        (r, w, Some(runSeqMedian()))
+        (r, w, "concurrent_wall_warm", Some(s))
     }
     // median-vs-median regression gate: bench_baseline.json (checked in,
     // per-query seq medians of the prior accepted round) → any query
     // whose current median exceeds 2× its baseline is named in the
     // artifact itself. A missing baseline or query is skipped, never
     // fatal — the gate flags regressions, it must not brick the bench.
-    val gateField = (for {
+    val regressions = (for {
       seq <- seqResults
       base <- BenchBaseline.load()
     } yield {
@@ -158,20 +173,26 @@ object Bench {
           f""""$q":{"median":$t%.3f,"baseline":${base(q)}%.3f}"""
       }
       regs.foreach(r => System.err.println(s"[bench] REGRESSION $r"))
-      s""","regressions":${regs.mkString("{", ",", "}")}"""
-    }).getOrElse("")
-    val seqField = (if (mode != "seq")
-        seqResults.map(s => s""","queries_seq":${js(s)}""").getOrElse("")
-      else "") +
-      seqResults.map(_ => s""","seq_repeat":$seqRepeat""").getOrElse("")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)}$seqField$gateField,"sf":"$sfDir"}"""
+      regs
+    }).getOrElse(Seq.empty)
+    // STDOUT CONTRACT: one JSON line that must survive a ~4 KB tail
+    // capture (BENCH_r07 shipped "parsed":null because the full-precision
+    // dual-map line hit 6.6 KB and lost its head). Stdout gets ONE
+    // per-query map — seq medians when available, else the concurrent
+    // latencies — rounded to ms, its kind named; the full-precision
+    // dual-map + named regressions go to target/bench.json where nothing
+    // can clip them.
+    val (qmap, qkind) = seqResults.map((_, "seq_median")).getOrElse((results, "concurrent"))
+    def js3(m: Map[String, Double]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_kind":"$kind","queries":${js3(qmap)},"queries_kind":"$qkind","seq_repeat":$seqRepeat,"regressions_n":${regressions.size},"detail":"target/bench.json","sf":"$sfDir"}"""
     println(line)
-    // stdout of an sbt run gets tail-truncated by capture harnesses (a
-    // 96-entry concurrent+seq map exceeds their buffer) — persist the
-    // full line where nothing can clip it
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","value_kind":"$kind","queries_concurrent":${js(results)},"queries_seq":${seqResults.map(js).getOrElse("null")},"seq_repeat":$seqRepeat,"regressions":${regressions.mkString("{", ",", "}")},"sf":"$sfDir"}"""
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
-    java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(out, (full + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

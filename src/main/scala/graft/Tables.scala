@@ -48,10 +48,15 @@ object Tables {
     * keep the stale file listing (silently stale data, not an error).
     * Writers inside this repo ([[graft.operators.Dedup.buildArtifacts]],
     * spec fixtures that rewrite a dir) do. */
-  def invalidate(pathPrefix: String): Unit =
+  def invalidate(pathPrefix: String): Unit = {
+    // boundary-aware: invalidate("/x/out") must drop "/x/out" and
+    // "/x/out/part.parquet" but NOT the sibling "/x/out2" — raw
+    // startsWith over-invalidates, silently defeating the memoization
+    val dirPrefix = pathPrefix.stripSuffix("/") + "/"
     tableCache.keysIterator
-      .filter(_._2.startsWith(pathPrefix))
+      .filter(k => k._2 == pathPrefix || k._2.startsWith(dirPrefix))
       .foreach(tableCache.remove)
+  }
 
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")

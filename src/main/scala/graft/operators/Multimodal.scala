@@ -183,6 +183,55 @@ object Multimodal {
       } finally raw.close()
     } catch { case _: Exception => None }
 
+  /** ISO BMFF sibling walk shared by every MP4/MOV parser here:
+    * returns (fourcc, contentStart, contentEnd) per box in [from, to).
+    * Handles the two special header sizes real files use (ISO 14496-12
+    * §4.2): size==1 → 64-bit `largesize` follows the fourcc (streaming
+    * writers put a >4 GiB `mdat` BEFORE `moov`, so aborting on it hides
+    * every track); size==0 → box extends to the end of the enclosing
+    * container (last-box shorthand). A malformed size skips nothing
+    * after it can't — the walk stops there rather than misparse. */
+  private[operators] def bmffChildren(
+      payload: Array[Byte], from: Int, to: Int): Seq[(String, Int, Int)] = {
+    val bb = java.nio.ByteBuffer.wrap(payload) // big-endian per spec
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+    var off = from
+    var done = false
+    while (!done && off + 8 <= to) {
+      val size32 = bb.getInt(off)
+      val tpe = new String(payload, off + 4, 4, "ISO-8859-1")
+      val (contentStart, boxEnd) =
+        if (size32 == 1 && off + 16 <= to) {
+          val large = bb.getLong(off + 8)
+          // content starts after the 16-byte extended header; an
+          // out-of-range largesize is malformed → stop
+          if (large < 16 || large > (to - off).toLong) (off + 16, -1)
+          else (off + 16, off + large.toInt)
+        } else if (size32 == 0) (off + 8, to) // extends to container end
+        else if (size32 < 8 || off.toLong + size32 > to) (off + 8, -1)
+        else (off + 8, off + size32)
+      if (boxEnd < 0) done = true
+      else {
+        buf += ((tpe, contentStart, boxEnd))
+        off = boxEnd
+      }
+    }
+    buf.toSeq
+  }
+
+  private def bmffChild(
+      payload: Array[Byte], from: Int, to: Int, want: String): Option[(Int, Int)] =
+    bmffChildren(payload, from, to).collectFirst { case (t, s, e) if t == want => (s, e) }
+
+  /** Millisecond duration from a BMFF timescale + duration pair without
+    * Long overflow: a 64-bit v1 duration × 1000 wraps for values past
+    * 2^53; split the division so only the sub-timescale remainder is
+    * scaled. Unsigned-range durations (top bit set) saturate. */
+  private def bmffDurMs(timescale: Long, duration: Long): Long =
+    if (timescale <= 0) 0L
+    else if (duration < 0) Long.MaxValue // 2^63..2^64-1 ticks: saturate
+    else (duration / timescale) * 1000 + (duration % timescale) * 1000 / timescale
+
   /** REAL MP4/MOV container metadata (no codec needed — plain ISO BMFF
     * box walking): duration from mvhd, track count and the first video
     * track's pixel dimensions from trak/tkhd. Frame DECODE stays
@@ -193,44 +242,27 @@ object Multimodal {
       payload: Array[Byte]): Option[(Long, Int, Option[(Int, Int)])] =
     try {
       val bb = java.nio.ByteBuffer.wrap(payload) // big-endian per spec
-      def walk(from: Int, to: Int, want: String): Option[(Int, Int)] = {
-        var off = from
-        while (off + 8 <= to) {
-          val size = bb.getInt(off)
-          val tpe = new String(payload, off + 4, 4, "ISO-8859-1")
-          if (size < 8 || off + size > to) return None
-          if (tpe == want) return Some((off + 8, off + size))
-          off += size
-        }
-        None
-      }
-      walk(0, payload.length, "moov").flatMap { case (ms, me) =>
-        walk(ms, me, "mvhd").map { case (hs, _) =>
+      bmffChild(payload, 0, payload.length, "moov").flatMap { case (ms, me) =>
+        bmffChild(payload, ms, me, "mvhd").map { case (hs, _) =>
           val version = payload(hs) & 0xff
           val (timescale, duration) =
             if (version == 1) (bb.getInt(hs + 20).toLong, bb.getLong(hs + 24))
             else (bb.getInt(hs + 12).toLong, (bb.getInt(hs + 16).toLong & 0xffffffffL))
-          val durMs = if (timescale > 0) duration * 1000 / timescale else 0L
+          val durMs = bmffDurMs(timescale, duration)
           // count trak children of moov; first with nonzero tkhd dims
           var nTracks = 0
           var dims: Option[(Int, Int)] = None
-          var off = ms
-          while (off + 8 <= me) {
-            val size = bb.getInt(off)
-            if (size < 8 || off + size > me) { off = me }
-            else {
-              if (new String(payload, off + 4, 4, "ISO-8859-1") == "trak") {
-                nTracks += 1
-                if (dims.isEmpty)
-                  dims = walk(off + 8, off + size, "tkhd").flatMap { case (ts, te) =>
-                    // width/height are the LAST 8 bytes, 16.16 fixed point
-                    val w = bb.getInt(te - 8) >>> 16
-                    val h = bb.getInt(te - 4) >>> 16
-                    if (w > 0 && h > 0) Some((w, h)) else None
-                  }
-              }
-              off += size
-            }
+          bmffChildren(payload, ms, me).foreach {
+            case ("trak", ts, te) =>
+              nTracks += 1
+              if (dims.isEmpty)
+                dims = bmffChild(payload, ts, te, "tkhd").flatMap { case (_, the) =>
+                  // width/height are the LAST 8 bytes, 16.16 fixed point
+                  val w = bb.getInt(the - 8) >>> 16
+                  val h = bb.getInt(the - 4) >>> 16
+                  if (w > 0 && h > 0) Some((w, h)) else None
+                }
+            case _ => ()
           }
           (durMs, nTracks, dims)
         }
@@ -318,29 +350,17 @@ object Multimodal {
       payload: Array[Byte]): Seq[(String, String, Long, Long)] =
     try {
       val bb = java.nio.ByteBuffer.wrap(payload)
-      def children(from: Int, to: Int): Seq[(String, Int, Int)] = {
-        val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
-        var off = from
-        while (off + 8 <= to) {
-          val size = bb.getInt(off)
-          val tpe = new String(payload, off + 4, 4, "ISO-8859-1")
-          if (size < 8 || off + size > to) return buf.toSeq
-          buf += ((tpe, off + 8, off + size))
-          off += size
-        }
-        buf.toSeq
-      }
       def child(from: Int, to: Int, want: String): Option[(Int, Int)] =
-        children(from, to).collectFirst { case (t, s, e) if t == want => (s, e) }
+        bmffChild(payload, from, to, want)
       child(0, payload.length, "moov").toSeq.flatMap { case (ms, me) =>
-        children(ms, me).filter(_._1 == "trak").flatMap { case (_, ts, te) =>
+        bmffChildren(payload, ms, me).filter(_._1 == "trak").flatMap { case (_, ts, te) =>
           child(ts, te, "mdia").map { case (ds, de) =>
             val (timescale, durMs) = child(ds, de, "mdhd").map { case (hs, _) =>
               val v = payload(hs) & 0xff
               val (tsc, dur) = // same v0/v1 layout split as mvhd
                 if (v == 1) (bb.getInt(hs + 20).toLong, bb.getLong(hs + 24))
                 else (bb.getInt(hs + 12).toLong, bb.getInt(hs + 16).toLong & 0xffffffffL)
-              (tsc, if (tsc > 0) dur * 1000 / tsc else 0L)
+              (tsc, bmffDurMs(tsc, dur))
             }.getOrElse((0L, 0L))
             val handler = child(ds, de, "hdlr")
               .filter { case (hs, he) => he - hs >= 12 }

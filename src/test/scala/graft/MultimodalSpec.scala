@@ -244,6 +244,52 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.length === 2, "stub slicing still explodes the row")
   }
 
+  test("BMFF walk survives largesize mdat before moov, size==0 last box, v1 overflow") {
+    import spark.implicits._
+    def box(tpe: String, parts: Array[Byte]*): Array[Byte] = {
+      val body = parts.flatten.toArray
+      java.nio.ByteBuffer.allocate(8 + body.length)
+        .putInt(8 + body.length).put(tpe.getBytes("ISO-8859-1")).put(body).array()
+    }
+    def be32(v: Int) = java.nio.ByteBuffer.allocate(4).putInt(v).array()
+    def be64(v: Long) = java.nio.ByteBuffer.allocate(8).putLong(v).array()
+    // 64-bit-size box: size field == 1, 8-byte largesize follows the fourcc
+    def largeBox(tpe: String, body: Array[Byte]): Array[Byte] =
+      java.nio.ByteBuffer.allocate(16 + body.length).putInt(1)
+        .put(tpe.getBytes("ISO-8859-1")).putLong(16L + body.length).put(body).array()
+    def hdlr(handler: String) = box("hdlr",
+      be32(0), be32(0), handler.getBytes("ISO-8859-1"), new Array[Byte](13))
+    def stsd(fourcc: String) = box("stsd",
+      be32(0), be32(1), be32(16), fourcc.getBytes("ISO-8859-1"), new Array[Byte](8))
+    // mdhd VERSION 1: 64-bit ctime/mtime/duration; duration 2^62 ticks
+    // at timescale 1000 — naive *1000 wraps Long, split-division must not
+    val mdhdV1 = box("mdhd", Array[Byte](1, 0, 0, 0),
+      be64(0), be64(0), be32(1000), be64(1L << 62))
+    val trakV1 = box("trak", box("mdia",
+      mdhdV1, hdlr("vide"), box("minf", box("stbl", stsd("avc1")))))
+    val mvhd = box("mvhd", be32(0), be32(0), be32(0), be32(1000), be32(7000),
+      new Array[Byte](80))
+    // streaming-writer layout: ftyp, then a LARGESIZE mdat, then moov,
+    // then a size==0 free box extending to EOF — the walk must reach moov
+    val mp4 = box("ftyp", "isom".getBytes("ISO-8859-1"), be32(0)) ++
+      largeBox("mdat", new Array[Byte](32)) ++
+      box("moov", mvhd, trakV1) ++
+      java.nio.ByteBuffer.allocate(12).putInt(0)
+        .put("free".getBytes("ISO-8859-1")).putInt(0).array()
+
+    val media = Seq(
+      Multimodal.MediaRow(31L, "video", mp4, "video/mp4", None, None, None)).toDS()
+    val tracks = Multimodal.describeTracks(media).collect()
+    assert(tracks.length === 1, "moov behind a largesize mdat must be found")
+    assert(tracks.head.handler === "vide" && tracks.head.codec === "avc1")
+    // (2^62 / 1000) * 1000 + (2^62 % 1000) * 1000 / 1000 — exact, no wrap
+    val expectMs = ((1L << 62) / 1000) * 1000 + ((1L << 62) % 1000)
+    assert(tracks.head.duration_ms === expectMs, s"got ${tracks.head.duration_ms}")
+    assert(tracks.head.duration_ms > 0, "wrapped duration would be negative")
+    val f = Multimodal.extractFeatures(media).collect().head
+    assert(f.n_tracks.contains(1) && f.duration_ms.contains(7000L))
+  }
+
   test("undecodable image payload and codec-less kinds fall back to the stub") {
     import spark.implicits._
     val media = Seq(
