@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.CorpusOps
+
+/** Semantics of the corpus-hygiene operators on inline fixtures (the
+  * sf oracle gate covers testdata equivalence; these pin the exact
+  * values and the plan shapes the gate can't see). */
+class CorpusOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def writeFixture(rows: (Long, String, String)*): String = {
+    val dir = java.nio.file.Files.createTempDirectory("corpusops").toString
+    rows.toDF("doc_id", "text", "lang")
+      .select(col("doc_id"), col("text"), col("lang"),
+        lit("s0").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("pii_scrub: plants, counts, and redacts each PII shape exactly") {
+    val dir = writeFixture(
+      (1L, "table scan merge plain", "en"),
+      (2L, "no pii here", "en"))
+    val r = CorpusOps.qPiiScrub(spark, dir).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3), x.getString(4)))
+      .toMap
+    assert(r(1L)._1 == 1L && r(1L)._2 == 1L && r(1L)._3 == 1L)
+    assert(r(1L)._4 === md5hex("<EMAIL> <IP> <PHONE> plain"))
+    // a clean doc: zero counts, hash of the untouched text
+    assert(r(2L) === ((0L, 0L, 0L, md5hex("no pii here"))))
+  }
+
+  test("unigram_ppl: exact milli-bit surprisal, rare words dominate") {
+    // tokens: a×5, rare×1 → total 6; s(a)=floor(1000·log2(6/5))=263,
+    // s(rare)=floor(1000·log2(6))=2584
+    val dir = writeFixture((1L, "a a a a", "en"), (2L, "a rare", "en"))
+    val r = CorpusOps.qUnigramPpl(spark, dir).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r(1L) === ((4L, 4 * 263L, 263L)))
+    assert(r(2L) === ((2L, 263L + 2584L, (263L + 2584L) / 2)))
+    // the scoring join must be broadcast — the token stream never
+    // sort-merge-shuffles against the vocabulary-sized model
+    val plan = CorpusOps.qUnigramPpl(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("tokenizer_fertility: bytes and tokens aggregate per language") {
+    val dir = writeFixture(
+      (1L, "ab cd", "en"),   // 2 tokens, 5 bytes
+      (2L, "x y z", "en"),   // 3 tokens, 5 bytes
+      (3L, "hallo", "de"))   // 1 token,  5 bytes
+    val r = CorpusOps.qTokenizerFertility(spark, dir).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+      .toMap
+    assert(r("en") === ((2L, 5L, 10L, 500000L)))
+    assert(r("de") === ((1L, 1L, 5L, 200000L)))
+  }
+
+  test("char_entropy: exact milli-bits; uniform two-symbol text = 1 bit") {
+    // "aabb": p(a)=p(b)=1/2 → each term floor(-1000·0.5·log2(0.5))=500
+    // "aaaa": single symbol → entropy 0
+    val dir = writeFixture((1L, "aabb", "en"), (2L, "aaaa", "en"))
+    val r = CorpusOps.qCharEntropy(spark, dir).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r(1L) === ((4L, 2L, 1000L)))
+    assert(r(2L) === ((4L, 1L, 0L)))
+  }
+
+  test("winnowing guarantee: a shared >=6-word passage yields a shared fingerprint") {
+    // winnowing with k=3 (grams) and w=4 (window) guarantees any match
+    // of length >= w+k-1 = 6 words produces at least one common
+    // fingerprint (Schleimer et al. 2003, the local-algorithm property)
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val dir = writeFixture(
+      (1L, s"one two three $shared", "en"),
+      (2L, s"$shared four five six", "en"),
+      (3L, "totally different words here now indeed", "en"))
+    val fps = CorpusOps.qWinnowing(spark, dir).collect()
+    assert(fps.nonEmpty, "docs 1 and 2 share a 6-word passage → must share a fingerprint")
+    assert(fps.forall(_.getLong(1) == 2L), "doc 3 shares nothing")
+    assert(fps.forall(_.getString(0).matches("[0-9a-f]{32}")))
+  }
+
+  test("short or null documents are handled, not crashed on") {
+    val dir = writeFixture((1L, "tiny doc", "en")) // < 6 words
+    assert(CorpusOps.qWinnowing(spark, dir).collect().isEmpty)
+    assert(CorpusOps.qCharEntropy(spark, dir).collect().length === 1)
+  }
+}
