@@ -357,7 +357,45 @@ object Relational {
       .orderBy("l_suppkey")
   }
 
+  /** q_skyline — 2-D Pareto frontier (skyline operator, Börzsönyi et
+    * al. ICDE 2001): orders not dominated on (maximize o_totalprice,
+    * minimize o_orderdate). A point q is dominated iff some p has
+    * price ≥ / date ≤ with one strict — equivalently (two range-frame
+    * windows, no self-join, no NOT EXISTS quadratic scan):
+    *   min(date) over price ≥ q.price  <  q.date   (strict-in-date p)
+    *   max(price) over date ≤ q.date   >  q.price  (strict-in-price p)
+    * Peers (RANGE ... CURRENT ROW) include q itself, which can never
+    * satisfy its own strict inequality — so ties and exact duplicates
+    * get standard skyline semantics for free.
+    *
+    * Scale shape: a global window is a single-partition sort, so the
+    * frontier is computed in two phases — phase 1 runs the SAME window
+    * pair partitioned by a hash bucket (32-way parallel; a point
+    * dominated within any subset is dominated globally, so pruning is
+    * safe), phase 2 runs the global pair over the survivors, which are
+    * frontier-sized (O(log n) on non-adversarial data), not
+    * corpus-sized. */
+  val qSkyline: Q = (s, d) => {
+    def pass(df: DataFrame, bucket: Option[org.apache.spark.sql.Column]): DataFrame = {
+      val base = bucket.map(Window.partitionBy(_)).getOrElse(Window.partitionBy())
+      val wPrice = base.orderBy(col("o_totalprice").desc)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val wDate = base.orderBy(col("o_orderdate").asc)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn("min_d", min("o_orderdate").over(wPrice))
+        .withColumn("max_p", max("o_totalprice").over(wDate))
+        .filter(!(col("min_d") < col("o_orderdate")) &&
+          !(col("max_p") > col("o_totalprice")))
+        .drop("min_d", "max_p")
+    }
+    val orders = Tables.orders(s, d)
+      .select("o_orderkey", "o_totalprice", "o_orderdate")
+    val local = pass(orders, Some(pmod(hash(col("o_orderkey")), lit(32))))
+    pass(local, None).orderBy("o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_skyline" -> qSkyline,
     "q_salted_agg" -> qSaltedAgg,
     "q_histogram" -> qHistogram,
     "q_posexplode" -> qPosexplode,
@@ -380,6 +418,17 @@ object Relational {
     "q_array_hof" -> qArrayHof)
 
   val oracle: Map[String, String] = Map(
+    "q_skyline" ->
+      """WITH w AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderdate,
+        |    MIN(o_orderdate) OVER (ORDER BY o_totalprice DESC
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS min_d,
+        |    MAX(o_totalprice) OVER (ORDER BY o_orderdate ASC
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS max_p
+        |  FROM orders)
+        |SELECT o_orderkey, o_totalprice, o_orderdate
+        |FROM w WHERE NOT (min_d < o_orderdate) AND NOT (max_p > o_totalprice)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_salted_agg" ->
       """SELECT l_suppkey,
         |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
