@@ -302,4 +302,28 @@ class StressSpec extends SparkSpec {
     assert(twinHits >= 4, s"only $twinHits/5 planted twins survived IVF probing")
   }
 
+  test("corpus-hygiene family at 10×: winnowing finds the planted families, unigram surprisal orders hot < filler") {
+    import graft.operators.CorpusOps
+    // winnowing: the 400 identical hot docs share their ENTIRE
+    // fingerprint set, so the top shared fingerprints must each cover
+    // (at least) the full family — the ≥6-word guarantee at 10× scale
+    val fps = CorpusOps.qWinnowing(spark, docsDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(fps.nonEmpty)
+    assert(fps.head._2 >= HotSize.toLong,
+      s"top shared fingerprint covers ${fps.head._2} docs < hot family $HotSize")
+    assert(fps.forall(_._2 >= 2L))
+    // unigram LM: hot-template words occur ≥400× each, filler words are
+    // drawn from a 100k-token space — surprisal must rank hot docs well
+    // below fillers (the quality-signal property the operator exists for)
+    val bpt = CorpusOps.qUnigramPpl(spark, docsDir)
+      .select("doc_id", "bpt_milli").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val hotBpt = bpt.collect { case (id, b) if id < HotSize => b }
+    val fillBpt = bpt.collect { case (id, b) if id >= 100000L => b }
+    assert(hotBpt.length == HotSize && fillBpt.nonEmpty)
+    assert(hotBpt.max < fillBpt.sum / fillBpt.length,
+      s"hot-doc max bpt ${hotBpt.max} not below filler mean ${fillBpt.sum / fillBpt.length}")
+  }
+
 }
