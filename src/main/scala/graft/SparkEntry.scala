@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AsOf, CorpusOps, Dedup, Packing, Ranking, Relational, Relevance, Reports, SignLsh, Similarity, TextStats}
+import graft.operators.{AsOf, CorpusOps, Dedup, Packing, Ranking, Relational, Relevance, Reports, SignLsh, Similarity, Snapshots, TextStats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,12 +22,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Reports.queries ++ Dedup.queries ++ TextStats.queries ++
       Similarity.queries ++ AsOf.queries ++ Relational.queries ++ SignLsh.queries ++
-      Ranking.queries ++ Packing.queries ++ Relevance.queries ++ CorpusOps.queries
+      Ranking.queries ++ Packing.queries ++ Relevance.queries ++ CorpusOps.queries ++
+      Snapshots.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
   def oracleSql: Map[String, String] =
     Reports.oracle ++ Dedup.oracle ++ TextStats.oracle ++
       Similarity.oracle ++ AsOf.oracle ++ Relational.oracle ++ SignLsh.oracle ++
-      Ranking.oracle ++ Packing.oracle ++ Relevance.oracle ++ CorpusOps.oracle
+      Ranking.oracle ++ Packing.oracle ++ Relevance.oracle ++ CorpusOps.oracle ++
+      Snapshots.oracle
 }

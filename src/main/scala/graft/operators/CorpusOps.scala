@@ -182,12 +182,123 @@ object CorpusOps {
       .limit(100)
   }
 
+  /** q_substring_spans — exact duplicated-substring spans (Lee et al.
+    * 2021, "Deduplicating Training Data Makes Language Models Better":
+    * remove every repeated substring above a length threshold, keeping
+    * the corpus-first occurrence). The suffix-array of the paper is a
+    * single-machine structure; the distributed equivalent indexes every
+    * word 8-gram, keeps each gram's first occurrence in corpus order
+    * (min (doc_id, pos)), marks all later occurrences duplicated, and
+    * merges per-document duplicated positions into maximal spans with a
+    * lag-window island pass — any repeated passage of ≥ 8 words is
+    * covered, matching the paper's threshold semantics at word
+    * granularity.
+    *
+    * Scale shape: gram hashing is scan-local array algebra; the only
+    * corpus-sized exchanges are the gram hash-aggregate (map-side
+    * partial) and the occurrence⋈first-occurrence hash join on the gram
+    * key. The span merge windows partition by doc_id — maximal
+    * cardinality, no skew. Nothing is ever all-pairs. */
+  val qSubstringSpans: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ws = filter(split(col("text"), " "), w => length(w) > 0)
+    // structural when() guard: sequence(1, n) with n<1 runs DESCENDING
+    // and Spark may evaluate collapsed projections on filter-dropped rows
+    val grams = when(size(col("ws")) >= 8,
+      transform(
+        sequence(lit(1), size(col("ws")) - 7),
+        i => struct(i.as("pos"),
+          md5(concat_ws(" ", slice(col("ws"), i, lit(8)))).as("h"))))
+      .otherwise(array().cast("array<struct<pos:int,h:string>>"))
+    val docs = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast(LongType).as("n_words"),
+        grams.as("gs"))
+    val occ = docs
+      .filter(size(col("gs")) > 0)
+      .select(col("doc_id"), explode(col("gs")).as("g"))
+      .select(col("doc_id"), col("g.pos").cast(LongType).as("pos"), col("g.h").as("h"))
+      .withColumn("k", col("doc_id") * 1000000L + col("pos"))
+    // corpus-first occurrence per gram; a gram-keyed hash join marks
+    // every later occurrence (including intra-document repeats)
+    val first = occ.groupBy("h").agg(min("k").as("first_k"))
+    val dup = occ.join(first, "h").filter(col("k") =!= col("first_k"))
+      .select("doc_id", "pos")
+    // island merge: each position covers [pos, pos+7]; positions are
+    // distinct and ascending, so the running max of covered ends is
+    // simply lag(pos)+7 — a new island starts when the gap exceeds it
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = dup
+      .withColumn("brk",
+        when(lag(col("pos"), 1).over(w).isNull
+          .or(col("pos") > lag(col("pos"), 1).over(w) + 7L), 1L).otherwise(0L))
+      .withColumn("isl", sum("brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "isl")
+      .agg(min("pos").as("s"), (max("pos") + 7L).as("e"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum(col("e") - col("s") + 1L).as("dup_words"))
+    docs.select("doc_id", "n_words")
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_words"), lit(0L)).as("dup_words"),
+        col("n_words"),
+        expr("case when n_words = 0 then 0L else (1000 * coalesce(dup_words, 0)) div n_words end")
+          .as("dup_frac_milli"))
+      .orderBy("doc_id")
+  }
+
+  /** q_url_canonical — URL canonicalization + canonical-URL dedup, the
+    * first dedup any web corpus runs (before any content hashing).
+    * The synthetic corpus carries no URLs, so each document derives one
+    * deterministically — with parity-dependent casing, default :443
+    * port, www prefix, utm_/ref tracking params, shuffled param order,
+    * and a fragment — and the canonicalizer must collapse both variants
+    * of the same logical URL: lowercase scheme+host, strip default port
+    * and www, drop tracking params, sort survivors, drop the fragment.
+    * Pure scan-side regex/array algebra; the only shuffle is the final
+    * canonical-key aggregate. */
+  val qUrlCanonical: Q = (s, d) => {
+    // page/param ids derive from doc_id div 2, so each adjacent even/odd
+    // doc pair names the SAME logical URL through the two different raw
+    // spellings — the collapse is what proves the canonicalizer works
+    val page = expr("(doc_id div 2) % 25").cast("string")
+    val a = expr("(doc_id div 2) % 4").cast("string")
+    val raw = when(pmod(col("doc_id"), lit(2)) === 0,
+      concat(lit("HTTPS://WWW.Example.COM:443/Docs/"), page,
+        lit("?z=1&utm_source=feed&a="), a, lit("#top")))
+      .otherwise(concat(lit("https://www.example.com/Docs/"), page,
+        lit("?a="), a, lit("&ref=rss&z=1")))
+    val noFrag = regexp_replace(col("url"), "#.*$", "")
+    val host = regexp_replace(
+      regexp_replace(
+        lower(regexp_extract(noFrag, "^[A-Za-z]+://([^/?#]+)", 1)),
+        ":443$", ""),
+      "^www\\.", "")
+    val path = regexp_extract(noFrag, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    val params = array_join(
+      array_sort(filter(split(regexp_extract(noFrag, "\\?([^#]*)", 1), "&"),
+        p => !(p.startsWith("utm_") || p.startsWith("ref=") || p === ""))),
+      "&")
+    Tables.documents(s, d)
+      .select(col("doc_id"), raw.as("url"))
+      .select(col("doc_id"),
+        concat(lit("https://"), host, path, lit("?"), params).as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+      .orderBy("canonical_url")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_pii_scrub" -> qPiiScrub,
     "q_unigram_ppl" -> qUnigramPpl,
     "q_tokenizer_fertility" -> qTokenizerFertility,
     "q_char_entropy" -> qCharEntropy,
-    "q_winnowing" -> qWinnowing)
+    "q_winnowing" -> qWinnowing,
+    "q_substring_spans" -> qSubstringSpans,
+    "q_url_canonical" -> qUrlCanonical)
 
   val oracle: Map[String, String] = Map(
     "q_pii_scrub" ->
@@ -253,5 +364,61 @@ object CorpusOps {
         |e AS (SELECT doc_id, unnest(fps) AS fp FROM f)
         |SELECT fp, COUNT(DISTINCT doc_id) AS n_docs
         |FROM e GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
-        |ORDER BY n_docs DESC, fp LIMIT 100""".stripMargin)
+        |ORDER BY n_docs DESC, fp LIMIT 100""".stripMargin,
+    "q_substring_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |docs AS (SELECT doc_id, len(ws) AS n_words, ws FROM t),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 6),
+        |    i -> struct_pack(pos := i, h := md5(array_to_string(ws[i:i+7], ' '))))) AS g
+        |  FROM docs WHERE len(ws) >= 8),
+        |occ AS (SELECT doc_id, CAST(g.pos AS BIGINT) AS pos, g.h AS h,
+        |        doc_id * 1000000 + g.pos AS k FROM g),
+        |fst AS (SELECT h, MIN(k) AS first_k FROM occ GROUP BY h),
+        |dup AS (SELECT o.doc_id, o.pos FROM occ o JOIN fst f ON o.h = f.h
+        |        WHERE o.k <> f.first_k),
+        |m AS (SELECT doc_id, pos,
+        |        lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM dup),
+        |b AS (SELECT doc_id, pos,
+        |        CASE WHEN prev IS NULL OR pos > prev + 7 THEN 1 ELSE 0 END AS brk FROM m),
+        |isl AS (SELECT doc_id, pos,
+        |        SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM b),
+        |sp AS (SELECT doc_id, isl, MIN(pos) AS s, MAX(pos) + 7 AS e
+        |       FROM isl GROUP BY doc_id, isl),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_spans, SUM(e - s + 1) AS dup_words
+        |        FROM sp GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(COALESCE(a.dup_words, 0) AS BIGINT) AS dup_words,
+        |  CAST(d.n_words AS BIGINT) AS n_words,
+        |  CAST(CASE WHEN d.n_words = 0 THEN 0
+        |    ELSE (1000 * COALESCE(a.dup_words, 0)) // d.n_words END AS BIGINT) AS dup_frac_milli
+        |FROM docs d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_url_canonical" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN 'HTTPS://WWW.Example.COM:443/Docs/' || ((doc_id // 2) % 25)
+        |        || '?z=1&utm_source=feed&a=' || ((doc_id // 2) % 4) || '#top'
+        |      ELSE 'https://www.example.com/Docs/' || ((doc_id // 2) % 25)
+        |        || '?a=' || ((doc_id // 2) % 4) || '&ref=rss&z=1'
+        |    END AS url
+        |  FROM documents),
+        |n AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf FROM u),
+        |p AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(
+        |      lower(regexp_extract(nf, '^[A-Za-z]+://([^/?#]+)', 1)), ':443$', ''),
+        |      '^www\.', '') AS host,
+        |    regexp_extract(nf, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+        |    array_to_string(list_sort(list_filter(
+        |      string_split(regexp_extract(nf, '\?([^#]*)', 1), '&'),
+        |      q -> NOT (starts_with(q, 'utm_') OR starts_with(q, 'ref=') OR q = ''))), '&') AS params
+        |  FROM n)
+        |SELECT 'https://' || host || path || '?' || params AS canonical_url,
+        |  COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+        |FROM p GROUP BY canonical_url ORDER BY canonical_url""".stripMargin)
 }

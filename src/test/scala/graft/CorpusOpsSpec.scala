@@ -94,4 +94,45 @@ class CorpusOpsSpec extends SparkSpec {
     assert(CorpusOps.qWinnowing(spark, dir).collect().isEmpty)
     assert(CorpusOps.qCharEntropy(spark, dir).collect().length === 1)
   }
+
+  test("substring_spans: first occurrence kept, later and intra-doc repeats spanned, overlaps merged") {
+    val dir = writeFixture(
+      // doc 1 is the corpus-first occurrence of "a..h" — never duplicated
+      (1L, "a b c d e f g h x y z", "en"),
+      // doc 2 repeats doc 1's 8-gram at word 4 → one span of exactly 8
+      (2L, "p q r a b c d e f g h k", "en"),
+      // doc 3 repeats ITS OWN first 8 words at position 9 (intra-doc)
+      (3L, "m n o p q r s t m n o p q r s t", "en"),
+      // doc 4 repeats doc 1's words 1-11: four overlapping duplicated
+      // grams (pos 1-4) must merge into ONE span covering words 1-11
+      (4L, "a b c d e f g h x y z w", "en"),
+      (5L, "too short", "en"))
+    val r = CorpusOps.qSubstringSpans(spark, dir).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+      .toMap
+    assert(r(1L) === ((0L, 0L, 11L, 0L)))
+    assert(r(2L) === ((1L, 8L, 12L, 666L)))
+    assert(r(3L) === ((1L, 8L, 16L, 500L)))
+    assert(r(4L) === ((1L, 11L, 12L, 916L)))
+    assert(r(5L) === ((0L, 0L, 2L, 0L)))
+  }
+
+  test("url_canonical: both raw spellings of a logical URL collapse to one canonical form") {
+    // docs 2k and 2k+1 name the same logical URL: even ids carry casing,
+    // :443, www, utm junk, shuffled params, and a fragment; odd ids the
+    // clean spelling — the canonicalizer must merge each adjacent pair
+    val dir = writeFixture(
+      (4L, "w", "en"), (5L, "w", "en"),    // pair → Docs/2?a=2&z=1
+      (10L, "w", "en"), (11L, "w", "en"),  // pair → Docs/5?a=1&z=1
+      (204L, "w", "en"))                   // (204/2)%25=2,(204/2)%4=2 → joins the first group
+    val r = CorpusOps.qUrlCanonical(spark, dir).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq === Seq(
+      ("https://example.com/Docs/2?a=2&z=1", 3L, 4L),
+      ("https://example.com/Docs/5?a=1&z=1", 2L, 10L)))
+    // canonical forms carry no tracking params, port, www, or fragment
+    assert(r.forall { case (u, _, _) =>
+      !u.contains("utm") && !u.contains("ref=") && !u.contains(":443") &&
+        !u.contains("www.") && !u.contains("#") && u == u.toLowerCase })
+  }
 }
