@@ -85,13 +85,47 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().count()
 
+    // Per-query wall-clock watchdog (r8 lesson: one pathological plan —
+    // q_winnowing at 853 s — ran the DRIVER's 1-h budget out and turned
+    // the whole round's artifact into rc=124/"parsed":null). Every query
+    // runs on a daemon thread with its own job group; past the budget
+    // the group's jobs are cancelled (interruptOnCancel) and the query
+    // is recorded as timed-out with its ~budget-sized latency — loud in
+    // the per-query map, but the artifact always ships numbers.
+    val queryBudgetSec: Long = sys.env.get("SPARK_GRAFT_QUERY_BUDGET")
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .getOrElse(120L)
+
+    def collectWatched(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                       tag: String): Unit = {
+      val group = s"$tag:$name"
+      @volatile var err: Option[Throwable] = None
+      val t = new Thread(() => {
+        try {
+          spark.sparkContext.setJobGroup(group, s"bench $name", interruptOnCancel = true)
+          fn(spark, sfDir).collect(): Unit
+        } catch { case e: Throwable => err = Some(e) }
+        finally spark.sparkContext.clearJobGroup()
+      }, s"bench-$group")
+      t.setDaemon(true)
+      t.start()
+      t.join(queryBudgetSec * 1000)
+      if (t.isAlive) {
+        spark.sparkContext.cancelJobGroup(group)
+        // give cancellation a moment to unwind; a plan hung OUTSIDE job
+        // execution (analysis/codegen) won't respond — the daemon thread
+        // is abandoned and the bench moves on
+        t.join(15000)
+        System.err.println(
+          s"[bench] $tag $name TIMED OUT after ${queryBudgetSec}s — jobs cancelled")
+      } else err.foreach(e =>
+        System.err.println(s"[bench] $tag $name failed: ${e.getMessage}"))
+    }
+
     def runSeq(): Map[String, Double] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val s0 = System.nanoTime()
-        try { fn(spark, sfDir).collect() } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] seq $name failed: ${e.getMessage}")
-        }
+        collectWatched(name, fn, "seq")
         spark.catalog.clearCache()
         name -> (System.nanoTime() - s0) / 1e9
       }.toMap
@@ -102,10 +136,7 @@ object Bench {
       val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
         Future {
           val s0 = System.nanoTime()
-          try { fn(spark, sfDir).collect() } catch {
-            case e: Throwable =>
-              System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          }
+          collectWatched(name, fn, "conc")
           name -> (System.nanoTime() - s0) / 1e9
         }
       }
@@ -137,7 +168,16 @@ object Bench {
         .orElse { System.err.println(s"[bench] bad SPARK_GRAFT_BENCH_REPEAT='$v', using 5"); None })
       .getOrElse(5).max(1)
     def runSeqMedian(): Map[String, Double] = {
-      val runs = (1 to seqRepeat).map(_ => runSeq())
+      // per-pass totals to stderr: pass 1 carries every janino compile
+      // (cold codegen), passes 2+ measure steady state — the 1-vs-rest
+      // gap IS the codegen-cache evidence (PERF.md "codegen class
+      // cache"); a warm pass nearly as slow as pass 1 means the 4096-
+      // entry cache no longer covers the query surface
+      val runs = (1 to seqRepeat).map { i =>
+        val r = runSeq()
+        System.err.println(f"[bench] seq pass $i/$seqRepeat total ${r.values.sum}%.1f s")
+        r
+      }
       runs.head.keys.map { k =>
         val xs = runs.map(_(k)).sorted
         k -> xs(xs.size / 2)

@@ -19,6 +19,7 @@ object Diag {
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$sfDir/lineitem.parquet").count() // warm
     if (name == "dedup_family") { dedupFamily(spark, sfDir); spark.stop(); return }
+    if (name == "winnow_probe") { winnowProbe(spark, sfDir); spark.stop(); return }
     val fn = SparkEntry.queries(name)
     fn(spark, sfDir).explain("formatted")
     (1 to 3).foreach { i =>
@@ -27,6 +28,48 @@ object Diag {
       println(f"run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
     spark.stop()
+  }
+
+  /** Stage-by-stage timing of the winnowing pipeline (throwaway probe). */
+  private def winnowProbe(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    def t(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+    val ws = filter(split(col("text"), " "), w => length(w) > 0)
+    val grams3 = when(size(col("ws")) >= 6,
+      transform(
+        sequence(lit(1), size(col("ws")) - 2),
+        i => md5(concat(
+          element_at(col("ws"), i), lit(" "),
+          element_at(col("ws"), i + 1), lit(" "),
+          element_at(col("ws"), i + 2)))))
+      .otherwise(array().cast("array<string>"))
+    def base = Tables.spread(
+      Tables.documents(spark, sfDir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text")))
+      .select(col("doc_id"), ws.as("ws"))
+      .filter(size(col("ws")) >= 6)
+    def occ = base
+      .select(col("doc_id"), grams3.as("hs"))
+      .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, 3)
+    def winfp = occ
+      .withColumn("fp", min(col("h")).over(w))
+      .withColumn("nw", count(lit(1)).over(w))
+      .filter(col("nw") === 4)
+      .select("doc_id", "fp")
+    (1 to 2).foreach { _ =>
+      t("a_split")(base.count())
+      t("b_grams_explode")(occ.count())
+      t("c_window")(winfp.count())
+      t("d_distinct")(winfp.distinct().count())
+    }
   }
 
   /** Direct vs artifact-backed dedup report family (components,

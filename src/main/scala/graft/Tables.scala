@@ -7,15 +7,17 @@ import org.apache.spark.sql.functions._
   *
   * All readers are plain parquet scans so Catalyst pushdown / column
   * pruning reach the file source. The only special case is `events`:
-  * its `ts` column is physical parquet INT64 TIMESTAMP(NANOS), which
-  * Spark's vectorized reader rejects; we read it as a raw Long of
-  * epoch-nanoseconds and expose normalized epoch projections in
-  * [[graft.functions.Exprs]]. Sessions that read `events` must set
-  * `spark.sql.legacy.parquet.nanosAsLong=true` AT BUILD TIME (all the
-  * entry points here do — Verify/Bench/Plans/Diag mains, CLI mains,
-  * SparkSpec); it is deliberately NOT set inside the reader, which
-  * would mutate shared session state from concurrently-running query
-  * functions.
+  * its `ts` column has shipped in two physical forms across fixture
+  * generations — INT64 TIMESTAMP(NANOS) (pre-2026-08-13) and
+  * timestamp[us] (current, see FIXTURES.md) — so [[events]] inspects
+  * the resolved dtype and normalizes either to epoch-nanos BIGINT.
+  * Entry points still set `spark.sql.legacy.parquet.nanosAsLong=true`
+  * AT BUILD TIME purely for back-compat with nanos-typed fixtures
+  * (harmless for timestamp[us]); it is deliberately NOT set inside
+  * the reader, which would mutate shared session state from
+  * concurrently-running query functions. Sessions must also pin
+  * `spark.sql.session.timeZone=UTC` (all entry points do) so NTZ
+  * wall-clocks resolve to the instants the oracle computes.
   */
 object Tables {
   /** Resolved readers memoized per (session, path). `spark.read.parquet`
@@ -81,9 +83,38 @@ object Tables {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
-  /** `events` with `ts` as LongType epoch-nanoseconds (see scaladoc
-    * above — requires nanosAsLong set at session build). */
-  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  /** `events` with `ts` normalized to LongType epoch-nanoseconds,
+    * whatever the physical parquet type. The fixtures have shipped
+    * both representations (INT64 TIMESTAMP(NANOS) historically,
+    * timestamp[us] since 2026-08-13 — see FIXTURES.md), so the reader
+    * branches on the resolved dtype instead of assuming one:
+    *
+    *  - LongType (nanosAsLong legacy path): already epoch-nanos, pass
+    *    through untouched.
+    *  - TimestampType / TimestampNTZType: `unix_micros` × 1000. NTZ is
+    *    first cast to TIMESTAMP, which interprets the wall-clock in
+    *    the session TZ — every entry point pins UTC, so the instant is
+    *    preserved. Max epoch-micros (~1.7e15) × 1000 ≈ 1.7e18 fits
+    *    Long with 5× headroom; the multiply is exact integer math.
+    *
+    * Downstream code ([[graft.functions.Exprs.nanosToSec]] callers,
+    * [[eventsWithEpoch]]) thus sees one stable contract: `ts` is
+    * epoch-nanos BIGINT. This mirrors the reference, which reads the
+    * status table's `time timestamptz` as a real instant
+    * (report.py:118-159) regardless of the column's storage form. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw
+      case TimestampType | TimestampNTZType =>
+        raw.withColumn(
+          "ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other; expected BIGINT epoch-nanos or TIMESTAMP[_NTZ]")
+    }
+  }
 
   /** `events.ts` normalized to epoch seconds (truncating, matching the
     * reference's `int(float_epoch)` truncation, storcrawl.py:368-370). */

@@ -53,7 +53,8 @@ object Exprs {
   def epochSec(c: Column): Column = c.cast("timestamp").cast(LongType)
 
   /** Epoch seconds from the raw nanosecond Long of `events.ts`
-    * (Tables.events reads parquet TIMESTAMP(NANOS) as Long). Exact
+    * (Tables.events normalizes any physical ts type to epoch-nanos
+    * Long — see its scaladoc). Exact
     * integral division — NOT double division, which loses precision
     * above 2^53 (epoch-nanos ≈ 1.7e18) and could floor to the wrong
     * second near boundaries. */

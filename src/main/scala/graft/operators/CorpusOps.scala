@@ -71,10 +71,13 @@ object CorpusOps {
     * Per-word surprisal is floored to milli-bits BEFORE the per-document
     * sum — summands are integers, so the result is independent of
     * aggregation order (and of Spark-vs-DuckDB float summation). The
-    * model is vocabulary-sized: it broadcasts, the token stream never
-    * shuffles for scoring, and the only wide exchange is the final
-    * per-document combine (map-side partial agg collapses each scan
-    * partition to its local doc set first). */
+    * token⋈model join is deliberately UNHINTED: on a test corpus the
+    * vocabulary is tiny and AQE converts the join to broadcast at
+    * runtime, but on a web-scale corpus the type count is O(10⁹) and a
+    * forced broadcast of every distinct token would OOM the driver —
+    * the planner must be free to fall back to a shuffled join on `w`
+    * (both regimes pinned in CorpusOpsSpec). The single-row corpus
+    * total, by contrast, is always safe to broadcast. */
   val qUnigramPpl: Q = (s, d) => {
     val words = Tables.documents(s, d)
       .filter(col("text").isNotNull)
@@ -87,7 +90,7 @@ object CorpusOps {
         floor(lit(1000) * log2(col("n_total").cast(DoubleType) / col("n_w")))
           .cast(LongType).as("s_milli"))
     words
-      .join(broadcast(scored), "w")
+      .join(scored, "w")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("s_milli").as("bits_milli"))
       .withColumn("bpt_milli", expr("bits_milli div n_tokens"))
@@ -114,27 +117,44 @@ object CorpusOps {
 
   /** q_char_entropy — per-document character-level Shannon entropy (the
     * cheap spam/garbage screen: keyboard-mash and repeated-char docs
-    * sit far below natural text). No explode: the per-document char
-    * histogram is built with array higher-order functions inside the
-    * scan — O(distinct chars × length) work per row, zero shuffle.
+    * sit far below natural text). Shape: explode chars to rows and
+    * build the histogram as a two-phase (doc_id, ch) count — the
+    * classic wordcount shape whose shuffle carries only DISTINCT
+    * (doc, char) pairs after map-side partial aggregation. The earlier
+    * all-HOF formulation scanned the char array once per distinct char
+    * (O(distinct × length) per row INSIDE the scan projection — 11 s
+    * at sf0.1); the exploded histogram is O(length) scan work plus a
+    * tiny aggregate. The per-doc total needed for p = c/n comes from a
+    * doc-partitioned window whose exchange the final groupBy reuses.
     * Entropy terms are floored to milli-bits per symbol class before
     * the sum (order-independent, oracle-exact). */
   val qCharEntropy: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
     val cs = filter(split(col("text"), ""), x => length(x) > 0)
-    Tables.documents(s, d)
+    val base = Tables.documents(s, d)
       .filter(col("text").isNotNull)
       .select(col("doc_id"), cs.as("cs"))
-      .select(
-        col("doc_id"),
-        size(col("cs")).cast(LongType).as("n_chars_split"),
-        size(array_distinct(col("cs"))).cast(LongType).as("n_distinct"),
-        aggregate(
-          transform(array_distinct(col("cs")), ch => {
-            val p = size(filter(col("cs"), x => x === ch)).cast(DoubleType) /
-              size(col("cs"))
-            floor(lit(-1000.0) * p * log2(p)).cast(LongType)
-          }),
-          lit(0L), (acc, x) => acc + x).as("entropy_milli"))
+    val counts = base
+      .select(col("doc_id"), explode(col("cs")).as("ch"))
+      .groupBy("doc_id", "ch")
+      .agg(count(lit(1)).as("c"))
+    val p = col("c").cast(DoubleType) / col("n")
+    val agg = counts
+      .withColumn("n", sum("c").over(Window.partitionBy("doc_id")))
+      .groupBy("doc_id")
+      .agg(
+        max("n").as("n_chars_split"),
+        count(lit(1)).as("n_distinct"),
+        sum(floor(lit(-1000.0) * p * log2(p)).cast(LongType)).as("entropy_milli"))
+    // explode drops documents whose char array is empty (empty text);
+    // re-attach them with all-zero stats, matching the oracle's
+    // len([]) = 0 / empty-sum = 0 rows
+    base.select("doc_id")
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chars_split"), lit(0L)).as("n_chars_split"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("entropy_milli"), lit(0L)).as("entropy_milli"))
       .orderBy("doc_id")
   }
 
@@ -146,37 +166,51 @@ object CorpusOps {
     * documents. The hash is the md5 hex string itself (lexicographic
     * min), the one hash both engines compute identically.
     *
-    * Fingerprint extraction is entirely scan-local array algebra; only
-    * the deduplicated (doc, fingerprint) pairs reach the exchange, and
-    * the shared-fingerprint aggregate is a plain two-phase count. */
+    * Shape: words explode to rows FIRST, so the text is split exactly
+    * once per document; 3-grams assemble from `lead` pairs over a
+    * doc-partitioned window (one md5 per gram, materialized as a
+    * column); window minima use a `ROWS BETWEEN CURRENT ROW AND 3
+    * FOLLOWING` frame over the SAME partitioning (the sort/exchange is
+    * planned once and shared); only deduplicated (doc, fingerprint)
+    * pairs reach the final aggregate. Two earlier formulations died on
+    * expression re-evaluation: nested HOFs re-materialized the whole
+    * md5 array per window (O(words³) digests, 853 s at sf0.1), and
+    * even the array-building transform re-ran the text SPLIT per
+    * element once projection collapse inlined the words column into
+    * each element_at (40 µs/gram, 10 s at sf0.1). Rows + window
+    * functions keep every intermediate single-evaluated. */
   val qWinnowing: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
     val ws = filter(split(col("text"), " "), w => length(w) > 0)
-    // guards are structural, not just row filters: Spark may evaluate a
-    // collapsed projection on rows an adjacent filter drops, and
-    // sequence(1, n) with n<1 runs DESCENDING — so every sequence bound
-    // is gated by a when() on the same condition the filter applies
-    val grams3 = when(size(col("ws")) >= 6,
-      transform(
-        sequence(lit(1), size(col("ws")) - 2),
-        i => md5(concat(
-          element_at(col("ws"), i), lit(" "),
-          element_at(col("ws"), i + 1), lit(" "),
-          element_at(col("ws"), i + 2)))))
-      .otherwise(array().cast("array<string>"))
-    val winMins = when(size(col("hs")) >= 4,
-      transform(
-        sequence(lit(1), size(col("hs")) - 3),
-        j => array_min(slice(col("hs"), j, lit(4)))))
-      .otherwise(array().cast("array<string>"))
-    Tables.documents(s, d)
-      .filter(col("text").isNotNull)
-      .select(col("doc_id"), ws.as("ws"))
-      .filter(size(col("ws")) >= 6)
-      .select(col("doc_id"), grams3.as("hs"))
-      .select(col("doc_id"), array_distinct(winMins).as("fps"))
-      .select(col("doc_id"), explode(col("fps")).as("fp"))
+    // spread BEFORE the per-word work: a small parquet reads as one
+    // split and everything below the window exchange would serialize
+    // on a single core (at 100 TB the scan has plenty of splits and
+    // spread is a no-op)
+    val wordRows = Tables.spread(
+      Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), ws.as("ws"))
+        .filter(size(col("ws")) >= 6))
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "word")))
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val grams = wordRows
+      .withColumn("w1", lead("word", 1).over(byPos))
+      .withColumn("w2", lead("word", 2).over(byPos))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ", col("word"), col("w1"), col("w2"))).as("h"))
+    // window minimum + a COUNT over the same frame: the count is 4
+    // exactly when the position has all 3 follower grams, i.e. the
+    // winnowing window is full
+    val frame = byPos.rowsBetween(Window.currentRow, 3)
+    grams
+      .withColumn("fp", min(col("h")).over(frame))
+      .withColumn("nw", count(lit(1)).over(frame))
+      .filter(col("nw") === 4)
+      .select("doc_id", "fp")
+      .distinct()
       .groupBy("fp")
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 2)
       .orderBy(col("n_docs").desc, col("fp"))
       .limit(100)
@@ -194,36 +228,50 @@ object CorpusOps {
     * covered, matching the paper's threshold semantics at word
     * granularity.
     *
-    * Scale shape: gram hashing is scan-local array algebra; the only
-    * corpus-sized exchanges are the gram hash-aggregate (map-side
-    * partial) and the occurrence⋈first-occurrence hash join on the gram
-    * key. The span merge windows partition by doc_id — maximal
-    * cardinality, no skew. Nothing is ever all-pairs. */
+    * Scale shape: words explode to rows and 8-grams assemble from
+    * `lead` chains over a doc-partitioned window — the text is split
+    * once per document and each gram is hashed exactly once (HOF/array
+    * formulations kept re-evaluating the inlined split per element
+    * under projection collapse, like q_winnowing). The corpus-sized
+    * exchanges are the doc-keyed window sorts and the gram-keyed
+    * first-occurrence window. The span merge windows partition by
+    * doc_id — maximal cardinality, no skew. Nothing is ever all-pairs. */
   val qSubstringSpans: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val ws = filter(split(col("text"), " "), w => length(w) > 0)
-    // structural when() guard: sequence(1, n) with n<1 runs DESCENDING
-    // and Spark may evaluate collapsed projections on filter-dropped rows
-    val grams = when(size(col("ws")) >= 8,
-      transform(
-        sequence(lit(1), size(col("ws")) - 7),
-        i => struct(i.as("pos"),
-          md5(concat_ws(" ", slice(col("ws"), i, lit(8)))).as("h"))))
-      .otherwise(array().cast("array<struct<pos:int,h:string>>"))
-    val docs = Tables.documents(s, d)
-      .filter(col("text").isNotNull)
-      .select(col("doc_id"), ws.as("ws"))
-      .select(col("doc_id"), size(col("ws")).cast(LongType).as("n_words"),
-        grams.as("gs"))
-    val occ = docs
-      .filter(size(col("gs")) > 0)
-      .select(col("doc_id"), explode(col("gs")).as("g"))
-      .select(col("doc_id"), col("g.pos").cast(LongType).as("pos"), col("g.h").as("h"))
-      .withColumn("k", col("doc_id") * 1000000L + col("pos"))
-    // corpus-first occurrence per gram; a gram-keyed hash join marks
-    // every later occurrence (including intra-document repeats)
-    val first = occ.groupBy("h").agg(min("k").as("first_k"))
-    val dup = occ.join(first, "h").filter(col("k") =!= col("first_k"))
+    // spread before the per-word fan-out for the same single-split
+    // reason as q_winnowing — scan-side cost must spread first
+    val base = Tables.spread(
+      Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), ws.as("ws")))
+    val docs = base
+      .select(col("doc_id"), size(col("ws")).cast(LongType).as("n_words"))
+    val wordRows = base
+      .filter(size(col("ws")) >= 8)
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("p0", "word")))
+    val byPos = Window.partitionBy("doc_id").orderBy("p0")
+    val leadCols = (1 to 7).map(k => lead("word", k).over(byPos).as(s"w$k"))
+    val gramWords = col("word") +: (1 to 7).map(k => col(s"w$k"))
+    val occ = wordRows
+      .select(Seq(col("doc_id"), col("p0"), col("word")) ++ leadCols: _*)
+      .filter(col("w7").isNotNull)
+      .select(col("doc_id"),
+        // 1-based gram position, matching the oracle's range(1, ...)
+        (col("p0") + 1).cast(LongType).as("pos"),
+        md5(concat_ws(" ", gramWords: _*)).as("h"))
+    // corpus-first occurrence per gram in (doc_id, pos) lexicographic
+    // order — a struct min, NOT an arithmetic packed key, which would
+    // silently misorder for documents over the multiplier's word count
+    // and can overflow Long at corpus scale. The min is taken with a
+    // gram-partitioned WINDOW rather than aggregate+self-join: the join
+    // formulation scans `occ` twice, and each scan re-materializes the
+    // md5-8-gram construction — the window pays one exchange on the
+    // gram key and reads the hashes once
+    val wH = Window.partitionBy("h")
+    val dup = occ
+      .withColumn("fst", min(struct(col("doc_id"), col("pos"))).over(wH))
+      .filter(!(col("doc_id") === col("fst.doc_id") && col("pos") === col("fst.pos")))
       .select("doc_id", "pos")
     // island merge: each position covers [pos, pos+7]; positions are
     // distinct and ascending, so the running max of covered ends is
@@ -285,7 +333,12 @@ object CorpusOps {
     Tables.documents(s, d)
       .select(col("doc_id"), raw.as("url"))
       .select(col("doc_id"),
-        concat(lit("https://"), host, path, lit("?"), params).as("canonical_url"))
+        // '?' only when params survive the tracking filter: a URL whose
+        // only params were tracking junk must collapse to the bare form,
+        // not a distinct trailing-'?' spelling
+        concat(lit("https://"), host, path,
+          when(params === "", lit(""))
+            .otherwise(concat(lit("?"), params))).as("canonical_url"))
       .groupBy("canonical_url")
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
       .orderBy("canonical_url")
@@ -374,11 +427,11 @@ object CorpusOps {
         |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 6),
         |    i -> struct_pack(pos := i, h := md5(array_to_string(ws[i:i+7], ' '))))) AS g
         |  FROM docs WHERE len(ws) >= 8),
-        |occ AS (SELECT doc_id, CAST(g.pos AS BIGINT) AS pos, g.h AS h,
-        |        doc_id * 1000000 + g.pos AS k FROM g),
-        |fst AS (SELECT h, MIN(k) AS first_k FROM occ GROUP BY h),
+        |occ AS (SELECT doc_id, CAST(g.pos AS BIGINT) AS pos, g.h AS h FROM g),
+        |fst AS (SELECT h, MIN(struct_pack(doc_id := doc_id, pos := pos)) AS fst
+        |        FROM occ GROUP BY h),
         |dup AS (SELECT o.doc_id, o.pos FROM occ o JOIN fst f ON o.h = f.h
-        |        WHERE o.k <> f.first_k),
+        |        WHERE NOT (o.doc_id = f.fst.doc_id AND o.pos = f.fst.pos)),
         |m AS (SELECT doc_id, pos,
         |        lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM dup),
         |b AS (SELECT doc_id, pos,
@@ -418,7 +471,8 @@ object CorpusOps {
         |      string_split(regexp_extract(nf, '\?([^#]*)', 1), '&'),
         |      q -> NOT (starts_with(q, 'utm_') OR starts_with(q, 'ref=') OR q = ''))), '&') AS params
         |  FROM n)
-        |SELECT 'https://' || host || path || '?' || params AS canonical_url,
+        |SELECT 'https://' || host || path ||
+        |  CASE WHEN params = '' THEN '' ELSE '?' || params END AS canonical_url,
         |  COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
         |FROM p GROUP BY canonical_url ORDER BY canonical_url""".stripMargin)
 }

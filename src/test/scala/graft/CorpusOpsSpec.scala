@@ -45,11 +45,37 @@ class CorpusOpsSpec extends SparkSpec {
       .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
     assert(r(1L) === ((4L, 4 * 263L, 263L)))
     assert(r(2L) === ((2L, 263L + 2584L, (263L + 2584L) / 2)))
-    // the scoring join must be broadcast — the token stream never
-    // sort-merge-shuffles against the vocabulary-sized model
-    val plan = CorpusOps.qUnigramPpl(spark, dir).queryExecution.executedPlan.toString
+    // small-vocab regime: the scoring join is UNHINTED (a forced
+    // broadcast of every distinct token would OOM the driver on a
+    // web-scale corpus), so the runtime planner must pick broadcast
+    // here on its own — a tiny vocabulary that did NOT broadcast would
+    // mean the statistics/AQE path regressed
+    val df = CorpusOps.qUnigramPpl(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
-    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("unigram_ppl large-vocab regime: scoring survives without broadcast") {
+    // forcing the planner away from broadcast simulates the O(10^9)-type
+    // corpus where the model CANNOT broadcast: the query must produce
+    // identical results through a shuffled join on the token key
+    val dir = writeFixture((1L, "a a a a", "en"), (2L, "a rare", "en"))
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val df = CorpusOps.qUnigramPpl(spark, dir)
+      val r = df.collect()
+        .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+      assert(r(1L) === ((4L, 4 * 263L, 263L)))
+      assert(r(2L) === ((2L, 263L + 2584L, (263L + 2584L) / 2)))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"), plan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
   }
 
   test("tokenizer_fertility: bytes and tokens aggregate per language") {
@@ -130,9 +156,13 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r.toSeq === Seq(
       ("https://example.com/Docs/2?a=2&z=1", 3L, 4L),
       ("https://example.com/Docs/5?a=1&z=1", 2L, 10L)))
-    // canonical forms carry no tracking params, port, www, or fragment
+    // canonical forms carry no tracking params, port, www, or fragment;
+    // scheme+host are lowercased (the PATH keeps its case — 'Docs' —
+    // per RFC 3986 §6.2.2.1 only scheme and host are case-insensitive)
     assert(r.forall { case (u, _, _) =>
+      val schemeHost = u.substring(0, u.indexOf('/', "https://".length))
       !u.contains("utm") && !u.contains("ref=") && !u.contains(":443") &&
-        !u.contains("www.") && !u.contains("#") && u == u.toLowerCase })
+        !u.contains("www.") && !u.contains("#") &&
+        schemeHost == schemeHost.toLowerCase })
   }
 }

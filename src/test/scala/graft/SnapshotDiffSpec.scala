@@ -38,14 +38,20 @@ class SnapshotDiffSpec extends SparkSpec {
       (77L, "added", None, Some(45L))))
   }
 
-  test("the diff join is a co-partitioned shuffle join, not a broadcast") {
+  test("the diff join is a co-partitioned shuffle join on the snapshot key") {
     // at 100 TB both snapshots are corpus-sized: the plan must keep the
-    // key-partitioned exchange shape that bucketed snapshots can elide,
-    // not collect a side for broadcast (here AQE may still choose BHJ on
-    // tiny fixtures — so assert on the pre-AQE sparkPlan)
+    // key-partitioned exchange shape that bucketed snapshots can elide.
+    // Spark never plans a broadcast for a full-outer join, so a
+    // no-BroadcastHashJoin assertion would be vacuous — assert
+    // POSITIVELY on the intended shape instead: a sort-merge full-outer
+    // join fed by hash-partitioned exchanges on p_partkey
     val dir = writeParts((1L, 1), (2L, 2))
-    val plan = Snapshots.qSnapshotDiff(spark, dir).queryExecution.sparkPlan.toString
+    // executedPlan, not sparkPlan: exchanges are inserted by
+    // EnsureRequirements, which runs after the planner — sparkPlan
+    // never contains hashpartitioning and would make this vacuous too
+    val plan = Snapshots.qSnapshotDiff(spark, dir).queryExecution.executedPlan.toString
     assert(plan.contains("FullOuter"), plan)
-    assert(!plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert("hashpartitioning\\(p_partkey".r.findAllIn(plan).size >= 2, plan)
   }
 }
