@@ -143,6 +143,35 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r(5L) === ((0L, 0L, 2L, 0L)))
   }
 
+  test("winnowing plan hashes each gram exactly once") {
+    // regression pin for the r8 collapse blow-up: projection collapse
+    // inlining the gram construction into multiple consumers shows up
+    // as md5 appearing more than once in the physical plan — the
+    // explode+lead+window shape must keep exactly one md5 projection
+    val dir = writeFixture((1L, "a b c d e f g h", "en"))
+    val plan = CorpusOps.qWinnowing(spark, dir).queryExecution.executedPlan.toString
+    assert("md5".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("substring_spans: corpus order survives a >1M-word document") {
+    // regression pin for the retired packed key k = doc_id*1e6 + pos,
+    // which inverted corpus order once pos spilled past the multiplier:
+    // doc 1 carries the shared 8-gram at pos > 1,000,000 (packed key
+    // 2,000,004), doc 2 at pos 1 (packed key 2,000,001 — WRONGLY
+    // smaller). The struct-ordered min must keep doc 1 as the first
+    // occurrence and span only doc 2.
+    val filler = (0 until 1000000).map(i => "a" + i).mkString(" ")
+    val magic = "m1 m2 m3 m4 m5 m6 m7 m8"
+    val dir = writeFixture(
+      (1L, filler + " " + magic, "en"),
+      (2L, magic + " z1 z2 z3", "en"))
+    val r = CorpusOps.qSubstringSpans(spark, dir).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+      .toMap
+    assert(r(1L) === ((0L, 0L, 1000008L, 0L)))
+    assert(r(2L) === ((1L, 8L, 11L, 727L)))
+  }
+
   test("url_canonical: both raw spellings of a logical URL collapse to one canonical form") {
     // docs 2k and 2k+1 name the same logical URL: even ids carry casing,
     // :443, www, utm junk, shuffled params, and a fragment; odd ids the
