@@ -298,6 +298,51 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** q_gram_novelty — corpus-order novelty rate (the curation signal
+    * behind "how much NEW content does each crawl slice add"): for each
+    * document, the fraction of its distinct word-3-grams whose first
+    * corpus appearance (minimum doc_id) is this document. Low novelty
+    * = mostly restatement of earlier corpus content; the per-slice
+    * aggregate of this is the diminishing-returns curve data teams
+    * track across crawl snapshots.
+    *
+    * Shape: same explode+lead gram build as q_winnowing (text split
+    * once, one md5 per gram), per-doc distinct, then first-appearance
+    * via a gram-partitioned window min — one exchange on the gram key,
+    * no self-join, nothing all-pairs. */
+  val qGramNovelty: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ws = filter(split(col("text"), " "), w => length(w) > 0)
+    val base = Tables.spread(
+      Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), ws.as("ws")))
+    val wordRows = base
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "word")))
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val grams = wordRows
+      .withColumn("w1", lead("word", 1).over(byPos))
+      .withColumn("w2", lead("word", 2).over(byPos))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", col("word"), col("w1"), col("w2"))).as("h"))
+      .distinct()
+    val agg = grams
+      .withColumn("first_doc", min("doc_id").over(Window.partitionBy("h")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_milli", expr("(1000 * n_novel) div n_grams"))
+    base.select("doc_id")
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        coalesce(col("novelty_milli"), lit(0L)).as("novelty_milli"))
+      .orderBy("doc_id")
+  }
+
   /** q_url_canonical — URL canonicalization + canonical-URL dedup, the
     * first dedup any web corpus runs (before any content hashing).
     * The synthetic corpus carries no URLs, so each document derives one
@@ -351,6 +396,7 @@ object CorpusOps {
     "q_char_entropy" -> qCharEntropy,
     "q_winnowing" -> qWinnowing,
     "q_substring_spans" -> qSubstringSpans,
+    "q_gram_novelty" -> qGramNovelty,
     "q_url_canonical" -> qUrlCanonical)
 
   val oracle: Map[String, String] = Map(
@@ -451,6 +497,25 @@ object CorpusOps {
         |    ELSE (1000 * COALESCE(a.dup_words, 0)) // d.n_words END AS BIGINT) AS dup_frac_milli
         |FROM docs d LEFT JOIN agg a ON d.doc_id = a.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "q_gram_novelty" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT DISTINCT doc_id, md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS h
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i)
+        |  WHERE len(ws) >= 3),
+        |f AS (SELECT h, MIN(doc_id) AS first_doc FROM g GROUP BY h),
+        |a AS (SELECT g.doc_id, COUNT(*) AS n_grams,
+        |        SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS n_novel
+        |      FROM g JOIN f ON g.h = f.h GROUP BY g.doc_id)
+        |SELECT t.doc_id,
+        |  CAST(COALESCE(a.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(COALESCE(a.n_novel, 0) AS BIGINT) AS n_novel,
+        |  CAST(CASE WHEN COALESCE(a.n_grams, 0) = 0 THEN 0
+        |    ELSE (1000 * a.n_novel) // a.n_grams END AS BIGINT) AS novelty_milli
+        |FROM t LEFT JOIN a ON t.doc_id = a.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     "q_url_canonical" ->
       """WITH u AS (
         |  SELECT doc_id,

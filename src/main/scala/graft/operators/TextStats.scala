@@ -238,6 +238,32 @@ object TextStats {
       .orderBy("source")
   }
 
+  /** q_temperature_mix — temperature-resampled source weights, the
+    * mixture-design step of every multi-source pretraining corpus
+    * (upweight small high-quality sources, damp the web crawl): with
+    * T = 2 the sampling weight of source i is √tokens_i / Σ√tokens_j.
+    * Square roots are floored to integer milli-units BEFORE the
+    * normalizing sum, so the division is exact integer arithmetic and
+    * independent of both engines' float-summation order (sqrt itself
+    * is IEEE correctly-rounded — identical on identical inputs). One
+    * 20-group aggregate plus a broadcast single-row total: scan-bound
+    * at any corpus size. */
+  val qTemperatureMix: Q = (s, d) => {
+    val counts = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(Packing.wsTokens(col("text"))).as("n_tokens"))
+      .withColumn("s_milli",
+        floor(lit(1000.0) * sqrt(col("n_tokens"))).cast(LongType))
+    val tot = counts.agg(sum("s_milli").as("s_tot"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("(1000000 * s_milli) div s_tot").as("w_micro"),
+        expr("(10000 * s_milli) div s_tot").as("docs_at_10k"))
+      .orderBy("source")
+  }
+
   /** Per-source token-budget selection — "take the first N tokens of
     * each source": ascending doc_id, keep documents while the running
     * whitespace-token sum stays within budget. Per-source running sums
@@ -581,6 +607,7 @@ object TextStats {
     "q_hash_split" -> qHashSplit,
     "q_quality_rules" -> qQualityRules,
     "q_source_mixture" -> qSourceMixture,
+    "q_temperature_mix" -> qTemperatureMix,
     "q_token_budget" -> qTokenBudget,
     "q_stratified_sample" -> qStratifiedSample,
     "q_kfold" -> qKfold
@@ -828,6 +855,18 @@ object TextStats {
         |WHERE CAST('0x' || substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000
         |      * c.n_source < mn.min_n * 1000
         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    "q_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL GROUP BY source),
+        |sm AS (SELECT source, n_docs, n_tokens,
+        |         CAST(floor(1000.0 * sqrt(n_tokens)) AS BIGINT) AS s_milli FROM c),
+        |t AS (SELECT CAST(SUM(s_milli) AS BIGINT) AS s_tot FROM sm)
+        |SELECT source, n_docs, n_tokens,
+        |  (1000000 * s_milli) // s_tot AS w_micro,
+        |  (10000 * s_milli) // s_tot AS docs_at_10k
+        |FROM sm, t ORDER BY source""".stripMargin,
     "q_token_budget" ->
       """SELECT doc_id, source, tokens, cum_tokens FROM (
         |  SELECT doc_id, source, tokens,

@@ -172,6 +172,33 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r(2L) === ((1L, 8L, 11L, 727L)))
   }
 
+  test("gram_novelty: first corpus appearance wins, restated grams are not novel") {
+    val dir = writeFixture(
+      (1L, "a b c d", "en"),   // grams abc, bcd — both first here
+      (2L, "a b c x", "en"),   // abc restates doc 1; bcx is new
+      (3L, "a b", "en"))       // too short for any gram
+    val r = CorpusOps.qGramNovelty(spark, dir).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r(1L) === ((2L, 2L, 1000L)))
+    assert(r(2L) === ((2L, 1L, 500L)))
+    assert(r(3L) === ((0L, 0L, 0L)))
+  }
+
+  test("temperature_mix: sqrt-damped weights in exact integer micro-units") {
+    // source A: 4 tokens, source B: 16 → s_milli 2000 / 4000, total 6000
+    val dir = java.nio.file.Files.createTempDirectory("tempmix").toString
+    Seq((1L, "a b c d", "en", "A"), (2L, ("x " * 15).trim + " y", "en", "B"))
+      .toDF("doc_id", "text", "lang", "source")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.operators.TextStats.qTemperatureMix(spark, dir).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+      .toMap
+    assert(r("A") === ((1L, 4L, 333333L, 3333L)))
+    assert(r("B") === ((1L, 16L, 666666L, 6666L)))
+  }
+
   test("url_canonical: both raw spellings of a logical URL collapse to one canonical form") {
     // docs 2k and 2k+1 name the same logical URL: even ids carry casing,
     // :443, www, utm junk, shuffled params, and a fragment; odd ids the
