@@ -326,4 +326,43 @@ class StressSpec extends SparkSpec {
       s"hot-doc max bpt ${hotBpt.max} not below filler mean ${fillBpt.sum / fillBpt.length}")
   }
 
+  test("substring spans + gram novelty at 10×: hot family fully spanned except its corpus-first, novelty follows corpus order") {
+    import graft.operators.CorpusOps
+    // r9 canary: the pre-rewrite HOF formulation took 853 s at 5k docs
+    // (and would be >2 h here); the explode+lead pipelines must stay
+    // seconds-scale at 50k. The bound is deliberately loose — it only
+    // fires on a complexity-class regression, not host noise.
+    val t0 = System.nanoTime()
+    val spans = CorpusOps.qSubstringSpans(spark, docsDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val novelty = CorpusOps.qGramNovelty(spark, docsDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val wall = (System.nanoTime() - t0) / 1e9
+    assert(wall < 120.0, f"spans+novelty at 10x took $wall%.1f s — complexity regression")
+    // doc 0 is the hot family's corpus-first occurrence: zero spans,
+    // full novelty; docs 1-399 are byte-identical restatements: fully
+    // spanned (every word inside a duplicated 8-gram window), zero
+    // novelty
+    assert(spans(0L) === ((0L, 0L, 60L, 0L)))
+    (1L until HotSize.toLong).foreach { id =>
+      val (n, dup, words, frac) = spans(id)
+      assert(n == 1L && dup == 60L && words == 60L && frac == 1000L,
+        s"hot doc $id not fully spanned: ($n, $dup, $words, $frac)")
+      assert(novelty(id) == 0L, s"hot doc $id novelty ${novelty(id)} != 0")
+    }
+    assert(novelty(0L) == 1000L)
+    // near-dup family: one substituted word per member leaves long
+    // duplicated runs vs the family's first member — every later member
+    // must be majority-spanned but NOT fully (its substitution site and
+    // the first member's differ)
+    val famLater = (0 until MidFamilies).flatMap(f =>
+      (1 until MidSize).map(m => 1000L + f * 10 + m))
+    famLater.foreach { id =>
+      val frac = spans(id)._4
+      assert(frac > 500L && frac < 1000L,
+        s"family member $id dup_frac_milli $frac outside (500, 1000)")
+    }
+  }
+
 }
