@@ -498,8 +498,57 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** q_matryoshka_overlap — truncation-fidelity evaluation (Kusupati et
+    * al. 2022, Matryoshka Representation Learning): before serving ANN
+    * from a cheaper 32-dim prefix, measure how much of the full-64-dim
+    * neighborhood each query keeps. Per query vector: the top-3 overlap
+    * between full and prefix cosine rankings (0-3), and the prefix rank
+    * of the full-dim nearest neighbor. Both rankings share the
+    * [[cosMicrosPre]] determinism contract (exact-decimal dots, micros
+    * grid, id tiebreak), so the numbers are oracle-exact.
+    *
+    * Scale shape: same broadcast nested-loop as [[qAnnTopk]] (8 query
+    * vectors against the spread corpus — the brute-force oracle twin;
+    * a production run would feed the IVF/LSH candidates instead), two
+    * qid-partitioned rank windows over 8 keys, then an 8-group
+    * aggregate. Truncation is a `slice` on the stored vector — no
+    * re-embedding, which is the operational point of Matryoshka. */
+  val qMatryoshkaOverlap: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"),
+        decVec(col("embedding")).as("qe"),
+        decVec(slice(col("embedding"), 1, 32)).as("qt"))
+      .withColumn("nq", decDot(col("qe"), col("qe")).cast(DoubleType))
+      .withColumn("nqt", decDot(col("qt"), col("qt")).cast(DoubleType))
+    val c = Tables.spread(emb)
+      .select(col("vec_id").as("nid"),
+        decVec(col("embedding")).as("ne"),
+        decVec(slice(col("embedding"), 1, 32)).as("nt"))
+      .withColumn("nc", decDot(col("ne"), col("ne")).cast(DoubleType))
+      .withColumn("nct", decDot(col("nt"), col("nt")).cast(DoubleType))
+    val cosv = broadcast(q).join(c, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        cosMicrosPre(decDot(col("qe"), col("ne")), col("nq"), col("nc"))
+          .as("sim_full"),
+        cosMicrosPre(decDot(col("qt"), col("nt")), col("nqt"), col("nct"))
+          .as("sim_trunc"))
+    val wF = Window.partitionBy("qid").orderBy(col("sim_full").desc, col("nid"))
+    val wT = Window.partitionBy("qid").orderBy(col("sim_trunc").desc, col("nid"))
+    cosv
+      .withColumn("rf", row_number().over(wF))
+      .withColumn("rt", row_number().over(wT))
+      .groupBy("qid")
+      .agg(
+        sum(when(col("rf") <= 3 && col("rt") <= 3, 1L).otherwise(0L))
+          .as("overlap3"),
+        max(when(col("rf") === 1, col("rt").cast(LongType))).as("rank1_at_trunc"))
+      .orderBy("qid")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_ann_topk" -> qAnnTopk,
+    "q_matryoshka_overlap" -> qMatryoshkaOverlap,
     "q_embedding_neardup" -> qEmbeddingNeardup,
     "q_embedding_norms" -> qEmbeddingNorms,
     "q_embedding_centroids" -> qEmbeddingCentroids,
@@ -580,6 +629,38 @@ object Similarity {
         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim_micros DESC, nid) AS BIGINT) AS rnk
         |      FROM cosv)
         |WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+    "q_matryoshka_overlap" ->
+      """WITH el AS (
+        |  SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) AS x
+        |  FROM (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS i
+        |        FROM embeddings)),
+        |nrm_f AS (SELECT vec_id, SUM(x*x) AS nrm FROM el GROUP BY vec_id),
+        |nrm_t AS (SELECT vec_id, SUM(x*x) AS nrm FROM el WHERE i <= 32 GROUP BY vec_id),
+        |dots_f AS (
+        |  SELECT q.vec_id AS qid, e.vec_id AS nid, SUM(q.x * e.x) AS dot
+        |  FROM el q JOIN el e ON q.i = e.i AND q.vec_id < 8 AND e.vec_id <> q.vec_id
+        |  GROUP BY q.vec_id, e.vec_id),
+        |dots_t AS (
+        |  SELECT q.vec_id AS qid, e.vec_id AS nid, SUM(q.x * e.x) AS dot
+        |  FROM el q JOIN el e ON q.i = e.i AND q.i <= 32 AND q.vec_id < 8 AND e.vec_id <> q.vec_id
+        |  GROUP BY q.vec_id, e.vec_id),
+        |rf AS (
+        |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rf
+        |  FROM (SELECT qid, nid,
+        |          CAST(CAST(CAST(dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(ne.nrm AS DOUBLE)) AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS sim
+        |        FROM dots_f JOIN nrm_f nq ON qid = nq.vec_id
+        |                    JOIN nrm_f ne ON nid = ne.vec_id)),
+        |rt AS (
+        |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rt
+        |  FROM (SELECT qid, nid,
+        |          CAST(CAST(CAST(dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(ne.nrm AS DOUBLE)) AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS sim
+        |        FROM dots_t JOIN nrm_t nq ON qid = nq.vec_id
+        |                    JOIN nrm_t ne ON nid = ne.vec_id))
+        |SELECT rf.qid,
+        |  CAST(SUM(CASE WHEN rf.rf <= 3 AND rt.rt <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS overlap3,
+        |  CAST(MAX(CASE WHEN rf.rf = 1 THEN rt.rt END) AS BIGINT) AS rank1_at_trunc
+        |FROM rf JOIN rt ON rf.qid = rt.qid AND rf.nid = rt.nid
+        |GROUP BY rf.qid ORDER BY rf.qid""".stripMargin,
     "q_embedding_neardup" ->
       """WITH el AS (
         |  SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) AS x

@@ -37,6 +37,38 @@ class SemanticOpsSpec extends SparkSpec {
     assert(!dropped.contains(out.map(_.getLong(2)).min))
   }
 
+  test("matryoshka overlap: truncation reorders a tail-heavy neighbor, exact ranks") {
+    import spark.implicits._
+    // hand-computable geometry: for query v0 = e1,
+    //   v1 = e1 + 10*e33  → full cos 1/sqrt(101) ≈ .0995, prefix cos 1.0
+    //   v2 = e1 + e2      → cos 1/sqrt(2) ≈ .707 under BOTH views
+    //   v3 = -e1          → cos -1 both
+    //   fillers 8..11 = e3 → cos 0 both
+    // full top-1 is v2 but the 32-dim prefix ranks v1 first — so the
+    // full winner lands at prefix rank 2, which is the number this
+    // operator exists to surface
+    def vec(parts: (Int, Float)*): Seq[Float] = {
+      val a = Array.fill(64)(0f)
+      parts.foreach { case (i, x) => a(i) = x }
+      a.toSeq
+    }
+    val rows = Seq(
+      (0L, vec(0 -> 1f), 0),
+      (1L, vec(0 -> 1f, 32 -> 10f), 0),
+      (2L, vec(0 -> 1f, 1 -> 1f), 0),
+      (3L, vec(0 -> -1f), 0)) ++
+      (8L to 11L).map(id => (id, vec(2 -> 1f), 1))
+    val dir = java.nio.file.Files.createTempDirectory("matry").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = Similarity.qMatryoshkaOverlap(spark, dir).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(0L) === ((3L, 2L)), s"qid 0 got ${r(0L)}")
+    // every query vector reports, overlap is bounded by k
+    assert(r.keySet === Set(0L, 1L, 2L, 3L))
+    assert(r.values.forall { case (o, _) => o >= 0L && o <= 3L })
+  }
+
   test("knn classify: 20 queries, votes within [1,5], labels from the corpus domain") {
     val out = Similarity.qKnnClassify(spark, sf).collect()
     assert(out.length == 20)
