@@ -359,11 +359,18 @@ object CorpusOps {
     // spellings — the collapse is what proves the canonicalizer works
     val page = expr("(doc_id div 2) % 25").cast("string")
     val a = expr("(doc_id div 2) % 4").cast("string")
+    // every fifth page carries ONLY tracking params in its even-doc
+    // spelling and NO query at all in its odd-doc spelling — the two
+    // collapse iff the canonicalizer emits no dangling '?' when every
+    // param is filtered (the guard is oracle-exercised, not latent)
+    val trackOnly = expr("((doc_id div 2) % 25) % 5 = 0")
     val raw = when(pmod(col("doc_id"), lit(2)) === 0,
       concat(lit("HTTPS://WWW.Example.COM:443/Docs/"), page,
-        lit("?z=1&utm_source=feed&a="), a, lit("#top")))
+        when(trackOnly, lit("?utm_source=feed&ref=rss#top"))
+          .otherwise(concat(lit("?z=1&utm_source=feed&a="), a, lit("#top")))))
       .otherwise(concat(lit("https://www.example.com/Docs/"), page,
-        lit("?a="), a, lit("&ref=rss&z=1")))
+        when(trackOnly, lit(""))
+          .otherwise(concat(lit("?a="), a, lit("&ref=rss&z=1")))))
     val noFrag = regexp_replace(col("url"), "#.*$", "")
     val host = regexp_replace(
       regexp_replace(
@@ -521,9 +528,12 @@ object CorpusOps {
         |  SELECT doc_id,
         |    CASE WHEN doc_id % 2 = 0
         |      THEN 'HTTPS://WWW.Example.COM:443/Docs/' || ((doc_id // 2) % 25)
-        |        || '?z=1&utm_source=feed&a=' || ((doc_id // 2) % 4) || '#top'
+        |        || CASE WHEN ((doc_id // 2) % 25) % 5 = 0
+        |             THEN '?utm_source=feed&ref=rss#top'
+        |             ELSE '?z=1&utm_source=feed&a=' || ((doc_id // 2) % 4) || '#top' END
         |      ELSE 'https://www.example.com/Docs/' || ((doc_id // 2) % 25)
-        |        || '?a=' || ((doc_id // 2) % 4) || '&ref=rss&z=1'
+        |        || CASE WHEN ((doc_id // 2) % 25) % 5 = 0 THEN ''
+        |             ELSE '?a=' || ((doc_id // 2) % 4) || '&ref=rss&z=1' END
         |    END AS url
         |  FROM documents),
         |n AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf FROM u),
@@ -532,9 +542,9 @@ object CorpusOps {
         |      lower(regexp_extract(nf, '^[A-Za-z]+://([^/?#]+)', 1)), ':443$', ''),
         |      '^www\.', '') AS host,
         |    regexp_extract(nf, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
-        |    array_to_string(list_sort(list_filter(
+        |    COALESCE(array_to_string(list_sort(list_filter(
         |      string_split(regexp_extract(nf, '\?([^#]*)', 1), '&'),
-        |      q -> NOT (starts_with(q, 'utm_') OR starts_with(q, 'ref=') OR q = ''))), '&') AS params
+        |      q -> NOT (starts_with(q, 'utm_') OR starts_with(q, 'ref=') OR q = ''))), '&'), '') AS params
         |  FROM n)
         |SELECT 'https://' || host || path ||
         |  CASE WHEN params = '' THEN '' ELSE '?' || params END AS canonical_url,

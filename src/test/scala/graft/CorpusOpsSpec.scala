@@ -205,13 +205,17 @@ class CorpusOpsSpec extends SparkSpec {
     // clean spelling — the canonicalizer must merge each adjacent pair
     val dir = writeFixture(
       (4L, "w", "en"), (5L, "w", "en"),    // pair → Docs/2?a=2&z=1
-      (10L, "w", "en"), (11L, "w", "en"),  // pair → Docs/5?a=1&z=1
+      // page 5 is a tracking-only page: even doc carries ONLY utm/ref
+      // params, odd doc no query at all — both must collapse to the
+      // BARE canonical with no dangling '?'
+      (10L, "w", "en"), (11L, "w", "en"),  // pair → Docs/5
       (204L, "w", "en"))                   // (204/2)%25=2,(204/2)%4=2 → joins the first group
     val r = CorpusOps.qUrlCanonical(spark, dir).collect()
       .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
     assert(r.toSeq === Seq(
       ("https://example.com/Docs/2?a=2&z=1", 3L, 4L),
-      ("https://example.com/Docs/5?a=1&z=1", 2L, 10L)))
+      ("https://example.com/Docs/5", 2L, 10L)))
+    assert(!r.exists(_._1.endsWith("?")))
     // canonical forms carry no tracking params, port, www, or fragment;
     // scheme+host are lowercased (the PATH keeps its case — 'Docs' —
     // per RFC 3986 §6.2.2.1 only scheme and host are case-insensitive)
