@@ -353,6 +353,32 @@ object CorpusOps {
     * and www, drop tracking params, sort survivors, drop the fragment.
     * Pure scan-side regex/array algebra; the only shuffle is the final
     * canonical-key aggregate. */
+  /** Canonicalize a URL column — the reusable form of the
+    * q_url_canonical logic, applicable to any real URL column:
+    * lowercase scheme and host, strip a default port (:443/:80) and a
+    * leading www., drop the fragment and utm_/ref tracking params,
+    * sort the surviving params, and emit '?' only when any survive.
+    * Idempotent: canonicalUrl(canonicalUrl(u)) == canonicalUrl(u)
+    * (property-pinned in CorpusOpsSpec). Pure scan-side regex/array
+    * algebra — no shuffle, codegen-friendly except the param HOF
+    * filter whose lambda reads only its own element. */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z]+)://", 1))
+    val host = regexp_replace(
+      regexp_replace(
+        lower(regexp_extract(noFrag, "^[A-Za-z]+://([^/?#]+)", 1)),
+        ":(443|80)$", ""),
+      "^www\\.", "")
+    val path = regexp_extract(noFrag, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    val params = array_join(
+      array_sort(filter(split(regexp_extract(noFrag, "\\?([^#]*)", 1), "&"),
+        p => !(p.startsWith("utm_") || p.startsWith("ref=") || p === ""))),
+      "&")
+    concat(scheme, lit("://"), host, path,
+      when(params === "", lit("")).otherwise(concat(lit("?"), params)))
+  }
+
   val qUrlCanonical: Q = (s, d) => {
     // page/param ids derive from doc_id div 2, so each adjacent even/odd
     // doc pair names the SAME logical URL through the two different raw
@@ -371,26 +397,9 @@ object CorpusOps {
       .otherwise(concat(lit("https://www.example.com/Docs/"), page,
         when(trackOnly, lit(""))
           .otherwise(concat(lit("?a="), a, lit("&ref=rss&z=1")))))
-    val noFrag = regexp_replace(col("url"), "#.*$", "")
-    val host = regexp_replace(
-      regexp_replace(
-        lower(regexp_extract(noFrag, "^[A-Za-z]+://([^/?#]+)", 1)),
-        ":443$", ""),
-      "^www\\.", "")
-    val path = regexp_extract(noFrag, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
-    val params = array_join(
-      array_sort(filter(split(regexp_extract(noFrag, "\\?([^#]*)", 1), "&"),
-        p => !(p.startsWith("utm_") || p.startsWith("ref=") || p === ""))),
-      "&")
     Tables.documents(s, d)
       .select(col("doc_id"), raw.as("url"))
-      .select(col("doc_id"),
-        // '?' only when params survive the tracking filter: a URL whose
-        // only params were tracking junk must collapse to the bare form,
-        // not a distinct trailing-'?' spelling
-        concat(lit("https://"), host, path,
-          when(params === "", lit(""))
-            .otherwise(concat(lit("?"), params))).as("canonical_url"))
+      .select(col("doc_id"), canonicalUrl(col("url")).as("canonical_url"))
       .groupBy("canonical_url")
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
       .orderBy("canonical_url")

@@ -172,6 +172,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r(2L) === ((1L, 8L, 11L, 727L)))
   }
 
+  test("canonicalUrl: adversarial spellings, exact forms, idempotence") {
+    val raws = Seq(
+      "HTTPS://WWW.Example.COM:443/Docs/2?z=1&utm_source=feed&a=2#top",
+      "https://www.example.com/Docs/2?a=2&ref=rss&z=1",
+      "HTTP://Example.com:80/x?utm_a=1&utm_b=2",     // tracking-only → bare
+      "http://example.com/x",                        // no query at all
+      "https://example.com/UPPER/Case?b=2&a=1#frag", // path case kept, params sorted
+      "ftp://Host.Net/file")                         // non-http scheme passes through
+    val df = raws.toDF("url")
+      .select(col("url"), CorpusOps.canonicalUrl(col("url")).as("c1"))
+      .select(col("url"), col("c1"), CorpusOps.canonicalUrl(col("c1")).as("c2"))
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val canon = rows.map { case (u, c, _) => u -> c }.toMap
+    assert(canon(raws(0)) === "https://example.com/Docs/2?a=2&z=1")
+    assert(canon(raws(1)) === "https://example.com/Docs/2?a=2&z=1")
+    assert(canon(raws(2)) === "http://example.com/x")
+    assert(canon(raws(3)) === "http://example.com/x")
+    assert(canon(raws(4)) === "https://example.com/UPPER/Case?a=1&b=2")
+    assert(canon(raws(5)) === "ftp://host.net/file")
+    // idempotence: a canonical form is its own canonical form
+    rows.foreach { case (u, c1, c2) => assert(c1 === c2, s"not idempotent for $u") }
+  }
+
   test("gram_novelty: first corpus appearance wins, restated grams are not novel") {
     val dir = writeFixture(
       (1L, "a b c d", "en"),   // grams abc, bcd — both first here
