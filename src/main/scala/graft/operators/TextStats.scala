@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.Tables
 
@@ -261,6 +261,38 @@ object TextStats {
       .select(col("source"), col("n_docs"), col("n_tokens"),
         expr("(1000000 * s_milli) div s_tot").as("w_micro"),
         expr("(10000 * s_milli) div s_tot").as("docs_at_10k"))
+      .orderBy("source")
+  }
+
+  /** q_source_kl — per-source distribution drift: KL(source ‖ corpus)
+    * over unigram distributions, in integer micro-bits. The corpus-QA
+    * number that says WHICH source's language shifted (new crawl slice,
+    * contamination, genre drift) — rising KL for one source flags it
+    * before aggregate quality metrics move. Terms are floored to
+    * micro-bits before the per-source sum (order-independent; the
+    * double noise between engines' log2 is ~1e-17 against a 1e-6 grid,
+    * the same determinism argument as the cosine micros contract).
+    * Shape: two wordcount aggregates off ONE (source, word) count
+    * table, an unhinted vocab join (AQE broadcasts small vocabularies;
+    * web-scale ones shuffle), and a |sources|-group final sum. */
+  val qSourceKl: Q = (s, d) => {
+    val words = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val sw = words.groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
+    val srcTot = sw.groupBy("source").agg(sum("c_sw").as("n_s"))
+    val cw = sw.groupBy("w").agg(sum("c_sw").as("c_w"))
+    val tot = cw.agg(sum("c_w").as("n_tot"))
+    val ps = col("c_sw").cast(DoubleType) / col("n_s")
+    val pc = col("c_w").cast(DoubleType) / col("n_tot")
+    sw.join(broadcast(srcTot), "source")
+      .join(cw, "w")
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("n_s"),
+        floor(lit(1000000.0) * ps * log2(ps / pc)).cast(LongType).as("term_micro"))
+      .groupBy("source")
+      .agg(max("n_s").as("n_tokens"), sum("term_micro").as("kl_micro"))
       .orderBy("source")
   }
 
@@ -608,6 +640,7 @@ object TextStats {
     "q_quality_rules" -> qQualityRules,
     "q_source_mixture" -> qSourceMixture,
     "q_temperature_mix" -> qTemperatureMix,
+    "q_source_kl" -> qSourceKl,
     "q_token_budget" -> qTokenBudget,
     "q_stratified_sample" -> qStratifiedSample,
     "q_kfold" -> qKfold
@@ -855,6 +888,22 @@ object TextStats {
         |WHERE CAST('0x' || substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000
         |      * c.n_source < mn.min_n * 1000
         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    "q_source_kl" ->
+      """WITH ww AS (
+        |  SELECT source, w FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS w
+        |    FROM documents WHERE text IS NOT NULL)
+        |  WHERE length(w) > 0),
+        |sw AS (SELECT source, w, COUNT(*) AS c_sw FROM ww GROUP BY 1, 2),
+        |st AS (SELECT source, CAST(SUM(c_sw) AS BIGINT) AS n_s FROM sw GROUP BY 1),
+        |cw AS (SELECT w, CAST(SUM(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY 1),
+        |t AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n_tot FROM cw)
+        |SELECT sw.source, MAX(st.n_s) AS n_tokens,
+        |  CAST(SUM(CAST(floor(1000000.0 * (CAST(c_sw AS DOUBLE) / n_s)
+        |    * log2((CAST(c_sw AS DOUBLE) / n_s) / (CAST(c_w AS DOUBLE) / n_tot)))
+        |    AS BIGINT)) AS BIGINT) AS kl_micro
+        |FROM sw JOIN st ON sw.source = st.source JOIN cw ON sw.w = cw.w, t
+        |GROUP BY sw.source ORDER BY sw.source""".stripMargin,
     "q_temperature_mix" ->
       """WITH c AS (
         |  SELECT source, COUNT(*) AS n_docs,

@@ -222,6 +222,33 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r("B") === ((1L, 16L, 666666L, 6666L)))
   }
 
+  test("source_kl: drift is positive, identical-to-corpus source near zero") {
+    // source B == corpus mix would give KL 0; here A is x-heavy and B
+    // y-heavy, so both diverge positively; expected terms replicated
+    // with the same double ops the query uses (±2 micro for log ulp)
+    val dir = java.nio.file.Files.createTempDirectory("srckl").toString
+    Seq((1L, "x x y", "en", "A"), (2L, "x y y y", "en", "B"))
+      .toDF("doc_id", "text", "lang", "source")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def term(cSw: Long, nS: Long, cW: Long, nTot: Long): Long = {
+      val ps = cSw.toDouble / nS
+      val pc = cW.toDouble / nTot
+      math.floor(1000000.0 * ps * (math.log(ps / pc) / math.log(2.0))).toLong
+    }
+    val wantA = term(2, 3, 3, 7) + term(1, 3, 4, 7)
+    val wantB = term(1, 4, 3, 7) + term(3, 4, 4, 7)
+    val r = graft.operators.TextStats.qSourceKl(spark, dir).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r("A")._1 == 3L && r("B")._1 == 4L)
+    assert(math.abs(r("A")._2 - wantA) <= 2, s"A: ${r("A")._2} vs $wantA")
+    assert(math.abs(r("B")._2 - wantB) <= 2, s"B: ${r("B")._2} vs $wantB")
+    // KL against a mixture containing the source is bounded below by
+    // ~0 and these skewed sources must be measurably positive
+    assert(r("A")._2 > 0L && r("B")._2 > 0L)
+  }
+
   test("url_canonical: both raw spellings of a logical URL collapse to one canonical form") {
     // docs 2k and 2k+1 name the same logical URL: even ids carry casing,
     // :443, www, utm junk, shuffled params, and a fragment; odd ids the
