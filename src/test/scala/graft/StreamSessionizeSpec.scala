@@ -1,0 +1,94 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.StreamSessionize
+import graft.streaming.StreamSessionize.{Session, UserEvent}
+
+/** Streaming sessionization: gap-rule parity with the batch
+  * q_sessionize arithmetic, roll-closure vs timeout-closure, per-user
+  * state isolation, and cross-batch session continuation. */
+class StreamSessionizeSpec extends SparkSpec {
+
+  private val t0 = 1700000000L
+  private def ts(off: Long) = new Timestamp((t0 + off) * 1000)
+
+  test("gap rule closes on roll and on timeout; sessions continue across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[UserEvent]
+    val out = StreamSessionize.sessions(
+      input.toDS(), gapSec = 60L, watermarkDelay = "5 seconds")
+    val q = out.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 opens a session (two events 30 s apart, within
+      // gap); user 2 opens independently; out-of-order within batch
+      input.addData(
+        UserEvent(1L, 11L, ts(30)),
+        UserEvent(1L, 10L, ts(0)),
+        UserEvent(2L, 20L, ts(5)))
+      q.processAllAvailable()
+      // batch 2: user 1's event at t=150 is 120 s after the session end
+      // (> gap 60) → rolls the session, which must be emitted NOW even
+      // though no timeout has fired
+      input.addData(UserEvent(1L, 12L, ts(150)))
+      q.processAllAvailable()
+      // user 1's first session closes by ROLL (no timeout has passed
+      // its end+gap yet); user 2's closes by TIMEOUT in the same
+      // trigger — batch 2 advanced the watermark to t+145, past user
+      // 2's t+65 timeout, and processAllAvailable runs the follow-up
+      // no-data batch that fires it
+      val afterRoll = spark.table("sess_out").as[Session].collect()
+      assert(afterRoll.toSet === Set(
+        Session(1L, t0, t0 + 30, 2L),
+        Session(2L, t0 + 5, t0 + 5, 1L)),
+        s"roll/timeout closure wrong: ${afterRoll.mkString(",")}")
+
+      // batch 3: a heartbeat far in the future advances the watermark
+      // past every open session's end + gap → both time out
+      input.addData(UserEvent(9L, 90L, ts(1000)))
+      q.processAllAvailable()
+      // one more advance so user 9's own session can time out too
+      input.addData(UserEvent(8L, 80L, ts(2000)))
+      q.processAllAvailable()
+
+      val sessions = spark.table("sess_out").as[Session].collect().toSet
+      assert(sessions.contains(Session(1L, t0, t0 + 30, 2L)))
+      assert(sessions.contains(Session(1L, t0 + 150, t0 + 150, 1L)),
+        "rolled-open session must close by timeout")
+      assert(sessions.contains(Session(2L, t0 + 5, t0 + 5, 1L)),
+        "independent user closes by timeout")
+      assert(sessions.contains(Session(9L, t0 + 1000, t0 + 1000, 1L)))
+    } finally q.stop()
+  }
+
+  test("within-gap events across batches extend one session, count exact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[UserEvent]
+    val out = StreamSessionize.sessions(
+      input.toDS(), gapSec = 100L, watermarkDelay = "5 seconds")
+    val q = out.writeStream.format("memory").queryName("sess_out2")
+      .outputMode("append").start()
+    try {
+      input.addData(UserEvent(5L, 1L, ts(0)))
+      q.processAllAvailable()
+      input.addData(UserEvent(5L, 2L, ts(80)))
+      q.processAllAvailable()
+      input.addData(UserEvent(5L, 3L, ts(160)))
+      q.processAllAvailable()
+      // advance the watermark far enough to close it (end 160 + gap 100
+      // + delay 5 < 1000)
+      input.addData(UserEvent(6L, 9L, ts(1000)))
+      q.processAllAvailable()
+      val sessions = spark.table("sess_out2").as[Session].collect().toSet
+      assert(sessions.contains(Session(5L, t0, t0 + 160, 3L)),
+        s"cross-batch continuation wrong: ${sessions.mkString(",")}")
+    } finally q.stop()
+  }
+}
