@@ -92,12 +92,26 @@ object Bench {
     // the group's jobs are cancelled (interruptOnCancel) and the query
     // is recorded as timed-out with its ~budget-sized latency — loud in
     // the per-query map, but the artifact always ships numbers.
+    // validated like SPARK_GRAFT_BENCH_REPEAT: a zero would make
+    // Thread.join(0) wait forever (silently disabling the watchdog —
+    // the exact r8 failure it exists to prevent) and a negative value
+    // would make join throw and kill the bench
     val queryBudgetSec: Long = sys.env.get("SPARK_GRAFT_QUERY_BUDGET")
-      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption.filter(_ > 0)
+        .orElse { System.err.println(
+          s"[bench] bad SPARK_GRAFT_QUERY_BUDGET='$v', using 120"); None })
       .getOrElse(120L)
+
+    // groups whose query thread outlived its budget: cancelJobGroup is
+    // NOT sticky — a thread hung in analysis/codegen submits its jobs
+    // AFTER the cancel and they would run to completion, polluting
+    // every later measurement — so abandoned groups are re-cancelled
+    // before each subsequent query starts
+    val abandonedGroups = scala.collection.concurrent.TrieMap.empty[String, Unit]
 
     def collectWatched(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                        tag: String): Unit = {
+      abandonedGroups.keysIterator.foreach(spark.sparkContext.cancelJobGroup)
       val group = s"$tag:$name"
       @volatile var err: Option[Throwable] = None
       val t = new Thread(() => {
@@ -114,8 +128,10 @@ object Bench {
         spark.sparkContext.cancelJobGroup(group)
         // give cancellation a moment to unwind; a plan hung OUTSIDE job
         // execution (analysis/codegen) won't respond — the daemon thread
-        // is abandoned and the bench moves on
+        // is abandoned (its group stays on the re-cancel sweep above)
+        // and the bench moves on
         t.join(15000)
+        if (t.isAlive) abandonedGroups.put(group, ())
         System.err.println(
           s"[bench] $tag $name TIMED OUT after ${queryBudgetSec}s — jobs cancelled")
       } else err.foreach(e =>

@@ -365,11 +365,14 @@ object CorpusOps {
   def canonicalUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z]+)://", 1))
-    val host = regexp_replace(
-      regexp_replace(
-        lower(regexp_extract(noFrag, "^[A-Za-z]+://([^/?#]+)", 1)),
-        ":(443|80)$", ""),
-      "^www\\.", "")
+    val hostRaw = lower(regexp_extract(noFrag, "^[A-Za-z]+://([^/?#]+)", 1))
+    // the default port is SCHEME-SPECIFIC: https-on-:80 and http-on-:443
+    // are genuinely different origins and must NOT collapse with the
+    // portless spelling — only the scheme's own default strips
+    val hostNoPort = when(scheme === "https", regexp_replace(hostRaw, ":443$", ""))
+      .when(scheme === "http", regexp_replace(hostRaw, ":80$", ""))
+      .otherwise(hostRaw)
+    val host = regexp_replace(hostNoPort, "^www\\.", "")
     val path = regexp_extract(noFrag, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
     val params = array_join(
       array_sort(filter(split(regexp_extract(noFrag, "\\?([^#]*)", 1), "&"),

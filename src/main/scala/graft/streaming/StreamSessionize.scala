@@ -12,22 +12,24 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * recomputes this nightly over the whole table; the stream closes
   * sessions continuously, which is what funnels/abuse monitors consume.
   *
-  * Shape: ONE `flatMapGroupsWithState` keyed by user with O(1) state —
-  * the single open session (start, end, count) — and an event-time
-  * timeout at `end + gap`, so state is bounded by the number of
-  * concurrently-active users, never by history. A batch's group rows
-  * are folded in ascending event-time order (the group is buffered and
-  * sorted: a user's per-trigger volume is human-scale, unlike
-  * StreamDedup's hot-signature case which must stay O(1)).
+  * Emission contract (Append mode): a session is emitted ONLY once the
+  * watermark has sealed its trailing gap — `end + gap < watermark` —
+  * because until then an admissible late event could still land inside
+  * the gap and bridge it (emitting eagerly on roll-over would make the
+  * output diverge from the batch semantics exactly in that case).
+  * Unsealed sessions, including ones a newer event has already rolled
+  * past, stay in state; late events within the watermark merge into
+  * them — possibly bridging two sessions into one — with the same
+  * strictly-greater-than gap arithmetic the batch rule uses.
   *
-  * Emission contract (Append mode): a session row is emitted the moment
-  * it is KNOWN closed — either a newer event rolled the session over
-  * the gap, or the watermark passed `end + gap` (timeout). Events later
-  * than the watermark delay are dropped by the engine upstream, which
-  * is exactly what makes the roll decision safe to emit early: no
-  * admissible future event can land inside a gap the watermark has
-  * sealed. Same session arithmetic as the batch rule — seconds are
-  * truncating epoch-seconds, gap strictly greater-than.
+  * Shape: ONE `flatMapGroupsWithState` keyed by user whose state is the
+  * ascending vector of unsealed sessions. That vector is bounded by
+  * watermarkDelay / gap + 1 (only sessions whose trailing gap the
+  * watermark has not passed are retained), so state per user is O(1)
+  * for any fixed configuration, and total state is bounded by the
+  * number of concurrently-active users, never by history. The
+  * event-time timeout is registered at the earliest unsealed
+  * `end + gap`, so quiet users drain without new arrivals.
   */
 object StreamSessionize {
 
@@ -35,6 +37,7 @@ object StreamSessionize {
   case class Session(user_id: Long, session_start: Long, session_end: Long,
                      n_events: Long)
   private[streaming] case class OpenSession(startSec: Long, endSec: Long, n: Long)
+  private[streaming] case class SessState(sessions: Vector[OpenSession])
 
   def sessions(
       events: Dataset[UserEvent],
@@ -42,45 +45,49 @@ object StreamSessionize {
       watermarkDelay: String = "10 seconds"): Dataset[Session] = {
     val s = events.sparkSession
     import s.implicits._
+
+    // merge one event into the ascending, pairwise-gap-separated
+    // session vector: the event joins every session it is within gap
+    // of (at most its two neighbors — bridging them into one), else
+    // opens its own
+    def addEvent(ss: Vector[OpenSession], sec: Long): Vector[OpenSession] = {
+      val (before, rest) = ss.span(_.endSec < sec - gapSec)
+      val (touch, after) = rest.span(_.startSec <= sec + gapSec)
+      val merged =
+        if (touch.isEmpty) OpenSession(sec, sec, 1L)
+        else OpenSession(
+          math.min(touch.head.startSec, sec),
+          math.max(touch.last.endSec, sec),
+          touch.map(_.n).sum + 1L)
+      (before :+ merged) ++ after
+    }
+
+    def drain(user: Long, st: GroupState[SessState],
+              newEvents: Iterator[UserEvent]): Iterator[Session] = {
+      var ss = st.getOption.map(_.sessions).getOrElse(Vector.empty)
+      newEvents.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+        .foreach(e => ss = addEvent(ss, e.ts.getTime / 1000L))
+      // sealed = no admissible event can reach the trailing gap any
+      // more: (end + gap) strictly behind the watermark
+      val wmMs = st.getCurrentWatermarkMs()
+      val (sealedSs, unsealed) = ss.partition(o => (o.endSec + gapSec) * 1000L < wmMs)
+      if (unsealed.isEmpty) st.remove()
+      else {
+        st.update(SessState(unsealed))
+        // earliest unsealed seal point; clamped above the watermark so
+        // a backfilled arrival cannot register a timeout behind it
+        // (that throws and kills the query)
+        val next = (unsealed.map(_.endSec).min + gapSec) * 1000L + 1
+        st.setTimeoutTimestamp(math.max(next, wmMs + 1))
+      }
+      sealedSs.iterator.map(o => Session(user, o.startSec, o.endSec, o.n))
+    }
+
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        (user: Long, rows: Iterator[UserEvent], st: GroupState[OpenSession]) => {
-          if (st.hasTimedOut) {
-            // watermark passed end + gap: the open session is final
-            val open = st.get
-            st.remove()
-            Iterator.single(Session(user, open.startSec, open.endSec, open.n))
-          } else {
-            val sorted = rows.toArray.sortBy(e => (e.ts.getTime, e.event_id))
-            var open = st.getOption.orNull
-            val closed = Vector.newBuilder[Session]
-            sorted.foreach { e =>
-              val sec = e.ts.getTime / 1000L // truncating, like the batch rule
-              if (open == null) open = OpenSession(sec, sec, 1L)
-              else if (sec - open.endSec > gapSec) {
-                closed += Session(user, open.startSec, open.endSec, open.n)
-                open = OpenSession(sec, sec, 1L)
-              } else if (sec >= open.endSec) {
-                open = OpenSession(open.startSec, sec, open.n + 1L)
-              } else {
-                // in-batch stragglers inside the open window still count
-                open = OpenSession(math.min(open.startSec, sec), open.endSec,
-                  open.n + 1L)
-              }
-            }
-            if (open != null) {
-              st.update(open)
-              // clamp like StreamDedup: a backfilled arrival must not
-              // compute a timeout behind the watermark (that throws and
-              // kills the query) — it just times out at the next advance
-              st.setTimeoutTimestamp(math.max(
-                open.endSec * 1000L + gapSec * 1000L,
-                st.getCurrentWatermarkMs() + 1))
-            }
-            closed.result().iterator
-          }
-        })
+        (user: Long, rows: Iterator[UserEvent], st: GroupState[SessState]) =>
+          drain(user, st, if (st.hasTimedOut) Iterator.empty else rows))
   }
 }

@@ -179,7 +179,8 @@ class CorpusOpsSpec extends SparkSpec {
       "HTTP://Example.com:80/x?utm_a=1&utm_b=2",     // tracking-only → bare
       "http://example.com/x",                        // no query at all
       "https://example.com/UPPER/Case?b=2&a=1#frag", // path case kept, params sorted
-      "ftp://Host.Net/file")                         // non-http scheme passes through
+      "ftp://Host.Net/file",                         // non-http scheme passes through
+      "https://example.com:80/a")                    // NON-default port survives
     val df = raws.toDF("url")
       .select(col("url"), CorpusOps.canonicalUrl(col("url")).as("c1"))
       .select(col("url"), col("c1"), CorpusOps.canonicalUrl(col("c1")).as("c2"))
@@ -191,6 +192,9 @@ class CorpusOpsSpec extends SparkSpec {
     assert(canon(raws(3)) === "http://example.com/x")
     assert(canon(raws(4)) === "https://example.com/UPPER/Case?a=1&b=2")
     assert(canon(raws(5)) === "ftp://host.net/file")
+    // https on port 80 is a DIFFERENT origin than https on 443 — only
+    // the scheme's own default port collapses
+    assert(canon(raws(6)) === "https://example.com:80/a")
     // idempotence: a canonical form is its own canonical form
     rows.foreach { case (u, c1, c2) => assert(c1 === c2, s"not idempotent for $u") }
   }

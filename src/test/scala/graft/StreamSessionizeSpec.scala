@@ -37,16 +37,15 @@ class StreamSessionizeSpec extends SparkSpec {
       // though no timeout has fired
       input.addData(UserEvent(1L, 12L, ts(150)))
       q.processAllAvailable()
-      // user 1's first session closes by ROLL (no timeout has passed
-      // its end+gap yet); user 2's closes by TIMEOUT in the same
-      // trigger — batch 2 advanced the watermark to t+145, past user
-      // 2's t+65 timeout, and processAllAvailable runs the follow-up
-      // no-data batch that fires it
+      // batch 2 advanced the watermark to t+145, past both users'
+      // seal points (end+gap = t+90 and t+65) — the follow-up no-data
+      // batch processAllAvailable runs must emit both sealed sessions,
+      // while user 1's new session (seal point t+210) stays in state
       val afterRoll = spark.table("sess_out").as[Session].collect()
       assert(afterRoll.toSet === Set(
         Session(1L, t0, t0 + 30, 2L),
         Session(2L, t0 + 5, t0 + 5, 1L)),
-        s"roll/timeout closure wrong: ${afterRoll.mkString(",")}")
+        s"sealed-session emission wrong: ${afterRoll.mkString(",")}")
 
       // batch 3: a heartbeat far in the future advances the watermark
       // past every open session's end + gap → both time out
@@ -89,6 +88,60 @@ class StreamSessionizeSpec extends SparkSpec {
       val sessions = spark.table("sess_out2").as[Session].collect().toSet
       assert(sessions.contains(Session(5L, t0, t0 + 160, 3L)),
         s"cross-batch continuation wrong: ${sessions.mkString(",")}")
+    } finally q.stop()
+  }
+
+  test("admissible late event bridges two rolled sessions into one") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // gap 60, delay 55: after t=100 and t=200 arrive the user holds TWO
+    // unsealed sessions; t=150 is still admissible (watermark 145) and
+    // is within gap of both — batch semantics demand ONE [100,200]
+    // session of 3 events, which eager roll-emission could never produce
+    val input = MemoryStream[UserEvent]
+    val out = StreamSessionize.sessions(
+      input.toDS(), gapSec = 60L, watermarkDelay = "55 seconds")
+    val q = out.writeStream.format("memory").queryName("sess_out3")
+      .outputMode("append").start()
+    try {
+      input.addData(UserEvent(7L, 1L, ts(100)))
+      q.processAllAvailable()
+      input.addData(UserEvent(7L, 2L, ts(200)))
+      q.processAllAvailable()
+      input.addData(UserEvent(7L, 3L, ts(150)))
+      q.processAllAvailable()
+      input.addData(UserEvent(6L, 9L, ts(2000)))
+      q.processAllAvailable()
+      val sessions = spark.table("sess_out3").as[Session].collect()
+        .filter(_.user_id == 7L)
+      assert(sessions.toSeq === Seq(Session(7L, t0 + 100, t0 + 200, 3L)),
+        s"bridge wrong: ${sessions.mkString(",")}")
+    } finally q.stop()
+  }
+
+  test("an out-of-order event beyond the gap forms its own earlier session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // gap 5, delay 60: t=991 arrives after t=1000 and is 9 s before it
+    // — beyond the gap, so it must NOT stretch the session backwards
+    val input = MemoryStream[UserEvent]
+    val out = StreamSessionize.sessions(
+      input.toDS(), gapSec = 5L, watermarkDelay = "60 seconds")
+    val q = out.writeStream.format("memory").queryName("sess_out4")
+      .outputMode("append").start()
+    try {
+      input.addData(UserEvent(3L, 1L, ts(1000)))
+      q.processAllAvailable()
+      input.addData(UserEvent(3L, 2L, ts(991)))
+      q.processAllAvailable()
+      input.addData(UserEvent(6L, 9L, ts(3000)))
+      q.processAllAvailable()
+      val sessions = spark.table("sess_out4").as[Session].collect()
+        .filter(_.user_id == 3L).sortBy(_.session_start)
+      assert(sessions.toSeq === Seq(
+        Session(3L, t0 + 991, t0 + 991, 1L),
+        Session(3L, t0 + 1000, t0 + 1000, 1L)),
+        s"backward stretch: ${sessions.mkString(",")}")
     } finally q.stop()
   }
 }
