@@ -109,10 +109,16 @@ object Bench {
     // before each subsequent query starts
     val abandonedGroups = scala.collection.concurrent.TrieMap.empty[String, Unit]
 
+    val groupSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
     def collectWatched(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                        tag: String): Unit = {
       abandonedGroups.keysIterator.foreach(spark.sparkContext.cancelJobGroup)
-      val group = s"$tag:$name"
+      // unique per INVOCATION: repeat passes re-run the same (tag, name)
+      // and an abandoned pass-1 thread must never alias the live pass-2
+      // run's group — aliasing would make the sweep either skip its late
+      // jobs or kill the legitimate measurement
+      val group = s"$tag:$name#${groupSeq.incrementAndGet()}"
       @volatile var err: Option[Throwable] = None
       val t = new Thread(() => {
         try {

@@ -23,13 +23,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * strictly-greater-than gap arithmetic the batch rule uses.
   *
   * Shape: ONE `flatMapGroupsWithState` keyed by user whose state is the
-  * ascending vector of unsealed sessions. That vector is bounded by
-  * watermarkDelay / gap + 1 (only sessions whose trailing gap the
-  * watermark has not passed are retained), so state per user is O(1)
-  * for any fixed configuration, and total state is bounded by the
-  * number of concurrently-active users, never by history. The
-  * event-time timeout is registered at the earliest unsealed
-  * `end + gap`, so quiet users drain without new arrivals.
+  * ascending vector of unsealed sessions. Unsealed ends span at most a
+  * (watermarkDelay + gap)-wide window and are pairwise separated by
+  * more than gap, so the vector holds at most
+  * floor(watermarkDelay / gap) + 2 sessions — O(1) for any fixed
+  * configuration — and total state is bounded by the number of
+  * concurrently-active users, never by history. The event-time timeout
+  * is registered at the earliest unsealed seal point, so quiet users
+  * drain without new arrivals.
   */
 object StreamSessionize {
 
@@ -65,19 +66,26 @@ object StreamSessionize {
     def drain(user: Long, st: GroupState[SessState],
               newEvents: Iterator[UserEvent]): Iterator[Session] = {
       var ss = st.getOption.map(_.sessions).getOrElse(Vector.empty)
-      newEvents.toArray.sortBy(e => (e.ts.getTime, e.event_id))
-        .foreach(e => ss = addEvent(ss, e.ts.getTime / 1000L))
+      // no sort: addEvent's insert-and-merge yields the unique maximal
+      // gap-separated clustering regardless of insertion order
+      newEvents.foreach(e => ss = addEvent(ss, e.ts.getTime / 1000L))
       // sealed = no admissible event can reach the trailing gap any
-      // more: (end + gap) strictly behind the watermark
+      // more. Seconds TRUNCATE (getTime / 1000) while the watermark is
+      // in ms: the smallest admissible second is floor(wm/1000), so the
+      // session is safe only once endSec + gapSec < floor(wm/1000),
+      // i.e. (endSec + gapSec + 1) * 1000 <= wm — the tempting
+      // (endSec+gapSec)*1000 < wm form seals up to 999 ms early and an
+      // admissible sub-second straggler could still join batch-side
       val wmMs = st.getCurrentWatermarkMs()
-      val (sealedSs, unsealed) = ss.partition(o => (o.endSec + gapSec) * 1000L < wmMs)
+      val (sealedSs, unsealed) =
+        ss.partition(o => (o.endSec + gapSec + 1) * 1000L <= wmMs)
       if (unsealed.isEmpty) st.remove()
       else {
         st.update(SessState(unsealed))
         // earliest unsealed seal point; clamped above the watermark so
         // a backfilled arrival cannot register a timeout behind it
         // (that throws and kills the query)
-        val next = (unsealed.map(_.endSec).min + gapSec) * 1000L + 1
+        val next = (unsealed.map(_.endSec).min + gapSec + 1) * 1000L
         st.setTimeoutTimestamp(math.max(next, wmMs + 1))
       }
       sealedSs.iterator.map(o => Session(user, o.startSec, o.endSec, o.n))

@@ -119,6 +119,37 @@ class StreamSessionizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mid-second watermark does not seal early: sub-second straggler still joins") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // gap 60, delay 55, millisecond stamps: a heartbeat at 215.5 s puts
+    // the watermark at 160500 ms. Seconds truncate, so an admissible
+    // event at 160.9 s is second 160 — still within gap of the session
+    // ending at 100. A (end+gap)*1000 < wm seal would have emitted
+    // [100,100] before the straggler; the truncation-aware seal holds
+    // it open and the straggler merges, matching batch semantics.
+    def tsMs(offMs: Long) = new Timestamp(t0 * 1000 + offMs)
+    val input = MemoryStream[UserEvent]
+    val out = StreamSessionize.sessions(
+      input.toDS(), gapSec = 60L, watermarkDelay = "55 seconds")
+    val q = out.writeStream.format("memory").queryName("sess_out5")
+      .outputMode("append").start()
+    try {
+      input.addData(UserEvent(11L, 1L, tsMs(100000)))
+      q.processAllAvailable()
+      input.addData(UserEvent(12L, 2L, tsMs(215500)))
+      q.processAllAvailable()
+      input.addData(UserEvent(11L, 3L, tsMs(160900)))
+      q.processAllAvailable()
+      input.addData(UserEvent(13L, 9L, tsMs(2000000)))
+      q.processAllAvailable()
+      val sessions = spark.table("sess_out5").as[Session].collect()
+        .filter(_.user_id == 11L)
+      assert(sessions.toSeq === Seq(Session(11L, t0 + 100, t0 + 160, 2L)),
+        s"early seal: ${sessions.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("an out-of-order event beyond the gap forms its own earlier session") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
