@@ -36,7 +36,34 @@ object GraftExtensions {
   def functionDescriptors
       : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(findExtensionDescriptor, decimalDotDescriptor, floatDotDescriptor,
-      zOrderDescriptor, topKDescriptor, freqItemsDescriptor) ++ kllDescriptors
+      zOrderDescriptor, topKDescriptor, freqItemsDescriptor,
+      bloomAggDescriptor, bloomContainsDescriptor) ++ kllDescriptors
+
+  val bloomAggDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bloom_agg"),
+    new ExpressionInfo(
+      classOf[graft.functions.BloomLongsAgg].getCanonicalName, null,
+      "bloom_agg",
+      "bloom_agg(hash64, numBits, numHashes) - mergeable Bloom filter over " +
+        "pre-hashed BIGINT inputs (BINARY result; zero false negatives)", ""),
+    (children: Seq[Expression]) => {
+      require(children.length == 3, "bloom_agg takes exactly 3 arguments")
+      graft.functions.BloomLongsAgg(children(0), children(1), children(2))
+    })
+
+  val bloomContainsDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bloom_contains"),
+    new ExpressionInfo(
+      classOf[graft.functions.BloomContainsExpr].getCanonicalName, null,
+      "bloom_contains",
+      "bloom_contains(filter, hash64, numHashes) - codegen'd membership probe " +
+        "against a bloom_agg filter", ""),
+    (children: Seq[Expression]) => {
+      require(children.length == 3, "bloom_contains takes exactly 3 arguments")
+      graft.functions.BloomContainsExpr(children(0), children(1), children(2))
+    })
 
   val kllDescriptors
       : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(

@@ -211,6 +211,38 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** Exact-k deterministic reservoir per source — the "N examples per
+    * domain for eval/inspection" sampler. Selection rule: the k=5 docs
+    * with the LARGEST deterministic doc hash per source (a fixed
+    * uniform-random draw that re-runs, re-partitions, and re-shards
+    * identically). The scale point is HOW the k are found: a
+    * `row_number() OVER (PARTITION BY source ORDER BY h)` must shuffle
+    * and sort every row of every source — and `source` is exactly the
+    * kind of low-cardinality/hot-key partition a 100 TB corpus makes
+    * pathological. The bounded-heap [[graft.functions.TopKLongsAgg]]
+    * instead truncates to k values map-side, so the shuffle carries at
+    * most k longs per (partition, source) no matter how hot the source
+    * is. Winners (|sources|·k rows) broadcast back onto the scan to
+    * recover doc_ids — no second shuffle. Assumes the 60-bit hash is
+    * collision-free within a source (P ≈ n²/2⁶¹; at any real corpus
+    * size the deterministic tie-break would need the struct-packed
+    * variant, documented here). */
+  val qReservoirSample: Q = (s, d) => {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val h = graft.functions.Exprs.md5Long(concat(lit("resv|"), col("doc_id").cast("string")))
+    val docs = Tables.documents(s, d).select(col("source"), col("doc_id"), h.as("h"))
+    val topk = GraftSqlBridge.column(
+      graft.functions.TopKLongsAgg(GraftSqlBridge.expression(col("h")), Literal(5))
+        .toAggregateExpression())
+    val winners = docs.groupBy("source").agg(topk.as("hs"))
+      .select(col("source"), posexplode(col("hs")).as(Seq("p", "h")))
+      .select(col("source"), (col("p") + 1).cast(LongType).as("rnk"), col("h"))
+    docs.join(broadcast(winners), Seq("source", "h"))
+      .select(col("source"), col("rnk"), col("doc_id"), col("h"))
+      .orderBy("source", "rnk")
+  }
+
   /** Deterministic source-mixture rebalancing — the data-mixing stage
     * of a training pipeline: every source downsamples to (approximately)
     * the SMALLEST source's volume, giving a uniform mixture without
@@ -457,6 +489,68 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** [[qDecontaminate]]'s 100 TB shape — identical output, different
+    * physical plan. The exact variant broadcasts the eval gram SET as a
+    * hash relation; that stops working when the benchmark suite is
+    * itself large (a 100 M-gram eval corpus is GBs of strings — too big
+    * to broadcast, and a corpus-sized shuffle join against the full
+    * gram stream is the thing we must avoid). Here the eval set is
+    * summarized into a fixed-size Bloom filter (one mergeable
+    * [[graft.functions.BloomLongsAgg]] pass, ~8 bits/gram regardless of
+    * string length), the single-row filter broadcasts, and the corpus
+    * gram stream probes it map-side inside whole-stage codegen
+    * ([[graft.functions.BloomContainsExpr]]). Only the matched sliver —
+    * true positives plus the filter's small false-positive rate —
+    * reaches the exact verify join, which is deliberately a SHUFFLED
+    * hash join (the hint pins the plan): at scale neither side
+    * broadcasts, but the probe side is now sliver-sized. False
+    * negatives are impossible, so the output is byte-identical to the
+    * exact variant — one oracle pins both. */
+  val qBloomDecontaminate: Q = (s, d) => {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val bloomBits = 1 << 20
+    val bloomK = 5
+    val isEval = pmod(
+      graft.functions.Exprs.md5Long(concat(lit("eval|"), col("doc_id").cast("string"))),
+      lit(20)) === 0
+    val docs = Tables.spread(Tables.documents(s, d)).withColumn("is_eval", isEval)
+    val ws = split(col("text"), " ")
+    val grams = transform(
+      sequence(lit(0), size(ws) - 3),
+      i => concat_ws(" ",
+        element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3)))
+    val gramRows = docs
+      .filter(size(ws) >= 3)
+      .select(col("doc_id"), col("is_eval"), explode(grams).as("g"))
+    // two consumers (bloom build + verify join) — materialize once
+    val evalGrams = gramRows.filter(col("is_eval")).select(col("g")).distinct()
+      .localCheckpoint()
+    val bloomRow = evalGrams.agg(
+      GraftSqlBridge.column(
+        graft.functions.BloomLongsAgg(
+          GraftSqlBridge.expression(xxhash64(col("g"))),
+          Literal(bloomBits), Literal(bloomK)).toAggregateExpression()).as("bf"))
+    val prefiltered = gramRows.filter(!col("is_eval"))
+      .select(col("doc_id"), col("g"))
+      .crossJoin(broadcast(bloomRow))
+      .filter(GraftSqlBridge.column(graft.functions.BloomContainsExpr(
+        GraftSqlBridge.expression(col("bf")),
+        GraftSqlBridge.expression(xxhash64(col("g"))),
+        Literal(bloomK))))
+      .select(col("doc_id"), col("g"))
+    val shared = prefiltered
+      .join(evalGrams.hint("shuffle_hash"), Seq("g"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    Tables.documents(s, d).filter(!isEval)
+      .select(col("doc_id"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("contaminated", (col("n_shared") > 0).cast("boolean"))
+      .orderBy("doc_id")
+  }
+
   /** One BPE merge-candidate step — the frequency table tokenizer
     * training starts from: every adjacent character pair in the corpus,
     * top 20 by count with a pinned (count DESC, pair ASC) total order.
@@ -627,6 +721,7 @@ object TextStats {
     "q_boilerplate_strip" -> qBoilerplateStrip,
     "q_overlap_chunks" -> qOverlapChunks,
     "q_decontaminate" -> qDecontaminate,
+    "q_bloom_decontaminate" -> qBloomDecontaminate,
     "q_bpe_pairs" -> qBpePairs,
     "q_inverted_index" -> qInvertedIndex,
     "q_gram_repetition" -> qGramRepetition,
@@ -643,6 +738,7 @@ object TextStats {
     "q_source_kl" -> qSourceKl,
     "q_token_budget" -> qTokenBudget,
     "q_stratified_sample" -> qStratifiedSample,
+    "q_reservoir_sample" -> qReservoirSample,
     "q_kfold" -> qKfold
   )
 
@@ -747,6 +843,39 @@ object TextStats {
         |FROM documents d LEFT JOIN shared s ON d.doc_id = s.doc_id
         |WHERE CAST('0x' || substr(md5('eval|' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 20 <> 0
         |ORDER BY d.doc_id""".stripMargin,
+    // identical SQL to q_decontaminate BY DESIGN: the bloom is a
+    // zero-false-negative prefilter + exact verify, so the exact
+    // relational semantics are the contract for both plans
+    "q_bloom_decontaminate" ->
+      """WITH grams AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5('eval|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 20 = 0
+        |      AS is_eval,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |       LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i)
+        |  WHERE len(w) >= 3),
+        |eval_grams AS (SELECT DISTINCT g FROM grams WHERE is_eval),
+        |shared AS (
+        |  SELECT doc_id, COUNT(*) AS n_shared
+        |  FROM (SELECT DISTINCT doc_id, g FROM grams WHERE NOT is_eval)
+        |  JOIN eval_grams USING (g)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(s.n_shared, 0) AS n_shared,
+        |  COALESCE(s.n_shared, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN shared s ON d.doc_id = s.doc_id
+        |WHERE CAST('0x' || substr(md5('eval|' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 20 <> 0
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_reservoir_sample" ->
+      """WITH h AS (
+        |  SELECT source, doc_id,
+        |    CAST('0x' || substr(md5('resv|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id, h FROM (
+        |  SELECT source, doc_id, h,
+        |    row_number() OVER (PARTITION BY source ORDER BY h DESC, doc_id) AS rnk
+        |  FROM h) WHERE rnk <= 5
+        |ORDER BY source, rnk""".stripMargin,
     "q_bpe_pairs" ->
       """SELECT pair, COUNT(*) AS n
         |FROM (
