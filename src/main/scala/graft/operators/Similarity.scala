@@ -419,6 +419,90 @@ object Similarity {
       .orderBy("cid", "dim")
   }
 
+  /** The embedding as per-dimension EXACT unscaled longs (u = x·10⁸,
+    * the [[quantizeEmbeddings]] contract): one row per (vec_id, dim).
+    * Squared L2 distances over these are exact BIGINT sums on both
+    * engines — (u₁-u₂)² ≤ (2·10⁸)², ×64 dims < 2⁶³, so no float,
+    * decimal-division, or overflow rule is ever consulted. */
+  private def unscaledRows(emb: DataFrame): DataFrame =
+    emb.filter(col("embedding").isNotNull && size(col("embedding")) === Dim)
+      .select(col("vec_id"), posexplode(decVec(col("embedding"))).as(Seq("i0", "x")))
+      .select(col("vec_id"), (col("i0") + 1).as("i"),
+        (col("x") * lit(100000000L)).cast(LongType).as("u"))
+
+  /** Product quantization (PQ, Jégou et al. 2011) through the oracle —
+    * the ANN MEMORY-scale path: 64 dims × 4 B of float become M=4
+    * one-byte codes (one centroid id per 16-dim subspace), a 64×
+    * compression that is what makes a 100 TB-corpus index fit an
+    * executor fleet at all. Codebooks are deterministic (vec_id < 8's
+    * subvectors — the IVF seeding rule), encoding is exact-integer
+    * argmin L2² per subspace, and queries (vec_id < 3) score the corpus
+    * with ASYMMETRIC DISTANCE COMPUTATION: a per-query 4×8 lookup table
+    * of exact subspace distances, so scoring a vector is 4 table
+    * lookups + 3 adds — never a 64-dim dot. The result is the INDEX's
+    * answer (quantization error included), which is exactly what the
+    * oracle pins; [[qPqRecall]] measures that error against the exact
+    * truth. Scale shape: the codebook (8×64 rows) broadcasts against
+    * the corpus scan; encoding partial-aggregates per (vec_id, sub);
+    * the ADC join broadcasts a 96-row LUT; the only corpus-keyed
+    * shuffles are on vec_id (high-cardinality, parallel). */
+  val qPqTopk: Q = (s, d) => {
+    // one explode pass feeds the codebook, the corpus encode, and the
+    // query LUT (the qIvfTopk materialize-once pattern)
+    val el = unscaledRows(Tables.spread(Tables.embeddings(s, d))).localCheckpoint()
+    val cb = el.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("i"), col("u").as("cu"))
+    // exact subspace distances side → (vec_id, sub, cid, d2)
+    def dists(side: DataFrame): DataFrame = side
+      .join(broadcast(cb), Seq("i"))
+      .groupBy(col("vec_id"), expr("(i - 1) div 16").as("sub"), col("cid"))
+      .agg(sum((col("u") - col("cu")) * (col("u") - col("cu"))).cast(LongType).as("d2"))
+    val codes = dists(el)
+      .groupBy(col("vec_id"), col("sub"))
+      // argmin under (d2 asc, cid asc) — struct order, no window
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id").as("nid"), col("sub"), col("m.cid").as("code"))
+    val lut = dists(el.filter(col("vec_id") < 3))
+      .select(col("vec_id").as("qid"), col("sub"), col("cid").as("code"), col("d2"))
+    val wq = Window.partitionBy("qid").orderBy(col("adc_unscaled"), col("nid"))
+    codes.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("qid") =!= col("nid"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum(col("d2")).cast(LongType).as("adc_unscaled"))
+      .withColumn("rnk", row_number().over(wq).cast(LongType))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("nid"), col("rnk"), col("adc_unscaled"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** PQ quality measured THROUGH the oracle (the [[qIvfRecall]]
+    * pattern): per query, how many of the exact L2² top-3 the ADC
+    * answer recovers — the number a PQ deployment is judged by, with
+    * both sides integer-exact so DuckDB pins recall itself. The exact
+    * side is brute force BY DESIGN (it is the truth, not the index);
+    * the query side (192 rows) broadcasts against the corpus rows. */
+  val qPqRecall: Q = (s, d) => {
+    val el = unscaledRows(Tables.spread(Tables.embeddings(s, d))).localCheckpoint()
+    val q = el.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("i"), col("u").as("uq"))
+    val truth = el.select(col("vec_id").as("nid"), col("i"), col("u").as("un"))
+      .join(broadcast(q), Seq("i"))
+      .filter(col("qid") =!= col("nid"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum((col("uq") - col("un")) * (col("uq") - col("un"))).cast(LongType).as("d2"))
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("qid").orderBy(col("d2"), col("nid"))))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("nid"))
+    val pq = qPqTopk(s, d).select(col("qid"), col("nid")).withColumn("m", lit(1L))
+    truth.join(pq, Seq("qid", "nid"), "left")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_exact"),
+           sum(coalesce(col("m"), lit(0L))).cast(LongType).as("n_match"))
+      .withColumn("recall_pct", expr("(n_match * 100) div n_exact"))
+      .orderBy("qid")
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication — cluster the corpus by nearest centroid, then
     * prune cosine-near-duplicates ONLY within each cluster, so the
@@ -555,6 +639,8 @@ object Similarity {
     "q_quantize_embed" -> qQuantizeEmbed,
     "q_ivf_topk" -> qIvfTopk,
     "q_ivf_recall" -> qIvfRecall,
+    "q_pq_topk" -> qPqTopk,
+    "q_pq_recall" -> qPqRecall,
     "q_kmeans_step" -> qKmeansStep,
     "q_semdedup" -> qSemdedup,
     "q_knn_classify" -> qKnnClassify
@@ -607,7 +693,63 @@ object Similarity {
       |  JOIN nrm na ON d.qid = na.vec_id
       |  JOIN nrm nb ON d.nid = nb.vec_id)""".stripMargin
 
+  /** Shared oracle CTE chain of the PQ pipeline, through `adc`
+    * (per-(query, vector) asymmetric-distance scores) — [[qPqTopk]]
+    * takes its top-3; [[qPqRecall]] additionally derives the exact-L2²
+    * truth and joins. All integer-exact: u = x·10⁸ unscaled longs, L2²
+    * as BIGINT sums. */
+  private val pqOracleCtes: String =
+    """el AS (
+      |  SELECT vec_id, i,
+      |    CAST(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) * 100000000 AS BIGINT) AS u
+      |  FROM (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS i
+      |        FROM embeddings)),
+      |cb AS (SELECT vec_id AS cid, i, u AS cu FROM el WHERE vec_id < 8),
+      |d2s AS (
+      |  SELECT e.vec_id, (c.i - 1) // 16 AS sub, c.cid,
+      |    CAST(SUM((e.u - c.cu) * (e.u - c.cu)) AS BIGINT) AS d2
+      |  FROM el e JOIN cb c ON e.i = c.i
+      |  GROUP BY 1, 2, 3),
+      |codes AS (
+      |  SELECT vec_id AS nid, sub, cid AS code FROM (
+      |    SELECT vec_id, sub, cid,
+      |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rk
+      |    FROM d2s) WHERE rk = 1),
+      |lut AS (SELECT vec_id AS qid, sub, cid AS code, d2 FROM d2s WHERE vec_id < 3),
+      |adc AS (
+      |  SELECT l.qid, c.nid, CAST(SUM(l.d2) AS BIGINT) AS adc_unscaled
+      |  FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+      |  WHERE c.nid <> l.qid
+      |  GROUP BY 1, 2)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_pq_topk" -> (s"WITH $pqOracleCtes\n" +
+      """SELECT qid, nid, rnk, adc_unscaled FROM (
+        |  SELECT qid, nid, adc_unscaled,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY adc_unscaled, nid) AS BIGINT) AS rnk
+        |  FROM adc) WHERE rnk <= 3
+        |ORDER BY qid, rnk""".stripMargin),
+    "q_pq_recall" -> (s"WITH $pqOracleCtes,\n" +
+      """pq AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT qid, nid,
+        |      row_number() OVER (PARTITION BY qid ORDER BY adc_unscaled, nid) AS rk
+        |    FROM adc) WHERE rk <= 3),
+        |tdist AS (
+        |  SELECT q.vec_id AS qid, e.vec_id AS nid,
+        |    CAST(SUM((q.u - e.u) * (q.u - e.u)) AS BIGINT) AS d2
+        |  FROM el q JOIN el e ON q.i = e.i AND q.vec_id < 3 AND e.vec_id <> q.vec_id
+        |  GROUP BY 1, 2),
+        |truth AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rk
+        |    FROM tdist) WHERE rk <= 3)
+        |SELECT qid, n_exact, n_match, (n_match * 100) // n_exact AS recall_pct FROM (
+        |  SELECT t.qid, COUNT(*) AS n_exact,
+        |    CAST(SUM(CASE WHEN p.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+        |  FROM truth t LEFT JOIN pq p ON t.qid = p.qid AND t.nid = p.nid
+        |  GROUP BY t.qid)
+        |ORDER BY qid""".stripMargin),
     "q_ann_topk" ->
       """WITH el AS (
         |  SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) AS x
