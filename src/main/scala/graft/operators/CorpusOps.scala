@@ -408,9 +408,63 @@ object CorpusOps {
       .orderBy("canonical_url")
   }
 
+  /** q_ppl_buckets — CCNet-style quality bucketing (Wenzek et al.
+    * 2020): every document lands in head/middle/tail of ITS LANGUAGE's
+    * perplexity distribution, with the tertile thresholds computed on a
+    * deterministic 5% hash sample. That sampling rule is the scale
+    * design, not a shortcut: CCNet itself derives thresholds from a
+    * slice, and it keeps the per-language sort bounded to sample size —
+    * the corpus never feeds a low-cardinality `lang` window (the
+    * hot-key sort q_reservoir_sample also refuses). Pipeline: the
+    * [[qUnigramPpl]] scoring pass (vocabulary-sized model state, no
+    * corpus shuffle beyond the per-doc agg) → one materialization of
+    * the 3-column per-doc frame (it feeds both the sample and the final
+    * bucketing) → per-lang thresholds at ranks ceil(n/3), ceil(2n/3) of
+    * the sample (integer-exact rank rule, no percentile-interpolation
+    * divergence between engines) → broadcast |langs| threshold rows
+    * back onto the scan. Languages with an empty sample drop out (inner
+    * join) — deterministic on both engines. */
+  val qPplBuckets: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val words = Tables.spread(Tables.documents(s, d))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val uni = words.groupBy("w").agg(count(lit(1)).as("n_w"))
+    val total = uni.agg(sum("n_w").as("n_total"))
+    val scored = uni.crossJoin(broadcast(total))
+      .select(col("w"),
+        floor(lit(1000) * log2(col("n_total").cast(DoubleType) / col("n_w")))
+          .cast(LongType).as("s_milli"))
+    val perDoc = words
+      .join(scored, "w")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"), sum("s_milli").as("bits_milli"))
+      .withColumn("bpt_milli", expr("bits_milli div n_tokens"))
+      .select(col("doc_id"), col("lang"), col("bpt_milli"))
+      .localCheckpoint()
+    val samp = perDoc.filter(pmod(
+      graft.functions.Exprs.md5Long(concat(lit("ppl|"), col("doc_id").cast("string"))),
+      lit(20)) === 0)
+    val th = samp
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("lang").orderBy(col("bpt_milli"), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+      .groupBy(col("lang"))
+      .agg(min(when(col("rn") === expr("(n + 2) div 3"), col("bpt_milli"))).as("v1"),
+           min(when(col("rn") === expr("(2 * n + 2) div 3"), col("bpt_milli"))).as("v2"))
+    perDoc.join(broadcast(th), "lang")
+      .select(col("doc_id"), col("lang"), col("bpt_milli"),
+        when(col("bpt_milli") <= col("v1"), "head")
+          .when(col("bpt_milli") <= col("v2"), "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_pii_scrub" -> qPiiScrub,
     "q_unigram_ppl" -> qUnigramPpl,
+    "q_ppl_buckets" -> qPplBuckets,
     "q_tokenizer_fertility" -> qTokenizerFertility,
     "q_char_entropy" -> qCharEntropy,
     "q_winnowing" -> qWinnowing,
@@ -447,6 +501,39 @@ object CorpusOps {
         |  CAST(SUM(sc.s_milli) // COUNT(*) AS BIGINT) AS bpt_milli
         |FROM wf JOIN sc ON wf.w = sc.w
         |GROUP BY wf.doc_id ORDER BY wf.doc_id""".stripMargin,
+    "q_ppl_buckets" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
+        |  WHERE text IS NOT NULL),
+        |wf AS (SELECT doc_id, lang, w FROM w WHERE length(w) > 0),
+        |uni AS (SELECT w, COUNT(*) AS n_w FROM wf GROUP BY w),
+        |tot AS (SELECT COUNT(*) AS n_total FROM wf),
+        |sc AS (SELECT w, CAST(floor(1000 * log2(CAST(t.n_total AS DOUBLE) / u.n_w)) AS BIGINT) AS s_milli
+        |       FROM uni u CROSS JOIN tot t),
+        |docl AS (
+        |  SELECT wf.doc_id, wf.lang,
+        |    CAST(SUM(sc.s_milli) // COUNT(*) AS BIGINT) AS bpt_milli
+        |  FROM wf JOIN sc ON wf.w = sc.w
+        |  GROUP BY wf.doc_id, wf.lang),
+        |samp AS (
+        |  SELECT * FROM docl
+        |  WHERE CAST('0x' || substr(md5('ppl|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 20 = 0),
+        |rk AS (
+        |  SELECT lang, bpt_milli,
+        |    row_number() OVER (PARTITION BY lang ORDER BY bpt_milli, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY lang) AS n
+        |  FROM samp),
+        |th AS (
+        |  SELECT lang,
+        |    MIN(CASE WHEN rn = (n + 2) // 3 THEN bpt_milli END) AS v1,
+        |    MIN(CASE WHEN rn = (2 * n + 2) // 3 THEN bpt_milli END) AS v2
+        |  FROM rk GROUP BY lang)
+        |SELECT d.doc_id, d.lang, d.bpt_milli,
+        |  CASE WHEN d.bpt_milli <= th.v1 THEN 'head'
+        |       WHEN d.bpt_milli <= th.v2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM docl d JOIN th ON d.lang = th.lang
+        |ORDER BY d.doc_id""".stripMargin,
     "q_tokenizer_fertility" ->
       """SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(len(list_filter(string_split(text, ' '), t -> length(t) > 0))) AS BIGINT) AS n_tokens,
