@@ -408,6 +408,49 @@ object CorpusOps {
       .orderBy("canonical_url")
   }
 
+  /** q_bigram_ppl — add-one-smoothed bigram-LM surprisal per document:
+    * Σ −log2 p(w₂|w₁) with p = (c(w₁w₂)+1)/(c(w₁)+V), the conditional
+    * complement of [[qUnigramPpl]] (repetitive texts that a unigram
+    * model scores as low-surprisal "common words" light up here when
+    * their TRANSITIONS are unusual). Determinism: each term floors to
+    * milli-bits before summation, the division runs in one pinned
+    * double op on exact integer counts. Scale shape: the bigram model
+    * is type-count-sized, not corpus-sized; both model joins are
+    * UNHINTED (AQE broadcasts small vocabularies; web-scale type
+    * counts fall back to shuffled joins keyed on the gram — never an
+    * OOMing forced broadcast, the X76/r9 rule). Only docs with ≥2
+    * words appear. */
+  val qBigramPpl: Q = (s, d) => {
+    val docs = Tables.spread(Tables.documents(s, d)).filter(col("text").isNotNull)
+    val ws = split(col("text"), " ")
+    val pairs = docs
+      .filter(size(ws) >= 2)
+      .select(col("doc_id"),
+        explode(arrays_zip(
+          slice(ws, lit(1), size(ws) - 1).as("a"),
+          slice(ws, lit(2), size(ws) - 1).as("b"))).as("p"))
+      .select(col("doc_id"), col("p.a").as("w1"), col("p.b").as("w2"))
+      .filter(length(col("w1")) > 0 && length(col("w2")) > 0)
+    val words = docs
+      .select(explode(ws).as("w")).filter(length(col("w")) > 0)
+    val uni = words.groupBy(col("w").as("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val scoredPairs = big
+      .join(uni, "w1")
+      .crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
+        floor(lit(1000) *
+          log2((col("c1") + col("v")).cast(DoubleType) / (col("c12") + lit(1))))
+          .cast(LongType).as("s_milli"))
+    pairs
+      .join(scoredPairs, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("s_milli").as("bits_milli"))
+      .withColumn("bpt_milli", expr("bits_milli div n_bigrams"))
+      .orderBy("doc_id")
+  }
+
   /** q_ppl_buckets — CCNet-style quality bucketing (Wenzek et al.
     * 2020): every document lands in head/middle/tail of ITS LANGUAGE's
     * perplexity distribution, with the tertile thresholds computed on a
@@ -465,6 +508,7 @@ object CorpusOps {
     "q_pii_scrub" -> qPiiScrub,
     "q_unigram_ppl" -> qUnigramPpl,
     "q_ppl_buckets" -> qPplBuckets,
+    "q_bigram_ppl" -> qBigramPpl,
     "q_tokenizer_fertility" -> qTokenizerFertility,
     "q_char_entropy" -> qCharEntropy,
     "q_winnowing" -> qWinnowing,
@@ -501,6 +545,28 @@ object CorpusOps {
         |  CAST(SUM(sc.s_milli) // COUNT(*) AS BIGINT) AS bpt_milli
         |FROM wf JOIN sc ON wf.w = sc.w
         |GROUP BY wf.doc_id ORDER BY wf.doc_id""".stripMargin,
+    "q_bigram_ppl" ->
+      """WITH wl AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE text IS NOT NULL),
+        |pairs AS (
+        |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        |  FROM wl, LATERAL (SELECT unnest(range(1, len(w))) AS i)
+        |  WHERE len(w) >= 2 AND length(w[i]) > 0 AND length(w[i+1]) > 0),
+        |words AS (
+        |  SELECT unnest(w) AS w FROM wl),
+        |uni AS (SELECT w AS w1, COUNT(*) AS c1 FROM words WHERE length(w) > 0 GROUP BY w),
+        |vocab AS (SELECT COUNT(*) AS v FROM uni),
+        |big AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY w1, w2),
+        |sc AS (
+        |  SELECT b.w1, b.w2,
+        |    CAST(floor(1000 * log2(CAST(u.c1 + vocab.v AS DOUBLE) / (b.c12 + 1))) AS BIGINT) AS s_milli
+        |  FROM big b JOIN uni u ON b.w1 = u.w1 CROSS JOIN vocab)
+        |SELECT p.doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(sc.s_milli) AS BIGINT) AS bits_milli,
+        |  CAST(SUM(sc.s_milli) // COUNT(*) AS BIGINT) AS bpt_milli
+        |FROM pairs p JOIN sc ON p.w1 = sc.w1 AND p.w2 = sc.w2
+        |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
     "q_ppl_buckets" ->
       """WITH w AS (
         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
