@@ -55,8 +55,44 @@ object Snapshots {
       .orderBy("p_partkey")
   }
 
+  /** q_incremental_dedup — the ingest-time twin of exact dedup: a new
+    * batch (a deterministic ~20% hash slice standing in for "today's
+    * crawl") checks its content fingerprints against the existing
+    * corpus and within itself, so re-crawled pages never re-enter the
+    * training set. Status per incoming doc: `dup_of_corpus` (fingerprint
+    * already stored — corpus precedence, with the smallest holder id
+    * reported), `dup_in_batch` (an earlier incoming doc has it), else
+    * `new`. Scale shape: this is the snapshot-diff philosophy applied
+    * to content — both sides are corpus-sized, so the check is ONE
+    * co-partitioned shuffle join on the fingerprint (no broadcast
+    * wanted), the in-batch rule is a window on the high-cardinality
+    * fingerprint key (parallel, skew-free), and with the corpus stored
+    * fingerprint-bucketed the daily increment joins exchange-free on
+    * the corpus side. */
+  val qIncrementalDedup: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val f = Tables.spread(Tables.documents(s, d))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), md5(col("text")).as("fp"),
+        (pmod(graft.functions.Exprs.md5Long(
+          concat(lit("incr|"), col("doc_id").cast("string"))), lit(5)) === 0).as("inc"))
+    val existing = f.filter(!col("inc"))
+      .groupBy("fp").agg(min("doc_id").as("first_match"))
+    f.filter(col("inc"))
+      .select(col("doc_id"), col("fp"))
+      .withColumn("batch_first", min("doc_id").over(Window.partitionBy("fp")))
+      .join(existing, Seq("fp"), "left")
+      .select(col("doc_id"),
+        when(col("first_match").isNotNull, "dup_of_corpus")
+          .when(col("batch_first") < col("doc_id"), "dup_in_batch")
+          .otherwise("new").as("status"),
+        col("first_match"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
-    "q_snapshot_diff" -> qSnapshotDiff)
+    "q_snapshot_diff" -> qSnapshotDiff,
+    "q_incremental_dedup" -> qIncrementalDedup)
 
   val oracle: Map[String, String] = Map(
     "q_snapshot_diff" ->
@@ -75,5 +111,22 @@ object Snapshots {
         |         ELSE 'same' END AS status
         |  FROM a FULL OUTER JOIN b ON a.p_partkey = b.p_partkey)
         |SELECT p_partkey, status, old_size, new_size
-        |FROM j WHERE status <> 'same' ORDER BY p_partkey""".stripMargin)
+        |FROM j WHERE status <> 'same' ORDER BY p_partkey""".stripMargin,
+    "q_incremental_dedup" ->
+      """WITH f AS (
+        |  SELECT doc_id, md5(text) AS fp,
+        |    CAST('0x' || substr(md5('incr|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 5 = 0
+        |      AS inc
+        |  FROM documents WHERE text IS NOT NULL),
+        |ex AS (SELECT fp, MIN(doc_id) AS first_match FROM f WHERE NOT inc GROUP BY fp),
+        |bf AS (
+        |  SELECT doc_id, fp, MIN(doc_id) OVER (PARTITION BY fp) AS batch_first
+        |  FROM f WHERE inc)
+        |SELECT bf.doc_id,
+        |  CASE WHEN ex.first_match IS NOT NULL THEN 'dup_of_corpus'
+        |       WHEN bf.batch_first < bf.doc_id THEN 'dup_in_batch'
+        |       ELSE 'new' END AS status,
+        |  ex.first_match
+        |FROM bf LEFT JOIN ex ON bf.fp = ex.fp
+        |ORDER BY bf.doc_id""".stripMargin)
 }
