@@ -236,7 +236,14 @@ object CorpusOps {
     * exchanges are the doc-keyed window sorts and the gram-keyed
     * first-occurrence window. The span merge windows partition by
     * doc_id — maximal cardinality, no skew. Nothing is ever all-pairs. */
-  val qSubstringSpans: Q = (s, d) => {
+  /** Shared spine of [[qSubstringSpans]] / [[qDedupRewrite]]: returns
+    * (base, spans) where base = (doc_id, ws) for every non-null-text
+    * document and spans = (doc_id, s, e) — the MERGED islands of
+    * word positions covered by duplicated 8-grams (later-than-first
+    * occurrences in corpus (doc_id, pos) order). Islands are disjoint
+    * by construction: a new island only starts past the previous
+    * island's end. */
+  private def dupSpans(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val ws = filter(split(col("text"), " "), w => length(w) > 0)
     // spread before the per-word fan-out for the same single-split
@@ -245,8 +252,6 @@ object CorpusOps {
       Tables.documents(s, d)
         .filter(col("text").isNotNull)
         .select(col("doc_id"), ws.as("ws")))
-    val docs = base
-      .select(col("doc_id"), size(col("ws")).cast(LongType).as("n_words"))
     val wordRows = base
       .filter(size(col("ws")) >= 8)
       .select(col("doc_id"), posexplode(col("ws")).as(Seq("p0", "word")))
@@ -285,6 +290,15 @@ object CorpusOps {
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("doc_id", "isl")
       .agg(min("pos").as("s"), (max("pos") + 7L).as("e"))
+      .select("doc_id", "s", "e")
+    (base, spans)
+  }
+
+  val qSubstringSpans: Q = (s, d) => {
+    val (base, spanRows) = dupSpans(s, d)
+    val docs = base
+      .select(col("doc_id"), size(col("ws")).cast(LongType).as("n_words"))
+    val spans = spanRows
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"), sum(col("e") - col("s") + 1L).as("dup_words"))
     docs.select("doc_id", "n_words")
@@ -295,6 +309,41 @@ object CorpusOps {
         col("n_words"),
         expr("case when n_words = 0 then 0L else (1000 * coalesce(dup_words, 0)) div n_words end")
           .as("dup_frac_milli"))
+      .orderBy("doc_id")
+  }
+
+  /** q_dedup_rewrite — the step after span DETECTION: emit the cleaned
+    * corpus (Lee et al. 2022 cut duplicated substrings OUT of the
+    * training text, they don't just count them). Every word position
+    * inside a merged duplicate island is removed; the survivors
+    * reassemble in position order. Output per document: original and
+    * kept word counts plus the md5 of the rebuilt text, which pins the
+    * exact byte-level rewrite (word order, separators, full-removal →
+    * empty string) rather than just lengths. Scale shape: islands are
+    * disjoint, so covered positions explode to exactly dup_words rows —
+    * the anti join is co-partitioned on (doc_id, pos) and the rebuild
+    * is one doc_id-keyed aggregate whose collect_list is bounded by
+    * document length (the same bound every per-doc array op in this
+    * file already carries). */
+  val qDedupRewrite: Q = (s, d) => {
+    val (base, spanRows) = dupSpans(s, d)
+    val words = base
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("p0", "word")))
+      .select(col("doc_id"), (col("p0") + 1).cast(LongType).as("pos"), col("word"))
+    val covered = spanRows
+      .select(col("doc_id"), explode(sequence(col("s"), col("e"))).as("pos"))
+    val rebuilt = words
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("word")))),
+            x => x.getField("word")))).as("clean_md5"))
+    base.select(col("doc_id"), size(col("ws")).cast(LongType).as("n_words"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
       .orderBy("doc_id")
   }
 
@@ -513,6 +562,7 @@ object CorpusOps {
     "q_char_entropy" -> qCharEntropy,
     "q_winnowing" -> qWinnowing,
     "q_substring_spans" -> qSubstringSpans,
+    "q_dedup_rewrite" -> qDedupRewrite,
     "q_gram_novelty" -> qGramNovelty,
     "q_url_canonical" -> qUrlCanonical)
 
@@ -668,6 +718,46 @@ object CorpusOps {
         |  CAST(CASE WHEN d.n_words = 0 THEN 0
         |    ELSE (1000 * COALESCE(a.dup_words, 0)) // d.n_words END AS BIGINT) AS dup_frac_milli
         |FROM docs d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_dedup_rewrite" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |docs AS (SELECT doc_id, len(ws) AS n_words, ws FROM t),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 6),
+        |    i -> struct_pack(pos := i, h := md5(array_to_string(ws[i:i+7], ' '))))) AS g
+        |  FROM docs WHERE len(ws) >= 8),
+        |occ AS (SELECT doc_id, CAST(g.pos AS BIGINT) AS pos, g.h AS h FROM g),
+        |fst AS (SELECT h, MIN(struct_pack(doc_id := doc_id, pos := pos)) AS fst
+        |        FROM occ GROUP BY h),
+        |dup AS (SELECT o.doc_id, o.pos FROM occ o JOIN fst f ON o.h = f.h
+        |        WHERE NOT (o.doc_id = f.fst.doc_id AND o.pos = f.fst.pos)),
+        |m AS (SELECT doc_id, pos,
+        |        lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM dup),
+        |b AS (SELECT doc_id, pos,
+        |        CASE WHEN prev IS NULL OR pos > prev + 7 THEN 1 ELSE 0 END AS brk FROM m),
+        |isl AS (SELECT doc_id, pos,
+        |        SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM b),
+        |sp AS (SELECT doc_id, isl, MIN(pos) AS s, MAX(pos) + 7 AS e
+        |       FROM isl GROUP BY doc_id, isl),
+        |words AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos, ws[i] AS w
+        |  FROM docs, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i)),
+        |cov AS (SELECT doc_id, CAST(unnest(range(s, e + 1)) AS BIGINT) AS pos FROM sp),
+        |kept AS (
+        |  SELECT w.doc_id, w.pos, w.w FROM words w
+        |  LEFT JOIN cov c ON w.doc_id = c.doc_id AND w.pos = c.pos
+        |  WHERE c.pos IS NULL),
+        |reb AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |    md5(string_agg(w, ' ' ORDER BY pos)) AS clean_md5
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(d.n_words AS BIGINT) AS n_words,
+        |  CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+        |  COALESCE(r.clean_md5, md5('')) AS clean_md5
+        |FROM docs d LEFT JOIN reb r ON d.doc_id = r.doc_id
         |ORDER BY d.doc_id""".stripMargin,
     "q_gram_novelty" ->
       """WITH t AS (

@@ -143,6 +143,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r(5L) === ((0L, 0L, 2L, 0L)))
   }
 
+  test("dedup_rewrite: spanned words cut, survivors reassemble, full copy empties") {
+    val dir = writeFixture(
+      (1L, "a b c d e f g h x y z", "en"),      // corpus-first — untouched
+      (2L, "p q r a b c d e f g h k", "en"),     // span pos 4-11 → "p q r k"
+      (3L, "a b c d e f g h", "en"),             // exact repeat → fully removed
+      (4L, "too short", "en"))                   // <8 words — untouched
+    val r = CorpusOps.qDedupRewrite(spark, dir).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getString(3)))
+      .toMap
+    assert(r(1L) === ((11L, 11L, md5hex("a b c d e f g h x y z"))))
+    assert(r(2L) === ((12L, 4L, md5hex("p q r k"))))
+    assert(r(3L) === ((8L, 0L, md5hex(""))))
+    assert(r(4L) === ((2L, 2L, md5hex("too short"))))
+  }
+
   test("winnowing plan hashes each gram exactly once") {
     // regression pin for the r8 collapse blow-up: projection collapse
     // inlining the gram construction into multiple consumers shows up
