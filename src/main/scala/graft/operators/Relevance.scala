@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.Tables
 
@@ -65,6 +65,62 @@ object Relevance {
       .orderBy(col("score").desc, col("doc_id"))
   }
 
+  /** q_sparse_cosine — sparse-vector "more like this" retrieval: each
+    * probe document (doc_id < 8) is matched against the corpus under
+    * tf-idf cosine, computed entirely through the inverted index —
+    * documents meet ONLY on the terms they share, never as dense
+    * vectors. The sparse twin of [[Similarity.qAnnTopk]]: dense ANN
+    * finds semantic neighbors, sparse cosine finds lexical ones, and
+    * hybrid retrieval wants both.
+    *
+    * Weights are exact integers (`tf × idf_scaled`, the [[qBm25]]
+    * scaling at 10³) so dots and norms aggregate exactly; the final
+    * cosine shares the [[Similarity.cosMicrosPre]] determinism
+    * contract (double divide on a 6-dp grid, id tiebreak).
+    *
+    * Scale shape: the tf table is computed once and feeds df, norms,
+    * and the dot join; the probe side (8 docs × ≤|vocab| terms)
+    * broadcasts; the corpus side streams through a word-keyed join —
+    * the posting-list traversal — then one (qid, doc) aggregate and a
+    * per-probe top-5 window. The df join is deliberately UNHINTED:
+    * AQE broadcasts a small vocabulary, a web-scale type count plans
+    * as a shuffled join instead of an OOMing forced broadcast. */
+  val qSparseCosine: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.spread(Tables.documents(s, d).filter(col("text").isNotNull))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val wtab = tf.join(dfreq, Seq("word"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("w",
+        expr("tf * (((n_docs - df + 1) * 1000) div (df + 1))").cast(LongType))
+      .select("doc_id", "word", "w")
+    val norms = wtab.groupBy("doc_id")
+      .agg(sum(expr("w * w")).cast(DoubleType).as("nrm"))
+    val probes = wtab.filter(col("doc_id") < 8)
+      .select(col("doc_id").as("qid"), col("word"), col("w").as("qw"))
+    val dots = broadcast(probes)
+      .join(wtab, Seq("word"))
+      .filter(col("doc_id") =!= col("qid"))
+      .groupBy("qid", "doc_id")
+      .agg(sum(expr("qw * w")).as("dot"))
+    val sim = dots
+      .join(norms.select(col("doc_id").as("qid"), col("nrm").as("nq")), Seq("qid"))
+      .join(norms, Seq("doc_id"))
+      .select(col("qid"), col("doc_id"),
+        Similarity.cosMicrosPre(col("dot"), col("nq"), col("nrm")).as("sim_micros"))
+    val w = Window.partitionBy("qid").orderBy(col("sim_micros").desc, col("doc_id"))
+    sim.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 5)
+      .select("qid", "rnk", "doc_id", "sim_micros")
+      .orderBy("qid", "rnk")
+  }
+
   /** Robust outlier detection on document length: median + MAD (median
     * absolute deviation), both exact discrete percentiles, flagging
     * docs with |n_chars − med| > 2·MAD. Two aggregate passes, each a
@@ -123,6 +179,7 @@ object Relevance {
 
   val queries: Map[String, Q] = Map(
     "q_bm25" -> qBm25,
+    "q_sparse_cosine" -> qSparseCosine,
     "q_mad_outliers" -> qMadOutliers,
     "q_dup_by_source" -> qDupBySource,
     "q_datasheet" -> qDatasheet)
@@ -149,6 +206,37 @@ object Relevance {
          |FROM base, stats
          |ORDER BY score DESC, doc_id""".stripMargin
     },
+    "q_sparse_cosine" ->
+      """WITH tf AS (
+        |  SELECT doc_id, word, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |    FROM documents WHERE text IS NOT NULL)
+        |  WHERE length(word) > 0 GROUP BY doc_id, word),
+        |nd AS (SELECT COUNT(*) AS n_docs FROM documents WHERE text IS NOT NULL),
+        |dfreq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+        |wtab AS (
+        |  SELECT t.doc_id, t.word,
+        |    CAST(t.tf * (((nd.n_docs - f.df + 1) * 1000) // (f.df + 1)) AS BIGINT) AS w
+        |  FROM tf t JOIN dfreq f ON t.word = f.word, nd),
+        |norms AS (
+        |  SELECT doc_id, CAST(SUM(w * w) AS DOUBLE) AS nrm FROM wtab GROUP BY doc_id),
+        |dots AS (
+        |  SELECT p.doc_id AS qid, c.doc_id, CAST(SUM(p.w * c.w) AS BIGINT) AS dot
+        |  FROM wtab p JOIN wtab c ON p.word = c.word
+        |  WHERE p.doc_id < 8 AND c.doc_id <> p.doc_id
+        |  GROUP BY 1, 2),
+        |sim AS (
+        |  SELECT d.qid, d.doc_id,
+        |    CAST(CAST(CAST(d.dot AS DOUBLE) / sqrt(nq.nrm * nc.nrm) AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS sim_micros
+        |  FROM dots d
+        |  JOIN norms nq ON d.qid = nq.doc_id
+        |  JOIN norms nc ON d.doc_id = nc.doc_id)
+        |SELECT qid, rnk, doc_id, sim_micros FROM (
+        |  SELECT qid, doc_id, sim_micros,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim_micros DESC, doc_id)
+        |      AS BIGINT) AS rnk
+        |  FROM sim)
+        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
     "q_mad_outliers" ->
       """WITH med AS (
         |  SELECT CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS med

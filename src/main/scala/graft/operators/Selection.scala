@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+import graft.functions.Exprs.md5Long
+
+/** Data-selection operators: which rows make the training set.
+  *
+  * The sampling family in [[TextStats]] (hash split, stratified,
+  * reservoir, k-fold) answers "give me a deterministic fraction";
+  * these three answer the curation questions that come right before:
+  * trim the per-language length tails (CCNet-style fences), sample
+  * proportionally to a quality/length weight, and equalize class
+  * counts for a balanced eval set.
+  *
+  * All three share the repo's determinism contract: selection is a
+  * pure function of the row key through [[md5Long]], so any executor
+  * count, partitioning, or retry produces the same set — the property
+  * that makes a 100 TB selection reproducible and resumable.
+  */
+object Selection {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q_length_fence — per-language length fences: the p05/p95 discrete
+    * percentiles of `n_chars` within each language, and how much of
+    * the corpus a keep-inside-the-fence rule would drop. Length
+    * outliers are language-relative (a 200-char Chinese doc is long, a
+    * 200-char German doc is a stub), which is why the fence must be
+    * computed per group, not globally.
+    *
+    * Plan: one hash aggregate per language computes both percentiles
+    * and all counts in a single pass — `percentile_disc` is an exact
+    * aggregate, and the kept/total counters ride the same grouping, so
+    * the corpus is scanned ONCE with no join back. At 100 TB the only
+    * exchange is the |langs|-group aggregation. The WITHIN GROUP form
+    * evaluates against the same rows the counters see; kept-counting
+    * against the group's own percentile needs a second pass over the
+    * group's rows, which `count_if` over a rejoin would do with a
+    * second shuffle — instead the fence counters are folded into a
+    * self-join on the tiny aggregate (|langs| rows broadcast). */
+  val qLengthFence: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val fences = docs.groupBy("lang")
+      .agg(
+        expr("CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)")
+          .as("lo_chars"),
+        expr("CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)")
+          .as("hi_chars"),
+        count(lit(1)).as("n_docs"))
+    docs.join(broadcast(fences), Seq("lang"))
+      .groupBy(col("lang"), col("lo_chars"), col("hi_chars"), col("n_docs"))
+      .agg(sum(when(col("n_chars").between(col("lo_chars"), col("hi_chars")), 1L)
+        .otherwise(0L)).cast(LongType).as("n_kept"))
+      .withColumn("drop_permille",
+        expr("((n_docs - n_kept) * 1000) div n_docs").cast(LongType))
+      .select("lang", "lo_chars", "hi_chars", "n_docs", "n_kept", "drop_permille")
+      .orderBy("lang")
+  }
+
+  /** q_weighted_sample — weight-proportional Bernoulli sampling: each
+    * document is kept with probability `n_chars / 2000` (longer docs
+    * carry more tokens, so length-proportional inclusion approximates
+    * token-uniform sampling — the mixing rule of Pile-style corpus
+    * assembly). The coin is `md5Long('wsamp|' || doc_id) mod 1000`
+    * compared against the integer permille weight: fully deterministic,
+    * embarrassingly parallel, zero shuffles until the result sort, and
+    * — unlike rand()-based sampling — identical across retries and
+    * cluster sizes. LEAST caps the permille at 1000 so over-long docs
+    * are simply always kept.
+    *
+    * Plan: a scan-side filter projection; nothing shuffles except the
+    * result-sized ORDER BY. */
+  val qWeightedSample: Q = (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .withColumn("p_permille",
+        least(expr("n_chars div 2"), lit(1000L)).cast(LongType))
+      .filter(pmod(md5Long(concat(lit("wsamp|"), col("doc_id").cast("string"))),
+        lit(1000L)) < col("p_permille"))
+      .select("doc_id", "lang", "n_chars", "p_permille")
+      .orderBy("doc_id")
+
+  /** q_class_balance — equalized downsampling: cap every label at the
+    * size of the SMALLEST class, choosing survivors by deterministic
+    * hash order (so the subsample is unbiased w.r.t. insertion order
+    * and reproducible). The balanced-eval-set builder of a labeled
+    * embedding corpus.
+    *
+    * Plan: per-label counts are a |labels|-row aggregate whose MIN
+    * broadcasts back as a one-row scalar; survivor choice is a
+    * row_number window on the label key — the one genuine shuffle.
+    * A label with half the corpus still bounds the window partition,
+    * which is the accepted cost of exact per-class ranking (a skewed
+    * variant would pre-prune with a per-partition local top-k). */
+  val qClassBalance: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    val minCnt = emb.groupBy("label").agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("min_cnt"))
+    val w = Window.partitionBy("label")
+      .orderBy(md5Long(concat(lit("bal|"), col("vec_id").cast("string"))), col("vec_id"))
+    emb.withColumn("rn", row_number().over(w).cast(LongType))
+      .crossJoin(broadcast(minCnt))
+      .filter(col("rn") <= col("min_cnt"))
+      .select(col("vec_id"), col("label").cast(LongType).as("label"), col("rn"))
+      .orderBy("label", "rn")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_length_fence" -> qLengthFence,
+    "q_weighted_sample" -> qWeightedSample,
+    "q_class_balance" -> qClassBalance)
+
+  val oracle: Map[String, String] = Map(
+    "q_length_fence" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, n_chars FROM documents WHERE text IS NOT NULL),
+        |fences AS (
+        |  SELECT lang,
+        |    CAST(quantile_disc(n_chars, 0.05) AS BIGINT) AS lo_chars,
+        |    CAST(quantile_disc(n_chars, 0.95) AS BIGINT) AS hi_chars,
+        |    COUNT(*) AS n_docs
+        |  FROM docs GROUP BY lang)
+        |SELECT d.lang, f.lo_chars, f.hi_chars, f.n_docs,
+        |  CAST(SUM(CASE WHEN d.n_chars BETWEEN f.lo_chars AND f.hi_chars
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(((f.n_docs - SUM(CASE WHEN d.n_chars BETWEEN f.lo_chars AND f.hi_chars
+        |           THEN 1 ELSE 0 END)) * 1000) // f.n_docs AS BIGINT) AS drop_permille
+        |FROM docs d JOIN fences f USING (lang)
+        |GROUP BY d.lang, f.lo_chars, f.hi_chars, f.n_docs
+        |ORDER BY d.lang""".stripMargin,
+    "q_weighted_sample" ->
+      """SELECT doc_id, lang, n_chars,
+        |  CAST(LEAST(n_chars // 2, 1000) AS BIGINT) AS p_permille
+        |FROM documents
+        |WHERE text IS NOT NULL
+        |  AND CAST('0x' || substr(md5('wsamp|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |        % 1000
+        |      < LEAST(n_chars // 2, 1000)
+        |ORDER BY doc_id""".stripMargin,
+    "q_class_balance" ->
+      """WITH m AS (
+        |  SELECT MIN(n) AS min_cnt FROM (
+        |    SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label)),
+        |r AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    CAST(row_number() OVER (PARTITION BY label
+        |      ORDER BY CAST('0x' || substr(md5('bal|' || CAST(vec_id AS VARCHAR)), 1, 15)
+        |                  AS BIGINT), vec_id) AS BIGINT) AS rn
+        |  FROM embeddings)
+        |SELECT vec_id, label, rn FROM r, m WHERE rn <= min_cnt
+        |ORDER BY label, rn""".stripMargin)
+}

@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+import graft.functions.Exprs.{dec2, intScaled, nanosToSec}
+
+/** Event-sequence mining over the status/event stream.
+  *
+  * The reference's status table is an append-only event log
+  * (storcrawl.py:357-372 inserts one row per heartbeat; report.py
+  * reads it back ordered by time). Once a log like that exists, the
+  * questions users ask of it go beyond per-window rollups: how do
+  * users MOVE between event types (transition matrix), how many
+  * distinct actors does each hour see (windowed distinct), and what
+  * is a noise-robust trailing estimate of a per-user metric
+  * (decayed smoothing). Each is a classic log-analytics operator and
+  * each maps to one well-shaped Spark plan.
+  *
+  * Scale shape, shared by all three: the only wide exchange is the
+  * hash partition on `user_id` (or the hour bucket) — the natural key
+  * of the log, high-cardinality and skew-free by construction. No
+  * broadcasts of unbounded sides, no global windows; a 100 TB event
+  * log runs these with exactly one shuffle each plus a final
+  * result-sized sort.
+  */
+object Sequences {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Events keyed and ordered the way every sequence operator needs:
+    * (user_id, ts_sec, event_id) with the cents-scaled value. The
+    * (ts_sec, event_id) compound order is total — event_id is unique —
+    * so window frames are deterministic even when heartbeats share a
+    * second. */
+  private def seqEvents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("user_id"), col("event_id"),
+      nanosToSec(col("ts")).as("ts_sec"),
+      intScaled(dec2(col("value")), 100L).as("v_cents"))
+
+  /** q_event_transitions — the first-order Markov transition matrix of
+    * the event-type sequence: for each ordered pair (prev_type,
+    * next_type) of CONSECUTIVE events of one user, how many
+    * transitions happened and how many distinct users ever made that
+    * hop. This is the session-flow report of product analytics and the
+    * state-machine sanity check of a crawler log (a `crawl_end` that
+    * transitions into anything but `report_start` is a bug).
+    *
+    * Plan: one shuffle on user_id for the lag window, then a hash
+    * aggregate on the 25-cell (prev, next) key — partial map-side,
+    * distinct-user count expands to (pair, user) partials first. No
+    * other exchange. */
+  val qEventTransitions: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_sec"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        nanosToSec(col("ts")).as("ts_sec"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_transitions"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  /** q_window_distinct — hourly tumbling windows with exact distinct
+    * actors: per hour bucket, event count, distinct users, distinct
+    * event types, and the cents-scaled value sum. The "how many unique
+    * visitors this hour" query — the exact-count twin of the HLL
+    * sketch family (SketchSpec proves the mergeable approximation;
+    * this is the oracle-checkable ground truth at one shuffle).
+    *
+    * Plan: COUNT(DISTINCT) expands to a two-phase aggregate on
+    * (bucket, user) then (bucket) — both partial map-side; the bucket
+    * key is time, so partitions are balanced by construction. */
+  val qWindowDistinct: Q = (s, d) =>
+    seqEvents(s, d)
+      .withColumn("hour_bucket", expr("(ts_sec div 3600) * 3600").cast(LongType))
+      .groupBy("hour_bucket")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("event_id")).as("n_distinct_events"),
+        sum(col("v_cents")).cast(LongType).as("sum_cents"))
+      .orderBy("hour_bucket")
+
+  /** q_ewma_trailing — binary-decay trailing smoothing of the per-user
+    * value series: weights 8/4/2/1 over the current event and its
+    * three predecessors (an EWMA with α=1/2 truncated at 4 taps — the
+    * truncation keeps every term an exact integer, so the oracle
+    * matches bit-for-bit where a float-decay EWMA could not). Ramp-up
+    * is handled by shrinking the denominator to the weights actually
+    * present, so the first event of a user is its own estimate, not a
+    * zero-padded underestimate.
+    *
+    * Plan: one shuffle on user_id; the three lags share one window
+    * frame (single WindowExec); everything above is a projection. */
+  val qEwmaTrailing: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_sec"), col("event_id"))
+    def lagc(k: Int): Column = lag(col("v_cents"), k).over(w)
+    seqEvents(s, d)
+      .withColumn("num",
+        (col("v_cents") * 8 + coalesce(lagc(1), lit(0L)) * 4
+          + coalesce(lagc(2), lit(0L)) * 2 + coalesce(lagc(3), lit(0L))).cast(LongType))
+      .withColumn("den",
+        (lit(8L) + when(lagc(1).isNotNull, 4L).otherwise(0L)
+          + when(lagc(2).isNotNull, 2L).otherwise(0L)
+          + when(lagc(3).isNotNull, 1L).otherwise(0L)).cast(LongType))
+      .select(col("user_id"), col("event_id"), col("ts_sec"), col("v_cents"),
+        expr("num div den").cast(LongType).as("smooth_cents"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** q_burst_users — burstiness ranking: per (user, hour) event
+    * counts, rolled up per user to hottest-hour share (integer
+    * permille — no float division), ranked to the 10 burstiest users.
+    * The scripted-client / crawl-loop screen over the reference's
+    * heartbeat log: a user whose single hottest hour carries most of
+    * their activity is a machine, not a person. Ranked (not
+    * thresholded) because the interesting set is the TAIL, whatever
+    * absolute level the corpus happens to have.
+    *
+    * Plan: two hash aggregates — (user, hour) then (user) — both
+    * partial map-side on the same user-keyed exchange; the top-10
+    * plans as TakeOrdered over the per-user aggregate (no global
+    * sort). */
+  val qBurstUsers: Q = (s, d) =>
+    seqEvents(s, d)
+      .withColumn("hour_bucket", expr("ts_sec div 3600").cast(LongType))
+      .groupBy("user_id", "hour_bucket")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(sum(col("n")).cast(LongType).as("n_events"),
+        max(col("n")).cast(LongType).as("max_hour"),
+        countDistinct(col("hour_bucket")).as("n_hours"))
+      .withColumn("burst_permille",
+        expr("(max_hour * 1000) div n_events").cast(LongType))
+      .orderBy(col("burst_permille").desc, col("user_id"))
+      .limit(10)
+      .select("user_id", "n_events", "max_hour", "n_hours", "burst_permille")
+
+  val queries: Map[String, Q] = Map(
+    "q_event_transitions" -> qEventTransitions,
+    "q_window_distinct" -> qWindowDistinct,
+    "q_ewma_trailing" -> qEwmaTrailing,
+    "q_burst_users" -> qBurstUsers)
+
+  val oracle: Map[String, String] = Map(
+    "q_event_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ms(ts) // 1000, event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type AS next_type,
+        |  COUNT(*) AS n_transitions, COUNT(DISTINCT user_id) AS n_users
+        |FROM seq WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, next_type
+        |ORDER BY prev_type, next_type""".stripMargin,
+    "q_window_distinct" ->
+      """SELECT (epoch_ms(ts) // 1000 // 3600) * 3600 AS hour_bucket,
+        |  COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  COUNT(DISTINCT event_id) AS n_distinct_events,
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY hour_bucket ORDER BY hour_bucket""".stripMargin,
+    "q_ewma_trailing" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) // 1000 AS ts_sec,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_cents
+        |  FROM events),
+        |lagged AS (
+        |  SELECT user_id, event_id, ts_sec, v_cents,
+        |    lag(v_cents, 1) OVER w AS l1,
+        |    lag(v_cents, 2) OVER w AS l2,
+        |    lag(v_cents, 3) OVER w AS l3
+        |  FROM base
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id))
+        |SELECT user_id, event_id, ts_sec, v_cents,
+        |  CAST((v_cents * 8 + COALESCE(l1, 0) * 4 + COALESCE(l2, 0) * 2 + COALESCE(l3, 0))
+        |    // (8 + CASE WHEN l1 IS NULL THEN 0 ELSE 4 END
+        |         + CASE WHEN l2 IS NULL THEN 0 ELSE 2 END
+        |         + CASE WHEN l3 IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS smooth_cents
+        |FROM lagged ORDER BY user_id, event_id""".stripMargin,
+    "q_burst_users" ->
+      """WITH hourly AS (
+        |  SELECT user_id, epoch_ms(ts) // 1000 // 3600 AS hour_bucket, COUNT(*) AS n
+        |  FROM events GROUP BY user_id, hour_bucket),
+        |per_user AS (
+        |  SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_events,
+        |    CAST(MAX(n) AS BIGINT) AS max_hour,
+        |    COUNT(DISTINCT hour_bucket) AS n_hours
+        |  FROM hourly GROUP BY user_id)
+        |SELECT user_id, n_events, max_hour, n_hours,
+        |  CAST((max_hour * 1000) // n_events AS BIGINT) AS burst_permille
+        |FROM per_user
+        |ORDER BY burst_permille DESC, user_id
+        |LIMIT 10""".stripMargin)
+}

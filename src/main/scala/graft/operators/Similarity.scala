@@ -582,6 +582,40 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** q_hard_negatives — contrastive-pair mining: for each probe vector
+    * (vec_id < 16), the 3 most-similar vectors carrying a DIFFERENT
+    * label. These are the "hard negatives" a contrastive or reranker
+    * trainer wants — near the anchor in embedding space but
+    * semantically wrong — and mining them is a top-k-under-predicate
+    * variant of ANN (the label inequality rides the join condition, so
+    * wrong-label candidates are never scored).
+    *
+    * Scale shape: identical to [[qAnnTopk]] — probe side broadcasts,
+    * corpus side spreads, the only shuffle is the per-probe top-3
+    * window; a production run feeds IVF/LSH candidates instead of the
+    * brute-force pairing, exactly as with the other oracle twins. */
+  val qHardNegatives: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("qid"), col("label").as("true_label"),
+        decVec(col("embedding")).as("qe"))
+      .withColumn("nq", decDot(col("qe"), col("qe")).cast(DoubleType))
+    val c = Tables.spread(emb)
+      .select(col("vec_id").as("nid"), col("label").as("neg_label"),
+        decVec(col("embedding")).as("ne"))
+      .withColumn("nc", decDot(col("ne"), col("ne")).cast(DoubleType))
+    val w = Window.partitionBy("qid").orderBy(col("sim_micros").desc, col("nid"))
+    broadcast(q).join(c, col("true_label") =!= col("neg_label"))
+      .select(col("qid"), col("true_label").cast(LongType).as("true_label"),
+        col("nid"), col("neg_label").cast(LongType).as("neg_label"),
+        cosMicrosPre(decDot(col("qe"), col("ne")), col("nq"), col("nc"))
+          .as("sim_micros"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 3)
+      .select("qid", "true_label", "rnk", "nid", "neg_label", "sim_micros")
+      .orderBy("qid", "rnk")
+  }
+
   /** q_matryoshka_overlap — truncation-fidelity evaluation (Kusupati et
     * al. 2022, Matryoshka Representation Learning): before serving ANN
     * from a cheaper 32-dim prefix, measure how much of the full-64-dim
@@ -643,7 +677,8 @@ object Similarity {
     "q_pq_recall" -> qPqRecall,
     "q_kmeans_step" -> qKmeansStep,
     "q_semdedup" -> qSemdedup,
-    "q_knn_classify" -> qKnnClassify
+    "q_knn_classify" -> qKnnClassify,
+    "q_hard_negatives" -> qHardNegatives
   )
 
   /** Shared oracle CTE chain of the IVF pipeline, through `scored`
@@ -962,6 +997,37 @@ object Similarity {
         |  CAST(MAX(sim_micros) AS BIGINT) AS max_sim_micros
         |FROM scored WHERE sim_micros >= 300000
         |GROUP BY b, cid ORDER BY vec_id""".stripMargin,
+    "q_hard_negatives" ->
+      """WITH el AS (
+        |  SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) AS x
+        |  FROM (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS i
+        |        FROM embeddings)),
+        |nrm AS (SELECT vec_id, SUM(x*x) AS nrm FROM el GROUP BY vec_id),
+        |dots AS (
+        |  SELECT q.vec_id AS qid, e.vec_id AS nid, SUM(q.x * e.x) AS dot
+        |  FROM el q JOIN el e ON q.i = e.i AND q.vec_id < 16
+        |  JOIN embeddings lq ON q.vec_id = lq.vec_id
+        |  JOIN embeddings le ON e.vec_id = le.vec_id
+        |  WHERE lq.label <> le.label
+        |  GROUP BY 1, 2),
+        |cosv AS (
+        |  SELECT qid, nid,
+        |    CAST(CAST(CAST(dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(ne.nrm AS DOUBLE)) AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS sim_micros
+        |  FROM dots
+        |  JOIN nrm nq ON qid = nq.vec_id
+        |  JOIN nrm ne ON nid = ne.vec_id),
+        |ranked AS (
+        |  SELECT qid, nid, sim_micros,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim_micros DESC, nid)
+        |      AS BIGINT) AS rnk
+        |  FROM cosv)
+        |SELECT r.qid, CAST(lq.label AS BIGINT) AS true_label, r.rnk,
+        |  r.nid, CAST(le.label AS BIGINT) AS neg_label, r.sim_micros
+        |FROM ranked r
+        |JOIN embeddings lq ON r.qid = lq.vec_id
+        |JOIN embeddings le ON r.nid = le.vec_id
+        |WHERE r.rnk <= 3
+        |ORDER BY r.qid, r.rnk""".stripMargin,
     "q_knn_classify" ->
       """WITH el AS (
         |  SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) AS x

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Relevance, Selection, Sequences, Similarity}
+
+/** Semantic invariants of the event-sequence, data-selection, and
+  * sparse/hard-negative retrieval families, on the sf0.001 fixtures.
+  * (Oracle hash equality is the driver gate; these pin the properties
+  * a hash can't name — conservation laws, determinism, predicate
+  * containment.)
+  */
+class SequencesSelectionSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("transition counts conserve events: sum = n_events - n_active_users") {
+    val ev = Tables.events(spark, sf)
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    val total = Sequences.qEventTransitions(spark, sf)
+      .agg(sum("n_transitions")).collect()(0).getLong(0)
+    // each user contributes (events_u - 1) consecutive pairs
+    assert(total === nEvents - nUsers)
+  }
+
+  test("window_distinct conserves events and bounds distinct users") {
+    val r = Sequences.qWindowDistinct(spark, sf).collect()
+    val ev = Tables.events(spark, sf)
+    assert(r.map(_.getAs[Long]("n_events")).sum === ev.count())
+    assert(r.forall(x =>
+      x.getAs[Long]("n_users") <= x.getAs[Long]("n_events")))
+    // buckets are hour-aligned and strictly increasing
+    val b = r.map(_.getAs[Long]("hour_bucket"))
+    assert(b.forall(_ % 3600 == 0) && (b sameElements b.sorted.distinct))
+  }
+
+  test("ewma first event per user is its own estimate; later ones stay in range") {
+    val r = Sequences.qEwmaTrailing(spark, sf)
+    import spark.implicits._
+    val firsts = r.groupBy("user_id")
+      .agg(min(struct(col("event_id"), col("v_cents"), col("smooth_cents"))).as("f"))
+      .select($"f.v_cents", $"f.smooth_cents").collect()
+    assert(firsts.forall(x => x.getLong(0) === x.getLong(1)))
+    // smoothing is a weighted mean: never outside the running min/max —
+    // spot-check: smooth within [min_cents, max_cents] of the user
+    val bounds = Tables.events(spark, sf)
+      .select(col("user_id"),
+        graft.functions.Exprs.intScaled(
+          graft.functions.Exprs.dec2(col("value")), 100L).as("v"))
+      .groupBy("user_id").agg(min("v").as("lo"), max("v").as("hi"))
+    val joined = r.join(bounds, "user_id")
+      .filter(col("smooth_cents") < col("lo") - 1 || col("smooth_cents") > col("hi"))
+    assert(joined.count() === 0)
+  }
+
+  test("burst ranking returns 10 rows with sane permille and conservation") {
+    val r = Sequences.qBurstUsers(spark, sf).collect()
+    assert(r.length === 10)
+    val p = r.map(_.getAs[Long]("burst_permille"))
+    assert(p.forall(x => x >= 0 && x <= 1000))
+    // ranked descending
+    assert(p.toSeq === p.toSeq.sorted.reverse)
+    assert(r.forall(x => x.getAs[Long]("max_hour") <= x.getAs[Long]("n_events")))
+  }
+
+  test("length fence keeps at least 90% per language and thresholds order") {
+    val r = Selection.qLengthFence(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      assert(x.getAs[Long]("lo_chars") <= x.getAs[Long]("hi_chars"))
+      // p05..p95 of a group always contains >= 90% of its rows
+      assert(x.getAs[Long]("n_kept") * 10 >= x.getAs[Long]("n_docs") * 9)
+      assert(x.getAs[Long]("drop_permille") <= 100)
+    }
+  }
+
+  test("weighted sample is deterministic and monotone in weight") {
+    val a = Selection.qWeightedSample(spark, sf).collect()
+    val b = Selection.qWeightedSample(spark, sf).collect()
+    assert(a.map(_.toString) sameElements b.map(_.toString))
+    // kept docs carry their true permille weight
+    assert(a.forall(x =>
+      x.getAs[Long]("p_permille") === math.min(x.getAs[Long]("n_chars") / 2, 1000L)))
+  }
+
+  test("class balance equalizes every label to the min class count") {
+    val r = Selection.qClassBalance(spark, sf)
+    val perLabel = r.groupBy("label").count().collect()
+      .map(_.getAs[Long]("count")).distinct
+    assert(perLabel.length === 1) // all labels identical size
+    val minCnt = Tables.embeddings(spark, sf)
+      .groupBy("label").count().agg(min("count")).collect()(0).getLong(0)
+    assert(perLabel.head === minCnt)
+  }
+
+  test("hard negatives never share the probe's label and rank within bounds") {
+    val r = Similarity.qHardNegatives(spark, sf).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(x =>
+      x.getAs[Long]("true_label") != x.getAs[Long]("neg_label")))
+    assert(r.forall(x => { val k = x.getAs[Long]("rnk"); k >= 1 && k <= 3 }))
+    assert(r.forall(x => math.abs(x.getAs[Long]("sim_micros")) <= 1000000L))
+  }
+
+  test("sparse cosine: 5 lexical neighbors per probe, self excluded, sims ranked") {
+    val rows = Relevance.qSparseCosine(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (qid, rs) =>
+      assert(rs.length === 5)
+      assert(rs.forall(_.getAs[Long]("doc_id") != qid))
+      val sims = rs.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Long]("sim_micros"))
+      assert(sims.toSeq === sims.toSeq.sorted.reverse)
+    }
+  }
+}
