@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+import graft.functions.Exprs.nanosToSec
+
+/** Graph analytics over the event-derived transition graph.
+  *
+  * The transition matrix ([[Sequences.qEventTransitions]]) IS a
+  * weighted directed graph: nodes are event types, edge weights are
+  * consecutive-pair counts. The canonical whole-graph computation over
+  * such a structure is the power-iteration step — PageRank's inner
+  * loop — and its Spark shape (edges join ranks on src, contributions
+  * aggregate on dst) is exactly the join+agg pattern that scales to
+  * billions of edges: no adjacency matrix, no driver-side graph
+  * object, each iteration one co-partitioned join and one dst-keyed
+  * aggregate. GraphX does the same thing with more machinery; on a
+  * DataFrame engine the plain join is the idiomatic form (and what
+  * GraphFrames compiles to).
+  */
+object Graphs {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q_pagerank_step — one exact power-iteration step of weighted
+    * PageRank (d = 0.85) over the event-type transition graph, from
+    * the uniform start vector, in integer micro-units: per node the
+    * out-weight, the uniform pr₀, and
+    * pr₁(v) = (1−d)/N + d·Σᵤ pr₀(u)·w(u→v)/out(u), every term floored
+    * to micros before summation so the result is engine-independent.
+    * Dangling mass (nodes with no out-edges) is dropped, the classic
+    * simplification — the fixtures' transition graph has none.
+    *
+    * Scale shape: the edge list builds from one user-keyed lag window
+    * (the [[Sequences.qEventTransitions]] spine) and aggregates to
+    * |V|² cells at most; the rank step is edges ⋈ out-weights on src
+    * (same key, one exchange) then a dst-keyed SUM — at a billion
+    * edges this is two shuffles, nothing driver-side, which is why
+    * PageRank-on-DataFrames is the textbook scale pattern here. */
+  val qPagerankStep: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_sec"), col("event_id"))
+    val edges = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        nanosToSec(col("ts")).as("ts_sec"), col("event_type"))
+      .withColumn("src", lag(col("event_type"), 1).over(w))
+      .filter(col("src").isNotNull)
+      .groupBy(col("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("weight"))
+    val nodes = Tables.events(s, d).select(col("event_type").as("node")).distinct()
+    val nN = nodes.agg(count(lit(1)).as("n_nodes"))
+    val out = edges.groupBy(col("src")).agg(sum("weight").as("out_weight"))
+    // pr0 in micros is uniform; contribution floor per edge keeps the
+    // sum exact across engines
+    val contribs = edges.join(out, "src")
+      .crossJoin(broadcast(nN))
+      .select(col("dst"),
+        expr("(((1000000 div n_nodes) * 85 * weight) div (out_weight * 100))")
+          .cast(LongType).as("c"))
+      .groupBy("dst").agg(sum("c").cast(LongType).as("in_flow"))
+    nodes.crossJoin(broadcast(nN))
+      .join(out.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .join(contribs.withColumnRenamed("dst", "node"), Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("out_weight"), lit(0L)).cast(LongType).as("out_weight"),
+        expr("1000000 div n_nodes").cast(LongType).as("pr0_micro"),
+        (expr("(15 * 1000000) div (100 * n_nodes)")
+          + coalesce(col("in_flow"), lit(0L))).cast(LongType).as("pr1_micro"))
+      .orderBy("node")
+  }
+
+  val queries: Map[String, Q] = Map("q_pagerank_step" -> qPagerankStep)
+
+  val oracle: Map[String, String] = Map(
+    "q_pagerank_step" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ms(ts) // 1000, event_id) AS src
+        |  FROM events),
+        |edges AS (
+        |  SELECT src, event_type AS dst, COUNT(*) AS weight
+        |  FROM seq WHERE src IS NOT NULL GROUP BY src, dst),
+        |nodes AS (SELECT DISTINCT event_type AS node FROM events),
+        |nn AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+        |outw AS (SELECT src, SUM(weight) AS out_weight FROM edges GROUP BY src),
+        |contribs AS (
+        |  SELECT e.dst,
+        |    CAST(SUM(((1000000 // nn.n_nodes) * 85 * e.weight)
+        |         // (o.out_weight * 100)) AS BIGINT) AS in_flow
+        |  FROM edges e JOIN outw o ON e.src = o.src, nn
+        |  GROUP BY e.dst)
+        |SELECT n.node,
+        |  CAST(COALESCE(o.out_weight, 0) AS BIGINT) AS out_weight,
+        |  CAST(1000000 // nn.n_nodes AS BIGINT) AS pr0_micro,
+        |  CAST((15 * 1000000) // (100 * nn.n_nodes)
+        |       + COALESCE(c.in_flow, 0) AS BIGINT) AS pr1_micro
+        |FROM nodes n
+        |CROSS JOIN nn
+        |LEFT JOIN outw o ON n.node = o.src
+        |LEFT JOIN contribs c ON n.node = c.dst
+        |ORDER BY n.node""".stripMargin)
+}

@@ -112,10 +112,84 @@ object Selection {
       .orderBy("label", "rn")
   }
 
+  /** q_split_leakage — train/test contamination audit: split docs by a
+    * doc_id-keyed hash (90/5/5 — id-keyed on purpose: [[TextStats
+    * .qHashSplit]] hashes TEXT, under which duplicate contents always
+    * co-locate and leakage is impossible by construction; auditing
+    * leakage requires the id-keyed rule a real pipeline with unique
+    * ids uses), then fingerprint every doc and report each duplicated
+    * fingerprint with its per-split counts and a leaked flag (content
+    * present in train AND in val/test). This is decontamination's
+    * inward-facing twin: [[TextStats]] checks the corpus against an
+    * external benchmark, this checks the corpus against its own split.
+    * The small fixtures carry no exact duplicates (only sf0.1 does),
+    * so the query plants them deterministically — every doc_id ≡ 0
+    * (mod 17) gains a re-crawled clone at doc_id + 1,000,000 — the
+    * same planted-evidence pattern as the PII scrub (the corpus lacks
+    * the phenomenon; the operator must still prove it detects it).
+    *
+    * Plan: one scan → (fp, split) → a fp-keyed hash aggregate with
+    * conditional counters (the pivot folded into SUM(CASE) so there is
+    * exactly one shuffle on the high-cardinality fingerprint; the
+    * clone union is a second pass over the same scan, filter-pruned). */
+  val qSplitLeakage: Q = (s, d) => {
+    val base = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    val clones = base.filter(pmod(col("doc_id"), lit(17)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    base.unionAll(clones)
+      .select(md5(col("text")).as("fp"),
+        pmod(md5Long(concat(lit("split|"), col("doc_id").cast("string"))),
+          lit(100L)).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 90, "train").when(col("bucket") < 95, "val")
+          .otherwise("test"))
+      .groupBy("fp")
+      .agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).cast(LongType).as("n_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).cast(LongType).as("n_val"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).cast(LongType).as("n_test"))
+      .filter(col("n_train") + col("n_val") + col("n_test") > 1)
+      .withColumn("leaked",
+        when(col("n_train") > 0 && (col("n_val") > 0 || col("n_test") > 0), 1L)
+          .otherwise(0L).cast(LongType))
+      .orderBy("fp")
+  }
+
+  /** q_score_normalize — within-source percentile normalization: each
+    * document's length mapped to its rank permille INSIDE its source
+    * ((rn−1)·1000 div (n−1), the min-max rank transform). Sources have
+    * wildly different length distributions; a single global threshold
+    * over-prunes one source and under-prunes another — normalizing to
+    * within-source percentiles is the standard equalizer before
+    * cross-source quality cuts. Tie-break by doc_id keeps the rank
+    * total and deterministic.
+    *
+    * Plan: ONE source-keyed exchange feeds both the row_number and the
+    * per-source count (window aggregate over the same partitioning —
+    * no second shuffle, no join back). */
+  val qScoreNormalize: Q = (s, d) => {
+    val wRank = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+    val wAll = Window.partitionBy("source")
+    Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rn", row_number().over(wRank).cast(LongType))
+      .withColumn("n", count(lit(1)).over(wAll).cast(LongType))
+      .withColumn("permille",
+        when(col("n") === 1, 0L)
+          .otherwise(expr("((rn - 1) * 1000) div (n - 1)")).cast(LongType))
+      .select("doc_id", "source", "n_chars", "rn", "permille")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_length_fence" -> qLengthFence,
     "q_weighted_sample" -> qWeightedSample,
-    "q_class_balance" -> qClassBalance)
+    "q_class_balance" -> qClassBalance,
+    "q_split_leakage" -> qSplitLeakage,
+    "q_score_normalize" -> qScoreNormalize)
 
   val oracle: Map[String, String] = Map(
     "q_length_fence" ->
@@ -144,6 +218,42 @@ object Selection {
         |        % 1000
         |      < LEAST(n_chars // 2, 1000)
         |ORDER BY doc_id""".stripMargin,
+    "q_split_leakage" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents
+        |  WHERE text IS NOT NULL AND doc_id % 17 = 0),
+        |tagged AS (
+        |  SELECT md5(text) AS fp,
+        |    CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+        |  FROM (
+        |    SELECT text,
+        |      CAST('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |        % 100 AS b
+        |    FROM corpus)),
+        |counts AS (
+        |  SELECT fp,
+        |    CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        |    CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+        |    CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+        |  FROM tagged GROUP BY fp)
+        |SELECT fp, n_train, n_val, n_test,
+        |  CAST(CASE WHEN n_train > 0 AND (n_val > 0 OR n_test > 0) THEN 1 ELSE 0 END
+        |    AS BIGINT) AS leaked
+        |FROM counts WHERE n_train + n_val + n_test > 1
+        |ORDER BY fp""".stripMargin,
+    "q_score_normalize" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+        |      AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id, source, n_chars, rn,
+        |  CAST(CASE WHEN n = 1 THEN 0 ELSE ((rn - 1) * 1000) // (n - 1) END AS BIGINT)
+        |    AS permille
+        |FROM ranked ORDER BY doc_id""".stripMargin,
     "q_class_balance" ->
       """WITH m AS (
         |  SELECT MIN(n) AS min_cnt FROM (

@@ -57,6 +57,30 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** q_lang_confusion — the evaluation rollup of [[qLangId]]: the
+    * (true language × guessed class) confusion matrix with each cell's
+    * share of its true-language row in integer permille. Per-document
+    * lang-id output is unreviewable at corpus scale; the confusion
+    * matrix is the report a pipeline owner actually reads (which
+    * languages the heuristic collapses, where to spend marker terms).
+    *
+    * Plan: the [[qLangId]] scan (length/replace algebra, no explode)
+    * into a (lang, guess) hash aggregate — |langs|·|classes| cells —
+    * and a lang-keyed window for the row totals over those few cells.
+    * One corpus scan, one tiny shuffle. */
+  val qLangConfusion: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val cells = qLangId(s, d)
+      .groupBy(col("lang"), col("guess"))
+      .agg(count(lit(1)).as("n_docs"))
+    cells
+      .withColumn("n_lang",
+        sum(col("n_docs")).over(Window.partitionBy("lang")).cast(LongType))
+      .withColumn("share_permille", expr("(n_docs * 1000) div n_lang").cast(LongType))
+      .select("lang", "guess", "n_docs", "share_permille")
+      .orderBy("lang", "guess")
+  }
+
   /** The four-stopword presence count both quality queries share.
     * Counting caveat (identical on both engines, documented rather than
     * hidden): matches are non-overlapping " word " windows, so
@@ -728,6 +752,7 @@ object TextStats {
     "q_vocab_coverage" -> qVocabCoverage,
     "q_text_clean" -> qTextClean,
     "q_lang_id" -> qLangId,
+    "q_lang_confusion" -> qLangConfusion,
     "q_quality_score" -> qQualityScore,
     "q_token_count" -> qTokenCount,
     "q_fingerprint" -> qFingerprint,
@@ -953,6 +978,27 @@ object TextStats {
         |             $cScan AS c_scan, $cJoin AS c_join
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin
+    },
+    "q_lang_confusion" -> {
+      val cThe = occurrencesDuck("text", "the")
+      val cData = occurrencesDuck("text", "data")
+      val cScan = occurrencesDuck("text", "scan")
+      val cJoin = occurrencesDuck("text", "join")
+      s"""WITH guessed AS (
+        |  SELECT lang,
+        |    CASE WHEN c_the >= c_data AND c_the >= c_scan AND c_the >= c_join THEN 'en'
+        |         WHEN c_data >= c_scan AND c_data >= c_join THEN 'dat'
+        |         WHEN c_scan >= c_join THEN 'scn'
+        |         ELSE 'jon' END AS guess
+        |  FROM (SELECT lang, $cThe AS c_the, $cData AS c_data,
+        |               $cScan AS c_scan, $cJoin AS c_join
+        |        FROM documents)),
+        |cells AS (
+        |  SELECT lang, guess, COUNT(*) AS n_docs FROM guessed GROUP BY lang, guess)
+        |SELECT lang, guess, n_docs,
+        |  CAST((n_docs * 1000) // SUM(n_docs) OVER (PARTITION BY lang) AS BIGINT)
+        |    AS share_permille
+        |FROM cells ORDER BY lang, guess""".stripMargin
     },
     "q_quality_score" -> {
       val nStop = nStop4Duck

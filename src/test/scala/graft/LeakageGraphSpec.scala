@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Graphs, Selection, TextStats}
+
+/** Invariants of the split-leakage audit, rank normalization,
+  * PageRank step, and lang-id confusion rollup (sf0.001 fixtures). */
+class LeakageGraphSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("pagerank step conserves mass up to flooring; uniform start") {
+    val r = Graphs.qPagerankStep(spark, sf).collect()
+    assert(r.nonEmpty)
+    val n = r.length
+    r.foreach(x => assert(x.getAs[Long]("pr0_micro") === 1000000L / n))
+    // Σ pr1 = teleport mass + damped mass, both ≤ 1, off only by
+    // per-term floors: within n·(edges-ish) micros below 1.0
+    val total = r.map(_.getAs[Long]("pr1_micro")).sum
+    assert(total <= 1000000L)
+    assert(total >= 1000000L - 200L) // ≤ ~N·|V| floor losses
+    // every node keeps at least the teleport share
+    r.foreach(x => assert(x.getAs[Long]("pr1_micro") >= 150000L / n * 1))
+  }
+
+  test("split leakage only reports duplicated fingerprints; flag matches counts") {
+    val r = Selection.qSplitLeakage(spark, sf).collect()
+    r.foreach { x =>
+      val (tr, va, te) = (x.getAs[Long]("n_train"), x.getAs[Long]("n_val"),
+        x.getAs[Long]("n_test"))
+      assert(tr + va + te > 1)
+      assert(x.getAs[Long]("leaked") ===
+        (if (tr > 0 && (va > 0 || te > 0)) 1L else 0L))
+    }
+    // the fixture corpus has exact duplicates, so the audit must be
+    // non-vacuous
+    assert(r.nonEmpty)
+  }
+
+  test("score normalization spans 0..1000 per source and is a bijection on ranks") {
+    val r = Selection.qScoreNormalize(spark, sf).collect()
+    val bySrc = r.groupBy(_.getAs[String]("source"))
+    bySrc.foreach { case (_, rs) =>
+      val ranks = rs.map(_.getAs[Long]("rn")).sorted
+      assert(ranks.toSeq === (1L to rs.length.toLong))
+      assert(rs.map(_.getAs[Long]("permille")).min === 0L)
+      if (rs.length > 1)
+        assert(rs.map(_.getAs[Long]("permille")).max === 1000L)
+    }
+  }
+
+  test("lang confusion cells sum to the corpus and row shares to ~1000") {
+    val r = TextStats.qLangConfusion(spark, sf).collect()
+    val total = r.map(_.getAs[Long]("n_docs")).sum
+    assert(total === Tables.documents(spark, sf).count())
+    r.groupBy(_.getAs[String]("lang")).foreach { case (_, cells) =>
+      val share = cells.map(_.getAs[Long]("share_permille")).sum
+      // integer floors: within |cells| of 1000
+      assert(share <= 1000L && share >= 1000L - cells.length)
+    }
+  }
+}
