@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+import graft.functions.Exprs.md5Long
+
+/** Pretraining-objective data preparation: the operators that turn a
+  * cleaned corpus into model inputs.
+  *
+  * [[TextStats.qBpePairs]] learns the first merge candidate;
+  * [[qBpeMerge]] here APPLIES it — the learn/apply pair is one round
+  * of the BPE training loop. [[qSpanCorruption]] computes the T5-style
+  * span-mask statistics a denoising objective needs. [[qVocabOverlap]]
+  * measures cross-source lexical diversity — the datasheet number that
+  * tells you whether two "different" sources are the same crawl twice.
+  *
+  * All three are scan-heavy and shuffle-light: per-document work is
+  * embarrassingly parallel; the only exchanges are a tiny pair/vocab
+  * aggregate and (for overlap) a word-keyed join.
+  */
+object Pretrain {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q_bpe_merge — apply the winning BPE merge: take the corpus's most
+    * frequent adjacent character pair (the [[TextStats.qBpePairs]]
+    * argmax, (count DESC, pair ASC) pinned) and rewrite every document
+    * with that pair fused, reporting per-doc merge counts, the new
+    * length, and the md5 of the rewritten text (pinning the REWRITE,
+    * not just the counts). Left-to-right non-overlapping `replace` is
+    * exactly BPE's greedy merge order, and both engines share it.
+    *
+    * Scale shape: learn = the map-side-collapsing pair aggregate +
+    * TakeOrdered(1); apply = one broadcast scalar row onto a second
+    * scan. One BPE round costs two scans of the corpus, which is why
+    * production BPE trainers sample — and the sample is a one-line
+    * [[Selection.qWeightedSample]] filter upstream. */
+  val qBpeMerge: Q = (s, d) => {
+    val top = Tables.spread(Tables.documents(s, d))
+      .filter(length(col("text")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(text) - 1), i -> substr(text, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(1)
+    Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .crossJoin(broadcast(top))
+      .withColumn("merged", expr("replace(text, pair, '§')"))
+      .select(col("doc_id"), col("pair"),
+        (length(col("text")) - length(col("merged"))).cast(LongType).as("n_merges"),
+        length(col("merged")).cast(LongType).as("new_len"),
+        md5(col("merged")).as("new_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** q_span_corruption — T5-style span-mask statistics (Raffel et al.
+    * 2020 §3.1.4): tokens group into spans of 3; a span is masked when
+    * `md5Long(doc_id || '|' || span_idx) mod 10 = 0` (≈10% noise
+    * density, deterministic — the same retry/partitioning-proof coin
+    * as every sampling rule in this repo). Per document: token count,
+    * masked-token count, masked-span count, and the noise density in
+    * permille — the numbers a denoising-objective data loader must
+    * agree on with the trainer.
+    *
+    * Scale shape: explode to (doc, pos) rows, one doc-keyed hash
+    * aggregate; the span decision is scan-side arithmetic. */
+  val qSpanCorruption: Q = (s, d) =>
+    Tables.spread(Tables.documents(s, d).filter(col("text").isNotNull))
+      .select(col("doc_id"),
+        posexplode(filter(split(col("text"), " "), w => length(w) > 0)))
+      .select(col("doc_id"), (col("pos") + 1).as("i"))
+      .withColumn("span_idx", expr("(i - 1) div 3").cast(LongType))
+      .withColumn("masked",
+        (pmod(md5Long(concat(col("doc_id").cast("string"), lit("|"),
+          col("span_idx").cast("string"))), lit(10L)) === 0).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("masked")).cast(LongType).as("n_masked"),
+        countDistinct(when(col("masked") === 1, col("span_idx"))).as("n_spans"))
+      .withColumn("mask_permille",
+        expr("(n_masked * 1000) div n_tokens").cast(LongType))
+      .orderBy("doc_id")
+
+  /** q_vocab_overlap — cross-source lexical diversity: the pairwise
+    * Jaccard of source VOCABULARIES (distinct word sets), in integer
+    * permille. Two sources with near-identical vocabularies are the
+    * same distribution under different names — double-counted mixture
+    * weight, wasted epochs; this is the datasheet's source-redundancy
+    * matrix.
+    *
+    * Scale shape: vocabulary explode collapses map-side to distinct
+    * (source, word); intersections come from a word-keyed self-join —
+    * the posting-list pattern, never |S|² full-vocab comparisons — and
+    * the pair aggregate is |S|²-cell tiny. Per-source sizes broadcast
+    * back onto the pair table. */
+  val qVocabOverlap: Q = (s, d) => {
+    val sv = Tables.spread(Tables.documents(s, d).filter(col("text").isNotNull))
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .distinct()
+      .localCheckpoint()
+    val sizes = sv.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = sv.as("a")
+      .join(sv.as("b"), col("a.word") === col("b.word")
+        && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("n_a"))),
+        Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("n_b"))),
+        Seq("src_b"))
+      .withColumn("jaccard_permille",
+        expr("(n_common * 1000) div (n_a + n_b - n_common)").cast(LongType))
+      .select("src_a", "src_b", "n_a", "n_b", "n_common", "jaccard_permille")
+      .orderBy("src_a", "src_b")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_bpe_merge" -> qBpeMerge,
+    "q_span_corruption" -> qSpanCorruption,
+    "q_vocab_overlap" -> qVocabOverlap)
+
+  val oracle: Map[String, String] = Map(
+    "q_bpe_merge" ->
+      """WITH pairs AS (
+        |  SELECT substr(text, i, 2) AS pair
+        |  FROM (SELECT text FROM documents WHERE length(text) >= 2),
+        |       LATERAL (SELECT unnest(range(1, length(text))) AS i)),
+        |top AS (
+        |  SELECT pair FROM pairs GROUP BY pair
+        |  ORDER BY COUNT(*) DESC, pair LIMIT 1)
+        |SELECT doc_id, top.pair,
+        |  CAST(length(text) - length(replace(text, top.pair, chr(167))) AS BIGINT)
+        |    AS n_merges,
+        |  CAST(length(replace(text, top.pair, chr(167))) AS BIGINT) AS new_len,
+        |  md5(replace(text, top.pair, chr(167))) AS new_md5
+        |FROM documents, top WHERE text IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
+    "q_span_corruption" ->
+      """WITH toks AS (
+        |  SELECT doc_id, (i - 1) // 3 AS span_idx,
+        |    CASE WHEN CAST('0x' || substr(
+        |        md5(CAST(doc_id AS VARCHAR) || '|' || CAST((i - 1) // 3 AS VARCHAR)),
+        |        1, 15) AS BIGINT) % 10 = 0 THEN 1 ELSE 0 END AS masked
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split(text, ' '), w -> length(w) > 0) AS wl
+        |        FROM documents WHERE text IS NOT NULL),
+        |       LATERAL (SELECT unnest(range(1, len(wl) + 1)) AS i))
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(masked) AS BIGINT) AS n_masked,
+        |  COUNT(DISTINCT CASE WHEN masked = 1 THEN span_idx END) AS n_spans,
+        |  CAST((SUM(masked) * 1000) // COUNT(*) AS BIGINT) AS mask_permille
+        |FROM toks GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_vocab_overlap" ->
+      """WITH sv AS (
+        |  SELECT DISTINCT source, word FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS word
+        |    FROM documents WHERE text IS NOT NULL)
+        |  WHERE length(word) > 0),
+        |sizes AS (SELECT source, COUNT(*) AS n FROM sv GROUP BY source),
+        |inter AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+        |  FROM sv a JOIN sv b ON a.word = b.word AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT i.src_a, i.src_b,
+        |  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+        |  CAST(i.n_common AS BIGINT) AS n_common,
+        |  CAST((i.n_common * 1000) // (sa.n + sb.n - i.n_common) AS BIGINT)
+        |    AS jaccard_permille
+        |FROM inter i
+        |JOIN sizes sa ON i.src_a = sa.source
+        |JOIN sizes sb ON i.src_b = sb.source
+        |ORDER BY i.src_a, i.src_b""".stripMargin)
+}

@@ -142,13 +142,46 @@ object Sequences {
       .limit(10)
       .select("user_id", "n_events", "max_hour", "n_hours", "burst_permille")
 
+  /** q_conversion_rate — Laplace-smoothed per-user conversion odds:
+    * purchases over views with add-one/add-two smoothing,
+    * `(n_purchase + 1) · 1000 div (n_view + 2)` — the additive prior
+    * keeps a 1-view-1-purchase user from scoring 1000‰ certainty, the
+    * classic small-count fix, and keeps the metric exact-integer. The
+    * funnel's scalar summary: one number per user instead of per-step
+    * rows.
+    *
+    * Plan: one conditional-counter hash aggregate on user_id (partial
+    * map-side); the smoothing is post-aggregate arithmetic. */
+  val qConversionRate: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .cast(LongType).as("n_view"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .cast(LongType).as("n_purchase"))
+      .withColumn("rate_permille",
+        expr("((n_purchase + 1) * 1000) div (n_view + 2)").cast(LongType))
+      .orderBy("user_id")
+
   val queries: Map[String, Q] = Map(
     "q_event_transitions" -> qEventTransitions,
+    "q_conversion_rate" -> qConversionRate,
     "q_window_distinct" -> qWindowDistinct,
     "q_ewma_trailing" -> qEwmaTrailing,
     "q_burst_users" -> qBurstUsers)
 
   val oracle: Map[String, String] = Map(
+    "q_conversion_rate" ->
+      """SELECT user_id,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_view,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_purchase,
+        |  CAST(((SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) + 1) * 1000)
+        |    // (SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) + 2) AS BIGINT)
+        |    AS rate_permille
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_event_transitions" ->
       """WITH seq AS (
         |  SELECT user_id, event_type,
