@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
 import graft.Tables
-import graft.functions.Exprs.{dec2, intScaled, nanosToSec}
+import graft.functions.Exprs.{dec2, intScaled, md5Long, nanosToSec}
 
 /** Event-sequence mining over the status/event stream.
   *
@@ -164,14 +164,103 @@ object Sequences {
         expr("((n_purchase + 1) * 1000) div (n_view + 2)").cast(LongType))
       .orderBy("user_id")
 
+  /** q_ab_test — deterministic experiment readout: users split into
+    * two arms by `md5Long('ab|' || user_id) mod 2` (the hash-bucketed
+    * assignment every experimentation system uses — sticky across
+    * sessions, reproducible across retries, no assignment table), then
+    * per-arm exposure and outcome totals: distinct users, events,
+    * cents-scaled value sum, integer mean, and purchase share in
+    * permille. The A/B readout every event pipeline grows.
+    *
+    * Plan: the arm is scan-side arithmetic; one 2-group conditional
+    * aggregate (distinct-user expansion two-phase as usual). */
+  val qAbTest: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(
+        when(pmod(md5Long(concat(lit("ab|"), col("user_id").cast("string"))),
+          lit(2L)) === 0, "A").otherwise("B").as("arm"),
+        col("user_id"), col("event_type"),
+        intScaled(dec2(col("value")), 100L).as("v_cents"))
+      .groupBy("arm")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        sum(col("v_cents")).cast(LongType).as("sum_cents"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .cast(LongType).as("n_purchase"))
+      .withColumn("mean_cents", expr("sum_cents div n_events").cast(LongType))
+      .withColumn("purchase_permille",
+        expr("(n_purchase * 1000) div n_events").cast(LongType))
+      .orderBy("arm")
+
+  /** q_funnel_time — time-to-convert: for each user whose first
+    * purchase follows their first view, the view→purchase delay in
+    * seconds, rolled up to conversion count and exact p50/p90 delays.
+    * The latency companion of the step-count funnel (X53): the funnel
+    * says HOW MANY convert, this says HOW FAST.
+    *
+    * Plan: per-user conditional MIN aggregate (one user-keyed
+    * exchange), then a single `percentile_disc` aggregate over the
+    * converted-user rows — exact, and the input to the final
+    * aggregate is already user-level (tiny). */
+  val qFunnelTime: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), nanosToSec(col("ts")).as("ts_sec"))
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", col("ts_sec"))).as("first_view"),
+        min(when(col("event_type") === "purchase", col("ts_sec"))).as("first_purchase"))
+      .filter(col("first_view").isNotNull && col("first_purchase").isNotNull
+        && col("first_purchase") >= col("first_view"))
+      .withColumn("delay_sec", (col("first_purchase") - col("first_view")).cast(LongType))
+      .agg(count(lit(1)).as("n_converted"),
+        expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY delay_sec) AS BIGINT)")
+          .as("p50_sec"),
+        expr("CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY delay_sec) AS BIGINT)")
+          .as("p90_sec"))
+
   val queries: Map[String, Q] = Map(
     "q_event_transitions" -> qEventTransitions,
     "q_conversion_rate" -> qConversionRate,
+    "q_ab_test" -> qAbTest,
+    "q_funnel_time" -> qFunnelTime,
     "q_window_distinct" -> qWindowDistinct,
     "q_ewma_trailing" -> qEwmaTrailing,
     "q_burst_users" -> qBurstUsers)
 
   val oracle: Map[String, String] = Map(
+    "q_ab_test" ->
+      """WITH tagged AS (
+        |  SELECT CASE WHEN CAST('0x' || substr(md5('ab|' || CAST(user_id AS VARCHAR)), 1, 15)
+        |                 AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+        |    user_id, event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_cents
+        |  FROM events),
+        |agg AS (
+        |  SELECT arm, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events,
+        |    CAST(SUM(v_cents) AS BIGINT) AS sum_cents,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_purchase
+        |  FROM tagged GROUP BY arm)
+        |SELECT arm, n_users, n_events, sum_cents, n_purchase,
+        |  CAST(sum_cents // n_events AS BIGINT) AS mean_cents,
+        |  CAST((n_purchase * 1000) // n_events AS BIGINT) AS purchase_permille
+        |FROM agg ORDER BY arm""".stripMargin,
+    "q_funnel_time" ->
+      """WITH per_user AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN epoch_ms(ts) // 1000 END) AS first_view,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) // 1000 END)
+        |      AS first_purchase
+        |  FROM events GROUP BY user_id),
+        |conv AS (
+        |  SELECT CAST(first_purchase - first_view AS BIGINT) AS delay_sec
+        |  FROM per_user
+        |  WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+        |    AND first_purchase >= first_view)
+        |SELECT COUNT(*) AS n_converted,
+        |  CAST(quantile_disc(delay_sec, 0.5) AS BIGINT) AS p50_sec,
+        |  CAST(quantile_disc(delay_sec, 0.9) AS BIGINT) AS p90_sec
+        |FROM conv""".stripMargin,
     "q_conversion_rate" ->
       """SELECT user_id,
         |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)

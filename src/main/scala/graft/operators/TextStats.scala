@@ -81,6 +81,28 @@ object TextStats {
       .orderBy("lang", "guess")
   }
 
+  /** q_log_histogram — power-of-two length histogram: documents
+    * bucketed by ⌊log₂ n_chars⌋, computed as `length(bin(n)) − 1` —
+    * pure integer string algebra, immune to the float-log boundary
+    * hazard (log2(2^k) can evaluate to k−ε and floor into the wrong
+    * bucket). Length distributions of real corpora are heavy-tailed;
+    * the log histogram is the one-page summary that shows the tail a
+    * linear histogram ([[Relational]]'s equi-width `q_histogram`)
+    * compresses into its last bar.
+    *
+    * Plan: scan-side bucket arithmetic + a ~⌈log₂ max⌉-group hash
+    * aggregate — map-side collapse, the shuffle carries a dozen rows. */
+  val qLogHistogram: Q = (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .withColumn("bucket", (length(bin(col("n_chars"))) - 1).cast(LongType))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).cast(LongType).as("min_chars"),
+        max(col("n_chars")).cast(LongType).as("max_chars"),
+        sum(col("n_chars")).cast(LongType).as("sum_chars"))
+      .orderBy("bucket")
+
   /** The four-stopword presence count both quality queries share.
     * Counting caveat (identical on both engines, documented rather than
     * hidden): matches are non-overlapping " word " windows, so
@@ -753,6 +775,7 @@ object TextStats {
     "q_text_clean" -> qTextClean,
     "q_lang_id" -> qLangId,
     "q_lang_confusion" -> qLangConfusion,
+    "q_log_histogram" -> qLogHistogram,
     "q_quality_score" -> qQualityScore,
     "q_token_count" -> qTokenCount,
     "q_fingerprint" -> qFingerprint,
@@ -979,6 +1002,14 @@ object TextStats {
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin
     },
+    "q_log_histogram" ->
+      """SELECT CAST(length(bin(n_chars)) - 1 AS BIGINT) AS bucket,
+        |  COUNT(*) AS n_docs,
+        |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE text IS NOT NULL
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_lang_confusion" -> {
       val cThe = occurrencesDuck("text", "the")
       val cData = occurrencesDuck("text", "data")

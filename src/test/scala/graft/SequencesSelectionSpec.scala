@@ -103,6 +103,42 @@ class SequencesSelectionSpec extends SparkSpec {
     assert(r.forall(x => math.abs(x.getAs[Long]("sim_micros")) <= 1000000L))
   }
 
+  test("ab test: both arms present, counters conserve the stream") {
+    val r = Sequences.qAbTest(spark, sf).collect()
+    assert(r.map(_.getAs[String]("arm")).toSeq === Seq("A", "B"))
+    val ev = Tables.events(spark, sf)
+    assert(r.map(_.getAs[Long]("n_events")).sum === ev.count())
+    assert(r.map(_.getAs[Long]("n_users")).sum ===
+      ev.select("user_id").distinct().count()) // arms partition users
+    r.foreach { x =>
+      assert(x.getAs[Long]("purchase_permille") <= 1000L)
+      assert(x.getAs[Long]("mean_cents") ===
+        x.getAs[Long]("sum_cents") / x.getAs[Long]("n_events"))
+    }
+  }
+
+  test("funnel time: converted count bounded by users, p50 <= p90") {
+    val r = Sequences.qFunnelTime(spark, sf).collect()
+    assert(r.length === 1)
+    val x = r.head
+    assert(x.getAs[Long]("n_converted") > 0)
+    assert(x.getAs[Long]("n_converted") <=
+      Tables.events(spark, sf).select("user_id").distinct().count())
+    assert(x.getAs[Long]("p50_sec") <= x.getAs[Long]("p90_sec"))
+    assert(x.getAs[Long]("p50_sec") >= 0)
+  }
+
+  test("log histogram: buckets partition the corpus, bounds inside the bucket") {
+    val r = graft.operators.TextStats.qLogHistogram(spark, sf).collect()
+    assert(r.map(_.getAs[Long]("n_docs")).sum ===
+      Tables.documents(spark, sf).filter(col("text").isNotNull).count())
+    r.foreach { x =>
+      val b = x.getAs[Long]("bucket")
+      assert(x.getAs[Long]("min_chars") >= (1L << b))
+      assert(x.getAs[Long]("max_chars") < (1L << (b + 1)))
+    }
+  }
+
   test("sparse cosine: 5 lexical neighbors per probe, self excluded, sims ranked") {
     val rows = Relevance.qSparseCosine(spark, sf).collect()
     val byQ = rows.groupBy(_.getAs[Long]("qid"))
