@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.Tables
+
+/** Index-layout and cross-modal planning statistics.
+  *
+  * Operators a pipeline owner runs BEFORE committing to a storage or
+  * tokenizer layout: the vocabulary-coverage curve (how much of the
+  * corpus the top-k types buy — the tokenizer-vocab ROI table),
+  * posting-list gap statistics (how compressible the inverted index's
+  * delta encoding will be), and the documents⋈embeddings cross-modal
+  * join that checks text-side and vector-side health signals against
+  * each other.
+  */
+object IndexStats {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q_coverage_curve — tokenizer-vocab ROI: vocabulary ranked by
+    * corpus frequency (count DESC, word ASC — pinned ties), with the
+    * cumulative token share each prefix of the ranking covers, in
+    * permille, for the top 20 types. Vocab-size decisions read off
+    * this curve ("top 8 types already cover 61% of tokens").
+    *
+    * Plan: one wordcount aggregate; the running sum is a window over
+    * the |vocab|-row aggregate, not the corpus (rank and cumsum share
+    * one sort); total-token count broadcasts as a scalar row. The
+    * global ranking window runs on vocabulary-sized data — types, not
+    * tokens — which is the only thing that makes a global window
+    * admissible here. */
+  val qCoverageCurve: Q = (s, d) => {
+    val counts = Tables.spread(Tables.documents(s, d).filter(col("text").isNotNull))
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val total = counts.agg(sum("n").as("n_total"))
+    val w = Window.orderBy(col("n").desc, col("word"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wr = Window.orderBy(col("n").desc, col("word"))
+    counts
+      .withColumn("rank", row_number().over(wr).cast(LongType))
+      .withColumn("cum_n", sum(col("n")).over(w).cast(LongType))
+      .filter(col("rank") <= 20)
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("word"), col("n").cast(LongType).as("n"),
+        col("cum_n"),
+        expr("(cum_n * 1000) div n_total").cast(LongType).as("cum_permille"))
+      .orderBy("rank")
+  }
+
+  /** q_posting_gaps — delta-encoding compressibility of the inverted
+    * index: per term (df ≥ 3), the doc_id gap statistics of its
+    * posting list — mean gap (micro-scaled), max gap, and the share of
+    * gaps ≤ 16 in permille (the fraction that fits a 4-bit delta).
+    * Long skinny gaps mean a term is corpus-spread (poor block
+    * compression); dense runs mean clustered postings (golomb/PFor
+    * friendly). This is the layout-planning twin of X36's index build.
+    *
+    * Plan: distinct (word, doc_id) collapses map-side; gaps are a lag
+    * window on the word key (high-cardinality, skew-free); the stats
+    * are a per-word aggregate over the same exchange. */
+  val qPostingGaps: Q = (s, d) => {
+    val postings = Tables.spread(Tables.documents(s, d).filter(col("text").isNotNull))
+      .select(explode(split(col("text"), " ")).as("word"), col("doc_id"))
+      .filter(length(col("word")) >= 3)
+      .distinct()
+    val w = Window.partitionBy("word").orderBy("doc_id")
+    postings
+      .withColumn("gap", (col("doc_id") - lag(col("doc_id"), 1).over(w)).cast(LongType))
+      .filter(col("gap").isNotNull)
+      .groupBy("word")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap")).cast(LongType).as("sum_gap"),
+        max(col("gap")).cast(LongType).as("max_gap"),
+        sum(when(col("gap") <= 16, 1L).otherwise(0L)).cast(LongType).as("n_small"))
+      .filter(col("n_gaps") >= 2)
+      .withColumn("mean_gap_micro",
+        expr("(sum_gap * 1000000) div n_gaps").cast(LongType))
+      .withColumn("small_permille",
+        expr("(n_small * 1000) div n_gaps").cast(LongType))
+      .select("word", "n_gaps", "mean_gap_micro", "max_gap", "small_permille")
+      .orderBy("word")
+  }
+
+  /** q_crossmodal_health — documents ⋈ embeddings on the shared id:
+    * per language, doc count, mean length, and the mean squared
+    * embedding norm on the repo's micros grid (floor(‖v‖²·10⁶), the
+    * [[Similarity.qEmbeddingNorms]] contract). A text-side slice
+    * whose vectors run hot or cold (norm drift) was embedded wrong —
+    * the cheapest cross-modal consistency check there is, and the
+    * reason the two tables share an id space.
+    *
+    * Plan: one equi-join on the id (both sides id-partitioned — at
+    * 100 TB this is the co-partitioned join the shared key exists
+    * for), norms computed scan-side via the codegen'd exact dot, then
+    * a |langs|-group aggregate. */
+  val qCrossmodalHealth: Q = (s, d) => {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def decVec(e: org.apache.spark.sql.Column) =
+      transform(e, x => x.cast(DoubleType).cast(org.apache.spark.sql.types.DecimalType(12, 8)))
+    def decDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      ColumnBridge.column(graft.functions.DecimalDotExpr(
+        ColumnBridge.expression(a), ColumnBridge.expression(b)))
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val vecs = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        floor(decDot(decVec(col("embedding")), decVec(col("embedding")))
+          * lit(1000000L)).cast(LongType).as("nrm_u"))
+    docs.join(vecs, docs("doc_id") === vecs("vec_id"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast(LongType).as("sum_chars"),
+        sum(col("nrm_u")).cast(LongType).as("sum_nrm_u"))
+      .withColumn("mean_chars", expr("sum_chars div n_docs").cast(LongType))
+      .withColumn("mean_nrm_u", expr("sum_nrm_u div n_docs").cast(LongType))
+      .select("lang", "n_docs", "mean_chars", "mean_nrm_u")
+      .orderBy("lang")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_coverage_curve" -> qCoverageCurve,
+    "q_posting_gaps" -> qPostingGaps,
+    "q_crossmodal_health" -> qCrossmodalHealth)
+
+  val oracle: Map[String, String] = Map(
+    "q_coverage_curve" ->
+      """WITH counts AS (
+        |  SELECT word, COUNT(*) AS n FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word
+        |    FROM documents WHERE text IS NOT NULL)
+        |  WHERE length(word) > 0 GROUP BY word),
+        |total AS (SELECT SUM(n) AS n_total FROM counts),
+        |ranked AS (
+        |  SELECT word, n,
+        |    CAST(row_number() OVER (ORDER BY n DESC, word) AS BIGINT) AS rank,
+        |    CAST(SUM(n) OVER (ORDER BY n DESC, word
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
+        |  FROM counts)
+        |SELECT rank, word, CAST(n AS BIGINT) AS n, cum_n,
+        |  CAST((cum_n * 1000) // n_total AS BIGINT) AS cum_permille
+        |FROM ranked, total WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    "q_posting_gaps" ->
+      """WITH postings AS (
+        |  SELECT DISTINCT word, doc_id FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word, doc_id
+        |    FROM documents WHERE text IS NOT NULL)
+        |  WHERE length(word) >= 3),
+        |gaps AS (
+        |  SELECT word,
+        |    doc_id - lag(doc_id) OVER (PARTITION BY word ORDER BY doc_id) AS gap
+        |  FROM postings),
+        |stats AS (
+        |  SELECT word, COUNT(*) AS n_gaps,
+        |    CAST(SUM(gap) AS BIGINT) AS sum_gap,
+        |    CAST(MAX(gap) AS BIGINT) AS max_gap,
+        |    CAST(SUM(CASE WHEN gap <= 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_small
+        |  FROM gaps WHERE gap IS NOT NULL GROUP BY word)
+        |SELECT word, n_gaps,
+        |  CAST((sum_gap * 1000000) // n_gaps AS BIGINT) AS mean_gap_micro,
+        |  max_gap,
+        |  CAST((n_small * 1000) // n_gaps AS BIGINT) AS small_permille
+        |FROM stats WHERE n_gaps >= 2 ORDER BY word""".stripMargin,
+    "q_crossmodal_health" ->
+      """WITH el AS (
+        |  SELECT vec_id, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) AS x
+        |  FROM (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS i
+        |        FROM embeddings)),
+        |nrm AS (
+        |  SELECT vec_id, CAST(floor(SUM(x * x) * 1000000) AS BIGINT) AS nrm_u
+        |  FROM el GROUP BY vec_id),
+        |j AS (
+        |  SELECT d.lang, d.n_chars, n.nrm_u
+        |  FROM documents d JOIN nrm n ON d.doc_id = n.vec_id
+        |  WHERE d.text IS NOT NULL)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) // COUNT(*) AS BIGINT) AS mean_chars,
+        |  CAST(SUM(nrm_u) // COUNT(*) AS BIGINT) AS mean_nrm_u
+        |FROM j GROUP BY lang ORDER BY lang""".stripMargin)
+}
