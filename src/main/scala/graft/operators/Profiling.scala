@@ -1,0 +1,258 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+import graft.functions.Exprs.{dec2, intScaled, md5Long}
+
+/** Data-profiling operators: the ANALYZE-TABLE layer a lakehouse runs
+  * before planning anything else.
+  *
+  * Column null/cardinality census, zone-map (per-block min/max)
+  * construction with predicate skippability, a KMV distinct-count
+  * sketch proven against exact truth, and corpus-level bigram
+  * diversity. Statistics ARE operators here: each is a query with an
+  * oracle twin, because a profiler whose numbers can't be checked is
+  * a rumor mill.
+  */
+object Profiling {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q_column_profile — the per-column census of the event log: row
+    * count, null count, and exact distinct count for every column
+    * (value profiled on its cents grid, ts on epoch-nanos). The
+    * profiler output that drives encoding choices, join-key vetting,
+    * and "is this column actually nullable" audits.
+    *
+    * Plan: ONE scan, ONE aggregate row carrying all 13 measures (each
+    * COUNT(DISTINCT) expands two-phase but every partial rides the
+    * same aggregation round — the table is read once, not once per
+    * column), then a `stack` unpivot of the single row into |columns|
+    * output rows. The unpivot is driver-free and constant-sized at any
+    * corpus scale. */
+  val qColumnProfile: Q = (s, d) => {
+    val cols = Seq("event_id" -> "event_id", "event_type" -> "event_type",
+      "props" -> "props", "ts" -> "ts", "user_id" -> "user_id",
+      "value_cents" -> "v_cents")
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        intScaled(dec2(col("value")), 100L).as("v_cents"), col("props"))
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { case (n, c) => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).cast(LongType).as(s"null_$n"),
+      countDistinct(col(c)).as(s"dist_$n"))
+    }
+    val one = ev.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols
+      .map { case (n, _) => s"'$n', null_$n, dist_$n" }.mkString(", ")
+    one.select(col("n_rows"),
+      expr(s"stack(${cols.size}, $stackArgs) AS (column, n_null, n_distinct)"))
+      .select(col("column"), col("n_rows"), col("n_null"), col("n_distinct"))
+      .orderBy("column")
+  }
+
+  /** q_zone_map — data-skipping index construction over the
+    * length-CLUSTERED layout: rows blocked by their n_chars rank
+    * (blocks of 50 — exactly what `CLUSTER BY n_chars` produces at
+    * write time), each block's row count, n_chars min/max, distinct
+    * languages, and whether a scan with the reference predicate
+    * `n_chars >= 256` may SKIP the block (max below the cut). Zone
+    * maps are how a 100 TB table serves selective scans without
+    * secondary indexes, and they only skip when the layout clusters
+    * the predicate column — the insertion-ordered fixture layout skips
+    * NOTHING (every 50-row block spans the whole length range), which
+    * is the lesson: the map is built on the layout you wrote, and this
+    * query models the clustered write.
+    *
+    * Plan: the rank is a global row_number — the same global sort the
+    * CLUSTER BY write itself pays, modeled once here; everything above
+    * it is one hash aggregate on the dense block key. */
+  val qZoneMap: Q = (s, d) => {
+    Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("block",
+        expr("(row_number() OVER (ORDER BY n_chars, doc_id) - 1) div 50")
+          .cast(LongType))
+      .groupBy("block")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).cast(LongType).as("min_chars"),
+        max(col("n_chars")).cast(LongType).as("max_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      .withColumn("skippable",
+        when(col("max_chars") < 256, 1L).otherwise(0L).cast(LongType))
+      .orderBy("block")
+  }
+
+  /** q_kmv_cardinality — K-minimum-values distinct-count sketch
+    * (Bar-Yossef et al. 2002) proven against exact truth: per source,
+    * the 16 smallest word-3-gram hashes give the estimate
+    * `(k−1)·H div h₍ₖ₎` (uniform hashes ⇒ the k-th minimum sits at
+    * ≈ k/n of the hash space). Hashes are truncated to a 2⁴⁰ space
+    * (`md5Long div 2²⁰`) so the numerator 15·2⁴⁰ stays in exact Long
+    * range at any corpus size; sources with < k grams report exact.
+    * The exact distinct count and the signed error in permille ride
+    * alongside — the estimator's quality is oracle-verified, not
+    * asserted.
+    *
+    * Plan: distinct (source, gram) collapses map-side; the k-minimum
+    * is a per-source window over hash order (bounded by k after the
+    * rank filter); at scale the window input can pre-prune with a
+    * per-partition local bottom-k exactly like the top_k aggregate. */
+  val qKmvCardinality: Q = (s, d) => {
+    // grams from a lead-chain over exploded words (split once, one
+    // digest per gram — the X79/X81 rewrite rule for computed arrays)
+    val words = Tables.spread(Tables.documents(s, d).filter(col("text").isNotNull))
+      .select(col("source"), col("doc_id"),
+        posexplode(filter(split(col("text"), " "), w => length(w) > 0)))
+      .select(col("source"), col("doc_id"), col("pos"), col("col").as("w"))
+    val wd = Window.partitionBy("doc_id").orderBy("pos")
+    val grams = words
+      .withColumn("w2", lead(col("w"), 1).over(wd))
+      .withColumn("w3", lead(col("w"), 2).over(wd))
+      .filter(col("w3").isNotNull)
+      .select(col("source"),
+        concat_ws(" ", col("w"), col("w2"), col("w3")).as("gram"))
+      .distinct()
+      .withColumn("h", expr(s"${md5LongSql("gram")} div 1048576").cast(LongType))
+    val w = Window.partitionBy("source").orderBy(col("h"), col("gram"))
+    val kth = grams
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 16)
+      .groupBy("source")
+      .agg(max(col("h")).as("h_k"), count(lit(1)).as("k_seen"))
+    val exact = grams.groupBy("source").agg(count(lit(1)).as("n_exact"))
+    exact.join(kth, Seq("source"))
+      .withColumn("n_est",
+        when(col("k_seen") < 16, col("n_exact"))
+          .otherwise(expr("(15 * 1099511627776) div h_k")).cast(LongType))
+      .withColumn("err_permille",
+        expr("((n_est - n_exact) * 1000) div n_exact").cast(LongType))
+      .select(col("source"), col("n_exact").cast(LongType).as("n_exact"),
+        col("n_est"), col("err_permille"))
+      .orderBy("source")
+  }
+
+  /** Inline DuckDB-compatible md5Long spelling for SQL-expression
+    * contexts (the Column form lives in [[graft.functions.Exprs]]). */
+  private def md5LongSql(c: String): String =
+    s"cast(conv(substring(md5($c), 1, 15), 16, 10) as bigint)"
+
+  /** q_bigram_ttr — corpus diversity at the bigram level: per source,
+    * total word bigrams vs distinct word bigrams and the type-token
+    * ratio in permille. The bigram TTR separates sources that reuse a
+    * small phrase inventory (templated/boilerplate content) from
+    * genuinely diverse prose even when their unigram vocabularies
+    * match — the phrase-level twin of the per-document TTR (X59).
+    *
+    * Plan: bigrams explode from a `lead` over the (source, doc, pos)
+    * window (split once); totals and distincts aggregate per source in
+    * one two-phase pass. */
+  val qBigramTtr: Q = (s, d) => {
+    val words = Tables.spread(Tables.documents(s, d).filter(col("text").isNotNull))
+      .select(col("source"), col("doc_id"),
+        posexplode(filter(split(col("text"), " "), w => length(w) > 0)))
+      .select(col("source"), col("doc_id"), col("pos"), col("col").as("w"))
+    val wd = Window.partitionBy("doc_id").orderBy("pos")
+    words
+      .withColumn("w2", lead(col("w"), 1).over(wd))
+      .filter(col("w2").isNotNull)
+      .select(col("source"), concat(col("w"), lit(" "), col("w2")).as("bigram"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_bigrams"),
+        countDistinct(col("bigram")).as("n_distinct"))
+      .withColumn("ttr_permille",
+        expr("(n_distinct * 1000) div n_bigrams").cast(LongType))
+      .orderBy("source")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_column_profile" -> qColumnProfile,
+    "q_zone_map" -> qZoneMap,
+    "q_kmv_cardinality" -> qKmvCardinality,
+    "q_bigram_ttr" -> qBigramTtr)
+
+  val oracle: Map[String, String] = Map(
+    "q_column_profile" ->
+      """WITH ev AS (
+        |  SELECT event_id, ts, user_id, event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_cents, props
+        |  FROM events)
+        |SELECT 'event_id' AS "column", COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  COUNT(DISTINCT event_id) AS n_distinct FROM ev
+        |UNION ALL SELECT 'event_type', COUNT(*),
+        |  CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT event_type) FROM ev
+        |UNION ALL SELECT 'props', COUNT(*),
+        |  CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT props) FROM ev
+        |UNION ALL SELECT 'ts', COUNT(*),
+        |  CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT ts) FROM ev
+        |UNION ALL SELECT 'user_id', COUNT(*),
+        |  CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT user_id) FROM ev
+        |UNION ALL SELECT 'value_cents', COUNT(*),
+        |  CAST(SUM(CASE WHEN v_cents IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT v_cents) FROM ev
+        |ORDER BY "column"""".stripMargin,
+    "q_zone_map" ->
+      """WITH clustered AS (
+        |  SELECT lang, n_chars,
+        |    CAST((row_number() OVER (ORDER BY n_chars, doc_id) - 1) // 50 AS BIGINT)
+        |      AS block
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT block, COUNT(*) AS n_docs,
+        |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+        |  COUNT(DISTINCT lang) AS n_langs,
+        |  CAST(CASE WHEN MAX(n_chars) < 256 THEN 1 ELSE 0 END AS BIGINT) AS skippable
+        |FROM clustered GROUP BY block ORDER BY block""".stripMargin,
+    "q_kmv_cardinality" ->
+      """WITH wl AS (
+        |  SELECT source, doc_id,
+        |    list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |grams AS (
+        |  SELECT DISTINCT source,
+        |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+        |  FROM wl, LATERAL (SELECT unnest(range(1, greatest(len(ws) - 1, 1))) AS i)
+        |  WHERE len(ws) >= 3),
+        |hashed AS (
+        |  SELECT source, gram,
+        |    CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) // 1048576 AS h
+        |  FROM grams),
+        |kth AS (
+        |  SELECT source, MAX(h) AS h_k, COUNT(*) AS k_seen FROM (
+        |    SELECT source, h,
+        |      row_number() OVER (PARTITION BY source ORDER BY h, gram) AS rn
+        |    FROM hashed) WHERE rn <= 16 GROUP BY source),
+        |exact AS (SELECT source, COUNT(*) AS n_exact FROM hashed GROUP BY source)
+        |SELECT e.source, CAST(e.n_exact AS BIGINT) AS n_exact,
+        |  CAST(CASE WHEN k.k_seen < 16 THEN e.n_exact
+        |       ELSE (15 * 1099511627776) // k.h_k END AS BIGINT) AS n_est,
+        |  CAST(((CASE WHEN k.k_seen < 16 THEN e.n_exact
+        |         ELSE (15 * 1099511627776) // k.h_k END) - e.n_exact) * 1000
+        |       // e.n_exact AS BIGINT) AS err_permille
+        |FROM exact e JOIN kth k ON e.source = k.source
+        |ORDER BY e.source""".stripMargin,
+    "q_bigram_ttr" ->
+      """WITH wl AS (
+        |  SELECT source, doc_id,
+        |    list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |bigrams AS (
+        |  SELECT source, ws[i] || ' ' || ws[i+1] AS bigram
+        |  FROM wl, LATERAL (SELECT unnest(range(1, len(ws))) AS i)),
+        |agg AS (
+        |  SELECT source, COUNT(*) AS n_bigrams,
+        |    COUNT(DISTINCT bigram) AS n_distinct
+        |  FROM bigrams GROUP BY source)
+        |SELECT source, n_bigrams, n_distinct,
+        |  CAST((n_distinct * 1000) // n_bigrams AS BIGINT) AS ttr_permille
+        |FROM agg ORDER BY source""".stripMargin)
+}
