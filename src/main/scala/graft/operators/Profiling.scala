@@ -169,13 +169,112 @@ object Profiling {
       .orderBy("source")
   }
 
+  /** q_zorder_layout — multi-dimension zone maps through the native
+    * codegen [[graft.functions.ZOrderExpr]]: rows ranked by the Morton
+    * interleave of (n_chars rank, source number), blocked by 50, each
+    * block's min/max on BOTH dimensions and three skippability flags —
+    * the length predicate (`n_chars >= 256`), the source predicate
+    * (`src_num = 3`), and their conjunction (skippable when EITHER
+    * dimension alone excludes the block). This is the measurable claim
+    * behind Delta/Iceberg Z-ORDER clustering: a single-column sort
+    * prunes one predicate; the Morton layout keeps both axes locally
+    * dense so min-max statistics prune on either. The oracle
+    * re-derives the interleave bit-by-bit in SQL, so the codegen
+    * expression's exact semantics are hash-pinned, not just
+    * unit-asserted.
+    *
+    * Plan: two global row_number windows (the ranks ARE the write-time
+    * sort a CLUSTER BY pays — modeled once each), the z key is one
+    * codegen'd expression, then a dense-key hash aggregate. */
+  val qZorderLayout: Q = (s, d) => {
+    import org.apache.spark.sql.GraftSqlBridge
+    // both axes normalized to the SAME 5-bit rank space before
+    // interleaving — with unequal widths the wider axis's high bits
+    // dominate the sort and the key degenerates to a single-column
+    // ORDER BY (measured: src spans the full 0..19 range in every
+    // block). Equal widths are the precondition the class doc of
+    // ZOrderExpr states ("pre-normalized to rank space"), made
+    // concrete here: ra32 = rank·32 div n.
+    val base0 = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("n_chars"),
+        regexp_extract(col("source"), "([0-9]+)$", 1).cast(LongType).as("sn"))
+      .withColumn("ra",
+        expr("row_number() OVER (ORDER BY n_chars, doc_id) - 1").cast(LongType))
+    val n = base0.agg(count(lit(1)).as("n_total"))
+    val base = base0.crossJoin(broadcast(n))
+      .withColumn("ra32", expr("(ra * 32) div n_total").cast(LongType))
+    val z = GraftSqlBridge.column(graft.functions.ZOrderExpr(
+      GraftSqlBridge.expression(col("ra32")), GraftSqlBridge.expression(col("sn"))))
+    base.withColumn("z", z)
+      .withColumn("block",
+        expr("(row_number() OVER (ORDER BY z, doc_id) - 1) div 50").cast(LongType))
+      .groupBy("block")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).cast(LongType).as("min_chars"),
+        max(col("n_chars")).cast(LongType).as("max_chars"),
+        min(col("sn")).cast(LongType).as("min_src"),
+        max(col("sn")).cast(LongType).as("max_src"))
+      .withColumn("skip_len",
+        when(col("max_chars") < 256, 1L).otherwise(0L).cast(LongType))
+      .withColumn("skip_src",
+        when(col("min_src") > 3 || col("max_src") < 3, 1L).otherwise(0L)
+          .cast(LongType))
+      .withColumn("skip_conj",
+        when(col("skip_len") === 1 || col("skip_src") === 1, 1L).otherwise(0L)
+          .cast(LongType))
+      .orderBy("block")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_zorder_layout" -> qZorderLayout,
     "q_column_profile" -> qColumnProfile,
     "q_zone_map" -> qZoneMap,
     "q_kmv_cardinality" -> qKmvCardinality,
     "q_bigram_ttr" -> qBigramTtr)
 
+  /** Bit-by-bit DuckDB spelling of [[graft.functions.ZOrderExpr]]'s
+    * interleave (bit i of a → 2i+1, bit i of b → 2i) over 15 bits —
+    * enough for any rank the fixtures produce; the engine side masks
+    * to 31 bits identically above this range. */
+  private val zInterleaveSql: String = (0 until 15).map(i =>
+    s"((((ra >> $i) & 1) << ${2 * i + 1}) + (((sn >> $i) & 1) << ${2 * i}))")
+    .mkString(" + ")
+
   val oracle: Map[String, String] = Map(
+    "q_zorder_layout" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(regexp_extract(source, '([0-9]+)$$', 1) AS BIGINT) AS sn,
+        |    CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS BIGINT) AS ra
+        |  FROM documents WHERE text IS NOT NULL),
+        |nt AS (SELECT COUNT(*) AS n_total FROM base),
+        |norm AS (
+        |  SELECT doc_id, n_chars, sn,
+        |    CAST((ra * 32) // n_total AS BIGINT) AS ra
+        |  FROM base, nt),
+        |zed AS (
+        |  SELECT doc_id, n_chars, sn,
+        |    CAST($zInterleaveSql AS BIGINT) AS z
+        |  FROM norm),
+        |blocked AS (
+        |  SELECT n_chars, sn,
+        |    CAST((row_number() OVER (ORDER BY z, doc_id) - 1) // 50 AS BIGINT) AS block
+        |  FROM zed),
+        |agg AS (
+        |  SELECT block, COUNT(*) AS n_docs,
+        |    CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+        |    CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+        |    CAST(MIN(sn) AS BIGINT) AS min_src,
+        |    CAST(MAX(sn) AS BIGINT) AS max_src
+        |  FROM blocked GROUP BY block)
+        |SELECT block, n_docs, min_chars, max_chars, min_src, max_src,
+        |  CAST(CASE WHEN max_chars < 256 THEN 1 ELSE 0 END AS BIGINT) AS skip_len,
+        |  CAST(CASE WHEN min_src > 3 OR max_src < 3 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS skip_src,
+        |  CAST(CASE WHEN max_chars < 256 OR min_src > 3 OR max_src < 3
+        |       THEN 1 ELSE 0 END AS BIGINT) AS skip_conj
+        |FROM agg ORDER BY block""".stripMargin,
     "q_column_profile" ->
       """WITH ev AS (
         |  SELECT event_id, ts, user_id, event_type,

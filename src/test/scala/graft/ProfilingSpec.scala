@@ -51,6 +51,22 @@ class ProfilingSpec extends SparkSpec {
     }
   }
 
+  test("zorder layout prunes BOTH dimensions; single-column sort only one") {
+    val r = Profiling.qZorderLayout(spark, sf).collect()
+    assert(r.map(_.getAs[Long]("n_docs")).sum ===
+      Tables.documents(spark, sf).filter(col("text").isNotNull).count())
+    // conjunction flag = OR of the single-dimension flags
+    r.foreach { x =>
+      assert(x.getAs[Long]("skip_conj") ===
+        math.max(x.getAs[Long]("skip_len"), x.getAs[Long]("skip_src")))
+      assert(x.getAs[Long]("min_src") <= x.getAs[Long]("max_src"))
+    }
+    // the morton layout must make SOME blocks skippable on EACH axis —
+    // that is the whole point of interleaving vs a single-column sort
+    assert(r.map(_.getAs[Long]("skip_len")).sum > 0)
+    assert(r.map(_.getAs[Long]("skip_src")).sum > 0)
+  }
+
   test("bigram ttr: distinct <= total, permille in range, all sources present") {
     val r = Profiling.qBigramTtr(spark, sf).collect()
     assert(r.length === Tables.documents(spark, sf)
