@@ -218,11 +218,64 @@ object Sequences {
         expr("CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY delay_sec) AS BIGINT)")
           .as("p90_sec"))
 
+  /** q_interval_overlap — interval join, the scalable way: per-user
+    * activity sessions (day-gap rule on the [[qEventTransitions]]
+    * spine) joined against corpus-wide incident windows (hours with
+    * ≥ 2 error events), reporting each (session, incident) overlap in
+    * seconds. The naive spelling is a range-predicate join — O(|A|·|B|)
+    * as a BroadcastNestedLoop — so the engine side EXPANDS each
+    * session to the hour buckets it covers and equi-joins on the
+    * bucket: one hash shuffle, expansion bounded by session length
+    * over bucket width (pick the bucket ≈ median interval length at
+    * production scale). The DuckDB twin runs the NAIVE range join —
+    * the hash equality proves the bucketed rewrite is exactly the
+    * interval join, not an approximation of it.
+    *
+    * Plan: sessionize = one user-keyed window chain; incidents = one
+    * tiny time-keyed aggregate; the join is bucket-equi (shuffle on
+    * the hour key) + a residual overlap filter. No BNLJ anywhere. */
+  val qIntervalOverlap: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_sec"), col("event_id"))
+    val sess = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        nanosToSec(col("ts")).as("ts_sec"), col("event_type"))
+      .withColumn("prev", lag(col("ts_sec"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev").isNull || col("ts_sec") - col("prev") > 86400, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast(LongType))
+      .groupBy("user_id", "session_idx")
+      .agg(min(col("ts_sec")).cast(LongType).as("s_start"),
+        max(col("ts_sec")).cast(LongType).as("s_end"))
+    val incidents = Tables.events(s, d)
+      .filter(col("event_type") === "error")
+      .select(nanosToSec(col("ts")).as("ts_sec"))
+      .select(expr("ts_sec div 3600").cast(LongType).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("n_err"))
+      .filter(col("n_err") >= 2)
+      .select(col("b"), (col("b") * 3600).as("i_start"),
+        (col("b") * 3600 + 3599).as("i_end"))
+    sess
+      .withColumn("b",
+        explode(sequence(expr("s_start div 3600"), expr("s_end div 3600"))))
+      .join(incidents, Seq("b"))
+      .select(col("user_id"), col("session_idx"),
+        col("b").cast(LongType).as("incident_bucket"),
+        (least(col("s_end"), col("i_end"))
+          - greatest(col("s_start"), col("i_start")) + 1)
+          .cast(LongType).as("overlap_sec"))
+      .filter(col("overlap_sec") > 0)
+      .orderBy("user_id", "session_idx", "incident_bucket")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_event_transitions" -> qEventTransitions,
     "q_conversion_rate" -> qConversionRate,
     "q_ab_test" -> qAbTest,
     "q_funnel_time" -> qFunnelTime,
+    "q_interval_overlap" -> qIntervalOverlap,
     "q_window_distinct" -> qWindowDistinct,
     "q_ewma_trailing" -> qEwmaTrailing,
     "q_burst_users" -> qBurstUsers)
@@ -271,6 +324,36 @@ object Sequences {
         |    // (SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) + 2) AS BIGINT)
         |    AS rate_permille
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_interval_overlap" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) // 1000 AS ts_sec,
+        |    lag(epoch_ms(ts) // 1000) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ms(ts) // 1000, event_id) AS prev
+        |  FROM events),
+        |marked AS (
+        |  SELECT user_id, ts_sec,
+        |    CAST(SUM(CASE WHEN prev IS NULL OR ts_sec - prev > 86400
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS BIGINT)
+        |      AS session_idx
+        |  FROM seq),
+        |sess AS (
+        |  SELECT user_id, session_idx,
+        |    CAST(MIN(ts_sec) AS BIGINT) AS s_start,
+        |    CAST(MAX(ts_sec) AS BIGINT) AS s_end
+        |  FROM marked GROUP BY user_id, session_idx),
+        |incidents AS (
+        |  SELECT b, b * 3600 AS i_start, b * 3600 + 3599 AS i_end FROM (
+        |    SELECT epoch_ms(ts) // 1000 // 3600 AS b, COUNT(*) AS n_err
+        |    FROM events WHERE event_type = 'error' GROUP BY b)
+        |  WHERE n_err >= 2)
+        |SELECT s.user_id, s.session_idx,
+        |  CAST(i.b AS BIGINT) AS incident_bucket,
+        |  CAST(LEAST(s.s_end, i.i_end) - GREATEST(s.s_start, i.i_start) + 1 AS BIGINT)
+        |    AS overlap_sec
+        |FROM sess s JOIN incidents i
+        |  ON s.s_start <= i.i_end AND i.i_start <= s.s_end
+        |ORDER BY s.user_id, s.session_idx, incident_bucket""".stripMargin,
     "q_event_transitions" ->
       """WITH seq AS (
         |  SELECT user_id, event_type,

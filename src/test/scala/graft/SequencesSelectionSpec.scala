@@ -139,6 +139,19 @@ class SequencesSelectionSpec extends SparkSpec {
     }
   }
 
+  test("interval overlap: bucketed rewrite plans NO nested-loop join; overlaps positive") {
+    val df = Sequences.qIntervalOverlap(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    val r = df.collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      val o = x.getAs[Long]("overlap_sec")
+      assert(o >= 1 && o <= 3600)
+    }
+  }
+
   test("sparse cosine: 5 lexical neighbors per probe, self excluded, sims ranked") {
     val rows = Relevance.qSparseCosine(spark, sf).collect()
     val byQ = rows.groupBy(_.getAs[Long]("qid"))
