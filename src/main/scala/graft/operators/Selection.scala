@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.Tables
 import graft.functions.Exprs.md5Long
@@ -184,12 +184,70 @@ object Selection {
       .orderBy("doc_id")
   }
 
+  /** q_dsir_weights — Data Selection via Importance Resampling (Xie et
+    * al. 2023): score every raw document by how target-like its hashed
+    * n-gram features are, log p̂_target(doc) − log p̂_raw(doc) under two
+    * bag-of-features models. The target slice here is the English
+    * sub-corpus (DSIR's "formal text" stand-in); features are word
+    * bigrams hashed into B = 64 buckets — the hashing is the paper's
+    * scale trick and this operator's scale story: the feature model is
+    * EXACTLY B rows no matter the corpus size, so both model joins are
+    * safe forced broadcasts at 100 TB (unlike the type-count-sized
+    * unigram-LM model, which must stay unhinted — the X76 rule does
+    * not apply because B is fixed by construction, not data-sized).
+    *
+    * Determinism: bucket counts are exact integers; each bucket's
+    * log-ratio term floors to milli-bits once (add-one smoothing over
+    * the B-bucket space, one double log2 per BUCKET, not per doc), and
+    * per-document sums of those integer terms are aggregation-order
+    * independent. `sel` marks docs whose importance ratio ≥ 1 — the
+    * resampling keep-set at threshold 1.
+    *
+    * Plan: explode words once, bigrams from zipped slices (the
+    * [[graft.operators.CorpusOps]] lead-chain contract), ONE 64-group
+    * aggregate builds both distributions via conditional counters, the
+    * 64-row scored model broadcasts back onto the feature stream, one
+    * doc-keyed aggregate. Nothing corpus-sized shuffles except that
+    * final per-doc agg. */
+  val qDsirWeights: Q = (s, d) => {
+    val docs = Tables.spread(Tables.documents(s, d)).filter(col("text").isNotNull)
+    val ws = split(col("text"), " ")
+    val feats = docs
+      .filter(size(ws) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(arrays_zip(
+          slice(ws, lit(1), size(ws) - 1).as("a"),
+          slice(ws, lit(2), size(ws) - 1).as("b"))).as("p"))
+      .filter(length(col("p.a")) > 0 && length(col("p.b")) > 0)
+      .select(col("doc_id"), col("lang"),
+        pmod(md5Long(concat(lit("dsir|"), col("p.a"), lit(" "), col("p.b"))),
+          lit(64L)).as("f"))
+    val model = feats.groupBy("f").agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).cast(LongType).as("c_t"),
+      count(lit(1)).as("c_r"))
+    val totals = model.agg(sum("c_t").as("t_tot"), sum("c_r").as("r_tot"))
+    val scored = model.crossJoin(broadcast(totals))
+      .select(col("f"),
+        floor(lit(1000) * log2(
+          ((col("c_t") + 1).cast(DoubleType) / (col("c_r") + 1).cast(DoubleType)) *
+            ((col("r_tot") + 64).cast(DoubleType) / (col("t_tot") + 64).cast(DoubleType))))
+          .cast(LongType).as("term_milli"))
+    feats
+      .join(broadcast(scored), Seq("f"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum("term_milli").as("dsir_milli"))
+      .withColumn("sel",
+        when(col("dsir_milli") >= 0, 1L).otherwise(0L).cast(LongType))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_length_fence" -> qLengthFence,
     "q_weighted_sample" -> qWeightedSample,
     "q_class_balance" -> qClassBalance,
     "q_split_leakage" -> qSplitLeakage,
-    "q_score_normalize" -> qScoreNormalize)
+    "q_score_normalize" -> qScoreNormalize,
+    "q_dsir_weights" -> qDsirWeights)
 
   val oracle: Map[String, String] = Map(
     "q_length_fence" ->
@@ -265,5 +323,33 @@ object Selection {
         |                  AS BIGINT), vec_id) AS BIGINT) AS rn
         |  FROM embeddings)
         |SELECT vec_id, label, rn FROM r, m WHERE rn <= min_cnt
-        |ORDER BY label, rn""".stripMargin)
+        |ORDER BY label, rn""".stripMargin,
+    "q_dsir_weights" ->
+      """WITH wl AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+        |  WHERE text IS NOT NULL),
+        |feats AS (
+        |  SELECT doc_id, lang,
+        |    CAST('0x' || substr(md5('dsir|' || w[i] || ' ' || w[i+1]), 1, 15) AS BIGINT)
+        |      % 64 AS f
+        |  FROM wl, LATERAL (SELECT unnest(range(1, len(w))) AS i)
+        |  WHERE len(w) >= 2 AND length(w[i]) > 0 AND length(w[i+1]) > 0),
+        |model AS (
+        |  SELECT f,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
+        |    COUNT(*) AS c_r
+        |  FROM feats GROUP BY f),
+        |tot AS (SELECT SUM(c_t) AS t_tot, SUM(c_r) AS r_tot FROM model),
+        |sc AS (
+        |  SELECT f,
+        |    CAST(floor(1000 * log2(
+        |      (CAST(c_t + 1 AS DOUBLE) / CAST(c_r + 1 AS DOUBLE)) *
+        |      (CAST(r_tot + 64 AS DOUBLE) / CAST(t_tot + 64 AS DOUBLE)))) AS BIGINT)
+        |      AS term_milli
+        |  FROM model CROSS JOIN tot)
+        |SELECT feats.doc_id, COUNT(*) AS n_feats,
+        |  CAST(SUM(sc.term_milli) AS BIGINT) AS dsir_milli,
+        |  CAST(CASE WHEN SUM(sc.term_milli) >= 0 THEN 1 ELSE 0 END AS BIGINT) AS sel
+        |FROM feats JOIN sc USING (f)
+        |GROUP BY feats.doc_id ORDER BY feats.doc_id""".stripMargin)
 }

@@ -440,6 +440,53 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** q_heaps_curve — Heaps-law vocabulary-growth curve: cumulative
+    * distinct-type count vs cumulative token count at 32 corpus-order
+    * checkpoints (doc_id blocks). The diminishing-returns datasheet
+    * number behind "how much NEW vocabulary does the next shard buy" —
+    * a corpus whose curve flattens early is restating itself (crawl
+    * recycling); one that keeps climbing still adds linguistic
+    * material. Complements [[qVocabCoverage]] (which ranks types by
+    * frequency) and `q_gram_novelty` (per-doc first-appearance share)
+    * with the corpus-level growth trajectory.
+    *
+    * Scale shape: each type collapses to its FIRST document via a
+    * word-keyed min aggregate (the wordcount shuffle — never a window
+    * over the token stream), per-doc token counts ride a doc-keyed
+    * aggregate, and both reduce to ≤32 block rows BEFORE the only
+    * global-order operation — a cumulative-sum window over exactly 32
+    * rows, which is the trick that makes a corpus-order curve
+    * admissible at 100 TB (the naive formulation is a global window
+    * over |docs| rows). Block id is `(doc_id · 32) div (max_id + 1)` —
+    * pure scan-side arithmetic, no rank needed for the dense driver
+    * ids. */
+  val qHeapsCurve: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.spread(Tables.documents(s, d)).filter(col("text").isNotNull)
+    val n = docs.agg((max(col("doc_id")) + 1L).as("n_docs"))
+    val words = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val newTypes = words.groupBy("w").agg(min(col("doc_id")).as("fd"))
+      .crossJoin(broadcast(n))
+      .groupBy(expr("(fd * 32) div n_docs").cast(LongType).as("blk"))
+      .agg(count(lit(1)).as("n_new_types"))
+    val toks = words.groupBy("doc_id").agg(count(lit(1)).as("t"))
+      .crossJoin(broadcast(n))
+      .groupBy(expr("(doc_id * 32) div n_docs").cast(LongType).as("blk"))
+      .agg(sum(col("t")).cast(LongType).as("n_tokens"))
+    val wCum = Window.orderBy("blk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.join(newTypes, Seq("blk"), "full_outer")
+      .select(col("blk"),
+        coalesce(col("n_new_types"), lit(0L)).as("n_new_types"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+      .withColumn("cum_vocab", sum(col("n_new_types")).over(wCum).cast(LongType))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(wCum).cast(LongType))
+      .withColumn("ttr_micro", expr("(cum_vocab * 1000000) div cum_tokens"))
+      .orderBy("blk")
+  }
+
   /** Repetition detection — the duplicate-n-gram quality filter of
     * real pretraining pipelines (a doc whose word 3-grams repeat
     * heavily is boilerplate/spam): per doc, total vs distinct 3-gram
@@ -772,6 +819,7 @@ object TextStats {
     "q_inverted_index" -> qInvertedIndex,
     "q_gram_repetition" -> qGramRepetition,
     "q_vocab_coverage" -> qVocabCoverage,
+    "q_heaps_curve" -> qHeapsCurve,
     "q_text_clean" -> qTextClean,
     "q_lang_id" -> qLangId,
     "q_lang_confusion" -> qLangConfusion,
@@ -974,6 +1022,35 @@ object TextStats {
         |  FROM wf LEFT JOIN vocab v ON wf.word = v.word
         |  GROUP BY wf.doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "q_heaps_curve" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |n AS (SELECT MAX(doc_id) + 1 AS n_docs FROM docs),
+        |wf AS (SELECT doc_id, w
+        |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM docs)
+        |       WHERE length(w) > 0),
+        |nt AS (
+        |  SELECT (fd * 32) // n_docs AS blk, COUNT(*) AS n_new_types
+        |  FROM (SELECT w, MIN(doc_id) AS fd FROM wf GROUP BY w) CROSS JOIN n
+        |  GROUP BY 1),
+        |tk AS (
+        |  SELECT (doc_id * 32) // n_docs AS blk, CAST(SUM(t) AS BIGINT) AS n_tokens
+        |  FROM (SELECT doc_id, COUNT(*) AS t FROM wf GROUP BY doc_id) CROSS JOIN n
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT COALESCE(tk.blk, nt.blk) AS blk,
+        |    COALESCE(n_new_types, 0) AS n_new_types,
+        |    COALESCE(n_tokens, 0) AS n_tokens
+        |  FROM tk FULL OUTER JOIN nt ON tk.blk = nt.blk)
+        |SELECT CAST(blk AS BIGINT) AS blk,
+        |  CAST(n_new_types AS BIGINT) AS n_new_types,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(SUM(n_new_types) OVER cw AS BIGINT) AS cum_vocab,
+        |  CAST(SUM(n_tokens) OVER cw AS BIGINT) AS cum_tokens,
+        |  CAST((SUM(n_new_types) OVER cw * 1000000) // SUM(n_tokens) OVER cw AS BIGINT)
+        |    AS ttr_micro
+        |FROM j
+        |WINDOW cw AS (ORDER BY blk ROWS UNBOUNDED PRECEDING)
+        |ORDER BY blk""".stripMargin,
     "q_text_clean" ->
       """SELECT doc_id,
         |  trim(regexp_replace(

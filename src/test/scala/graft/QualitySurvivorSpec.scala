@@ -59,4 +59,35 @@ class QualitySurvivorSpec extends SparkSpec {
       (10L, 95L, 0L, 0L),
       (11L, 5L, 3L, 600L)), rows.mkString(","))
   }
+
+  test("qHeapsCurve: hand-computable growth curve; fixture totals conserve") {
+    // 4 docs → blk = doc_id·32 div 4 = doc_id·8. Types first appear:
+    // a,b@0  c@1  d@3. Tokens per doc: 2,2,2,1.
+    val dir = writeDocs(Seq(
+      0L -> "a b", 1L -> "a c", 2L -> "a b", 3L -> "d"))
+    val rows = TextStats.qHeapsCurve(spark, dir).collect().map(r =>
+      (r.getAs[Long]("blk"), r.getAs[Long]("n_new_types"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("cum_vocab"),
+        r.getAs[Long]("cum_tokens"), r.getAs[Long]("ttr_micro")))
+    spark.catalog.clearCache()
+    assert(rows.toSeq == Seq(
+      (0L, 2L, 2L, 2L, 2L, 1000000L),
+      (8L, 1L, 2L, 3L, 4L, 750000L),
+      (16L, 0L, 2L, 3L, 6L, 500000L),
+      (24L, 1L, 1L, 4L, 7L, 571428L)), rows.mkString(","))
+    // real fixture: final point equals corpus totals, cumulative monotone
+    val sf = "/root/testdata/sf0.001"
+    val r = TextStats.qHeapsCurve(spark, sf).collect()
+    val words = Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("text").isNotNull)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ")).as("w"))
+      .filter(org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("w")) > 0)
+    assert(r.last.getAs[Long]("cum_vocab") === words.distinct().count())
+    assert(r.last.getAs[Long]("cum_tokens") === words.count())
+    val cv = r.map(_.getAs[Long]("cum_vocab"))
+    assert(cv.toSeq === cv.toSeq.sorted)
+  }
 }

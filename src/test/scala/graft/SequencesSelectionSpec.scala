@@ -152,6 +152,42 @@ class SequencesSelectionSpec extends SparkSpec {
     }
   }
 
+  test("dsir weights: provable target/raw separation on a hand-built corpus") {
+    // en docs speak {x,y}, de docs speak {p,q}; the four bigram keys
+    // hash to DISTINCT buckets mod 64 (15/39/29/52 — precomputed, no
+    // collision), so the model is exactly computable by hand:
+    //   T=8, R=16; en buckets c_t=c_r=4 → term = ⌊1000·log2(1·80/72)⌋ = 152
+    //   de buckets c_t=0, c_r=4 → term = ⌊1000·log2((1/5)·80/72)⌋ = −2170
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsir-spec").toString
+    Seq(
+      (0L, "x y x y x", "en", "web", 9L),
+      (1L, "x y x y x", "en", "web", 9L),
+      (2L, "p q p q p", "de", "web", 9L),
+      (3L, "p q p q p", "de", "web", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Selection.qDsirWeights(spark, dir).collect()
+      .map(x => (x.getLong(0), x.getAs[Long]("n_feats"),
+        x.getAs[Long]("dsir_milli"), x.getAs[Long]("sel")))
+    spark.catalog.clearCache()
+    assert(r.toSeq === Seq(
+      (0L, 4L, 608L, 1L), (1L, 4L, 608L, 1L),
+      (2L, 4L, -8680L, 0L), (3L, 4L, -8680L, 0L)), r.mkString(","))
+    // and on the real fixture: deterministic, feats conserved
+    val a = Selection.qDsirWeights(spark, sf).collect()
+    val pairs = Tables.documents(spark, sf).filter(col("text").isNotNull)
+      .filter(size(split(col("text"), " ")) >= 2) // sequence(1,0) would descend
+      .select(explode(expr(
+        "filter(transform(sequence(1, size(split(text,' ')) - 1)," +
+          " i -> struct(split(text,' ')[i-1], split(text,' ')[i]))," +
+          " p -> length(p.col1) > 0 AND length(p.col2) > 0)")).as("p"))
+      .count()
+    assert(a.map(_.getAs[Long]("n_feats")).sum === pairs)
+    assert(a.forall(x =>
+      (x.getAs[Long]("dsir_milli") >= 0) === (x.getAs[Long]("sel") == 1L)))
+  }
+
   test("sparse cosine: 5 lexical neighbors per probe, self excluded, sims ranked") {
     val rows = Relevance.qSparseCosine(spark, sf).collect()
     val byQ = rows.groupBy(_.getAs[Long]("qid"))
