@@ -553,7 +553,74 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** q_stupid_backoff — held-out Stupid Backoff scoring (Brants et al.
+    * 2007, the web-scale LM smoothing built for MapReduce-sized gram
+    * counts: no discounting, no normalization — S(w₂|w₁) = c(w₁w₂)/c(w₁)
+    * when the bigram is seen, else 0.4·c(w₂)/N). A 90/10 doc_id-hash
+    * split trains the count model; the held-out 10% scores
+    * Σ −log2 S per bigram in floored milli-bits. The split is the
+    * point, not a convenience: scoring the training corpus itself
+    * NEVER backs off (every observed pair is in its own model), so a
+    * self-scored variant silently tests only the bigram branch —
+    * `n_backoff` counts the smoothing path actually taken. Eval words
+    * unseen in training take c = 1 (the OOV floor the paper leaves to
+    * the caller; keeps the surprisal finite and the term exact).
+    *
+    * Determinism: per-pair terms floor to milli-bits before the doc
+    * sum; both branches are one double log2 over exact integer counts
+    * (2.5·N/c₂ spells 1/(0.4·c₂/N) without a 0.4 literal whose binary
+    * representation the two engines might round differently in
+    * different orders — 2.5 is exact in binary).
+    *
+    * Scale shape: model tables are type-count-sized and their joins
+    * UNHINTED (the X76 rule — AQE broadcasts small vocabularies,
+    * web-scale falls back to shuffled joins on the gram key); only N
+    * rides a forced one-row broadcast. The eval stream shuffles once
+    * for its per-doc aggregate. */
+  val qStupidBackoff: Q = (s, d) => {
+    val docs = Tables.spread(Tables.documents(s, d)).filter(col("text").isNotNull)
+      .withColumn("is_train",
+        pmod(graft.functions.Exprs.md5Long(
+          concat(lit("sb|"), col("doc_id").cast("string"))), lit(10L)) =!= 0)
+    val ws = split(col("text"), " ")
+    def pairsOf(df: DataFrame) = df
+      .filter(size(ws) >= 2)
+      .select(col("doc_id"),
+        explode(arrays_zip(
+          slice(ws, lit(1), size(ws) - 1).as("a"),
+          slice(ws, lit(2), size(ws) - 1).as("b"))).as("p"))
+      .filter(length(col("p.a")) > 0 && length(col("p.b")) > 0)
+      .select(col("doc_id"), col("p.a").as("w1"), col("p.b").as("w2"))
+    val train = docs.filter(col("is_train"))
+    val uni = train
+      .select(explode(ws).as("w")).filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val nTotal = uni.agg(sum("c").as("n_total"))
+    val big = pairsOf(train).groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    pairsOf(docs.filter(!col("is_train")))
+      .join(big, Seq("w1", "w2"), "left")
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"), "left")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"), "left")
+      .crossJoin(broadcast(nTotal))
+      .select(col("doc_id"),
+        col("c12").isNull.as("backoff"),
+        when(col("c12").isNotNull,
+          floor(lit(1000) * log2(col("c1").cast(DoubleType) / col("c12"))))
+          .otherwise(
+            floor(lit(1000) * log2(
+              lit(2.5) * col("n_total").cast(DoubleType) /
+                coalesce(col("c2"), lit(1L)).cast(DoubleType))))
+          .cast(LongType).as("term_milli"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("backoff"), 1L).otherwise(0L)).cast(LongType).as("n_backoff"),
+        sum(col("term_milli")).as("bits_milli"))
+      .withColumn("bpt_milli", expr("bits_milli div n_bigrams"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_stupid_backoff" -> qStupidBackoff,
     "q_pii_scrub" -> qPiiScrub,
     "q_unigram_ppl" -> qUnigramPpl,
     "q_ppl_buckets" -> qPplBuckets,
@@ -567,6 +634,44 @@ object CorpusOps {
     "q_url_canonical" -> qUrlCanonical)
 
   val oracle: Map[String, String] = Map(
+    "q_stupid_backoff" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    CAST('0x' || substr(md5('sb|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |      % 10 <> 0 AS is_train
+        |  FROM documents WHERE text IS NOT NULL),
+        |wl AS (SELECT doc_id, is_train, string_split(text, ' ') AS w FROM d),
+        |pairs AS (
+        |  SELECT doc_id, is_train, w[i] AS w1, w[i+1] AS w2
+        |  FROM wl, LATERAL (SELECT unnest(range(1, len(w))) AS i)
+        |  WHERE len(w) >= 2 AND length(w[i]) > 0 AND length(w[i+1]) > 0),
+        |uni AS (
+        |  SELECT wu AS w, COUNT(*) AS c
+        |  FROM (SELECT unnest(w) AS wu FROM wl WHERE is_train)
+        |  WHERE length(wu) > 0 GROUP BY wu),
+        |nt AS (SELECT SUM(c) AS n_total FROM uni),
+        |big AS (
+        |  SELECT w1, w2, COUNT(*) AS c12 FROM pairs WHERE is_train GROUP BY w1, w2),
+        |terms AS (
+        |  SELECT p.doc_id,
+        |    b.c12 IS NULL AS backoff,
+        |    CASE WHEN b.c12 IS NOT NULL
+        |      THEN CAST(floor(1000 * log2(CAST(u1.c AS DOUBLE) / b.c12)) AS BIGINT)
+        |      ELSE CAST(floor(1000 * log2(
+        |        2.5 * CAST(nt.n_total AS DOUBLE)
+        |          / CAST(COALESCE(u2.c, 1) AS DOUBLE))) AS BIGINT)
+        |    END AS term_milli
+        |  FROM pairs p
+        |  LEFT JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+        |  LEFT JOIN uni u1 ON p.w1 = u1.w
+        |  LEFT JOIN uni u2 ON p.w2 = u2.w
+        |  CROSS JOIN nt
+        |  WHERE NOT p.is_train)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(CASE WHEN backoff THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
+        |  CAST(SUM(term_milli) AS BIGINT) AS bits_milli,
+        |  CAST(SUM(term_milli) // COUNT(*) AS BIGINT) AS bpt_milli
+        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_pii_scrub" ->
       """WITH p AS (
         |  SELECT doc_id,

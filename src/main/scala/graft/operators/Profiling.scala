@@ -169,6 +169,52 @@ object Profiling {
       .orderBy("source")
   }
 
+  /** q_gram_dup_curve — corpus duplication rate by n-gram order
+    * (n = 1..8): total vs distinct word n-grams and the duplicate
+    * share in permille, for every order in one pass. The redundancy
+    * profile behind substring-dedup threshold choices (Lee et al.
+    * 2022 pick 50-token spans from exactly this curve's shape): short
+    * grams repeat by grammar, long grams repeat only by copying, and
+    * WHERE the curve collapses tells a pipeline owner what span
+    * length separates language from duplication in their corpus.
+    *
+    * Plan: ONE posexplode + ONE doc-keyed window exchange carries the
+    * whole lead chain (w+1..w+7 — the [[CorpusOps]] r9 rule: grams
+    * from lead chains, never array-HOF re-materialization); all 8
+    * orders assemble from the same 8 columns and stack via explode,
+    * so the corpus is scanned once, shuffled once for the window, and
+    * the (n, gram) aggregate collapses map-side before its shuffle.
+    * The second aggregate is 8 groups. */
+  val qGramDupCurve: Q = (s, d) => {
+    val words = Tables.spread(Tables.documents(s, d).filter(col("text").isNotNull))
+      .select(col("doc_id"),
+        posexplode(filter(split(col("text"), " "), w => length(w) > 0)))
+      .select(col("doc_id"), col("pos"), col("col").as("w0"))
+    val wd = Window.partitionBy("doc_id").orderBy("pos")
+    val withLeads = (1 to 7).foldLeft(words) { (df, i) =>
+      df.withColumn(s"w$i", lead(col("w0"), i).over(wd))
+    }
+    // gram of order n exists at a position iff lead n-1 is non-null;
+    // concat_ws never sees a null interior lead (doc positions are
+    // contiguous, so lead k null ⇒ lead k+1 null)
+    val stacked = withLeads.select(
+      explode(array((1 to 8).map { n =>
+        struct(lit(n.toLong).as("n"),
+          when(if (n == 1) lit(true) else col(s"w${n - 1}").isNotNull,
+            concat_ws(" ", (0 until n).map(i => col(s"w$i")): _*)).as("g"))
+      }: _*)).as("x"))
+      .select(col("x.n").as("n"), col("x.g").as("g"))
+      .filter(col("g").isNotNull)
+    stacked
+      .groupBy("n", "g").agg(count(lit(1)).as("c"))
+      .groupBy("n")
+      .agg(sum(col("c")).cast(LongType).as("n_grams"),
+        count(lit(1)).as("n_distinct"))
+      .withColumn("dup_permille",
+        expr("((n_grams - n_distinct) * 1000) div n_grams").cast(LongType))
+      .orderBy("n")
+  }
+
   /** q_zorder_layout — multi-dimension zone maps through the native
     * codegen [[graft.functions.ZOrderExpr]]: rows ranked by the Morton
     * interleave of (n_chars rank, source number), blocked by 50, each
@@ -231,7 +277,8 @@ object Profiling {
     "q_column_profile" -> qColumnProfile,
     "q_zone_map" -> qZoneMap,
     "q_kmv_cardinality" -> qKmvCardinality,
-    "q_bigram_ttr" -> qBigramTtr)
+    "q_bigram_ttr" -> qBigramTtr,
+    "q_gram_dup_curve" -> qGramDupCurve)
 
   /** Bit-by-bit DuckDB spelling of [[graft.functions.ZOrderExpr]]'s
     * interleave (bit i of a → 2i+1, bit i of b → 2i) over 15 bits —
@@ -353,5 +400,26 @@ object Profiling {
         |  FROM bigrams GROUP BY source)
         |SELECT source, n_bigrams, n_distinct,
         |  CAST((n_distinct * 1000) // n_bigrams AS BIGINT) AS ttr_permille
-        |FROM agg ORDER BY source""".stripMargin)
+        |FROM agg ORDER BY source""".stripMargin,
+    "q_gram_dup_curve" ->
+      // positions unnest FIRST, orders cross-join after — a LATERAL
+      // whose range bound mixes the ns.n and wl.w binders trips a
+      // DuckDB internal binder assertion (reproduced on 1.x); the
+      // i+n-1 <= len(w) predicate is the same gram set
+      """WITH wl AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |pos AS (
+        |  SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM wl),
+        |ns AS (SELECT unnest(range(1, 9)) AS n),
+        |grams AS (
+        |  SELECT n, array_to_string(w[i:i+n-1], ' ') AS g
+        |  FROM pos CROSS JOIN ns
+        |  WHERE i + n - 1 <= len(w))
+        |SELECT CAST(n AS BIGINT) AS n, COUNT(*) AS n_grams,
+        |  CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct,
+        |  CAST(((COUNT(*) - COUNT(DISTINCT g)) * 1000) // COUNT(*) AS BIGINT)
+        |    AS dup_permille
+        |FROM grams GROUP BY n ORDER BY n""".stripMargin)
 }

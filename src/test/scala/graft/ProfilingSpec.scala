@@ -77,4 +77,58 @@ class ProfilingSpec extends SparkSpec {
       assert(t > 0 && t <= 1000)
     }
   }
+
+  test("gram dup curve: hand-computable on one doc; monotone non-increasing on fixture") {
+    // "a b a b a": totals 5,4,3,2,1 and distinct 2,2,2,2,1 for n=1..5;
+    // orders 6..8 have no grams and must be absent, not zero rows
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dupcurve-spec").toString
+    Seq((0L, "a b a b a", "en", "web", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Profiling.qGramDupCurve(spark, dir).collect().map(r =>
+      (r.getAs[Long]("n"), r.getAs[Long]("n_grams"),
+        r.getAs[Long]("n_distinct"), r.getAs[Long]("dup_permille")))
+    spark.catalog.clearCache()
+    assert(rows.toSeq === Seq(
+      (1L, 5L, 2L, 600L), (2L, 4L, 2L, 500L), (3L, 3L, 2L, 333L),
+      (4L, 2L, 2L, 0L), (5L, 1L, 1L, 0L)), rows.mkString(","))
+    // real fixture: longer grams can only be rarer and less duplicated
+    val r = Profiling.qGramDupCurve(spark, sf).collect()
+    assert(r.length === 8) // 50+-word docs carry all 8 orders
+    val dup = r.sortBy(_.getAs[Long]("n")).map(_.getAs[Long]("dup_permille"))
+    assert(dup.toSeq === dup.toSeq.sorted.reverse, dup.mkString(","))
+  }
+
+  test("stupid backoff: hand-built model exercises both branches exactly") {
+    // ids 0,1 are train under md5('sb|'||id) % 10 (6,4); id 4 is eval (0).
+    // Model: "x y x y x" + "z z z" → c(x)=3 c(y)=2 c(z)=3, N=8,
+    // bigrams {x y:2, y x:2, z z:2}. Eval "x y z q":
+    //   (x,y) seen  → ⌊1000·log2(3/2)⌋  = 584
+    //   (y,z) unseen→ ⌊1000·log2(2.5·8/3)⌋ = 2736
+    //   (z,q) unseen, q OOV → ⌊1000·log2(2.5·8/1)⌋ = 4321
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sb-spec").toString
+    Seq(
+      (0L, "x y x y x", "en", "web", 9L),
+      (1L, "z z z", "en", "web", 5L),
+      (4L, "x y z q", "en", "web", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.operators.CorpusOps.qStupidBackoff(spark, dir).collect()
+      .map(x => (x.getLong(0), x.getAs[Long]("n_bigrams"), x.getAs[Long]("n_backoff"),
+        x.getAs[Long]("bits_milli"), x.getAs[Long]("bpt_milli")))
+    spark.catalog.clearCache()
+    assert(r.toSeq === Seq((4L, 3L, 2L, 7641L, 2547L)), r.mkString(","))
+    // real fixture: surprisal positive, backoff bounded by pair count
+    val a = graft.operators.CorpusOps.qStupidBackoff(spark, sf).collect()
+    assert(a.nonEmpty)
+    a.foreach { x =>
+      assert(x.getAs[Long]("bits_milli") >= 0)
+      assert(x.getAs[Long]("n_backoff") <= x.getAs[Long]("n_bigrams"))
+    }
+    // (no backoff assertion on the fixture: its 31-word vocabulary is so
+    // dense every eval transition is seen in training — the hand-built
+    // model above is what pins the smoothing branch)
+  }
 }
