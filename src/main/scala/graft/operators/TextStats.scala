@@ -150,8 +150,12 @@ object TextStats {
     * on both engines. One scan, all rules from length/replace
     * algebra — no explosion, no shuffle before the final sort;
     * keep = conjunction. */
-  val qQualityRules: Q = (s, d) => {
-    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+  /** The four Gopher-style rule flags over any (doc_id, text) frame —
+    * shared by [[qQualityRules]] (per-doc report) and
+    * [[qQualityDupCorr]] (which applies the rules to a planted-clone
+    * corpus, so the flags must be a function of the FRAME, not of the
+    * base table). */
+  private def qualityFlags(docs: DataFrame): DataFrame = {
     val nWords = Packing.wsTokens(col("text"))
     val nCharsNospace = length(replace(col("text"), lit(" "), lit(""))).cast(LongType)
     val nAlpha =
@@ -166,10 +170,53 @@ object TextStats {
       .withColumn("r_wlen", col("mean_wlen_c") >= 300 && col("mean_wlen_c") <= 1000)
       .withColumn("r_stop", col("n_stop") >= 2)
       .withColumn("r_alpha", col("alpha_pct") >= 70)
+  }
+
+  val qQualityRules: Q = (s, d) =>
+    qualityFlags(Tables.documents(s, d).filter(col("text").isNotNull))
       .withColumn("keep", col("r_len") && col("r_wlen") && col("r_stop") && col("r_alpha"))
       .select("doc_id", "n_words", "mean_wlen_c", "n_stop", "alpha_pct",
         "r_len", "r_wlen", "r_stop", "r_alpha", "keep")
       .orderBy("doc_id")
+
+  /** q_quality_dup_corr — the cross-signal curation audit: ARE the
+    * low-quality documents also the duplicated ones? Groups the corpus
+    * by how many of the four Gopher rules pass (0..4) and reports the
+    * exact-duplicate share of each stratum. If duplication concentrates
+    * in low-rule strata, one aggressive quality cut buys most of the
+    * dedup; if it is flat, the two filters are independent and both
+    * must run — the ordering decision every pipeline makes, answered
+    * with a number instead of folklore. Duplicate evidence is planted
+    * (doc_id ≡ 0 mod 17 gains a clone at +1,000,000 — the
+    * [[graft.operators.Selection]] split-leakage pattern: the small
+    * fixtures carry no natural exact dups, and an audit that can never
+    * fire is untested).
+    *
+    * Plan: the rules are scan-side arithmetic on the cloned frame; the
+    * fingerprint spine is one fp-keyed aggregate + an fp equi-join back
+    * (both sides the same co-partitioned frame), then a ≤5-group
+    * conditional aggregate. */
+  val qQualityDupCorr: Q = (s, d) => {
+    val base = Tables.documents(s, d)
+      .filter(col("text").isNotNull).select(col("doc_id"), col("text"))
+    val corpus = base.unionAll(
+      base.filter(pmod(col("doc_id"), lit(17)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val rules = qualityFlags(corpus)
+      .select(col("doc_id"),
+        (col("r_len").cast(LongType) + col("r_wlen").cast(LongType) +
+          col("r_stop").cast(LongType) + col("r_alpha").cast(LongType)).as("n_pass"))
+    val fps = corpus.select(col("doc_id"), md5(col("text")).as("fp"))
+    val dupIds = fps
+      .join(fps.groupBy("fp").agg(count(lit(1)).as("c")).filter(col("c") > 1),
+        Seq("fp"))
+      .select(col("doc_id"), lit(1L).as("is_dup"))
+    rules.join(dupIds, Seq("doc_id"), "left")
+      .groupBy("n_pass")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_dup"), lit(0L))).cast(LongType).as("n_dup"))
+      .withColumn("dup_permille", expr("(n_dup * 1000) div n_docs").cast(LongType))
+      .orderBy("n_pass")
   }
 
   /** Token counting two ways: whitespace tokens and a BPE-ish regex
@@ -829,6 +876,7 @@ object TextStats {
     "q_fingerprint" -> qFingerprint,
     "q_hash_split" -> qHashSplit,
     "q_quality_rules" -> qQualityRules,
+    "q_quality_dup_corr" -> qQualityDupCorr,
     "q_source_mixture" -> qSourceMixture,
     "q_temperature_mix" -> qTemperatureMix,
     "q_source_kl" -> qSourceKl,
@@ -1138,6 +1186,41 @@ object TextStats {
         |        CAST('0x' || substr(md5('split|' || text), 1, 15) AS BIGINT) % 100 AS bucket
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "q_quality_dup_corr" -> {
+      val nStop = nStop4Duck
+      s"""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents
+        |  WHERE text IS NOT NULL AND doc_id % 17 = 0),
+        |rules AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(n_words >= 10 AND n_words <= 100000 AS INT) +
+        |         CAST(mean_wlen_c >= 300 AND mean_wlen_c <= 1000 AS INT) +
+        |         CAST(n_stop >= 2 AS INT) +
+        |         CAST(alpha_pct >= 70 AS INT) AS BIGINT) AS n_pass
+        |  FROM (
+        |    SELECT doc_id, n_words,
+        |      (nc * 100) // n_words AS mean_wlen_c,
+        |      (n_alpha * 100) // greatest(nc, 1) AS alpha_pct,
+        |      n_stop
+        |    FROM (
+        |      SELECT doc_id,
+        |        length(text) - length(replace(text, ' ', '')) + 1 AS n_words,
+        |        length(replace(text, ' ', '')) AS nc,
+        |        length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) AS n_alpha,
+        |        $nStop AS n_stop
+        |      FROM corpus))),
+        |fps AS (SELECT doc_id, md5(text) AS fp FROM corpus),
+        |dups AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) > 1),
+        |flag AS (SELECT f.doc_id, 1 AS is_dup FROM fps f JOIN dups USING (fp))
+        |SELECT r.n_pass, COUNT(*) AS n_docs,
+        |  CAST(SUM(COALESCE(is_dup, 0)) AS BIGINT) AS n_dup,
+        |  CAST((SUM(COALESCE(is_dup, 0)) * 1000) // COUNT(*) AS BIGINT)
+        |    AS dup_permille
+        |FROM rules r LEFT JOIN flag USING (doc_id)
+        |GROUP BY r.n_pass ORDER BY r.n_pass""".stripMargin
+    },
     "q_quality_rules" -> {
       val nStop = nStop4Duck
       s"""SELECT doc_id, n_words, mean_wlen_c, n_stop, alpha_pct,

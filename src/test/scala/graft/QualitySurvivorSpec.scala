@@ -60,6 +60,29 @@ class QualitySurvivorSpec extends SparkSpec {
       (11L, 5L, 3L, 600L)), rows.mkString(","))
   }
 
+  test("qQualityDupCorr: strata partition the planted-clone corpus; dup count exact") {
+    val sf = "/root/testdata/sf0.001"
+    val r = TextStats.qQualityDupCorr(spark, sf).collect()
+    import org.apache.spark.sql.functions._
+    val base = Tables.documents(spark, sf)
+      .filter(col("text").isNotNull).select(col("doc_id"), col("text"))
+    val nBase = base.count()
+    val nClones = base.filter(pmod(col("doc_id"), lit(17)) === 0).count()
+    // strata partition the corpus (base + planted clones)
+    assert(r.map(_.getAs[Long]("n_docs")).sum === nBase + nClones)
+    assert(r.forall(x => { val p = x.getAs[Long]("n_pass"); p >= 0 && p <= 4 }))
+    // duplicate total equals the independently-computed membership of
+    // >1-sized fingerprint groups over the same cloned corpus
+    val corpus = base.unionAll(
+      base.filter(pmod(col("doc_id"), lit(17)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val expectDup = corpus.select(md5(col("text")).as("fp"))
+      .groupBy("fp").count().filter(col("count") > 1)
+      .agg(coalesce(sum("count"), lit(0L))).collect()(0).getLong(0)
+    assert(r.map(_.getAs[Long]("n_dup")).sum === expectDup)
+    assert(expectDup >= 2 * nClones) // every clone makes a >=2 group
+  }
+
   test("qHeapsCurve: hand-computable growth curve; fixture totals conserve") {
     // 4 docs → blk = doc_id·32 div 4 = doc_id·8. Types first appear:
     // a,b@0  c@1  d@3. Tokens per doc: 2,2,2,1.
