@@ -534,6 +534,46 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** q_simhash_sweep — Manku et al. 2007 (the Google near-dup crawler
+    * paper) pigeonhole blocking taken to its table form: split the
+    * 32-bit signature into four 8-bit pieces; any pair within hamming
+    * distance 3 differs in at most 3 pieces, so it MUST agree on at
+    * least one — piece-equality candidate generation provably loses
+    * nothing up to distance 3. The report is the hamming histogram
+    * (0..3) of the candidate pairs: the threshold-tuning table a
+    * dedup deployment reads before picking its cut ([[qSimhashNeardup]]
+    * ships distance ≤1 with 16-bit halves; this is the generalized
+    * sweep behind that choice).
+    *
+    * The DuckDB twin runs the NAIVE quadratic pair join — hash
+    * equality therefore PROVES the blocked join IS the full hamming
+    * ball, not an approximation (the q_interval_overlap proof
+    * pattern). Scale shape: signatures are one long per doc; the
+    * self-join shuffles 4 rows/doc on (piece, value) keys and only
+    * piece-agreeing pairs are ever scored. At web scale the piece
+    * count/width grows with the Manku table layout (more pieces →
+    * smaller buckets → tighter balls), same operator shape. */
+  val qSimhashSweep: Q = (s, d) => {
+    val sig = simhashSignatures(Tables.documents(s, d).select("doc_id", "text"))
+      .localCheckpoint() // word-explode agg runs once, not per join side
+    val pieces = (0 until 4).map { k =>
+      sig.select(col("doc_id"), col("simhash"), lit(k.toLong).as("ck"),
+        expr(s"(simhash div ${1L << (8 * k)}) % 256").as("cv"))
+    }.reduce(_ unionAll _)
+    pieces.as("a")
+      .join(pieces.as("b"),
+        col("a.ck") === col("b.ck") && col("a.cv") === col("b.cv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"),
+        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .distinct() // a pair may agree on several pieces
+      .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
+      .filter(col("hamming") <= 3)
+      .groupBy("hamming")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("hamming")
+  }
+
   /** The composed corpus-dedup pipeline a training-data job calls:
     * exact dedup (keep min doc_id per content) then minhash-LSH
     * near-dup pruning (for each candidate pair a<b, drop b — the
@@ -781,6 +821,7 @@ object Dedup {
     "q_dedup_keep" -> qDedupKeep,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_simhash_neardup" -> qSimhashNeardup,
+    "q_simhash_sweep" -> qSimhashSweep,
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_ngram_containment" -> qNgramContainment
   )
@@ -921,6 +962,26 @@ object Dedup {
        "dropped AS (SELECT id FROM labels WHERE id <> comp)\n" +
        "SELECT doc_id, source, n_chars FROM documents\n" +
        "WHERE doc_id NOT IN (SELECT id FROM dropped) ORDER BY doc_id"),
+    "q_simhash_sweep" ->
+      // NAIVE quadratic pair join on purpose: hash equality against the
+      // engine's pigeonhole-blocked join proves the blocking is lossless
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |wh AS (SELECT doc_id, CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS h
+        |       FROM w WHERE length(word) > 0),
+        |bits AS (SELECT doc_id, b,
+        |           SUM(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END) AS s
+        |         FROM wh CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) bs
+        |         GROUP BY doc_id, b),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+        |      AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id)
+        |SELECT CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming,
+        |  COUNT(*) AS n_pairs
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_dedup_simhash" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
         |wh AS (SELECT doc_id, CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS h

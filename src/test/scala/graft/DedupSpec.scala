@@ -118,4 +118,20 @@ class DedupSpec extends SparkSpec {
       "fixture must contain the embedded cross-length pair")
     assert(actual == expected)
   }
+
+  test("simhash sweep equals the naive quadratic hamming histogram (pigeonhole lossless)") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val blocked = Dedup.qSimhashSweep(spark, sf).collect()
+      .map(r => (r.getAs[Long]("hamming"), r.getAs[Long]("n_pairs"))).toSeq
+    val sig = Dedup.simhashSignatures(
+      Tables.documents(spark, sf).select("doc_id", "text")).localCheckpoint()
+    val naive = sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("hamming").collect()
+      .map(r => (r.getAs[Long]("hamming"), r.getAs[Long]("n_pairs"))).toSeq
+    assert(blocked === naive, s"blocked=$blocked naive=$naive")
+  }
 }
