@@ -828,7 +828,7 @@ object Dedup {
 
   /** Shared oracle CTE chain computing the minhash-LSH candidate pairs
     * as `cand(a, b)`. */
-  private val minhashCandCte: String =
+  private[operators] val minhashCandCte: String =
     """pos AS (
       |  SELECT doc_id, text,
       |         unnest(generate_series(1, greatest(length(text)-4, 1), 5)) AS i

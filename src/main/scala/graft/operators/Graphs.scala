@@ -72,9 +72,76 @@ object Graphs {
       .orderBy("node")
   }
 
-  val queries: Map[String, Q] = Map("q_pagerank_step" -> qPagerankStep)
+  /** q_dup_triangles — triangle census + global clustering coefficient
+    * of the minhash-LSH candidate graph: n_edges, n_nodes,
+    * n_triangles, n_wedges (Σ C(deg,2) open two-paths) and
+    * closure = 3·triangles/wedges in permille. The cohesion diagnostic
+    * of a dedup candidate graph: closure near 1000 means candidates
+    * form tight cliques (true duplicate clusters — transitive pruning
+    * is safe); low closure means chains of borderline pairs where a
+    * single-pass "drop b" policy over-merges. Same edge spine as
+    * [[Dedup.qDedupComponents]], read for shape instead of membership.
+    *
+    * Scale shape: the textbook distributed triangle count — edges kept
+    * in a<b orientation (each triangle counted exactly once as
+    * a<b<c), wedge join e1(a,b)⋈e2(b,c) on the shared middle vertex,
+    * closure check e3(a,c) as a second equi-join. All three legs are
+    * the SAME candidate-graph-sized table (checkpointed once);
+    * nothing is corpus-sized and no adjacency structure ever
+    * materializes driver-side. Degree sums ride one |V|-group
+    * aggregate. */
+  val qDupTriangles: Q = (s, d) => {
+    val edges = Dedup.minhashCandidatePairs(s, d)
+      .select(col("a"), col("b")).localCheckpoint()
+    val deg = edges.select(col("a").as("v"))
+      .unionAll(edges.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val wedges = deg.agg(
+      sum(expr("deg * (deg - 1) div 2")).cast(LongType).as("n_wedges"),
+      count(lit(1)).as("n_nodes"))
+    val tri = edges.as("e1")
+      .join(edges.as("e2"), col("e1.b") === col("e2.a"))
+      .join(edges.as("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    edges.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(wedges))
+      .crossJoin(broadcast(tri))
+      .select(col("n_edges"), col("n_nodes"), col("n_triangles"), col("n_wedges"),
+        when(col("n_wedges") > 0,
+          expr("(3 * n_triangles * 1000) div n_wedges"))
+          .otherwise(0L).cast(LongType).as("closure_permille"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_pagerank_step" -> qPagerankStep,
+    "q_dup_triangles" -> qDupTriangles)
 
   val oracle: Map[String, String] = Map(
+    "q_dup_triangles" ->
+      // concatenated, NOT interpolated into a stripMargin literal: the
+      // CTE is already margin-stripped and its `||` concat operators at
+      // line starts would be eaten by a second stripMargin pass
+      ("WITH " + Dedup.minhashCandCte + ",\n" +
+      """deg AS (
+        |  SELECT v, COUNT(*) AS deg
+        |  FROM (SELECT a AS v FROM cand UNION ALL SELECT b FROM cand)
+        |  GROUP BY v),
+        |w AS (
+        |  SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges,
+        |         COUNT(*) AS n_nodes
+        |  FROM deg),
+        |t AS (
+        |  SELECT COUNT(*) AS n_triangles
+        |  FROM cand e1
+        |  JOIN cand e2 ON e1.b = e2.a
+        |  JOIN cand e3 ON e1.a = e3.a AND e2.b = e3.b),
+        |e AS (SELECT COUNT(*) AS n_edges FROM cand)
+        |SELECT e.n_edges, w.n_nodes, t.n_triangles, w.n_wedges,
+        |  CAST(CASE WHEN w.n_wedges > 0
+        |       THEN (3 * t.n_triangles * 1000) // w.n_wedges
+        |       ELSE 0 END AS BIGINT) AS closure_permille
+        |FROM e, t, w""".stripMargin),
     "q_pagerank_step" ->
       """WITH seq AS (
         |  SELECT user_id, event_type,

@@ -24,6 +24,30 @@ class LeakageGraphSpec extends SparkSpec {
     r.foreach(x => assert(x.getAs[Long]("pr1_micro") >= 150000L / n * 1))
   }
 
+  test("dup triangles: count matches the neighbor-intersection formulation") {
+    val r = Graphs.qDupTriangles(spark, sf).collect()
+    assert(r.length === 1)
+    val x = r.head
+    val nEdges = x.getAs[Long]("n_edges")
+    val nTri = x.getAs[Long]("n_triangles")
+    val nWedges = x.getAs[Long]("n_wedges")
+    val closure = x.getAs[Long]("closure_permille")
+    assert(nEdges === graft.operators.Dedup.minhashCandidatePairs(spark, sf).count())
+    assert(3 * nTri <= nWedges) // every triangle contains 3 of the wedges
+    assert(closure >= 0 && closure <= 1000)
+    // independent recount: undirected adjacency, per-edge common
+    // neighbors; each triangle is seen from its 3 edges
+    val e = graft.operators.Dedup.minhashCandidatePairs(spark, sf)
+      .select(col("a"), col("b")).localCheckpoint()
+    val adj = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+    val common = e.as("ed")
+      .join(adj.as("na"), col("ed.a") === col("na.a"))
+      .join(adj.as("nb"),
+        col("ed.b") === col("nb.a") && col("na.b") === col("nb.b"))
+      .count()
+    assert(nTri === common / 3, s"tri=$nTri common=$common")
+  }
+
   test("split leakage only reports duplicated fingerprints; flag matches counts") {
     val r = Selection.qSplitLeakage(spark, sf).collect()
     r.foreach { x =>
