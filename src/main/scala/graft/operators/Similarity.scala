@@ -664,7 +664,80 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** q_jl_distortion — Johnson–Lindenstrauss random-projection
+    * fidelity, measured: project the 64-dim embeddings to 16 dims with
+    * a deterministic ±1 sign matrix (s(k,j) from the md5 hash — the
+    * Achlioptas 2003 database-friendly JL construction) and report,
+    * for each consecutive-id vector pair, the exact squared distance
+    * in both spaces and the distortion ratio d16²/(16·d64²) in
+    * permille (expectation exactly 1000 — E[(Σⱼ sⱼdⱼ)²] = Σdⱼ² per
+    * projected axis). The measurable form of "how many dimensions can
+    * retrieval afford to drop" that [[qMatryoshkaOverlap]] asks of
+    * LEARNED prefixes and [[qPqTopk]] of quantized codes; JL is the
+    * data-independent baseline both must beat.
+    *
+    * Exactness: components enter on the repo's DECIMAL(12,8)·10⁸
+    * unscaled-long grid; projections y = Σ ±u stay in Long (|y| ≤
+    * 3.2·10⁹), squares and their sums are DECIMAL(38,0) — Spark's
+    * decimal128 matches DuckDB's HUGEINT arrow type exactly, so the
+    * oracle pins every digit with no float anywhere. The permille
+    * ratio is a non-negative integral divide (truncation direction
+    * irrelevant on non-negatives — the Spark-div vs DuckDB-floor-//
+    * hazard is avoided by construction).
+    *
+    * Scale shape: one posexplode of the vector column; the 16-fold
+    * sign expansion rides a `sequence` explode whose output aggregates
+    * straight back to (vec, k) — 16 longs per vector cross the
+    * shuffle, not raw components; both distance joins are
+    * co-partitioned on the shared pair key. */
+  val qJlDistortion: Q = (s, d) => {
+    import graft.functions.Exprs.md5Long
+    val comps = Tables.embeddings(s, d)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === 64)
+      .select(col("vec_id"), posexplode(decVec(col("embedding"))).as(Seq("i0", "x")))
+      .select(col("vec_id"), (col("i0") + 1).as("j"),
+        (col("x") * lit(100000000L)).cast(LongType).as("u"))
+    val proj = comps
+      .select(col("vec_id"), col("j"), col("u"),
+        explode(sequence(lit(0), lit(15))).as("k"))
+      .withColumn("s",
+        when(pmod(md5Long(concat(lit("jl|"), col("k").cast("string"),
+          lit("|"), col("j").cast("string"))), lit(2L)) === 0, 1L).otherwise(-1L))
+      .groupBy(col("vec_id"), col("k"))
+      .agg(sum(col("s") * col("u")).cast(LongType).as("y"))
+    def pairHalf(df: DataFrame, even: Boolean, out: String): DataFrame = {
+      val f = if (even) pmod(col("vec_id"), lit(2)) === 0
+              else pmod(col("vec_id"), lit(2)) === 1
+      df.filter(f).withColumn("pair", // integer div: ids are non-negative
+        expr(s"(vec_id - ${if (even) 0 else 1}) div 2").cast(LongType))
+        .withColumnRenamed("y", out).withColumnRenamed("u", out)
+    }
+    val sq38 = (c: Column) => {
+      val dec = c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+      dec * dec
+    }
+    val d16 = pairHalf(proj, even = true, "ya")
+      .join(pairHalf(proj, even = false, "yb"), Seq("pair", "k"))
+      .groupBy("pair")
+      .agg(sum(sq38(col("ya") - col("yb")))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("d16_sq"))
+    val d64 = pairHalf(comps, even = true, "ua")
+      .join(pairHalf(comps, even = false, "ub"), Seq("pair", "j"))
+      .groupBy("pair")
+      .agg(sum(sq38(col("ua") - col("ub")))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("d64_sq"))
+    d64.join(d16, Seq("pair"))
+      .select((col("pair") * 2).cast(LongType).as("a"),
+        (col("pair") * 2 + 1).cast(LongType).as("b"),
+        col("d64_sq"), col("d16_sq"),
+        when(col("d64_sq") === 0, 0L)
+          .otherwise(expr("(d16_sq * 1000) div (16 * d64_sq)"))
+          .cast(LongType).as("distortion_permille"))
+      .orderBy("a")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_jl_distortion" -> qJlDistortion,
     "q_ann_topk" -> qAnnTopk,
     "q_matryoshka_overlap" -> qMatryoshkaOverlap,
     "q_embedding_neardup" -> qEmbeddingNeardup,
@@ -758,6 +831,40 @@ object Similarity {
       |  GROUP BY 1, 2)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_jl_distortion" ->
+      """WITH el AS (
+        |  SELECT vec_id, i AS j,
+        |    CAST(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) * 100000000
+        |      AS BIGINT) AS u
+        |  FROM (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS i
+        |        FROM embeddings
+        |        WHERE embedding IS NOT NULL AND len(embedding) = 64)),
+        |proj AS (
+        |  SELECT vec_id, k,
+        |    CAST(SUM(CASE WHEN CAST('0x' ||
+        |        substr(md5('jl|' || CAST(k AS VARCHAR) || '|' || CAST(j AS VARCHAR)), 1, 15)
+        |        AS BIGINT) % 2 = 0 THEN u ELSE -u END) AS BIGINT) AS y
+        |  FROM el CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k) ks
+        |  GROUP BY vec_id, k),
+        |d16 AS (
+        |  SELECT a.vec_id // 2 AS pair,
+        |    SUM(CAST(a.y - b.y AS HUGEINT) * (a.y - b.y)) AS d16_sq
+        |  FROM proj a JOIN proj b
+        |    ON a.vec_id % 2 = 0 AND b.vec_id = a.vec_id + 1 AND a.k = b.k
+        |  GROUP BY 1),
+        |d64 AS (
+        |  SELECT a.vec_id // 2 AS pair,
+        |    SUM(CAST(a.u - b.u AS HUGEINT) * (a.u - b.u)) AS d64_sq
+        |  FROM el a JOIN el b
+        |    ON a.vec_id % 2 = 0 AND b.vec_id = a.vec_id + 1 AND a.j = b.j
+        |  GROUP BY 1)
+        |SELECT CAST(pair * 2 AS BIGINT) AS a, CAST(pair * 2 + 1 AS BIGINT) AS b,
+        |  d64_sq, d16_sq,
+        |  CAST(CASE WHEN d64_sq = 0 THEN 0
+        |       ELSE (d16_sq * 1000) // (16 * d64_sq) END AS BIGINT)
+        |    AS distortion_permille
+        |FROM d64 JOIN d16 USING (pair)
+        |ORDER BY a""".stripMargin,
     "q_pq_topk" -> (s"WITH $pqOracleCtes\n" +
       """SELECT qid, nid, rnk, adc_unscaled FROM (
         |  SELECT qid, nid, adc_unscaled,

@@ -98,4 +98,43 @@ class SemanticOpsSpec extends SparkSpec {
     val both = out.count(r => r.getLong(2) == 1L && r.getLong(3) == 1L)
     assert(out.length == lexN + semN - both)
   }
+
+  test("jl distortion: first pair recomputed exactly with BigInt; mean near 1000") {
+    import org.apache.spark.sql.functions._
+    val r = Similarity.qJlDistortion(spark, sf).collect()
+    val nVec = Tables.embeddings(spark, sf).count()
+    assert(r.length === (nVec / 2).toInt)
+    // independent exact recount of pair (0, 1) from the raw floats,
+    // through the same decimal-grid rule, entirely in BigInt
+    val raw = Tables.embeddings(spark, sf).filter(col("vec_id") <= 1)
+      .orderBy("vec_id").collect()
+      .map(_.getAs[Seq[Float]]("embedding").toArray)
+    def u(x: Float): BigInt = // float -> double -> DECIMAL(12,8) -> *1e8
+      BigDecimal(x.toDouble).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+        .*(BigDecimal(100000000L)).toBigInt
+    def sign(k: Int, j: Int): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"jl|$k|$j".getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(15)
+      if (BigInt(hex, 16) % 2 == 0) 1 else -1
+    }
+    val ua = (1 to 64).map(j => u(raw(0)(j - 1)))
+    val ub = (1 to 64).map(j => u(raw(1)(j - 1)))
+    val d64 = (0 until 64).map(j => (ua(j) - ub(j)).pow(2)).sum
+    val d16 = (0 until 16).map { k =>
+      val ya = (1 to 64).map(j => ua(j - 1) * sign(k, j)).sum
+      val yb = (1 to 64).map(j => ub(j - 1) * sign(k, j)).sum
+      (ya - yb).pow(2)
+    }.sum
+    val first = r.head
+    assert(first.getLong(0) === 0L && first.getLong(1) === 1L)
+    assert(BigInt(first.getDecimal(2).toBigInteger) === d64)
+    assert(BigInt(first.getDecimal(3).toBigInteger) === d16)
+    assert(first.getAs[Long]("distortion_permille") ===
+      (d16 * 1000 / (16 * d64)).toLong)
+    // JL expectation: distortion centers on 1000; with k=16 the spread
+    // is wide per-pair but the mean over 250 pairs concentrates
+    val mean = r.map(_.getAs[Long]("distortion_permille")).sum / r.length
+    assert(mean > 500 && mean < 2000, s"mean=$mean")
+  }
 }
