@@ -37,7 +37,21 @@ object GraftExtensions {
       : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(findExtensionDescriptor, decimalDotDescriptor, floatDotDescriptor,
       zOrderDescriptor, topKDescriptor, freqItemsDescriptor,
-      bloomAggDescriptor, bloomContainsDescriptor) ++ kllDescriptors
+      bloomAggDescriptor, bloomContainsDescriptor, cmsAggDescriptor) ++ kllDescriptors
+
+  val cmsAggDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cms_agg"),
+    new ExpressionInfo(
+      classOf[graft.functions.CmsLongsAgg].getCanonicalName, null,
+      "cms_agg",
+      "cms_agg(hash64, depth) - mergeable Count-Min sketch over pre-hashed " +
+        "BIGINT inputs (depth x 64 counters as flat ARRAY<BIGINT>; " +
+        "overestimates only)", ""),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "cms_agg takes exactly 2 arguments")
+      graft.functions.CmsLongsAgg(children(0), children(1))
+    })
 
   val bloomAggDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (

@@ -169,6 +169,49 @@ object Profiling {
       .orderBy("source")
   }
 
+  /** q_cms_estimate — Count-Min sketch point-frequency estimates
+    * proven against exact truth (the [[qKmvCardinality]] pattern
+    * applied to frequencies instead of cardinalities): build one
+    * 4×64-counter [[graft.functions.CmsLongsAgg]] over the corpus
+    * token stream, then report, for the exact top-10 words, the true
+    * count, the sketch's min-over-rows estimate, and the signed
+    * overestimate in permille. CMS errs one-sided (cells only ever
+    * ADD colliding mass), so `n_est ≥ n_exact` is a structural
+    * invariant the oracle hash-pins — the bit-slice cell addressing
+    * ([[graft.functions.CmsUtil]]) exists precisely so DuckDB can
+    * rebuild every counter exactly.
+    *
+    * Scale shape: the sketch is a TypedImperativeAggregate — partial
+    * grids elementwise-add map-side and ONE 256-long array crosses
+    * the shuffle per partition, whatever the token count; the top-10
+    * side plans as TakeOrdered; probes read the broadcast single-row
+    * grid. The mergeable-frequency companion to the exact
+    * [[graft.functions.TopKLongsAgg]]/[[graft.functions.FreqItemsAgg]]
+    * and the KLL/KMV/bloom sketch family. */
+  val qCmsEstimate: Q = (s, d) => {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val words = Tables.spread(Tables.documents(s, d).filter(col("text").isNotNull))
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .withColumn("h", md5Long(col("w")))
+    val cms = words.agg(
+      GraftSqlBridge.column(graft.functions.CmsLongsAgg(
+        GraftSqlBridge.expression(col("h")), Literal(4))
+        .toAggregateExpression()).as("cms"))
+    val top = words.groupBy("w", "h").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("w")).limit(10)
+    top.crossJoin(broadcast(cms))
+      .withColumn("n_est", least((0 until 4).map { i =>
+        element_at(col("cms"),
+          (expr(s"CAST(shiftright(h, ${6 * i}) % 64 AS INT)") + lit(i * 64 + 1)))
+      }: _*))
+      .select(col("w").as("word"), col("n_exact"), col("n_est"),
+        expr("((n_est - n_exact) * 1000) div n_exact").cast(LongType)
+          .as("over_permille"))
+      .orderBy(col("n_exact").desc, col("word"))
+  }
+
   /** q_gram_dup_curve — corpus duplication rate by n-gram order
     * (n = 1..8): total vs distinct word n-grams and the duplicate
     * share in permille, for every order in one pass. The redundancy
@@ -278,7 +321,8 @@ object Profiling {
     "q_zone_map" -> qZoneMap,
     "q_kmv_cardinality" -> qKmvCardinality,
     "q_bigram_ttr" -> qBigramTtr,
-    "q_gram_dup_curve" -> qGramDupCurve)
+    "q_gram_dup_curve" -> qGramDupCurve,
+    "q_cms_estimate" -> qCmsEstimate)
 
   /** Bit-by-bit DuckDB spelling of [[graft.functions.ZOrderExpr]]'s
     * interleave (bit i of a → 2i+1, bit i of b → 2i) over 15 bits —
@@ -421,5 +465,30 @@ object Profiling {
         |  CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct,
         |  CAST(((COUNT(*) - COUNT(DISTINCT g)) * 1000) // COUNT(*) AS BIGINT)
         |    AS dup_permille
-        |FROM grams GROUP BY n ORDER BY n""".stripMargin)
+        |FROM grams GROUP BY n ORDER BY n""".stripMargin,
+    "q_cms_estimate" ->
+      // rebuilds the 4x64 counter grid exactly from the same bit-slice
+      // addressing the native aggregate uses — estimates become
+      // hash-pinned facts, not asserted approximations
+      """WITH wf AS (
+        |  SELECT w FROM (SELECT unnest(string_split(text, ' ')) AS w
+        |                 FROM documents WHERE text IS NOT NULL)
+        |  WHERE length(w) > 0),
+        |wh AS (SELECT w, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h FROM wf),
+        |rows_ AS (SELECT unnest(range(0, 4)) AS i),
+        |cells AS (
+        |  SELECT i, (h >> (6 * i)) & 63 AS cidx, COUNT(*) AS c
+        |  FROM wh CROSS JOIN rows_ GROUP BY 1, 2),
+        |ex AS (
+        |  SELECT w, h, COUNT(*) AS n_exact FROM wh GROUP BY w, h
+        |  ORDER BY n_exact DESC, w LIMIT 10),
+        |est AS (
+        |  SELECT ex.w, ex.n_exact, MIN(c.c) AS n_est
+        |  FROM ex CROSS JOIN rows_
+        |  JOIN cells c ON c.i = rows_.i AND c.cidx = ((ex.h >> (6 * rows_.i)) & 63)
+        |  GROUP BY ex.w, ex.n_exact)
+        |SELECT w AS word, CAST(n_exact AS BIGINT) AS n_exact,
+        |  CAST(n_est AS BIGINT) AS n_est,
+        |  CAST(((n_est - n_exact) * 1000) // n_exact AS BIGINT) AS over_permille
+        |FROM est ORDER BY n_exact DESC, word""".stripMargin)
 }

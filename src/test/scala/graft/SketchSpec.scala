@@ -59,4 +59,37 @@ class SketchSpec extends SparkSpec {
     assert(sizes.nonEmpty && sizes.forall(_ < 20000),
       s"sketches must be small: ${sizes.mkString(",")}")
   }
+
+  test("cms grid: exact merge (partitioning-independent), per-row mass conservation") {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    def grid(df: org.apache.spark.sql.DataFrame): Array[Long] =
+      df.agg(GraftSqlBridge.column(graft.functions.CmsLongsAgg(
+          GraftSqlBridge.expression(col("h")), Literal(4))
+          .toAggregateExpression()).as("cms"))
+        .head().getAs[Seq[Long]]("cms").toArray
+    val words = Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .withColumn("h", graft.functions.Exprs.md5Long(col("w")))
+      .localCheckpoint()
+    val n = words.count()
+    val one = grid(words.coalesce(1))
+    val many = grid(words.repartition(13))
+    // counters are exact adds — ANY sharding yields the identical grid
+    assert(one.toSeq === many.toSeq)
+    // each of the 4 rows distributes exactly the full token mass
+    (0 until 4).foreach { i =>
+      assert(one.slice(i * 64, (i + 1) * 64).sum === n, s"row $i")
+    }
+    // point estimates never underestimate (one-sided CMS error)
+    val exact = words.groupBy("w", "h").count().collect()
+    exact.foreach { r =>
+      val h = r.getAs[Long]("h")
+      val est = (0 until 4).map(i =>
+        one(i * 64 + graft.functions.CmsUtil.cellIndex(h, i))).min
+      assert(est >= r.getAs[Long]("count"), r.getAs[String]("w"))
+    }
+  }
 }
