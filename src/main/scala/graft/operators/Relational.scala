@@ -394,7 +394,48 @@ object Relational {
     pass(local, None).orderBy("o_orderkey")
   }
 
+  /** q_rendezvous_shards — highest-random-weight (rendezvous) sharding
+    * audit (Thaler & Ravishankar 1998, the consistent-placement scheme
+    * behind cacheless routing): every document goes to
+    * argmaxᵢ md5('hrw|' ‖ i ‖ '|' ‖ doc_id) over the shard set; the
+    * report shows per-shard balance at N = 8 and what an expansion to
+    * N = 9 moves. HRW's defining property — displaced keys relocate
+    * ONLY to the new shard (an existing shard's weight never changes,
+    * so rankings among the old 8 are untouched) — is emitted as the
+    * `n_moved_elsewhere` column so the oracle PINS it at zero rather
+    * than the scaladoc asserting it; expected move share is 1/9 of
+    * the corpus.
+    *
+    * Scale shape: assignment is a scan-side 8-way (then 9-way)
+    * sequence explode + a doc-keyed row_number window (high-
+    * cardinality key, balanced by construction); the rollup is an
+    * 8-group aggregate. No coordination state anywhere — the whole
+    * point of HRW placement on a 1000-node fleet. */
+  val qRendezvousShards: Q = (s, d) => {
+    def assign(n: Int, outCol: String): DataFrame = {
+      val wnd = Window.partitionBy("doc_id").orderBy(col("w").desc, col("i"))
+      Tables.documents(s, d).select(col("doc_id"))
+        .select(col("doc_id"), explode(sequence(lit(0), lit(n - 1))).as("i"))
+        .withColumn("w", md5Long(concat(lit("hrw|"), col("i").cast("string"),
+          lit("|"), col("doc_id").cast("string"))))
+        .withColumn("rn", row_number().over(wnd))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("i").cast(LongType).as(outCol))
+    }
+    assign(8, "shard").join(assign(9, "shard9"), Seq("doc_id"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("shard9") =!= col("shard"), 1L).otherwise(0L))
+          .cast(LongType).as("n_moved"),
+        sum(when(col("shard9") =!= col("shard") && col("shard9") =!= 8, 1L)
+          .otherwise(0L)).cast(LongType).as("n_moved_elsewhere"))
+      .withColumn("moved_permille",
+        expr("(n_moved * 1000) div n_docs").cast(LongType))
+      .orderBy("shard")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_rendezvous_shards" -> qRendezvousShards,
     "q_skyline" -> qSkyline,
     "q_salted_agg" -> qSaltedAgg,
     "q_histogram" -> qHistogram,
@@ -418,6 +459,36 @@ object Relational {
     "q_array_hof" -> qArrayHof)
 
   val oracle: Map[String, String] = Map(
+    "q_rendezvous_shards" ->
+      """WITH a8 AS (
+        |  SELECT doc_id, i AS shard FROM (
+        |    SELECT doc_id, i,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, i) AS rn
+        |    FROM (
+        |      SELECT doc_id, i,
+        |        CAST('0x' || substr(md5('hrw|' || CAST(i AS VARCHAR) || '|' ||
+        |          CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS w
+        |      FROM documents CROSS JOIN (SELECT unnest(range(0, 8)) AS i)))
+        |  WHERE rn = 1),
+        |a9 AS (
+        |  SELECT doc_id, i AS shard9 FROM (
+        |    SELECT doc_id, i,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, i) AS rn
+        |    FROM (
+        |      SELECT doc_id, i,
+        |        CAST('0x' || substr(md5('hrw|' || CAST(i AS VARCHAR) || '|' ||
+        |          CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS w
+        |      FROM documents CROSS JOIN (SELECT unnest(range(0, 9)) AS i)))
+        |  WHERE rn = 1)
+        |SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN shard9 <> shard THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_moved,
+        |  CAST(SUM(CASE WHEN shard9 <> shard AND shard9 <> 8 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_moved_elsewhere,
+        |  CAST((SUM(CASE WHEN shard9 <> shard THEN 1 ELSE 0 END) * 1000)
+        |    // COUNT(*) AS BIGINT) AS moved_permille
+        |FROM a8 JOIN a9 USING (doc_id)
+        |GROUP BY shard ORDER BY shard""".stripMargin,
     "q_skyline" ->
       """WITH w AS (
         |  SELECT o_orderkey, o_totalprice, o_orderdate,

@@ -134,4 +134,19 @@ class BreadthSpec extends SparkSpec {
     assert(math.abs(approx - exact) / exact < 0.1,
       s"approx=$approx exact=$exact")
   }
+
+  test("rendezvous shards: partition of the corpus, moves only to the new shard") {
+    val sf = "/root/testdata/sf0.001"
+    val r = graft.operators.Relational.qRendezvousShards(spark, sf).collect()
+    assert(r.map(_.getAs[Long]("shard")).toSeq === (0L to 7L))
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(r.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    // HRW's defining invariant: adding shard 8 never re-ranks the old 8
+    assert(r.forall(_.getAs[Long]("n_moved_elsewhere") === 0L))
+    // expected displacement is 1/9 of the corpus; binomial spread is
+    // wide at 500 docs, so assert a loose band around 111 permille
+    val moved = r.map(_.getAs[Long]("n_moved")).sum
+    assert(moved * 1000 / nDocs > 30 && moved * 1000 / nDocs < 250,
+      s"moved=$moved of $nDocs")
+  }
 }
