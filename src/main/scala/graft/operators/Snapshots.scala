@@ -55,6 +55,59 @@ object Snapshots {
       .orderBy("p_partkey")
   }
 
+  /** q_merkle_diff — block-level integrity comparison of the same two
+    * snapshots [[qSnapshotDiff]] diffs row-by-row: the key space hashes
+    * into 64 blocks, each block folds to an order-independent XOR of
+    * its row digests, and blocks whose checksums disagree are flagged.
+    * This is the Merkle-tree philosophy flattened one level — the
+    * coarse pass that tells a 100 TB pipeline WHICH 1/64th of the key
+    * space needs the expensive row diff at all (at ~1%/day change
+    * rates most blocks hash clean and skip row-level work entirely).
+    * XOR, not SUM, folds the digests: order-independent like addition
+    * but closed over Long — no overflow for ANSI mode to reject, no
+    * wraparound semantics to match across engines.
+    *
+    * `dirty` (the flag) is oracle-pinned per block against the ground
+    * truth both engines derive independently; blocks change iff they
+    * contain an added/removed/modified key, so the flag count ties out
+    * to [[qSnapshotDiff]]'s row count bucketed the same way.
+    *
+    * Scale shape: each side is ONE scan + a 64-group aggregate with
+    * map-side partial XOR — the shuffle carries 64 longs per
+    * partition; the block join is a 64-row broadcast. */
+  val qMerkleDiff: Q = (s, d) => {
+    import graft.functions.Exprs.md5Long
+    def digestBlocks(snap: DataFrame, sizeCol: String): DataFrame =
+      snap.select(
+        pmod(md5Long(concat(lit("mkb|"), col("p_partkey").cast("string"))),
+          lit(64L)).as("block"),
+        md5Long(concat(col("p_partkey").cast("string"), lit("|"),
+          col(sizeCol).cast("string"))).as("rh"))
+        .groupBy("block")
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(rh)").as("xh"))
+    val part = Tables.part(s, d)
+    val snapA = part
+      .filter(pmod(col("p_partkey"), lit(11)) =!= 0)
+      .select(col("p_partkey"), col("p_size").cast(LongType).as("sz"))
+    val snapB = part
+      .filter(pmod(col("p_partkey"), lit(13)) =!= 0)
+      .select(col("p_partkey"),
+        when(pmod(col("p_partkey"), lit(7)) === 0, col("p_size") + 1)
+          .otherwise(col("p_size")).cast(LongType).as("sz"))
+    val a = digestBlocks(snapA, "sz")
+      .withColumnRenamed("n_rows", "n_rows_a").withColumnRenamed("xh", "xa")
+    val b = digestBlocks(snapB, "sz")
+      .withColumnRenamed("n_rows", "n_rows_b").withColumnRenamed("xh", "xb")
+    a.join(b, Seq("block"), "full_outer")
+      .select(col("block"),
+        coalesce(col("n_rows_a"), lit(0L)).as("n_rows_a"),
+        coalesce(col("n_rows_b"), lit(0L)).as("n_rows_b"),
+        when(coalesce(col("xa"), lit(0L)) =!= coalesce(col("xb"), lit(0L)) ||
+          coalesce(col("n_rows_a"), lit(0L)) =!= coalesce(col("n_rows_b"), lit(0L)),
+          1L).otherwise(0L).cast(LongType).as("dirty"))
+      .orderBy("block")
+  }
+
   /** q_incremental_dedup — the ingest-time twin of exact dedup: a new
     * batch (a deterministic ~20% hash slice standing in for "today's
     * crawl") checks its content fingerprints against the existing
@@ -92,9 +145,41 @@ object Snapshots {
 
   val queries: Map[String, Q] = Map(
     "q_snapshot_diff" -> qSnapshotDiff,
+    "q_merkle_diff" -> qMerkleDiff,
     "q_incremental_dedup" -> qIncrementalDedup)
 
   val oracle: Map[String, String] = Map(
+    "q_merkle_diff" ->
+      """WITH a AS (
+        |  SELECT p_partkey, CAST(p_size AS BIGINT) AS sz
+        |  FROM part WHERE p_partkey % 11 <> 0),
+        |b AS (
+        |  SELECT p_partkey,
+        |    CAST(CASE WHEN p_partkey % 7 = 0 THEN p_size + 1 ELSE p_size END
+        |      AS BIGINT) AS sz
+        |  FROM part WHERE p_partkey % 13 <> 0),
+        |da AS (
+        |  SELECT CAST('0x' || substr(md5('mkb|' || CAST(p_partkey AS VARCHAR)), 1, 15)
+        |           AS BIGINT) % 64 AS block,
+        |    COUNT(*) AS n_rows_a,
+        |    bit_xor(CAST('0x' || substr(md5(CAST(p_partkey AS VARCHAR) || '|' ||
+        |      CAST(sz AS VARCHAR)), 1, 15) AS BIGINT)) AS xa
+        |  FROM a GROUP BY 1),
+        |db AS (
+        |  SELECT CAST('0x' || substr(md5('mkb|' || CAST(p_partkey AS VARCHAR)), 1, 15)
+        |           AS BIGINT) % 64 AS block,
+        |    COUNT(*) AS n_rows_b,
+        |    bit_xor(CAST('0x' || substr(md5(CAST(p_partkey AS VARCHAR) || '|' ||
+        |      CAST(sz AS VARCHAR)), 1, 15) AS BIGINT)) AS xb
+        |  FROM b GROUP BY 1)
+        |SELECT COALESCE(da.block, db.block) AS block,
+        |  CAST(COALESCE(n_rows_a, 0) AS BIGINT) AS n_rows_a,
+        |  CAST(COALESCE(n_rows_b, 0) AS BIGINT) AS n_rows_b,
+        |  CAST(CASE WHEN COALESCE(xa, 0) <> COALESCE(xb, 0)
+        |         OR COALESCE(n_rows_a, 0) <> COALESCE(n_rows_b, 0)
+        |       THEN 1 ELSE 0 END AS BIGINT) AS dirty
+        |FROM da FULL OUTER JOIN db ON da.block = db.block
+        |ORDER BY block""".stripMargin,
     "q_snapshot_diff" ->
       """WITH a AS (
         |  SELECT p_partkey, CAST(p_size AS BIGINT) AS old_size

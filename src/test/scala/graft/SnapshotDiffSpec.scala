@@ -54,4 +54,27 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(plan.contains("SortMergeJoin"), plan)
     assert("hashpartitioning\\(p_partkey".r.findAllIn(plan).size >= 2, plan)
   }
+
+  test("merkle dirty blocks are exactly the blocks holding row-diff changes") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val blocks = Snapshots.qMerkleDiff(spark, sf).collect()
+    // ground truth: hash every changed key from the row-level diff
+    // into the same 64-block space
+    val changedBlocks = Snapshots.qSnapshotDiff(spark, sf)
+      .select(pmod(graft.functions.Exprs.md5Long(
+        concat(lit("mkb|"), col("p_partkey").cast("string"))), lit(64L))
+        .as("block"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val dirty = blocks.filter(_.getAs[Long]("dirty") == 1L)
+      .map(_.getAs[Long]("block")).toSet
+    // dirty ⊇ changed always; equality additionally requires no XOR
+    // collision masking a change — with 60-bit digests, certain here
+    assert(dirty === changedBlocks,
+      s"dirty=${dirty.toSeq.sorted} changed=${changedBlocks.toSeq.sorted}")
+    // clean blocks agree on both counters
+    blocks.filter(_.getAs[Long]("dirty") == 0L).foreach { r =>
+      assert(r.getAs[Long]("n_rows_a") === r.getAs[Long]("n_rows_b"))
+    }
+  }
 }
