@@ -574,6 +574,47 @@ object Dedup {
       .orderBy("hamming")
   }
 
+  /** q_edit_neardup — vocabulary typo clustering via the FastSS
+    * deletion neighborhood (Bocek et al. 2007): two strings within
+    * edit distance 1 ALWAYS share an entry of each other's
+    * {self} ∪ {1-deletions} set (substitution → delete the differing
+    * position from both; insertion/deletion → the shorter string IS a
+    * deletion variant of the longer), so a variant-keyed equi-join is
+    * a provably complete candidate generator — the string analog of
+    * the pigeonhole blocking [[qSimhashSweep]] proves for hamming
+    * space. Candidates then verify with exact `levenshtein ≤ 1`
+    * (necessary: "ab"/"ba" share deletion variants at distance 2).
+    * The corpus-cleaning use: OCR/typo variants of one vocabulary type
+    * fragment token statistics until they are clustered back together.
+    *
+    * The DuckDB twin runs the NAIVE quadratic levenshtein join over
+    * the vocabulary — hash equality proves the deletion-neighborhood
+    * join loses no pair. Scale shape: variants explode to |w|+1 short
+    * strings per TYPE (not token), the join keys on the variant
+    * string, and the verify runs only on candidate pairs; at a 10⁹-
+    * type web vocabulary the naive join is impossible and this shape
+    * is the standard one. */
+  val qEditNeardup: Q = (s, d) => {
+    val vocab = Tables.spread(Tables.documents(s, d).filter(col("text").isNotNull))
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).distinct().localCheckpoint()
+    val variants = vocab
+      .select(col("w"), explode(sequence(lit(0), length(col("w")))).as("i"))
+      .select(col("w"),
+        when(col("i") === 0, col("w"))
+          .otherwise(expr("concat(substr(w, 1, i - 1), substr(w, i + 1))"))
+          .as("v"))
+      .distinct() // a word's deletions can collide ("aa" → "a" twice)
+    variants.as("a")
+      .join(variants.as("b"),
+        col("a.v") === col("b.v") && col("a.w") < col("b.w"))
+      .select(col("a.w").as("a"), col("b.w").as("b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("a"), col("b")).cast("long"))
+      .filter(col("dist") <= 1)
+      .orderBy("a", "b")
+  }
+
   /** The composed corpus-dedup pipeline a training-data job calls:
     * exact dedup (keep min doc_id per content) then minhash-LSH
     * near-dup pruning (for each candidate pair a<b, drop b — the
@@ -822,6 +863,7 @@ object Dedup {
     "q_dedup_simhash" -> qDedupSimhash,
     "q_simhash_neardup" -> qSimhashNeardup,
     "q_simhash_sweep" -> qSimhashSweep,
+    "q_edit_neardup" -> qEditNeardup,
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_ngram_containment" -> qNgramContainment
   )
@@ -962,6 +1004,18 @@ object Dedup {
        "dropped AS (SELECT id FROM labels WHERE id <> comp)\n" +
        "SELECT doc_id, source, n_chars FROM documents\n" +
        "WHERE doc_id NOT IN (SELECT id FROM dropped) ORDER BY doc_id"),
+    "q_edit_neardup" ->
+      // NAIVE quadratic levenshtein join on purpose: hash equality
+      // proves the deletion-neighborhood candidate join is complete
+      """WITH vocab AS (
+        |  SELECT DISTINCT w FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        |    WHERE text IS NOT NULL)
+        |  WHERE length(w) > 0)
+        |SELECT a.w AS a, b.w AS b, CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
+        |FROM vocab a JOIN vocab b ON a.w < b.w
+        |WHERE levenshtein(a.w, b.w) <= 1
+        |ORDER BY a, b""".stripMargin,
     "q_simhash_sweep" ->
       // NAIVE quadratic pair join on purpose: hash equality against the
       // engine's pigeonhole-blocked join proves the blocking is lossless

@@ -119,6 +119,37 @@ class DedupSpec extends SparkSpec {
     assert(actual == expected)
   }
 
+  test("edit neardup equals naive levenshtein join; false candidates filtered") {
+    import org.apache.spark.sql.functions._
+    // hand vocabulary: cat~bat~cut (subst), cat~cats (insert),
+    // ab~ba shares deletion variants but is distance 2 (must be
+    // candidate-generated AND verify-filtered), xyz is isolated
+    val dir = java.nio.file.Files.createTempDirectory("graft-edit-spec").toString
+    import spark.implicits._
+    Seq((0L, "cat bat cut cats ab ba xyz", "en", "web", 26L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.qEditNeardup(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    spark.catalog.clearCache()
+    assert(got === Seq(
+      ("ba", "bat", 1L), // insertion neighbor — ba gains a t
+      ("bat", "cat", 1L), ("cat", "cats", 1L), ("cat", "cut", 1L)), got)
+    assert(!got.exists(p => p._1 == "ab" && p._2 == "ba"),
+      "shared-deletion pair at distance 2 must be verify-filtered")
+    // fixture: blocked result equals the naive quadratic join
+    val sf = "/root/testdata/sf0.001"
+    val vocab = Tables.documents(spark, sf).filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).distinct().localCheckpoint()
+    val naive = vocab.as("a").join(vocab.as("b"), col("a.w") < col("b.w"))
+      .select(col("a.w").as("a"), col("b.w").as("b"),
+        levenshtein(col("a.w"), col("b.w")).cast("long").as("dist"))
+      .filter(col("dist") <= 1).orderBy("a", "b").collect().map(_.toString).toSeq
+    val blocked = Dedup.qEditNeardup(spark, sf).collect().map(_.toString).toSeq
+    assert(blocked === naive)
+  }
+
   test("simhash sweep equals the naive quadratic hamming histogram (pigeonhole lossless)") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
