@@ -534,6 +534,46 @@ object TextStats {
       .orderBy("blk")
   }
 
+  /** q_zipf_slope — the Zipf-law fit of the corpus frequency
+    * distribution: least-squares slope of log2(freq) against
+    * log2(rank) over the top-32 vocabulary types, in milli units
+    * (natural text sits near −1000; a flatter slope means templated /
+    * synthetic text, a steeper one a domain-captured crawl — the
+    * one-number distribution summary next to [[qVocabCoverage]]'s
+    * curve). Exactness: each point's coordinates floor to milli-log2
+    * FIRST, then the closed-form slope
+    * (n·Σxy − Σx·Σy)·1000 div (n·Σx² − (Σx)²) runs entirely in Long
+    * (|x| ≤ 5·10³, |y| ≤ 4·10⁴ ⇒ n·Σxy ≤ 2·10¹¹ — comfortably exact),
+    * so both engines agree digit-for-digit despite the float log2
+    * under the floor.
+    *
+    * Scale shape: type counts are the wordcount aggregate; top-32
+    * plans as TakeOrdered (no global sort); the rank window and the
+    * regression run over ≤32 rows. */
+  val qZipfSlope: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val freq = Tables.spread(Tables.documents(s, d).filter(col("text").isNotNull))
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w")).limit(32)
+    freq
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("freq").desc, col("w"))))
+      .select(
+        floor(lit(1000) * log2(col("rank").cast(DoubleType))).cast("long").as("x"),
+        floor(lit(1000) * log2(col("freq").cast(DoubleType))).cast("long").as("y"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      // negative numerator is safe: BOTH engines' integer division
+      // truncates toward zero (Spark `div` and DuckDB `//` agree;
+      // measured −7/2 → −3 on each — it is Python's // that floors)
+      .select(col("n_types"),
+        expr("((n_types * sxy - sx * sy) * 1000) div (n_types * sxx - sx * sx)")
+          .cast("long").as("slope_milli"))
+  }
+
   /** Repetition detection — the duplicate-n-gram quality filter of
     * real pretraining pipelines (a doc whose word 3-grams repeat
     * heavily is boilerplate/spam): per doc, total vs distinct 3-gram
@@ -867,6 +907,7 @@ object TextStats {
     "q_gram_repetition" -> qGramRepetition,
     "q_vocab_coverage" -> qVocabCoverage,
     "q_heaps_curve" -> qHeapsCurve,
+    "q_zipf_slope" -> qZipfSlope,
     "q_text_clean" -> qTextClean,
     "q_lang_id" -> qLangId,
     "q_lang_confusion" -> qLangConfusion,
@@ -1070,6 +1111,29 @@ object TextStats {
         |  FROM wf LEFT JOIN vocab v ON wf.word = v.word
         |  GROUP BY wf.doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "q_zipf_slope" ->
+      """WITH wf AS (
+        |  SELECT w FROM (SELECT unnest(string_split(text, ' ')) AS w
+        |                 FROM documents WHERE text IS NOT NULL)
+        |  WHERE length(w) > 0),
+        |top AS (
+        |  SELECT w, COUNT(*) AS freq FROM wf GROUP BY w
+        |  ORDER BY freq DESC, w LIMIT 32),
+        |pts AS (
+        |  SELECT
+        |    CAST(floor(1000 * log2(CAST(row_number() OVER
+        |      (ORDER BY freq DESC, w) AS DOUBLE))) AS BIGINT) AS x,
+        |    CAST(floor(1000 * log2(CAST(freq AS DOUBLE))) AS BIGINT) AS y
+        |  FROM top),
+        |sums AS (
+        |  SELECT COUNT(*) AS n_types,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM pts)
+        |SELECT n_types,
+        |  CAST(((n_types * sxy - sx * sy) * 1000) // (n_types * sxx - sx * sx)
+        |    AS BIGINT) AS slope_milli
+        |FROM sums""".stripMargin,
     "q_heaps_curve" ->
       """WITH docs AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
         |n AS (SELECT MAX(doc_id) + 1 AS n_docs FROM docs),

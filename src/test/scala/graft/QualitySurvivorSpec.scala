@@ -60,6 +60,21 @@ class QualitySurvivorSpec extends SparkSpec {
       (11L, 5L, 3L, 600L)), rows.mkString(","))
   }
 
+  test("qZipfSlope: exact least-squares on a hand corpus; fixture slope plausible") {
+    // freqs 8,4,2,1 → y = (3000,2000,1000,0) exactly; x = ⌊1000·log2(rank)⌋
+    // = (0,1000,1584,2000); closed form gives −1459 (truncation toward 0)
+    val dir = writeDocs(Seq(0L -> "a a a a a a a a b b b b c c d"))
+    val r = TextStats.qZipfSlope(spark, dir).collect()
+    spark.catalog.clearCache()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("n_types") === 4L)
+    assert(r.head.getAs[Long]("slope_milli") === -1459L)
+    // the near-uniform synthetic fixture must read FLAT (≫ −1000)
+    val f = TextStats.qZipfSlope(spark, "/root/testdata/sf0.001").collect().head
+    assert(f.getAs[Long]("slope_milli") < 0)
+    assert(f.getAs[Long]("slope_milli") > -600)
+  }
+
   test("qQualityDupCorr: strata partition the planted-clone corpus; dup count exact") {
     val sf = "/root/testdata/sf0.001"
     val r = TextStats.qQualityDupCorr(spark, sf).collect()
