@@ -85,7 +85,14 @@ object Relevance {
     * per-probe top-5 window. The df join is deliberately UNHINTED:
     * AQE broadcasts a small vocabulary, a web-scale type count plans
     * as a shuffled join instead of an OOMing forced broadcast. */
-  val qSparseCosine: Q = (s, d) => {
+  val qSparseCosine: Q = (s, d) => sparseTopK(s, d, nProbes = 8)
+
+  /** The shared tf-idf retrieval spine: top-5 lexical neighbors per
+    * probe (probes = doc_id < nProbes), as (qid, rnk, doc_id,
+    * sim_micros). [[qSparseCosine]] ships the 8-probe report;
+    * [[qRetrievalEval]] widens to 64 probes and scores the ranking
+    * against labels. */
+  private def sparseTopK(s: SparkSession, d: String, nProbes: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.spread(Tables.documents(s, d).filter(col("text").isNotNull))
     val tf = docs
@@ -102,7 +109,7 @@ object Relevance {
       .select("doc_id", "word", "w")
     val norms = wtab.groupBy("doc_id")
       .agg(sum(expr("w * w")).cast(DoubleType).as("nrm"))
-    val probes = wtab.filter(col("doc_id") < 8)
+    val probes = wtab.filter(col("doc_id") < nProbes)
       .select(col("doc_id").as("qid"), col("word"), col("w").as("qw"))
     val dots = broadcast(probes)
       .join(wtab, Seq("word"))
@@ -177,9 +184,51 @@ object Relevance {
       sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
     .withColumn("dup_pct", dupPctCol)
 
+  /** q_retrieval_eval — ranking-quality scorecard of the sparse tf-idf
+    * retriever against the embedding labels (the shared doc_id/vec_id
+    * key space is what makes the corpus cross-modal): 64 probes, each
+    * probe's top-5 lexical neighbors scored by whether they carry the
+    * probe's label — per label, Precision@1 in permille and MRR@5 in
+    * milli (1000/first-correct-rank, 0 when none of the 5 is correct;
+    * both exact integer arithmetic). The IR-eval companion to
+    * [[graft.operators.Similarity]]'s dense `q_knn_classify`: same
+    * truth labels, lexical channel — comparing the two tables is the
+    * hybrid-retrieval design argument made with numbers.
+    *
+    * Scale shape: inherits [[sparseTopK]]'s posting-list spine; label
+    * joins key on the probe/neighbor ids (dimension-sized broadcast),
+    * then a per-probe 5-row aggregate and a |labels|-group rollup. */
+  val qRetrievalEval: Q = (s, d) => {
+    val labels = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label").cast(LongType).as("label"))
+    val top = sparseTopK(s, d, nProbes = 64)
+    val scored = top
+      .join(broadcast(labels.select(col("vec_id").as("qid"),
+        col("label").as("true_label"))), Seq("qid"))
+      .join(broadcast(labels.select(col("vec_id").as("doc_id"),
+        col("label").as("n_label"))), Seq("doc_id"))
+    val perProbe = scored.groupBy("qid", "true_label")
+      .agg(
+        min(when(col("n_label") === col("true_label"), col("rnk"))).as("fc"),
+        max(when(col("rnk") === 1 && col("n_label") === col("true_label"), 1L)
+          .otherwise(0L)).as("p1"))
+    perProbe.groupBy(col("true_label").as("label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(col("p1")).cast(LongType).as("n_p1"),
+        sum(coalesce(expr("1000 div fc"), lit(0L))).cast(LongType)
+          .as("mrr_sum_milli"))
+      .withColumn("p1_permille",
+        expr("(n_p1 * 1000) div n_queries").cast(LongType))
+      .withColumn("mrr_milli",
+        expr("mrr_sum_milli div n_queries").cast(LongType))
+      .select("label", "n_queries", "n_p1", "p1_permille", "mrr_milli")
+      .orderBy("label")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_bm25" -> qBm25,
     "q_sparse_cosine" -> qSparseCosine,
+    "q_retrieval_eval" -> qRetrievalEval,
     "q_mad_outliers" -> qMadOutliers,
     "q_dup_by_source" -> qDupBySource,
     "q_datasheet" -> qDatasheet)
@@ -206,6 +255,52 @@ object Relevance {
          |FROM base, stats
          |ORDER BY score DESC, doc_id""".stripMargin
     },
+    "q_retrieval_eval" ->
+      """WITH tf AS (
+        |  SELECT doc_id, word, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |    FROM documents WHERE text IS NOT NULL)
+        |  WHERE length(word) > 0 GROUP BY doc_id, word),
+        |nd AS (SELECT COUNT(*) AS n_docs FROM documents WHERE text IS NOT NULL),
+        |dfreq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+        |wtab AS (
+        |  SELECT t.doc_id, t.word,
+        |    CAST(t.tf * (((nd.n_docs - f.df + 1) * 1000) // (f.df + 1)) AS BIGINT) AS w
+        |  FROM tf t JOIN dfreq f ON t.word = f.word, nd),
+        |norms AS (
+        |  SELECT doc_id, CAST(SUM(w * w) AS DOUBLE) AS nrm FROM wtab GROUP BY doc_id),
+        |dots AS (
+        |  SELECT p.doc_id AS qid, c.doc_id, CAST(SUM(p.w * c.w) AS BIGINT) AS dot
+        |  FROM wtab p JOIN wtab c ON p.word = c.word
+        |  WHERE p.doc_id < 64 AND c.doc_id <> p.doc_id
+        |  GROUP BY 1, 2),
+        |sim AS (
+        |  SELECT d.qid, d.doc_id,
+        |    CAST(CAST(CAST(d.dot AS DOUBLE) / sqrt(nq.nrm * nc.nrm) AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS sim_micros
+        |  FROM dots d
+        |  JOIN norms nq ON d.qid = nq.doc_id
+        |  JOIN norms nc ON d.doc_id = nc.doc_id),
+        |top AS (
+        |  SELECT qid, rnk, doc_id FROM (
+        |    SELECT qid, doc_id, sim_micros,
+        |      CAST(row_number() OVER (PARTITION BY qid ORDER BY sim_micros DESC, doc_id)
+        |        AS BIGINT) AS rnk
+        |    FROM sim)
+        |  WHERE rnk <= 5),
+        |lbl AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+        |perq AS (
+        |  SELECT t.qid, ql.label AS true_label,
+        |    MIN(CASE WHEN nl.label = ql.label THEN t.rnk END) AS fc,
+        |    MAX(CASE WHEN t.rnk = 1 AND nl.label = ql.label THEN 1 ELSE 0 END) AS p1
+        |  FROM top t
+        |  JOIN lbl ql ON t.qid = ql.vec_id
+        |  JOIN lbl nl ON t.doc_id = nl.vec_id
+        |  GROUP BY t.qid, ql.label)
+        |SELECT true_label AS label, COUNT(*) AS n_queries,
+        |  CAST(SUM(p1) AS BIGINT) AS n_p1,
+        |  CAST((SUM(p1) * 1000) // COUNT(*) AS BIGINT) AS p1_permille,
+        |  CAST(SUM(COALESCE(1000 // fc, 0)) // COUNT(*) AS BIGINT) AS mrr_milli
+        |FROM perq GROUP BY true_label ORDER BY true_label""".stripMargin,
     "q_sparse_cosine" ->
       """WITH tf AS (
         |  SELECT doc_id, word, COUNT(*) AS tf FROM (

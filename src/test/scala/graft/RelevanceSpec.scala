@@ -117,4 +117,21 @@ class RelevanceSpec extends SparkSpec {
     val kept = Dedup.qDedupKeep(spark, dir).select("doc_id").as[Long].collect().toSet
     assert(kept == Set(10L, 20L))
   }
+
+  test("retrieval eval: probes conserved, metric bounds, MRR dominates P@1") {
+    val sf = "/root/testdata/sf0.001"
+    val r = graft.operators.Relevance.qRetrievalEval(spark, sf).collect()
+    assert(r.nonEmpty)
+    // every probe with a label lands in exactly one stratum
+    assert(r.map(_.getAs[Long]("n_queries")).sum === 64L)
+    r.foreach { x =>
+      val p1 = x.getAs[Long]("p1_permille")
+      val mrr = x.getAs[Long]("mrr_milli")
+      assert(p1 >= 0 && p1 <= 1000)
+      assert(mrr >= 0 && mrr <= 1000)
+      // a rank-1 hit contributes 1000 to both sums; lower ranks only
+      // add to MRR — so the MRR mean dominates the P@1 rate
+      assert(mrr >= p1, s"mrr=$mrr p1=$p1")
+    }
+  }
 }
