@@ -225,7 +225,40 @@ object Relevance {
       .orderBy("label")
   }
 
+  /** q_rrf_fusion — reciprocal-rank-fusion hybrid retrieval (Cormack
+    * et al. 2009, the standard score-free fusion rule): per probe, the
+    * dense exact-cosine top-3 ([[Similarity.qAnnTopk]]'s channel) and
+    * the sparse tf-idf top-5 ([[sparseTopK]]) merge by
+    * Σ 1/(60+rank) — here exact-integer micros, `1000000 div (60+r)`,
+    * absent channels contributing zero — and the fused top-3 is
+    * re-ranked on that score. RRF needs NO score calibration between
+    * channels (only ranks enter), which is why it is the default
+    * hybrid in production retrieval stacks; this is the operator the
+    * X73/X134 single-channel scorecards argue for.
+    *
+    * Scale shape: both channels arrive pre-truncated (top-k per
+    * probe), so fusion joins two probe×k-sized frames on
+    * (probe, doc) — candidate-sized, never corpus-sized — and the
+    * re-rank window partitions on the probe key. */
+  val qRrfFusion: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val dense = Similarity.qAnnTopk(s, d)
+      .select(col("qid"), col("nid").as("doc_id"), col("rnk").as("rd"))
+    val sparse = sparseTopK(s, d, nProbes = 8)
+      .select(col("qid"), col("doc_id"), col("rnk").as("rs"))
+    val fused = dense.join(sparse, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("rrf_micros",
+        (coalesce(expr("1000000 div (60 + rd)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + rs)"), lit(0L))).cast(LongType))
+    val w = Window.partitionBy("qid").orderBy(col("rrf_micros").desc, col("doc_id"))
+    fused.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 3)
+      .select("qid", "rnk", "doc_id", "rrf_micros")
+      .orderBy("qid", "rnk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_rrf_fusion" -> qRrfFusion,
     "q_bm25" -> qBm25,
     "q_sparse_cosine" -> qSparseCosine,
     "q_retrieval_eval" -> qRetrievalEval,
@@ -255,6 +288,72 @@ object Relevance {
          |FROM base, stats
          |ORDER BY score DESC, doc_id""".stripMargin
     },
+    "q_rrf_fusion" ->
+      """WITH el AS (
+        |  SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) AS x
+        |  FROM (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS i
+        |        FROM embeddings)),
+        |nrm AS (SELECT vec_id, SUM(x*x) AS nrm FROM el GROUP BY vec_id),
+        |ddots AS (
+        |  SELECT q.vec_id AS qid, e.vec_id AS nid, SUM(q.x * e.x) AS dot
+        |  FROM el q JOIN el e ON q.i = e.i AND q.vec_id < 8 AND e.vec_id <> q.vec_id
+        |  GROUP BY q.vec_id, e.vec_id),
+        |cosv AS (
+        |  SELECT qid, nid,
+        |    CAST(CAST(CAST(dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(ne.nrm AS DOUBLE)) AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS sim_micros
+        |  FROM ddots
+        |  JOIN nrm nq ON qid = nq.vec_id
+        |  JOIN nrm ne ON nid = ne.vec_id),
+        |dense AS (
+        |  SELECT qid, nid AS doc_id, rnk AS rd
+        |  FROM (SELECT qid, nid, sim_micros,
+        |          CAST(row_number() OVER (PARTITION BY qid ORDER BY sim_micros DESC, nid) AS BIGINT) AS rnk
+        |        FROM cosv)
+        |  WHERE rnk <= 3),
+        |tf AS (
+        |  SELECT doc_id, word, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |    FROM documents WHERE text IS NOT NULL)
+        |  WHERE length(word) > 0 GROUP BY doc_id, word),
+        |nd AS (SELECT COUNT(*) AS n_docs FROM documents WHERE text IS NOT NULL),
+        |dfreq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+        |wtab AS (
+        |  SELECT t.doc_id, t.word,
+        |    CAST(t.tf * (((nd.n_docs - f.df + 1) * 1000) // (f.df + 1)) AS BIGINT) AS w
+        |  FROM tf t JOIN dfreq f ON t.word = f.word, nd),
+        |norms AS (
+        |  SELECT doc_id, CAST(SUM(w * w) AS DOUBLE) AS nrm FROM wtab GROUP BY doc_id),
+        |sdots AS (
+        |  SELECT p.doc_id AS qid, c.doc_id, CAST(SUM(p.w * c.w) AS BIGINT) AS dot
+        |  FROM wtab p JOIN wtab c ON p.word = c.word
+        |  WHERE p.doc_id < 8 AND c.doc_id <> p.doc_id
+        |  GROUP BY 1, 2),
+        |ssim AS (
+        |  SELECT d.qid, d.doc_id,
+        |    CAST(CAST(CAST(d.dot AS DOUBLE) / sqrt(nq.nrm * nc.nrm) AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS sim_micros
+        |  FROM sdots d
+        |  JOIN norms nq ON d.qid = nq.doc_id
+        |  JOIN norms nc ON d.doc_id = nc.doc_id),
+        |sparse AS (
+        |  SELECT qid, doc_id, rnk AS rs FROM (
+        |    SELECT qid, doc_id, sim_micros,
+        |      CAST(row_number() OVER (PARTITION BY qid ORDER BY sim_micros DESC, doc_id)
+        |        AS BIGINT) AS rnk
+        |    FROM ssim)
+        |  WHERE rnk <= 5),
+        |fused AS (
+        |  SELECT COALESCE(dense.qid, sparse.qid) AS qid,
+        |    COALESCE(dense.doc_id, sparse.doc_id) AS doc_id,
+        |    CAST(COALESCE(1000000 // (60 + rd), 0)
+        |       + COALESCE(1000000 // (60 + rs), 0) AS BIGINT) AS rrf_micros
+        |  FROM dense FULL OUTER JOIN sparse
+        |    ON dense.qid = sparse.qid AND dense.doc_id = sparse.doc_id)
+        |SELECT qid, rnk, doc_id, rrf_micros FROM (
+        |  SELECT qid, doc_id, rrf_micros,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf_micros DESC, doc_id)
+        |      AS BIGINT) AS rnk
+        |  FROM fused)
+        |WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
     "q_retrieval_eval" ->
       """WITH tf AS (
         |  SELECT doc_id, word, COUNT(*) AS tf FROM (

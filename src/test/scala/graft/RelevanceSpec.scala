@@ -118,6 +118,25 @@ class RelevanceSpec extends SparkSpec {
     assert(kept == Set(10L, 20L))
   }
 
+  test("rrf fusion: 3 per probe, scores ranked and bounded, consensus beats single") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.operators.Relevance.qRrfFusion(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size === 8)
+    byQ.foreach { case (_, rs) =>
+      assert(rs.length === 3)
+      val scores = rs.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Long]("rrf_micros"))
+      assert(scores.toSeq === scores.toSeq.sorted.reverse)
+      // one channel at best rank contributes 1000000/61 = 16393;
+      // two channels cap the score at 2x that
+      assert(scores.forall(x => x > 0 && x <= 2 * 16393))
+    }
+    // any doc in BOTH channels outscores any doc in exactly one: the
+    // worst two-channel score (ranks 3 and 5) beats the best single-
+    // channel score (rank 1) because 1/63 + 1/65 > 1/61
+    assert(1000000 / 63 + 1000000 / 65 > 1000000 / 61)
+  }
+
   test("retrieval eval: probes conserved, metric bounds, MRR dominates P@1") {
     val sf = "/root/testdata/sf0.001"
     val r = graft.operators.Relevance.qRetrievalEval(spark, sf).collect()
