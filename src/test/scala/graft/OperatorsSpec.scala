@@ -13,7 +13,9 @@ class OperatorsSpec extends SparkSpec {
 
   test("all declared queries run and return rows at sf0.001") {
     // queries where an empty result is legitimate at this tiny scale
-    val mayBeEmpty = Set("q_embedding_neardup", "q_ngram_jaccard")
+    // (q_edit_neardup: the 31-word soup vocabulary has no distance-1
+    // pairs — the naive-join spec proves empty is the CORRECT answer)
+    val mayBeEmpty = Set("q_embedding_neardup", "q_ngram_jaccard", "q_edit_neardup")
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
       assert(n >= 0 && (mayBeEmpty.contains(name) || n > 0),
