@@ -270,7 +270,50 @@ object Sequences {
       .orderBy("user_id", "session_idx", "incident_bucket")
   }
 
+  /** q_concurrency_curve — peak concurrent sessions per week bucket,
+    * by the two-level parallel prefix-sum decomposition: sessions
+    * ([[Reports.qSessionize]]'s 7-day-gap rule) emit +1/−1 boundary
+    * deltas; WITHIN each bucket a bucket-keyed window computes the
+    * local running sum and its max; ACROSS buckets only the per-bucket
+    * NET totals enter a cumulative carry (a window over |buckets| ≈
+    * hundreds of rows), and peak(b) = carry(b) + local-max(b). This is
+    * the classic scan decomposition that makes a sequential sweep-line
+    * admissible on a cluster: the corpus-sized window partitions on
+    * the bucket key, and the only global-order pass runs over bucket
+    * summaries — the [[TextStats.qHeapsCurve]] trick applied to
+    * interval concurrency. The DuckDB twin runs the NAIVE single
+    * global running sum — hash equality proves the decomposition
+    * exactly reproduces the sequential sweep (the X120/X126/X132 proof
+    * pattern). Tie rule pinned: at equal timestamps, −1 sorts before
+    * +1 (dv ascending), so back-to-back sessions never double-count.
+    * The capacity-planning number of a crawl/serving fleet. */
+  val qConcurrencyCurve: Q = (s, d) => {
+    val sess = Reports.qSessionize(s, d)
+      .select(col("session_start").as("st"), col("session_end").as("en"))
+    val deltas = sess.select(col("st").as("t"), lit(1L).as("dv"))
+      .unionAll(sess.select((col("en") + 1L).as("t"), lit(-1L).as("dv")))
+      .withColumn("b", expr("t div 604800"))
+    val wIn = Window.partitionBy("b").orderBy(col("t"), col("dv"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perB = deltas
+      .withColumn("run", sum(col("dv")).over(wIn))
+      .groupBy("b")
+      .agg(
+        sum(when(col("dv") === 1L, 1L).otherwise(0L)).cast(LongType).as("n_starts"),
+        sum(when(col("dv") === -1L, 1L).otherwise(0L)).cast(LongType).as("n_ends"),
+        max(col("run")).as("maxrun"),
+        sum(col("dv")).as("net"))
+    val wCarry = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perB
+      .withColumn("carry", coalesce(sum(col("net")).over(wCarry), lit(0L)))
+      .select(col("b").as("bucket"), col("n_starts"), col("n_ends"),
+        (col("carry") + col("maxrun")).cast(LongType).as("max_concurrent"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_concurrency_curve" -> qConcurrencyCurve,
     "q_event_transitions" -> qEventTransitions,
     "q_conversion_rate" -> qConversionRate,
     "q_ab_test" -> qAbTest,
@@ -281,6 +324,38 @@ object Sequences {
     "q_burst_users" -> qBurstUsers)
 
   val oracle: Map[String, String] = Map(
+    "q_concurrency_curve" ->
+      // NAIVE single global running sum on purpose: hash equality
+      // proves the engine's two-level scan decomposition reproduces
+      // the sequential sweep-line exactly
+      """WITH sess AS (
+        |  SELECT MIN(ts_sec) AS st, MAX(ts_sec) AS en
+        |  FROM (
+        |    SELECT user_id, ts_sec,
+        |      CAST(SUM(CASE WHEN prev_ts IS NULL OR ts_sec - prev_ts > 604800
+        |               THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS BIGINT)
+        |        AS session_idx
+        |    FROM (
+        |      SELECT user_id, event_id, epoch_ms(ts) // 1000 AS ts_sec,
+        |        lag(epoch_ms(ts) // 1000)
+        |          OVER (PARTITION BY user_id ORDER BY epoch_ms(ts) // 1000, event_id)
+        |          AS prev_ts
+        |      FROM events))
+        |  GROUP BY user_id, session_idx),
+        |deltas AS (
+        |  SELECT st AS t, 1 AS dv FROM sess
+        |  UNION ALL
+        |  SELECT en + 1, -1 FROM sess),
+        |runs AS (
+        |  SELECT t // 604800 AS bucket, dv,
+        |    SUM(dv) OVER (ORDER BY t, dv ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM deltas)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(SUM(CASE WHEN dv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+        |  CAST(SUM(CASE WHEN dv = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ends,
+        |  CAST(MAX(run) AS BIGINT) AS max_concurrent
+        |FROM runs GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_ab_test" ->
       """WITH tagged AS (
         |  SELECT CASE WHEN CAST('0x' || substr(md5('ab|' || CAST(user_id AS VARCHAR)), 1, 15)

@@ -152,6 +152,32 @@ class SequencesSelectionSpec extends SparkSpec {
     }
   }
 
+  test("concurrency curve: decomposition equals the naive global sweep") {
+    import org.apache.spark.sql.expressions.Window
+    val r = Sequences.qConcurrencyCurve(spark, sf).collect()
+    assert(r.nonEmpty)
+    val nSessions = graft.operators.Reports.qSessionize(spark, sf).count()
+    assert(r.map(_.getAs[Long]("n_starts")).sum === nSessions)
+    assert(r.map(_.getAs[Long]("n_ends")).sum === nSessions)
+    // naive single global running sum (what the oracle also runs),
+    // computed Spark-side as an independent check of the decomposition
+    val sess = graft.operators.Reports.qSessionize(spark, sf)
+      .select(col("session_start").as("st"), col("session_end").as("en"))
+    val deltas = sess.select(col("st").as("t"), lit(1L).as("dv"))
+      .unionAll(sess.select((col("en") + 1L).as("t"), lit(-1L).as("dv")))
+    val naive = deltas
+      .withColumn("run", sum(col("dv")).over(
+        Window.orderBy(col("t"), col("dv"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(expr("t div 604800").as("bucket"))
+      .agg(max(col("run")).as("mx"))
+      .collect().map(x => (x.getLong(0), x.getAs[Long]("mx"))).toMap
+    r.foreach { x =>
+      assert(x.getAs[Long]("max_concurrent") ===
+        naive(x.getAs[Long]("bucket")), s"bucket ${x.getAs[Long]("bucket")}")
+    }
+  }
+
   test("dsir weights: provable target/raw separation on a hand-built corpus") {
     // en docs speak {x,y}, de docs speak {p,q}; the four bigram keys
     // hash to DISTINCT buckets mod 64 (15/39/29/52 — precomputed, no
