@@ -148,6 +148,10 @@ class DedupSpec extends SparkSpec {
       .filter(col("dist") <= 1).orderBy("a", "b").collect().map(_.toString).toSeq
     val blocked = Dedup.qEditNeardup(spark, sf).collect().map(_.toString).toSeq
     assert(blocked === naive)
+    // and the plan must be the blocked equi-join, not a quadratic one
+    val plan = Dedup.qEditNeardup(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
   test("simhash sweep equals the naive quadratic hamming histogram (pigeonhole lossless)") {
@@ -164,5 +168,9 @@ class DedupSpec extends SparkSpec {
       .orderBy("hamming").collect()
       .map(r => (r.getAs[Long]("hamming"), r.getAs[Long]("n_pairs"))).toSeq
     assert(blocked === naive, s"blocked=$blocked naive=$naive")
+    // the engine side must plan the piece equi-join, never all-pairs
+    val plan = Dedup.qSimhashSweep(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 }

@@ -176,6 +176,12 @@ class SequencesSelectionSpec extends SparkSpec {
       assert(x.getAs[Long]("max_concurrent") ===
         naive(x.getAs[Long]("bucket")), s"bucket ${x.getAs[Long]("bucket")}")
     }
+    // the in-bucket window must run PARTITIONED on the bucket key —
+    // the whole point of the decomposition is that no corpus-sized
+    // single-partition window exists in the plan
+    val plan = Sequences.qConcurrencyCurve(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(b".r.findAllIn(plan).nonEmpty, plan)
   }
 
   test("dsir weights: provable target/raw separation on a hand-built corpus") {
