@@ -1,0 +1,426 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+import graft.Tables
+import graft.functions.Exprs.{dec2, intScaled}
+
+/** Evaluation & statistics operators: the measurement layer a
+  * training-data pipeline runs over its own classifiers, filters, and
+  * splits — rank-based AUC, inter-annotator agreement, discriminative
+  * term selection, probability calibration, association lift, and
+  * trend regression. All exact-integer (micro/permille scaling, no
+  * float accumulation), because an evaluation number that drifts with
+  * aggregation order can't arbitrate between pipeline versions.
+  *
+  * Reference analog: the status-report layer (report.py:118-159)
+  * reads back the crawler's own telemetry; these operators read back
+  * the pipeline's own quality signals the same way.
+  */
+object Evaluation {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q_roc_auc — per-source ROC-AUC of a length-based relevance score
+    * against the `lang = 'en'` binary label, via the Mann-Whitney
+    * rank statistic: AUC = (Σ r̄⁺ − n⁺(n⁺+1)/2) / (n⁺ n⁻) with
+    * midranks for ties. Midranks are kept integral by doubling
+    * (2r̄ = 2·rank + tiecount − 1), so the whole statistic is exact
+    * integer arithmetic until the final micro-scaled division —
+    * AUC is THE threshold-free judge of a quality/filter score, and
+    * a rank formulation is the only one that distributes (no O(n²)
+    * pair enumeration).
+    *
+    * Plan: one scan; ranks come from a per-source window (partitioned
+    * by a low-cardinality key — acceptable because each source's rows
+    * fit an executor at any modeled scale; for a single giant source
+    * the [[Ranking]] offset-prefix-sum decomposition applies verbatim);
+    * the rank sums collapse in a |sources|-group aggregate. Sums ride
+    * DECIMAL(38,0): Σ 2r̄ grows as n², past Long at ~2×10⁹ rows per
+    * source. */
+  val qRocAuc: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("source"), col("n_chars").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    val wRank = Window.partitionBy("source").orderBy("score")
+    val wTie = Window.partitionBy("source", "score")
+    val ranked = docs
+      .withColumn("r", rank().over(wRank))
+      .withColumn("c", count(lit(1)).over(wTie))
+      .withColumn("mr2",
+        (lit(2L) * col("r") + col("c") - lit(1L)).cast(DecimalType(38, 0)))
+    ranked.groupBy("source")
+      .agg(sum(col("y")).cast(LongType).as("n_pos"),
+        (count(lit(1)) - sum(col("y"))).cast(LongType).as("n_neg"),
+        sum(when(col("y") === 1L, col("mr2"))
+          .otherwise(lit(0L).cast(DecimalType(38, 0)))).as("smr2"))
+      .filter(col("n_pos") > 0 && col("n_neg") > 0)
+      .withColumn("auc_micro", expr(
+        """((smr2 - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1)) * 1000000)
+          | div (CAST(2 AS DECIMAL(38,0)) * n_pos * n_neg)""".stripMargin)
+        .cast(LongType))
+      .select("source", "n_pos", "n_neg", "auc_micro")
+      .orderBy("source")
+  }
+
+  /** The [[TextStats.qLangId]] marker counts, shared by both kappa
+    * annotators (one scan, two decision cascades). */
+  private def markerCounts(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        TextStats.occurrences(col("text"), "the").as("c_the"),
+        TextStats.occurrences(col("text"), "data").as("c_data"),
+        TextStats.occurrences(col("text"), "scan").as("c_scan"),
+        TextStats.occurrences(col("text"), "join").as("c_join"))
+
+  /** q_kappa_agreement — Cohen's kappa between two lang-id heuristics
+    * over the same marker counts but opposite tie-break cascades
+    * (annotator A prefers the/data/scan/join, B prefers
+    * join/scan/data/the). Kappa = (p₀ − pₑ)/(1 − pₑ) cross-multiplied
+    * to integers: κ·10⁶ = 10⁶(n·Σdiag − Σ row·col) div (n² − Σ row·col).
+    * Raw agreement overstates labeler quality whenever classes are
+    * imbalanced; kappa is the chance-corrected number annotation ops
+    * actually compare, and disagreement between two cheap heuristics
+    * is exactly the routing signal for "send this slice to a better
+    * model".
+    *
+    * Plan: one corpus scan → a ≤16-cell (A-class × B-class) aggregate;
+    * everything downstream (marginals, diagonal, the kappa algebra)
+    * runs over those cells — constant-sized at any corpus scale. */
+  val qKappaAgreement: Q = (s, d) => {
+    val m = markerCounts(s, d)
+      .withColumn("ca",
+        when(col("c_the") >= col("c_data") && col("c_the") >= col("c_scan")
+          && col("c_the") >= col("c_join"), "en")
+          .when(col("c_data") >= col("c_scan") && col("c_data") >= col("c_join"), "dat")
+          .when(col("c_scan") >= col("c_join"), "scn")
+          .otherwise("jon"))
+      .withColumn("cb",
+        when(col("c_join") >= col("c_scan") && col("c_join") >= col("c_data")
+          && col("c_join") >= col("c_the"), "jon")
+          .when(col("c_scan") >= col("c_data") && col("c_scan") >= col("c_the"), "scn")
+          .when(col("c_data") >= col("c_the"), "dat")
+          .otherwise("en"))
+    val cells = m.groupBy("ca", "cb").agg(count(lit(1)).as("n"))
+    val ra = cells.groupBy("ca").agg(sum(col("n")).as("na"))
+    val cb = cells.groupBy("cb").agg(sum(col("n")).as("nb"))
+    val pe = ra.join(cb, col("ca") === col("cb"))
+      .agg(sum((col("na") * col("nb")).cast(DecimalType(38, 0))).as("pe_num"))
+    val tot = cells.agg(
+      sum(col("n")).cast(LongType).as("n_docs"),
+      sum(when(col("ca") === col("cb"), col("n")).otherwise(0L))
+        .cast(LongType).as("n_agree"))
+    tot.crossJoin(pe)
+      .withColumn("po_permille",
+        expr("(n_agree * 1000) div n_docs").cast(LongType))
+      .withColumn("kappa_micro", expr(
+        """((CAST(n_docs AS DECIMAL(38,0)) * n_agree - pe_num) * 1000000)
+          | div (CAST(n_docs AS DECIMAL(38,0)) * n_docs - pe_num)""".stripMargin)
+        .cast(LongType))
+      .select("n_docs", "n_agree", "po_permille", "kappa_micro")
+  }
+
+  /** q_chi2_terms — χ²-based discriminative-term selection: for every
+    * word with document frequency ≥ 5, the 2×2 independence test of
+    * doc-level presence against the `lang = 'en'` class,
+    * χ²·10⁶ = 10⁶·N(ad − bc)² div ((a+b)(c+d)(a+c)(b+d)); top 20 by
+    * χ², each with the direction it skews. The classic feature-
+    * selection statistic (and the data-selection dual: terms whose
+    * presence predicts a slice are the terms a targeted filter keys
+    * on). Interior arithmetic in DECIMAL(38,0): (ad−bc)² grows as N⁴,
+    * exact to ~3×10⁹ docs — past that the test statistic needs the
+    * float path (document, don't silently wrap).
+    *
+    * Plan: one scan → per-doc distinct words explode → a (word)-keyed
+    * count pair (df, class hits) with map-side combine; corpus totals
+    * ride a broadcast single-row frame; top-20 plans as TakeOrdered
+    * under the deterministic (χ² desc, word) order. */
+  val qChi2Terms: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"), col("text"))
+    val totals = docs.agg(count(lit(1)).cast(LongType).as("n"),
+      sum(col("y")).cast(LongType).as("n_pos"))
+    val perTerm = docs
+      .select(col("y"), explode(array_distinct(
+        filter(split(col("text"), " "), w => length(w) > 0))).as("w"))
+      .groupBy("w")
+      .agg(count(lit(1)).cast(LongType).as("df"),
+        sum(col("y")).cast(LongType).as("a"))
+      .filter(col("df") >= 5)
+    perTerm.crossJoin(broadcast(totals))
+      .filter(col("df") < col("n") && col("n_pos") > 0 && col("n_pos") < col("n"))
+      .withColumn("chi2_micro", expr(
+        """(CAST(n AS DECIMAL(38,0))
+          |  * (CAST(a AS DECIMAL(38,0)) * (n - n_pos - df + a)
+          |     - CAST(df - a AS DECIMAL(38,0)) * (n_pos - a))
+          |  * (CAST(a AS DECIMAL(38,0)) * (n - n_pos - df + a)
+          |     - CAST(df - a AS DECIMAL(38,0)) * (n_pos - a))
+          |  * 1000000)
+          | div (CAST(df AS DECIMAL(38,0)) * (n - df) * n_pos * (n - n_pos))"""
+          .stripMargin).cast(LongType))
+      .withColumn("enriched_in", when(
+        expr("""CAST(a AS DECIMAL(38,0)) * (n - n_pos - df + a)
+               | > CAST(df - a AS DECIMAL(38,0)) * (n_pos - a)""".stripMargin),
+        "en").otherwise("rest"))
+      .select(col("w").as("word"), col("df"), col("a").as("df_en"),
+        col("chi2_micro"), col("enriched_in"))
+      .orderBy(col("chi2_micro").desc, col("word"))
+      .limit(20)
+  }
+
+  /** q_calibration_bins — the reliability table of a permille-scaled
+    * length score predicting `lang = 'en'`: scores bucket into 10
+    * equal-width bins; per bin, the count, the mean predicted
+    * permille, and the observed positive rate in permille. A model
+    * whose bin means track its observed rates is calibrated; the gap
+    * per bin is what temperature-scaling/Platt fitting consumes. The
+    * operator is deliberately score-agnostic — swap the score column
+    * and the same table audits any filter in the pipeline.
+    *
+    * Plan: scan-side bucket arithmetic into a 10-group aggregate —
+    * map-side collapse, constant-width shuffle at any corpus size. */
+  val qCalibrationBins: Q = (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(
+        least(lit(1000L), expr("(n_chars * 1000) div 600")).as("pred_permille"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      .withColumn("bin", least(lit(9L), expr("pred_permille div 100")).cast(LongType))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(pred_permille) div count(1)").cast(LongType)
+          .as("mean_pred_permille"),
+        expr("(sum(y) * 1000) div count(1)").cast(LongType)
+          .as("obs_pos_permille"))
+      .orderBy("bin")
+
+  /** q_basket_lift — association rules over order baskets: for every
+    * unordered brand pair co-occurring in ≥ 5 orders, the support,
+    * confidence, and lift (P(ab)/(P(a)P(b)), micro-scaled integer:
+    * lift·10⁶ = 10⁶·n_ab·N div (n_a·n_b)). Market-basket lift is the
+    * canonical "what co-occurs beyond chance" operator — the same
+    * shape mines co-occurring sources, tags, or near-dup clusters in
+    * a corpus audit.
+    *
+    * Plan: baskets build from lineitem ⋈ broadcast(part); the pair
+    * generator is a self-equi-join ON the basket key (co-partitioned
+    * shuffle, candidate count bounded by Σ |basket|² with |basket| ≤
+    * |brands| — never corpus × corpus); item frequencies broadcast
+    * back onto the pair aggregate; top-20 plans as TakeOrdered. */
+  val qBasketLift: Q = (s, d) => {
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("o"), col("p_brand").as("item"))
+      .distinct()
+    val nOrders = items.agg(countDistinct(col("o")).as("n_orders"))
+    val freq = items.groupBy("item").agg(count(lit(1)).as("n_item"))
+    val pairs = items.as("x")
+      .join(items.as("y"),
+        col("x.o") === col("y.o") && col("x.item") < col("y.item"))
+      .groupBy(col("x.item").as("item_a"), col("y.item").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 5)
+    pairs
+      .join(broadcast(freq).withColumnRenamed("item", "item_a")
+        .withColumnRenamed("n_item", "n_a"), Seq("item_a"))
+      .join(broadcast(freq).withColumnRenamed("item", "item_b")
+        .withColumnRenamed("n_item", "n_b"), Seq("item_b"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("item_a"), col("item_b"), col("n_ab").cast(LongType).as("n_ab"),
+        expr("(n_ab * 1000) div n_orders").cast(LongType).as("support_permille"),
+        expr("(n_ab * 1000) div n_a").cast(LongType).as("conf_permille"),
+        expr("""(CAST(n_ab AS DECIMAL(38,0)) * n_orders * 1000000)
+               | div (CAST(n_a AS DECIMAL(38,0)) * n_b)""".stripMargin)
+          .cast(LongType).as("lift_micro"))
+      .orderBy(col("lift_micro").desc, col("item_a"), col("item_b"))
+      .limit(20)
+  }
+
+  /** q_ols_trend — per-event-type exact least-squares trend of value
+    * over time: slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) with x = epoch
+    * seconds re-centered at 2024-01-01 (a fixed literal, so both
+    * engines subtract the same constant and the sums stay small) and
+    * y = value cents; emitted as micro-cents per day plus the
+    * intercept (the fitted value at the epoch origin). Σx² grows as
+    * n·x² — far past Long — so every sum rides DECIMAL(38,0) and only
+    * the final integral divisions narrow. Trend lines over telemetry
+    * are the reference's status-report question ("is the crawl rate
+    * decaying?", report.py:139-151) answered with a statistic instead
+    * of eyeballs.
+    *
+    * Plan: one scan, five sums in a |event_type|-group aggregate —
+    * map-side partials, constant-width shuffle. */
+  val qOlsTrend: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val ev = Tables.events(s, d)
+      .select(col("event_type"),
+        (expr("ts div 1000000000") - lit(1704067200L)).cast(dec).as("x"),
+        intScaled(dec2(col("value")), 100L).cast(dec).as("y"))
+    ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        count(lit(1)).cast(dec).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .filter(expr("n * sxx - sx * sx != 0"))
+      .select(col("event_type"), col("n_events"),
+        expr("((n * sxy - sx * sy) * 86400 * 1000000) div (n * sxx - sx * sx)")
+          .cast(LongType).as("slope_micro_cents_per_day"),
+        expr("(sy * sxx - sx * sxy) div (n * sxx - sx * sx)")
+          .cast(LongType).as("intercept_cents"))
+      .orderBy("event_type")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_roc_auc" -> qRocAuc,
+    "q_kappa_agreement" -> qKappaAgreement,
+    "q_chi2_terms" -> qChi2Terms,
+    "q_calibration_bins" -> qCalibrationBins,
+    "q_basket_lift" -> qBasketLift,
+    "q_ols_trend" -> qOlsTrend)
+
+  val oracle: Map[String, String] = Map(
+    "q_roc_auc" ->
+      """WITH docs AS (
+        |  SELECT source, n_chars AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents WHERE text IS NOT NULL),
+        |ranked AS (
+        |  SELECT source, y,
+        |    2 * rank() OVER (PARTITION BY source ORDER BY score)
+        |      + count(*) OVER (PARTITION BY source, score) - 1 AS mr2
+        |  FROM docs),
+        |agg AS (
+        |  SELECT source,
+        |    CAST(SUM(y) AS BIGINT) AS n_pos,
+        |    CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_neg,
+        |    SUM(CASE WHEN y = 1 THEN mr2 ELSE 0 END) AS smr2
+        |  FROM ranked GROUP BY source)
+        |SELECT source, n_pos, n_neg,
+        |  CAST(((smr2 - CAST(n_pos AS HUGEINT) * (n_pos + 1)) * 1000000)
+        |       // (CAST(2 AS HUGEINT) * n_pos * n_neg) AS BIGINT) AS auc_micro
+        |FROM agg WHERE n_pos > 0 AND n_neg > 0 ORDER BY source""".stripMargin,
+    "q_kappa_agreement" -> {
+      val cThe = TextStats.occurrencesDuck("text", "the")
+      val cData = TextStats.occurrencesDuck("text", "data")
+      val cScan = TextStats.occurrencesDuck("text", "scan")
+      val cJoin = TextStats.occurrencesDuck("text", "join")
+      s"""WITH m AS (
+        |  SELECT doc_id, $cThe AS c_the, $cData AS c_data,
+        |    $cScan AS c_scan, $cJoin AS c_join
+        |  FROM documents WHERE text IS NOT NULL),
+        |cls AS (
+        |  SELECT
+        |    CASE WHEN c_the >= c_data AND c_the >= c_scan AND c_the >= c_join
+        |           THEN 'en'
+        |         WHEN c_data >= c_scan AND c_data >= c_join THEN 'dat'
+        |         WHEN c_scan >= c_join THEN 'scn' ELSE 'jon' END AS ca,
+        |    CASE WHEN c_join >= c_scan AND c_join >= c_data AND c_join >= c_the
+        |           THEN 'jon'
+        |         WHEN c_scan >= c_data AND c_scan >= c_the THEN 'scn'
+        |         WHEN c_data >= c_the THEN 'dat' ELSE 'en' END AS cb
+        |  FROM m),
+        |cells AS (SELECT ca, cb, COUNT(*) AS n FROM cls GROUP BY ca, cb),
+        |ra AS (SELECT ca, SUM(n) AS na FROM cells GROUP BY ca),
+        |cbm AS (SELECT cb, SUM(n) AS nb FROM cells GROUP BY cb),
+        |pe AS (
+        |  SELECT SUM(CAST(na AS HUGEINT) * nb) AS pe_num
+        |  FROM ra JOIN cbm ON ra.ca = cbm.cb),
+        |tot AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+        |    CAST(SUM(CASE WHEN ca = cb THEN n ELSE 0 END) AS BIGINT) AS n_agree
+        |  FROM cells)
+        |SELECT n_docs, n_agree,
+        |  CAST((n_agree * 1000) // n_docs AS BIGINT) AS po_permille,
+        |  CAST(((CAST(n_docs AS HUGEINT) * n_agree - pe_num) * 1000000)
+        |       // (CAST(n_docs AS HUGEINT) * n_docs - pe_num) AS BIGINT)
+        |    AS kappa_micro
+        |FROM tot, pe""".stripMargin
+    },
+    "q_chi2_terms" ->
+      """WITH docs AS (
+        |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, text
+        |  FROM documents WHERE text IS NOT NULL),
+        |totals AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS n_pos
+        |  FROM docs),
+        |terms AS (
+        |  SELECT y, unnest(list_distinct(
+        |    list_filter(string_split(text, ' '), w -> length(w) > 0))) AS w
+        |  FROM docs),
+        |per_term AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(y) AS BIGINT) AS a
+        |  FROM terms GROUP BY w HAVING COUNT(*) >= 5)
+        |SELECT w AS word, df, a AS df_en,
+        |  CAST((CAST(n AS HUGEINT)
+        |        * (CAST(a AS HUGEINT) * (n - n_pos - df + a)
+        |           - CAST(df - a AS HUGEINT) * (n_pos - a))
+        |        * (CAST(a AS HUGEINT) * (n - n_pos - df + a)
+        |           - CAST(df - a AS HUGEINT) * (n_pos - a))
+        |        * 1000000)
+        |       // (CAST(df AS HUGEINT) * (n - df) * n_pos * (n - n_pos))
+        |    AS BIGINT) AS chi2_micro,
+        |  CASE WHEN CAST(a AS HUGEINT) * (n - n_pos - df + a)
+        |            > CAST(df - a AS HUGEINT) * (n_pos - a)
+        |       THEN 'en' ELSE 'rest' END AS enriched_in
+        |FROM per_term, totals
+        |WHERE df < n AND n_pos > 0 AND n_pos < n
+        |ORDER BY chi2_micro DESC, word LIMIT 20""".stripMargin,
+    "q_calibration_bins" ->
+      """WITH scored AS (
+        |  SELECT LEAST(1000, (n_chars * 1000) // 600) AS pred_permille,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT CAST(LEAST(9, pred_permille // 100) AS BIGINT) AS bin,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(pred_permille) // COUNT(*) AS BIGINT) AS mean_pred_permille,
+        |  CAST((SUM(y) * 1000) // COUNT(*) AS BIGINT) AS obs_pos_permille
+        |FROM scored GROUP BY 1 ORDER BY bin""".stripMargin,
+    "q_basket_lift" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS item
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM items),
+        |freq AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_item
+        |         FROM items GROUP BY item),
+        |pairs AS (
+        |  SELECT x.item AS item_a, y.item AS item_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM items x JOIN items y ON x.o = y.o AND x.item < y.item
+        |  GROUP BY x.item, y.item HAVING COUNT(*) >= 5)
+        |SELECT item_a, item_b, n_ab,
+        |  CAST((n_ab * 1000) // n_orders AS BIGINT) AS support_permille,
+        |  CAST((n_ab * 1000) // fa.n_item AS BIGINT) AS conf_permille,
+        |  CAST((CAST(n_ab AS HUGEINT) * n_orders * 1000000)
+        |       // (CAST(fa.n_item AS HUGEINT) * fb.n_item) AS BIGINT) AS lift_micro
+        |FROM pairs
+        |JOIN freq fa ON pairs.item_a = fa.item
+        |JOIN freq fb ON pairs.item_b = fb.item, n
+        |ORDER BY lift_micro DESC, item_a, item_b LIMIT 20""".stripMargin,
+    "q_ols_trend" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CAST(epoch_ms(ts) // 1000 - 1704067200 AS HUGEINT) AS x,
+        |    CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT) AS y
+        |  FROM events),
+        |sums AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(COUNT(*) AS HUGEINT) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        |  FROM ev GROUP BY event_type)
+        |SELECT event_type, n_events,
+        |  CAST(((n * sxy - sx * sy) * 86400 * 1000000)
+        |       // (n * sxx - sx * sx) AS BIGINT) AS slope_micro_cents_per_day,
+        |  CAST((sy * sxx - sx * sxy) // (n * sxx - sx * sx) AS BIGINT)
+        |    AS intercept_cents
+        |FROM sums WHERE n * sxx - sx * sx != 0
+        |ORDER BY event_type""".stripMargin)
+}

@@ -315,7 +315,113 @@ object Profiling {
       .orderBy("block")
   }
 
+  /** q_hll_cardinality — dense HyperLogLog (Flajolet et al. 2007,
+    * m = 64 registers over a 40-bit hash space) proven against exact
+    * truth, the streaming-mergeable companion to [[qKmvCardinality]]:
+    * per source, register j = h mod 64 holds max(ρ) where
+    * ρ = 35 − bitlen(h div 64) (leading-zero count + 1 of the 34
+    * remaining bits, via `length(bin(v))` — integer string algebra,
+    * no float log); the raw estimate is α₆₄·m²·2³⁵ div Σ 2^(35−M_j)
+    * with the harmonic sum kept integral by scaling through the max
+    * register height. No small-range correction by design — the
+    * estimator's RAW bias at low cardinality is part of what the
+    * err_permille column reports (sources under ~160 grams read low;
+    * the production path would switch to linear counting there, and
+    * this table is the evidence for where that switch belongs).
+    *
+    * Scale shape: registers are a (source, j)-keyed max — map-side
+    * combine, the shuffle carries ≤ 64 rows per source regardless of
+    * corpus size (the entire point of HLL vs KMV's k-smallest window);
+    * the 64-register spine generates from `spark.range`, never a scan.
+    * The exact side is corpus-priced and exists only to grade the
+    * sketch. */
+  val qHllCardinality: Q = (s, d) => {
+    val words = Tables.spread(Tables.documents(s, d).filter(col("text").isNotNull))
+      .select(col("source"), col("doc_id"),
+        posexplode(filter(split(col("text"), " "), w => length(w) > 0)))
+      .select(col("source"), col("doc_id"), col("pos"), col("col").as("w"))
+    val wd = Window.partitionBy("doc_id").orderBy("pos")
+    val grams = words
+      .withColumn("w2", lead(col("w"), 1).over(wd))
+      .withColumn("w3", lead(col("w"), 2).over(wd))
+      .filter(col("w3").isNotNull)
+      .select(col("source"),
+        concat_ws(" ", col("w"), col("w2"), col("w3")).as("gram"))
+      .distinct()
+      .withColumn("h", expr(s"${md5LongSql("gram")} div 1048576").cast(LongType))
+    val regs = grams
+      .withColumn("j", (col("h") % 64).cast(LongType))
+      .withColumn("v", expr("h div 64").cast(LongType))
+      .withColumn("rho",
+        when(col("v") === 0L, 35L)
+          .otherwise(lit(35L) - length(bin(col("v")))).cast(LongType))
+      .groupBy("source", "j").agg(max(col("rho")).as("m"))
+    val spine = grams.select("source").distinct()
+      .crossJoin(s.range(0, 64).toDF("j"))
+    val ssum = spine.join(regs, Seq("source", "j"), "left")
+      .na.fill(0L, Seq("m"))
+      .groupBy("source")
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(35 - m AS INT))"))
+        .cast(LongType).as("ssum"))
+    val exact = grams.groupBy("source").agg(count(lit(1)).as("n_exact"))
+    exact.join(ssum, Seq("source"))
+      // α₆₄·m²·2³⁵ = (709/1000)·4096·2³⁵ — numerator ≈ 10¹⁷, exact Long
+      .withColumn("n_est",
+        expr("(709 * 4096 * 34359738368) div (1000 * ssum)").cast(LongType))
+      .withColumn("err_permille",
+        expr("((n_est - n_exact) * 1000) div n_exact").cast(LongType))
+      .select(col("source"), col("n_exact").cast(LongType).as("n_exact"),
+        col("n_est"), col("err_permille"))
+      .orderBy("source")
+  }
+
+  /** q_key_skew — join-key skew profile of the three lineitem keys:
+    * each key's values hash into 32 shuffle-model buckets; per key,
+    * the max/min bucket loads, the hottest bucket's permille share,
+    * and the Gini coefficient of the bucket loads (sorted-rank form,
+    * G = (2Σ i·c₍ᵢ₎ − (m+1)Σc) / (m·Σc), micro-scaled integer). This
+    * is the pre-shuffle planning operator: maxshare·P approximates
+    * the straggler factor a P-partition shuffle on that key suffers,
+    * and it is measured BEFORE paying the shuffle (the evidence that
+    * routes a hot key into [[Skew]]'s salted paths). Orderkey spreads
+    * near-uniform; part/supp keys carry the multiplicity the profile
+    * quantifies.
+    *
+    * Plan: the three key columns unpivot scan-side into (key, value)
+    * rows — ONE table read for all profiled keys — then a 96-group
+    * hash aggregate; the Gini windows run over 32-row frames. */
+  val qKeySkew: Q = (s, d) => {
+    val kv = Tables.lineitem(s, d)
+      .select(explode(map(
+        lit("l_orderkey"), col("l_orderkey").cast("string"),
+        lit("l_partkey"), col("l_partkey").cast("string"),
+        lit("l_suppkey"), col("l_suppkey").cast("string"))))
+      .toDF("key_name", "v")
+    val buckets = kv
+      .withColumn("bucket", (md5Long(col("v")) % 32).cast(LongType))
+      .groupBy("key_name", "bucket").agg(count(lit(1)).as("c"))
+    val wKey = Window.partitionBy("key_name")
+    val ranked = buckets
+      .withColumn("i",
+        row_number().over(wKey.orderBy(col("c"), col("bucket"))).cast(LongType))
+      .withColumn("total", sum(col("c")).over(wKey).cast(LongType))
+      .withColumn("m", count(lit(1)).over(wKey).cast(LongType))
+    ranked.groupBy("key_name")
+      .agg(max(col("total")).as("n_rows"),
+        max(col("m")).as("n_buckets"),
+        max(col("c")).cast(LongType).as("max_bucket"),
+        min(col("c")).cast(LongType).as("min_bucket"),
+        expr("(max(c) * 1000) div max(total)").cast(LongType)
+          .as("maxshare_permille"),
+        expr("""((2 * sum(i * c) - (max(m) + 1) * max(total)) * 1000000)
+               | div (max(m) * max(total))""".stripMargin)
+          .cast(LongType).as("gini_micro"))
+      .orderBy("key_name")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_hll_cardinality" -> qHllCardinality,
+    "q_key_skew" -> qKeySkew,
     "q_zorder_layout" -> qZorderLayout,
     "q_column_profile" -> qColumnProfile,
     "q_zone_map" -> qZoneMap,
@@ -333,6 +439,78 @@ object Profiling {
     .mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    "q_hll_cardinality" ->
+      """WITH words AS (
+        |  SELECT source, doc_id, w.w, w.pos
+        |  FROM documents,
+        |    LATERAL (SELECT UNNEST(list_filter(string_split(text, ' '),
+        |                             t -> length(t) > 0)) AS w,
+        |                    generate_subscripts(list_filter(string_split(text, ' '),
+        |                             t -> length(t) > 0), 1) - 1 AS pos) w
+        |  WHERE text IS NOT NULL),
+        |grams AS (
+        |  SELECT DISTINCT source,
+        |    w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+        |      || ' ' || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS gram
+        |  FROM words
+        |  QUALIFY lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL),
+        |hashed AS (
+        |  SELECT source, gram,
+        |    CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) // 1048576 AS h
+        |  FROM grams),
+        |regs AS (
+        |  SELECT source, h % 64 AS j,
+        |    MAX(CASE WHEN h // 64 = 0 THEN 35
+        |             ELSE 35 - length(bin(h // 64)) END) AS m
+        |  FROM hashed GROUP BY source, h % 64),
+        |spine AS (
+        |  SELECT DISTINCT source, r.range AS j
+        |  FROM hashed, range(0, 64) r),
+        |ssum AS (
+        |  SELECT spine.source,
+        |    CAST(SUM(CAST(1 AS BIGINT) << (35 - COALESCE(regs.m, 0))) AS BIGINT)
+        |      AS ssum
+        |  FROM spine LEFT JOIN regs
+        |    ON spine.source = regs.source AND spine.j = regs.j
+        |  GROUP BY spine.source),
+        |exact AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact
+        |  FROM hashed GROUP BY source)
+        |SELECT exact.source AS source, n_exact,
+        |  CAST((709 * 4096 * 34359738368) // (1000 * ssum) AS BIGINT) AS n_est,
+        |  CAST(((CAST((709 * 4096 * 34359738368) // (1000 * ssum) AS BIGINT)
+        |         - n_exact) * 1000) // n_exact AS BIGINT) AS err_permille
+        |FROM exact JOIN ssum ON exact.source = ssum.source
+        |ORDER BY exact.source""".stripMargin,
+    "q_key_skew" ->
+      """WITH kv AS (
+        |  SELECT 'l_orderkey' AS key_name, CAST(l_orderkey AS VARCHAR) AS v
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem),
+        |buckets AS (
+        |  SELECT key_name,
+        |    CAST('0x' || substr(md5(v), 1, 15) AS BIGINT) % 32 AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM kv GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT key_name, c,
+        |    CAST(row_number() OVER (PARTITION BY key_name ORDER BY c, bucket)
+        |      AS BIGINT) AS i,
+        |    CAST(SUM(c) OVER (PARTITION BY key_name) AS BIGINT) AS total,
+        |    CAST(COUNT(*) OVER (PARTITION BY key_name) AS BIGINT) AS m
+        |  FROM buckets)
+        |SELECT key_name,
+        |  CAST(MAX(total) AS BIGINT) AS n_rows,
+        |  CAST(MAX(m) AS BIGINT) AS n_buckets,
+        |  CAST(MAX(c) AS BIGINT) AS max_bucket,
+        |  CAST(MIN(c) AS BIGINT) AS min_bucket,
+        |  CAST((MAX(c) * 1000) // MAX(total) AS BIGINT) AS maxshare_permille,
+        |  CAST(((2 * SUM(i * c) - (MAX(m) + 1) * MAX(total)) * 1000000)
+        |       // (MAX(m) * MAX(total)) AS BIGINT) AS gini_micro
+        |FROM ranked GROUP BY key_name ORDER BY key_name""".stripMargin,
     "q_zorder_layout" ->
       s"""WITH base AS (
         |  SELECT doc_id, n_chars,

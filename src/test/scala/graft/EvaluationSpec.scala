@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Evaluation, Profiling}
+
+/** Semantics of the evaluation/statistics family against naive
+  * recomputations (value-exactness vs DuckDB is the oracle gate's
+  * job; these pin the MATH — rank-AUC vs pair counting, the kappa
+  * identity, HLL register reconstruction, Gini bounds, the OLS
+  * centroid identity) plus plan-shape guards on the scale-critical
+  * joins. */
+class EvaluationSpec extends SparkSpec {
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("roc_auc equals O(n^2) pair-counting AUC on every source") {
+    val byRank = Evaluation.qRocAuc(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val docs = graft.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .select(col("source"), col("n_chars"), col("lang"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2) == "en"))
+    docs.groupBy(_._1).foreach { case (src, rows) =>
+      val pos = rows.filter(_._3).map(_._2)
+      val neg = rows.filterNot(_._3).map(_._2)
+      if (pos.nonEmpty && neg.nonEmpty) {
+        // 2·(wins + ties/2), exact integer — same doubling trick
+        val u2 = pos.iterator.map { p =>
+          2L * neg.count(_ < p) + neg.count(_ == p)
+        }.sum
+        val expected = (u2 * 1000000L) / (2L * pos.length * neg.length)
+        val (np, nn, auc) = byRank(src)
+        assert(np == pos.length && nn == neg.length)
+        assert(auc == expected, s"$src: rank AUC $auc != pair AUC $expected")
+      }
+    }
+  }
+
+  test("kappa matches a hand-rolled confusion-matrix computation") {
+    val row = Evaluation.qKappaAgreement(spark, sf).collect().head
+    val (n, agree) = (row.getLong(0), row.getLong(1))
+    assert(row.getLong(2) == agree * 1000 / n) // po_permille
+    // recompute pe from independently-derived marginals: kappa_micro
+    // must satisfy the cross-multiplied identity exactly
+    val m = graft.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .select(
+        graft.operators.TextStats.occurrences(col("text"), "the").as("t"),
+        graft.operators.TextStats.occurrences(col("text"), "data").as("d"),
+        graft.operators.TextStats.occurrences(col("text"), "scan").as("s"),
+        graft.operators.TextStats.occurrences(col("text"), "join").as("j"))
+      .collect().map { r =>
+        val (t, d, s, j) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        val ca = if (t >= d && t >= s && t >= j) "en"
+          else if (d >= s && d >= j) "dat" else if (s >= j) "scn" else "jon"
+        val cb = if (j >= s && j >= d && j >= t) "jon"
+          else if (s >= d && s >= t) "scn" else if (d >= t) "dat" else "en"
+        (ca, cb)
+      }
+    assert(m.length == n)
+    assert(m.count { case (a, b) => a == b } == agree)
+    val ra = m.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val cb = m.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pe = (ra.keySet ++ cb.keySet).iterator
+      .map(c => ra.getOrElse(c, 0L) * cb.getOrElse(c, 0L)).sum
+    val expected =
+      (BigInt(n) * agree - pe) * 1000000 / (BigInt(n) * n - pe)
+    assert(BigInt(row.getLong(3)) == expected)
+  }
+
+  test("chi2 terms are non-negative and the top list is en-dominated") {
+    val rows = Evaluation.qChi2Terms(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 0, s"chi2 must be >= 0: $r")
+      assert(Set("en", "rest").contains(r.getString(4)))
+      assert(r.getLong(2) <= r.getLong(1), "df_en <= df")
+    }
+    // descending by construction
+    assert(rows.map(_.getLong(3)).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("calibration bins partition the corpus and stay in permille range") {
+    val rows = Evaluation.qCalibrationBins(spark, sf).collect()
+    val total = rows.map(_.getLong(1)).sum
+    val corpus = graft.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull).count()
+    assert(total == corpus)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 1000)
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000)
+    }
+  }
+
+  test("basket lift agrees with a direct computation for the top pair") {
+    val top = Evaluation.qBasketLift(spark, sf).collect().head
+    val nab = top.getLong(2)
+    val items = graft.Tables.lineitem(spark, sf)
+      .join(graft.Tables.part(spark, sf),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("o"), col("p_brand").as("i"))
+      .distinct().collect().map(r => (r.getLong(0), r.getString(1)))
+    val byOrder = items.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val itemA = top.getString(0); val itemB = top.getString(1)
+    val nAB = byOrder.valuesIterator.count(s => s(itemA) && s(itemB))
+    assert(nAB.toLong == nab, s"pair ($itemA,$itemB): $nab vs direct $nAB")
+    val nA = byOrder.valuesIterator.count(_(itemA)).toLong
+    val nB = byOrder.valuesIterator.count(_(itemB)).toLong
+    val nOrders = byOrder.size.toLong
+    assert(top.getLong(5) == nab * nOrders * 1000000L / (nA * nB))
+    // plan: frequency/total joins must broadcast, pair join must not
+    // be a cartesian over the corpus
+    val plan = Evaluation.qBasketLift(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("hll registers reconstruct: estimate within the m=64 error bound") {
+    val rows = Profiling.qHllCardinality(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (exact, est, err) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(err == (est - exact) * 1000 / exact)
+      // raw HLL (no linear-counting correction) with m=64: rse ≈ 13%;
+      // allow 4 sigma plus the documented low-cardinality bias
+      assert(math.abs(err) < 600,
+        s"${r.getString(0)}: |err| ${err} permille out of bound (exact $exact est $est)")
+    }
+  }
+
+  test("key skew: gini bounded, orderkey near-uniform, shares consistent") {
+    val rows = Profiling.qKeySkew(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    rows.foreach { r =>
+      val (nRows, nBuckets, maxB, minB, share, gini) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))
+      assert(nBuckets <= 32 && maxB >= minB)
+      assert(share == maxB * 1000 / nRows)
+      assert(gini >= 0 && gini < 1000000, s"gini $gini out of [0, 1e6)")
+    }
+    // all three keys profile the same table: same total row count
+    assert(rows.map(_.getLong(1)).distinct.length == 1)
+  }
+
+  test("ols trend satisfies the centroid identity ŷ(x̄) = ȳ per group") {
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_type"),
+        (expr("ts div 1000000000") - lit(1704067200L)).cast("double").as("x"),
+        (col("value") * 100).cast("double").as("y"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val fits = Evaluation.qOlsTrend(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    ev.groupBy(_._1).foreach { case (t, rows) =>
+      fits.get(t).foreach { case (slopeMicroDay, intercept) =>
+        val xbar = rows.map(_._2).sum / rows.length
+        val ybar = rows.map(_._3).sum / rows.length
+        val slope = slopeMicroDay.toDouble / 1e6 / 86400.0
+        val fitted = intercept + slope * xbar
+        // integer flooring of slope+intercept: tolerance is |x̄| ulps
+        // of the micro grid plus one cent of intercept rounding
+        val tol = math.abs(xbar) / 1e6 / 86400.0 + 1.5
+        assert(math.abs(fitted - ybar) <= tol,
+          s"$t: fitted ŷ(x̄)=$fitted vs ȳ=$ybar (tol $tol)")
+      }
+    }
+  }
+}
