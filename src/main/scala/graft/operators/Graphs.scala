@@ -113,11 +113,69 @@ object Graphs {
           .otherwise(0L).cast(LongType).as("closure_permille"))
   }
 
+  /** q_kcore_prune — bounded-round 2-core peel of the minhash-LSH
+    * candidate graph: 4 supersteps of "recompute degrees, drop nodes
+    * with degree < 2, keep edges whose endpoints both survive",
+    * emitting the surviving nodes with their final degree. The 2-core
+    * strips pendant pairs and chains, leaving only cyclically-cohesive
+    * duplicate clusters — the structures worth human review in a dedup
+    * audit (an isolated near-dup PAIR is routine; a dense CORE is a
+    * template farm or a mirror). Fixed supersteps, not
+    * loop-until-converged, is the distributed-graph contract (Pregel's
+    * bounded iteration): both engines run the same four rounds, and
+    * the spec proves round 4 is already a fixpoint on the fixtures.
+    *
+    * Plan: each round is one degree aggregate + two semi-join-shaped
+    * equi-joins on the edge endpoints, localCheckpointed so plans stay
+    * flat (and each round's shuffle is candidate-graph-sized, which
+    * LSH banding already bounded — never corpus²). */
+  val qKcorePrune: Q = (s, d) => {
+    val edges0 = Dedup.minhashCandidatePairs(s, d)
+      .select(col("a"), col("b")).localCheckpoint()
+    def peel(e: DataFrame): DataFrame = {
+      val keep = e.select(col("a").as("v"))
+        .unionAll(e.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 2).select("v")
+      e.join(keep.withColumnRenamed("v", "a"), Seq("a"))
+        .join(keep.withColumnRenamed("v", "b"), Seq("b"))
+        .select("a", "b")
+    }
+    val core = (1 to 4).foldLeft(edges0)((e, _) => peel(e).localCheckpoint())
+    core.select(col("a").as("doc_id")).unionAll(core.select(col("b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+      .select(col("doc_id").cast(LongType).as("doc_id"),
+        col("deg").cast(LongType).as("deg"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_pagerank_step" -> qPagerankStep,
+    "q_kcore_prune" -> qKcorePrune,
     "q_dup_triangles" -> qDupTriangles)
 
+  /** Four unrolled peel rounds for the [[qKcorePrune]] oracle — the
+    * same fixed-superstep contract the engine runs, spelled as chained
+    * CTEs over the shared candidate-pair CTE. */
+  private val kcoreRoundsCte: String = (1 to 4).map { r =>
+    val prev = if (r == 1) "cand" else s"e${r - 1}"
+    s"""k$r AS (
+       |  SELECT v FROM (
+       |    SELECT v, COUNT(*) AS deg
+       |    FROM (SELECT a AS v FROM $prev UNION ALL SELECT b FROM $prev)
+       |    GROUP BY v) WHERE deg >= 2),
+       |e$r AS (
+       |  SELECT a, b FROM $prev
+       |  WHERE a IN (SELECT v FROM k$r) AND b IN (SELECT v FROM k$r))"""
+      .stripMargin
+  }.mkString(",\n")
+
   val oracle: Map[String, String] = Map(
+    "q_kcore_prune" ->
+      ("WITH " + Dedup.minhashCandCte + ",\n" + kcoreRoundsCte + "\n" +
+      """SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS deg
+        |FROM (SELECT a AS doc_id FROM e4 UNION ALL SELECT b FROM e4)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "q_dup_triangles" ->
       // concatenated, NOT interpolated into a stripMargin literal: the
       // CTE is already margin-stripped and its `||` concat operators at

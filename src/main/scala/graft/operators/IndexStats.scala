@@ -124,12 +124,77 @@ object IndexStats {
       .orderBy("lang")
   }
 
+  /** q_delta_encoding — posting-list compression planning: every
+    * word's doc_id list delta-encodes (gap from the previous posting,
+    * first gap from 0), each gap's varint cost is ⌈bitlen/7⌉ bytes
+    * (`(length(bin(gap)) + 6) div 7` — integer string algebra, the
+    * [[TextStats.qLogHistogram]] trick), and lists roll up by
+    * log₂-length band: words per band, total postings, fixed 8-byte
+    * cost vs varint cost, and the ratio in permille. This is THE
+    * index-layout table — long posting lists (dense, small gaps)
+    * compress hardest, and the band curve tells an index designer
+    * where bit-packing/PForDelta pays before building anything.
+    *
+    * Plan: the postings scan + one word-keyed window for gaps (same
+    * exchange the per-word aggregate reuses), then a ≤⌈log₂ n⌉-group
+    * rollup — map-side collapse, constant-width final shuffle. */
+  val qDeltaEncoding: Q = (s, d) => {
+    val postings = Tables.spread(Tables.documents(s, d).filter(col("text").isNotNull))
+      .select(explode(split(col("text"), " ")).as("word"), col("doc_id"))
+      .filter(length(col("word")) >= 3)
+      .distinct()
+    val w = Window.partitionBy("word").orderBy("doc_id")
+    val perWord = postings
+      .withColumn("gap",
+        (col("doc_id") - coalesce(lag(col("doc_id"), 1).over(w), lit(0L)))
+          .cast(LongType))
+      .withColumn("vbytes",
+        expr("(length(bin(gap)) + 6) div 7").cast(LongType))
+      .groupBy("word")
+      .agg(count(lit(1)).as("n_postings"),
+        sum(col("vbytes")).cast(LongType).as("v_bytes"))
+    perWord
+      .withColumn("band", length(bin(col("n_postings"))).cast(LongType))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_postings")).cast(LongType).as("n_postings"),
+        (sum(col("n_postings")) * 8).cast(LongType).as("fixed_bytes"),
+        sum(col("v_bytes")).cast(LongType).as("varint_bytes"))
+      .withColumn("ratio_permille",
+        expr("(varint_bytes * 1000) div fixed_bytes").cast(LongType))
+      .orderBy("band")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_coverage_curve" -> qCoverageCurve,
     "q_posting_gaps" -> qPostingGaps,
+    "q_delta_encoding" -> qDeltaEncoding,
     "q_crossmodal_health" -> qCrossmodalHealth)
 
   val oracle: Map[String, String] = Map(
+    "q_delta_encoding" ->
+      """WITH postings AS (
+        |  SELECT DISTINCT word, doc_id FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word, doc_id
+        |    FROM documents WHERE text IS NOT NULL)
+        |  WHERE length(word) >= 3),
+        |gaps AS (
+        |  SELECT word,
+        |    doc_id - COALESCE(lag(doc_id) OVER (PARTITION BY word ORDER BY doc_id),
+        |                      0) AS gap
+        |  FROM postings),
+        |per_word AS (
+        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n_postings,
+        |    CAST(SUM((length(bin(gap)) + 6) // 7) AS BIGINT) AS v_bytes
+        |  FROM gaps GROUP BY word)
+        |SELECT CAST(length(bin(n_postings)) AS BIGINT) AS band,
+        |  COUNT(*) AS n_words,
+        |  CAST(SUM(n_postings) AS BIGINT) AS n_postings,
+        |  CAST(SUM(n_postings) * 8 AS BIGINT) AS fixed_bytes,
+        |  CAST(SUM(v_bytes) AS BIGINT) AS varint_bytes,
+        |  CAST((SUM(v_bytes) * 1000) // (SUM(n_postings) * 8) AS BIGINT)
+        |    AS ratio_permille
+        |FROM per_word GROUP BY 1 ORDER BY band""".stripMargin,
     "q_coverage_curve" ->
       """WITH counts AS (
         |  SELECT word, COUNT(*) AS n FROM (

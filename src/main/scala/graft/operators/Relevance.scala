@@ -257,7 +257,53 @@ object Relevance {
       .orderBy("qid", "rnk")
   }
 
+  /** q_rank_overlap — ranking drift between two corpus halves
+    * (doc_id parity): each half's top-20 terms by frequency under the
+    * (count desc, term) total order, then overlap@k and Jaccard@k in
+    * permille for k ∈ {1, 5, 10, 20}. The distribution-shift smoke
+    * alarm: two snapshots of a healthy corpus share their head terms,
+    * and WHERE the overlap curve collapses says how deep the drift
+    * reaches (head churn = scrape change; tail churn = normal noise).
+    *
+    * Plan: the (half, term) counts prune through a two-phase top-k —
+    * local row_number inside 32 hash buckets first (any term in a
+    * half's global top-20 is in its bucket's top-20 under the same
+    * total order, so the prune is lossless), then the global window
+    * runs over ≤ 640 survivors per half instead of the vocabulary.
+    * The oracle runs the naive full-vocabulary window — hash equality
+    * IS the losslessness proof (the decomposition-proof pattern). The
+    * k-spine joins a ≤20-row frame; nothing downstream is
+    * corpus-sized. */
+  val qRankOverlap: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.spread(Tables.documents(s, d).filter(col("text").isNotNull))
+      .select((col("doc_id") % 2).cast(LongType).as("half"),
+        explode(filter(split(col("text"), " "), w => length(w) > 0)).as("w"))
+      .groupBy("half", "w").agg(count(lit(1)).as("n"))
+    val wLocal = Window.partitionBy("half", "b").orderBy(col("n").desc, col("w"))
+    val pruned = counts
+      .withColumn("b", pmod(hash(col("w")), lit(32)))
+      .withColumn("lr", row_number().over(wLocal))
+      .filter(col("lr") <= 20).drop("b", "lr")
+    val wHalf = Window.partitionBy("half").orderBy(col("n").desc, col("w"))
+    val top = pruned
+      .withColumn("r", row_number().over(wHalf).cast(LongType))
+      .filter(col("r") <= 20)
+    val joined = top.filter(col("half") === 0).select(col("w"), col("r").as("ra"))
+      .join(top.filter(col("half") === 1).select(col("w"), col("r").as("rb")),
+        Seq("w"))
+    val ks = s.createDataFrame(Seq(Tuple1(1L), Tuple1(5L), Tuple1(10L), Tuple1(20L)))
+      .toDF("k")
+    ks.join(broadcast(joined), col("ra") <= col("k") && col("rb") <= col("k"), "left")
+      .groupBy("k")
+      .agg(count(col("w")).cast(LongType).as("n_overlap"))
+      .withColumn("jaccard_permille",
+        expr("(n_overlap * 1000) div (2 * k - n_overlap)").cast(LongType))
+      .orderBy("k")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_rank_overlap" -> qRankOverlap,
     "q_rrf_fusion" -> qRrfFusion,
     "q_bm25" -> qBm25,
     "q_sparse_cosine" -> qSparseCosine,
@@ -267,6 +313,31 @@ object Relevance {
     "q_datasheet" -> qDatasheet)
 
   val oracle: Map[String, String] = Map(
+    "q_rank_overlap" ->
+      // naive single full-vocabulary window per half ON PURPOSE: hash
+      // equality proves the engine's bucketed two-phase top-k prune
+      // drops nothing
+      """WITH words AS (
+        |  SELECT doc_id % 2 AS half, unnest(string_split(text, ' ')) AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |counts AS (
+        |  SELECT half, w, COUNT(*) AS n FROM words
+        |  WHERE length(w) > 0 GROUP BY half, w),
+        |ranked AS (
+        |  SELECT half, w,
+        |    CAST(row_number() OVER (PARTITION BY half ORDER BY n DESC, w)
+        |      AS BIGINT) AS r
+        |  FROM counts),
+        |top AS (SELECT * FROM ranked WHERE r <= 20),
+        |j AS (
+        |  SELECT a.w, a.r AS ra, b.r AS rb
+        |  FROM top a JOIN top b ON a.w = b.w AND a.half = 0 AND b.half = 1),
+        |ks AS (SELECT CAST(unnest([1, 5, 10, 20]) AS BIGINT) AS k)
+        |SELECT k, CAST(COUNT(j.w) AS BIGINT) AS n_overlap,
+        |  CAST((COUNT(j.w) * 1000) // (2 * k - COUNT(j.w)) AS BIGINT)
+        |    AS jaccard_permille
+        |FROM ks LEFT JOIN j ON j.ra <= k AND j.rb <= k
+        |GROUP BY k ORDER BY k""".stripMargin,
     "q_bm25" -> {
       val tfs = terms
         .map(t => s"${TextStats.occurrencesDuck("text", t)} AS tf_$t")

@@ -736,7 +736,61 @@ object Similarity {
       .orderBy("a")
   }
 
+  /** q_embedding_outliers — per-label distance-to-centroid screen:
+    * the 20 vectors whose squared distance to their label centroid is
+    * largest relative to the label mean (ratio in permille). Division-
+    * free exactness via the c²-scaling identity: with unscaled
+    * components u = x·10⁸ and per-(label, dim) sums S over c members,
+    * c²·d² = Σ_dim (c·u − S)² — every term an exact integer (DECIMAL
+    * (38,0) interior), and the final d²·10¹⁶ fits Long because the
+    * fixtures' embeddings are sub-unit per dimension — but the label
+    * SUM of d²·10¹⁶ and the ×1000 permille numerator do NOT (d² can
+    * reach 4.0 for unit-scale vectors, so d²·10¹⁹ overflows; caught by
+    * OperatorsSpec at sf0.001), so both ride DECIMAL(38,0) until the
+    * final `div` collapses them back under 2⁶³. Mislabeled or
+    * corrupted vectors sit far from their class centroid; this is the
+    * label-noise audit run before trusting [[qKnnClassify]]-style
+    * evals.
+    *
+    * Plan: one posexplode pass builds (label, dim) sums (|labels|·64
+    * groups, broadcast back onto the same exploded frame — no second
+    * scan), the per-vector reduce is a high-cardinality two-phase agg,
+    * the label means ride a |labels|-partition window, and the top-20
+    * plans as TakeOrdered. */
+  val qEmbeddingOutliers: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === 64)
+    val rows = emb
+      .select(col("label"), col("vec_id"),
+        posexplode(decVec(col("embedding"))).as(Seq("i0", "x")))
+      .select(col("label"), col("vec_id"), (col("i0") + 1).as("dim"),
+        (col("x") * lit(100000000L)).cast(LongType).as("u"))
+    val sums = rows.groupBy("label", "dim")
+      .agg(sum(col("u")).cast(LongType).as("sdim"), count(lit(1)).as("c"))
+    val d2 = rows.join(broadcast(sums), Seq("label", "dim"))
+      .withColumn("t",
+        (col("c").cast(DecimalType(38, 0)) * col("u") - col("sdim"))
+          .cast(DecimalType(38, 0)))
+      .groupBy("label", "vec_id")
+      .agg(max(col("c")).as("c"), sum(col("t") * col("t")).as("ss"))
+      .withColumn("dist2_e16",
+        expr("ss div (CAST(c AS DECIMAL(38,0)) * c)").cast(LongType))
+    d2
+      .withColumn("mean_e16",
+        expr("sum(CAST(dist2_e16 AS DECIMAL(38,0))) OVER (PARTITION BY label)" +
+            " div count(1) OVER (PARTITION BY label)")
+          .cast(LongType))
+      .filter(col("mean_e16") > 0)
+      .withColumn("ratio_permille",
+        expr("(CAST(dist2_e16 AS DECIMAL(38,0)) * 1000) div mean_e16")
+          .cast(LongType))
+      .select(col("label"), col("vec_id"), col("dist2_e16"), col("ratio_permille"))
+      .orderBy(col("ratio_permille").desc, col("vec_id"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_embedding_outliers" -> qEmbeddingOutliers,
     "q_jl_distortion" -> qJlDistortion,
     "q_ann_topk" -> qAnnTopk,
     "q_matryoshka_overlap" -> qMatryoshkaOverlap,
@@ -831,6 +885,39 @@ object Similarity {
       |  GROUP BY 1, 2)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_embedding_outliers" ->
+      """WITH el AS (
+        |  SELECT label, vec_id, i AS dim,
+        |    CAST(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) * 100000000
+        |      AS BIGINT) AS u
+        |  FROM (SELECT label, vec_id, embedding,
+        |          unnest(generate_series(1, 64)) AS i
+        |        FROM embeddings
+        |        WHERE embedding IS NOT NULL AND len(embedding) = 64)),
+        |sums AS (
+        |  SELECT label, dim, CAST(SUM(u) AS BIGINT) AS sdim,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM el GROUP BY label, dim),
+        |d2 AS (
+        |  SELECT el.label, vec_id, MAX(c) AS c,
+        |    SUM((CAST(c AS HUGEINT) * u - sdim) * (CAST(c AS HUGEINT) * u - sdim))
+        |      AS ss
+        |  FROM el JOIN sums ON el.label = sums.label AND el.dim = sums.dim
+        |  GROUP BY el.label, vec_id),
+        |dd AS (
+        |  SELECT label, vec_id,
+        |    CAST(ss // (CAST(c AS HUGEINT) * c) AS BIGINT) AS dist2_e16
+        |  FROM d2),
+        |m AS (
+        |  SELECT label, vec_id, dist2_e16,
+        |    CAST(SUM(dist2_e16) OVER (PARTITION BY label)
+        |         // COUNT(*) OVER (PARTITION BY label) AS BIGINT) AS mean_e16
+        |  FROM dd)
+        |SELECT label, vec_id, dist2_e16,
+        |  CAST((CAST(dist2_e16 AS HUGEINT) * 1000) // mean_e16 AS BIGINT)
+        |    AS ratio_permille
+        |FROM m WHERE mean_e16 > 0
+        |ORDER BY ratio_permille DESC, vec_id LIMIT 20""".stripMargin,
     "q_jl_distortion" ->
       """WITH el AS (
         |  SELECT vec_id, i AS j,

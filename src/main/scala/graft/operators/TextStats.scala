@@ -893,7 +893,46 @@ object TextStats {
       .withColumn("ttr_pct", expr("(n_types * 100) div n_tokens"))
       .orderBy("doc_id")
 
+  /** q_weighted_median — token-weighted median document length per
+    * source: the smallest n_chars whose running token weight reaches
+    * half the source's total (2·cum ≥ total — integer, no halving
+    * division), alongside the unweighted median by the same rule.
+    * Pipelines budget in TOKENS, not documents, so the token-weighted
+    * median is the length that actually splits the training mass in
+    * half — on long-tailed corpora it sits far above the document
+    * median, and the gap between the two columns is the skew a
+    * doc-count-based sampler silently inherits.
+    *
+    * Plan: one scan (token counts are length algebra, no explode);
+    * one per-source window for the running weight (the exchange the
+    * final per-source aggregate reuses); the pick is a conditional
+    * MIN — no second pass, no driver-side percentile. */
+  val qWeightedMedian: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        size(filter(split(col("text"), " "), w => length(w) > 0))
+          .cast(LongType).as("tok"))
+    val w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    val tot = Window.partitionBy("source")
+    docs
+      .withColumn("cum_tok", sum(col("tok")).over(w).cast(LongType))
+      .withColumn("tot_tok", sum(col("tok")).over(tot).cast(LongType))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .withColumn("n_docs", count(lit(1)).over(tot).cast(LongType))
+      .groupBy("source")
+      .agg(max(col("n_docs")).as("n_docs"),
+        max(col("tot_tok")).as("total_tokens"),
+        min(when(col("cum_tok") * 2 >= col("tot_tok"), col("n_chars")))
+          .cast(LongType).as("wmedian_chars"),
+        min(when(col("rn") * 2 >= col("n_docs"), col("n_chars")))
+          .cast(LongType).as("median_chars"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_weighted_median" -> qWeightedMedian,
     "q_pmi_bigrams" -> qPmiBigrams,
     "q_type_token_ratio" -> qTypeTokenRatio,
     "q_distinctive_terms" -> qDistinctiveTerms,
@@ -932,6 +971,29 @@ object TextStats {
     .map(w => s"(${occurrencesDuck("text", w)})").mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    "q_weighted_median" ->
+      """WITH docs AS (
+        |  SELECT source, doc_id, n_chars,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> length(w) > 0))
+        |      AS BIGINT) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |cum AS (
+        |  SELECT source, n_chars, tok,
+        |    CAST(SUM(tok) OVER (PARTITION BY source ORDER BY n_chars, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok,
+        |    CAST(SUM(tok) OVER (PARTITION BY source) AS BIGINT) AS tot_tok,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+        |      AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_docs
+        |  FROM docs)
+        |SELECT source,
+        |  CAST(MAX(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(MAX(tot_tok) AS BIGINT) AS total_tokens,
+        |  CAST(MIN(CASE WHEN cum_tok * 2 >= tot_tok THEN n_chars END) AS BIGINT)
+        |    AS wmedian_chars,
+        |  CAST(MIN(CASE WHEN rn * 2 >= n_docs THEN n_chars END) AS BIGINT)
+        |    AS median_chars
+        |FROM cum GROUP BY source ORDER BY source""".stripMargin,
     "q_pmi_bigrams" ->
       """WITH w AS (
         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents
