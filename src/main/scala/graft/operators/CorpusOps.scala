@@ -619,7 +619,72 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Source-keyed synthetic raw URLs for the host-level operators:
+    * each adjacent even/odd doc pair names the same logical URL
+    * through two spellings (upper-cased www/:443 variant with
+    * tracking params vs the clean form), and the HOST varies by
+    * `source` — so host-level rollups have real fan-out instead of
+    * the single-host corpus [[qUrlCanonical]]'s derivation yields. */
+  private def sourceUrls(s: SparkSession, d: String): DataFrame = {
+    val page = expr("(doc_id div 2) % 50").cast("string")
+    val a = expr("(doc_id div 2) % 3").cast("string")
+    val raw = when(pmod(col("doc_id"), lit(2)) === 0,
+      concat(lit("HTTPS://WWW."), upper(col("source")), lit(".COM:443/p/"),
+        page, lit("?z=1&utm_campaign=x&a="), a, lit("#frag")))
+      .otherwise(concat(lit("https://"), col("source"), lit(".com/p/"),
+        page, lit("?a="), a, lit("&z=1")))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        canonicalUrl(raw).as("canonical_url"))
+      .withColumn("host",
+        regexp_extract(col("canonical_url"), "^[a-z]+://([^/?#]+)", 1))
+  }
+
+  /** q_host_rollup — per-host crawl accounting over canonical URLs:
+    * docs fetched, distinct logical URLs, and the collapse rate in
+    * permille (how much of the host's crawl volume was URL-level
+    * duplication). THE per-domain triage table of a web pipeline —
+    * recrawl budgets, politeness quotas, and domain blocklists all key
+    * off it. Plan: scan-side canonicalization (regex/array algebra,
+    * no shuffle), then one hash aggregate on host with a distinct
+    * expansion on (host, canonical) — both partial map-side; output
+    * is |hosts|-sized. */
+  val qHostRollup: Q = (s, d) =>
+    sourceUrls(s, d)
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("canonical_url")).as("n_urls"),
+        sum("n_chars").cast(LongType).as("total_chars"))
+      .withColumn("collapse_permille",
+        expr("((n_docs - n_urls) * 1000) div n_docs").cast(LongType))
+      .orderBy("host")
+
+  /** q_url_dedup — keep-best URL-level dedup: for every canonical
+    * URL, keep the "best" fetch (longest n_chars, ties to the
+    * smallest doc_id) — the argmax flavor of canonical-URL dedup that
+    * real pipelines run (the LONGEST fetch of a URL is usually the
+    * complete one; first-fetch-wins keeps truncated captures). The
+    * deterministic struct-max `(n_chars, −doc_id)` makes the pick
+    * total-ordered, never a nondeterministic max_by tie.
+    *
+    * Plan: scan-side canonicalization, ONE hash aggregate on the
+    * canonical key carrying the struct-max — no window, no join, no
+    * second pass; at 100 TB this is the same single-shuffle shape as
+    * exact-hash dedup. */
+  val qUrlDedup: Q = (s, d) =>
+    sourceUrls(s, d)
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_docs"),
+        max(struct(col("n_chars").as("nc"), (-col("doc_id")).as("nd")))
+          .as("best"))
+      .select(col("canonical_url"), col("n_docs"),
+        (-col("best.nd")).cast(LongType).as("kept_doc"),
+        col("best.nc").cast(LongType).as("kept_chars"))
+      .orderBy("canonical_url")
+
   val queries: Map[String, Q] = Map(
+    "q_host_rollup" -> qHostRollup,
+    "q_url_dedup" -> qUrlDedup,
     "q_stupid_backoff" -> qStupidBackoff,
     "q_pii_scrub" -> qPiiScrub,
     "q_unigram_ppl" -> qUnigramPpl,
@@ -633,7 +698,59 @@ object CorpusOps {
     "q_gram_novelty" -> qGramNovelty,
     "q_url_canonical" -> qUrlCanonical)
 
+  /** Shared oracle CTE chain for the [[sourceUrls]] derivation: raw
+    * spellings → fragment strip → host/path/param canonicalization →
+    * per-doc canonical_url + host. Mirrors [[canonicalUrl]] with the
+    * same regex-by-regex independent DuckDB spelling the
+    * q_url_canonical oracle uses. */
+  private val sourceUrlCte: String =
+    """u AS (
+      |  SELECT doc_id, n_chars,
+      |    CASE WHEN doc_id % 2 = 0
+      |      THEN 'HTTPS://WWW.' || upper(source) || '.COM:443/p/'
+      |        || ((doc_id // 2) % 50)
+      |        || '?z=1&utm_campaign=x&a=' || ((doc_id // 2) % 3) || '#frag'
+      |      ELSE 'https://' || source || '.com/p/' || ((doc_id // 2) % 50)
+      |        || '?a=' || ((doc_id // 2) % 3) || '&z=1'
+      |    END AS url
+      |  FROM documents),
+      |nf AS (SELECT doc_id, n_chars, regexp_replace(url, '#.*$', '') AS nu
+      |       FROM u),
+      |pp AS (SELECT doc_id, n_chars,
+      |    regexp_replace(regexp_replace(
+      |      lower(regexp_extract(nu, '^[A-Za-z]+://([^/?#]+)', 1)), ':443$', ''),
+      |      '^www\.', '') AS host,
+      |    regexp_extract(nu, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+      |    COALESCE(array_to_string(list_sort(list_filter(
+      |      string_split(regexp_extract(nu, '\?([^#]*)', 1), '&'),
+      |      q -> NOT (starts_with(q, 'utm_') OR starts_with(q, 'ref=')
+      |                OR q = ''))), '&'), '') AS params
+      |  FROM nf),
+      |canon AS (SELECT doc_id, n_chars, host,
+      |    'https://' || host || path ||
+      |      CASE WHEN params = '' THEN '' ELSE '?' || params END
+      |      AS canonical_url
+      |  FROM pp)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_host_rollup" ->
+      ("WITH " + sourceUrlCte + "\n" +
+      """SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT canonical_url) AS BIGINT) AS n_urls,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(((COUNT(*) - COUNT(DISTINCT canonical_url)) * 1000) // COUNT(*)
+        |    AS BIGINT) AS collapse_permille
+        |FROM canon GROUP BY host ORDER BY host""".stripMargin),
+    "q_url_dedup" ->
+      ("WITH " + sourceUrlCte + ",\n" +
+      """best AS (
+        |  SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    MAX(struct_pack(nc := n_chars, nd := -doc_id)) AS b
+        |  FROM canon GROUP BY canonical_url)
+        |SELECT canonical_url, n_docs,
+        |  CAST(-(b.nd) AS BIGINT) AS kept_doc,
+        |  CAST(b.nc AS BIGINT) AS kept_chars
+        |FROM best ORDER BY canonical_url""".stripMargin),
     "q_stupid_backoff" ->
       """WITH d AS (
         |  SELECT doc_id, text,

@@ -124,14 +124,64 @@ object Packing {
       .orderBy("doc_id")
   }
 
+  private val ShardBytes = 16384L
+
+  /** q_shard_plan — the output-writer layout plan: per source, docs
+    * stream in doc_id order into byte-budgeted shards (a doc opens a
+    * new shard when the running byte offset crosses the 16 KiB fixture
+    * budget — shard id = start-offset div budget, so a doc can
+    * straddle but always BELONGS to where it started, the contract
+    * parquet writers use for row-group assignment). Emits per (source,
+    * shard): docs, bytes, the doc_id span, and the fill permille. This
+    * is the plan a 100 TB writer computes BEFORE writing, so output
+    * files land at target size instead of the 1-file-per-task lottery;
+    * the fixture budget is deliberately tiny for fan-out.
+    *
+    * Plan: one per-source prefix-sum window (the exchange the per-
+    * shard aggregate reuses — Catalyst collapses both onto one hash
+    * partitioning by source), then a (source, shard) hash aggregate.
+    * Same shape as [[qPackChunks]] but byte- not token-budgeted and
+    * source- not hash-sharded: layout, not training mix. */
+  val qShardPlan: Q = (s, d) => {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("start_off",
+        (sum(col("n_chars")).over(w) - col("n_chars")).cast(LongType))
+      .withColumn("shard", expr(s"start_off div $ShardBytes").cast(LongType))
+      .groupBy("source", "shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast(LongType).as("bytes"),
+        min(col("doc_id")).cast(LongType).as("first_doc"),
+        max(col("doc_id")).cast(LongType).as("last_doc"))
+      .withColumn("fill_permille",
+        expr(s"(bytes * 1000) div $ShardBytes").cast(LongType))
+      .orderBy("source", "shard")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_pack_chunks" -> qPackChunks,
-    "q_greedy_pack" -> qGreedyPack)
+    "q_greedy_pack" -> qGreedyPack,
+    "q_shard_plan" -> qShardPlan)
 
   private def shardDuck(expr: String): String =
     s"CAST('0x' || substr(md5('pack|' || CAST($expr AS VARCHAR)), 1, 15) AS BIGINT) % $NShards"
 
   val oracle: Map[String, String] = Map(
+    "q_shard_plan" ->
+      s"""WITH offs AS (
+        |  SELECT source, doc_id, n_chars,
+        |    CAST(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_chars AS BIGINT) AS start_off
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT source, CAST(start_off // $ShardBytes AS BIGINT) AS shard,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS bytes,
+        |  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+        |  CAST(MAX(doc_id) AS BIGINT) AS last_doc,
+        |  CAST((SUM(n_chars) * 1000) // $ShardBytes AS BIGINT) AS fill_permille
+        |FROM offs GROUP BY 1, 2 ORDER BY source, shard""".stripMargin,
     "q_pack_chunks" ->
       s"""SELECT doc_id, shard, tokens, start_off,
         |  start_off // $ContextLen AS first_chunk,

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 import graft.Tables
 import graft.functions.Exprs.{dec2, intScaled, md5Long}
@@ -419,7 +419,94 @@ object Profiling {
       .orderBy("key_name")
   }
 
+  /** q_ks_distance — exact two-sample Kolmogorov–Smirnov distance
+    * between every pair of sources' document-length distributions, in
+    * permille. The distribution-shift detector that [[qKeySkew]]-style
+    * moments can miss: KS is the max CDF gap, so a source whose mean
+    * matches but whose SHAPE drifted (bimodal scrape, truncation bug)
+    * lights up. Division-free exactness: at every merged support point
+    * x, |F_a(x)−F_b(x)|·n_a·n_b = |cum_a(x)·n_b − cum_b(x)·n_a| — all
+    * integers; the permille div happens once per pair at the end.
+    *
+    * Plan: the only corpus-sized pass is the (source, n_chars) count
+    * aggregate; everything downstream — the |S|² pair spine (tiny,
+    * broadcast), the two pair⋈lens equi-joins that tag each length
+    * point with its pair (an OR-join would plan BNL; the union of two
+    * broadcast equi-joins never does), and the per-pair CDF windows —
+    * runs on the pairs × distinct-lengths frame, bounded regardless of
+    * row count. */
+  val qKsDistance: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val lens = Tables.documents(s, d).filter(col("text").isNotNull)
+      .groupBy("source", "n_chars").agg(count(lit(1)).as("cnt"))
+    val tot = lens.groupBy("source").agg(sum("cnt").cast(LongType).as("n"))
+    val pairs = tot.select(col("source").as("sa"), col("n").as("na"))
+      .join(tot.select(col("source").as("sb"), col("n").as("nb")),
+        col("sa") < col("sb"))
+    val pa = broadcast(pairs).join(lens, col("sa") === col("source"))
+      .select(col("sa"), col("sb"), col("na"), col("nb"), col("n_chars"),
+        col("cnt").as("ca"), lit(0L).as("cb"))
+    val pb = broadcast(pairs).join(lens, col("sb") === col("source"))
+      .select(col("sa"), col("sb"), col("na"), col("nb"), col("n_chars"),
+        lit(0L).as("ca"), col("cnt").as("cb"))
+    val pts = pa.unionAll(pb)
+      .groupBy("sa", "sb", "na", "nb", "n_chars")
+      .agg(sum("ca").as("ca"), sum("cb").as("cb"))
+    val w = Window.partitionBy("sa", "sb").orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts
+      .withColumn("cuma", sum(col("ca")).over(w).cast(dec))
+      .withColumn("cumb", sum(col("cb")).over(w).cast(dec))
+      .withColumn("gap", abs(col("cuma") * col("nb") - col("cumb") * col("na")))
+      .groupBy("sa", "sb", "na", "nb")
+      .agg(max(col("gap")).as("dmax"))
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        col("na").as("n_a"), col("nb").as("n_b"),
+        expr("(dmax * 1000) div (CAST(na AS DECIMAL(38,0)) * nb)")
+          .cast(LongType).as("ks_permille"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** q_gini_concentration — the Lorenz/Gini inequality of token mass
+    * across documents, per source: how concentrated is the training
+    * signal in few documents? G = (2·Σ i·wᵢ)/(n·Σw) − (n+1)/n with
+    * weights ascending — permille-exact because every term stays
+    * integral (the rank·weight sum rides DECIMAL(38,0)). Ranks break
+    * ties by doc_id, which leaves G unchanged (equal weights commute
+    * in Σ i·wᵢ) and makes both engines bit-equal. G near 0 = docs
+    * contribute evenly; G near 1 = a handful of megadocs carry the
+    * corpus, and a doc-level sampler will starve or flood.
+    *
+    * Plan: one scan (token count is split+filter length algebra), one
+    * per-source rank window, one per-source aggregate — on a cluster
+    * the window key is `source`, so a skewed source would ride the
+    * [[Ranking]] two-level rank decomposition; at fixture scale the
+    * direct window is the honest plan. */
+  val qGiniConcentration: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("source"), col("doc_id"),
+        size(filter(split(col("text"), " "), w => length(w) > 0))
+          .cast(LongType).as("tok"))
+    val w = Window.partitionBy("source").orderBy("tok", "doc_id")
+    docs
+      .withColumn("i", row_number().over(w).cast(dec))
+      .groupBy("source")
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        sum(col("tok")).cast(LongType).as("total_tokens"),
+        sum(col("i") * col("tok")).as("siw"))
+      .filter(col("total_tokens") > 0)
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        expr("""(2000 * siw - 1000 * (CAST(n_docs AS DECIMAL(38,0)) + 1)
+                 * total_tokens)
+                div (CAST(n_docs AS DECIMAL(38,0)) * total_tokens)""")
+          .cast(LongType).as("gini_permille"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_ks_distance" -> qKsDistance,
+    "q_gini_concentration" -> qGiniConcentration,
     "q_hll_cardinality" -> qHllCardinality,
     "q_key_skew" -> qKeySkew,
     "q_zorder_layout" -> qZorderLayout,
@@ -439,6 +526,57 @@ object Profiling {
     .mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    "q_ks_distance" ->
+      """WITH lens AS (
+        |  SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM documents WHERE text IS NOT NULL GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT source, CAST(SUM(cnt) AS BIGINT) AS n FROM lens GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.source AS sa, b.source AS sb, a.n AS na, b.n AS nb
+        |  FROM tot a JOIN tot b ON a.source < b.source),
+        |pts AS (
+        |  SELECT sa, sb, na, nb, n_chars,
+        |    SUM(ca) AS ca, SUM(cb) AS cb
+        |  FROM (
+        |    SELECT sa, sb, na, nb, n_chars, cnt AS ca, 0 AS cb
+        |    FROM pairs JOIN lens ON lens.source = pairs.sa
+        |    UNION ALL
+        |    SELECT sa, sb, na, nb, n_chars, 0, cnt
+        |    FROM pairs JOIN lens ON lens.source = pairs.sb)
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |cdf AS (
+        |  SELECT sa, sb, na, nb,
+        |    CAST(SUM(ca) OVER (PARTITION BY sa, sb ORDER BY n_chars
+        |      ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cuma,
+        |    CAST(SUM(cb) OVER (PARTITION BY sa, sb ORDER BY n_chars
+        |      ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cumb
+        |  FROM pts)
+        |SELECT sa AS source_a, sb AS source_b, na AS n_a, nb AS n_b,
+        |  CAST((MAX(abs(cuma * nb - cumb * na)) * 1000)
+        |       // (CAST(na AS HUGEINT) * nb) AS BIGINT) AS ks_permille
+        |FROM cdf GROUP BY 1, 2, 3, 4 ORDER BY source_a, source_b""".stripMargin,
+    "q_gini_concentration" ->
+      """WITH docs AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> length(w) > 0))
+        |      AS BIGINT) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |ranked AS (
+        |  SELECT source, tok,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY tok, doc_id)
+        |      AS HUGEINT) AS i
+        |  FROM docs),
+        |agg AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(tok) AS BIGINT) AS total_tokens,
+        |    SUM(i * tok) AS siw
+        |  FROM ranked GROUP BY source)
+        |SELECT source, n_docs, total_tokens,
+        |  CAST((2000 * siw - 1000 * (CAST(n_docs AS HUGEINT) + 1) * total_tokens)
+        |       // (CAST(n_docs AS HUGEINT) * total_tokens) AS BIGINT)
+        |    AS gini_permille
+        |FROM agg WHERE total_tokens > 0 ORDER BY source""".stripMargin,
     "q_hll_cardinality" ->
       """WITH words AS (
         |  SELECT source, doc_id, w.w, w.pos

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 import graft.Tables
 import graft.functions.Exprs.{dec2, intScaled, md5Long, nanosToSec}
@@ -312,7 +312,136 @@ object Sequences {
       .orderBy("bucket")
   }
 
+  /** q_out_of_order — the watermark audit: how disordered is the
+    * event stream in ARRIVAL order (event_id, the producer sequence)
+    * versus EVENT time? Per event_type: events seen, events that
+    * arrived after a later-timestamped event already had (late), the
+    * worst lateness in micros (= the watermark delay a streaming
+    * consumer of this log would need to never drop a row), and the
+    * late share in permille. This is the number that sizes every
+    * `withWatermark` in the streaming layer — guessed watermarks
+    * silently drop data; measured ones are a contract.
+    *
+    * Plan: the same two-level prefix decomposition as
+    * [[qConcurrencyCurve]] — the corpus-sized "running max ts so far"
+    * window partitions on (event_type, arrival block), the only
+    * global-order pass runs over block summaries (a prefix max per
+    * type over blocks), so no single partition ever holds a type's
+    * full history. The DuckDB twin runs the NAIVE per-type global
+    * running max — hash equality proves the decomposition exact. */
+  val qOutOfOrder: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(
+      col("event_type"), col("event_id"),
+      expr("ts div 1000").cast(LongType).as("ts_us"),
+      expr("event_id div 128").cast(LongType).as("blk"))
+    val wIn = Window.partitionBy("event_type", "blk").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCarry = Window.partitionBy("event_type").orderBy("blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blkMax = ev.groupBy("event_type", "blk").agg(max("ts_us").as("bm"))
+      .withColumn("carry", max(col("bm")).over(wCarry))
+      .select("event_type", "blk", "carry")
+    // greatest() skips nulls: null iff this is the type's first block
+    // AND the first row inside it — i.e. the type's first arrival
+    ev.withColumn("inmax", max(col("ts_us")).over(wIn))
+      .join(blkMax, Seq("event_type", "blk"))
+      .withColumn("prevmax", greatest(col("inmax"), col("carry")))
+      .withColumn("late_us",
+        when(col("prevmax").isNull || col("prevmax") <= col("ts_us"), 0L)
+          .otherwise(col("prevmax") - col("ts_us")).cast(LongType))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > 0L, 1L).otherwise(0L)).cast(LongType)
+          .as("n_late"),
+        max(col("late_us")).as("max_late_us"),
+        sum(col("late_us")).cast(LongType).as("sum_late_us"))
+      .withColumn("late_permille",
+        expr("(n_late * 1000) div n_events").cast(LongType))
+      .orderBy("event_type")
+  }
+
+  /** q_autocorr_lag — lag-1 autocorrelation of the hourly event-count
+    * series per event_type, exact in micros. With hourly counts c_t
+    * (t over the type's OBSERVED activity hours in order), n hours and
+    * S = Σc, the estimator r₁ = Σ(c_t−c̄)(c_{t+1}−c̄) / Σ(c_t−c̄)²
+    * n²-scales to integers: dev_t = n·c_t − S, r₁·10⁶ =
+    * 10⁶·Σ dev_t·dev_{t+1} div Σ dev_t² — every term exact in
+    * DECIMAL(38,0), no float drift between engines. High r₁ = smooth
+    * load (cacheable, schedulable); r₁ near 0 = memoryless arrivals;
+    * negative = oscillation (retry storms, batch-flush sawtooth).
+    *
+    * Plan: the corpus-sized work is one (type, hour) hash aggregate;
+    * the window and final reduce run on the hours×types frame, which
+    * is CALENDAR-bounded (8760 rows/type/year) at any corpus scale. */
+  val qAutocorrLag: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val cnt = Tables.events(s, d)
+      .select(col("event_type"), expr("(ts div 1000000000) div 3600").as("hr"))
+      .groupBy("event_type", "hr").agg(count(lit(1)).cast(dec).as("c"))
+    val wT = Window.partitionBy("event_type")
+    val wLead = Window.partitionBy("event_type").orderBy("hr")
+    cnt
+      .withColumn("n", count(lit(1)).over(wT).cast(dec))
+      .withColumn("stot", sum(col("c")).over(wT))
+      .withColumn("dev", col("n") * col("c") - col("stot"))
+      .withColumn("devnext",
+        col("n") * lead(col("c"), 1).over(wLead) - col("stot"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast(LongType).as("n_hours"),
+        sum(col("c")).cast(LongType).as("n_events"),
+        // sum skips the last hour's null devnext — exactly the n−1
+        // consecutive pairs the estimator wants
+        sum(col("dev") * col("devnext")).as("num"),
+        sum(col("dev") * col("dev")).as("den"))
+      .filter(col("den") =!= 0)
+      .select(col("event_type"), col("n_hours"), col("n_events"),
+        expr("(num * 1000000) div den").cast(LongType).as("acf1_micro"))
+      .orderBy("event_type")
+  }
+
+  /** q_cusum_changepoint — CUSUM drift localization per event_type:
+    * over the type's daily counts c_u (D observed days, S total
+    * events), the running deviation sum s_t = Σ_{u≤t}(D·c_u − S) is
+    * zero at both ends and bows maximally at the day the rate regime
+    * shifts. Emits that argmax day (ties → earliest), its |s| as a
+    * permille of the D·S ceiling, and the day count — the "WHEN did
+    * ingest change" answer that a global mean can only average away.
+    * Integer-exact: D-scaling removes the mean division, everything
+    * rides DECIMAL(38,0) until the final permille div.
+    *
+    * Plan: corpus-sized work is one (type, day) hash aggregate; the
+    * running sum and the argmax row_number run on the CALENDAR-bounded
+    * days×types frame. */
+  val qCusumChangepoint: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val cnt = Tables.events(s, d)
+      .select(col("event_type"), expr("(ts div 1000000000) div 86400").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).cast(dec).as("c"))
+    val wT = Window.partitionBy("event_type")
+    val wRun = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val curve = cnt
+      .withColumn("dd", count(lit(1)).over(wT).cast(dec))
+      .withColumn("stot", sum(col("c")).over(wT))
+      .withColumn("s", sum(col("dd") * col("c") - col("stot")).over(wRun))
+      .withColumn("abs_s", abs(col("s")))
+    val wPick = Window.partitionBy("event_type")
+      .orderBy(col("abs_s").desc, col("day"))
+    curve
+      .withColumn("rk", row_number().over(wPick))
+      .filter(col("rk") === 1)
+      .select(col("event_type"),
+        col("dd").cast(LongType).as("n_days"),
+        col("day").cast(LongType).as("cp_day"),
+        expr("(abs_s * 1000) div (dd * stot)").cast(LongType)
+          .as("cusum_permille"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_out_of_order" -> qOutOfOrder,
+    "q_autocorr_lag" -> qAutocorrLag,
+    "q_cusum_changepoint" -> qCusumChangepoint,
     "q_concurrency_curve" -> qConcurrencyCurve,
     "q_event_transitions" -> qEventTransitions,
     "q_conversion_rate" -> qConversionRate,
@@ -324,6 +453,77 @@ object Sequences {
     "q_burst_users" -> qBurstUsers)
 
   val oracle: Map[String, String] = Map(
+    "q_out_of_order" ->
+      // NAIVE per-type global running max on purpose: hash equality
+      // proves the engine's block decomposition reproduces it exactly
+      """WITH ev AS (
+        |  SELECT event_type, event_id, epoch_us(ts) AS ts_us FROM events),
+        |l AS (
+        |  SELECT event_type, ts_us,
+        |    MAX(ts_us) OVER (PARTITION BY event_type ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+        |  FROM ev),
+        |lat AS (
+        |  SELECT event_type,
+        |    CASE WHEN prevmax IS NULL OR prevmax <= ts_us THEN 0
+        |         ELSE prevmax - ts_us END AS late_us
+        |  FROM l)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |  CAST(MAX(late_us) AS BIGINT) AS max_late_us,
+        |  CAST(SUM(late_us) AS BIGINT) AS sum_late_us,
+        |  CAST((SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) * 1000) // COUNT(*)
+        |    AS BIGINT) AS late_permille
+        |FROM lat GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_autocorr_lag" ->
+      """WITH cnt AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+        |    CAST(COUNT(*) AS HUGEINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |dev AS (
+        |  SELECT event_type, c,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS HUGEINT) AS n,
+        |    SUM(c) OVER (PARTITION BY event_type) AS stot,
+        |    lead(c) OVER (PARTITION BY event_type ORDER BY hr) AS cnext
+        |  FROM cnt),
+        |terms AS (
+        |  SELECT event_type, n, stot, c,
+        |    n * c - stot AS d0,
+        |    CASE WHEN cnext IS NULL THEN NULL ELSE n * cnext - stot END AS d1
+        |  FROM dev),
+        |agg AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+        |    CAST(SUM(c) AS BIGINT) AS n_events,
+        |    SUM(d0 * d1) AS num, SUM(d0 * d0) AS den
+        |  FROM terms GROUP BY event_type)
+        |SELECT event_type, n_hours, n_events,
+        |  CAST((num * 1000000) // den AS BIGINT) AS acf1_micro
+        |FROM agg WHERE den != 0 ORDER BY event_type""".stripMargin,
+    "q_cusum_changepoint" ->
+      """WITH cnt AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(COUNT(*) AS HUGEINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |dev AS (
+        |  SELECT event_type, day, c,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS HUGEINT) AS dd,
+        |    SUM(c) OVER (PARTITION BY event_type) AS stot
+        |  FROM cnt),
+        |run AS (
+        |  SELECT event_type, day, dd, stot,
+        |    SUM(dd * c - stot)
+        |      OVER (PARTITION BY event_type ORDER BY day
+        |            ROWS UNBOUNDED PRECEDING) AS s
+        |  FROM dev),
+        |pick AS (
+        |  SELECT event_type, dd, stot, day, abs(s) AS abs_s,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY abs(s) DESC, day) AS rk
+        |  FROM run)
+        |SELECT event_type, CAST(dd AS BIGINT) AS n_days,
+        |  CAST(day AS BIGINT) AS cp_day,
+        |  CAST((abs_s * 1000) // (dd * stot) AS BIGINT) AS cusum_permille
+        |FROM pick WHERE rk = 1 ORDER BY event_type""".stripMargin,
     "q_concurrency_curve" ->
       // NAIVE single global running sum on purpose: hash equality
       // proves the engine's two-level scan decomposition reproduces

@@ -1,0 +1,262 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CorpusOps, Graphs, IndexStats, Packing, Profiling,
+  Relevance, Sequences, Similarity, TextStats}
+
+/** Semantic invariants of the corpus-audit additions: event-order /
+  * drift statistics (out-of-order watermark audit, lag-1 autocorr,
+  * CUSUM changepoint), distribution distances (pairwise KS, Gini),
+  * URL/host hygiene (host rollup, keep-best URL dedup), writer layout
+  * (shard plan), and the graph/index/rank/embedding queries that
+  * landed with them. Where the operator is a decomposition of a
+  * sequential definition, the test REPLAYS that definition in plain
+  * Scala over the collected sf0.001 rows and demands bit-equality —
+  * the strongest check a unit test can make; the DuckDB oracle then
+  * re-proves it at sf0.01 from an independent engine.
+  */
+class CorpusAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // ---- event-order family -------------------------------------------------
+
+  test("out_of_order: block decomposition replays the sequential lateness scan") {
+    val rows = Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"), expr("ts div 1000").as("ts_us"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = rows.groupBy(_._1).map { case (t, es) =>
+      var prevmax = Long.MinValue
+      var nLate = 0L; var maxLate = 0L; var sumLate = 0L
+      es.sortBy(_._2).foreach { case (_, _, ts) =>
+        val late = if (prevmax == Long.MinValue || prevmax <= ts) 0L else prevmax - ts
+        if (late > 0) nLate += 1
+        maxLate = math.max(maxLate, late); sumLate += late
+        prevmax = math.max(prevmax, ts)
+      }
+      t -> ((es.length.toLong, nLate, maxLate, sumLate, nLate * 1000 / es.length))
+    }
+    val got = Sequences.qOutOfOrder(spark, sf).collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got === expected)
+  }
+
+  test("autocorr_lag: exact BigInt replay of the n-scaled estimator") {
+    val counts = Tables.events(spark, sf)
+      .select(col("event_type"), expr("(ts div 1000000000) div 3600").as("hr"))
+      .groupBy("event_type", "hr").count().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = counts.groupBy(_._1).flatMap { case (t, hs) =>
+      val cs = hs.sortBy(_._2).map(x => BigInt(x._3))
+      val n = BigInt(cs.length); val s = cs.sum
+      val dev = cs.map(c => n * c - s)
+      val num = dev.init.zip(dev.tail).map { case (a, b) => a * b }.sum
+      val den = dev.map(d => d * d).sum
+      if (den == 0) None
+      else Some(t -> ((cs.length.toLong, cs.map(_.toLong).sum,
+        ((num * 1000000) / den).toLong)))
+    }
+    val got = Sequences.qAutocorrLag(spark, sf).collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expected)
+    // Cauchy–Schwarz: |r1| <= 1 up to the truncating div
+    assert(got.values.forall(v => math.abs(v._3) <= 1000000L))
+  }
+
+  test("cusum_changepoint: permille bounded, cp_day is an observed activity day") {
+    val r = Sequences.qCusumChangepoint(spark, sf).collect()
+    assert(r.nonEmpty)
+    val days = Tables.events(spark, sf)
+      .select(col("event_type"), expr("(ts div 1000000000) div 86400").as("day"))
+      .distinct().collect().map(x => (x.getString(0), x.getLong(1))).toSet
+    r.foreach { x =>
+      val p = x.getAs[Long]("cusum_permille")
+      assert(p >= 0 && p <= 1000)
+      assert(days.contains((x.getString(0), x.getAs[Long]("cp_day"))))
+      assert(x.getAs[Long]("n_days") >= 1)
+    }
+  }
+
+  // ---- distribution distances ---------------------------------------------
+
+  test("ks_distance: full pair spine, and one pair replayed exactly in BigInt") {
+    val r = Profiling.qKsDistance(spark, sf).collect()
+    val nSrc = Tables.documents(spark, sf).select("source").distinct().count()
+    assert(r.length === (nSrc * (nSrc - 1) / 2))
+    assert(r.forall { x =>
+      val p = x.getAs[Long]("ks_permille"); p >= 0 && p <= 1000 })
+    // exact replay for the (src0, src1) pair
+    val lens = Tables.documents(spark, sf)
+      .filter(col("text").isNotNull && col("source").isin("src0", "src1"))
+      .select("source", "n_chars").collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    val a = lens.filter(_._1 == "src0").map(_._2).sorted
+    val b = lens.filter(_._1 == "src1").map(_._2).sorted
+    val support = (a ++ b).distinct.sorted
+    val d = support.map { x =>
+      (BigInt(a.count(_ <= x)) * b.length - BigInt(b.count(_ <= x)) * a.length).abs
+    }.max
+    val want = (d * 1000 / (BigInt(a.length) * b.length)).toLong
+    val got = r.find(x => x.getString(0) == "src0" && x.getString(1) == "src1").get
+    assert(got.getAs[Long]("ks_permille") === want)
+    assert(got.getAs[Long]("n_a") === a.length.toLong)
+  }
+
+  test("gini_concentration: bounded, zero on constant weights, one source replayed") {
+    val r = Profiling.qGiniConcentration(spark, sf).collect()
+    assert(r.forall { x =>
+      val g = x.getAs[Long]("gini_permille"); g >= 0 && g < 1000 })
+    val docs = Tables.documents(spark, sf)
+      .filter(col("text").isNotNull && col("source") === "src0")
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), w => length(w) > 0)).cast("long"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val sorted = docs.sortBy(x => (x._2, x._1)).map(_._2)
+    val n = BigInt(sorted.length); val sw = sorted.map(BigInt(_)).sum
+    val siw = sorted.zipWithIndex.map { case (w, i) => BigInt(i + 1) * w }.sum
+    val want = ((2000 * siw - 1000 * (n + 1) * sw) / (n * sw)).toLong
+    val got = r.find(_.getString(0) == "src0").get.getAs[Long]("gini_permille")
+    assert(got === want)
+    // constant weights => exactly zero: replay the formula on equal w
+    val eq = Seq.fill(7)(BigInt(13))
+    val eqSiw = eq.zipWithIndex.map { case (w, i) => BigInt(i + 1) * w }.sum
+    assert((2000 * eqSiw - 1000 * BigInt(8) * eq.sum) / (BigInt(7) * eq.sum) === 0)
+  }
+
+  // ---- URL / host hygiene -------------------------------------------------
+
+  test("host_rollup: one host per source, conservation against url_dedup") {
+    val hosts = CorpusOps.qHostRollup(spark, sf).collect()
+    val nSrc = Tables.documents(spark, sf).select("source").distinct().count()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(hosts.length === nSrc)
+    assert(hosts.forall(_.getString(0).endsWith(".com")))
+    assert(hosts.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    hosts.foreach { h =>
+      assert(h.getAs[Long]("n_urls") <= h.getAs[Long]("n_docs"))
+      assert(h.getAs[Long]("collapse_permille") >= 0)
+    }
+    val dedup = CorpusOps.qUrlDedup(spark, sf)
+    assert(hosts.map(_.getAs[Long]("n_urls")).sum === dedup.count())
+    assert(dedup.agg(sum("n_docs")).collect()(0).getLong(0) === nDocs)
+  }
+
+  test("url_dedup: kept doc is the (n_chars, -doc_id) argmax of its group") {
+    // a violation would be a doc in the same canonical group that is
+    // strictly longer, or equal-length with a smaller doc_id
+    val kept = CorpusOps.qUrlDedup(spark, sf)
+      .select(col("canonical_url"), col("kept_doc"), col("kept_chars"))
+    val viol = kept.join(
+      Tables.documents(spark, sf).select(col("doc_id"), col("n_chars")),
+      col("doc_id") === col("kept_doc"))
+      .filter(col("n_chars") =!= col("kept_chars"))
+    assert(viol.count() === 0)
+    // keep-best beats first-wins where lengths differ: kept_chars is the
+    // group max, so no group's kept_chars is below its own first doc's
+    assert(kept.filter(col("kept_chars") < 0).count() === 0)
+  }
+
+  // ---- writer layout ------------------------------------------------------
+
+  test("shard_plan: per-source byte conservation and exact replay of one source") {
+    val r = Packing.qShardPlan(spark, sf).collect()
+    val totals = Tables.documents(spark, sf).filter(col("text").isNotNull)
+      .groupBy("source").agg(sum("n_chars").as("t"), count(lit(1)).as("n"))
+      .collect().map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    val bySrc = r.groupBy(_.getString(0))
+    bySrc.foreach { case (s, shards) =>
+      assert(shards.map(_.getAs[Long]("bytes")).sum === totals(s)._1)
+      assert(shards.map(_.getAs[Long]("n_docs")).sum === totals(s)._2)
+      val ids = shards.map(_.getAs[Long]("shard"))
+      assert(ids.toSeq === ids.toSeq.sorted)
+    }
+    // exact replay: recompute src0's shard ids sequentially
+    val docs = Tables.documents(spark, sf)
+      .filter(col("text").isNotNull && col("source") === "src0")
+      .select("doc_id", "n_chars").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1)
+    var off = 0L
+    val want = docs.map { case (id, nc) =>
+      val sh = off / 16384L; off += nc; (sh, id, nc) }
+      .groupBy(_._1).map { case (sh, xs) =>
+        sh -> ((xs.length.toLong, xs.map(_._3).sum, xs.map(_._2).min, xs.map(_._2).max)) }
+    val got = bySrc("src0").map(x => x.getAs[Long]("shard") ->
+      ((x.getAs[Long]("n_docs"), x.getAs[Long]("bytes"),
+        x.getAs[Long]("first_doc"), x.getAs[Long]("last_doc")))).toMap
+    assert(got === want)
+  }
+
+  // ---- graph / index / rank / embedding additions --------------------------
+
+  test("kcore_prune: round-4 peel is a fixpoint on the fixtures (all degrees >= 2)") {
+    val r = Graphs.qKcorePrune(spark, sf).collect()
+    assert(r.forall(_.getAs[Long]("deg") >= 2))
+    // 2-core nodes are a subset of the candidate-graph nodes
+    val cand = operators.Dedup.minhashCandidatePairs(spark, sf)
+    val nodes = cand.select(col("a").as("v"))
+      .unionAll(cand.select(col("b").as("v"))).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(r.forall(x => nodes.contains(x.getAs[Long]("doc_id"))))
+  }
+
+  test("delta_encoding: postings conserved and varint never loses to fixed-8") {
+    val r = IndexStats.qDeltaEncoding(spark, sf).collect()
+    assert(r.nonEmpty)
+    val totPostings = r.map(_.getAs[Long]("n_postings")).sum
+    val truth = Tables.documents(spark, sf).filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("w"), col("doc_id"))
+      .filter(length(col("w")) >= 3).distinct().count()
+    assert(totPostings === truth)
+    r.foreach { x =>
+      assert(x.getAs[Long]("varint_bytes") <= x.getAs[Long]("fixed_bytes"))
+      assert(x.getAs[Long]("ratio_permille") <= 1000)
+    }
+  }
+
+  test("rank_overlap: n_overlap monotone in k and bounded by k") {
+    val r = Relevance.qRankOverlap(spark, sf).collect().sortBy(_.getAs[Long]("k"))
+    assert(r.map(_.getAs[Long]("k")).toSeq === Seq(1L, 5L, 10L, 20L))
+    val o = r.map(_.getAs[Long]("n_overlap"))
+    assert(o.toSeq === o.toSeq.sorted)
+    r.foreach { x =>
+      assert(x.getAs[Long]("n_overlap") <= x.getAs[Long]("k"))
+      assert(x.getAs[Long]("jaccard_permille") <= 1000)
+    }
+  }
+
+  test("embedding_outliers: deterministic top-20, ratios ordered and nonnegative") {
+    val a = Similarity.qEmbeddingOutliers(spark, sf).collect()
+    val b = Similarity.qEmbeddingOutliers(spark, sf).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    assert(a.length === 20)
+    val ratios = a.map(_.getAs[Long]("ratio_permille"))
+    assert(ratios.toSeq === ratios.sorted.reverse.toSeq)
+    assert(ratios.forall(_ >= 0) && a.forall(_.getAs[Long]("dist2_e16") >= 0))
+    // an outlier is above its label mean by construction of the screen
+    assert(ratios.head >= 1000)
+  }
+
+  test("weighted_median: one source replayed exactly against the running-sum rule") {
+    val r = TextStats.qWeightedMedian(spark, sf).collect()
+      .map(x => x.getString(0) -> x).toMap
+    val docs = Tables.documents(spark, sf)
+      .filter(col("text").isNotNull && col("source") === "src0")
+      .select(col("doc_id"), col("n_chars"),
+        size(filter(split(col("text"), " "), w => length(w) > 0)).cast("long"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      .sortBy(x => (x._2, x._1))
+    val tot = docs.map(_._3).sum
+    var cum = 0L
+    val wmed = docs.collectFirst {
+      case (_, nc, t) if { cum += t; cum * 2 >= tot } => nc }.get
+    val med = docs(if (docs.length % 2 == 0) docs.length / 2 - 1
+                   else docs.length / 2)._2
+    val got = r("src0")
+    assert(got.getAs[Long]("wmedian_chars") === wmed)
+    assert(got.getAs[Long]("median_chars") === med)
+    assert(got.getAs[Long]("total_tokens") === tot)
+  }
+}
