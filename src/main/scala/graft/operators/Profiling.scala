@@ -504,7 +504,48 @@ object Profiling {
       .orderBy("source")
   }
 
+  /** q_column_entropy — Shannon entropy (milli-bits, exact per-term
+    * flooring) of every event column's value distribution, plus its
+    * cardinality. The complement of [[qColumnProfile]]'s census: two
+    * columns can share a distinct count while one is uniform (join-key
+    * grade) and the other is 99%-one-value (a skew bomb — the salting
+    * trigger). Determinism across engines: each −1000·p·log₂p term is
+    * ONE pinned double expression on exact integer ratios, floored to
+    * milli-bits before the integer sum — the [[graft.operators
+    * .CorpusOps.qCharEntropy]] contract applied column-wise.
+    *
+    * Plan: one scan, a 4-way `stack` unpivot (scan-side, no shuffle),
+    * one (column, value) hash aggregate; per-column totals are a
+    * 4-row aggregate broadcast back — never a 4-partition window over
+    * the full value frame (that window would put ALL of user_id's
+    * values in one partition at 100 TB; the broadcast join keeps the
+    * value frame hash-spread). */
+  val qColumnEntropy: Q = (s, d) => {
+    val nullTag = "<null>"
+    val ev = Tables.events(s, d).select(
+      col("event_type").cast("string").as("event_type"),
+      col("user_id").cast("string").as("user_id"),
+      intScaled(dec2(col("value")), 100L).cast("string").as("v_cents"),
+      col("props").cast("string").as("props"))
+    val long = ev.select(expr(
+        "stack(4, 'event_type', event_type, 'user_id', user_id, " +
+          "'v_cents', v_cents, 'props', props) AS (col_name, val)"))
+      .withColumn("val", coalesce(col("val"), lit(nullTag)))
+    val counts = long.groupBy("col_name", "val").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("col_name").agg(sum("c").cast(LongType).as("n"))
+    val p = col("c").cast(org.apache.spark.sql.types.DoubleType) /
+      col("n").cast(org.apache.spark.sql.types.DoubleType)
+    counts.join(broadcast(totals), Seq("col_name"))
+      .groupBy("col_name")
+      .agg(max("n").as("n_values"),
+        count(lit(1)).as("n_distinct"),
+        sum(floor(lit(-1000.0) * p * log2(p)).cast(LongType))
+          .as("entropy_milli"))
+      .orderBy("col_name")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_column_entropy" -> qColumnEntropy,
     "q_ks_distance" -> qKsDistance,
     "q_gini_concentration" -> qGiniConcentration,
     "q_hll_cardinality" -> qHllCardinality,
@@ -526,6 +567,32 @@ object Profiling {
     .mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    "q_column_entropy" ->
+      """WITH base AS (
+        |  SELECT CAST(event_type AS VARCHAR) AS event_type,
+        |    CAST(user_id AS VARCHAR) AS user_id,
+        |    CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)
+        |      AS v_cents,
+        |    CAST(props AS VARCHAR) AS props
+        |  FROM events),
+        |lng AS (
+        |  SELECT 'event_type' AS col_name, COALESCE(event_type, '<null>') AS val
+        |  FROM base
+        |  UNION ALL SELECT 'user_id', COALESCE(user_id, '<null>') FROM base
+        |  UNION ALL SELECT 'v_cents', COALESCE(v_cents, '<null>') FROM base
+        |  UNION ALL SELECT 'props', COALESCE(props, '<null>') FROM base),
+        |counts AS (
+        |  SELECT col_name, val, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lng GROUP BY 1, 2),
+        |tot AS (SELECT col_name, CAST(SUM(c) AS BIGINT) AS n
+        |        FROM counts GROUP BY 1)
+        |SELECT col_name, CAST(MAX(n) AS BIGINT) AS n_values,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |  CAST(SUM(CAST(floor(-1000.0 * (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * log2(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT)) AS BIGINT)
+        |    AS entropy_milli
+        |FROM counts JOIN tot USING (col_name)
+        |GROUP BY col_name ORDER BY col_name""".stripMargin,
     "q_ks_distance" ->
       """WITH lens AS (
         |  SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS cnt

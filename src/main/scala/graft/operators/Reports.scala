@@ -609,7 +609,54 @@ object Reports {
     cust.intersect(supp).orderBy("nationkey")
   }
 
+  /** q_market_share — the deep relational spine (TPC-H Q8 flavor):
+    * within the ASIA-region customers' order volume, what share of
+    * yearly revenue do NATION_2's suppliers capture? Six tables —
+    * lineitem ⋈ orders ⋈ customer ⋈ nation(cust) ⋈ region plus
+    * supplier ⋈ nation(supp) — with every dimension broadcast and the
+    * fact table shuffled ONCE (AQE sees four sub-MB dims, the
+    * customer-side region filter prunes before the fact join). Revenue
+    * is exact: dec2 cents algebra into a DECIMAL(18,4) sum, e4-scaled
+    * Longs out, permille share by integer div — no float summation
+    * order anywhere. The canonical "is the optimizer doing its job"
+    * query: a wrong join order or a missed broadcast shows up as an
+    * extra fact shuffle in .explain before it shows up in the wall.
+    */
+  val qMarketShare: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val ord = Tables.orders(s, d)
+    val cust = Tables.customer(s, d)
+    val supp = Tables.supplier(s, d)
+    val nat = Tables.nation(s, d)
+    val reg = Tables.region(s, d)
+    val custAsia = cust
+      .join(broadcast(nat.select(col("n_nationkey").as("cnk"),
+        col("n_regionkey").as("crk"))), col("c_nationkey") === col("cnk"))
+      .join(broadcast(reg.filter(col("r_name") === "ASIA")
+        .select(col("r_regionkey"))), col("crk") === col("r_regionkey"))
+      .select("c_custkey")
+    val suppNation = supp
+      .join(broadcast(nat.select(col("n_nationkey").as("snk"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("snk"))
+      .select("s_suppkey", "supp_nation")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(custAsia, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("rev", dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount")))
+      .groupBy(year(col("o_orderdate")).cast(LongType).as("o_year"))
+      .agg(
+        intScaled(sum(col("rev")).cast(DecimalType(18, 4)), 10000L)
+          .as("total_e4"),
+        intScaled(sum(when(col("supp_nation") === "NATION_2", col("rev"))
+          .otherwise(lit(0))).cast(DecimalType(18, 4)), 10000L)
+          .as("nation_e4"))
+      .withColumn("share_permille",
+        expr("(nation_e4 * 1000) div total_e4").cast(LongType))
+      .orderBy("o_year")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_market_share" -> qMarketShare,
     "q_dir_rollup" -> qDirRollup,
     "q_owner_usage" -> qOwnerUsage,
     "q_rollup_agg" -> qRollupAgg,
@@ -818,6 +865,34 @@ object Reports {
         |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) * 100 AS BIGINT) AS sum_price_cents,
         |  COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_returned
         |FROM lineitem""".stripMargin,
+    "q_market_share" ->
+      """WITH cust_asia AS (
+        |  SELECT c_custkey FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'),
+        |supp_nat AS (
+        |  SELECT s_suppkey, n_name AS supp_nation FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey),
+        |facts AS (
+        |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+        |    supp_nation,
+        |    CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * CAST(1 - l_discount AS DECIMAL(18,2)) AS rev
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN cust_asia ON o_custkey = c_custkey
+        |  JOIN supp_nat ON l_suppkey = s_suppkey),
+        |agg AS (
+        |  SELECT o_year,
+        |    CAST(CAST(SUM(rev) AS DECIMAL(18,4)) * 10000 AS BIGINT) AS total_e4,
+        |    CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN rev
+        |                       ELSE 0 END) AS DECIMAL(18,4)) * 10000 AS BIGINT)
+        |      AS nation_e4
+        |  FROM facts GROUP BY o_year)
+        |SELECT o_year, total_e4, nation_e4,
+        |  CAST((nation_e4 * 1000) // total_e4 AS BIGINT) AS share_permille
+        |FROM agg ORDER BY o_year""".stripMargin,
     "q_dim_equijoin" ->
       """SELECT r_name, n_name,
         |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * 10000 AS BIGINT) AS revenue_e4,

@@ -438,7 +438,33 @@ object Sequences {
       .orderBy("event_type")
   }
 
+  /** q_seasonality — the weekly load profile: events per (event_type,
+    * day-of-week, hour-of-day) cell with each cell's share of its
+    * type's volume in permille. Dow/hour come from pure epoch
+    * arithmetic ((days+4) mod 7, 0 = Sunday — engine- and tz-neutral,
+    * no calendar library in the hash path). The capacity-planning and
+    * anomaly-baseline table: a crawler heartbeat that is flat across
+    * this profile is a machine; user traffic breathes with it.
+    *
+    * Plan: one corpus-sized hash aggregate onto the ≤ types·168-cell
+    * grid; the share window runs on that grid, result-sized at any
+    * corpus scale. */
+  val qSeasonality: Q = (s, d) => {
+    val grid = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("((ts div 1000000000) div 86400 + 4) % 7").cast(LongType).as("dow"),
+        expr("((ts div 1000000000) % 86400) div 3600").cast(LongType).as("hr"))
+      .groupBy("event_type", "dow", "hr")
+      .agg(count(lit(1)).as("n_events"))
+    grid
+      .withColumn("share_permille",
+        expr("(n_events * 1000) div (sum(n_events) OVER " +
+          "(PARTITION BY event_type))").cast(LongType))
+      .orderBy("event_type", "dow", "hr")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_seasonality" -> qSeasonality,
     "q_out_of_order" -> qOutOfOrder,
     "q_autocorr_lag" -> qAutocorrLag,
     "q_cusum_changepoint" -> qCusumChangepoint,
@@ -453,6 +479,18 @@ object Sequences {
     "q_burst_users" -> qBurstUsers)
 
   val oracle: Map[String, String] = Map(
+    "q_seasonality" ->
+      """WITH grid AS (
+        |  SELECT event_type,
+        |    CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT) AS dow,
+        |    CAST((epoch_us(ts) % 86400000000) // 3600000000 AS BIGINT) AS hr,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT event_type, dow, hr, n_events,
+        |  CAST((n_events * 1000) //
+        |    (SUM(n_events) OVER (PARTITION BY event_type)) AS BIGINT)
+        |    AS share_permille
+        |FROM grid ORDER BY event_type, dow, hr""".stripMargin,
     "q_out_of_order" ->
       // NAIVE per-type global running max on purpose: hash equality
       // proves the engine's block decomposition reproduces it exactly

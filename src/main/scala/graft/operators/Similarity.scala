@@ -789,7 +789,47 @@ object Similarity {
       .limit(20)
   }
 
+  /** q_power_iteration — one matrix-free power-iteration step toward
+    * the corpus embedding's dominant second-moment direction: with the
+    * all-ones seed v₀, (XᵀX)·v₀ = Σᵢ xᵢ·(xᵢ·v₀) — the per-row dot
+    * sᵢ = Σⱼ uᵢⱼ is scan-side array algebra (the HOF aggregate, no
+    * join, no window), and the 64 output components are one hash
+    * aggregate over the exploded (dim, sᵢ·uᵢⱼ) rows. Exact: e8-scaled
+    * integer components, DECIMAL(38,0) accumulation, components
+    * reported in permille of the max |component| (the normalization a
+    * float engine would do with a sqrt, done division-free). THE
+    * dominant direction is what PCA whitening, ABTT ("all-but-the-
+    * top") embedding post-processing, and anisotropy audits all need
+    * first — and this shape never materializes the 64×64 Gram matrix,
+    * so it scales to any corpus (the only wide exchange is a 64-group
+    * aggregate). The final max-|w| window runs on the 64-row result —
+    * partition-less by design, result-sized forever.
+    */
+  val qPowerIteration: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val uarr = transform(decVec(col("embedding")),
+      x => (x * lit(100000000L)).cast(LongType))
+    val base = Tables.embeddings(s, d)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === 64)
+      .select(uarr.as("u"))
+      // sᵢ ≤ 64·10⁸ — Long-safe; DECIMAL only once products appear
+      .select(col("u"), aggregate(col("u"), lit(0L), (a, b) => a + b)
+        .cast(dec).as("si"))
+    val wj = base
+      .select(col("si"), posexplode(col("u")).as(Seq("i0", "x")))
+      .groupBy((col("i0") + 1).cast(LongType).as("dim"))
+      .agg(sum(col("si") * col("x")).as("wj"),
+        count(lit(1)).cast(LongType).as("n_vecs"))
+    wj
+      .withColumn("maxabs", max(abs(col("wj"))).over(Window.partitionBy()))
+      .filter(col("maxabs") > 0)
+      .select(col("dim"), col("n_vecs"),
+        expr("(wj * 1000) div maxabs").cast(LongType).as("component_permille"))
+      .orderBy("dim")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_power_iteration" -> qPowerIteration,
     "q_embedding_outliers" -> qEmbeddingOutliers,
     "q_jl_distortion" -> qJlDistortion,
     "q_ann_topk" -> qAnnTopk,
@@ -885,6 +925,26 @@ object Similarity {
       |  GROUP BY 1, 2)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_power_iteration" ->
+      """WITH el AS (
+        |  SELECT vec_id, i AS dim,
+        |    CAST(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) * 100000000
+        |      AS BIGINT) AS u
+        |  FROM (SELECT vec_id, embedding,
+        |          unnest(generate_series(1, 64)) AS i
+        |        FROM embeddings
+        |        WHERE embedding IS NOT NULL AND len(embedding) = 64)),
+        |si AS (
+        |  SELECT vec_id, CAST(SUM(u) AS HUGEINT) AS si FROM el GROUP BY vec_id),
+        |wj AS (
+        |  SELECT dim, SUM(si * u) AS wj, CAST(COUNT(*) AS BIGINT) AS n_vecs
+        |  FROM el JOIN si USING (vec_id) GROUP BY dim)
+        |SELECT CAST(dim AS BIGINT) AS dim, n_vecs,
+        |  CAST((wj * 1000) // (MAX(abs(wj)) OVER ()) AS BIGINT)
+        |    AS component_permille
+        |FROM wj
+        |QUALIFY MAX(abs(wj)) OVER () > 0
+        |ORDER BY dim""".stripMargin,
     "q_embedding_outliers" ->
       """WITH el AS (
         |  SELECT label, vec_id, i AS dim,

@@ -239,6 +239,71 @@ class CorpusAuditSpec extends SparkSpec {
     assert(ratios.head >= 1000)
   }
 
+  test("market_share: share bounded, totals conserved against an independent rewrite") {
+    val r = operators.Reports.qMarketShare(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      assert(x.getAs[Long]("nation_e4") <= x.getAs[Long]("total_e4"))
+      val p = x.getAs[Long]("share_permille"); assert(p >= 0 && p <= 1000)
+    }
+    // independent rewrite: semi-join the ASIA customers instead of the
+    // dimension chain, sum the same exact decimal revenue
+    val li = Tables.lineitem(spark, sf); val ord = Tables.orders(spark, sf)
+    val asia = Tables.customer(spark, sf)
+      .join(Tables.nation(spark, sf),
+        col("c_nationkey") === col("n_nationkey"))
+      .filter(col("n_regionkey") === 2).select("c_custkey")
+    val want = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(asia, Seq("c_custkey").map(c => col("o_custkey") === col(c)).head, "left_semi")
+      .agg(graft.functions.Exprs.intScaled(
+        sum(graft.functions.Exprs.dec2(col("l_extendedprice"))
+          * graft.functions.Exprs.dec2(lit(1) - col("l_discount")))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 4)), 10000L))
+      .collect()(0).getLong(0)
+    assert(r.map(_.getAs[Long]("total_e4")).sum === want)
+  }
+
+  test("power_iteration: 64 components, abs-max lands exactly at 1000 permille") {
+    val r = Similarity.qPowerIteration(spark, sf).collect()
+    assert(r.length === 64)
+    assert(r.map(_.getAs[Long]("dim")).toSeq === (1L to 64L))
+    val comps = r.map(_.getAs[Long]("component_permille"))
+    assert(comps.forall(c => c >= -1000 && c <= 1000))
+    assert(comps.map(math.abs).max === 1000)
+    // n_vecs is the same for every dimension (each vector contributes
+    // to all 64 dims)
+    assert(r.map(_.getAs[Long]("n_vecs")).distinct.length === 1)
+  }
+
+  test("column_entropy: nonnegative, bounded by log2 cardinality, equal row counts") {
+    val r = Profiling.qColumnEntropy(spark, sf).collect()
+    assert(r.length === 4)
+    val n = r.map(_.getAs[Long]("n_values")).distinct
+    assert(n.length === 1) // every column profiled over the same rows
+    r.foreach { x =>
+      val h = x.getAs[Long]("entropy_milli")
+      val k = x.getAs[Long]("n_distinct")
+      assert(h >= 0)
+      assert(h <= math.ceil(1000.0 * math.log(k.toDouble) / math.log(2.0)).toLong)
+    }
+  }
+
+  test("seasonality: grid bounds and per-type event conservation") {
+    val r = Sequences.qSeasonality(spark, sf).collect()
+    assert(r.forall { x =>
+      val dw = x.getAs[Long]("dow"); val h = x.getAs[Long]("hr")
+      dw >= 0 && dw <= 6 && h >= 0 && h <= 23 })
+    val byType = r.groupBy(_.getString(0))
+    val truth = Tables.events(spark, sf).groupBy("event_type").count()
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    byType.foreach { case (t, cells) =>
+      assert(cells.map(_.getAs[Long]("n_events")).sum === truth(t))
+      val shareSum = cells.map(_.getAs[Long]("share_permille")).sum
+      // floors: within cells-count slack below exact 1000
+      assert(shareSum <= 1000 && shareSum >= 1000 - cells.length)
+    }
+  }
+
   test("weighted_median: one source replayed exactly against the running-sum rule") {
     val r = TextStats.qWeightedMedian(spark, sf).collect()
       .map(x => x.getString(0) -> x).toMap
