@@ -544,7 +544,102 @@ object Profiling {
       .orderBy("col_name")
   }
 
+  /** q_moment_merge — mergeable-moment proof: per source, token-count
+    * mean and variance are computed from PARTIAL moments (n, Σx, Σx²)
+    * built independently on the doc_id-parity halves and then merged
+    * by plain addition — the algebraic identity (Var·n² = n·Σx² −
+    * (Σx)², milli-scaled by integer div) that makes every distributed
+    * AVG/VAR a two-phase aggregate. The DuckDB twin computes the
+    * moments DIRECTLY from the rows; hash equality proves partial
+    * aggregation is lossless — the foundational contract of map-side
+    * combine at any scale. Integer-exact throughout (Σx² rides
+    * DECIMAL(38,0)); no Welford floats to drift between engines. The
+    * half assignment is an md5 split, NOT doc_id parity — the fixtures
+    * assign sources by doc_id residue, so parity is CONSTANT within a
+    * source and a parity split degenerates to one partial (caught by
+    * the oracle's n_partials=2 pin at sf0.01). */
+  val qMomentMerge: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("source"),
+        pmod(md5Long(concat(lit("mm|"), col("doc_id").cast("string"))), lit(2))
+          .as("par"),
+        size(filter(split(col("text"), " "), w => length(w) > 0))
+          .cast(LongType).as("tok"))
+    val partials = docs.groupBy("source", "par")
+      .agg(count(lit(1)).as("pn"), sum(col("tok")).as("ps"),
+        sum(col("tok").cast(dec) * col("tok")).as("pq"))
+    partials.groupBy("source")
+      .agg(count(lit(1)).cast(LongType).as("n_partials"),
+        sum(col("pn")).cast(dec).as("n"),
+        sum(col("ps")).cast(dec).as("sx"),
+        sum(col("pq")).as("qx"))
+      .select(col("source"),
+        col("n").cast(LongType).as("n_docs"), col("n_partials"),
+        expr("(sx * 1000) div n").cast(LongType).as("mean_milli"),
+        expr("((n * qx - sx * sx) * 1000) div (n * n)").cast(LongType)
+          .as("var_milli"))
+      .orderBy("source")
+  }
+
+  /** q_functional_deps — FD discovery over four candidate key→value
+    * dependencies across the schema: a dependency holds iff no key
+    * maps to two dependent values. One count-distinct aggregate per
+    * candidate (map-side partial, key-hash spread — the profiler never
+    * sorts or joins), a constant-height union out. What holds (nation
+    * name determines region) and what fails (a user emits many event
+    * types) is schema documentation the optimizer and the data
+    * contracts both consume. */
+  val qFunctionalDeps: Q = (s, d) => {
+    def fd(name: String, df: DataFrame, k: String, v: String): DataFrame =
+      df.filter(col(k).isNotNull).groupBy(col(k))
+        .agg(countDistinct(col(v)).as("nv"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("nv") > 1, 1L).otherwise(0L)).cast(LongType)
+            .as("n_violating"))
+        .select(lit(name).as("fd"), col("n_keys"), col("n_violating"),
+          when(col("n_violating") === 0L, 1L).otherwise(0L).cast(LongType)
+            .as("holds"))
+    fd("documents.source->lang", Tables.documents(s, d), "source", "lang")
+      .unionAll(fd("events.user_id->event_type", Tables.events(s, d),
+        "user_id", "event_type"))
+      .unionAll(fd("nation.n_name->n_regionkey", Tables.nation(s, d),
+        "n_name", "n_regionkey"))
+      .unionAll(fd("orders.o_custkey->o_orderstatus", Tables.orders(s, d),
+        "o_custkey", "o_orderstatus"))
+      .orderBy("fd")
+  }
+
+  /** q_benford_digits — first-significant-digit profile of the event
+    * amounts against Benford's law (expected share floor(1000·log₁₀
+    * (1+1/d)) permille): fabricated or unit-mangled value columns
+    * flunk Benford long before a mean or range check notices. The
+    * digit comes from the cents integer's decimal string — engine-
+    * neutral, no per-row float; only the nine Benford constants touch
+    * doubles, one pinned log₁₀ each. Plan: one scan, one ≤9-group
+    * aggregate; the share window runs on the 9-row result. */
+  val qBenfordDigits: Q = (s, d) => {
+    val counts = Tables.events(s, d)
+      .select(intScaled(dec2(col("value")), 100L).as("v"))
+      .filter(col("v") > 0)
+      .select(substring(col("v").cast("string"), 1, 1).cast(LongType)
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("obs_permille",
+        expr("(n * 1000) div (sum(n) OVER ())").cast(LongType))
+      .withColumn("benford_permille",
+        floor(lit(1000.0) * log10(lit(1.0) + lit(1.0) / col("digit")))
+          .cast(LongType))
+      .withColumn("delta_permille",
+        (col("obs_permille") - col("benford_permille")).cast(LongType))
+      .orderBy("digit")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_moment_merge" -> qMomentMerge,
+    "q_functional_deps" -> qFunctionalDeps,
+    "q_benford_digits" -> qBenfordDigits,
     "q_column_entropy" -> qColumnEntropy,
     "q_ks_distance" -> qKsDistance,
     "q_gini_concentration" -> qGiniConcentration,
@@ -567,6 +662,60 @@ object Profiling {
     .mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    "q_moment_merge" ->
+      // DIRECT row-level moments on purpose: equality with the
+      // engine's parity-partial merge proves two-phase aggregation
+      """WITH docs AS (
+        |  SELECT source,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> length(w) > 0))
+        |      AS BIGINT) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |m AS (
+        |  SELECT source, CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(tok) AS HUGEINT) AS sx,
+        |    CAST(SUM(CAST(tok AS HUGEINT) * tok) AS HUGEINT) AS qx
+        |  FROM docs GROUP BY source)
+        |SELECT source, CAST(n AS BIGINT) AS n_docs,
+        |  CAST(2 AS BIGINT) AS n_partials,
+        |  CAST((sx * 1000) // n AS BIGINT) AS mean_milli,
+        |  CAST(((n * qx - sx * sx) * 1000) // (n * n) AS BIGINT) AS var_milli
+        |FROM m ORDER BY source""".stripMargin,
+    "q_functional_deps" ->
+      """WITH fds AS (
+        |  SELECT 'documents.source->lang' AS fd, source AS k,
+        |    CAST(lang AS VARCHAR) AS v FROM documents WHERE source IS NOT NULL
+        |  UNION ALL SELECT 'events.user_id->event_type',
+        |    CAST(user_id AS VARCHAR), event_type FROM events
+        |    WHERE user_id IS NOT NULL
+        |  UNION ALL SELECT 'nation.n_name->n_regionkey', n_name,
+        |    CAST(n_regionkey AS VARCHAR) FROM nation WHERE n_name IS NOT NULL
+        |  UNION ALL SELECT 'orders.o_custkey->o_orderstatus',
+        |    CAST(o_custkey AS VARCHAR), o_orderstatus FROM orders
+        |    WHERE o_custkey IS NOT NULL),
+        |per_key AS (
+        |  SELECT fd, k, COUNT(DISTINCT v) AS nv FROM fds GROUP BY fd, k)
+        |SELECT fd, CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violating,
+        |  CAST(CASE WHEN SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) = 0
+        |       THEN 1 ELSE 0 END AS BIGINT) AS holds
+        |FROM per_key GROUP BY fd ORDER BY fd""".stripMargin,
+    "q_benford_digits" ->
+      """WITH v AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events),
+        |counts AS (
+        |  SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM v WHERE v > 0 GROUP BY 1)
+        |SELECT digit, n,
+        |  CAST((n * 1000) // (SUM(n) OVER ()) AS BIGINT) AS obs_permille,
+        |  CAST(floor(1000.0 * log10(1.0 + 1.0 / digit)) AS BIGINT)
+        |    AS benford_permille,
+        |  CAST((n * 1000) // (SUM(n) OVER ())
+        |    - CAST(floor(1000.0 * log10(1.0 + 1.0 / digit)) AS BIGINT)
+        |    AS BIGINT) AS delta_permille
+        |FROM counts ORDER BY digit""".stripMargin,
     "q_column_entropy" ->
       """WITH base AS (
         |  SELECT CAST(event_type AS VARCHAR) AS event_type,

@@ -434,7 +434,62 @@ object Relational {
       .orderBy("shard")
   }
 
+  /** q_join_size_proof — join cardinality WITHOUT the join: the size
+    * of the events self-join on user_id is Σᵤ c(u)² over the key
+    * histogram, computed here per event_type pair collapsed to one
+    * global row (n_rows, n_keys, the predicted self-join size, and
+    * the hottest key's count). The engine never materializes a joined
+    * row — one key-count aggregate and a sum of squares; the DuckDB
+    * twin COUNTs the actual row self-join. Hash equality proves the
+    * identity every optimizer's cardinality estimator (and every
+    * skew-blowup warning) relies on — and demonstrates the 100 TB
+    * answer to "how big would this join get": ask the histogram, not
+    * the join. max_key³ vs n_join is the skew diagnostic: one hot key
+    * quadratically dominating the output is THE salting trigger. */
+  val qJoinSizeProof: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    Tables.events(s, d).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).cast(LongType).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        sum(col("c").cast(dec) * col("c")).cast(LongType).as("n_join"),
+        max(col("c")).cast(LongType).as("max_key"))
+  }
+
+  /** q_referential_orphans — the referential-integrity audit: for
+    * each foreign-key edge of the schema, how many child rows point at
+    * a missing parent? Five anti-joins (each the [[qExclusionAnti]]
+    * shape: child ⋈ broadcast-or-shuffled parent keys, LeftAnti) and a
+    * constant-height union. On synthetic fixtures all orphan counts
+    * are zero — which is exactly what the audit must PROVE, not
+    * assume; on a real lake this table is the first thing a pipeline
+    * checks after ingest. */
+  val qReferentialOrphans: Q = (s, d) => {
+    def edge(name: String, child: DataFrame, ck: String,
+             parent: DataFrame, pk: String): DataFrame = {
+      val orphans = child.select(col(ck)).filter(col(ck).isNotNull)
+        .join(parent.select(col(pk)), col(ck) === col(pk), "left_anti")
+      child.agg(count(lit(1)).as("n_child"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(lit(name).as("fk"), col("n_child"), col("n_orphans"))
+    }
+    val li = Tables.lineitem(s, d); val ord = Tables.orders(s, d)
+    edge("customer.c_nationkey->nation", Tables.customer(s, d), "c_nationkey",
+        Tables.nation(s, d), "n_nationkey")
+      .unionAll(edge("lineitem.l_orderkey->orders", li, "l_orderkey",
+        ord, "o_orderkey"))
+      .unionAll(edge("lineitem.l_partkey->part", li, "l_partkey",
+        Tables.part(s, d), "p_partkey"))
+      .unionAll(edge("lineitem.l_suppkey->supplier", li, "l_suppkey",
+        Tables.supplier(s, d), "s_suppkey"))
+      .unionAll(edge("orders.o_custkey->customer", ord, "o_custkey",
+        Tables.customer(s, d), "c_custkey"))
+      .orderBy("fk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_join_size_proof" -> qJoinSizeProof,
+    "q_referential_orphans" -> qReferentialOrphans,
     "q_rendezvous_shards" -> qRendezvousShards,
     "q_skyline" -> qSkyline,
     "q_salted_agg" -> qSaltedAgg,
@@ -459,6 +514,43 @@ object Relational {
     "q_array_hof" -> qArrayHof)
 
   val oracle: Map[String, String] = Map(
+    "q_join_size_proof" ->
+      // the ACTUAL row self-join on purpose: COUNT(*) of it equals the
+      // engine's histogram sum-of-squares, proving the estimator exact
+      """SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS n_rows,
+        |  (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events)
+        |    AS n_keys,
+        |  (SELECT CAST(COUNT(*) AS BIGINT)
+        |   FROM events a JOIN events b ON a.user_id = b.user_id) AS n_join,
+        |  (SELECT CAST(MAX(c) AS BIGINT) FROM (
+        |     SELECT COUNT(*) AS c FROM events GROUP BY user_id)) AS max_key""".stripMargin,
+    "q_referential_orphans" ->
+      """WITH e AS (
+        |  SELECT 'customer.c_nationkey->nation' AS fk,
+        |    (SELECT COUNT(*) FROM customer) AS n_child,
+        |    (SELECT COUNT(*) FROM customer WHERE c_nationkey IS NOT NULL
+        |       AND c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+        |      AS n_orphans
+        |  UNION ALL SELECT 'lineitem.l_orderkey->orders',
+        |    (SELECT COUNT(*) FROM lineitem),
+        |    (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+        |       AND l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |  UNION ALL SELECT 'lineitem.l_partkey->part',
+        |    (SELECT COUNT(*) FROM lineitem),
+        |    (SELECT COUNT(*) FROM lineitem WHERE l_partkey IS NOT NULL
+        |       AND l_partkey NOT IN (SELECT p_partkey FROM part))
+        |  UNION ALL SELECT 'lineitem.l_suppkey->supplier',
+        |    (SELECT COUNT(*) FROM lineitem),
+        |    (SELECT COUNT(*) FROM lineitem WHERE l_suppkey IS NOT NULL
+        |       AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+        |  UNION ALL SELECT 'orders.o_custkey->customer',
+        |    (SELECT COUNT(*) FROM orders),
+        |    (SELECT COUNT(*) FROM orders WHERE o_custkey IS NOT NULL
+        |       AND o_custkey NOT IN (SELECT c_custkey FROM customer)))
+        |SELECT fk, CAST(n_child AS BIGINT) AS n_child,
+        |  CAST(n_orphans AS BIGINT) AS n_orphans
+        |FROM e ORDER BY fk""".stripMargin,
     "q_rendezvous_shards" ->
       """WITH a8 AS (
         |  SELECT doc_id, i AS shard FROM (

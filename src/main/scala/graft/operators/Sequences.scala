@@ -463,7 +463,45 @@ object Sequences {
       .orderBy("event_type", "dow", "hr")
   }
 
+  /** q_tail_latency — exact p50/p95/p99 of inter-event gaps per
+    * event_type (the gap belongs to the LATER event's type): the
+    * latency table of the heartbeat stream, where the p99 tail — not
+    * the mean — is what pages someone. Nearest-rank picks (index =
+    * 1 + ⌊(n−1)·q/100⌋) under the (gap, event_id) total order make
+    * every percentile a deterministic observed value, never an
+    * interpolated float. Exact by construction; the sketch-based
+    * scale path is [[graft.functions.KllSketch]] (q_quantiles), and
+    * this query is its exact ground truth — at 100 TB the per-type
+    * sort window would ride the two-level rank decomposition
+    * ([[Ranking]]), the same admissibility argument as
+    * [[qConcurrencyCurve]].
+    *
+    * Plan: one user-keyed lag window (the log's natural key), then
+    * one type-keyed rank window over the gap frame, one final
+    * aggregate. */
+  val qTailLatency: Q = (s, d) => {
+    val wU = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val gaps = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").cast(LongType).as("ts_us"))
+      .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(wU))
+      .filter(col("gap_us").isNotNull)
+    val wT = Window.partitionBy("event_type").orderBy(col("gap_us"), col("event_id"))
+    val ranked = gaps
+      .withColumn("rn", row_number().over(wT).cast(LongType))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type"))
+        .cast(LongType))
+    def pick(q: Int) =
+      min(when(col("rn") === lit(1L) + expr(s"((n - 1) * $q) div 100"),
+        col("gap_us"))).cast(LongType)
+    ranked.groupBy("event_type")
+      .agg(max(col("n")).as("n_gaps"),
+        pick(50).as("p50_us"), pick(95).as("p95_us"), pick(99).as("p99_us"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_tail_latency" -> qTailLatency,
     "q_seasonality" -> qSeasonality,
     "q_out_of_order" -> qOutOfOrder,
     "q_autocorr_lag" -> qAutocorrLag,
@@ -479,6 +517,29 @@ object Sequences {
     "q_burst_users" -> qBurstUsers)
 
   val oracle: Map[String, String] = Map(
+    "q_tail_latency" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type, event_id,
+        |    ts_us - lag(ts_us) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS gap_us
+        |  FROM ev),
+        |r AS (
+        |  SELECT event_type, gap_us,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY gap_us, event_id) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM g WHERE gap_us IS NOT NULL)
+        |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_gaps,
+        |  CAST(MIN(CASE WHEN rn = 1 + ((n - 1) * 50) // 100 THEN gap_us END)
+        |    AS BIGINT) AS p50_us,
+        |  CAST(MIN(CASE WHEN rn = 1 + ((n - 1) * 95) // 100 THEN gap_us END)
+        |    AS BIGINT) AS p95_us,
+        |  CAST(MIN(CASE WHEN rn = 1 + ((n - 1) * 99) // 100 THEN gap_us END)
+        |    AS BIGINT) AS p99_us
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_seasonality" ->
       """WITH grid AS (
         |  SELECT event_type,

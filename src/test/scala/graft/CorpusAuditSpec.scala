@@ -304,6 +304,82 @@ class CorpusAuditSpec extends SparkSpec {
     }
   }
 
+  test("join_size_proof: histogram sum-of-squares replayed from collected counts") {
+    val r = operators.Relational.qJoinSizeProof(spark, sf).collect()(0)
+    val counts = Tables.events(spark, sf).groupBy("user_id").count()
+      .collect().map(_.getLong(1))
+    assert(r.getAs[Long]("n_rows") === counts.sum)
+    assert(r.getAs[Long]("n_keys") === counts.length.toLong)
+    assert(r.getAs[Long]("n_join") === counts.map(c => c * c).sum)
+    assert(r.getAs[Long]("max_key") === counts.max)
+    // a self-join always contains at least the identity pairs
+    assert(r.getAs[Long]("n_join") >= r.getAs[Long]("n_rows"))
+  }
+
+  test("referential_orphans: five FK edges, all clean on the synthetic lake") {
+    val r = operators.Relational.qReferentialOrphans(spark, sf).collect()
+    assert(r.length === 5)
+    assert(r.forall(_.getAs[Long]("n_orphans") === 0L))
+    val byFk = r.map(x => x.getString(0) -> x.getAs[Long]("n_child")).toMap
+    assert(byFk("lineitem.l_orderkey->orders") === Tables.lineitem(spark, sf).count())
+    assert(byFk("orders.o_custkey->customer") === Tables.orders(spark, sf).count())
+  }
+
+  test("moment_merge: merged partials equal direct BigInt moments") {
+    val r = Profiling.qMomentMerge(spark, sf).collect()
+    assert(r.forall(_.getAs[Long]("n_partials") === 2L))
+    val docs = Tables.documents(spark, sf).filter(col("text").isNotNull)
+      .select(col("source"),
+        size(filter(split(col("text"), " "), w => length(w) > 0)).cast("long"))
+      .collect().map(x => (x.getString(0), BigInt(x.getLong(1))))
+    val direct = docs.groupBy(_._1).map { case (s, xs) =>
+      val n = BigInt(xs.length); val sx = xs.map(_._2).sum
+      val qx = xs.map(x => x._2 * x._2).sum
+      s -> (((sx * 1000) / n).toLong, (((n * qx - sx * sx) * 1000) / (n * n)).toLong)
+    }
+    r.foreach { x =>
+      val (m, v) = direct(x.getString(0))
+      assert(x.getAs[Long]("mean_milli") === m)
+      assert(x.getAs[Long]("var_milli") === v)
+    }
+  }
+
+  test("functional_deps: nation FD holds, flags are consistent") {
+    val r = operators.Profiling.qFunctionalDeps(spark, sf).collect()
+    assert(r.length === 4)
+    r.foreach { x =>
+      assert(x.getAs[Long]("n_violating") <= x.getAs[Long]("n_keys"))
+      assert(x.getAs[Long]("holds") ===
+        (if (x.getAs[Long]("n_violating") == 0L) 1L else 0L))
+    }
+    val nation = r.find(_.getString(0) == "nation.n_name->n_regionkey").get
+    assert(nation.getAs[Long]("holds") === 1L)
+    assert(nation.getAs[Long]("n_keys") === Tables.nation(spark, sf).count())
+  }
+
+  test("benford_digits: the nine Benford constants, shares conserve to 1000") {
+    val r = operators.Profiling.qBenfordDigits(spark, sf).collect()
+    assert(r.map(_.getAs[Long]("digit")).toSeq === (1L to 9L))
+    assert(r.map(_.getAs[Long]("benford_permille")).toSeq ===
+      Seq(301L, 176L, 124L, 96L, 79L, 66L, 57L, 51L, 45L))
+    val shares = r.map(_.getAs[Long]("obs_permille")).sum
+    assert(shares <= 1000 && shares >= 1000 - 9)
+    r.foreach(x => assert(x.getAs[Long]("delta_permille") ===
+      x.getAs[Long]("obs_permille") - x.getAs[Long]("benford_permille")))
+  }
+
+  test("tail_latency: percentiles ordered, gap count conserves events minus users") {
+    val r = Sequences.qTailLatency(spark, sf).collect()
+    r.foreach { x =>
+      assert(x.getAs[Long]("p50_us") <= x.getAs[Long]("p95_us"))
+      assert(x.getAs[Long]("p95_us") <= x.getAs[Long]("p99_us"))
+      assert(x.getAs[Long]("n_gaps") >= 1L)
+    }
+    val ev = Tables.events(spark, sf)
+    val want = ev.count() - ev.select("user_id").distinct().count()
+    assert(r.map(_.getAs[Long]("n_gaps")).sum === want)
+  }
+
   test("weighted_median: one source replayed exactly against the running-sum rule") {
     val r = TextStats.qWeightedMedian(spark, sf).collect()
       .map(x => x.getString(0) -> x).toMap
