@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AsOf, CorpusOps, Dedup, Evaluation, Graphs, IndexStats, Packing, Pretrain, Profiling, Ranking, Relational, Relevance, Reports, Selection, Sequences, SignLsh, Similarity, Snapshots, TextStats}
+import graft.operators.{AsOf, CorpusOps, Dedup, Evaluation, Graphs, IndexStats, Multimodal, Packing, Pretrain, Profiling, Ranking, Relational, Relevance, Reports, Selection, Sequences, SignLsh, Similarity, Snapshots, TextStats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,7 +24,8 @@ object SparkEntry {
       Similarity.queries ++ AsOf.queries ++ Relational.queries ++ SignLsh.queries ++
       Ranking.queries ++ Packing.queries ++ Relevance.queries ++ CorpusOps.queries ++
       Snapshots.queries ++ Sequences.queries ++ Selection.queries ++ Graphs.queries ++
-      Pretrain.queries ++ IndexStats.queries ++ Profiling.queries ++ Evaluation.queries
+      Pretrain.queries ++ IndexStats.queries ++ Profiling.queries ++
+      Evaluation.queries ++ Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -33,5 +34,6 @@ object SparkEntry {
       Similarity.oracle ++ AsOf.oracle ++ Relational.oracle ++ SignLsh.oracle ++
       Ranking.oracle ++ Packing.oracle ++ Relevance.oracle ++ CorpusOps.oracle ++
       Snapshots.oracle ++ Sequences.oracle ++ Selection.oracle ++ Graphs.oracle ++
-      Pretrain.oracle ++ IndexStats.oracle ++ Profiling.oracle ++ Evaluation.oracle
+      Pretrain.oracle ++ IndexStats.oracle ++ Profiling.oracle ++
+      Evaluation.oracle ++ Multimodal.oracle
 }

@@ -849,7 +849,45 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** q_lsh_cost_sweep — the banding planner: BEFORE paying the LSH
+    * self-join, predict its cost for every (bands × rows) split of the
+    * 8-permutation signature — r ∈ {1,2,4,8}. Per configuration: hot
+    * buckets (≥2 members), candidate-pair slots Σ C(c,2) (the exact
+    * number of pair comparisons the band join will emit, counted with
+    * band multiplicity — the join's work, not its distinct output),
+    * and the hottest bucket (the straggler bound). The r=4 row prices
+    * the production threshold ([[candidatePairsFromSig]]); r=1 shows
+    * the recall-greedy flood; the sweep is how an operator picks the
+    * curve point at 100 TB from signature-sized data only — raw text
+    * never enters. Plan: ONE signature computation (localCheckpointed),
+    * a 15-band-key explode, one (r, key) count aggregate, a 4-row
+    * rollup. */
+  val qLshCostSweep: Q = (s, d) => {
+    val sig = minhashSignatures(
+      Tables.documents(s, d).select("doc_id", "text")).localCheckpoint()
+    def keysFor(r: Int): DataFrame = {
+      val bands = (0 until 8 / r).map { b =>
+        concat_ws(":", lit(b.toString) +:
+          (0 until r).map(j => col(s"m${b * r + j}").cast("string")): _*)
+      }
+      sig.select(lit(r.toLong).as("rows_per_band"),
+        explode(array(bands: _*)).as("band_key"))
+    }
+    Seq(1, 2, 4, 8).map(keysFor).reduce(_ unionAll _)
+      .groupBy("rows_per_band", "band_key").agg(count(lit(1)).as("c"))
+      .groupBy("rows_per_band")
+      .agg(count(when(col("c") >= 2, 1)).as("n_hot_buckets"),
+        sum(expr("(c * (c - 1)) div 2")).cast("long")
+          .as("n_candidate_slots"),
+        max(col("c")).cast("long").as("max_bucket"))
+      .withColumn("n_bands", expr("8 div rows_per_band").cast("long"))
+      .select("rows_per_band", "n_bands", "n_hot_buckets",
+        "n_candidate_slots", "max_bucket")
+      .orderBy("rows_per_band")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_lsh_cost_sweep" -> qLshCostSweep,
     "q_dedup_best" -> qDedupBest,
     "q_hybrid_neardup" -> qHybridNeardup,
     "q_minhash_estimate" -> qMinhashEstimate,
@@ -901,7 +939,30 @@ object Dedup {
       |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
       |  FROM keys a JOIN keys b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** Band-key union for the [[qLshCostSweep]] oracle — the same
+    * '<band>:<m..>' key spelling the engine's concat_ws builds, one
+    * SELECT per band per r ∈ {1,2,4,8}, generated not hand-typed. */
+  private val lshSweepKeysSql: String = Seq(1, 2, 4, 8).map { r =>
+    (0 until 8 / r).map { b =>
+      val parts = (0 until r).map(j => s"CAST(m${b * r + j} AS VARCHAR)")
+        .mkString(" || ':' || ")
+      s"SELECT CAST($r AS BIGINT) AS rows_per_band, '$b:' || $parts AS band_key FROM sig"
+    }.mkString("\n  UNION ALL ")
+  }.mkString("\n  UNION ALL ")
+
   val oracle: Map[String, String] = Map(
+    "q_lsh_cost_sweep" ->
+      (s"WITH $minhashCandCte,\n" +
+        "sk AS (" + lshSweepKeysSql + "),\n" +
+        """bc AS (
+          |  SELECT rows_per_band, band_key, CAST(COUNT(*) AS BIGINT) AS c
+          |  FROM sk GROUP BY 1, 2)
+          |SELECT rows_per_band,
+          |  CAST(8 // rows_per_band AS BIGINT) AS n_bands,
+          |  CAST(COUNT(CASE WHEN c >= 2 THEN 1 END) AS BIGINT) AS n_hot_buckets,
+          |  CAST(SUM((c * (c - 1)) // 2) AS BIGINT) AS n_candidate_slots,
+          |  CAST(MAX(c) AS BIGINT) AS max_bucket
+          |FROM bc GROUP BY rows_per_band ORDER BY rows_per_band""".stripMargin),
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, COUNT(*) AS dup_count
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,

@@ -545,4 +545,75 @@ object Multimodal {
         col("path"),
         col("length").as("n_bytes"),
         col("content"))
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q_binary_magic — the multimodal family's oracle-backed leg:
+    * format sniffing over a BINARY column. Payloads derive
+    * deterministically in-query (magic prefix by doc_id residue +
+    * 32 md5 bytes — the fixtures carry no blobs), and the ENGINE path
+    * exercises the real binary machinery end to end: `unhex` →
+    * BinaryType, `substring` ON BYTES for the 4-byte magic and the
+    * first payload byte, `hex` back out, byte-exact `length`. The
+    * DuckDB twin never touches a blob — pure hex-string algebra — so
+    * hash equality proves the byte semantics of the binary path
+    * (offsets, lengths, case) rather than assuming them. Scan-side
+    * only; the single shuffle is the 4-group format rollup, the
+    * blobs themselves never move — the [[mediaFrame]] contract in
+    * oracle-checkable form. */
+  val qBinaryMagic: Q = (s, d) => {
+    import org.apache.spark.sql.types.LongType
+    val magics = array(lit("89504E47"), lit("FFD8FFE0"),
+      lit("52494646"), lit("00000018"))
+    val bodyHex = upper(concat(
+      md5(concat(lit("m1|"), col("doc_id").cast("string"))),
+      md5(concat(lit("m2|"), col("doc_id").cast("string")))))
+    graft.Tables.documents(s, d)
+      .select(col("doc_id"),
+        unhex(concat(
+          element_at(magics, (pmod(col("doc_id"), lit(4)) + 1).cast("int")),
+          bodyHex)).as("payload"))
+      .select(
+        upper(hex(substring(col("payload"), 1, 4))).as("magic_hex"),
+        length(col("payload")).cast(LongType).as("n_bytes"),
+        conv(hex(substring(col("payload"), 5, 1)), 16, 10).cast(LongType)
+          .as("first_byte"))
+      .withColumn("format",
+        when(col("magic_hex") === "89504E47", "png")
+          .when(col("magic_hex") === "FFD8FFE0", "jpeg")
+          .when(col("magic_hex") === "52494646", "riff")
+          .otherwise("bmff"))
+      .groupBy("magic_hex", "format")
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("n_bytes")).cast(LongType).as("total_bytes"),
+        sum(col("first_byte")).cast(LongType).as("sum_first_byte"))
+      .orderBy("magic_hex")
+  }
+
+  val queries: Map[String, Q] = Map("q_binary_magic" -> qBinaryMagic)
+
+  val oracle: Map[String, String] = Map(
+    "q_binary_magic" ->
+      // pure hex-STRING algebra on purpose: proves the engine's
+      // BinaryType path (unhex/byte-substring/hex/length) byte-exact
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    (['89504E47','FFD8FFE0','52494646','00000018'])
+        |      [CAST(doc_id % 4 AS INT) + 1] AS magic,
+        |    upper(md5('m1|' || CAST(doc_id AS VARCHAR))
+        |      || md5('m2|' || CAST(doc_id AS VARCHAR))) AS body
+        |  FROM documents),
+        |b AS (
+        |  SELECT magic AS magic_hex,
+        |    CAST(4 + length(body) // 2 AS BIGINT) AS n_bytes,
+        |    CAST('0x' || substr(body, 1, 2) AS BIGINT) AS first_byte
+        |  FROM p)
+        |SELECT magic_hex,
+        |  CASE magic_hex WHEN '89504E47' THEN 'png'
+        |    WHEN 'FFD8FFE0' THEN 'jpeg'
+        |    WHEN '52494646' THEN 'riff' ELSE 'bmff' END AS format,
+        |  CAST(COUNT(*) AS BIGINT) AS n_files,
+        |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+        |  CAST(SUM(first_byte) AS BIGINT) AS sum_first_byte
+        |FROM b GROUP BY 1, 2 ORDER BY magic_hex""".stripMargin)
 }

@@ -160,15 +160,71 @@ object Packing {
       .orderBy("source", "shard")
   }
 
+  /** q_packing_efficiency — why sequence packing exists, as a table:
+    * for context lengths L ∈ {256, 512, 1024}, the padding a
+    * one-doc-per-sequence loader wastes (Σ⌈tok/L⌉·L − Σtok) versus
+    * the residual waste of dense concatenation (⌈Σtok/L⌉·L − Σtok,
+    * at most one sequence's worth), both in permille of sequences
+    * emitted. The doc-boundary waste GROWS with L (every doc rounds
+    * up further); the packed waste shrinks toward zero — the curve
+    * that justifies [[qPackChunks]]'s design at any corpus size.
+    * Plan: token counts once (scan-side length algebra), a 3-row L
+    * spine exploded onto the aggregate — corpus work is ONE pass, the
+    * sweep itself runs on 3 rows. */
+  val qPackingEfficiency: Q = (s, d) => {
+    val toks = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(wsTokens(col("text")).as("tok"))
+      .select(explode(array(lit(256L), lit(512L), lit(1024L))).as("ctx_len"),
+        col("tok"))
+    toks.groupBy("ctx_len")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).cast(LongType).as("total_tokens"),
+        sum(expr("((tok + ctx_len - 1) div ctx_len) * ctx_len")).cast(LongType)
+          .as("padded_tokens"))
+      .withColumn("packed_tokens",
+        expr("((total_tokens + ctx_len - 1) div ctx_len) * ctx_len")
+          .cast(LongType))
+      .select(col("ctx_len"), col("n_docs"), col("total_tokens"),
+        expr("((padded_tokens - total_tokens) * 1000) div padded_tokens")
+          .cast(LongType).as("pad_waste_permille"),
+        expr("((packed_tokens - total_tokens) * 1000) div packed_tokens")
+          .cast(LongType).as("packed_waste_permille"))
+      .orderBy("ctx_len")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_pack_chunks" -> qPackChunks,
     "q_greedy_pack" -> qGreedyPack,
-    "q_shard_plan" -> qShardPlan)
+    "q_shard_plan" -> qShardPlan,
+    "q_packing_efficiency" -> qPackingEfficiency)
 
   private def shardDuck(expr: String): String =
     s"CAST('0x' || substr(md5('pack|' || CAST($expr AS VARCHAR)), 1, 15) AS BIGINT) % $NShards"
 
   val oracle: Map[String, String] = Map(
+    "q_packing_efficiency" ->
+      """WITH toks AS (
+        |  SELECT CAST(length(text) - length(replace(text, ' ', '')) + 1
+        |    AS BIGINT) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |sw AS (
+        |  SELECT CAST(unnest([256, 512, 1024]) AS BIGINT) AS ctx_len),
+        |agg AS (
+        |  SELECT ctx_len, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(tok) AS BIGINT) AS total_tokens,
+        |    CAST(SUM(((tok + ctx_len - 1) // ctx_len) * ctx_len) AS BIGINT)
+        |      AS padded_tokens
+        |  FROM sw CROSS JOIN toks GROUP BY ctx_len),
+        |p AS (
+        |  SELECT ctx_len, n_docs, total_tokens, padded_tokens,
+        |    ((total_tokens + ctx_len - 1) // ctx_len) * ctx_len AS packed_tokens
+        |  FROM agg)
+        |SELECT ctx_len, n_docs, total_tokens,
+        |  CAST(((padded_tokens - total_tokens) * 1000) // padded_tokens
+        |    AS BIGINT) AS pad_waste_permille,
+        |  CAST(((packed_tokens - total_tokens) * 1000) // packed_tokens
+        |    AS BIGINT) AS packed_waste_permille
+        |FROM p ORDER BY ctx_len""".stripMargin,
     "q_shard_plan" ->
       s"""WITH offs AS (
         |  SELECT source, doc_id, n_chars,

@@ -500,7 +500,42 @@ object Sequences {
       .orderBy("event_type")
   }
 
+  /** q_cdc_apply — change-stream application (the MERGE INTO / SCD
+    * "current snapshot" semantics): replaying each user's events in
+    * (ts, event_id) order, the final state is the LAST operation's
+    * verdict — an 'error' tombstones the account (alive=0), any other
+    * op leaves it live; current_cents is the last NON-error op's
+    * value (a tombstone doesn't erase the balance history). Emitted
+    * per user: op count, last op + its micros, current_cents, alive.
+    * No window, no sort: both "last" picks are deterministic
+    * struct-maxes inside ONE hash aggregate — the upsert path of a
+    * 100 TB CDC consumer is exactly this shape (shuffle keyed on the
+    * entity id, map-side partial maxes), never a per-key ORDER BY.
+    * The unique event_id tiebreak means the string field riding the
+    * struct never decides the comparison. */
+  val qCdcApply: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(
+      col("user_id"), col("event_id"), col("event_type"),
+      expr("ts div 1000").cast(LongType).as("ts_us"),
+      intScaled(dec2(col("value")), 100L).as("v_cents"))
+    ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n_ops"),
+        max(struct(col("ts_us"), col("event_id"), col("event_type")))
+          .as("last"),
+        max(when(col("event_type") =!= "error",
+          struct(col("ts_us"), col("event_id"), col("v_cents")))).as("lastup"))
+      .select(col("user_id"), col("n_ops"),
+        col("last.event_type").as("last_op"),
+        col("last.ts_us").as("last_ts_us"),
+        coalesce(col("lastup.v_cents"), lit(0L)).cast(LongType)
+          .as("current_cents"),
+        when(col("last.event_type") === "error", 0L).otherwise(1L)
+          .cast(LongType).as("alive"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_cdc_apply" -> qCdcApply,
     "q_tail_latency" -> qTailLatency,
     "q_seasonality" -> qSeasonality,
     "q_out_of_order" -> qOutOfOrder,
@@ -517,6 +552,26 @@ object Sequences {
     "q_burst_users" -> qBurstUsers)
 
   val oracle: Map[String, String] = Map(
+    "q_cdc_apply" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_cents
+        |  FROM events),
+        |agg AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_ops,
+        |    MAX(struct_pack(ts_us := ts_us, event_id := event_id,
+        |                    event_type := event_type)) AS last,
+        |    MAX(CASE WHEN event_type != 'error'
+        |        THEN struct_pack(ts_us := ts_us, event_id := event_id,
+        |                         v_cents := v_cents) END) AS lastup
+        |  FROM ev GROUP BY user_id)
+        |SELECT user_id, n_ops,
+        |  last.event_type AS last_op,
+        |  CAST(last.ts_us AS BIGINT) AS last_ts_us,
+        |  CAST(COALESCE(lastup.v_cents, 0) AS BIGINT) AS current_cents,
+        |  CAST(CASE WHEN last.event_type = 'error' THEN 0 ELSE 1 END
+        |    AS BIGINT) AS alive
+        |FROM agg ORDER BY user_id""".stripMargin,
     "q_tail_latency" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us

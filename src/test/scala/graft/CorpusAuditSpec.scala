@@ -380,6 +380,83 @@ class CorpusAuditSpec extends SparkSpec {
     assert(r.map(_.getAs[Long]("n_gaps")).sum === want)
   }
 
+  test("binary_magic: byte-level binary path agrees with residue-class truth") {
+    val r = operators.Multimodal.qBinaryMagic(spark, sf).collect()
+    assert(r.length === 4)
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(r.map(_.getAs[Long]("n_files")).sum === nDocs)
+    r.foreach { x =>
+      // every payload is 4 magic + 32 md5 bytes
+      assert(x.getAs[Long]("total_bytes") === 36L * x.getAs[Long]("n_files"))
+      assert(x.getAs[Long]("sum_first_byte") >= 0)
+    }
+    val fm = r.map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(fm("89504E47") === "png" && fm("FFD8FFE0") === "jpeg")
+    assert(fm("52494646") === "riff" && fm("00000018") === "bmff")
+  }
+
+  test("lsh_cost_sweep: nested bands make slots and hot buckets monotone in r") {
+    val r = operators.Dedup.qLshCostSweep(spark, sf).collect()
+      .sortBy(_.getAs[Long]("rows_per_band"))
+    assert(r.map(_.getAs[Long]("rows_per_band")).toSeq === Seq(1L, 2L, 4L, 8L))
+    assert(r.map(_.getAs[Long]("n_bands")).toSeq === Seq(8L, 4L, 2L, 1L))
+    // a level-r band collision implies collisions in BOTH its nested
+    // level-r/2 sub-bands, so slot counts decrease as r grows
+    val slots = r.map(_.getAs[Long]("n_candidate_slots"))
+    assert(slots.toSeq === slots.sorted.reverse.toSeq)
+    val hot = r.map(_.getAs[Long]("max_bucket"))
+    assert(hot.toSeq === hot.sorted.reverse.toSeq)
+    // the production config (r=4, 2 bands) must see at least the
+    // distinct candidate pairs the LSH join emits
+    val pairs = operators.Dedup.minhashCandidatePairs(spark, sf).count()
+    assert(r(2).getAs[Long]("n_candidate_slots") >= pairs)
+  }
+
+  test("packing_efficiency: padding waste grows with context, packing beats it") {
+    val r = operators.Packing.qPackingEfficiency(spark, sf).collect()
+      .sortBy(_.getAs[Long]("ctx_len"))
+    assert(r.map(_.getAs[Long]("ctx_len")).toSeq === Seq(256L, 512L, 1024L))
+    r.foreach { x =>
+      assert(x.getAs[Long]("packed_waste_permille") <=
+        x.getAs[Long]("pad_waste_permille"))
+    }
+    val pad = r.map(_.getAs[Long]("pad_waste_permille"))
+    assert(pad.toSeq === pad.sorted.toSeq) // coarser grid, more padding
+    // exact replay at L=256
+    val toks = Tables.documents(spark, sf).filter(col("text").isNotNull)
+      .select(operators.Packing.wsTokens(col("text"))).collect().map(_.getLong(0))
+    val total = toks.sum
+    val padded = toks.map(t => ((t + 255) / 256) * 256).sum
+    assert(r(0).getAs[Long]("total_tokens") === total)
+    assert(r(0).getAs[Long]("pad_waste_permille") ===
+      (padded - total) * 1000 / padded)
+  }
+
+  test("cdc_apply: final state replays the ordered change stream") {
+    val r = operators.Sequences.qCdcApply(spark, sf).collect()
+      .map(x => x.getAs[Long]("user_id") -> x).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"),
+        graft.functions.Exprs.intScaled(
+          graft.functions.Exprs.dec2(col("value")), 100L).as("v"))
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2), x.getLong(3),
+        x.getLong(4)))
+    val byUser = ev.groupBy(_._1)
+    assert(r.size === byUser.size)
+    byUser.foreach { case (u, ops) =>
+      val sorted = ops.sortBy(o => (o._4, o._2))
+      val got = r(u)
+      assert(got.getAs[Long]("n_ops") === ops.length.toLong)
+      assert(got.getAs[String]("last_op") === sorted.last._3)
+      assert(got.getAs[Long]("alive") ===
+        (if (sorted.last._3 == "error") 0L else 1L))
+      val lastUp = sorted.reverse.find(_._3 != "error")
+      assert(got.getAs[Long]("current_cents") === lastUp.map(_._5).getOrElse(0L))
+    }
+  }
+
   test("weighted_median: one source replayed exactly against the running-sum rule") {
     val r = TextStats.qWeightedMedian(spark, sf).collect()
       .map(x => x.getString(0) -> x).toMap
