@@ -149,9 +149,71 @@ object Graphs {
       .orderBy("doc_id")
   }
 
+  /** q_degree_histogram — the candidate graph's degree distribution
+    * in log₂ bands: nodes per band, edges-endpoints per band, and the
+    * band's share of total degree mass in permille. THE first plot of
+    * any graph audit — a power-law tail here says the dup graph has
+    * template-farm hubs (and that per-node algorithms need skew
+    * handling); a flat head says pairwise near-dups only. Plan: the
+    * candidate generator is banded-LSH (never all-pairs), degrees are
+    * one endpoint-union aggregate, the histogram is a ≤64-group
+    * rollup — each stage strictly smaller than the last. */
+  val qDegreeHistogram: Q = (s, d) => {
+    val e = Dedup.minhashCandidatePairs(s, d)
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    deg
+      .withColumn("band", length(bin(col("deg"))).cast(LongType))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(col("deg")).cast(LongType).as("degree_mass"))
+      .withColumn("mass_permille",
+        expr("(degree_mass * 1000) div (sum(degree_mass) OVER ())")
+          .cast(LongType))
+      .orderBy("band")
+  }
+
+  /** q_label_propagation — one synchronous label-propagation step
+    * over the candidate graph, seeded by each document's lang: every
+    * node adopts its neighborhood's majority lang (count desc, lang
+    * asc — deterministic ties), emitting old vs new label and whether
+    * it flipped. The community-detection primitive (Raghavan et al.
+    * 2007) in its one-superstep Spark shape: edges ⋈ broadcast-or-
+    * shuffled labels on BOTH endpoints (two equi-joins, the Pregel
+    * message pattern), one (node, lang) count aggregate, one argmax
+    * struct-max — no windows over the corpus, candidate-graph-sized
+    * throughout. Flips on a lang-seeded dup graph flag documents
+    * whose near-duplicates disagree about their language — lang-ID
+    * errors surfaced by graph structure. */
+  val qLabelPropagation: Q = (s, d) => {
+    val labels = Tables.documents(s, d)
+      .select(col("doc_id").as("v"), col("lang"))
+    val e = Dedup.minhashCandidatePairs(s, d)
+    val msgs = e.select(col("a").as("v"), col("b").as("nbr"))
+      .unionAll(e.select(col("b").as("v"), col("a").as("nbr")))
+      .join(labels.select(col("v").as("nbr"), col("lang")), Seq("nbr"))
+    // deterministic argmax with ASC lang on tie: max count first, then
+    // min lang among those at max count (a struct-MAX can't express
+    // "desc count, ASC string" in one comparator)
+    val maxC = msgs.groupBy("v", "lang").agg(count(lit(1)).as("c"))
+    val best = maxC.groupBy("v").agg(max(col("c")).as("cmax"))
+    val winner = maxC.join(best, Seq("v"))
+      .filter(col("c") === col("cmax"))
+      .groupBy("v").agg(min(col("lang")).as("new_lang"),
+        max(col("cmax")).cast(LongType).as("votes"))
+    winner.join(labels, Seq("v"))
+      .select(col("v").as("doc_id"), col("lang").as("old_lang"),
+        col("new_lang"), col("votes"),
+        when(col("lang") === col("new_lang"), 0L).otherwise(1L)
+          .cast(LongType).as("flipped"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_pagerank_step" -> qPagerankStep,
     "q_kcore_prune" -> qKcorePrune,
+    "q_degree_histogram" -> qDegreeHistogram,
+    "q_label_propagation" -> qLabelPropagation,
     "q_dup_triangles" -> qDupTriangles)
 
   /** Four unrolled peel rounds for the [[qKcorePrune]] oracle — the
@@ -171,6 +233,42 @@ object Graphs {
   }.mkString(",\n")
 
   val oracle: Map[String, String] = Map(
+    "q_degree_histogram" ->
+      ("WITH " + Dedup.minhashCandCte + ",\n" +
+      """deg AS (
+        |  SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |    SELECT a AS v FROM cand UNION ALL SELECT b FROM cand)
+        |  GROUP BY v),
+        |bands AS (
+        |  SELECT CAST(length(bin(deg)) AS BIGINT) AS band,
+        |    CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |    CAST(SUM(deg) AS BIGINT) AS degree_mass
+        |  FROM deg GROUP BY 1)
+        |SELECT band, n_nodes, degree_mass,
+        |  CAST((degree_mass * 1000) // (SUM(degree_mass) OVER ()) AS BIGINT)
+        |    AS mass_permille
+        |FROM bands ORDER BY band""".stripMargin),
+    "q_label_propagation" ->
+      ("WITH " + Dedup.minhashCandCte + ",\n" +
+      """msgs AS (
+        |  SELECT m.v, d.lang FROM (
+        |    SELECT a AS v, b AS nbr FROM cand
+        |    UNION ALL SELECT b, a FROM cand) m
+        |  JOIN documents d ON d.doc_id = m.nbr),
+        |votes AS (
+        |  SELECT v, lang, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM msgs GROUP BY v, lang),
+        |best AS (SELECT v, MAX(c) AS cmax FROM votes GROUP BY v),
+        |winner AS (
+        |  SELECT votes.v, MIN(lang) AS new_lang, CAST(MAX(cmax) AS BIGINT)
+        |    AS votes
+        |  FROM votes JOIN best ON votes.v = best.v AND votes.c = best.cmax
+        |  GROUP BY votes.v)
+        |SELECT w.v AS doc_id, d.lang AS old_lang, w.new_lang, w.votes,
+        |  CAST(CASE WHEN d.lang = w.new_lang THEN 0 ELSE 1 END AS BIGINT)
+        |    AS flipped
+        |FROM winner w JOIN documents d ON d.doc_id = w.v
+        |ORDER BY doc_id""".stripMargin),
     "q_kcore_prune" ->
       ("WITH " + Dedup.minhashCandCte + ",\n" + kcoreRoundsCte + "\n" +
       """SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS deg

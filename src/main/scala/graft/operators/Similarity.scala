@@ -828,7 +828,45 @@ object Similarity {
       .orderBy("dim")
   }
 
+  /** q_centroid_drift — how far each label's centroid sits from the
+    * corpus centroid, exactly: with per-(label,dim) sums Sₗⱼ over cₗ
+    * members and global sums Sⱼ over n, Δⱼ = n·Sₗⱼ − cₗ·Sⱼ and
+    * d²·(cₗ·n)²·10⁻¹⁶ = ΣⱼΔⱼ² — every term an integer on the e8 grid
+    * (DECIMAL(38,0) interior), d²·10¹⁶ out. The embedding-space class-
+    * separation audit: a label whose centroid hugs the global mean
+    * carries no signal; one that drifted far is either a distinct
+    * domain or a collapsed cluster. Plan: ONE posexplode pass builds
+    * the (label,dim) sums; the GLOBAL sums are a rollup of that frame
+    * (no second corpus scan), broadcast back onto it; everything after
+    * the first aggregate is |labels|×64-sized. */
+  val qCentroidDrift: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val rows = Tables.embeddings(s, d)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === 64)
+      .select(col("label"),
+        posexplode(decVec(col("embedding"))).as(Seq("i0", "x")))
+      .select(col("label"), (col("i0") + 1).as("dim"),
+        (col("x") * lit(100000000L)).cast(LongType).as("u"))
+    val ls = rows.groupBy("label", "dim")
+      .agg(sum(col("u")).cast(dec).as("sl"), count(lit(1)).as("cl"))
+    val gs = ls.groupBy("dim")
+      .agg(sum(col("sl")).as("sg"), sum(col("cl")).cast(dec).as("n"))
+    ls.join(broadcast(gs), Seq("dim"))
+      .withColumn("delta",
+        col("n") * col("sl") - col("cl").cast(dec) * col("sg"))
+      .groupBy("label")
+      .agg(max(col("cl")).cast(LongType).as("n_vecs"),
+        max(col("n")).as("nn"),
+        sum(col("delta") * col("delta")).as("ss"))
+      .select(col("label"), col("n_vecs"),
+        expr("""ss div ((CAST(n_vecs AS DECIMAL(38,0)) * nn)
+                * (CAST(n_vecs AS DECIMAL(38,0)) * nn))""")
+          .cast(LongType).as("dist2_e16"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_centroid_drift" -> qCentroidDrift,
     "q_power_iteration" -> qPowerIteration,
     "q_embedding_outliers" -> qEmbeddingOutliers,
     "q_jl_distortion" -> qJlDistortion,
@@ -925,6 +963,27 @@ object Similarity {
       |  GROUP BY 1, 2)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_centroid_drift" ->
+      """WITH el AS (
+        |  SELECT label, i AS dim,
+        |    CAST(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) * 100000000
+        |      AS BIGINT) AS u
+        |  FROM (SELECT label, embedding, unnest(generate_series(1, 64)) AS i
+        |        FROM embeddings
+        |        WHERE embedding IS NOT NULL AND len(embedding) = 64)),
+        |ls AS (
+        |  SELECT label, dim, CAST(SUM(u) AS HUGEINT) AS sl,
+        |    CAST(COUNT(*) AS HUGEINT) AS cl
+        |  FROM el GROUP BY label, dim),
+        |gs AS (
+        |  SELECT dim, SUM(sl) AS sg, SUM(cl) AS n FROM ls GROUP BY dim),
+        |dd AS (
+        |  SELECT label, MAX(cl) AS cl, MAX(n) AS n,
+        |    SUM((n * sl - cl * sg) * (n * sl - cl * sg)) AS ss
+        |  FROM ls JOIN gs USING (dim) GROUP BY label)
+        |SELECT label, CAST(cl AS BIGINT) AS n_vecs,
+        |  CAST(ss // ((cl * n) * (cl * n)) AS BIGINT) AS dist2_e16
+        |FROM dd ORDER BY label""".stripMargin,
     "q_power_iteration" ->
       """WITH el AS (
         |  SELECT vec_id, i AS dim,

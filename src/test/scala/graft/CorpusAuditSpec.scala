@@ -457,6 +457,62 @@ class CorpusAuditSpec extends SparkSpec {
     }
   }
 
+  test("degree_histogram: nodes and degree mass conserve against the pair list") {
+    val r = Graphs.qDegreeHistogram(spark, sf).collect()
+    val pairs = operators.Dedup.minhashCandidatePairs(spark, sf)
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct.length
+    assert(r.map(_.getAs[Long]("n_nodes")).sum === nodes.toLong)
+    assert(r.map(_.getAs[Long]("degree_mass")).sum === 2L * pairs.length)
+    val mp = r.map(_.getAs[Long]("mass_permille")).sum
+    assert(mp <= 1000 && mp >= 1000 - r.length)
+  }
+
+  test("label_propagation: full scala replay of one synchronous LP step") {
+    val pairs = operators.Dedup.minhashCandidatePairs(spark, sf)
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val langs = Tables.documents(spark, sf).select("doc_id", "lang")
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    val nbrs = (pairs.map(p => p._1 -> p._2) ++ pairs.map(p => p._2 -> p._1))
+      .groupBy(_._1).map { case (v, es) => v -> es.map(e => langs(e._2)) }
+    val want = nbrs.map { case (v, ls) =>
+      val counts = ls.groupBy(identity).map { case (l, xs) => l -> xs.length }
+      val cmax = counts.values.max
+      val win = counts.filter(_._2 == cmax).keys.min
+      v -> ((langs(v), win, cmax.toLong,
+        if (langs(v) == win) 0L else 1L))
+    }
+    val got = Graphs.qLabelPropagation(spark, sf).collect().map(x =>
+      x.getAs[Long]("doc_id") -> ((x.getString(1), x.getString(2),
+        x.getAs[Long]("votes"), x.getAs[Long]("flipped")))).toMap
+    assert(got === want)
+  }
+
+  test("centroid_drift: BigInt replay of the scaled mean-difference identity") {
+    val rows = Tables.embeddings(spark, sf)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === 64)
+      .select(col("label"), posexplode(transform(col("embedding"),
+        x => (x.cast("double").cast("decimal(12,8)") * 100000000L).cast("long")))
+        .as(Seq("i0", "u")))
+      .collect().map(x => (x.getInt(0), x.getInt(1), BigInt(x.getLong(2))))
+    val byLabelDim = rows.groupBy(r => (r._1, r._2))
+      .map { case (k, xs) => k -> (xs.map(_._3).sum, BigInt(xs.length)) }
+    val byDim = rows.groupBy(_._2)
+      .map { case (k, xs) => k -> (xs.map(_._3).sum, BigInt(xs.length)) }
+    val want = byLabelDim.groupBy(_._1._1).map { case (l, dims) =>
+      val cl = dims.head._2._2
+      val ss = dims.map { case ((_, dim), (sl, c)) =>
+        val (sg, n) = byDim(dim)
+        val delta = n * sl - c * sg; delta * delta
+      }.sum
+      val n = byDim.head._2._2
+      l.toLong -> (ss / ((cl * n) * (cl * n))).toLong
+    }
+    val res = Similarity.qCentroidDrift(spark, sf).collect()
+      .map(x => x.getAs[Int]("label").toLong -> x.getAs[Long]("dist2_e16")).toMap
+    assert(res === want)
+  }
+
   test("weighted_median: one source replayed exactly against the running-sum rule") {
     val r = TextStats.qWeightedMedian(spark, sf).collect()
       .map(x => x.getString(0) -> x).toMap
