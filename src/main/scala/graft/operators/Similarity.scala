@@ -339,6 +339,75 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** q_ivf_nprobe_sweep — the IVF operating-point curve: for nprobe ∈
+    * {1,2,3}, the candidate count the index must score and the
+    * recall@3 it buys against brute-force truth — the
+    * [[graft.operators.Dedup.qLshCostSweep]] planning philosophy
+    * applied to ANN (pick the curve point from index-sized data, then
+    * run only that configuration at corpus scale). Everything is
+    * computed ONCE: one centroid-similarity pass (each candidate's
+    * probe level = the rank of its bucket for that query), one exact
+    * scoring of the level ≤ 3 candidate union; the sweep itself is a
+    * 3-row spine joined onto bounded frames. Recall here is
+    * oracle-pinned — DuckDB recomputes the whole pipeline including
+    * brute truth, so the CURVE is verified, not sampled. */
+  val qIvfNprobeSweep: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, d)
+    val withNorm = emb.select(col("vec_id"), decVec(col("embedding")).as("de"))
+      .withColumn("nrm", decDot(col("de"), col("de")).cast(DoubleType))
+      .localCheckpoint()
+    val cent = withNorm.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("de").as("ce"), col("nrm").as("ncn"))
+    val simCc = withNorm.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cid"),
+        cosMicrosPre(decDot(col("de"), col("ce")), col("nrm"), col("ncn")).as("sim"))
+      .localCheckpoint()
+    val wv = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))
+    val assign = simCc
+      .withColumn("rk", row_number().over(wv)).filter(col("rk") === 1)
+      .select(col("cid"), col("vec_id").as("nid"))
+    val probesL = simCc.filter(col("vec_id") < 3)
+      .withColumn("lvl", row_number().over(wv).cast(LongType))
+      .filter(col("lvl") <= 3)
+      .select(col("vec_id").as("qid"), col("cid"), col("lvl"))
+    val candL = probesL.join(assign, Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .groupBy("qid", "nid").agg(min(col("lvl")).as("lvl"))
+      .localCheckpoint() // feeds scoring, the count spine, and the join
+    val qs = withNorm.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("de").as("qe"), col("nrm").as("nq"))
+    val ns = withNorm
+      .select(col("vec_id").as("nid"), col("de").as("ne"), col("nrm").as("nn"))
+    val scored = candL.join(broadcast(qs), Seq("qid")).join(ns, Seq("nid"))
+      .select(col("qid"), col("nid"), col("lvl"),
+        cosMicrosPre(decDot(col("qe"), col("ne")), col("nq"), col("nn"))
+          .as("sim_micros"))
+    val spine = s.range(1, 4).toDF("nprobe")
+    val wq = Window.partitionBy("nprobe", "qid")
+      .orderBy(col("sim_micros").desc, col("nid"))
+    val ivfTop = scored.crossJoin(broadcast(spine))
+      .filter(col("lvl") <= col("nprobe"))
+      .withColumn("rnk", row_number().over(wq))
+      .filter(col("rnk") <= 3)
+      .select(col("nprobe"), col("qid"), col("nid"), lit(1L).as("m"))
+    val nCand = candL.crossJoin(broadcast(spine))
+      .filter(col("lvl") <= col("nprobe"))
+      .groupBy("nprobe").agg(count(lit(1)).as("n_candidates"))
+    val brute = qAnnTopk(s, d).filter(col("qid") < 3)
+      .select(col("qid"), col("nid"))
+    brute.crossJoin(broadcast(spine))
+      .join(ivfTop, Seq("nprobe", "qid", "nid"), "left")
+      .groupBy("nprobe")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("m"), lit(0L))).cast(LongType).as("n_matched"))
+      .join(nCand, Seq("nprobe"))
+      .select(col("nprobe").cast(LongType).as("nprobe"), col("n_candidates"),
+        col("n_matched"), col("n_exact"),
+        expr("(n_matched * 100) div n_exact").cast(LongType).as("recall_pct"))
+      .orderBy("nprobe")
+  }
+
   /** IVF recall measured THROUGH the oracle: per query, how many of the
     * exact brute-force top-3 ([[qAnnTopk]]'s metric, restricted to the
     * IVF query set) the probed-bucket index answer ([[qIvfTopk]])
@@ -866,6 +935,7 @@ object Similarity {
   }
 
   val queries: Map[String, Q] = Map(
+    "q_ivf_nprobe_sweep" -> qIvfNprobeSweep,
     "q_centroid_drift" -> qCentroidDrift,
     "q_power_iteration" -> qPowerIteration,
     "q_embedding_outliers" -> qEmbeddingOutliers,
@@ -963,6 +1033,87 @@ object Similarity {
       |  GROUP BY 1, 2)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_ivf_nprobe_sweep" ->
+      """WITH el AS (
+        |  SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) AS x
+        |  FROM (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS i
+        |        FROM embeddings)),
+        |nrm AS (SELECT vec_id, SUM(x*x) AS nrm FROM el GROUP BY vec_id),
+        |dots_cc AS (
+        |  SELECT ea.vec_id, eb.vec_id AS cid, SUM(ea.x * eb.x) AS dot
+        |  FROM el ea JOIN el eb ON ea.i = eb.i AND eb.vec_id < 8
+        |  GROUP BY 1, 2),
+        |sim_cc AS (
+        |  SELECT d.vec_id, d.cid,
+        |    CAST(CAST(CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS sim
+        |  FROM dots_cc d
+        |  JOIN nrm na ON d.vec_id = na.vec_id
+        |  JOIN nrm nb ON d.cid = nb.vec_id),
+        |assign AS (
+        |  SELECT cid, vec_id AS nid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk
+        |    FROM sim_cc) WHERE rk = 1),
+        |probes AS (
+        |  SELECT vec_id AS qid, cid, CAST(rk AS BIGINT) AS lvl FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk
+        |    FROM sim_cc WHERE vec_id < 3) WHERE rk <= 3),
+        |cand AS (
+        |  SELECT p.qid, a.nid, MIN(p.lvl) AS lvl
+        |  FROM probes p JOIN assign a ON p.cid = a.cid
+        |  WHERE p.qid <> a.nid GROUP BY 1, 2),
+        |dots_q AS (
+        |  SELECT c.qid, c.nid, SUM(ea.x * eb.x) AS dot
+        |  FROM cand c
+        |  JOIN el ea ON c.qid = ea.vec_id
+        |  JOIN el eb ON c.nid = eb.vec_id AND ea.i = eb.i
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT d.qid, d.nid,
+        |    CAST(CAST(CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS sim_micros
+        |  FROM dots_q d
+        |  JOIN nrm na ON d.qid = na.vec_id
+        |  JOIN nrm nb ON d.nid = nb.vec_id),
+        |sw AS (SELECT CAST(unnest([1, 2, 3]) AS BIGINT) AS nprobe),
+        |ivft AS (
+        |  SELECT nprobe, qid, nid FROM (
+        |    SELECT w.nprobe, s.qid, s.nid,
+        |      row_number() OVER (PARTITION BY w.nprobe, s.qid
+        |                         ORDER BY s.sim_micros DESC, s.nid) AS rnk
+        |    FROM scored s
+        |    JOIN cand c ON s.qid = c.qid AND s.nid = c.nid
+        |    JOIN sw w ON c.lvl <= w.nprobe) WHERE rnk <= 3),
+        |bdots AS (
+        |  SELECT q.vec_id AS qid, e.vec_id AS nid, SUM(q.x * e.x) AS dot
+        |  FROM el q JOIN el e ON q.i = e.i AND q.vec_id < 3
+        |    AND e.vec_id <> q.vec_id
+        |  GROUP BY 1, 2),
+        |bcos AS (
+        |  SELECT qid, nid,
+        |    CAST(CAST(CAST(dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(ne.nrm AS DOUBLE)) AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS sim
+        |  FROM bdots
+        |  JOIN nrm nq ON qid = nq.vec_id
+        |  JOIN nrm ne ON nid = ne.vec_id),
+        |brute AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT qid, nid,
+        |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+        |    FROM bcos) WHERE rk <= 3),
+        |ncand AS (
+        |  SELECT w.nprobe, CAST(COUNT(*) AS BIGINT) AS n_candidates
+        |  FROM cand c JOIN sw w ON c.lvl <= w.nprobe GROUP BY 1),
+        |m AS (
+        |  SELECT w.nprobe, CAST(COUNT(*) AS BIGINT) AS n_exact,
+        |    CAST(SUM(CASE WHEN i.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_matched
+        |  FROM brute b CROSS JOIN sw w
+        |  LEFT JOIN ivft i ON i.nprobe = w.nprobe AND i.qid = b.qid
+        |    AND i.nid = b.nid
+        |  GROUP BY 1)
+        |SELECT m.nprobe, n_candidates, n_matched, n_exact,
+        |  CAST((n_matched * 100) // n_exact AS BIGINT) AS recall_pct
+        |FROM m JOIN ncand ON m.nprobe = ncand.nprobe ORDER BY m.nprobe""".stripMargin,
     "q_centroid_drift" ->
       """WITH el AS (
         |  SELECT label, i AS dim,

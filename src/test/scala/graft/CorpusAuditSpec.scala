@@ -513,6 +513,21 @@ class CorpusAuditSpec extends SparkSpec {
     assert(res === want)
   }
 
+  test("ivf_nprobe_sweep: candidates and recall monotone; nprobe=3 matches q_ivf_recall") {
+    val r = Similarity.qIvfNprobeSweep(spark, sf).collect()
+      .sortBy(_.getAs[Long]("nprobe"))
+    assert(r.map(_.getAs[Long]("nprobe")).toSeq === Seq(1L, 2L, 3L))
+    val cands = r.map(_.getAs[Long]("n_candidates"))
+    assert(cands.toSeq === cands.sorted.toSeq) // more probes, more candidates
+    val matched = r.map(_.getAs[Long]("n_matched"))
+    assert(matched.toSeq === matched.sorted.toSeq) // recall can only grow
+    assert(r.forall(_.getAs[Long]("n_exact") === 9L))
+    // the nprobe=3 point IS the production config q_ivf_recall measures
+    val recall3 = Similarity.qIvfRecall(spark, sf).collect()
+      .map(x => x.getAs[Long]("n_match")).sum
+    assert(r(2).getAs[Long]("n_matched") === recall3)
+  }
+
   test("weighted_median: one source replayed exactly against the running-sum rule") {
     val r = TextStats.qWeightedMedian(spark, sf).collect()
       .map(x => x.getString(0) -> x).toMap
