@@ -636,7 +636,75 @@ object Profiling {
       .orderBy("digit")
   }
 
+  /** q_kmv_intersect — pairwise vocabulary-INTERSECTION estimates
+    * from K-minimum-values sketches (Beyer et al. 2007), proven
+    * against exact truth: combine two sources' 32-minima over the
+    * shared 2⁴⁰ word-hash space, θ = the combined 32nd minimum, union
+    * ≈ 31·2⁴⁰ div θ, Jaccard ρ = both-sides members among the
+    * combined minima, intersection ≈ ρ·union — every step integer.
+    * The exact intersection (the [[graft.operators.Pretrain
+    * .qVocabOverlap]] word-join) rides alongside with the signed
+    * error permille, so the ESTIMATOR is oracle-verified. The 100 TB
+    * point: the sketch path compares 640 longs per pair where the
+    * exact path joins whole vocabularies — this query prices that
+    * trade with evidence.
+    *
+    * Plan: distinct (source, word) collapses map-side (computed once,
+    * checkpointed, feeding minima AND the exact join); per-source and
+    * per-pair minima are windows over k-bounded frames; the pair
+    * spine broadcasts. */
+  val qKmvIntersect: Q = (s, d) => {
+    val k = 32
+    val sv = Tables.spread(Tables.documents(s, d).filter(col("text").isNotNull))
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .distinct()
+      .withColumn("h", expr(s"${md5LongSql("word")} div 1048576").cast(LongType))
+      .localCheckpoint()
+    val w = Window.partitionBy("source").orderBy(col("h"), col("word"))
+    val mins = sv
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("source", "h")
+    val srcs = sv.select("source").distinct()
+    val pairs = srcs.select(col("source").as("sa"))
+      .join(srcs.select(col("source").as("sb")), col("sa") < col("sb"))
+    val ua = broadcast(pairs).join(mins, col("source") === col("sa"))
+      .select(col("sa"), col("sb"), col("h"),
+        lit(1L).as("ina"), lit(0L).as("inb"))
+    val ub = broadcast(pairs).join(mins, col("source") === col("sb"))
+      .select(col("sa"), col("sb"), col("h"),
+        lit(0L).as("ina"), lit(1L).as("inb"))
+    val wp = Window.partitionBy("sa", "sb").orderBy("h")
+    val stats = ua.unionAll(ub)
+      .groupBy("sa", "sb", "h")
+      .agg(max(col("ina")).as("ina"), max(col("inb")).as("inb"))
+      .withColumn("rn", row_number().over(wp)).filter(col("rn") <= k)
+      .groupBy("sa", "sb")
+      .agg(max(col("h")).as("theta"), count(lit(1)).as("k_seen"),
+        sum(when(col("ina") === 1L && col("inb") === 1L, 1L).otherwise(0L))
+          .as("rho_num"))
+    val exact = sv.as("a")
+      .join(sv.as("b"), col("a.word") === col("b.word")
+        && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+      .agg(count(lit(1)).as("n_common"))
+    stats.join(exact, Seq("sa", "sb"))
+      .withColumn("union_est",
+        when(col("k_seen") < k, col("k_seen"))
+          .otherwise(expr(s"(${k - 1} * 1099511627776) div theta"))
+          .cast(LongType))
+      .withColumn("inter_est",
+        expr("(rho_num * union_est) div k_seen").cast(LongType))
+      .filter(col("n_common") > 0)
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        col("n_common").cast(LongType).as("n_common"), col("inter_est"),
+        expr("((inter_est - n_common) * 1000) div n_common").cast(LongType)
+          .as("err_permille"))
+      .orderBy("source_a", "source_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_kmv_intersect" -> qKmvIntersect,
     "q_moment_merge" -> qMomentMerge,
     "q_functional_deps" -> qFunctionalDeps,
     "q_benford_digits" -> qBenfordDigits,
@@ -662,6 +730,61 @@ object Profiling {
     .mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    "q_kmv_intersect" ->
+      """WITH sv AS (
+        |  SELECT DISTINCT source, word FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS word
+        |    FROM documents WHERE text IS NOT NULL)
+        |  WHERE length(word) > 0),
+        |svh AS (
+        |  SELECT source, word,
+        |    CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) // 1048576 AS h
+        |  FROM sv),
+        |mins AS (
+        |  SELECT source, h FROM (
+        |    SELECT source, h,
+        |      row_number() OVER (PARTITION BY source ORDER BY h, word) AS rn
+        |    FROM svh) WHERE rn <= 32),
+        |srcs AS (SELECT DISTINCT source FROM sv),
+        |pairs AS (
+        |  SELECT a.source AS sa, b.source AS sb
+        |  FROM srcs a JOIN srcs b ON a.source < b.source),
+        |u AS (
+        |  SELECT sa, sb, h, MAX(ina) AS ina, MAX(inb) AS inb FROM (
+        |    SELECT sa, sb, h, 1 AS ina, 0 AS inb
+        |    FROM pairs JOIN mins ON mins.source = pairs.sa
+        |    UNION ALL
+        |    SELECT sa, sb, h, 0, 1
+        |    FROM pairs JOIN mins ON mins.source = pairs.sb)
+        |  GROUP BY 1, 2, 3),
+        |kk AS (
+        |  SELECT sa, sb, h, ina, inb FROM (
+        |    SELECT sa, sb, h, ina, inb,
+        |      row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+        |    FROM u) WHERE rn <= 32),
+        |stats AS (
+        |  SELECT sa, sb, CAST(MAX(h) AS BIGINT) AS theta,
+        |    CAST(COUNT(*) AS BIGINT) AS k_seen,
+        |    CAST(SUM(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS rho_num
+        |  FROM kk GROUP BY 1, 2),
+        |exact AS (
+        |  SELECT a.source AS sa, b.source AS sb,
+        |    CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM sv a JOIN sv b ON a.word = b.word AND a.source < b.source
+        |  GROUP BY 1, 2),
+        |est AS (
+        |  SELECT s.sa, s.sb, e.n_common,
+        |    CAST((rho_num *
+        |      CASE WHEN k_seen < 32 THEN k_seen
+        |           ELSE (31 * 1099511627776) // theta END) // k_seen
+        |      AS BIGINT) AS inter_est
+        |  FROM stats s JOIN exact e ON s.sa = e.sa AND s.sb = e.sb
+        |  WHERE e.n_common > 0)
+        |SELECT sa AS source_a, sb AS source_b, n_common, inter_est,
+        |  CAST(((inter_est - n_common) * 1000) // n_common AS BIGINT)
+        |    AS err_permille
+        |FROM est ORDER BY source_a, source_b""".stripMargin,
     "q_moment_merge" ->
       // DIRECT row-level moments on purpose: equality with the
       // engine's parity-partial merge proves two-phase aggregation

@@ -528,6 +528,23 @@ class CorpusAuditSpec extends SparkSpec {
     assert(r(2).getAs[Long]("n_matched") === recall3)
   }
 
+  test("kmv_intersect: exact column equals vocab_overlap; estimates sane") {
+    val r = Profiling.qKmvIntersect(spark, sf).collect()
+    val vo = operators.Pretrain.qVocabOverlap(spark, sf).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getAs[Long]("n_common"))
+      .toMap
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      val key = (x.getString(0), x.getString(1))
+      assert(x.getAs[Long]("n_common") === vo(key))
+      assert(x.getAs[Long]("inter_est") >= 0L)
+      // scala Long '/' truncates toward zero exactly like Spark's div
+      assert(x.getAs[Long]("err_permille") ===
+        (x.getAs[Long]("inter_est") - x.getAs[Long]("n_common")) * 1000 /
+          x.getAs[Long]("n_common"))
+    }
+  }
+
   test("weighted_median: one source replayed exactly against the running-sum rule") {
     val r = TextStats.qWeightedMedian(spark, sf).collect()
       .map(x => x.getString(0) -> x).toMap
