@@ -931,7 +931,102 @@ object TextStats {
       .orderBy("source")
   }
 
+  /** q_skipgram_pmi — window co-occurrence association, the statistic a
+    * word2vec/SGNS trainer consumes (Mikolov et al. 2013 negative-
+    * sampling objective ≈ shifted PMI of exactly these counts,
+    * Levy & Goldberg 2014): unordered word pairs within token distance
+    * ≤ 3, ranked by scaled-integer PMI against unigram frequencies.
+    * Where [[qPmiBigrams]] sees only adjacency, the window variant
+    * surfaces the loose collocations embeddings actually learn from.
+    *
+    * Plan: pairing is PER-ROW array algebra — offsets 1..3 explode to 3
+    * rows per doc, each zips the word array with its own o-shifted tail
+    * (`slice` + `arrays_zip`, null-padded tail dropped below) — no
+    * window function, no per-doc sort, no self-join on the token
+    * stream (a (doc,pos)⋈(doc,pos+o) equi-join would shuffle the
+    * corpus 2× for the same pairs). The only shuffles are the partial-
+    * aggregated (wa, wb) count and the unigram count it joins; top-20
+    * plans as TakeOrdered. At 100 TB the pair stream is 3× tokens —
+    * linear fan-out, map-side combined before the exchange. */
+  val qSkipgramPmi: Q = (s, d) => {
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      .withColumn("ws", split(col("text"), " "))
+    val words = docs.select(explode(col("ws")).as("w"))
+      .filter(length(col("w")) > 0)
+    val uni = words.groupBy("w").agg(count(lit(1)).as("n_w"))
+    val pairs = docs
+      .select(col("ws"), explode(sequence(lit(1), lit(3))).as("o"))
+      .withColumn("tl", slice(col("ws"), col("o") + lit(1),
+        greatest(size(col("ws")) - col("o"), lit(0))))
+      .select(explode(arrays_zip(col("ws"), col("tl"))).as("p"))
+      .select(col("p.ws").as("w1"), col("p.tl").as("w2"))
+      .filter(col("w2").isNotNull && length(col("w1")) > 0 && length(col("w2")) > 0)
+      .select(least(col("w1"), col("w2")).as("wa"),
+        greatest(col("w1"), col("w2")).as("wb"))
+      .groupBy("wa", "wb").agg(count(lit(1)).as("n_xy"))
+      .filter(col("n_xy") >= 5)
+    val total = pairs.agg(sum(col("n_xy")).cast(LongType).as("n_pairs"))
+    pairs
+      .join(uni.select(col("w").as("wa"), col("n_w").as("n_a")), Seq("wa"))
+      .join(uni.select(col("w").as("wb"), col("n_w").as("n_b")), Seq("wb"))
+      .crossJoin(broadcast(total))
+      .withColumn("pmi_scaled", expr("(n_xy * n_pairs * 1000) div (n_a * n_b)"))
+      .select(col("wa"), col("wb"), col("n_xy"), col("pmi_scaled"))
+      .orderBy(col("pmi_scaled").desc, col("wa"), col("wb"))
+      .limit(20)
+  }
+
+  /** q_kneser_ney — interpolated Kneser-Ney bigram probabilities for
+    * the corpus's top bigrams (Kneser & Ney 1995; Chen & Goodman 1998
+    * eq. 4.25 with fixed discount d = 0.75): the smoothing every
+    * production count-based LM shipped, and the reason "San" predicts
+    * "Francisco" while "Francisco" stays rare as a continuation. The
+    * three statistics that make it work are all here: the discounted
+    * bigram term, the fan-out weight N1+(w1,•) (distinct successors),
+    * and the continuation probability N1+(•,w2)/|bigram types| —
+    * frequency of being a NOVEL continuation, not raw frequency.
+    *
+    * Integer spelling at micro scale, d = 3/4 exactly:
+    * `(c_xy − 3/4)/c_x → ((4·c_xy − 3) · 250000) div c_x` and
+    * `0.75·Nf·Nb/(c_x·T) → (750000 · n_follow · n_precede) div (c_x · T)`
+    * summed per-term-truncated. c_x is the BIGRAM-row denominator
+    * (Σ_y c(x,y), i.e. occurrences of x in non-final position), the
+    * form that makes the terms sum to 1 over the vocabulary.
+    *
+    * Plan: one adjacency-pair stream (per-row zip — no window),
+    * aggregated once into (w1,w2,c_xy); successor/predecessor type
+    * counts and the type total are re-aggregations of THAT table (gram
+    * counts, not corpus-sized); both joins are vocabulary-keyed. At
+    * 100 TB the bigram-type table is the working set — millions of
+    * rows, not the corpus — and every term is a map-side-combinable
+    * count over it. */
+  val qKneserNey: Q = (s, d) => {
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+    val big = docs
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("tl", slice(col("ws"), lit(2), greatest(size(col("ws")) - 1, lit(0))))
+      .select(explode(arrays_zip(col("ws"), col("tl"))).as("p"))
+      .select(col("p.ws").as("w1"), col("p.tl").as("w2"))
+      .filter(col("w2").isNotNull && length(col("w1")) > 0 && length(col("w2")) > 0)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+    val left = big.groupBy("w1").agg(sum(col("c_xy")).cast(LongType).as("c_x"),
+      count(lit(1)).as("n_follow"))
+    val right = big.groupBy("w2").agg(count(lit(1)).as("n_precede"))
+    val types = big.agg(count(lit(1)).as("n_types"))
+    big.join(left, Seq("w1")).join(right, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .withColumn("pkn_micro",
+        expr("((4 * c_xy - 3) * 250000) div c_x" +
+          " + (750000 * n_follow * n_precede) div (c_x * n_types)"))
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"),
+        col("n_follow"), col("n_precede"), col("pkn_micro"))
+      .orderBy(col("c_xy").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_skipgram_pmi" -> qSkipgramPmi,
+    "q_kneser_ney" -> qKneserNey,
     "q_weighted_median" -> qWeightedMedian,
     "q_pmi_bigrams" -> qPmiBigrams,
     "q_type_token_ratio" -> qTypeTokenRatio,
@@ -971,6 +1066,49 @@ object TextStats {
     .map(w => s"(${occurrencesDuck("text", w)})").mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    "q_skipgram_pmi" ->
+      """WITH toks AS (
+        |  SELECT string_split(text, ' ') AS w FROM documents
+        |  WHERE text IS NOT NULL),
+        |uni AS (
+        |  SELECT wd AS w, COUNT(*) AS n_w
+        |  FROM (SELECT unnest(w) AS wd FROM toks)
+        |  WHERE length(wd) > 0 GROUP BY 1),
+        |pairs AS (
+        |  SELECT least(w[i], w[i+o]) AS wa, greatest(w[i], w[i+o]) AS wb,
+        |    COUNT(*) AS n_xy
+        |  FROM toks,
+        |    LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i),
+        |    LATERAL (SELECT unnest(range(1, 4)) AS o)
+        |  WHERE i + o <= len(w)
+        |    AND length(w[i]) > 0 AND length(w[i+o]) > 0
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |tot AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n_pairs FROM pairs)
+        |SELECT wa, wb, n_xy,
+        |  (n_xy * n_pairs * 1000) // (a.n_w * b.n_w) AS pmi_scaled
+        |FROM pairs, tot, uni a, uni b
+        |WHERE a.w = pairs.wa AND b.w = pairs.wb
+        |ORDER BY pmi_scaled DESC, wa, wb LIMIT 20""".stripMargin,
+    "q_kneser_ney" ->
+      """WITH big AS (
+        |  SELECT w[i] AS w1, w[i+1] AS w2, COUNT(*) AS c_xy
+        |  FROM (SELECT string_split(text, ' ') AS w FROM documents
+        |        WHERE text IS NOT NULL),
+        |    LATERAL (SELECT unnest(range(1, len(w))) AS i)
+        |  WHERE length(w[i]) > 0 AND length(w[i+1]) > 0
+        |  GROUP BY 1, 2),
+        |lft AS (SELECT w1, CAST(SUM(c_xy) AS BIGINT) AS c_x,
+        |          COUNT(*) AS n_follow FROM big GROUP BY 1),
+        |rgt AS (SELECT w2, COUNT(*) AS n_precede FROM big GROUP BY 1),
+        |typ AS (SELECT COUNT(*) AS n_types FROM big)
+        |SELECT big.w1, big.w2, c_xy, c_x, n_follow, n_precede,
+        |  ((4 * c_xy - 3) * 250000) // c_x
+        |    + (750000 * n_follow * n_precede) // (c_x * n_types) AS pkn_micro
+        |FROM big
+        |JOIN lft ON lft.w1 = big.w1
+        |JOIN rgt ON rgt.w2 = big.w2
+        |CROSS JOIN typ
+        |ORDER BY c_xy DESC, big.w1, big.w2 LIMIT 20""".stripMargin,
     "q_weighted_median" ->
       """WITH docs AS (
         |  SELECT source, doc_id, n_chars,

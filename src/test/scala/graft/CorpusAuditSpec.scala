@@ -545,6 +545,64 @@ class CorpusAuditSpec extends SparkSpec {
     }
   }
 
+  test("skipgram_pmi: full top-20 replayed from a sequential window scan") {
+    val texts = Tables.documents(spark, sf)
+      .filter(col("text").isNotNull).select("text").collect().map(_.getString(0))
+    val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+    val uniCounts = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach { t =>
+      // split preserves empty tokens as positions (distance semantics);
+      // only the pair/unigram ENDS are length-filtered, like the engine
+      val ws = t.split(" ", -1)
+      ws.foreach(w => if (w.nonEmpty)
+        uniCounts.update(w, uniCounts.getOrElse(w, 0L) + 1))
+      for (i <- ws.indices; o <- 1 to 3; if i + o < ws.length;
+           if ws(i).nonEmpty && ws(i + o).nonEmpty) {
+        val k = if (ws(i) <= ws(i + o)) (ws(i), ws(i + o))
+                else (ws(i + o), ws(i))
+        pairCounts.update(k, pairCounts.getOrElse(k, 0L) + 1)
+      }
+    }
+    val kept = pairCounts.filter(_._2 >= 5L)
+    val nPairs = kept.values.sum
+    val expected = kept.toSeq.map { case ((a, b), n) =>
+      (a, b, n, n * nPairs * 1000 / (uniCounts(a) * uniCounts(b)))
+    }.sortBy { case (a, b, _, p) => (-p, a, b) }.take(20)
+    val got = TextStats.qSkipgramPmi(spark, sf).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getAs[Long]("n_xy"),
+        x.getAs[Long]("pmi_scaled"))).toSeq
+    assert(got === expected)
+  }
+
+  test("kneser_ney: top-20 replayed; continuation stats match brute recount") {
+    val texts = Tables.documents(spark, sf)
+      .filter(col("text").isNotNull).select("text").collect().map(_.getString(0))
+    val big = scala.collection.mutable.Map.empty[(String, String), Long]
+    texts.foreach { t =>
+      val ws = t.split(" ", -1)
+      for (i <- 0 until ws.length - 1; if ws(i).nonEmpty && ws(i + 1).nonEmpty)
+        big.update((ws(i), ws(i + 1)), big.getOrElse((ws(i), ws(i + 1)), 0L) + 1)
+    }
+    val cX = big.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+    val nFollow = big.groupBy(_._1._1).map { case (w, m) => w -> m.size.toLong }
+    val nPrecede = big.groupBy(_._1._2).map { case (w, m) => w -> m.size.toLong }
+    val nTypes = big.size.toLong
+    val expected = big.toSeq.map { case ((w1, w2), c) =>
+      val pkn = (4 * c - 3) * 250000 / cX(w1) +
+        750000 * nFollow(w1) * nPrecede(w2) / (cX(w1) * nTypes)
+      (w1, w2, c, cX(w1), nFollow(w1), nPrecede(w2), pkn)
+    }.sortBy { case (w1, w2, c, _, _, _, _) => (-c, w1, w2) }.take(20)
+    val got = TextStats.qKneserNey(spark, sf).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getAs[Long]("c_xy"),
+        x.getAs[Long]("c_x"), x.getAs[Long]("n_follow"),
+        x.getAs[Long]("n_precede"), x.getAs[Long]("pkn_micro"))).toSeq
+    assert(got === expected)
+    // the discounted mass exists: every seen bigram keeps pkn > 0 and
+    // the backoff share never exceeds the whole
+    got.foreach { case (_, _, _, _, _, _, pkn) =>
+      assert(pkn > 0L && pkn <= 1000000L) }
+  }
+
   test("weighted_median: one source replayed exactly against the running-sum rule") {
     val r = TextStats.qWeightedMedian(spark, sf).collect()
       .map(x => x.getString(0) -> x).toMap
