@@ -682,7 +682,62 @@ object CorpusOps {
         col("best.nc").cast(LongType).as("kept_chars"))
       .orderBy("canonical_url")
 
+  /** q_content_chunks — content-defined chunking, the storage-dedup
+    * primitive (Muthitacharoen et al. 2001, LBFS; the rolling-hash
+    * boundary rule every dedup appliance and `restic`/`borg` descend
+    * from): a chunk boundary falls AFTER every position whose trailing
+    * 4-gram hashes to 0 mod 64 (expected chunk ≈ 64 bytes), so
+    * boundaries are decided by CONTENT — an insertion early in a
+    * document shifts every fixed-size block but only the one chunk it
+    * touches here. Per source: chunk census and the byte savings
+    * within-source chunk dedup would bank.
+    *
+    * Plan: boundary detection is one generator pass — positions
+    * explode from the doc row and collapse to (doc_id, end) before
+    * anything shuffles (the md5-per-position work rides the scan
+    * stage, embarrassingly parallel after [[Tables.spread]]). Chunk
+    * spans come from one doc-keyed lag window (high-cardinality
+    * partitions), chunk text from one doc-keyed join back, and the
+    * dedup census is a (source, chunk)-keyed aggregate — the corpus
+    * crosses the wire once, exactly like exact-hash dedup (X1); swap
+    * the group key to md5(chunk) to shuffle 16-byte digests instead
+    * of text when chunk payloads dominate. */
+  val qContentChunks: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.spread(
+      Tables.documents(s, d)
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+        .select(col("doc_id"), col("source"), col("text"),
+          length(col("text")).as("len")))
+    val bounds = docs.filter(col("len") >= 4)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), col("len") - 3)).as("i"))
+      .filter(graft.functions.Exprs.md5Long(
+        col("text").substr(col("i"), lit(4))) % 64 === 0)
+      .select(col("doc_id"), (col("i") + 3).as("e"))
+      .union(docs.select(col("doc_id"), col("len").as("e")))
+      .distinct()
+    val wE = Window.partitionBy("doc_id").orderBy("e")
+    val chunks = bounds
+      .withColumn("st", coalesce(lag(col("e"), 1).over(wE), lit(0)) + 1)
+      .join(docs.select("doc_id", "source", "text"), Seq("doc_id"))
+      .select(col("source"),
+        col("text").substr(col("st"), col("e") - col("st") + 1).as("chunk"),
+        (col("e") - col("st") + 1).cast(LongType).as("clen"))
+    chunks.groupBy("source", "chunk")
+      .agg(count(lit(1)).as("n"), max(col("clen")).as("clen"))
+      .groupBy("source")
+      .agg(sum(col("n")).cast(LongType).as("n_chunks"),
+        count(lit(1)).as("n_distinct"),
+        sum(expr("n * clen")).cast(LongType).as("total_bytes"),
+        sum(expr("(n - 1) * clen")).cast(LongType).as("saved_bytes"))
+      .withColumn("dedup_permille", expr("(saved_bytes * 1000) div total_bytes"))
+      .withColumn("avg_chunk_len", expr("total_bytes div n_chunks"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_content_chunks" -> qContentChunks,
     "q_host_rollup" -> qHostRollup,
     "q_url_dedup" -> qUrlDedup,
     "q_stupid_backoff" -> qStupidBackoff,
@@ -733,6 +788,40 @@ object CorpusOps {
       |  FROM pp)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_content_chunks" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source, text, length(text) AS len
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |bnd AS (
+        |  SELECT doc_id, i + 3 AS e
+        |  FROM docs, LATERAL (SELECT unnest(range(1, len - 2)) AS i)
+        |  WHERE CAST('0x' || substr(md5(substr(text, CAST(i AS INT), 4)), 1, 15)
+        |          AS BIGINT) % 64 = 0
+        |  UNION
+        |  SELECT doc_id, len FROM docs),
+        |chunks AS (
+        |  SELECT d.source,
+        |    substr(d.text, CAST(st AS INT), CAST(e - st + 1 AS INT)) AS chunk,
+        |    CAST(e - st + 1 AS BIGINT) AS clen
+        |  FROM (
+        |    SELECT doc_id,
+        |      COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1 AS st,
+        |      e
+        |    FROM bnd) sp
+        |  JOIN docs d USING (doc_id)),
+        |g AS (
+        |  SELECT source, chunk, COUNT(*) AS n, MAX(clen) AS clen
+        |  FROM chunks GROUP BY 1, 2)
+        |SELECT source,
+        |  CAST(SUM(n) AS BIGINT) AS n_chunks,
+        |  COUNT(*) AS n_distinct,
+        |  CAST(SUM(n * clen) AS BIGINT) AS total_bytes,
+        |  CAST(SUM((n - 1) * clen) AS BIGINT) AS saved_bytes,
+        |  (CAST(SUM((n - 1) * clen) AS BIGINT) * 1000)
+        |    // CAST(SUM(n * clen) AS BIGINT) AS dedup_permille,
+        |  CAST(SUM(n * clen) AS BIGINT) // CAST(SUM(n) AS BIGINT)
+        |    AS avg_chunk_len
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
     "q_host_rollup" ->
       ("WITH " + sourceUrlCte + "\n" +
       """SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -703,7 +703,58 @@ object Profiling {
       .orderBy("source_a", "source_b")
   }
 
+  /** q_prune_proof — zone-map pruning priced across WRITE LAYOUTS: the
+    * same orders table blocked two ways (physical insertion order by
+    * o_orderkey vs CLUSTER BY o_orderdate), the same per-block min/max
+    * zone maps built on both, and every calendar-quarter predicate
+    * priced against each — surviving blocks, prune ratio, and the
+    * actual matching row count the scan is paying for. The companion
+    * proof to [[qZoneMap]]: that query shows HOW a zone map is built;
+    * this one shows the build is worthless on an uncorrelated layout
+    * (insertion order prunes ~0‰; the clustered layout prunes
+    * ~950‰ for a one-quarter predicate) — the number a lakehouse
+    * quotes when it asks you to sort before writing.
+    *
+    * Plan: the two global row_numbers model the once-per-write sort
+    * the layouts themselves cost (the [[qZoneMap]] precedent); zones
+    * and quarters are both aggregate-sized (rows/200 and ~tens), so
+    * the range-overlap join is an explicit broadcast of the quarter
+    * frame against the zone frame — bounded × bounded, never
+    * row-level. */
+  val qPruneProof: Q = (s, d) => {
+    val ord = Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        expr("datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')").as("day"),
+        year(col("o_orderdate")).as("yr"), quarter(col("o_orderdate")).as("qtr"))
+    val blk = ord.select(lit("insertion").as("layout"),
+        expr("(row_number() OVER (ORDER BY o_orderkey) - 1) div 200").as("block"),
+        col("day"))
+      .unionAll(ord.select(lit("clustered").as("layout"),
+        expr("(row_number() OVER (ORDER BY day, o_orderkey) - 1) div 200").as("block"),
+        col("day")))
+    val zones = blk.groupBy("layout", "block")
+      .agg(min(col("day")).as("min_d"), max(col("day")).as("max_d"))
+    val tot = zones.groupBy("layout").agg(count(lit(1)).as("n_blocks"))
+    val qtrs = ord.groupBy("yr", "qtr")
+      .agg(count(lit(1)).as("n_rows_match"))
+      .withColumn("q0", expr("make_date(yr, (qtr - 1) * 3 + 1, 1)"))
+      .withColumn("qs", expr("datediff(q0, DATE'1970-01-01')"))
+      .withColumn("qe", expr("datediff(date_add(add_months(q0, 3), -1), DATE'1970-01-01')"))
+    val surv = zones
+      .join(broadcast(qtrs), col("max_d") >= col("qs") && col("min_d") <= col("qe"))
+      .groupBy("yr", "qtr", "layout").agg(count(lit(1)).as("n_survive"))
+    surv.join(broadcast(tot), Seq("layout"))
+      .join(broadcast(qtrs.select("yr", "qtr", "n_rows_match")), Seq("yr", "qtr"))
+      .select(col("yr").cast(LongType).as("yr"),
+        col("qtr").cast(LongType).as("qtr"), col("layout"),
+        col("n_blocks"), col("n_survive"),
+        expr("((n_blocks - n_survive) * 1000) div n_blocks").as("prune_permille"),
+        col("n_rows_match"))
+      .orderBy("yr", "qtr", "layout")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_prune_proof" -> qPruneProof,
     "q_kmv_intersect" -> qKmvIntersect,
     "q_moment_merge" -> qMomentMerge,
     "q_functional_deps" -> qFunctionalDeps,
@@ -730,6 +781,44 @@ object Profiling {
     .mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    "q_prune_proof" ->
+      """WITH ord AS (
+        |  SELECT o_orderkey,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+        |    year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr
+        |  FROM orders),
+        |blk AS (
+        |  SELECT 'insertion' AS layout,
+        |    (row_number() OVER (ORDER BY o_orderkey) - 1) // 200 AS block, day
+        |  FROM ord
+        |  UNION ALL
+        |  SELECT 'clustered',
+        |    (row_number() OVER (ORDER BY day, o_orderkey) - 1) // 200, day
+        |  FROM ord),
+        |zones AS (
+        |  SELECT layout, block, MIN(day) AS min_d, MAX(day) AS max_d
+        |  FROM blk GROUP BY 1, 2),
+        |tot AS (SELECT layout, COUNT(*) AS n_blocks FROM zones GROUP BY 1),
+        |qtrs AS (
+        |  SELECT yr, qtr, COUNT(*) AS n_rows_match,
+        |    date_diff('day', DATE '1970-01-01',
+        |      make_date(CAST(yr AS INT), (CAST(qtr AS INT) - 1) * 3 + 1, 1)) AS qs,
+        |    date_diff('day', DATE '1970-01-01', CAST(
+        |      make_date(CAST(yr AS INT), (CAST(qtr AS INT) - 1) * 3 + 1, 1)
+        |        + INTERVAL 3 MONTH - INTERVAL 1 DAY AS DATE)) AS qe
+        |  FROM ord GROUP BY 1, 2),
+        |surv AS (
+        |  SELECT q.yr AS yr, q.qtr AS qtr, z.layout AS layout,
+        |    COUNT(*) AS n_survive
+        |  FROM qtrs q JOIN zones z ON z.max_d >= q.qs AND z.min_d <= q.qe
+        |  GROUP BY 1, 2, 3)
+        |SELECT CAST(s.yr AS BIGINT) AS yr, CAST(s.qtr AS BIGINT) AS qtr,
+        |  s.layout AS layout, t.n_blocks AS n_blocks, s.n_survive AS n_survive,
+        |  ((t.n_blocks - s.n_survive) * 1000) // t.n_blocks AS prune_permille,
+        |  CAST(q.n_rows_match AS BIGINT) AS n_rows_match
+        |FROM surv s JOIN tot t ON t.layout = s.layout
+        |JOIN qtrs q ON q.yr = s.yr AND q.qtr = s.qtr
+        |ORDER BY yr, qtr, s.layout""".stripMargin,
     "q_kmv_intersect" ->
       """WITH sv AS (
         |  SELECT DISTINCT source, word FROM (

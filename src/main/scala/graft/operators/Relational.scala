@@ -487,7 +487,36 @@ object Relational {
       .orderBy("fk")
   }
 
+  /** q_k_anonymity — re-identification audit over the customer
+    * dimension (Sweeney 2002): group the table by its quasi-identifier
+    * tuple (nation, market segment, account-balance band) and surface
+    * every equivalence class smaller than k = 5 — the classes whose
+    * members a linker armed with public attributes can pin to ≤ 4
+    * candidates. Training corpora carry user-derived metadata; this is
+    * the release gate that says WHICH attribute combinations leak,
+    * not just that something does.
+    *
+    * The balance band is float-free: cents + 100000 (shifts the
+    * −999.28 minimum positive so truncating division IS floor
+    * division in both engines) div 100000 → 1..10 thousand-dollar
+    * bands.
+    *
+    * Plan: one scan, one partial-aggregated groupBy on the QI tuple,
+    * one filter — the audit costs a count(*) regardless of table
+    * size, which is why it belongs in every release pipeline. */
+  val qKAnonymity: Q = (s, d) =>
+    Tables.customer(s, d)
+      .select(col("c_nationkey").cast(LongType).as("nationkey"),
+        col("c_mktsegment").as("mktsegment"),
+        expr("(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)"
+          + " + 100000) div 100000").as("bal_band"))
+      .groupBy("nationkey", "mktsegment", "bal_band")
+      .agg(count(lit(1)).as("k"))
+      .filter(col("k") < 5)
+      .orderBy("nationkey", "mktsegment", "bal_band")
+
   val queries: Map[String, Q] = Map(
+    "q_k_anonymity" -> qKAnonymity,
     "q_join_size_proof" -> qJoinSizeProof,
     "q_referential_orphans" -> qReferentialOrphans,
     "q_rendezvous_shards" -> qRendezvousShards,
@@ -514,6 +543,15 @@ object Relational {
     "q_array_hof" -> qArrayHof)
 
   val oracle: Map[String, String] = Map(
+    "q_k_anonymity" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |  c_mktsegment AS mktsegment,
+        |  (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |     + 100000) // 100000 AS bal_band,
+        |  COUNT(*) AS k
+        |FROM customer
+        |GROUP BY 1, 2, 3 HAVING COUNT(*) < 5
+        |ORDER BY nationkey, mktsegment, bal_band""".stripMargin,
     "q_join_size_proof" ->
       // the ACTUAL row self-join on purpose: COUNT(*) of it equals the
       // engine's histogram sum-of-squares, proving the estimator exact

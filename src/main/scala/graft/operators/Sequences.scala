@@ -192,6 +192,71 @@ object Sequences {
         expr("(n_purchase * 1000) div n_events").cast(LongType))
       .orderBy("arm")
 
+  /** Poisson(1) CDF thresholds on the 2⁶⁰ hash grid: a 60-bit uniform
+    * u drawn from md5 maps to a bootstrap weight
+    * w = |{k : u ≥ floor(P(X ≤ k)·2⁶⁰)}| ∈ [0, 5] — i.e. inverse-CDF
+    * sampling with the tail mass past 5 (6×10⁻⁴) folded into w = 5.
+    * Integer constants, so Spark and DuckDB draw bit-identical
+    * weights. */
+  private val poissonCdf60 = Seq(424136118829305344L, 848272237658610688L,
+    1060340297073263360L, 1131029650211480960L, 1148701988496035328L)
+
+  /** q_bootstrap_ci — Poisson-bootstrap confidence intervals for the
+    * mean event value per event_type: the DISTRIBUTED bootstrap
+    * (Chamandy et al., Google 2012 "Estimating Uncertainty for
+    * Massive Data Streams"; the streaming-bootstrap standard). A
+    * classical resample draws n of n WITH replacement — impossible
+    * without global coordination — but each row's multiplicity in one
+    * resample is asymptotically Poisson(1), which IS per-row-
+    * independent: every row draws 64 deterministic hash-weights and
+    * the resample means fall out of one aggregation.
+    *
+    * The 2.5th/97.5th-ish bounds are the 2nd and 63rd order statistics
+    * of the 64 resample means (a ~95% percentile-bootstrap interval).
+    * All integer: cents values, truncating means, hash weights.
+    *
+    * Plan: one scan fans out ×64 (explode over b — map-side, no
+    * shuffle), partial-aggregated into (event_type, b) sums — the
+    * ONLY corpus-sized exchange, 64·|types| groups out. The order
+    * statistics ride a 64-row-per-type window; the point estimate
+    * joins from the same pre-aggregated frame. At 100 TB: B×
+    * amplification happens inside the scan stage and collapses to
+    * 64·|types| rows before anything moves — the textbook reason
+    * Poisson bootstrap replaced resample-and-reshuffle. */
+  val qBootstrapCi: Q = (s, d) => {
+    val wExpr = poissonCdf60.map(t => s"CAST(u >= ${t}L AS INT)").mkString(" + ")
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        intScaled(dec2(col("value")), 100L).as("v_cents"))
+    val point = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("sum(v_cents) div count(1)").cast(LongType).as("mean_cents"))
+    val means = ev
+      .select(col("event_id"), col("event_type"), col("v_cents"),
+        explode(sequence(lit(0), lit(63))).as("b"))
+      .withColumn("u", md5Long(concat(col("event_id").cast("string"),
+        lit("|boot|"), col("b").cast("string"))))
+      .withColumn("w", expr(wExpr))
+      .groupBy("event_type", "b")
+      .agg(sum(expr("w * v_cents")).cast(LongType).as("wsum"),
+        sum(col("w")).cast(LongType).as("wn"))
+      // a zero-weight resample is possible only for O(1)-row types
+      // (P ≈ e^(−n)); dropping it shifts the order statistics by at
+      // most its own rank, and keeps the division total
+      .filter(col("wn") > 0)
+      .withColumn("mean_b", expr("wsum div wn"))
+    val wOrd = Window.partitionBy("event_type").orderBy("mean_b", "b")
+    val ci = means.withColumn("rn", row_number().over(wOrd))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_resamples"),
+        min(when(col("rn") === 2, col("mean_b"))).cast(LongType).as("ci_lo_cents"),
+        min(when(col("rn") === 63, col("mean_b"))).cast(LongType).as("ci_hi_cents"))
+    point.join(ci, Seq("event_type"))
+      .select(col("event_type"), col("n_rows"), col("mean_cents"),
+        col("n_resamples"), col("ci_lo_cents"), col("ci_hi_cents"))
+      .orderBy("event_type")
+  }
+
   /** q_funnel_time — time-to-convert: for each user whose first
     * purchase follows their first view, the view→purchase delay in
     * seconds, rolled up to conversion count and exact p50/p90 delays.
@@ -545,6 +610,7 @@ object Sequences {
     "q_event_transitions" -> qEventTransitions,
     "q_conversion_rate" -> qConversionRate,
     "q_ab_test" -> qAbTest,
+    "q_bootstrap_ci" -> qBootstrapCi,
     "q_funnel_time" -> qFunnelTime,
     "q_interval_overlap" -> qIntervalOverlap,
     "q_window_distinct" -> qWindowDistinct,
@@ -710,6 +776,41 @@ object Sequences {
         |  CAST(SUM(CASE WHEN dv = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ends,
         |  CAST(MAX(run) AS BIGINT) AS max_concurrent
         |FROM runs GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_bootstrap_ci" ->
+      s"""WITH ev AS (
+        |  SELECT event_id, event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_cents
+        |  FROM events),
+        |pt AS (
+        |  SELECT event_type, COUNT(*) AS n_rows,
+        |    CAST(CAST(SUM(v_cents) AS BIGINT) // COUNT(*) AS BIGINT) AS mean_cents
+        |  FROM ev GROUP BY 1),
+        |fan AS (
+        |  SELECT event_type, v_cents, b,
+        |    CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || '|boot|'
+        |      || CAST(b AS VARCHAR)), 1, 15) AS BIGINT) AS u
+        |  FROM ev, LATERAL (SELECT unnest(range(0, 64)) AS b)),
+        |wts AS (
+        |  SELECT event_type, b,
+        |    CAST(SUM((${poissonCdf60.map(t => s"CAST(u >= $t AS INT)")
+                        .mkString(" + ")}) * v_cents) AS BIGINT) AS wsum,
+        |    CAST(SUM(${poissonCdf60.map(t => s"CAST(u >= $t AS INT)")
+                        .mkString(" + ")}) AS BIGINT) AS wn
+        |  FROM fan GROUP BY 1, 2),
+        |mb AS (
+        |  SELECT event_type, b, wsum // wn AS mean_b,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY wsum // wn, b)
+        |      AS rn
+        |  FROM wts WHERE wn > 0),
+        |ci AS (
+        |  SELECT event_type, COUNT(*) AS n_resamples,
+        |    CAST(MIN(CASE WHEN rn = 2 THEN mean_b END) AS BIGINT) AS ci_lo_cents,
+        |    CAST(MIN(CASE WHEN rn = 63 THEN mean_b END) AS BIGINT) AS ci_hi_cents
+        |  FROM mb GROUP BY 1)
+        |SELECT pt.event_type, n_rows, mean_cents, n_resamples,
+        |  ci_lo_cents, ci_hi_cents
+        |FROM pt JOIN ci ON ci.event_type = pt.event_type
+        |ORDER BY pt.event_type""".stripMargin,
     "q_ab_test" ->
       """WITH tagged AS (
         |  SELECT CASE WHEN CAST('0x' || substr(md5('ab|' || CAST(user_id AS VARCHAR)), 1, 15)

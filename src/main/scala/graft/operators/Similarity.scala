@@ -934,7 +934,48 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** q_hnsw_levels — HNSW layer assignment census (Malkov & Yashunin
+    * 2016 §4 alg. 1: node level ⌊−ln(U)·mL⌋ with mL = 1/ln(M), here
+    * M = 8): the geometric level distribution an HNSW build commits
+    * every vector to, plus the per-layer population the search path
+    * descends through. The float-free spelling: level ≥ k ⟺
+    * U < 8⁻ᵏ ⟺ u < 2⁶⁰/8ᵏ on the 60-bit md5 grid — six integer
+    * threshold compares replace ln entirely (tail past level 6,
+    * P < 4×10⁻⁶, folds into 6). `cum_nodes` (nodes with level ≥ L)
+    * is layer L's population — the quantity that makes the top
+    * layers logarithmic — and the entry point is the max-level
+    * node with the min vec_id tiebreak, pinned globally.
+    *
+    * Plan: pure map over the embedding ids + one tiny aggregate +
+    * a ≤ 7-row running-sum window; corpus touches one scan. This is
+    * the BUILD-SIDE bookkeeping of the ANN family whose SEARCH sides
+    * are X70/X5/X6 — deciding layer placement is exactly this cheap
+    * at any scale, which is the point worth pinning. */
+  val qHnswLevels: Q = (s, d) => {
+    import graft.functions.Exprs.md5Long
+    val thr = Seq(144115188075855872L, 18014398509481984L, 2251799813685248L,
+      281474976710656L, 35184372088832L, 4398046511104L)
+    val lvlExpr = thr.map(t => s"CAST(u < ${t}L AS INT)").mkString(" + ")
+    val nodes = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        md5Long(concat(lit("hnsw|"), col("vec_id").cast("string"))).as("u"))
+      .withColumn("lvl", expr(lvlExpr).cast(LongType))
+    val byLvl = nodes.groupBy("lvl")
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("vec_id")).cast(LongType).as("min_vec_id"))
+    val wCum = Window.orderBy(col("lvl").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byLvl
+      .crossJoin(broadcast(nodes.agg(count(lit(1)).as("n_total"))))
+      .withColumn("cum_nodes", sum(col("n_nodes")).over(wCum).cast(LongType))
+      .withColumn("frac_permille", expr("(n_nodes * 1000) div n_total"))
+      .select(col("lvl").as("level"), col("n_nodes"), col("cum_nodes"),
+        col("frac_permille"), col("min_vec_id"))
+      .orderBy("level")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_hnsw_levels" -> qHnswLevels,
     "q_ivf_nprobe_sweep" -> qIvfNprobeSweep,
     "q_centroid_drift" -> qCentroidDrift,
     "q_power_iteration" -> qPowerIteration,
@@ -1033,6 +1074,32 @@ object Similarity {
       |  GROUP BY 1, 2)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_hnsw_levels" ->
+      """WITH nodes AS (
+        |  SELECT vec_id,
+        |    CAST('0x' || substr(md5('hnsw|' || CAST(vec_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS u
+        |  FROM embeddings),
+        |lv AS (
+        |  SELECT vec_id,
+        |    CAST(CAST(u < 144115188075855872 AS INT)
+        |       + CAST(u < 18014398509481984 AS INT)
+        |       + CAST(u < 2251799813685248 AS INT)
+        |       + CAST(u < 281474976710656 AS INT)
+        |       + CAST(u < 35184372088832 AS INT)
+        |       + CAST(u < 4398046511104 AS INT) AS BIGINT) AS lvl
+        |  FROM nodes),
+        |byl AS (
+        |  SELECT lvl AS level, COUNT(*) AS n_nodes,
+        |    CAST(MIN(vec_id) AS BIGINT) AS min_vec_id
+        |  FROM lv GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n_total FROM lv)
+        |SELECT level, n_nodes,
+        |  CAST(SUM(n_nodes) OVER (ORDER BY level DESC
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_nodes,
+        |  (n_nodes * 1000) // n_total AS frac_permille,
+        |  min_vec_id
+        |FROM byl, tot ORDER BY level""".stripMargin,
     "q_ivf_nprobe_sweep" ->
       """WITH el AS (
         |  SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) AS x

@@ -603,6 +603,130 @@ class CorpusAuditSpec extends SparkSpec {
       assert(pkn > 0L && pkn <= 1000000L) }
   }
 
+  private def md5Long60(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  test("bootstrap_ci: resample means replayed; order statistics line up") {
+    val cdf = Seq(424136118829305344L, 848272237658610688L,
+      1060340297073263360L, 1131029650211480960L, 1148701988496035328L)
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = ev.groupBy(_._2).map { case (t, rows) =>
+      val means = (0 until 64).flatMap { b =>
+        var wsum = 0L; var wn = 0L
+        rows.foreach { case (id, _, v) =>
+          val u = md5Long60(s"$id|boot|$b")
+          val w = cdf.count(u >= _)
+          wsum += w * v; wn += w
+        }
+        if (wn > 0) Some((wsum / wn, b)) else None
+      }.sorted
+      t -> ((rows.length.toLong, rows.map(_._3).sum / rows.length,
+        means.length.toLong, means(1)._1, means(62)._1))
+    }
+    val got = Sequences.qBootstrapCi(spark, sf).collect().map(r =>
+      r.getString(0) -> ((r.getAs[Long]("n_rows"), r.getAs[Long]("mean_cents"),
+        r.getAs[Long]("n_resamples"), r.getAs[Long]("ci_lo_cents"),
+        r.getAs[Long]("ci_hi_cents")))).toMap
+    assert(got === expected)
+    got.values.foreach { case (_, _, nB, lo, hi) =>
+      assert(nB === 64L); assert(lo <= hi) }
+  }
+
+  test("content_chunks: sequential LBFS chunker replay; bytes conserve") {
+    val docs = Tables.documents(spark, sf)
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+    docs.foreach { case (src, t) =>
+      val len = t.length
+      val ends = ((4 to len).filter(e =>
+        md5Long60(t.substring(e - 4, e)) % 64 == 0) :+ len).distinct.sorted
+      var st = 1
+      ends.foreach { e =>
+        val c = t.substring(st - 1, e)
+        counts.update((src, c), counts.getOrElse((src, c), 0L) + 1)
+        st = e + 1
+      }
+    }
+    val expected = counts.toSeq.groupBy(_._1._1).map { case (src, cs) =>
+      val n = cs.map(_._2).sum
+      val tb = cs.map { case ((_, c), k) => k * c.length }.sum
+      val sb = cs.map { case ((_, c), k) => (k - 1) * c.length }.sum
+      src -> ((n, cs.length.toLong, tb, sb, sb * 1000 / tb, tb / n))
+    }
+    val got = CorpusOps.qContentChunks(spark, sf).collect().map(r =>
+      r.getString(0) -> ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_distinct"),
+        r.getAs[Long]("total_bytes"), r.getAs[Long]("saved_bytes"),
+        r.getAs[Long]("dedup_permille"), r.getAs[Long]("avg_chunk_len")))).toMap
+    assert(got === expected)
+    // chunking is a partition of each document: bytes in == bytes out
+    val bySrc = docs.groupBy(_._1).map { case (s2, ds) =>
+      s2 -> ds.map(_._2.length.toLong).sum }
+    got.foreach { case (s2, (_, _, tb, _, _, _)) => assert(tb === bySrc(s2)) }
+  }
+
+  test("hnsw_levels: inverse-CDF geometric assignment replayed") {
+    val ids = Tables.embeddings(spark, sf).select("vec_id")
+      .collect().map(_.getLong(0))
+    val thr = Seq(144115188075855872L, 18014398509481984L, 2251799813685248L,
+      281474976710656L, 35184372088832L, 4398046511104L)
+    val lvls = ids.map(id => id -> thr.count(md5Long60(s"hnsw|$id") < _).toLong)
+    val byLvl = lvls.groupBy(_._2)
+    val r = operators.Similarity.qHnswLevels(spark, sf).collect()
+    assert(r.map(_.getAs[Long]("level")).toSeq ===
+      byLvl.keys.toSeq.sorted)
+    r.foreach { row =>
+      val l = row.getAs[Long]("level")
+      assert(row.getAs[Long]("n_nodes") === byLvl(l).size.toLong)
+      assert(row.getAs[Long]("min_vec_id") === byLvl(l).map(_._1).min)
+      assert(row.getAs[Long]("cum_nodes") ===
+        lvls.count(_._2 >= l).toLong)
+      assert(row.getAs[Long]("frac_permille") ===
+        byLvl(l).size.toLong * 1000 / ids.length)
+    }
+    // level-0 mass dominates: the geometric layer law
+    assert(byLvl(0L).size > ids.length / 2)
+  }
+
+  test("k_anonymity: small equivalence classes replayed from a brute census") {
+    val rows = Tables.customer(spark, sf)
+      .select(col("c_nationkey").cast("long"), col("c_mktsegment"),
+        expr("(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)"
+          + " + 100000) div 100000"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = rows.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 < 5L).toMap
+    val got = operators.Relational.qKAnonymity(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2)) -> r.getAs[Long]("k")).toMap
+    assert(got === expected)
+    got.values.foreach(k => assert(k >= 1L && k < 5L))
+  }
+
+  test("prune_proof: clustered layout never prunes less; row mass conserves") {
+    val r = Profiling.qPruneProof(spark, sf).collect()
+      .map(x => (x.getAs[Long]("yr"), x.getAs[Long]("qtr"), x.getString(2)) -> x)
+      .toMap
+    val qtrs = r.keys.map(k => (k._1, k._2)).toSet
+    assert(qtrs.nonEmpty)
+    qtrs.foreach { case (y, q) =>
+      val ins = r((y, q, "insertion")); val clu = r((y, q, "clustered"))
+      assert(clu.getAs[Long]("n_survive") <= ins.getAs[Long]("n_survive"))
+      assert(ins.getAs[Long]("n_survive") <= ins.getAs[Long]("n_blocks"))
+      assert(clu.getAs[Long]("n_survive") >= 1L)
+      assert(ins.getAs[Long]("n_rows_match") === clu.getAs[Long]("n_rows_match"))
+    }
+    val totalRows = r.collect {
+      case ((_, _, "insertion"), x) => x.getAs[Long]("n_rows_match") }.sum
+    assert(totalRows === Tables.orders(spark, sf).count())
+  }
+
   test("weighted_median: one source replayed exactly against the running-sum rule") {
     val r = TextStats.qWeightedMedian(spark, sf).collect()
       .map(x => x.getString(0) -> x).toMap
