@@ -682,6 +682,129 @@ object CorpusOps {
         col("best.nc").cast(LongType).as("kept_chars"))
       .orderBy("canonical_url")
 
+  /** q_dup_positions — WHERE in documents the duplicated text lives:
+    * per (source, document third), the share of 3-gram positions whose
+    * gram recurs in ≥ 3 documents (the [[graft.operators.TextStats]]
+    * boilerplate df-threshold). Crawled boilerplate is positional —
+    * headers/navigation at the head, footers/disclaimers at the tail —
+    * so a cleaner that knows the POSITION profile can strip edges
+    * instead of whole documents (the C4/RefinedWeb line-level lesson,
+    * measured instead of assumed: an edge-heavy profile licenses edge
+    * stripping; a flat one means template injection throughout).
+    *
+    * Plan: the winnowing gram spine (posexplode + two leads over the
+    * doc-keyed window), gram df from one distinct + gram-keyed count,
+    * one gram-keyed join back, and a 3·|sources|-group aggregate.
+    * Everything shuffles on gram or doc keys — high-cardinality,
+    * skew-free; the md5 digest (16 B) is what crosses the wire, not
+    * gram text. */
+  val qDupPositions: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ws = filter(split(col("text"), " "), w => length(w) > 0)
+    val wordRows = Tables.spread(
+      Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"), ws.as("ws"))
+        .filter(size(col("ws")) >= 3))
+      .select(col("doc_id"), col("source"), size(col("ws")).as("ntok"),
+        posexplode(col("ws")).as(Seq("pos", "word")))
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val grams = wordRows
+      .withColumn("w1", lead("word", 1).over(byPos))
+      .withColumn("w2", lead("word", 2).over(byPos))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("source"), col("ntok"), col("pos"),
+        md5(concat_ws(" ", col("word"), col("w1"), col("w2"))).as("g"))
+    val dfg = grams.select(col("doc_id"), col("g")).distinct()
+      .groupBy("g").agg(count(lit(1)).as("df"))
+    grams.join(dfg, Seq("g"))
+      .withColumn("third", expr("CAST((pos * 3) div (ntok - 2) AS BIGINT)"))
+      .groupBy("source", "third")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 3, 1L).otherwise(0L)).cast(LongType).as("n_dup"))
+      .withColumn("dup_permille", expr("(n_dup * 1000) div n_grams"))
+      .orderBy("source", "third")
+  }
+
+  /** q_wordpiece — greedy longest-match subword segmentation (the
+    * WordPiece/BPE-inference algorithm, Wu et al. 2016 §4.1; Song et
+    * al. 2021 "Fast WordPiece" is this exact scan): a data-derived
+    * vocabulary — every corpus character + the top-40 token-weighted
+    * character bigrams + top-20 trigrams, ranks pinned by (count desc,
+    * gram) — segments the corpus's top-30 word types left-to-right,
+    * always taking the LONGEST vocab piece at the frontier. The
+    * single-char base guarantees totality (no UNK), exactly like a
+    * byte-level BPE.
+    *
+    * The sequential scan is made distributable in two moves:
+    *  1. the greedy choice at every (word, position) is PRECOMPUTED as
+    *     an equi-join — candidate substrings of length 1..3 against
+    *     the vocab (string equality enforces piece length; candidates
+    *     clipped at the word end so a short extract can't impersonate
+    *     a longer piece), argmax by length per position. No prefix
+    *     scan, no per-row vocab loop, no driver-side vocab collect —
+    *     the vocab stays a (broadcastable) table.
+    *  2. the walk itself folds over positions with ONE `aggregate`
+    *     HOF against the per-word best-piece arrays: state (frontier,
+    *     count, segmentation), positions off the frontier pass
+    *     through — O(len) with O(1) work per step, per word.
+    * Segmentation runs on word TYPES (top-30 here; dedup-then-process
+    * is the 100 TB tokenizer pattern — segment each type once, join
+    * counts back), so corpus size prices the vocab counts only.
+    * The DuckDB twin replays the walk as a recursive CTE over the
+    * same best-piece table — an independent engine agreeing on every
+    * greedy step, not just the piece counts. */
+  val qWordpiece: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val words = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    // token-weighted gram counts from word TYPES: positions explode
+    // once per type, weighted by the type's corpus count
+    def grams(len: Int) = words
+      .filter(length(col("word")) >= len)
+      .select(col("word"), col("n"),
+        explode(sequence(lit(1), length(col("word")) - (len - 1))).as("i"))
+      .select(col("word").substr(col("i"), lit(len)).as("piece"), col("n"))
+      .groupBy("piece").agg(sum(col("n")).as("cnt"))
+    val chars = grams(1).select(col("piece"))
+    def top(df: DataFrame, k: Int) =
+      df.orderBy(col("cnt").desc, col("piece")).limit(k).select(col("piece"))
+    val vocab = chars.unionAll(top(grams(2), 40)).unionAll(top(grams(3), 20))
+    val sel = words.orderBy(col("n").desc, col("word")).limit(30)
+    val cands = sel
+      .select(col("word"), col("n"),
+        explode(sequence(lit(1), length(col("word")))).as("i"),
+        length(col("word")).as("wlen"))
+      .select(col("word"), col("n"), col("i"), col("wlen"),
+        explode(array(lit(1), lit(2), lit(3))).as("l"))
+      .filter(col("i") + col("l") - 1 <= col("wlen"))
+      .select(col("word"), col("n"), col("i"),
+        col("word").substr(col("i"), col("l")).as("cand"))
+    val best = cands.join(vocab, col("cand") === col("piece"))
+      .groupBy("word", "n", "i")
+      .agg(max(struct(length(col("piece")).as("blen"), col("piece").as("bp")))
+        .as("b"))
+      .select(col("word"), col("n"), col("i"),
+        col("b.blen").as("blen"), col("b.bp").as("bp"))
+    best.groupBy("word", "n")
+      .agg(array_sort(collect_list(struct(col("i"), col("blen"), col("bp"))))
+        .as("arr"))
+      .withColumn("walk", expr(
+        """aggregate(
+          |  sequence(1, length(word)),
+          |  named_struct('p', 1, 'k', CAST(0 AS BIGINT), 'seg', ''),
+          |  (st, i) -> IF(i != st.p, st,
+          |    named_struct(
+          |      'p', st.p + element_at(arr, i).blen,
+          |      'k', st.k + 1L,
+          |      'seg', concat(st.seg, '|', element_at(arr, i).bp))))""".stripMargin))
+      .select(col("word"), col("n"),
+        col("walk.k").as("n_pieces"),
+        expr("substring(walk.seg, 2)").as("pieces"))
+      .orderBy(col("n").desc, col("word"))
+  }
+
   /** q_content_chunks — content-defined chunking, the storage-dedup
     * primitive (Muthitacharoen et al. 2001, LBFS; the rolling-hash
     * boundary rule every dedup appliance and `restic`/`borg` descend
@@ -737,6 +860,8 @@ object CorpusOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "q_dup_positions" -> qDupPositions,
+    "q_wordpiece" -> qWordpiece,
     "q_content_chunks" -> qContentChunks,
     "q_host_rollup" -> qHostRollup,
     "q_url_dedup" -> qUrlDedup,
@@ -788,6 +913,75 @@ object CorpusOps {
       |  FROM pp)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_dup_positions" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |grams AS (
+        |  SELECT doc_id, source, i, len(ws) AS ntok,
+        |    md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS g
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i)
+        |  WHERE len(ws) >= 3),
+        |dfg AS (SELECT g, COUNT(DISTINCT doc_id) AS df FROM grams GROUP BY 1)
+        |SELECT source,
+        |  ((grams.i - 1) * 3) // (ntok - 2) AS third,
+        |  COUNT(*) AS n_grams,
+        |  CAST(SUM(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  (CAST(SUM(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+        |    // COUNT(*) AS dup_permille
+        |FROM grams JOIN dfg ON dfg.g = grams.g
+        |GROUP BY 1, 2 ORDER BY source, third""".stripMargin,
+    "q_wordpiece" ->
+      """WITH RECURSIVE
+        |words AS (
+        |  SELECT word, COUNT(*) AS n FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        |    WHERE text IS NOT NULL)
+        |  WHERE length(word) > 0 GROUP BY 1),
+        |g1 AS (
+        |  SELECT substr(word, CAST(i AS INT), 1) AS piece, SUM(n) AS cnt
+        |  FROM words, LATERAL (SELECT unnest(range(1, length(word) + 1)) AS i)
+        |  GROUP BY 1),
+        |g2 AS (
+        |  SELECT substr(word, CAST(i AS INT), 2) AS piece, SUM(n) AS cnt
+        |  FROM words, LATERAL (SELECT unnest(range(1, length(word))) AS i)
+        |  WHERE length(word) >= 2 GROUP BY 1),
+        |g3 AS (
+        |  SELECT substr(word, CAST(i AS INT), 3) AS piece, SUM(n) AS cnt
+        |  FROM words, LATERAL (SELECT unnest(range(1, length(word) - 1)) AS i)
+        |  WHERE length(word) >= 3 GROUP BY 1),
+        |vocab AS (
+        |  SELECT piece FROM g1
+        |  UNION ALL
+        |  SELECT piece FROM (SELECT piece FROM g2 ORDER BY cnt DESC, piece LIMIT 40)
+        |  UNION ALL
+        |  SELECT piece FROM (SELECT piece FROM g3 ORDER BY cnt DESC, piece LIMIT 20)),
+        |sel AS (SELECT word, n FROM words ORDER BY n DESC, word LIMIT 30),
+        |cands AS (
+        |  SELECT word, n, CAST(i AS INT) AS i,
+        |    substr(word, CAST(i AS INT), CAST(l AS INT)) AS cand
+        |  FROM sel,
+        |    LATERAL (SELECT unnest(range(1, length(word) + 1)) AS i),
+        |    LATERAL (SELECT unnest(range(1, 4)) AS l)
+        |  WHERE i + l - 1 <= length(word)),
+        |best AS (
+        |  SELECT word, n, i, MAX(length(piece)) AS blen,
+        |    arg_max(piece, length(piece)) AS bp
+        |  FROM cands JOIN vocab v ON v.piece = cands.cand
+        |  GROUP BY 1, 2, 3),
+        |walk AS (
+        |  SELECT word, n, 1 AS p, CAST(0 AS BIGINT) AS k,
+        |    CAST('' AS VARCHAR) AS seg
+        |  FROM sel
+        |  UNION ALL
+        |  SELECT w.word, w.n, CAST(w.p + b.blen AS INT), w.k + 1,
+        |    w.seg || '|' || b.bp
+        |  FROM walk w JOIN best b ON b.word = w.word AND b.i = w.p
+        |  WHERE w.p <= length(w.word))
+        |SELECT word, n, k AS n_pieces, substr(seg, 2) AS pieces
+        |FROM walk WHERE p = length(word) + 1
+        |ORDER BY n DESC, word""".stripMargin,
     "q_content_chunks" ->
       """WITH docs AS (
         |  SELECT doc_id, source, text, length(text) AS len

@@ -931,6 +931,35 @@ object TextStats {
       .orderBy("source")
   }
 
+  /** q_burstiness — Church & Gale 1995 word burstiness: content words
+    * CLUMP (a document that mentions a topic word once mentions it
+    * again), function words spread Poisson-thin, and the ratio of
+    * corpus frequency to document frequency separates them without any
+    * labels. Per top-20 word by corpus frequency: cf, df,
+    * `burst_micro` = cf/df (mean occurrences per CONTAINING doc,
+    * micro-scaled) and Church's adaptation `adapt_permille` =
+    * (cf − df)/cf — the probability mass of repeat occurrences, the
+    * statistic that makes "one topical mention predicts another" a
+    * number. The corpus-hygiene use: words whose burstiness explodes
+    * across a crawl snapshot are boilerplate/template injections, not
+    * topic drift.
+    *
+    * Plan: ONE (doc, word) partial-aggregated count (the tf frame),
+    * re-aggregated to (word) for cf AND df in the same pass — two
+    * shuffles total, both gram-keyed, TakeOrdered top-20. */
+  val qBurstiness: Q = (s, d) => {
+    val tf = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    tf.groupBy("w")
+      .agg(sum(col("tf")).cast(LongType).as("cf"), count(lit(1)).as("df"))
+      .withColumn("burst_micro", expr("(cf * 1000000) div df"))
+      .withColumn("adapt_permille", expr("((cf - df) * 1000) div cf"))
+      .orderBy(col("cf").desc, col("w"))
+      .limit(20)
+  }
+
   /** q_skipgram_pmi — window co-occurrence association, the statistic a
     * word2vec/SGNS trainer consumes (Mikolov et al. 2013 negative-
     * sampling objective ≈ shifted PMI of exactly these counts,
@@ -1025,6 +1054,7 @@ object TextStats {
   }
 
   val queries: Map[String, Q] = Map(
+    "q_burstiness" -> qBurstiness,
     "q_skipgram_pmi" -> qSkipgramPmi,
     "q_kneser_ney" -> qKneserNey,
     "q_weighted_median" -> qWeightedMedian,
@@ -1066,6 +1096,18 @@ object TextStats {
     .map(w => s"(${occurrencesDuck("text", w)})").mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    "q_burstiness" ->
+      """WITH tf AS (
+        |  SELECT doc_id, word AS w, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |    FROM documents WHERE text IS NOT NULL)
+        |  WHERE length(word) > 0 GROUP BY 1, 2)
+        |SELECT w, CAST(SUM(tf) AS BIGINT) AS cf, COUNT(*) AS df,
+        |  (CAST(SUM(tf) AS BIGINT) * 1000000) // COUNT(*) AS burst_micro,
+        |  ((CAST(SUM(tf) AS BIGINT) - COUNT(*)) * 1000)
+        |    // CAST(SUM(tf) AS BIGINT) AS adapt_permille
+        |FROM tf GROUP BY w
+        |ORDER BY cf DESC, w LIMIT 20""".stripMargin,
     "q_skipgram_pmi" ->
       """WITH toks AS (
         |  SELECT string_split(text, ' ') AS w FROM documents

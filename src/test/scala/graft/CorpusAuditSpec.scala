@@ -727,6 +727,96 @@ class CorpusAuditSpec extends SparkSpec {
     assert(totalRows === Tables.orders(spark, sf).count())
   }
 
+  test("wordpiece: vocab + greedy walk replayed; pieces reconstruct the word") {
+    val texts = Tables.documents(spark, sf)
+      .filter(col("text").isNotNull).select("text").collect().map(_.getString(0))
+    val wordCounts = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach(_.split(" ", -1).filter(_.nonEmpty)
+      .foreach(w => wordCounts.update(w, wordCounts.getOrElse(w, 0L) + 1)))
+    def gramCounts(len: Int) = {
+      val m = scala.collection.mutable.Map.empty[String, Long]
+      wordCounts.foreach { case (w, n) =>
+        if (w.length >= len)
+          (0 to w.length - len).foreach { i =>
+            val g = w.substring(i, i + len)
+            m.update(g, m.getOrElse(g, 0L) + n)
+          }
+      }
+      m
+    }
+    val vocab = gramCounts(1).keySet ++
+      gramCounts(2).toSeq.sortBy { case (g, c) => (-c, g) }.take(40).map(_._1) ++
+      gramCounts(3).toSeq.sortBy { case (g, c) => (-c, g) }.take(20).map(_._1)
+    def segment(w: String): Seq[String] = {
+      var p = 0; val out = Seq.newBuilder[String]
+      while (p < w.length) {
+        val l = (3 to 1 by -1).find(l =>
+          p + l <= w.length && vocab.contains(w.substring(p, p + l))).get
+        out += w.substring(p, p + l); p += l
+      }
+      out.result()
+    }
+    val expected = wordCounts.toSeq.sortBy { case (w, n) => (-n, w) }.take(30)
+      .map { case (w, n) =>
+        val ps = segment(w)
+        (w, n, ps.length.toLong, ps.mkString("|"))
+      }
+    val got = CorpusOps.qWordpiece(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n"), r.getAs[Long]("n_pieces"),
+        r.getString(3))).toSeq
+    assert(got === expected)
+    // segmentation is a partition of the word, never an UNK
+    got.foreach { case (w, _, _, ps) => assert(ps.replace("|", "") === w) }
+  }
+
+  test("burstiness: cf/df ratios replayed; function-word adaptation sane") {
+    val texts = Tables.documents(spark, sf)
+      .filter(col("text").isNotNull).select("text").collect().map(_.getString(0))
+    val cf = scala.collection.mutable.Map.empty[String, Long]
+    val df = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach { t =>
+      val ws = t.split(" ", -1).filter(_.nonEmpty)
+      ws.foreach(w => cf.update(w, cf.getOrElse(w, 0L) + 1))
+      ws.distinct.foreach(w => df.update(w, df.getOrElse(w, 0L) + 1))
+    }
+    val expected = cf.toSeq.sortBy { case (w, c) => (-c, w) }.take(20)
+      .map { case (w, c) =>
+        (w, c, df(w), c * 1000000 / df(w), (c - df(w)) * 1000 / c) }
+    val got = TextStats.qBurstiness(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("cf"), r.getAs[Long]("df"),
+        r.getAs[Long]("burst_micro"), r.getAs[Long]("adapt_permille"))).toSeq
+    assert(got === expected)
+    // every kept word occurs at least as often as it has docs
+    got.foreach { case (_, c, d2, b, _) =>
+      assert(c >= d2); assert(b >= 1000000L) }
+  }
+
+  test("dup_positions: positional boilerplate profile replayed") {
+    val docs = Tables.documents(spark, sf).filter(col("text").isNotNull)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val gramRows = docs.flatMap { case (id, src, t) =>
+      val ws = t.split(" ", -1).filter(_.nonEmpty)
+      if (ws.length < 3) Seq.empty
+      else (0 to ws.length - 3).map(i =>
+        (id, src, i.toLong, (ws.length - 2).toLong,
+          ws.slice(i, i + 3).mkString(" ")))
+    }
+    val dfG = gramRows.map(r => (r._5, r._1)).distinct.groupBy(_._1)
+      .map { case (g, xs) => g -> xs.size.toLong }
+    val expected = gramRows
+      .groupBy(r => (r._2, r._3 * 3 / r._4))
+      .map { case ((src, third), rs) =>
+        val nd = rs.count(r => dfG(r._5) >= 3).toLong
+        (src, third) -> ((rs.length.toLong, nd, nd * 1000 / rs.length))
+      }
+    val got = CorpusOps.qDupPositions(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("third")) ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_dup"),
+          r.getAs[Long]("dup_permille")))).toMap
+    assert(got === expected)
+  }
+
   test("weighted_median: one source replayed exactly against the running-sum rule") {
     val r = TextStats.qWeightedMedian(spark, sf).collect()
       .map(x => x.getString(0) -> x).toMap
