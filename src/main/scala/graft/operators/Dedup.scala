@@ -886,7 +886,50 @@ object Dedup {
       .orderBy("rows_per_band")
   }
 
+  /** q_sorted_neighbors — sorted-neighborhood near-duplicate blocking
+    * (Hernández & Stolfo 1995, the merge/purge method): sort the
+    * corpus by content, and duplicates land ADJACENT — a completely
+    * hash-free candidate generator that catches exactly the pairs
+    * minhash can miss at low band counts (high-overlap prefixes) and
+    * costs one sort instead of k signatures. Each document is compared
+    * only with its successor inside its 8-char-prefix block; surviving
+    * pairs report the common-prefix length (capped at 64 — the probe
+    * is "prefix-near-dup", not full-text diff) and an exact-equality
+    * flag.
+    *
+    * Plan: the sort is WINDOWED BY the 8-char prefix block, not
+    * global — the block key is the equi-partition key, so the window
+    * runs fully parallel and no single-partition exchange exists
+    * (block-boundary pairs are forfeited, the standard blocking
+    * trade; widen the prefix to trade recall for parallelism). The
+    * LCP probe is one bounded `aggregate` HOF per candidate pair —
+    * O(64) char compares, no join. At 100 TB this is one range-free
+    * shuffle on an 8-byte key plus per-partition sorts. */
+  val qSortedNeighbors: Q = (s, d) => {
+    val byBlock = Window
+      .partitionBy(col("pfx")).orderBy(col("text"), col("doc_id"))
+    Tables.documents(s, d)
+      .filter(col("text").isNotNull && length(col("text")) >= 8)
+      .select(col("doc_id"), col("text"), substring(col("text"), 1, 8).as("pfx"))
+      .withColumn("nxt_id", lead("doc_id", 1).over(byBlock))
+      .withColumn("nxt", lead("text", 1).over(byBlock))
+      .filter(col("nxt").isNotNull)
+      .withColumn("lcp", expr(
+        """CAST(aggregate(
+          |  sequence(1, least(least(length(text), length(nxt)), 64)),
+          |  0,
+          |  (acc, i) -> IF(acc = i - 1
+          |                 AND substring(text, i, 1) = substring(nxt, i, 1),
+          |                 i, acc)) AS BIGINT)""".stripMargin))
+      .filter(col("lcp") >= 16)
+      .select(col("doc_id").as("doc_a"), col("nxt_id").as("doc_b"),
+        col("lcp"),
+        when(col("text") === col("nxt"), 1L).otherwise(0L).as("is_exact"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_sorted_neighbors" -> qSortedNeighbors,
     "q_lsh_cost_sweep" -> qLshCostSweep,
     "q_dedup_best" -> qDedupBest,
     "q_hybrid_neardup" -> qHybridNeardup,
@@ -951,6 +994,26 @@ object Dedup {
   }.mkString("\n  UNION ALL ")
 
   val oracle: Map[String, String] = Map(
+    "q_sorted_neighbors" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text, substr(text, 1, 8) AS pfx
+        |  FROM documents WHERE text IS NOT NULL AND length(text) >= 8),
+        |pairs AS (
+        |  SELECT doc_id, text,
+        |    lead(doc_id) OVER (PARTITION BY pfx ORDER BY text, doc_id) AS nxt_id,
+        |    lead(text) OVER (PARTITION BY pfx ORDER BY text, doc_id) AS nxt
+        |  FROM docs),
+        |scored AS (
+        |  SELECT doc_id AS doc_a, nxt_id AS doc_b,
+        |    (SELECT CAST(COALESCE(MAX(i), 0) AS BIGINT)
+        |     FROM (SELECT unnest(range(1,
+        |            least(length(text), length(nxt), 64) + 1)) AS i)
+        |     WHERE substr(text, 1, CAST(i AS INT))
+        |           = substr(nxt, 1, CAST(i AS INT))) AS lcp,
+        |    CASE WHEN text = nxt THEN 1 ELSE 0 END AS is_exact
+        |  FROM pairs WHERE nxt IS NOT NULL)
+        |SELECT doc_a, doc_b, lcp, CAST(is_exact AS BIGINT) AS is_exact
+        |FROM scored WHERE lcp >= 16 ORDER BY doc_a, doc_b""".stripMargin,
     "q_lsh_cost_sweep" ->
       (s"WITH $minhashCandCte,\n" +
         "sk AS (" + lshSweepKeysSql + "),\n" +

@@ -817,6 +817,31 @@ class CorpusAuditSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("sorted_neighbors: block-sort adjacency replayed; exact dups flagged") {
+    val docs = Tables.documents(spark, sf)
+      .filter(col("text").isNotNull && length(col("text")) >= 8)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def lcp64(a: String, b: String): Long = {
+      val m = math.min(math.min(a.length, b.length), 64)
+      var i = 0
+      while (i < m && a(i) == b(i)) i += 1
+      i.toLong
+    }
+    val expected = docs.groupBy(_._2.substring(0, 8)).values.flatMap { blk =>
+      val sorted = blk.sortBy(x => (x._2, x._1))
+      sorted.zip(sorted.drop(1)).map { case ((ida, ta), (idb, tb)) =>
+        (ida, idb, lcp64(ta, tb), if (ta == tb) 1L else 0L)
+      }.filter(_._3 >= 16L)
+    }.toSeq.sortBy(x => (x._1, x._2))
+    val got = Dedup.qSortedNeighbors(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("lcp"),
+        r.getAs[Long]("is_exact"))).toSeq
+    assert(got === expected)
+    // the planted exact duplicates in the fixtures ARE found this way
+    assert(got.exists(_._4 === 1L))
+  }
+
   test("weighted_median: one source replayed exactly against the running-sum rule") {
     val r = TextStats.qWeightedMedian(spark, sf).collect()
       .map(x => x.getString(0) -> x).toMap

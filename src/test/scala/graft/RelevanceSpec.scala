@@ -44,6 +44,26 @@ class RelevanceSpec extends SparkSpec {
     assert(r(1L) > r(2L))
   }
 
+  test("sorted_neighbors: planted prefix twins surface, unrelated text does not") {
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val dir = writeFixture(
+      (1L, s"$shared tail one two", "s", 40L),
+      (2L, s"$shared other continuation", "s", 45L),
+      (3L, s"$shared tail one two", "s", 40L), // exact dup of 1
+      (4L, "completely different text here", "s", 30L))
+    val r = Dedup.qSortedNeighbors(spark, dir)
+      .select("doc_a", "doc_b", "lcp", "is_exact")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // sort order inside the block: doc1 == doc3 < doc2 ("other" < "tail"
+    // is false: 'o' < 't') → adjacency (1,3) exact, then (3,2)? No:
+    // sorted by (text, id) = [shared+" other…"(2), shared+" tail…"(1),
+    // shared+" tail…"(3)] → pairs (2,1) and (1,3)
+    assert(r.exists(p => p._1 == 1L && p._2 == 3L && p._4 == 1L))
+    val pair21 = r.find(p => p._1 == 2L && p._2 == 1L)
+    assert(pair21.nonEmpty && pair21.get._3 === shared.length.toLong + 1L)
+    assert(!r.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("mad outliers: one extreme length is fenced, the bulk is not") {
     val bulk = (1L to 20L).map(i => (i, "t", "s", 100L + (i % 3)))
     val dir = writeFixture(bulk :+ ((99L, "t", "s", 100000L)): _*)
