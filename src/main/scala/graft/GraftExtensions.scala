@@ -37,7 +37,28 @@ object GraftExtensions {
       : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(findExtensionDescriptor, decimalDotDescriptor, floatDotDescriptor,
       zOrderDescriptor, topKDescriptor, freqItemsDescriptor,
-      bloomAggDescriptor, bloomContainsDescriptor, cmsAggDescriptor) ++ kllDescriptors
+      bloomAggDescriptor, bloomContainsDescriptor, cmsAggDescriptor,
+      lcpDescriptor) ++ kllDescriptors
+
+  val lcpDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("lcp"),
+    new ExpressionInfo(
+      classOf[graft.functions.LcpExpr].getCanonicalName, null,
+      "lcp",
+      "lcp(a, b, cap) - longest common prefix of two strings in UTF-16 " +
+        "code units, clamped to the INT-literal cap (code-generated " +
+        "char loop; the HOF aggregate/sequence spelling is " +
+        "CodegenFallback and ~35x slower, PERF.md r9s5)", ""),
+    (children: Seq[Expression]) => {
+      require(children.length == 3, "lcp takes exactly 3 arguments")
+      val cap = children(2) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"lcp cap must be an INT literal, got $other")
+      }
+      graft.functions.LcpExpr(children.head, children(1), cap)
+    })
 
   val cmsAggDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (

@@ -902,10 +902,13 @@ object Dedup {
     * runs fully parallel and no single-partition exchange exists
     * (block-boundary pairs are forfeited, the standard blocking
     * trade; widen the prefix to trade recall for parallelism). The
-    * LCP probe is one bounded `aggregate` HOF per candidate pair —
-    * O(64) char compares, no join. At 100 TB this is one range-free
-    * shuffle on an 8-byte key plus per-partition sorts. */
+    * LCP probe is one code-generated [[graft.functions.LcpExpr]] call
+    * per candidate pair — a bounded char loop, not an interpreted HOF
+    * (the `aggregate(sequence(...))` spelling is CodegenFallback and
+    * pays 64 lambda invocations per row). At 100 TB this is one
+    * range-free shuffle on an 8-byte key plus per-partition sorts. */
   val qSortedNeighbors: Q = (s, d) => {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
     val byBlock = Window
       .partitionBy(col("pfx")).orderBy(col("text"), col("doc_id"))
     Tables.documents(s, d)
@@ -914,13 +917,8 @@ object Dedup {
       .withColumn("nxt_id", lead("doc_id", 1).over(byBlock))
       .withColumn("nxt", lead("text", 1).over(byBlock))
       .filter(col("nxt").isNotNull)
-      .withColumn("lcp", expr(
-        """CAST(aggregate(
-          |  sequence(1, least(least(length(text), length(nxt)), 64)),
-          |  0,
-          |  (acc, i) -> IF(acc = i - 1
-          |                 AND substring(text, i, 1) = substring(nxt, i, 1),
-          |                 i, acc)) AS BIGINT)""".stripMargin))
+      .withColumn("lcp", column(graft.functions.LcpExpr(
+        expression(col("text")), expression(col("nxt")), 64)))
       .filter(col("lcp") >= 16)
       .select(col("doc_id").as("doc_a"), col("nxt_id").as("doc_b"),
         col("lcp"),
