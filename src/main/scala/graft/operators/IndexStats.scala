@@ -165,13 +165,79 @@ object IndexStats {
       .orderBy("band")
   }
 
+  /** q_phrase_search — exact phrase matching by POSITIONAL-POSTING
+    * intersection, the inverted-index query plan every search engine
+    * runs (Manning et al., IIR §2.4 positional postings): the corpus's
+    * most frequent word trigram (rank pinned) is the phrase; matches
+    * are found NOT by scanning text but by intersecting the three
+    * words' posting lists with position offsets — p(w₁) ⋈ p(w₂)@pos−1
+    * ⋈ p(w₃)@pos−2 on the (doc, pos) key. The DuckDB twin runs the
+    * SCAN plan (every position probed against the phrase) — hash
+    * equality proves the index-side rewrite IS the scan semantics.
+    *
+    * Plan: the phrase row broadcasts against the token stream (1-row
+    * BNLJ = a broadcast filter — only the three phrase words survive
+    * into postings, the selectivity step a real index gets from its
+    * dictionary), then two (doc, pos)-keyed equi-joins on
+    * posting-sized sides. High-cardinality keys, no skew (a posting
+    * row is unique per (doc, pos)); at 100 TB the intersection costs
+    * the postings of three words, not the corpus. */
+  val qPhraseSearch: Q = (s, d) => {
+    val ws = filter(split(col("text"), " "), w => length(w) > 0)
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), ws.as("ws")).filter(size(col("ws")) >= 3)
+    val tri = docs
+      .withColumn("t2", slice(col("ws"), lit(2), greatest(size(col("ws")) - 1, lit(0))))
+      .withColumn("t3", slice(col("ws"), lit(3), greatest(size(col("ws")) - 2, lit(0))))
+      .select(explode(arrays_zip(col("ws"), col("t2"), col("t3"))).as("z"))
+      .select(col("z.ws").as("w1"), col("z.t2").as("w2"), col("z.t3").as("w3"))
+      .filter(col("w3").isNotNull)
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w1"), col("w2"), col("w3"))
+      .limit(1).select("w1", "w2", "w3")
+    val toks = Tables.spread(docs)
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "word")))
+      .crossJoin(broadcast(tri))
+    val p1 = toks.filter(col("word") === col("w1"))
+      .select(col("doc_id"), col("pos"))
+    val p2 = toks.filter(col("word") === col("w2"))
+      .select(col("doc_id"), (col("pos") - 1).as("pos"))
+    val p3 = toks.filter(col("word") === col("w3"))
+      .select(col("doc_id"), (col("pos") - 2).as("pos"))
+    p1.join(p2, Seq("doc_id", "pos")).join(p3, Seq("doc_id", "pos"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .crossJoin(broadcast(tri))
+      .select(col("doc_id"), col("w1"), col("w2"), col("w3"), col("n_hits"))
+      .orderBy(col("n_hits").desc, col("doc_id"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_phrase_search" -> qPhraseSearch,
     "q_coverage_curve" -> qCoverageCurve,
     "q_posting_gaps" -> qPostingGaps,
     "q_delta_encoding" -> qDeltaEncoding,
     "q_crossmodal_health" -> qCrossmodalHealth)
 
   val oracle: Map[String, String] = Map(
+    "q_phrase_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |tri AS (
+        |  SELECT ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3, COUNT(*) AS c
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i)
+        |  WHERE len(ws) >= 3 GROUP BY 1, 2, 3
+        |  ORDER BY c DESC, w1, w2, w3 LIMIT 1),
+        |hits AS (
+        |  SELECT doc_id, COUNT(*) AS n_hits
+        |  FROM toks, tri, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i)
+        |  WHERE len(ws) >= 3
+        |    AND ws[i] = w1 AND ws[i+1] = w2 AND ws[i+2] = w3
+        |  GROUP BY 1)
+        |SELECT doc_id, w1, w2, w3, n_hits FROM hits, tri
+        |ORDER BY n_hits DESC, doc_id LIMIT 20""".stripMargin,
     "q_delta_encoding" ->
       """WITH postings AS (
         |  SELECT DISTINCT word, doc_id FROM (

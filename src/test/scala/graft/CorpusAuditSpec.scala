@@ -848,6 +848,30 @@ class CorpusAuditSpec extends SparkSpec {
     // RelevanceSpec — the sf0.001 corpus has near-dup prefixes only)
   }
 
+  test("phrase_search: posting intersection equals the brute position scan") {
+    val docs = Tables.documents(spark, sf).filter(col("text").isNotNull)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).filter(_.nonEmpty).toSeq))
+      .filter(_._2.length >= 3)
+    val tri = scala.collection.mutable.Map.empty[(String, String, String), Long]
+    docs.foreach { case (_, ws) =>
+      ws.sliding(3).foreach { g =>
+        val k = (g(0), g(1), g(2))
+        tri.update(k, tri.getOrElse(k, 0L) + 1)
+      }
+    }
+    val phrase = tri.toSeq.sortBy { case ((a, b, c), n) => (-n, a, b, c) }.head._1
+    val expected = docs.flatMap { case (id, ws) =>
+      val n = ws.sliding(3).count(g => (g(0), g(1), g(2)) == phrase)
+      if (n > 0) Some((id, phrase._1, phrase._2, phrase._3, n.toLong)) else None
+    }.sortBy { case (id, _, _, _, n) => (-n, id) }.take(20)
+    val got = operators.IndexStats.qPhraseSearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getAs[Long]("n_hits"))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("weighted_median: one source replayed exactly against the running-sum rule") {
     val r = TextStats.qWeightedMedian(spark, sf).collect()
       .map(x => x.getString(0) -> x).toMap
