@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output must reach stdout RAW: the default LoggedOutput
+// strategy prefixes every line with "[info] ", which breaks any
+// json.loads over graft.Bench's one-line stdout contract (the driver
+// parses a 2000-char stdout tail for it).
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -38,3 +43,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 Test / envVars ++= Map("LC_ALL" -> "C.UTF-8", "LANG" -> "C.UTF-8")
 run / envVars ++= Map("LC_ALL" -> "C.UTF-8", "LANG" -> "C.UTF-8")
 scalacOptions ++= Seq("-deprecation")
+// The per-round driver keeps only the LAST ~2000 chars of stdout and
+// parses graft.Bench's one-line JSON out of that tail; sbt's
+// "[success] Total time: ..." epilogue prints AFTER the JSON line and
+// has helped eat the artifact every round (BENCH_r01..r09 all ship
+// "parsed": null). Suppress the epilogue so the bench JSON is the last
+// stdout line of the sbt invocation.
+Global / showSuccess := false
+Global / showTiming := false

@@ -237,19 +237,29 @@ object Bench {
       regs.foreach(r => System.err.println(s"[bench] REGRESSION $r"))
       regs
     }).getOrElse(Seq.empty)
-    // STDOUT CONTRACT: one JSON line that must survive a ~4 KB tail
-    // capture (BENCH_r07 shipped "parsed":null because the full-precision
-    // dual-map line hit 6.6 KB and lost its head). Stdout gets ONE
-    // per-query map — seq medians when available, else the concurrent
-    // latencies — rounded to ms, its kind named; the full-precision
-    // dual-map + named regressions go to target/bench.json where nothing
-    // can clip them.
+    // STDOUT CONTRACT: one JSON line that must survive a 2000-char tail
+    // capture — every BENCH_r01..r09 artifact ships tail_len=2000 and
+    // "parsed":null because the full 230-entry per-query map is ~5 KB
+    // and ALWAYS loses its head to the clip. Stdout therefore carries
+    // the headline totals plus only the SLOWEST queries, greedily
+    // packed under a 1600-char line budget (the remaining ~400 chars
+    // absorb any logger epilogue that still lands after us); the
+    // complete full-precision dual map + named regressions go to
+    // target/bench.json where nothing can clip them.
     val (qmap, qkind) = seqResults.map((_, "seq_median")).getOrElse((results, "concurrent"))
-    def js3(m: Map[String, Double]): String =
-      m.toSeq.sortBy(_._1).map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_kind":"$kind","queries":${js3(qmap)},"queries_kind":"$qkind","seq_repeat":$seqRepeat,"regressions_n":${regressions.size},"detail":"target/bench.json","sf":"$sfDir"}"""
-    println(line)
+    val lineBudget = 1600
+    val qsum = qmap.values.sum
+    def mkLine(entries: Seq[(String, Double)]): String = {
+      val qs = entries.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_kind":"$kind","queries":$qs,"queries_kind":"$qkind","n_queries":${qmap.size},"queries_shown":${entries.size},"queries_sum_sec":$qsum%.3f,"seq_repeat":$seqRepeat,"regressions_n":${regressions.size},"detail":"target/bench.json","sf":"$sfDir"}"""
+    }
+    // slowest-first, ties broken by name for a deterministic artifact
+    val bySlowest = qmap.toSeq.sortBy { case (k, v) => (-v, k) }
+    val shown = (qmap.size to 0 by -1)
+      .map(n => bySlowest.take(n))
+      .find(e => mkLine(e).length <= lineBudget)
+      .getOrElse(Seq.empty)
+    println(mkLine(shown))
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","value_kind":"$kind","queries_concurrent":${js(results)},"queries_seq":${seqResults.map(js).getOrElse("null")},"seq_repeat":$seqRepeat,"regressions":${regressions.mkString("{", ",", "}")},"sf":"$sfDir"}"""
     val out = java.nio.file.Paths.get("target/bench.json")

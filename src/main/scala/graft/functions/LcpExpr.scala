@@ -19,11 +19,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * (measured ~35× on a 2M-pair probe-bound microbench: 7.6 s HOF vs
   * 0.22 s native warm; PERF.md round-9 session-5 notes).
   *
-  * Contract: number of leading UTF-16 code units shared by `left` and
-  * `right`, clamped to `cap`; equals code-POINT LCP whenever the shared
-  * prefix is BMP text (always, for the ASCII corpora here — and the
-  * DuckDB oracle's `substr`-equality probe agrees on exactly that
-  * range). NULL in either input → NULL.
+  * Contract: number of leading UTF-8 CODE POINTS shared by `left` and
+  * `right`, clamped to `cap` — the same semantics as the DuckDB
+  * oracle's `substr`-equality probe and Spark's own `substring` (both
+  * code-point-indexed), on ALL text, not just BMP. Computed directly on
+  * the UTF8String bytes: one byte-prefix scan, then code-point counting
+  * inside the common prefix (a partial code point at the boundary
+  * contributes nothing, exactly as two different code points share no
+  * `substr` prefix) — no Java String materializes per pair (the r9
+  * ADVICE flag: `toString` allocated two full Strings per candidate).
+  * NULL in either input → NULL.
   */
 case class LcpExpr(left: Expression, right: Expression, cap: Int)
     extends BinaryExpression {
@@ -53,11 +58,17 @@ case class LcpExpr(left: Expression, right: Expression, cap: Int)
 
 object LcpExpr {
   def lcp(a: UTF8String, b: UTF8String, cap: Int): Long = {
-    val sa = a.toString
-    val sb = b.toString
-    val m = math.min(math.min(sa.length, sb.length), cap)
+    val m = math.min(a.numBytes, b.numBytes)
+    var p = 0
+    while (p < m && a.getByte(p) == b.getByte(p)) p += 1
+    // count complete code points inside the common byte prefix [0, p)
     var i = 0
-    while (i < m && sa.charAt(i) == sb.charAt(i)) i += 1
-    i.toLong
+    var cps = 0L
+    while (i < p && cps < cap) {
+      val len = UTF8String.numBytesForFirstByte(a.getByte(i))
+      if (i + len > p) i = p // partial code point at the boundary
+      else { cps += 1; i += len }
+    }
+    cps
   }
 }

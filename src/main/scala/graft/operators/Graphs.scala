@@ -218,15 +218,23 @@ object Graphs {
 
   /** Four unrolled peel rounds for the [[qKcorePrune]] oracle — the
     * same fixed-superstep contract the engine runs, spelled as chained
-    * CTEs over the shared candidate-pair CTE. */
+    * CTEs over the shared candidate-pair CTE.
+    *
+    * Every `k$r`/`e$r` is `AS MATERIALIZED`: each round references its
+    * predecessor ~4 times (FROM + two `IN (…)` subqueries, and `k$r`
+    * reads `$prev` twice), and DuckDB 1.0 inlines non-materialized
+    * CTEs at every reference — the chain re-expanded the minhash band
+    * self-join ~4⁴ ≈ 256× and the r9 oracle did not terminate in
+    * 20 min at sf0.01; materialized it runs in 0.25 s with an
+    * identical hash (r9 VERDICT.md headline). */
   private val kcoreRoundsCte: String = (1 to 4).map { r =>
     val prev = if (r == 1) "cand" else s"e${r - 1}"
-    s"""k$r AS (
+    s"""k$r AS MATERIALIZED (
        |  SELECT v FROM (
        |    SELECT v, COUNT(*) AS deg
        |    FROM (SELECT a AS v FROM $prev UNION ALL SELECT b FROM $prev)
        |    GROUP BY v) WHERE deg >= 2),
-       |e$r AS (
+       |e$r AS MATERIALIZED (
        |  SELECT a, b FROM $prev
        |  WHERE a IN (SELECT v FROM k$r) AND b IN (SELECT v FROM k$r))"""
       .stripMargin

@@ -27,12 +27,18 @@ object IndexStats {
     * permille, for the top 20 types. Vocab-size decisions read off
     * this curve ("top 8 types already cover 61% of tokens").
     *
-    * Plan: one wordcount aggregate; the running sum is a window over
-    * the |vocab|-row aggregate, not the corpus (rank and cumsum share
-    * one sort); total-token count broadcasts as a scalar row. The
-    * global ranking window runs on vocabulary-sized data — types, not
-    * tokens — which is the only thing that makes a global window
-    * admissible here. */
+    * Plan: one wordcount aggregate, then the [[graft.operators
+    * .Relevance.qRankOverlap]] two-phase lossless top-k — local
+    * row_number inside 32 hash buckets (any word in the global top-20
+    * under the (n DESC, word) total order is in its bucket's top-20
+    * under the same order), so the global rank+cumsum window runs over
+    * ≤ 640 survivors, never the vocabulary (web-scale vocabularies are
+    * O(10⁹) types — the r9 "weak" flag). cum_n is exact on the pruned
+    * frame: for rank ≤ 20 the running-sum prefix is exactly the global
+    * top-rank words, all of which survive the prune. The oracle runs
+    * the naive full-vocabulary window — hash equality IS the
+    * losslessness proof. Total-token count broadcasts as a scalar
+    * row. */
   val qCoverageCurve: Q = (s, d) => {
     val counts = Tables.spread(Tables.documents(s, d).filter(col("text").isNotNull))
       .select(explode(split(col("text"), " ")).as("word"))
@@ -40,10 +46,15 @@ object IndexStats {
       .groupBy("word").agg(count(lit(1)).as("n"))
       .localCheckpoint()
     val total = counts.agg(sum("n").as("n_total"))
+    val wLocal = Window.partitionBy("b").orderBy(col("n").desc, col("word"))
+    val pruned = counts
+      .withColumn("b", pmod(hash(col("word")), lit(32)))
+      .withColumn("lr", row_number().over(wLocal))
+      .filter(col("lr") <= 20).drop("b", "lr")
     val w = Window.orderBy(col("n").desc, col("word"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wr = Window.orderBy(col("n").desc, col("word"))
-    counts
+    pruned
       .withColumn("rank", row_number().over(wr).cast(LongType))
       .withColumn("cum_n", sum(col("n")).over(w).cast(LongType))
       .filter(col("rank") <= 20)

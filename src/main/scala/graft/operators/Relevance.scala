@@ -195,18 +195,22 @@ object Relevance {
     * truth labels, lexical channel — comparing the two tables is the
     * hybrid-retrieval design argument made with numbers.
     *
-    * Scale shape: inherits [[sparseTopK]]'s posting-list spine; label
-    * joins key on the probe/neighbor ids (dimension-sized broadcast),
-    * then a per-probe 5-row aggregate and a |labels|-group rollup. */
+    * Scale shape: inherits [[sparseTopK]]'s posting-list spine; the
+    * label joins are UNHINTED — the (vec_id,label) frame is
+    * corpus-sized at 100 TB (forcing it broadcast was r9's "weak"
+    * flag), while the probe×top-k side is tiny (64×5 rows), so AQE's
+    * runtime size stats pick the broadcast side correctly (it
+    * broadcasts the top-k side, never the labels); then a per-probe
+    * 5-row aggregate and a |labels|-group rollup. */
   val qRetrievalEval: Q = (s, d) => {
     val labels = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label").cast(LongType).as("label"))
     val top = sparseTopK(s, d, nProbes = 64)
     val scored = top
-      .join(broadcast(labels.select(col("vec_id").as("qid"),
-        col("label").as("true_label"))), Seq("qid"))
-      .join(broadcast(labels.select(col("vec_id").as("doc_id"),
-        col("label").as("n_label"))), Seq("doc_id"))
+      .join(labels.select(col("vec_id").as("qid"),
+        col("label").as("true_label")), Seq("qid"))
+      .join(labels.select(col("vec_id").as("doc_id"),
+        col("label").as("n_label")), Seq("doc_id"))
     val perProbe = scored.groupBy("qid", "true_label")
       .agg(
         min(when(col("n_label") === col("true_label"), col("rnk"))).as("fc"),

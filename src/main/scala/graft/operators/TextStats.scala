@@ -999,7 +999,11 @@ object TextStats {
       .join(uni.select(col("w").as("wa"), col("n_w").as("n_a")), Seq("wa"))
       .join(uni.select(col("w").as("wb"), col("n_w").as("n_b")), Seq("wb"))
       .crossJoin(broadcast(total))
-      .withColumn("pmi_scaled", expr("(n_xy * n_pairs * 1000) div (n_a * n_b)"))
+      // n_xy·n_pairs is an n²-scale product: it rides DECIMAL(38,0)
+      // (HUGEINT in the oracle) like qRocAuc/qChi2Terms — plain Long
+      // arithmetic silently wraps in non-ANSI Spark at corpus scale
+      .withColumn("pmi_scaled",
+        expr("(CAST(n_xy AS DECIMAL(38,0)) * n_pairs * 1000) div (CAST(n_a AS DECIMAL(38,0)) * n_b)"))
       .select(col("wa"), col("wb"), col("n_xy"), col("pmi_scaled"))
       .orderBy(col("pmi_scaled").desc, col("wa"), col("wb"))
       .limit(20)
@@ -1127,7 +1131,8 @@ object TextStats {
         |  GROUP BY 1, 2 HAVING COUNT(*) >= 5),
         |tot AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n_pairs FROM pairs)
         |SELECT wa, wb, n_xy,
-        |  (n_xy * n_pairs * 1000) // (a.n_w * b.n_w) AS pmi_scaled
+        |  CAST((CAST(n_xy AS HUGEINT) * n_pairs * 1000)
+        |       // (CAST(a.n_w AS HUGEINT) * b.n_w) AS BIGINT) AS pmi_scaled
         |FROM pairs, tot, uni a, uni b
         |WHERE a.w = pairs.wa AND b.w = pairs.wb
         |ORDER BY pmi_scaled DESC, wa, wb LIMIT 20""".stripMargin,

@@ -43,7 +43,12 @@ class LcpExprSpec extends SparkSpec {
       ("", ""), ("", "x"), ("same", "same"),
       ("a" * 100, "a" * 100),           // cap clamps at 64
       ("a" * 63 + "b", "a" * 63 + "c"), // diverges exactly at the cap
-      ("préfix", "préfixe"))            // BMP multibyte prefix
+      ("préfix", "préfixe"),            // BMP multibyte prefix
+      ("𐐀x", "𐐀y"), // astral shared prefix (1 cp)
+      ("𐐀", "𐐁"))   // astral codepoints differing
+                                          // only in the low surrogate:
+                                          // code-POINT lcp = 0, like the
+                                          // substr probes on both engines
     val df = pairs.toDF("a", "b")
     val r = df.selectExpr("a", "b", "lcp(a, b, 64) AS native",
         s"$hofLcp AS hof").collect()
@@ -55,6 +60,8 @@ class LcpExprSpec extends SparkSpec {
     assert(byPair(("a" * 100, "a" * 100)) === 64L)
     assert(byPair(("a" * 63 + "b", "a" * 63 + "c")) === 63L)
     assert(byPair(("préfix", "préfixe")) === 6L)
+    assert(byPair(("𐐀x", "𐐀y")) === 1L)
+    assert(byPair(("𐐀", "𐐁")) === 0L)
     assert(byPair(("", "x")) === 0L)
   }
 

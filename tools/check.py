@@ -19,10 +19,19 @@ engine type.
 import json
 import math
 import sys
+import time
 
 import duckdb
 import pyarrow as pa
 import pyarrow.parquet as pq
+
+# Per-oracle wall-clock budget (seconds). The whole 230-query oracle
+# surface totals ~12 s at sf0.01; any single oracle near this budget is
+# a pathological plan (r9: q_kcore_prune's inlined-CTE re-expansion ran
+# >20 min and zeroed the driver's CORRECTNESS artifact to {}). A budget
+# breach FAILS the gate even when the hash matches — cheap insurance
+# that a round-9-style silent {} is structurally impossible.
+ORACLE_BUDGET_SEC = 10.0
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -56,7 +65,13 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
+    # optional third arg: comma-separated query subset (dev-only; the
+    # driver always runs the full surface)
+    if len(sys.argv) > 3:
+        only = set(sys.argv[3].split(","))
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = 0
+    slowest = []
     for name in sorted(oracle):
         sql = oracle[name]
         try:
@@ -65,10 +80,19 @@ def main():
             print(f"FAIL {name}: spark output unreadable: {e}")
             n_fail += 1
             continue
+        t0 = time.monotonic()
         try:
             duck = con.execute(sql).fetch_arrow_table()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        oracle_sec = time.monotonic() - t0
+        slowest.append((oracle_sec, name))
+        if oracle_sec > ORACLE_BUDGET_SEC:
+            print(f"FAIL {name}: oracle over budget "
+                  f"({oracle_sec:.1f}s > {ORACLE_BUDGET_SEC}s) — "
+                  f"pathological SQL bricks the driver gate")
             n_fail += 1
             continue
         s_cols, d_cols = sorted(tbl.column_names), sorted(duck.column_names)
@@ -110,6 +134,10 @@ def main():
         else:
             print(f"PASS {name} ({tbl.num_rows} rows)")
             n_pass += 1
+    slowest.sort(reverse=True)
+    total = sum(t for t, _ in slowest)
+    top = ", ".join(f"{n}={t:.2f}s" for t, n in slowest[:5])
+    print(f"== oracle wall total {total:.1f}s; slowest: {top}")
     print(f"== {n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
 
