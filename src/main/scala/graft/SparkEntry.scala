@@ -28,12 +28,17 @@ object SparkEntry {
       Evaluation.queries ++ Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. */
+    * the same parquet tables. Every oracle routes through
+    * [[OracleSql.materializeShared]], which marks multiply-referenced
+    * CTEs `AS MATERIALIZED` — DuckDB 1.0 inlines shared CTEs per
+    * reference, and one pathologically re-expanding oracle bricked the
+    * round-9 correctness gate (see OracleSql's scaladoc). */
   def oracleSql: Map[String, String] =
-    Reports.oracle ++ Dedup.oracle ++ TextStats.oracle ++
+    (Reports.oracle ++ Dedup.oracle ++ TextStats.oracle ++
       Similarity.oracle ++ AsOf.oracle ++ Relational.oracle ++ SignLsh.oracle ++
       Ranking.oracle ++ Packing.oracle ++ Relevance.oracle ++ CorpusOps.oracle ++
       Snapshots.oracle ++ Sequences.oracle ++ Selection.oracle ++ Graphs.oracle ++
       Pretrain.oracle ++ IndexStats.oracle ++ Profiling.oracle ++
-      Evaluation.oracle ++ Multimodal.oracle
+      Evaluation.oracle ++ Multimodal.oracle)
+      .view.mapValues(OracleSql.materializeShared).toMap
 }
