@@ -144,8 +144,16 @@ object Bench {
         System.err.println(s"[bench] $tag $name failed: ${e.getMessage}"))
     }
 
+    // Dev-only subset filter (comma-separated names), mirroring
+    // Verify's SPARK_GRAFT_VERIFY_ONLY; the driver sets no env so its
+    // run always times the full surface.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val benchQueries = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+
     def runSeq(): Map[String, Double] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val s0 = System.nanoTime()
         collectWatched(name, fn, "seq")
         spark.catalog.clearCache()
@@ -155,7 +163,7 @@ object Bench {
     def runConcurrent(): Map[String, Double] = {
       val pool = Executors.newFixedThreadPool(8)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      val futures = benchQueries.toSeq.map { case (name, fn) =>
         Future {
           val s0 = System.nanoTime()
           collectWatched(name, fn, "conc")

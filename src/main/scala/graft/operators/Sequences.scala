@@ -192,14 +192,20 @@ object Sequences {
         expr("(n_purchase * 1000) div n_events").cast(LongType))
       .orderBy("arm")
 
-  /** Poisson(1) CDF thresholds on the 2⁶⁰ hash grid: a 60-bit uniform
-    * u drawn from md5 maps to a bootstrap weight
-    * w = |{k : u ≥ floor(P(X ≤ k)·2⁶⁰)}| ∈ [0, 5] — i.e. inverse-CDF
-    * sampling with the tail mass past 5 (6×10⁻⁴) folded into w = 5.
-    * Integer constants, so Spark and DuckDB draw bit-identical
-    * weights. */
-  private val poissonCdf60 = Seq(424136118829305344L, 848272237658610688L,
-    1060340297073263360L, 1131029650211480960L, 1148701988496035328L)
+  /** Poisson(1) CDF thresholds on the 2¹⁵ hash grid: a 15-bit uniform
+    * u maps to a bootstrap weight w = |{k : u ≥ floor(P(X ≤ k)·2¹⁵)}|
+    * ∈ [0, 5] — inverse-CDF sampling with the tail mass past 5
+    * (3.7×10⁻³) folded into w = 5. The 15-bit grid quantizes each
+    * threshold by <2⁻¹⁵ (immaterial next to bootstrap noise) and lets
+    * ONE md5 feed eight draws: hex chars [1,15] and [17,31] parse to
+    * two 60-bit longs, each yielding four 15-bit fields by div/mod —
+    * so 8 md5 calls per row replace the former 64 (the md5-on-concat
+    * was ~all of this query's scan-stage CPU). Integer constants, so
+    * Spark and DuckDB draw bit-identical weights. */
+  private val poissonCdf15 = Seq(12054L, 24109L, 30136L, 32145L, 32648L)
+
+  /** 32768^slot divisors for the four 15-bit fields of a 60-bit long. */
+  private val slotDiv = Seq(1L, 32768L, 1073741824L, 35184372088832L)
 
   /** q_bootstrap_ci — Poisson-bootstrap confidence intervals for the
     * mean event value per event_type: the DISTRIBUTED bootstrap
@@ -215,8 +221,9 @@ object Sequences {
     * of the 64 resample means (a ~95% percentile-bootstrap interval).
     * All integer: cents values, truncating means, hash weights.
     *
-    * Plan: one scan fans out ×64 (explode over b — map-side, no
-    * shuffle), partial-aggregated into (event_type, b) sums — the
+    * Plan: one scan fans out ×64 (posexplode of a PRE-HASHED 64-draw
+    * array — map-side, no shuffle, and the md5 work is 8 calls per
+    * row, not 64), partial-aggregated into (event_type, b) sums — the
     * ONLY corpus-sized exchange, 64·|types| groups out. The order
     * statistics ride a 64-row-per-type window; the point estimate
     * joins from the same pre-aggregated frame. At 100 TB: B×
@@ -224,18 +231,36 @@ object Sequences {
     * 64·|types| rows before anything moves — the textbook reason
     * Poisson bootstrap replaced resample-and-reshuffle. */
   val qBootstrapCi: Q = (s, d) => {
-    val wExpr = poissonCdf60.map(t => s"CAST(u >= ${t}L AS INT)").mkString(" + ")
+    // w as ONE descending CASE, not five CAST(u >= t)+… terms: the sum
+    // form pushed this stage's generated method past HotSpot's 8 KB
+    // JIT ceiling (DontCompileHugeMethods) — still "codegen'd" but
+    // bytecode-interpreted, 5.4 s vs 1.8 s at sf0.1 (min-of-3, A/B'd)
+    val wExpr = "CASE " + poissonCdf15.zipWithIndex.reverse.map {
+      case (t, k) => s"WHEN u >= ${t}L THEN ${k + 1}" }.mkString(" ") +
+      " ELSE 0 END"
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("event_type"),
         intScaled(dec2(col("value")), 100L).as("v_cents"))
     val point = ev.groupBy("event_type")
       .agg(count(lit(1)).as("n_rows"),
         expr("sum(v_cents) div count(1)").cast(LongType).as("mean_cents"))
+    // draw b = 8j + i comes from md5 #j: long m = 2j + i/4 (hex chars
+    // [1,15] then [17,31]), 15-bit field i%4 of that long
+    val longs = (0 until 16).map { m =>
+      val j = m / 2
+      val start = 1 + (m % 2) * 16
+      conv(substring(md5(concat(col("event_id").cast("string"),
+        lit(s"|boot|$j"))), start, 15), 16, 10).cast(LongType).as(s"L$m")
+    }
+    val draws = (0 until 64).map { b =>
+      val i = b % 8
+      val m = (b / 8) * 2 + i / 4
+      expr(s"(L$m div ${slotDiv(i % 4)}L) % 32768L")
+    }
     val means = ev
-      .select(col("event_id"), col("event_type"), col("v_cents"),
-        explode(sequence(lit(0), lit(63))).as("b"))
-      .withColumn("u", md5Long(concat(col("event_id").cast("string"),
-        lit("|boot|"), col("b").cast("string"))))
+      .select(col("event_type") +: col("v_cents") +: longs: _*)
+      .select(col("event_type"), col("v_cents"),
+        posexplode(array(draws: _*)).as(Seq("b", "u")))
       .withColumn("w", expr(wExpr))
       .groupBy("event_type", "b")
       .agg(sum(expr("w * v_cents")).cast(LongType).as("wsum"),
@@ -785,16 +810,21 @@ object Sequences {
         |  SELECT event_type, COUNT(*) AS n_rows,
         |    CAST(CAST(SUM(v_cents) AS BIGINT) // COUNT(*) AS BIGINT) AS mean_cents
         |  FROM ev GROUP BY 1),
+        |hx AS (
+        |  SELECT event_type, v_cents, j,
+        |    md5(CAST(event_id AS VARCHAR) || '|boot|' || CAST(j AS VARCHAR)) AS h
+        |  FROM ev, LATERAL (SELECT unnest(range(0, 8)) AS j)),
         |fan AS (
-        |  SELECT event_type, v_cents, b,
-        |    CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || '|boot|'
-        |      || CAST(b AS VARCHAR)), 1, 15) AS BIGINT) AS u
-        |  FROM ev, LATERAL (SELECT unnest(range(0, 64)) AS b)),
+        |  SELECT event_type, v_cents, j * 8 + i AS b,
+        |    (CAST('0x' || substr(h, 1 + (i // 4) * 16, 15) AS BIGINT)
+        |      // (CASE i % 4 WHEN 0 THEN 1 WHEN 1 THEN 32768
+        |          WHEN 2 THEN 1073741824 ELSE 35184372088832 END)) % 32768 AS u
+        |  FROM hx, LATERAL (SELECT unnest(range(0, 8)) AS i)),
         |wts AS (
         |  SELECT event_type, b,
-        |    CAST(SUM((${poissonCdf60.map(t => s"CAST(u >= $t AS INT)")
+        |    CAST(SUM((${poissonCdf15.map(t => s"CAST(u >= $t AS INT)")
                         .mkString(" + ")}) * v_cents) AS BIGINT) AS wsum,
-        |    CAST(SUM(${poissonCdf60.map(t => s"CAST(u >= $t AS INT)")
+        |    CAST(SUM(${poissonCdf15.map(t => s"CAST(u >= $t AS INT)")
                         .mkString(" + ")}) AS BIGINT) AS wn
         |  FROM fan GROUP BY 1, 2),
         |mb AS (

@@ -610,8 +610,18 @@ class CorpusAuditSpec extends SparkSpec {
   }
 
   test("bootstrap_ci: resample means replayed; order statistics line up") {
-    val cdf = Seq(424136118829305344L, 848272237658610688L,
-      1060340297073263360L, 1131029650211480960L, 1148701988496035328L)
+    // 15-bit Poisson(1) CDF grid; draw b = 8j+i reads md5 #j's 60-bit
+    // half i/4 (hex chars [0,15) / [16,31)), 15-bit field i%4
+    val cdf = Seq(12054L, 24109L, 30136L, 32145L, 32648L)
+    val slotDiv = Seq(1L, 32768L, 1073741824L, 35184372088832L)
+    def draw(id: Long, b: Int): Long = {
+      val j = b / 8; val i = b % 8
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id|boot|$j".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val half = java.lang.Long.parseLong(
+        hex.substring((i / 4) * 16, (i / 4) * 16 + 15), 16)
+      (half / slotDiv(i % 4)) % 32768L
+    }
     val ev = Tables.events(spark, sf)
       .select(col("event_id"), col("event_type"),
         expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("v"))
@@ -620,7 +630,7 @@ class CorpusAuditSpec extends SparkSpec {
       val means = (0 until 64).flatMap { b =>
         var wsum = 0L; var wn = 0L
         rows.foreach { case (id, _, v) =>
-          val u = md5Long60(s"$id|boot|$b")
+          val u = draw(id, b)
           val w = cdf.count(u >= _)
           wsum += w * v; wn += w
         }
