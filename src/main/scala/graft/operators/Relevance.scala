@@ -229,6 +229,55 @@ object Relevance {
       .orderBy("label")
   }
 
+  /** q_ndcg — nDCG@5 of the sparse tf-idf retriever (Järvelin &
+    * Kekäläinen 2002, the position-discounted standard that P@1/MRR
+    * ([[qRetrievalEval]]) cannot replace: it credits EVERY relevant
+    * hit, discounted by rank). Binary gains; the 1/log2(1+r) discounts
+    * are INTEGER micro constants (1e6-scaled, floor), so no float ever
+    * crosses an engine boundary: DCG = Σ discount(rank) over hits,
+    * IDCG = prefix-sum(min(R,5)) where R = |same-label corpus vectors|
+    * − 1 (the query itself can't be retrieved — sparseTopK excludes
+    * self), ndcg_permille = (DCG·1000) div IDCG, averaged per label.
+    *
+    * Scale shape: inherits [[sparseTopK]]'s posting-list spine; the
+    * label joins stay UNHINTED like [[qRetrievalEval]]'s (corpus-sized
+    * at 100 TB); the label-count side is |labels| rows. */
+  val qNdcg: Q = (s, d) => {
+    val labels = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label").cast(LongType).as("label"))
+    val labelCnt = labels.groupBy("label").agg(count(lit(1)).as("c_lbl"))
+    val top = sparseTopK(s, d, nProbes = 64)
+    // floor(1e6 / log2(1+r)) for r = 1..5 — integer literals, shared
+    // verbatim with the oracle
+    val gain = expr("CASE rnk WHEN 1 THEN 1000000L WHEN 2 THEN 630929L " +
+      "WHEN 3 THEN 500000L WHEN 4 THEN 430676L ELSE 386852L END")
+    val perq = top
+      .join(labels.select(col("vec_id").as("qid"),
+        col("label").as("true_label")), Seq("qid"))
+      .join(labels.select(col("vec_id").as("doc_id"),
+        col("label").as("n_label")), Seq("doc_id"))
+      .groupBy("qid", "true_label")
+      .agg(sum(when(col("n_label") === col("true_label"), gain)
+        .otherwise(0L)).cast(LongType).as("dcg_micros"))
+    perq
+      .join(labelCnt.withColumnRenamed("label", "true_label"),
+        Seq("true_label"))
+      .filter(col("c_lbl") > 1)
+      .withColumn("idcg_micros",
+        expr("CASE least(c_lbl - 1, 5) WHEN 1 THEN 1000000L " +
+          "WHEN 2 THEN 1630929L WHEN 3 THEN 2130929L " +
+          "WHEN 4 THEN 2561605L ELSE 2948457L END"))
+      .withColumn("ndcg_permille",
+        expr("(dcg_micros * 1000) div idcg_micros").cast(LongType))
+      .groupBy(col("true_label").as("label"))
+      .agg(count(lit(1)).as("n_queries"),
+        expr("sum(ndcg_permille) div count(1)").cast(LongType)
+          .as("avg_ndcg_permille"),
+        sum(when(col("ndcg_permille") === 1000L, 1L).otherwise(0L))
+          .cast(LongType).as("n_perfect"))
+      .orderBy("label")
+  }
+
   /** q_rrf_fusion — reciprocal-rank-fusion hybrid retrieval (Cormack
     * et al. 2009, the standard score-free fusion rule): per probe, the
     * dense exact-cosine top-3 ([[Similarity.qAnnTopk]]'s channel) and
@@ -312,6 +361,7 @@ object Relevance {
     "q_bm25" -> qBm25,
     "q_sparse_cosine" -> qSparseCosine,
     "q_retrieval_eval" -> qRetrievalEval,
+    "q_ndcg" -> qNdcg,
     "q_mad_outliers" -> qMadOutliers,
     "q_dup_by_source" -> qDupBySource,
     "q_datasheet" -> qDatasheet)
@@ -475,6 +525,62 @@ object Relevance {
         |  CAST((SUM(p1) * 1000) // COUNT(*) AS BIGINT) AS p1_permille,
         |  CAST(SUM(COALESCE(1000 // fc, 0)) // COUNT(*) AS BIGINT) AS mrr_milli
         |FROM perq GROUP BY true_label ORDER BY true_label""".stripMargin,
+    "q_ndcg" ->
+      """WITH tf AS (
+        |  SELECT doc_id, word, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |    FROM documents WHERE text IS NOT NULL)
+        |  WHERE length(word) > 0 GROUP BY doc_id, word),
+        |nd AS (SELECT COUNT(*) AS n_docs FROM documents WHERE text IS NOT NULL),
+        |dfreq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+        |wtab AS (
+        |  SELECT t.doc_id, t.word,
+        |    CAST(t.tf * (((nd.n_docs - f.df + 1) * 1000) // (f.df + 1)) AS BIGINT) AS w
+        |  FROM tf t JOIN dfreq f ON t.word = f.word, nd),
+        |norms AS (
+        |  SELECT doc_id, CAST(SUM(w * w) AS DOUBLE) AS nrm FROM wtab GROUP BY doc_id),
+        |dots AS (
+        |  SELECT p.doc_id AS qid, c.doc_id, CAST(SUM(p.w * c.w) AS BIGINT) AS dot
+        |  FROM wtab p JOIN wtab c ON p.word = c.word
+        |  WHERE p.doc_id < 64 AND c.doc_id <> p.doc_id
+        |  GROUP BY 1, 2),
+        |sim AS (
+        |  SELECT d.qid, d.doc_id,
+        |    CAST(CAST(CAST(d.dot AS DOUBLE) / sqrt(nq.nrm * nc.nrm) AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS sim_micros
+        |  FROM dots d
+        |  JOIN norms nq ON d.qid = nq.doc_id
+        |  JOIN norms nc ON d.doc_id = nc.doc_id),
+        |top AS (
+        |  SELECT qid, rnk, doc_id FROM (
+        |    SELECT qid, doc_id, sim_micros,
+        |      CAST(row_number() OVER (PARTITION BY qid ORDER BY sim_micros DESC, doc_id)
+        |        AS BIGINT) AS rnk
+        |    FROM sim)
+        |  WHERE rnk <= 5),
+        |lbl AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+        |lc AS (SELECT label, COUNT(*) AS c_lbl FROM lbl GROUP BY label),
+        |perq AS (
+        |  SELECT t.qid, ql.label AS true_label,
+        |    CAST(SUM(CASE WHEN nl.label = ql.label THEN
+        |      CASE t.rnk WHEN 1 THEN 1000000 WHEN 2 THEN 630929
+        |        WHEN 3 THEN 500000 WHEN 4 THEN 430676 ELSE 386852 END
+        |      ELSE 0 END) AS BIGINT) AS dcg_micros
+        |  FROM top t
+        |  JOIN lbl ql ON t.qid = ql.vec_id
+        |  JOIN lbl nl ON t.doc_id = nl.vec_id
+        |  GROUP BY t.qid, ql.label),
+        |scored AS (
+        |  SELECT p.true_label, p.dcg_micros,
+        |    (p.dcg_micros * 1000) // (CASE LEAST(lc.c_lbl - 1, 5)
+        |      WHEN 1 THEN 1000000 WHEN 2 THEN 1630929 WHEN 3 THEN 2130929
+        |      WHEN 4 THEN 2561605 ELSE 2948457 END) AS ndcg_permille
+        |  FROM perq p JOIN lc ON p.true_label = lc.label
+        |  WHERE lc.c_lbl > 1)
+        |SELECT true_label AS label, COUNT(*) AS n_queries,
+        |  CAST(SUM(ndcg_permille) // COUNT(*) AS BIGINT) AS avg_ndcg_permille,
+        |  CAST(SUM(CASE WHEN ndcg_permille = 1000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_perfect
+        |FROM scored GROUP BY true_label ORDER BY true_label""".stripMargin,
     "q_sparse_cosine" ->
       """WITH tf AS (
         |  SELECT doc_id, word, COUNT(*) AS tf FROM (

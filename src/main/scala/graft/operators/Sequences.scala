@@ -624,7 +624,33 @@ object Sequences {
       .orderBy("user_id")
   }
 
+  /** q_rolling_median — exact rolling LOWER median of event value over
+    * each user's last 7 events, the robust-smoothing companion to
+    * [[qEwmaTrailing]] (a median filter shrugs off the single-spike
+    * outliers that drag any mean-based smoother). Spark has no medians
+    * over ROWS frames, so the frame's values ride a bounded
+    * collect_list → array_sort → element_at((n+1) div 2) — a ≤7-element
+    * in-memory sort per row, not an aggregate rewrite. Lower median
+    * (order statistic, not midpoint average) keeps everything integer.
+    *
+    * Scale shape: one shuffle on user_id (high-cardinality key — the
+    * anti-skew choice vs the handful of event_types), then bounded
+    * 7-row frames; no single-partition window, output linear in input. */
+  val qRollingMedian: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(-6, Window.currentRow)
+    Tables.eventsWithEpoch(s, d)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        intScaled(dec2(col("value")), 100L).as("v_cents"))
+      .withColumn("vals", collect_list(col("v_cents")).over(w))
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("v_cents"),
+        element_at(array_sort(col("vals")),
+          ((size(col("vals")) + 1) / 2).cast("int")).as("med7_cents"))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_rolling_median" -> qRollingMedian,
     "q_cdc_apply" -> qCdcApply,
     "q_tail_latency" -> qTailLatency,
     "q_seasonality" -> qSeasonality,
@@ -643,6 +669,20 @@ object Sequences {
     "q_burst_users" -> qBurstUsers)
 
   val oracle: Map[String, String] = Map(
+    "q_rolling_median" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_cents
+        |  FROM events),
+        |fr AS (
+        |  SELECT user_id, event_id, ts_us, v_cents,
+        |    list(v_cents) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS vals
+        |  FROM ev)
+        |SELECT user_id, event_id, ts_us, v_cents,
+        |  list_sort(vals)[(len(vals) + 1) // 2] AS med7_cents
+        |FROM fr ORDER BY user_id, ts_us, event_id""".stripMargin,
     "q_cdc_apply" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,

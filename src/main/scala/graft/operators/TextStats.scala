@@ -1057,7 +1057,48 @@ object TextStats {
       .limit(20)
   }
 
+  /** q_flesch_reading — Flesch reading-ease per language bucket, the
+    * classic prose-difficulty signal (Flesch 1948; Kincaid et al. 1975
+    * recalibrated it for grade levels) used by corpus-quality filters
+    * alongside [[qQualityRules]]' Gopher-style cuts. Per document:
+    * words = `[A-Za-z]+` runs, sentences = `[.!?]+` runs (min 1 — a
+    * fragment is one sentence), syllables = vowel-group runs
+    * (`[aeiouyAEIOUY]+`, the standard dictionary-free approximation;
+    * matched case-insensitively by CLASS, not by lower(), since
+    * lower() disagrees across engines outside ASCII). Score in milli,
+    * all integer: 206835 − (1015·w) div s − (84600·syl) div w. Docs
+    * with zero words carry no score and are excluded.
+    *
+    * Scale shape: three regexp scans per document, scan-stage-local
+    * (whole-stage codegen, zero shuffle), collapsing to a |langs|-group
+    * aggregate — the ideal 100 TB map-operator profile. */
+  val qFleschReading: Q = (s, d) => {
+    val counted = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("lang"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0)))
+          .cast(LongType).as("w"),
+        greatest(lit(1L),
+          size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+            .cast(LongType)).as("s"),
+        size(regexp_extract_all(col("text"), lit("[aeiouyAEIOUY]+"), lit(0)))
+          .cast(LongType).as("syl"))
+      .filter(col("w") > 0)
+      .withColumn("flesch_milli",
+        expr("206835L - (1015L * w) div s - (84600L * syl) div w"))
+    counted.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(flesch_milli) div count(1)").cast(LongType)
+          .as("avg_flesch_milli"),
+        sum(when(col("flesch_milli") >= 60000L, 1L).otherwise(0L))
+          .cast(LongType).as("n_easy"),
+        sum(when(col("flesch_milli") < 30000L, 1L).otherwise(0L))
+          .cast(LongType).as("n_hard"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_flesch_reading" -> qFleschReading,
     "q_burstiness" -> qBurstiness,
     "q_skipgram_pmi" -> qSkipgramPmi,
     "q_kneser_ney" -> qKneserNey,
@@ -1100,6 +1141,21 @@ object TextStats {
     .map(w => s"(${occurrencesDuck("text", w)})").mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    "q_flesch_reading" ->
+      """WITH c AS (
+        |  SELECT lang,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS w,
+        |    GREATEST(1, CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS s,
+        |    CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT) AS syl
+        |  FROM documents WHERE text IS NOT NULL),
+        |f AS (
+        |  SELECT lang, 206835 - (1015 * w) // s - (84600 * syl) // w AS fm
+        |  FROM c WHERE w > 0)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(fm) // COUNT(*) AS BIGINT) AS avg_flesch_milli,
+        |  CAST(SUM(CASE WHEN fm >= 60000 THEN 1 ELSE 0 END) AS BIGINT) AS n_easy,
+        |  CAST(SUM(CASE WHEN fm < 30000 THEN 1 ELSE 0 END) AS BIGINT) AS n_hard
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
     "q_burstiness" ->
       """WITH tf AS (
         |  SELECT doc_id, word AS w, COUNT(*) AS tf FROM (

@@ -648,6 +648,25 @@ class CorpusAuditSpec extends SparkSpec {
       assert(nB === 64L); assert(lo <= hi) }
   }
 
+  test("rolling_median: sliding 7-row lower median replays the sequential scan") {
+    val rows = Tables.eventsWithEpoch(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = rows.groupBy(_._1).iterator.flatMap { case (_, es) =>
+      val ordered = es.sortBy(e => (e._3, e._2))
+      ordered.zipWithIndex.map { case ((u, id, ts, v), i) =>
+        val frame = ordered.slice(math.max(0, i - 6), i + 1).map(_._4).sorted
+        (u, id, ts, v) -> frame((frame.length + 1) / 2 - 1)
+      }
+    }.toMap
+    val got = Sequences.qRollingMedian(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ->
+        r.getAs[Long]("med7_cents")).toMap
+    assert(got === expected)
+  }
+
   test("content_chunks: sequential LBFS chunker replay; bytes conserve") {
     val docs = Tables.documents(spark, sf)
       .filter(col("text").isNotNull && length(col("text")) > 0)

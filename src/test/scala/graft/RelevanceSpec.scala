@@ -173,4 +173,41 @@ class RelevanceSpec extends SparkSpec {
       assert(mrr >= p1, s"mrr=$mrr p1=$p1")
     }
   }
+
+  test("ndcg: planted relevance gives exact position-discounted scores") {
+    // Probes are doc_id < 64; docs >= 64 are corpus-only.
+    //  - q0 "alpha beta" (label 1): sole candidate 100 shares both
+    //    words, is relevant, ranks 1 → DCG = 1e6; R = 1 → IDCG = 1e6
+    //    → ndcg 1000, perfect.
+    //  - q1 "gamma delta" (label 2): candidate 101 shares "gamma",
+    //    ranks 1, relevant; 102 shares nothing (never retrieved) but
+    //    counts in R = 2 → IDCG = 1630929 → ndcg = 1e9/1630929 = 613.
+    val dir = java.nio.file.Files.createTempDirectory("ndcg").toString
+    Seq((0L, "alpha beta", "s", 10L), (1L, "gamma delta", "s", 11L),
+      (100L, "alpha beta", "s", 10L), (101L, "gamma epsilon", "s", 13L),
+      (102L, "zeta eta", "s", 8L))
+      .toDF("doc_id", "text", "source", "n_chars")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        col("source"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq((0L, Seq(0.1f), 1), (1L, Seq(0.1f), 2), (100L, Seq(0.1f), 1),
+      (101L, Seq(0.1f), 2), (102L, Seq(0.1f), 2))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = Relevance.qNdcg(spark, dir).collect()
+      .map(x => x.getAs[Long]("label") ->
+        ((x.getAs[Long]("n_queries"), x.getAs[Long]("avg_ndcg_permille"),
+          x.getAs[Long]("n_perfect")))).toMap
+    assert(r === Map(1L -> ((1L, 1000L, 1L)), 2L -> ((1L, 613L, 0L))))
+  }
+
+  test("ndcg: sf bounds — permille in range, perfect below query count") {
+    val r = graft.operators.Relevance.qNdcg(spark, "/root/testdata/sf0.001").collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      val a = x.getAs[Long]("avg_ndcg_permille")
+      assert(a >= 0 && a <= 1000)
+      assert(x.getAs[Long]("n_perfect") <= x.getAs[Long]("n_queries"))
+    }
+  }
 }
