@@ -753,7 +753,62 @@ object Profiling {
       .orderBy("yr", "qtr", "layout")
   }
 
+  /** q_psi_drift — Population Stability Index between the first and
+    * second halves of the event stream (split at the midpoint of the
+    * observed time span), the model-ops drift gauge that answers "has
+    * the value distribution my filters/models were tuned on moved?"
+    * Banking/ML-ops folklore thresholds: PSI < 0.1 stable, > 0.25
+    * drifted. Bins are the FIXED log₂ grid of [[TextStats.qLogHistogram]]
+    * (length(bin(v))−1) rather than reference-half deciles — exact
+    * deciles need a single-partition global window (the qCoverageCurve
+    * anti-pattern this repo already evicted once), while fixed bins
+    * keep the whole query two scans + a ~16-group aggregate. Laplace
+    * (+1) smoothing makes empty bins finite. Per-bin term_micro =
+    * floor(1e6·(p−q)·ln(p/q)) — each term is ≥ 0 by sign agreement,
+    * doubles land on the 1e-6 grid (the [[TextStats.qSourceKl]]
+    * determinism argument).
+    *
+    * Scale shape: one scalar (min,max) aggregate broadcast back, one
+    * (bucket, half) count aggregate, then joins over ≤ 2·buckets rows.
+    * No windows, nothing corpus-sized past the scans. */
+  val qPsiDrift: Q = (s, d) => {
+    val ev = Tables.eventsWithEpoch(s, d)
+      .select(col("ts_us"), intScaled(dec2(col("value")), 100L).as("v_cents"))
+    val mid = ev.agg(expr("(min(ts_us) + max(ts_us)) div 2").as("mid"))
+    val counts = ev.crossJoin(broadcast(mid))
+      .withColumn("half",
+        when(col("ts_us") <= col("mid"), lit(0L)).otherwise(lit(1L)))
+      .withColumn("bucket", (length(bin(col("v_cents"))) - 1).cast(LongType))
+      .groupBy("bucket", "half").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("half").agg(sum("c").as("n"))
+    val buckets = counts.select("bucket").distinct()
+    val nB = buckets.agg(count(lit(1)).as("n_buckets"))
+    val refC = counts.filter(col("half") === 0)
+      .select(col("bucket"), col("c").as("c_ref"))
+    val curC = counts.filter(col("half") === 1)
+      .select(col("bucket"), col("c").as("c_cur"))
+    val nRef = totals.filter(col("half") === 0).select(col("n").as("n_reftot"))
+    val nCur = totals.filter(col("half") === 1).select(col("n").as("n_curtot"))
+    buckets
+      .join(refC, Seq("bucket"), "left")
+      .join(curC, Seq("bucket"), "left")
+      .na.fill(0L, Seq("c_ref", "c_cur"))
+      .crossJoin(broadcast(nRef)).crossJoin(broadcast(nCur))
+      .crossJoin(broadcast(nB))
+      .withColumn("p",
+        expr("CAST(c_ref + 1 AS DOUBLE) / (n_reftot + n_buckets)"))
+      .withColumn("q",
+        expr("CAST(c_cur + 1 AS DOUBLE) / (n_curtot + n_buckets)"))
+      .select(col("bucket"),
+        col("c_ref").cast(LongType).as("n_ref"),
+        col("c_cur").cast(LongType).as("n_cur"),
+        floor(lit(1000000.0) * (col("p") - col("q")) * log(col("p") / col("q")))
+          .cast(LongType).as("term_micro"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_psi_drift" -> qPsiDrift,
     "q_prune_proof" -> qPruneProof,
     "q_kmv_intersect" -> qKmvIntersect,
     "q_moment_merge" -> qMomentMerge,
@@ -781,6 +836,34 @@ object Profiling {
     .mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    "q_psi_drift" ->
+      """WITH ev AS (
+        |  SELECT epoch_us(ts) AS ts_us,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_cents
+        |  FROM events),
+        |mid AS (SELECT (MIN(ts_us) + MAX(ts_us)) // 2 AS mid FROM ev),
+        |cnt AS (
+        |  SELECT CAST(length(bin(v_cents)) - 1 AS BIGINT) AS bucket,
+        |    CASE WHEN ts_us <= mid THEN 0 ELSE 1 END AS half, COUNT(*) AS c
+        |  FROM ev, mid GROUP BY 1, 2),
+        |tot AS (SELECT half, SUM(c) AS n FROM cnt GROUP BY half),
+        |b AS (SELECT DISTINCT bucket FROM cnt),
+        |nb AS (SELECT COUNT(*) AS n_buckets FROM b),
+        |j AS (
+        |  SELECT b.bucket, COALESCE(r.c, 0) AS c_ref, COALESCE(u.c, 0) AS c_cur
+        |  FROM b
+        |  LEFT JOIN cnt r ON b.bucket = r.bucket AND r.half = 0
+        |  LEFT JOIN cnt u ON b.bucket = u.bucket AND u.half = 1),
+        |f AS (
+        |  SELECT bucket, c_ref, c_cur,
+        |    CAST(c_ref + 1 AS DOUBLE) / (tr.n + nb.n_buckets) AS p,
+        |    CAST(c_cur + 1 AS DOUBLE) / (tu.n + nb.n_buckets) AS q
+        |  FROM j, (SELECT n FROM tot WHERE half = 0) tr,
+        |       (SELECT n FROM tot WHERE half = 1) tu, nb)
+        |SELECT bucket, CAST(c_ref AS BIGINT) AS n_ref,
+        |  CAST(c_cur AS BIGINT) AS n_cur,
+        |  CAST(FLOOR(1000000.0 * (p - q) * ln(p / q)) AS BIGINT) AS term_micro
+        |FROM f ORDER BY bucket""".stripMargin,
     "q_prune_proof" ->
       """WITH ord AS (
         |  SELECT o_orderkey,

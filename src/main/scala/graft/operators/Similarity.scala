@@ -685,6 +685,83 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** q_mmr_rerank — Maximal Marginal Relevance diversified top-5
+    * (Carbonell & Goldstein 1998, the standard redundancy-aware
+    * reranker): per probe, greedily pick argmax of
+    * λ·rel − (1−λ)·max-sim-to-already-selected with λ = 0.7, so the
+    * second-best near-duplicate of the best hit loses to a novel
+    * document. All integer: score_micros =
+    * (7·rel − 3·msim + 1e7) div 10 − 1e6 — the +1e7 shift keeps the
+    * numerator non-negative so Spark's truncating `div` and DuckDB's
+    * flooring `//` agree on negative cosines; round 1 scores with
+    * msim = 0 (pure relevance, the MMR convention).
+    *
+    * Scale shape: the UNBOUNDED work (probe×corpus relevance) is the
+    * [[qAnnTopk]] broadcast nested-loop, pruned to a 10-candidate pool
+    * per probe by a qid-partitioned window; everything after — the
+    * pool×pool pairwise sims and the five greedy rounds — runs over
+    * ≤ 10·|probes| rows, BOUNDED BY CONSTRUCTION (the pool/pair frames
+    * are localCheckpointed so the five plan-chained rounds never
+    * re-price the corpus). Greedy selection is inherently sequential
+    * in k; keeping k fixed and the pool tiny is exactly how MMR ships
+    * at scale — the corpus pass stays one-shot and parallel. */
+  val qMmrRerank: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === Dim)
+    val withNorm = Tables.spread(emb)
+      .select(col("vec_id"), decVec(col("embedding")).as("de"))
+      .withColumn("nrm", decDot(col("de"), col("de")).cast(DoubleType))
+      .localCheckpoint()
+    val q = withNorm.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("de").as("qe"), col("nrm").as("nq"))
+    val rels = broadcast(q).join(withNorm, col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        cosMicrosPre(decDot(col("qe"), col("de")), col("nq"), col("nrm"))
+          .as("rel"))
+    val wPool = Window.partitionBy("qid").orderBy(col("rel").desc, col("nid"))
+    val pool = rels.withColumn("rn", row_number().over(wPool))
+      .filter(col("rn") <= 10).select("qid", "nid", "rel")
+      .localCheckpoint()
+    val pv = pool.join(withNorm, col("nid") === col("vec_id"))
+      .select(col("qid"), col("nid"), col("de"), col("nrm"))
+    val pairs = pv.as("a").join(pv.as("b"),
+        col("a.qid") === col("b.qid") && col("a.nid") =!= col("b.nid"))
+      .select(col("a.qid").as("pqid"), col("a.nid").as("pa"),
+        col("b.nid").as("pb"),
+        cosMicrosPre(decDot(col("a.de"), col("b.de")),
+          col("a.nrm"), col("b.nrm")).as("sim"))
+      .localCheckpoint()
+    val first = pool.withColumn("rn", row_number().over(wPool))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("nid"), col("rel"),
+        expr("(7L * rel + 10000000L) div 10 - 1000000L").as("score_micros"),
+        lit(1L).as("r"))
+    var selected = first
+    for (round <- 2 to 5) {
+      val wSel = Window.partitionBy("qid")
+        .orderBy(col("score_micros").desc, col("nid"))
+      val pick = pool.as("p")
+        .join(selected.select(col("qid"), col("nid")).as("ex"),
+          col("p.qid") === col("ex.qid") && col("p.nid") === col("ex.nid"),
+          "left_anti")
+        .join(selected.select(col("qid").as("sqid"), col("nid").as("snid")),
+          col("qid") === col("sqid"))
+        .join(pairs, col("pqid") === col("qid") && col("pa") === col("nid") &&
+          col("pb") === col("snid"))
+        .groupBy("qid", "nid", "rel").agg(max(col("sim")).as("msim"))
+        .withColumn("score_micros",
+          expr("(7L * rel - 3L * msim + 10000000L) div 10 - 1000000L"))
+        .withColumn("rn", row_number().over(wSel)).filter(col("rn") === 1)
+        .select(col("qid"), col("nid"), col("rel"), col("score_micros"),
+          lit(round.toLong).as("r"))
+      selected = selected.unionByName(pick)
+    }
+    selected
+      .select(col("qid"), col("r"), col("nid"),
+        col("rel").as("rel_micros"), col("score_micros"))
+      .orderBy("qid", "r")
+  }
+
   /** q_matryoshka_overlap — truncation-fidelity evaluation (Kusupati et
     * al. 2022, Matryoshka Representation Learning): before serving ANN
     * from a cheaper 32-dim prefix, measure how much of the full-64-dim
@@ -982,6 +1059,7 @@ object Similarity {
     "q_embedding_outliers" -> qEmbeddingOutliers,
     "q_jl_distortion" -> qJlDistortion,
     "q_ann_topk" -> qAnnTopk,
+    "q_mmr_rerank" -> qMmrRerank,
     "q_matryoshka_overlap" -> qMatryoshkaOverlap,
     "q_embedding_neardup" -> qEmbeddingNeardup,
     "q_embedding_norms" -> qEmbeddingNorms,
@@ -1316,6 +1394,74 @@ object Similarity {
         |  FROM truth t LEFT JOIN pq p ON t.qid = p.qid AND t.nid = p.nid
         |  GROUP BY t.qid)
         |ORDER BY qid""".stripMargin),
+    "q_mmr_rerank" -> {
+      val rounds = (2 to 5).map { r =>
+        s"""selall$r AS (${(1 until r).map(i => s"SELECT qid, nid FROM sel$i")
+            .mkString(" UNION ALL ")}),
+           |ms$r AS (
+           |  SELECT p.qid, p.nid, p.rel, MAX(pr.sim) AS msim
+           |  FROM pool p
+           |  LEFT JOIN selall$r ex ON p.qid = ex.qid AND p.nid = ex.nid
+           |  JOIN selall$r sa ON p.qid = sa.qid
+           |  JOIN pairs pr ON pr.qid = p.qid AND pr.a = p.nid AND pr.b = sa.nid
+           |  WHERE ex.nid IS NULL
+           |  GROUP BY 1, 2, 3),
+           |sel$r AS (
+           |  SELECT qid, nid, rel, score_micros, CAST($r AS BIGINT) AS r FROM (
+           |    SELECT qid, nid, rel,
+           |      (7 * rel - 3 * msim + 10000000) // 10 - 1000000 AS score_micros,
+           |      row_number() OVER (PARTITION BY qid
+           |        ORDER BY (7 * rel - 3 * msim + 10000000) // 10 - 1000000 DESC,
+           |          nid) AS rn
+           |    FROM ms$r) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH el AS (
+         |  SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) AS x
+         |  FROM (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS i
+         |        FROM embeddings)),
+         |nrm AS (SELECT vec_id, SUM(x*x) AS nrm FROM el GROUP BY vec_id),
+         |dots AS (
+         |  SELECT q.vec_id AS qid, e.vec_id AS nid, SUM(q.x * e.x) AS dot
+         |  FROM el q JOIN el e ON q.i = e.i AND q.vec_id < 4 AND e.vec_id <> q.vec_id
+         |  GROUP BY q.vec_id, e.vec_id),
+         |rels AS (
+         |  SELECT qid, nid,
+         |    CAST(CAST(CAST(dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(ne.nrm AS DOUBLE)) AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS rel
+         |  FROM dots
+         |  JOIN nrm nq ON qid = nq.vec_id
+         |  JOIN nrm ne ON nid = ne.vec_id),
+         |pool AS (
+         |  SELECT qid, nid, rel FROM (
+         |    SELECT qid, nid, rel,
+         |      row_number() OVER (PARTITION BY qid ORDER BY rel DESC, nid) AS rn
+         |    FROM rels) WHERE rn <= 10),
+         |dotp AS (
+         |  SELECT pa.qid, pa.nid AS a, pb.nid AS b, SUM(ea.x * eb.x) AS dot
+         |  FROM pool pa
+         |  JOIN pool pb ON pa.qid = pb.qid AND pa.nid <> pb.nid
+         |  JOIN el ea ON ea.vec_id = pa.nid
+         |  JOIN el eb ON eb.vec_id = pb.nid AND eb.i = ea.i
+         |  GROUP BY 1, 2, 3),
+         |pairs AS (
+         |  SELECT d.qid, d.a, d.b,
+         |    CAST(CAST(CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS sim
+         |  FROM dotp d
+         |  JOIN nrm na ON d.a = na.vec_id
+         |  JOIN nrm nb ON d.b = nb.vec_id),
+         |sel1 AS (
+         |  SELECT qid, nid, rel,
+         |    (7 * rel + 10000000) // 10 - 1000000 AS score_micros,
+         |    CAST(1 AS BIGINT) AS r FROM (
+         |    SELECT qid, nid, rel,
+         |      row_number() OVER (PARTITION BY qid ORDER BY rel DESC, nid) AS rn
+         |    FROM pool) WHERE rn = 1),
+         |$rounds
+         |SELECT qid, r, nid, rel AS rel_micros, score_micros FROM (
+         |  SELECT * FROM sel1 UNION ALL SELECT * FROM sel2
+         |  UNION ALL SELECT * FROM sel3 UNION ALL SELECT * FROM sel4
+         |  UNION ALL SELECT * FROM sel5)
+         |ORDER BY qid, r""".stripMargin
+    },
     "q_ann_topk" ->
       """WITH el AS (
         |  SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) AS x

@@ -648,6 +648,32 @@ class CorpusAuditSpec extends SparkSpec {
       assert(nB === 64L); assert(lo <= hi) }
   }
 
+  test("psi_drift: midpoint-split PSI replays; every term non-negative") {
+    val rows = Tables.eventsWithEpoch(spark, sf)
+      .select(col("ts_us"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val mid = (rows.map(_._1).min + rows.map(_._1).max) / 2
+    def bucket(v: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(v)
+    val ref = rows.filter(_._1 <= mid).map(e => bucket(e._2))
+    val cur = rows.filter(_._1 > mid).map(e => bucket(e._2))
+    val buckets = (ref ++ cur).distinct.sorted
+    val nB = buckets.length
+    val expected = buckets.map { b =>
+      val cR = ref.count(_ == b).toLong
+      val cC = cur.count(_ == b).toLong
+      val p = (cR + 1).toDouble / (ref.length + nB)
+      val q = (cC + 1).toDouble / (cur.length + nB)
+      b -> ((cR, cC, math.floor(1000000.0 * (p - q) * math.log(p / q)).toLong))
+    }.toMap
+    val got = Profiling.qPsiDrift(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_ref"), r.getAs[Long]("n_cur"),
+          r.getAs[Long]("term_micro")))).toMap
+    assert(got === expected)
+    got.values.foreach { case (_, _, t) => assert(t >= 0L) }
+  }
+
   test("rolling_median: sliding 7-row lower median replays the sequential scan") {
     val rows = Tables.eventsWithEpoch(spark, sf)
       .select(col("user_id"), col("event_id"), col("ts_us"),
