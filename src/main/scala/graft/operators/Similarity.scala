@@ -762,6 +762,80 @@ object Similarity {
       .orderBy("qid", "r")
   }
 
+  /** q_pq_train — one Lloyd iteration of product-quantization codebook
+    * TRAINING (Jégou et al. 2011 §III; [[qPqTopk]] is the serving
+    * path, this is how its codebooks come to exist): the 64-dim space
+    * splits into M = 8 subspaces of 8 dims, each trained
+    * INDEPENDENTLY — assign every subvector to its nearest of K = 8
+    * seed centroids (the vec_id < 8 subvectors) by exact unscaled-long
+    * squared L2 ((u₁−u₂)² ≤ 4·10¹⁶, ×8 dims < 2⁶³ — no float, no
+    * decimal division), then emit the per-(subspace, centroid,
+    * dimension) count and coordinate sum — exactly the sufficient
+    * statistics a driver needs to form the next codebook, in the same
+    * shape [[qKmeansStep]] uses for full-space k-means.
+    *
+    * Scale shape: the subspace split multiplies parallelism by M while
+    * cutting each assignment to an 8-dim problem — the reason PQ
+    * training scales where full-space k-means strains; centroid rows
+    * are K·M·8 = 512 BOUNDED BY CONSTRUCTION (broadcast is correct at
+    * any corpus size), and both aggregates collapse map-side. */
+  val qPqTrain: Q = (s, d) => {
+    val rows = unscaledRows(Tables.spread(Tables.embeddings(s, d)))
+      .select(col("vec_id"), expr("(i - 1) div 8").as("m"),
+        expr("(i - 1) % 8").as("sd"), col("u"))
+    val cents = rows.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("m"), col("sd"), col("u").as("uc"))
+    val d2 = rows.join(broadcast(cents), Seq("m", "sd"))
+      .groupBy(col("vec_id"), col("m"), col("cid"))
+      .agg(sum(expr("(u - uc) * (u - uc)")).as("d2"))
+    val assign = d2.groupBy("vec_id", "m")
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
+    rows.join(assign, Seq("vec_id", "m"))
+      .groupBy(col("m").cast(LongType).as("subspace"), col("cid"),
+        (col("sd") + 1).cast(LongType).as("sdim"))
+      .agg(count(lit(1)).as("n"), sum("u").cast(LongType).as("sum_unscaled"))
+      .orderBy("subspace", "cid", "sdim")
+  }
+
+  /** q_hubness — k-occurrence (in-degree) distribution of the k = 3
+    * nearest-neighbor graph, the high-dimensional HUBNESS diagnostic
+    * (Radovanović et al., JMLR 2010): as dimensionality grows, a few
+    * "hub" vectors appear in almost everyone's top-k while antihubs
+    * appear in no one's — which silently skews every kNN-based dedup,
+    * classification, and retrieval consumer upstream. A right-heavy
+    * histogram here is the canonical "your embedding space needs
+    * whitening/centering" smell.
+    *
+    * Computed over the deterministic vec_id < 512 sample — hubness is
+    * a distributional ESTIMATE and sample-based estimation is how the
+    * literature measures it at scale; the sample bound makes the
+    * pairwise stage 512², constant in corpus size (at 100 TB the same
+    * query runs on the sample unchanged). Both self-join sides are
+    * sample-sized, so the join stays UNHINTED (AQE broadcasts it). */
+  val qHubness: Q = (s, d) => {
+    val sample = Tables.spread(Tables.embeddings(s, d))
+      .filter(col("vec_id") < 512 && col("embedding").isNotNull &&
+        size(col("embedding")) === Dim)
+      .select(col("vec_id"), decVec(col("embedding")).as("de"))
+      .withColumn("nrm", decDot(col("de"), col("de")).cast(DoubleType))
+      .localCheckpoint()
+    val w = Window.partitionBy("qid").orderBy(col("sim_micros").desc, col("nid"))
+    val top = sample
+      .select(col("vec_id").as("qid"), col("de").as("qe"), col("nrm").as("nq"))
+      .join(sample.select(col("vec_id").as("nid"), col("de").as("ne"),
+        col("nrm").as("nn")), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        cosMicrosPre(decDot(col("qe"), col("ne")), col("nq"), col("nn"))
+          .as("sim_micros"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+    val occ = top.groupBy(col("nid")).agg(count(lit(1)).as("k_occ"))
+    sample.select(col("vec_id").as("nid"))
+      .join(occ, Seq("nid"), "left").na.fill(0L, Seq("k_occ"))
+      .groupBy(col("k_occ").cast(LongType).as("k_occurrence"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy("k_occurrence")
+  }
+
   /** q_matryoshka_overlap — truncation-fidelity evaluation (Kusupati et
     * al. 2022, Matryoshka Representation Learning): before serving ANN
     * from a cheaper 32-dim prefix, measure how much of the full-64-dim
@@ -1068,6 +1142,8 @@ object Similarity {
     "q_ivf_topk" -> qIvfTopk,
     "q_ivf_recall" -> qIvfRecall,
     "q_pq_topk" -> qPqTopk,
+    "q_pq_train" -> qPqTrain,
+    "q_hubness" -> qHubness,
     "q_pq_recall" -> qPqRecall,
     "q_kmeans_step" -> qKmeansStep,
     "q_semdedup" -> qSemdedup,
@@ -1394,6 +1470,56 @@ object Similarity {
         |  FROM truth t LEFT JOIN pq p ON t.qid = p.qid AND t.nid = p.nid
         |  GROUP BY t.qid)
         |ORDER BY qid""".stripMargin),
+    "q_pq_train" ->
+      """WITH el AS (
+        |  SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) AS x
+        |  FROM (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS i
+        |        FROM embeddings)),
+        |r AS (
+        |  SELECT vec_id, CAST((i - 1) // 8 AS BIGINT) AS m,
+        |    CAST((i - 1) % 8 AS BIGINT) AS sd,
+        |    CAST(x * 100000000 AS BIGINT) AS u
+        |  FROM el),
+        |c AS (SELECT vec_id AS cid, m, sd, u AS uc FROM r WHERE vec_id < 8),
+        |d2 AS (
+        |  SELECT r.vec_id, r.m, c.cid, SUM((r.u - c.uc) * (r.u - c.uc)) AS d2
+        |  FROM r JOIN c ON r.m = c.m AND r.sd = c.sd
+        |  GROUP BY 1, 2, 3),
+        |a AS (
+        |  SELECT vec_id, m, cid FROM (
+        |    SELECT vec_id, m, cid,
+        |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+        |    FROM d2) WHERE rn = 1)
+        |SELECT r.m AS subspace, a.cid, r.sd + 1 AS sdim, COUNT(*) AS n,
+        |  CAST(SUM(r.u) AS BIGINT) AS sum_unscaled
+        |FROM r JOIN a ON r.vec_id = a.vec_id AND r.m = a.m
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q_hubness" ->
+      """WITH el AS (
+        |  SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) AS x
+        |  FROM (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS i
+        |        FROM embeddings WHERE vec_id < 512)),
+        |nrm AS (SELECT vec_id, SUM(x*x) AS nrm FROM el GROUP BY vec_id),
+        |dots AS (
+        |  SELECT q.vec_id AS qid, e.vec_id AS nid, SUM(q.x * e.x) AS dot
+        |  FROM el q JOIN el e ON q.i = e.i AND e.vec_id <> q.vec_id
+        |  GROUP BY 1, 2),
+        |cosv AS (
+        |  SELECT qid, nid,
+        |    CAST(CAST(CAST(dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(ne.nrm AS DOUBLE)) AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS sim_micros
+        |  FROM dots
+        |  JOIN nrm nq ON qid = nq.vec_id
+        |  JOIN nrm ne ON nid = ne.vec_id),
+        |top AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT qid, nid,
+        |      row_number() OVER (PARTITION BY qid ORDER BY sim_micros DESC, nid) AS rnk
+        |    FROM cosv) WHERE rnk <= 3),
+        |occ AS (SELECT nid, COUNT(*) AS k_occ FROM top GROUP BY nid),
+        |ids AS (SELECT DISTINCT vec_id AS nid FROM el)
+        |SELECT COALESCE(o.k_occ, 0) AS k_occurrence, COUNT(*) AS n_vectors
+        |FROM ids LEFT JOIN occ o ON ids.nid = o.nid
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_mmr_rerank" -> {
       val rounds = (2 to 5).map { r =>
         s"""selall$r AS (${(1 until r).map(i => s"SELECT qid, nid FROM sel$i")

@@ -62,4 +62,55 @@ class PqSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("pq_train: stitched vectors assign at distance zero; stats reproduce centroids") {
+    // seeds 0-7: vec j = constant (j+1)/16 everywhere (exact binary
+    // fractions — float-faithful through the DECIMAL(12,8) cast).
+    // Corpus vectors 8-9 copy WHOLE 8-dim subspaces from seeds (8: all
+    // from seed 2; 9: alternating seeds 0/1 per subspace) → every
+    // assignment is d2 = 0 to the copied seed, and the per-(subspace,
+    // cid, sdim) sums are exact multiples of the seed coordinate.
+    val seeds = (0 until 8).map(j => Array.fill(64)((j + 1) / 16.0f))
+    val v8 = Array.fill(64)(0.1875f)                // = seed 2
+    val v9 = (0 until 64).map(i =>
+      if ((i / 8) % 2 == 0) 0.0625f else 0.125f).toArray
+    val dir = writeEmb(seeds ++ Seq(v8, v9))
+    val r = Similarity.qPqTrain(spark, dir).collect()
+      .map(x => (x.getAs[Long]("subspace"), x.getAs[Long]("cid"),
+        x.getAs[Long]("sdim")) ->
+        ((x.getAs[Long]("n"), x.getAs[Long]("sum_unscaled")))).toMap
+    // each (subspace, sdim) slot partitions all 10 vectors
+    (0L until 8L).foreach { m =>
+      assert(r.collect { case ((s0, _, sd), (n, _)) if s0 == m && sd == 1 => n }
+        .sum == 10L)
+    }
+    // seed 2 hosts itself + v8 in every subspace: n = 2, sum = 2·0.1875e8
+    (0L until 8L).foreach { m =>
+      assert(r((m, 2L, 1L)) == ((2L, 37500000L)), r((m, 2L, 1L)).toString)
+    }
+    // v9: even subspaces join seed 0 (0.0625), odd join seed 1 (0.125)
+    assert(r((0L, 0L, 1L)) == ((2L, 12500000L)))
+    assert(r((1L, 1L, 1L)) == ((2L, 25000000L)))
+    assert(r((1L, 0L, 1L))._1 == 1L) // seed 0 alone in odd subspaces
+  }
+
+  test("hubness: histogram conserves vectors and edges; hubs and antihubs split") {
+    // hub 0 = e1; satellites 1-5 = e1 + 0.5·e_{i+1}. Every satellite's
+    // top-1 is the hub (sim .894 vs .8 satellite-satellite); satellite
+    // ties break to the LOWEST id, so everyone's remaining two picks
+    // are satellites 1-2 — making 0, 1, 2 co-hubs (k_occ = 5 = n−1),
+    // satellite 3 middling (hub + sats 1, 2 pick it), and 4, 5
+    // antihubs (k_occ = 0). Exactly the asymmetric-neighbor skew the
+    // diagnostic exists to expose, pinned end-to-end:
+    val hub = { val a = Array.fill(64)(0.0f); a(0) = 1.0f; a }
+    val sats = (1 to 5).map { i =>
+      val a = Array.fill(64)(0.0f); a(0) = 1.0f; a(i) = 0.5f; a }
+    val dir = writeEmb(hub +: sats)
+    val hist = Similarity.qHubness(spark, dir).collect()
+      .map(x => x.getAs[Long]("k_occurrence") -> x.getAs[Long]("n_vectors"))
+      .toMap
+    assert(hist.values.sum == 6L)                              // vectors conserve
+    assert(hist.map { case (k, n) => k * n }.sum == 18L)       // 6 queries × k=3 edges
+    assert(hist == Map(0L -> 2L, 3L -> 1L, 5L -> 3L), hist.toString)
+  }
 }
