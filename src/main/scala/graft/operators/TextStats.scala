@@ -1075,14 +1075,17 @@ object TextStats {
   val qFleschReading: Q = (s, d) => {
     val counted = Tables.documents(s, d)
       .filter(col("text").isNotNull)
+      // regexp_count, not size(regexp_extract_all(…)): counting runs
+      // must not materialize an array of every match per document —
+      // at corpus scale that's pure allocation churn. The DuckDB twin
+      // spells it len(regexp_extract_all(…)) (no regexp_count there);
+      // the counts are equal.
       .select(col("lang"),
-        size(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0)))
-          .cast(LongType).as("w"),
+        regexp_count(col("text"), lit("[A-Za-z]+")).cast(LongType).as("w"),
         greatest(lit(1L),
-          size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
-            .cast(LongType)).as("s"),
-        size(regexp_extract_all(col("text"), lit("[aeiouyAEIOUY]+"), lit(0)))
-          .cast(LongType).as("syl"))
+          regexp_count(col("text"), lit("[.!?]+")).cast(LongType)).as("s"),
+        regexp_count(col("text"), lit("[aeiouyAEIOUY]+")).cast(LongType)
+          .as("syl"))
       .filter(col("w") > 0)
       .withColumn("flesch_milli",
         expr("206835L - (1015L * w) div s - (84600L * syl) div w"))
