@@ -859,7 +859,66 @@ object CorpusOps {
       .orderBy("source")
   }
 
+  /** q_suffix_ranks — the token-level SUFFIX ARRAY of the corpus, by
+    * distributed prefix doubling (Manber-Myers 1990; the distributed
+    * form is Flick & Aluru, SC'15): every (doc, pos) suffix gets the
+    * dense rank of its full token sequence among all suffixes. This is
+    * the real machinery behind exact substring dedup (Lee et al. 2022
+    * build a suffix array to find 50-token repeats) — adjacent ranks
+    * with long common prefixes ARE the duplicated spans
+    * ([[qSubstringSpans]] is the fixed-k gram approximation of the
+    * same; ranks subsume every k at once).
+    *
+    * Algorithm: radix-16 prefix doubling. rank₁ = dense rank of the
+    * first token; each round ranks the 16-tuple (rankₕ(i),
+    * rankₕ(i+h), …, rankₕ(i+15h)) — −1 past the doc end, so a shorter
+    * suffix sorts first, matching list-lexicographic order — giving
+    * rank₁₆ₕ, until h ≥ the longest document. The offset ranks come
+    * from 15 `lead()`s in ONE doc-partitioned window (high-cardinality
+    * key → fully parallel; the classic shift-and-join pairing pays a
+    * shuffle join per round instead), and each dense rank is
+    * [[Ranking.globalDenseRank]] — one range exchange + per-partition
+    * local ranks + a P-row boundary-stitching offsets frame, NO
+    * single-partition window, no string compared after round one.
+    * ⌈log₁₆ maxdoclen⌉ rounds (the bound is a per-DOC length, not
+    * corpus size — 2 rounds for 100-token docs, 5 for 100k), each a
+    * fixed-width sort of 16 longs — the Flick-Aluru construction with
+    * a wider radix trading bytes-per-key for round count, the right
+    * trade when every round is a full corpus shuffle.
+    *
+    * Tokens are the RAW space-split sequence (empties kept): position
+    * arithmetic and the oracle's `arr[pos:]` list slice must see the
+    * identical sequence, and `split` is lossless only unfiltered. */
+  val qSuffixRanks: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val Radix = 16
+    val toks = Tables.spread(Tables.documents(s, d)
+        .filter(col("text").isNotNull))
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p0", "w")))
+      .select(col("doc_id"), (col("p0") + 1).cast(LongType).as("pos"), col("w"))
+      .localCheckpoint()
+    var cur = Ranking.globalDenseRank(toks, Seq(col("w")), "__dr")
+      .select(col("doc_id"), col("pos"), col("__dr").as("r"))
+    val maxLen = toks.groupBy("doc_id").count().agg(max("count")).head().getLong(0)
+    var h = 1L
+    while (h < maxLen) {
+      val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+      val tupled = cur.select(
+        col("doc_id") +: col("pos") +: col("r") +:
+          (1 until Radix).map(j =>
+            coalesce(lead(col("r"), (j * h).toInt).over(wDoc), lit(-1L))
+              .as(s"r$j")): _*)
+      cur = Ranking.globalDenseRank(tupled,
+          col("r") +: (1 until Radix).map(j => col(s"r$j")), "__dr")
+        .select(col("doc_id"), col("pos"), col("__dr").as("r"))
+      h *= Radix
+    }
+    cur.select(col("doc_id"), col("pos"), col("r").as("suffix_rank"))
+      .orderBy("doc_id", "pos")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_suffix_ranks" -> qSuffixRanks,
     "q_dup_positions" -> qDupPositions,
     "q_wordpiece" -> qWordpiece,
     "q_content_chunks" -> qContentChunks,
@@ -913,6 +972,19 @@ object CorpusOps {
       |  FROM pp)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_suffix_ranks" ->
+      // direct form: sort ALL suffix token-lists at once (list compare
+      // is element-wise VARCHAR lexicographic = token order); equality
+      // proves the prefix-doubling decomposition drops nothing
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS arr
+        |  FROM documents WHERE text IS NOT NULL),
+        |toks AS (
+        |  SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS pos
+        |  FROM docs)
+        |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |  CAST(dense_rank() OVER (ORDER BY arr[pos:]) AS BIGINT) AS suffix_rank
+        |FROM toks ORDER BY doc_id, pos""".stripMargin,
     "q_dup_positions" ->
       """WITH toks AS (
         |  SELECT doc_id, source,

@@ -84,6 +84,61 @@ object Ranking {
       .drop("__pid", "__lrn", "__off")
   }
 
+  /** Global `dense_rank() OVER (ORDER BY orderCols)` without a
+    * single-partition window AND without the distinct-then-join-back
+    * detour (rank the distinct keys via [[globalRowNumber]], join
+    * back = 3 shuffles): ONE range exchange, a per-physical-partition
+    * local dense_rank (the window partitions on partition id — as
+    * parallel as the exchange), and a P-row offsets frame that
+    * stitches partition boundaries — subtracting one whenever a
+    * partition's first key equals its predecessor's last key, so a key
+    * run that straddles the boundary keeps a single rank. Built for
+    * iterated rankers ([[graft.operators.CorpusOps.qSuffixRanks]]'
+    * prefix-doubling runs it ⌈log₂ maxdoclen⌉ times, where the
+    * join-back form priced 3 shuffles per round). Row-preserving:
+    * returns `df` plus the `out` column. */
+  def globalDenseRank(df: DataFrame, orderCols: Seq[Column], out: String = "dr"): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val ranged = df.repartitionByRange(parts, orderCols: _*)
+    val wLoc = Window.partitionBy("__pid").orderBy(orderCols: _*)
+    // localCheckpoint UNCONDITIONALLY, unlike globalRowNumber's
+    // reuse-reliant fast path: the offsets branch below joins back
+    // onto this frame, and the join's attribute dedup RE-ALIASES one
+    // subtree — the two range exchanges then canonicalize differently,
+    // ReuseExchange never fires, and each samples its OWN boundaries
+    // (observed live: rangepartitioning(k#10) vs (k#49) in one plan —
+    // silently inconsistent pid/ldr vs offsets). Materializing pins
+    // one sampling, and both consumers read the same blocks instead
+    // of recomputing the sort+window.
+    val local = ranged.sortWithinPartitions(orderCols: _*)
+      .withColumn("__key", struct(orderCols: _*))
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", shiftrightunsigned(col("__mid"), 33))
+      .withColumn("__lrn", col("__mid").bitwiseAND(lit((1L << 33) - 1)) + 1L)
+      .withColumn("__ldr", dense_rank().over(wLoc).cast(LongType))
+      .localCheckpoint()
+    // P rows: per-partition group count + boundary keys; the only
+    // un-partitioned windows below run over these P rows
+    val wOrd = Window.orderBy("__pid")
+    val offsets = local.groupBy(col("__pid"))
+      .agg(max(col("__ldr")).as("__ng"),
+        min_by(col("__key"), col("__lrn")).as("__first"),
+        max_by(col("__key"), col("__lrn")).as("__last"))
+      .withColumn("__merge",
+        when(col("__first") === lag(col("__last"), 1).over(wOrd), 1L)
+          .otherwise(0L))
+      .withColumn("__cumng", coalesce(
+        sum(col("__ng")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("__cummerge",
+        sum(col("__merge")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("__pid"), (col("__cumng") - col("__cummerge")).as("__off"))
+    local.join(broadcast(offsets), "__pid")
+      .withColumn(out, (col("__off") + col("__ldr")).cast(LongType))
+      .drop("__key", "__mid", "__pid", "__lrn", "__ldr", "__off")
+  }
+
   /** Per-group `row_number() OVER (PARTITION BY keys ORDER BY ...)`
     * without a per-key window — the scale-correct form when the
     * partition key has FEW distinct values (a plain window then

@@ -648,6 +648,49 @@ class CorpusAuditSpec extends SparkSpec {
       assert(nB === 64L); assert(lo <= hi) }
   }
 
+  test("suffix_ranks: prefix-doubling equals a direct suffix sort") {
+    val docs = Tables.documents(spark, sf)
+      .filter(col("text").isNotNull).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // token order must be UTF-8 BINARY (both engines' collation), not
+    // Java's UTF-16 compareTo
+    def bytesLt(a: String, b: String): Boolean = {
+      val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    def seqLt(a: Seq[String], b: Seq[String]): Boolean = {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        if (a(i) != b(i)) return bytesLt(a(i), b(i))
+        i += 1
+      }
+      a.length < b.length
+    }
+    val suffixes = docs.flatMap { case (id, text) =>
+      val arr = text.split(" ", -1).toSeq
+      arr.indices.map(p => ((id, p + 1L), arr.drop(p)))
+    }
+    val sorted = suffixes.sortWith((x, y) => seqLt(x._2, y._2))
+    val expected = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    var rank = 0L
+    var prev: Option[Seq[String]] = None
+    sorted.foreach { case (key, suf) =>
+      if (!prev.contains(suf)) { rank += 1; prev = Some(suf) }
+      expected(key) = rank
+    }
+    val got = CorpusOps.qSuffixRanks(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === expected.toMap)
+  }
+
   test("psi_drift: midpoint-split PSI replays; every term non-negative") {
     val rows = Tables.eventsWithEpoch(spark, sf)
       .select(col("ts_us"),

@@ -89,4 +89,22 @@ class RankingSpec extends SparkSpec {
       assert(got === want, s"n=$n k=$k")
     }
   }
+
+  test("globalDenseRank equals single-partition window dense_rank (dup-heavy, skewed)") {
+    import spark.implicits._
+    // dup-heavy: ~97·t distinct keys over 20k rows; the boundary-stitch
+    // path (same key straddling partition stats) and the re-aliased
+    // self-join lineage (the round-10 inconsistent-boundaries bug) are
+    // both exercised
+    for (t <- Seq(1, 3)) {
+      val df = (1 to 20000)
+        .map(i => (i.toLong + t, (i * 7919 % (97 * t)).toLong)).toDF("id", "k")
+      val want = df.withColumn("t",
+          dense_rank().over(Window.orderBy("k")).cast(LongType))
+        .select("id", "t").as[(Long, Long)].collect().toMap
+      val got = Ranking.globalDenseRank(df, Seq(col("k")), "g")
+        .select("id", "g").as[(Long, Long)].collect().toMap
+      assert(got === want, s"t=$t")
+    }
+  }
 }
