@@ -889,7 +889,9 @@ object CorpusOps {
     * Tokens are the RAW space-split sequence (empties kept): position
     * arithmetic and the oracle's `arr[pos:]` list slice must see the
     * identical sequence, and `split` is lossless only unfiltered. */
-  val qSuffixRanks: Q = (s, d) => {
+  /** The suffix-rank table (doc_id, pos, r) — see [[qSuffixRanks]] for
+    * the algorithm; shared with [[qRepeatedSpans]]. */
+  private def suffixRanks(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val Radix = 16
     val toks = Tables.spread(Tables.documents(s, d)
@@ -913,12 +915,70 @@ object CorpusOps {
         .select(col("doc_id"), col("pos"), col("__dr").as("r"))
       h *= Radix
     }
-    cur.select(col("doc_id"), col("pos"), col("r").as("suffix_rank"))
+    cur
+  }
+
+  val qSuffixRanks: Q = (s, d) =>
+    suffixRanks(s, d)
+      .select(col("doc_id"), col("pos"), col("r").as("suffix_rank"))
       .orderBy("doc_id", "pos")
+
+  /** q_repeated_spans — what the suffix array is FOR: the 20 longest
+    * repeated token spans in the corpus (Lee et al. 2022 dedup 50+
+    * token repeats exactly this way). In suffix order, every repeat is
+    * visible as the common prefix of some ADJACENT pair, so one
+    * successor join prices all repeats at once — no pair enumeration.
+    * LCP per adjacent pair is CAPPED at 32 tokens (the detection
+    * threshold shape: past the cap a repeat is "long", its exact
+    * length irrelevant), computed as Σₖ [first-k slices equal] — each
+    * term already requires all earlier tokens equal, so the sum IS the
+    * common-prefix length, branch-free on both engines.
+    *
+    * Scale shape: the SA rounds ([[suffixRanks]]); one globalRowNumber
+    * over the NARROW (doc, pos, r) table for the total suffix order
+    * (span arrays never ride the range exchange); one equi-join on rn
+    * (successor pairing, still narrow); spans sliced once and joined
+    * twice at the end; LCP as a nested null-safe element_at CASE chain
+    * — first mismatching position wins, zero slice allocations; global
+    * top-20 via sort+limit (TakeOrdered — per-partition heaps, no
+    * global sort). */
+  val qRepeatedSpans: Q = (s, d) => {
+    val Cap = 32
+    val ranks = suffixRanks(s, d)
+    val rn = Ranking.globalRowNumber(ranks,
+      Seq(col("r"), col("doc_id"), col("pos")), "rn")
+    val pairs = rn.select(col("doc_id").as("a_doc"), col("pos").as("a_pos"),
+        col("rn"))
+      .join(rn.select(col("doc_id").as("b_doc"), col("pos").as("b_pos"),
+        (col("rn") - 1L).as("rn")), Seq("rn"))
+    val spans = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("arr"))
+      .join(ranks.select("doc_id", "pos"), Seq("doc_id"))
+      .select(col("doc_id"), col("pos"),
+        slice(col("arr"), col("pos"), lit(Cap)).as("span"))
+      .localCheckpoint()
+    // lcp = index of the first position where the spans differ (null-
+    // safe: running off the shorter span mismatches, two spans equal
+    // through the cap report Cap — identical to the oracle's
+    // truncating slice comparison)
+    val lcp = (1 to Cap).foldRight(lit(Cap.toLong)) { (k, els) =>
+      when(not(try_element_at(col("sa"), lit(k)) <=>
+        try_element_at(col("sb"), lit(k))), lit(k - 1L)).otherwise(els)
+    }
+    pairs
+      .join(spans.select(col("doc_id").as("a_doc"), col("pos").as("a_pos"),
+        col("span").as("sa")), Seq("a_doc", "a_pos"))
+      .join(spans.select(col("doc_id").as("b_doc"), col("pos").as("b_pos"),
+        col("span").as("sb")), Seq("b_doc", "b_pos"))
+      .select(col("a_doc"), col("a_pos"), col("b_doc"), col("b_pos"),
+        lcp.as("lcp_tokens"))
+      .orderBy(col("lcp_tokens").desc, col("a_doc"), col("a_pos"))
+      .limit(20)
   }
 
   val queries: Map[String, Q] = Map(
     "q_suffix_ranks" -> qSuffixRanks,
+    "q_repeated_spans" -> qRepeatedSpans,
     "q_dup_positions" -> qDupPositions,
     "q_wordpiece" -> qWordpiece,
     "q_content_chunks" -> qContentChunks,
@@ -985,6 +1045,29 @@ object CorpusOps {
         |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
         |  CAST(dense_rank() OVER (ORDER BY arr[pos:]) AS BIGINT) AS suffix_rank
         |FROM toks ORDER BY doc_id, pos""".stripMargin,
+    "q_repeated_spans" -> {
+      val lcpTerms = (1 to 32)
+        .map(k => s"CAST(sa_[1:$k] = sb[1:$k] AS INT)").mkString(" + ")
+      s"""WITH docs AS (
+         |  SELECT doc_id, string_split(text, ' ') AS arr
+         |  FROM documents WHERE text IS NOT NULL),
+         |toks AS (
+         |  SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS pos
+         |  FROM docs),
+         |sa AS (
+         |  SELECT doc_id, pos, arr[pos:pos+31] AS span,
+         |    row_number() OVER (ORDER BY arr[pos:], doc_id, pos) AS rn
+         |  FROM toks),
+         |p AS (
+         |  SELECT a.doc_id AS a_doc, a.pos AS a_pos,
+         |    b.doc_id AS b_doc, b.pos AS b_pos, a.span AS sa_, b.span AS sb
+         |  FROM sa a JOIN sa b ON b.rn = a.rn + 1)
+         |SELECT CAST(a_doc AS BIGINT) AS a_doc, CAST(a_pos AS BIGINT) AS a_pos,
+         |  CAST(b_doc AS BIGINT) AS b_doc, CAST(b_pos AS BIGINT) AS b_pos,
+         |  CAST($lcpTerms AS BIGINT) AS lcp_tokens
+         |FROM p
+         |ORDER BY lcp_tokens DESC, a_doc, a_pos LIMIT 20""".stripMargin
+    },
     "q_dup_positions" ->
       """WITH toks AS (
         |  SELECT doc_id, source,

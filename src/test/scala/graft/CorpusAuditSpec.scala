@@ -691,6 +691,37 @@ class CorpusAuditSpec extends SparkSpec {
     assert(got === expected.toMap)
   }
 
+  test("repeated_spans: a planted 40-token repeat tops the list, capped at 32") {
+    import org.apache.spark.sql.functions.{col => c, length => len, lit}
+    import spark.implicits._
+    val span = (1 to 40).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"aa bb cc $span", "en"),
+      (2L, s"xx yy $span zz", "en"),
+      (3L, "qq rr ss tt", "en"))
+    val dir = java.nio.file.Files.createTempDirectory("spans").toString
+    docs.toDF("doc_id", "text", "lang")
+      .select(c("doc_id"), c("text"), c("lang"), lit("s").as("source"),
+        len(c("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = CorpusOps.qRepeatedSpans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getAs[Long]("lcp_tokens")))
+    // capped LCP: the 40-token repeat reports 32, not 40
+    assert(rows.head._5 == 32L, rows.head.toString)
+    // list is sorted non-increasing, all within cap
+    assert(rows.map(_._5).toSeq == rows.map(_._5).sortBy(-_).toSeq)
+    assert(rows.forall(_._5 <= 32L))
+    // every max-lcp pair connects the two planted docs at the
+    // offset-consistent positions (span starts at token 4 in doc 1,
+    // token 3 in doc 2; suffix k inside the span pairs 4+k with 3+k)
+    rows.filter(_._5 == 32L).foreach { case (ad, ap, bd, bp, _) =>
+      assert(Set(ad, bd) == Set(1L, 2L))
+      val (p1, p2) = if (ad == 1L) (ap, bp) else (bp, ap)
+      assert(p1 - p2 == 1L, s"($ad,$ap)-($bd,$bp)")
+    }
+  }
+
   test("psi_drift: midpoint-split PSI replays; every term non-negative") {
     val rows = Tables.eventsWithEpoch(spark, sf)
       .select(col("ts_us"),
