@@ -762,6 +762,46 @@ object Similarity {
       .orderBy("qid", "r")
   }
 
+  /** q_cluster_purity — external cluster-quality evaluation: assign
+    * every vector to its nearest of the 8 seed centroids (the
+    * [[qKmeansStep]] assignment, verbatim) and score each cluster
+    * against the truth labels by PURITY (Manning et al., IIR §16.3:
+    * majority-label share, the first number anyone quotes for a
+    * clustering). The pipeline answer to "did my embedding clusters
+    * recover the label structure?" — run before trusting cluster-
+    * based curation (SemDeDup prunes within clusters; a low-purity
+    * clustering prunes across concepts). Ties break to the LOWEST
+    * label, all integer.
+    *
+    * Scale shape: the K-centroid broadcast assignment scan (bounded
+    * broadcast), a (cluster, label) count aggregate — |K|·|labels|
+    * groups — then a |K|-group rollup. Nothing corpus-sized moves. */
+  val qClusterPurity: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === Dim)
+    val withNorm = Tables.spread(emb)
+      .select(col("vec_id"), col("label").cast(LongType).as("label"),
+        decVec(col("embedding")).as("de"))
+      .withColumn("nrm", decDot(col("de"), col("de")).cast(DoubleType))
+      .localCheckpoint()
+    val cent = withNorm.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("de").as("ce"), col("nrm").as("nc"))
+    val assign = withNorm.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label"), col("cid"),
+        cosMicrosPre(decDot(col("de"), col("ce")), col("nrm"), col("nc"))
+          .as("sim"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max_by(col("cid"), struct(col("sim"), -col("cid"))).as("cid"))
+    assign.groupBy("cid", "label").agg(count(lit(1)).as("cl"))
+      .groupBy("cid")
+      .agg(sum("cl").cast(LongType).as("n"),
+        max_by(col("label"), struct(col("cl"), -col("label"))).as("top_label"),
+        max("cl").cast(LongType).as("n_top"))
+      .withColumn("purity_permille",
+        expr("(n_top * 1000) div n").cast(LongType))
+      .orderBy("cid")
+  }
+
   /** q_pq_train — one Lloyd iteration of product-quantization codebook
     * TRAINING (Jégou et al. 2011 §III; [[qPqTopk]] is the serving
     * path, this is how its codebooks come to exist): the 64-dim space
@@ -1143,6 +1183,7 @@ object Similarity {
     "q_ivf_recall" -> qIvfRecall,
     "q_pq_topk" -> qPqTopk,
     "q_pq_train" -> qPqTrain,
+    "q_cluster_purity" -> qClusterPurity,
     "q_hubness" -> qHubness,
     "q_pq_recall" -> qPqRecall,
     "q_kmeans_step" -> qKmeansStep,
@@ -1732,6 +1773,43 @@ object Similarity {
         |        FROM embeddings
         |        WHERE embedding IS NOT NULL AND len(embedding) = 64))
         |GROUP BY label, i ORDER BY label, dim""".stripMargin,
+    "q_cluster_purity" ->
+      """WITH el AS (
+        |  SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) AS x
+        |  FROM (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS i
+        |        FROM embeddings
+        |        WHERE embedding IS NOT NULL AND len(embedding) = 64)),
+        |nrm AS (SELECT vec_id, SUM(x*x) AS nrm FROM el GROUP BY vec_id),
+        |dots_cc AS (
+        |  SELECT ea.vec_id, eb.vec_id AS cid, SUM(ea.x * eb.x) AS dot
+        |  FROM el ea JOIN el eb ON ea.i = eb.i AND eb.vec_id < 8
+        |  GROUP BY 1, 2),
+        |sim_cc AS (
+        |  SELECT d.vec_id, d.cid,
+        |    CAST(CAST(CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS sim
+        |  FROM dots_cc d
+        |  JOIN nrm na ON d.vec_id = na.vec_id
+        |  JOIN nrm nb ON d.cid = nb.vec_id),
+        |assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk
+        |    FROM sim_cc) WHERE rk = 1),
+        |lbl AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
+        |cl AS (
+        |  SELECT a.cid, l.label, COUNT(*) AS cl
+        |  FROM assign a JOIN lbl l USING (vec_id) GROUP BY 1, 2),
+        |t AS (
+        |  SELECT cid, label, cl,
+        |    row_number() OVER (PARTITION BY cid ORDER BY cl DESC, label) AS rk
+        |  FROM cl),
+        |tot AS (SELECT cid, SUM(cl) AS n FROM cl GROUP BY cid)
+        |SELECT t.cid, CAST(tot.n AS BIGINT) AS n, t.label AS top_label,
+        |  CAST(t.cl AS BIGINT) AS n_top,
+        |  CAST((t.cl * 1000) // tot.n AS BIGINT) AS purity_permille
+        |FROM t JOIN tot USING (cid) WHERE t.rk = 1 ORDER BY cid""".stripMargin,
     "q_kmeans_step" ->
       """WITH el AS (
         |  SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) AS x

@@ -94,6 +94,31 @@ class PqSpec extends SparkSpec {
     assert(r((1L, 0L, 1L))._1 == 1L) // seed 0 alone in odd subspaces
   }
 
+  test("cluster_purity: planted mixed-label cluster scores its exact majority share") {
+    // seeds 0-7 = centroids on ORTHOGONAL basis axes (cosine between
+    // any two seeds is 0 — constant vectors would all be parallel
+    // under cosine and collapse into cluster 0), each its own cluster,
+    // label = its id. Vectors 8-10 EQUAL seed 2 (cos = 1) with labels
+    // 2, 2, 5 → cluster 2 holds {2:3, 5:1}: purity 750.
+    val dir = java.nio.file.Files.createTempDirectory("purity").toString
+    def axis(j: Int): Array[Float] = {
+      val a = Array.fill(64)(0.0f); a(j) = 1.0f; a
+    }
+    val rows = (0 until 8).map(j => (j.toLong, axis(j), j)) ++
+      Seq((8L, axis(2), 2), (9L, axis(2), 2), (10L, axis(2), 5))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = Similarity.qClusterPurity(spark, dir).collect()
+      .map(x => x.getAs[Long]("cid") ->
+        ((x.getAs[Long]("n"), x.getAs[Long]("top_label"),
+          x.getAs[Long]("n_top"), x.getAs[Long]("purity_permille")))).toMap
+    assert(r(2L) == ((4L, 2L, 3L, 750L)), r(2L).toString)
+    // every pure singleton cluster scores 1000 with its own label
+    (0L until 8L).filter(_ != 2L).foreach { c =>
+      assert(r(c) == ((1L, c, 1L, 1000L)), s"cid $c: ${r(c)}")
+    }
+  }
+
   test("hubness: histogram conserves vectors and edges; hubs and antihubs split") {
     // hub 0 = e1; satellites 1-5 = e1 + 0.5·e_{i+1}. Every satellite's
     // top-1 is the hub (sim .894 vs .8 satellite-satellite); satellite
