@@ -515,8 +515,34 @@ object Relational {
       .filter(col("k") < 5)
       .orderBy("nationkey", "mktsegment", "bal_band")
 
+  /** q_l_diversity — the companion audit to [[qKAnonymity]]
+    * (Machanavajjhala et al. 2007): k-anonymity alone is defeated by a
+    * HOMOGENEOUS group — if all k records share one sensitive value,
+    * group size protected nothing. Per quasi-identifier group
+    * (nationkey, mktsegment): row count, the number of DISTINCT
+    * sensitive values (the balance band), and the l ≥ 3 verdict. Every
+    * group is emitted with its verdict (not just violators): the audit
+    * artifact reviewers sign off on is the full table.
+    *
+    * Plan: one scan, one groupBy with a distinct aggregate — Spark
+    * expands count(DISTINCT) into the two-phase partial-distinct
+    * aggregate, so the QI×value expansion collapses map-side. */
+  val qLDiversity: Q = (s, d) =>
+    Tables.customer(s, d)
+      .select(col("c_nationkey").cast(LongType).as("nationkey"),
+        col("c_mktsegment").as("mktsegment"),
+        expr("(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)"
+          + " + 100000) div 100000").as("bal_band"))
+      .groupBy("nationkey", "mktsegment")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("bal_band")).as("l_distinct"))
+      .withColumn("diverse",
+        when(col("l_distinct") >= 3, 1L).otherwise(0L))
+      .orderBy("nationkey", "mktsegment")
+
   val queries: Map[String, Q] = Map(
     "q_k_anonymity" -> qKAnonymity,
+    "q_l_diversity" -> qLDiversity,
     "q_join_size_proof" -> qJoinSizeProof,
     "q_referential_orphans" -> qReferentialOrphans,
     "q_rendezvous_shards" -> qRendezvousShards,
@@ -552,6 +578,19 @@ object Relational {
         |FROM customer
         |GROUP BY 1, 2, 3 HAVING COUNT(*) < 5
         |ORDER BY nationkey, mktsegment, bal_band""".stripMargin,
+    "q_l_diversity" ->
+      """WITH b AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |    c_mktsegment AS mktsegment,
+        |    (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |       + 100000) // 100000 AS bal_band
+        |  FROM customer)
+        |SELECT nationkey, mktsegment, COUNT(*) AS n,
+        |  CAST(COUNT(DISTINCT bal_band) AS BIGINT) AS l_distinct,
+        |  CAST(CASE WHEN COUNT(DISTINCT bal_band) >= 3 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS diverse
+        |FROM b GROUP BY 1, 2
+        |ORDER BY nationkey, mktsegment""".stripMargin,
     "q_join_size_proof" ->
       // the ACTUAL row self-join on purpose: COUNT(*) of it equals the
       // engine's histogram sum-of-squares, proving the estimator exact

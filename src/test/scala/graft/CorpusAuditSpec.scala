@@ -838,6 +838,25 @@ class CorpusAuditSpec extends SparkSpec {
     got.values.foreach(k => assert(k >= 1L && k < 5L))
   }
 
+  test("l_diversity: distinct-sensitive census replayed; homogeneous groups flagged") {
+    val rows = Tables.customer(spark, sf)
+      .select(col("c_nationkey").cast("long"), col("c_mktsegment"),
+        expr("(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)"
+          + " + 100000) div 100000"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = rows.groupBy(t => (t._1, t._2)).view.mapValues { g =>
+      val l = g.map(_._3).distinct.size.toLong
+      (g.size.toLong, l, if (l >= 3) 1L else 0L)
+    }.toMap
+    val got = operators.Relational.qLDiversity(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getString(1)) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("l_distinct"),
+          r.getAs[Long]("diverse")))).toMap
+    assert(got === expected)
+    // l never exceeds group size (a homogeneous group has l = 1 < n)
+    got.values.foreach { case (n, l, _) => assert(l >= 1L && l <= n) }
+  }
+
   test("prune_proof: clustered layout never prunes less; row mass conserves") {
     val r = Profiling.qPruneProof(spark, sf).collect()
       .map(x => (x.getAs[Long]("yr"), x.getAs[Long]("qtr"), x.getString(2)) -> x)
