@@ -540,9 +540,71 @@ object Relational {
         when(col("l_distinct") >= 3, 1L).otherwise(0L))
       .orderBy("nationkey", "mktsegment")
 
+  /** q_t_closeness — the third leg of the privacy triad (Li, Li &
+    * Venkatasubramanian 2007) after [[qKAnonymity]] and
+    * [[qLDiversity]]: even a diverse group leaks if its sensitive
+    * distribution DIFFERS from the table's — "this QI group skews
+    * rich" is an inference l-diversity cannot see. Per QI group
+    * (nationkey, mktsegment): Earth Mover's Distance between the
+    * group's balance-band distribution and the global one, for the
+    * ordered domain where EMD is the mean |ΔCDF| over bands. Emitted
+    * as exact permille with the t ≤ 0.2 verdict.
+    *
+    * Float-free: with N = table rows, n = group rows, the CDF gap at
+    * band v is |cumQ_v·N − cumP_v·n| / (n·N); the numerator stays in
+    * DECIMAL(38,0) (n·N ~ 1e24 at 100 TB, ×1000 < 1e38) and one
+    * integral division lands the permille — bitwise-equal in both
+    * engines, no float summation order to disagree on.
+    *
+    * Plan: the sensitive DOMAIN is bounded (≤ 12 bands by
+    * construction), so the dense group×band frame is |groups|×12, the
+    * global CDF is a ≤ 12-row broadcast, and the per-group CDF window
+    * partitions by QI group — nothing funnels the corpus through one
+    * partition; the global-CDF window runs over ≤ 12 rows. */
+  val qTCloseness: Q = (s, d) => {
+    val base = Tables.customer(s, d)
+      .select(col("c_nationkey").cast(LongType).as("nationkey"),
+        col("c_mktsegment").as("mktsegment"),
+        expr("(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)"
+          + " + 100000) div 100000").as("bal_band"))
+    val glob = base.groupBy("bal_band").agg(count(lit(1)).as("c_v"))
+      .localCheckpoint()
+    val wCum = Window.orderBy("bal_band")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val globCum = glob
+      .withColumn("cum_glob", sum("c_v").over(wCum))
+      .select("bal_band", "cum_glob")
+    val scalars = glob.agg(sum("c_v").as("n_total"), count(lit(1)).as("m"))
+    val groups = base.groupBy("nationkey", "mktsegment")
+      .agg(count(lit(1)).as("n"))
+    val gv = base.groupBy("nationkey", "mktsegment", "bal_band")
+      .agg(count(lit(1)).as("c_gv"))
+    val wg = Window.partitionBy("nationkey", "mktsegment")
+      .orderBy("bal_band")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    groups
+      .crossJoin(broadcast(glob.select("bal_band")))
+      .join(gv, Seq("nationkey", "mktsegment", "bal_band"), "left")
+      .na.fill(0L, Seq("c_gv"))
+      .withColumn("cum_g", sum("c_gv").over(wg))
+      .join(broadcast(globCum), Seq("bal_band"))
+      .crossJoin(broadcast(scalars))
+      .groupBy("nationkey", "mktsegment", "n", "n_total", "m")
+      .agg(sum(abs(expr("CAST(cum_g AS DECIMAL(38,0)) * n_total")
+        - expr("CAST(cum_glob AS DECIMAL(38,0)) * n"))).as("emd_num"))
+      .withColumn("emd_permille",
+        expr("(emd_num * 1000) div (GREATEST(m - 1, 1) * n * n_total)")
+          .cast(LongType))
+      .withColumn("close",
+        when(col("emd_permille") <= 200, 1L).otherwise(0L))
+      .select("nationkey", "mktsegment", "n", "emd_permille", "close")
+      .orderBy("nationkey", "mktsegment")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_k_anonymity" -> qKAnonymity,
     "q_l_diversity" -> qLDiversity,
+    "q_t_closeness" -> qTCloseness,
     "q_join_size_proof" -> qJoinSizeProof,
     "q_referential_orphans" -> qReferentialOrphans,
     "q_rendezvous_shards" -> qRendezvousShards,
@@ -578,6 +640,45 @@ object Relational {
         |FROM customer
         |GROUP BY 1, 2, 3 HAVING COUNT(*) < 5
         |ORDER BY nationkey, mktsegment, bal_band""".stripMargin,
+    "q_t_closeness" ->
+      """WITH b AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |    c_mktsegment AS mktsegment,
+        |    (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |       + 100000) // 100000 AS bal_band
+        |  FROM customer),
+        |gdist AS (SELECT bal_band, COUNT(*) AS c_v FROM b GROUP BY 1),
+        |globcum AS (
+        |  SELECT bal_band, SUM(c_v) OVER (ORDER BY bal_band
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_glob
+        |  FROM gdist),
+        |scalars AS (SELECT SUM(c_v) AS n_total, COUNT(*) AS m FROM gdist),
+        |grp AS (SELECT nationkey, mktsegment, COUNT(*) AS n
+        |  FROM b GROUP BY 1, 2),
+        |gv AS (SELECT nationkey, mktsegment, bal_band, COUNT(*) AS c_gv
+        |  FROM b GROUP BY 1, 2, 3),
+        |cum AS (
+        |  SELECT g.nationkey, g.mktsegment, g.n, d.bal_band,
+        |    SUM(COALESCE(v.c_gv, 0)) OVER (
+        |      PARTITION BY g.nationkey, g.mktsegment ORDER BY d.bal_band
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_g
+        |  FROM grp g CROSS JOIN (SELECT bal_band FROM gdist) d
+        |  LEFT JOIN gv v ON v.nationkey = g.nationkey
+        |    AND v.mktsegment = g.mktsegment AND v.bal_band = d.bal_band),
+        |num AS (
+        |  SELECT c.nationkey, c.mktsegment, c.n, s.n_total, s.m,
+        |    SUM(ABS(CAST(c.cum_g AS HUGEINT) * s.n_total
+        |      - CAST(gc.cum_glob AS HUGEINT) * c.n)) AS emd_num
+        |  FROM cum c JOIN globcum gc USING (bal_band) CROSS JOIN scalars s
+        |  GROUP BY 1, 2, 3, 4, 5)
+        |SELECT nationkey, mktsegment, n,
+        |  CAST((emd_num * 1000) // (GREATEST(m - 1, 1) * n * n_total)
+        |    AS BIGINT) AS emd_permille,
+        |  CAST(CASE WHEN (emd_num * 1000)
+        |      // (GREATEST(m - 1, 1) * n * n_total) <= 200
+        |    THEN 1 ELSE 0 END AS BIGINT) AS close
+        |FROM num
+        |ORDER BY nationkey, mktsegment""".stripMargin,
     "q_l_diversity" ->
       """WITH b AS (
         |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey,

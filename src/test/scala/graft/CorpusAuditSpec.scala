@@ -857,6 +857,37 @@ class CorpusAuditSpec extends SparkSpec {
     got.values.foreach { case (n, l, _) => assert(l >= 1L && l <= n) }
   }
 
+  test("t_closeness: EMD permille replayed exactly from a brute BigInt census") {
+    val rows = Tables.customer(spark, sf)
+      .select(col("c_nationkey").cast("long"), col("c_mktsegment"),
+        expr("(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)"
+          + " + 100000) div 100000"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val domain = rows.map(_._3).distinct.sorted
+    val nTotal = BigInt(rows.length)
+    val m = BigInt(domain.length)
+    val globCum = domain.scanLeft(BigInt(0))((acc, v) =>
+      acc + rows.count(_._3 == v)).tail
+    val expected = rows.groupBy(t => (t._1, t._2)).view.mapValues { g =>
+      val n = BigInt(g.size)
+      val gCum = domain.scanLeft(BigInt(0))((acc, v) =>
+        acc + g.count(_._3 == v)).tail
+      val num = gCum.zip(globCum).map { case (cg, cp) =>
+        (cg * nTotal - cp * n).abs }.sum
+      val permille = (num * 1000) / (((m - 1) max 1) * n * nTotal)
+      (n.toLong, permille.toLong, if (permille <= 200) 1L else 0L)
+    }.toMap
+    val got = operators.Relational.qTCloseness(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getString(1)) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("emd_permille"),
+          r.getAs[Long]("close")))).toMap
+    assert(got === expected)
+    // EMD is a normalized distance: permille in [0, 1000]
+    got.values.foreach { case (_, p, _) => assert(p >= 0L && p <= 1000L) }
+    // both verdicts occur at this sf (small groups drift from global)
+    assert(got.values.exists(_._3 == 1L))
+  }
+
   test("prune_proof: clustered layout never prunes less; row mass conserves") {
     val r = Profiling.qPruneProof(spark, sf).collect()
       .map(x => (x.getAs[Long]("yr"), x.getAs[Long]("qtr"), x.getString(2)) -> x)
