@@ -67,6 +67,48 @@ object Evaluation {
       .orderBy("source")
   }
 
+  /** q_pr_curve — the operating-point companion to [[qRocAuc]]: the
+    * precision/recall curve of the same length-based score against
+    * the `lang = 'en'` label, evaluated at the ten rank-decile
+    * cutoffs per source ("keep the top-k% by score" is how filter
+    * thresholds actually ship). AUC says whether a score CAN rank;
+    * the PR curve says what a concrete cutoff COSTS — and under class
+    * imbalance (the norm for quality labels) PR is the curve that
+    * moves, which is why both belong in the eval layer. Deterministic
+    * cutoffs: row_number over (score desc, doc_id) — ties broken by
+    * key, decile membership exact on both engines.
+    *
+    * Plan: one scan; the rank and the per-source row count share ONE
+    * per-source window exchange (same caveat and same remedy as
+    * [[qRocAuc]]); the curve itself is a cumulative window over ≤ 10
+    * decile rows per source — bounded frames, nothing corpus-wide. */
+  val qPrCurve: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("source"), col("doc_id"), col("n_chars").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    val wRank = Window.partitionBy("source")
+      .orderBy(col("score").desc, col("doc_id"))
+    val wSrc = Window.partitionBy("source")
+    val buckets = docs
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wSrc))
+      .withColumn("decile", (expr("((rn - 1) * 10) div n") + 1).cast(LongType))
+      .groupBy("source", "decile")
+      .agg(count(lit(1)).as("n_b"), sum("y").as("pos_b"))
+    val wCum = Window.partitionBy("source").orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    buckets
+      .withColumn("k", sum("n_b").over(wCum).cast(LongType))
+      .withColumn("tp", sum("pos_b").over(wCum).cast(LongType))
+      .withColumn("n_pos", sum("pos_b").over(wSrc).cast(LongType))
+      .select(col("source"), col("decile"), col("k"), col("tp"),
+        expr("(tp * 1000) div k").cast(LongType).as("precision_permille"),
+        expr("(tp * 1000) div GREATEST(n_pos, 1)").cast(LongType)
+          .as("recall_permille"))
+      .orderBy("source", "decile")
+  }
+
   /** The [[TextStats.qLangId]] marker counts, shared by both kappa
     * annotators (one scan, two decision cascades). */
   private def markerCounts(s: SparkSession, d: String): DataFrame =
@@ -282,6 +324,7 @@ object Evaluation {
 
   val queries: Map[String, Q] = Map(
     "q_roc_auc" -> qRocAuc,
+    "q_pr_curve" -> qPrCurve,
     "q_kappa_agreement" -> qKappaAgreement,
     "q_chi2_terms" -> qChi2Terms,
     "q_calibration_bins" -> qCalibrationBins,
@@ -309,6 +352,35 @@ object Evaluation {
         |  CAST(((smr2 - CAST(n_pos AS HUGEINT) * (n_pos + 1)) * 1000000)
         |       // (CAST(2 AS HUGEINT) * n_pos * n_neg) AS BIGINT) AS auc_micro
         |FROM agg WHERE n_pos > 0 AND n_neg > 0 ORDER BY source""".stripMargin,
+    "q_pr_curve" ->
+      """WITH docs AS (
+        |  SELECT source, doc_id, n_chars AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents WHERE text IS NOT NULL),
+        |ranked AS (
+        |  SELECT source, y,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY score DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM docs),
+        |buckets AS (
+        |  SELECT source, ((rn - 1) * 10) // n + 1 AS decile,
+        |    COUNT(*) AS n_b, SUM(y) AS pos_b
+        |  FROM ranked GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT source, CAST(decile AS BIGINT) AS decile,
+        |    SUM(n_b) OVER (PARTITION BY source ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k,
+        |    SUM(pos_b) OVER (PARTITION BY source ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+        |    SUM(pos_b) OVER (PARTITION BY source) AS n_pos
+        |  FROM buckets)
+        |SELECT source, decile, CAST(k AS BIGINT) AS k,
+        |  CAST(tp AS BIGINT) AS tp,
+        |  CAST((tp * 1000) // k AS BIGINT) AS precision_permille,
+        |  CAST((tp * 1000) // GREATEST(n_pos, 1) AS BIGINT)
+        |    AS recall_permille
+        |FROM cum ORDER BY source, decile""".stripMargin,
     "q_kappa_agreement" -> {
       val cThe = TextStats.occurrencesDuck("text", "the")
       val cData = TextStats.occurrencesDuck("text", "data")

@@ -209,11 +209,58 @@ object Graphs {
       .orderBy("doc_id")
   }
 
+  /** q_clustering_coeff — per-degree-band LOCAL clustering coefficient
+    * of the candidate graph (Watts & Strogatz 1998): for each node,
+    * how many of its neighbor pairs are themselves connected
+    * (closed wedges = triangles at the node, possible wedges =
+    * deg·(deg−1)/2), pooled per log₂ degree band as an exact ratio.
+    * The structural complement to [[qDupTriangles]]' single global
+    * number: a dup graph whose HIGH-degree bands stay clique-like
+    * (cc → 1000) is template farms and mirrors; high-degree hubs with
+    * LOW cc are boilerplate stars — different curation actions, and
+    * only the per-band curve tells them apart.
+    *
+    * Plan: the same a<b oriented wedge→closure join pair as the
+    * triangle census (each triangle once as a<b<c, then fanned to its
+    * 3 member nodes — candidate-graph-sized, never corpus²), one
+    * |V|-group triangle count, one left join onto degrees, a ≤64-band
+    * rollup. Band pooling (Σtri/Σwedges) keeps the ratio exact
+    * integer — no per-node division to lose precision or to average
+    * wrong. */
+  val qClusteringCoeff: Q = (s, d) => {
+    val edges = Dedup.minhashCandidatePairs(s, d)
+      .select(col("a"), col("b")).localCheckpoint()
+    val deg = edges.select(col("a").as("v"))
+      .unionAll(edges.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val triNodes = edges.as("e1")
+      .join(edges.as("e2"), col("e1.b") === col("e2.a"))
+      .join(edges.as("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val triPerNode = triNodes.select(col("x").as("v"))
+      .unionAll(triNodes.select(col("y").as("v")))
+      .unionAll(triNodes.select(col("z").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("tri"))
+    deg.join(triPerNode, Seq("v"), "left")
+      .na.fill(0L, Seq("tri"))
+      .withColumn("band", length(bin(col("deg"))).cast(LongType))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(col("tri")).cast(LongType).as("n_closed"),
+        sum(expr("deg * (deg - 1) div 2")).cast(LongType).as("n_wedges"))
+      .withColumn("cc_permille",
+        when(col("n_wedges") > 0, expr("(n_closed * 1000) div n_wedges"))
+          .otherwise(0L).cast(LongType))
+      .orderBy("band")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_pagerank_step" -> qPagerankStep,
     "q_kcore_prune" -> qKcorePrune,
     "q_degree_histogram" -> qDegreeHistogram,
     "q_label_propagation" -> qLabelPropagation,
+    "q_clustering_coeff" -> qClusteringCoeff,
     "q_dup_triangles" -> qDupTriangles)
 
   /** Four unrolled peel rounds for the [[qKcorePrune]] oracle — the
@@ -282,6 +329,31 @@ object Graphs {
       """SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS deg
         |FROM (SELECT a AS doc_id FROM e4 UNION ALL SELECT b FROM e4)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    "q_clustering_coeff" ->
+      ("WITH " + Dedup.minhashCandCte + ",\n" +
+      """deg AS (
+        |  SELECT v, COUNT(*) AS deg
+        |  FROM (SELECT a AS v FROM cand UNION ALL SELECT b FROM cand)
+        |  GROUP BY v),
+        |trs AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM cand e1
+        |  JOIN cand e2 ON e1.b = e2.a
+        |  JOIN cand e3 ON e1.a = e3.a AND e2.b = e3.b),
+        |tpn AS (
+        |  SELECT v, COUNT(*) AS tri FROM (
+        |    SELECT x AS v FROM trs UNION ALL SELECT y FROM trs
+        |    UNION ALL SELECT z FROM trs) GROUP BY v)
+        |SELECT CAST(length(bin(deg.deg)) AS BIGINT) AS band,
+        |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |  CAST(SUM(COALESCE(tpn.tri, 0)) AS BIGINT) AS n_closed,
+        |  CAST(SUM(deg.deg * (deg.deg - 1) // 2) AS BIGINT) AS n_wedges,
+        |  CAST(CASE WHEN SUM(deg.deg * (deg.deg - 1) // 2) > 0
+        |    THEN (SUM(COALESCE(tpn.tri, 0)) * 1000)
+        |      // SUM(deg.deg * (deg.deg - 1) // 2)
+        |    ELSE 0 END AS BIGINT) AS cc_permille
+        |FROM deg LEFT JOIN tpn USING (v)
+        |GROUP BY 1 ORDER BY band""".stripMargin),
     "q_dup_triangles" ->
       // concatenated, NOT interpolated into a stripMargin literal: the
       // CTE is already margin-stripped and its `||` concat operators at

@@ -192,16 +192,129 @@ object Packing {
       .orderBy("ctx_len")
   }
 
+  /** q_curriculum_plan — curriculum PHASE boundaries (Bengio et al.
+    * 2009, easy→hard ordering) computed as a plan, not a sort: within
+    * each source, documents bucket by log₂ whitespace-token length
+    * (short = easy), and each bucket is assigned to the training
+    * phase (quartile 0-3 by cumulative doc count) in which it STARTS —
+    * whole buckets, never split, because a curriculum scheduler
+    * consumes "phase 0 = these buckets of that source" and interleaves
+    * sources by phase. Per (source, bucket): docs, tokens, cumulative
+    * docs, phase.
+    *
+    * The planner's point at 100 TB: a per-document global easy→hard
+    * sort is a corpus-wide total order (the known window anti-
+    * pattern); phase boundaries need only the per-source difficulty
+    * HISTOGRAM — one aggregate plus a cumsum over ≤ ~40 bucket rows
+    * per source. Documents then route to phases by a map-side bucket
+    * lookup; nothing is ever globally sorted. */
+  val qCurriculumPlan: Q = (s, d) => {
+    val hist = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("source"), wsTokens(col("text")).as("tok"))
+      .withColumn("bucket", length(bin(col("tok"))).cast(LongType))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").cast(LongType).as("tokens"))
+    val wCum = Window.partitionBy("source").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSrc = Window.partitionBy("source")
+    hist
+      .withColumn("cum_docs", sum("n_docs").over(wCum).cast(LongType))
+      .withColumn("n_src", sum("n_docs").over(wSrc).cast(LongType))
+      .withColumn("phase",
+        expr("((cum_docs - n_docs) * 4) div n_src").cast(LongType))
+      .select(col("source"), col("bucket"),
+        col("n_docs").cast(LongType).as("n_docs"),
+        col("tokens"), col("cum_docs"), col("phase"))
+      .orderBy("source", "bucket")
+  }
+
+  /** q_pack_mix — the cross-document contamination audit of the
+    * [[qPackChunks]] layout: a packed context window usually carries
+    * MULTIPLE documents (and, when shard hashing mixes sources,
+    * multiple SOURCES) — exactly the attention-bleed the
+    * document-masking literature worries about. Per (n_docs,
+    * n_sources) cell: how many context windows look like that. The
+    * histogram is what you check before deciding whether packing
+    * needs boundary masks or source-homogeneous shards.
+    *
+    * Plan: the [[packChunks]] prefix-sum window (per-shard, many
+    * shards — no funnel), an explode of each doc onto its chunk RANGE
+    * (≤ tokens/L + 1 chunks per doc — output linear in corpus
+    * tokens/L), a (shard, chunk) count-distinct aggregate that Spark
+    * expands to the two-phase partial-distinct form, and a final
+    * ≤ |cells| rollup. Every stage strictly smaller than the last. */
+  val qPackMix: Q = (s, d) => {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val placed = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        shardOf(col("doc_id"), NShards).as("shard"),
+        wsTokens(col("text")).as("tokens"))
+      .withColumn("start_off", sum(col("tokens")).over(w) - col("tokens"))
+    val membership = placed.select(col("shard"), col("source"),
+      explode(sequence(expr(s"start_off div $ContextLen"),
+        expr(s"(start_off + tokens - 1) div $ContextLen"))).as("chunk"))
+    membership.groupBy("shard", "chunk")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"))
+      .groupBy("n_docs", "n_sources")
+      .agg(count(lit(1)).as("n_chunks"))
+      .orderBy("n_docs", "n_sources")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_pack_chunks" -> qPackChunks,
     "q_greedy_pack" -> qGreedyPack,
     "q_shard_plan" -> qShardPlan,
+    "q_curriculum_plan" -> qCurriculumPlan,
+    "q_pack_mix" -> qPackMix,
     "q_packing_efficiency" -> qPackingEfficiency)
 
   private def shardDuck(expr: String): String =
     s"CAST('0x' || substr(md5('pack|' || CAST($expr AS VARCHAR)), 1, 15) AS BIGINT) % $NShards"
 
   val oracle: Map[String, String] = Map(
+    "q_pack_mix" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, source,
+        |    ${shardDuck("doc_id")} AS shard,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+        |      AS tokens
+        |  FROM documents WHERE text IS NOT NULL),
+        |placed AS (
+        |  SELECT shard, source, tokens,
+        |    SUM(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - tokens AS start_off
+        |  FROM base),
+        |mem AS (
+        |  SELECT shard, source,
+        |    unnest(generate_series(CAST(start_off // $ContextLen AS BIGINT),
+        |      CAST((start_off + tokens - 1) // $ContextLen AS BIGINT))) AS chunk
+        |  FROM placed),
+        |pc AS (
+        |  SELECT shard, chunk, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        |  FROM mem GROUP BY 1, 2)
+        |SELECT n_docs, n_sources, CAST(COUNT(*) AS BIGINT) AS n_chunks
+        |FROM pc GROUP BY 1, 2 ORDER BY n_docs, n_sources""".stripMargin,
+    "q_curriculum_plan" ->
+      """WITH hist AS (
+        |  SELECT source,
+        |    CAST(length(bin(CAST(length(text) - length(replace(text, ' ', ''))
+        |      + 1 AS BIGINT))) AS BIGINT) AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(CAST(length(text) - length(replace(text, ' ', '')) + 1
+        |      AS BIGINT)) AS BIGINT) AS tokens
+        |  FROM documents WHERE text IS NOT NULL GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT source, bucket, n_docs, tokens,
+        |    CAST(SUM(n_docs) OVER (PARTITION BY source ORDER BY bucket
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_docs,
+        |    CAST(SUM(n_docs) OVER (PARTITION BY source) AS BIGINT) AS n_src
+        |  FROM hist)
+        |SELECT source, bucket, n_docs, tokens, cum_docs,
+        |  CAST(((cum_docs - n_docs) * 4) // n_src AS BIGINT) AS phase
+        |FROM cum ORDER BY source, bucket""".stripMargin,
     "q_packing_efficiency" ->
       """WITH toks AS (
         |  SELECT CAST(length(text) - length(replace(text, ' ', '')) + 1

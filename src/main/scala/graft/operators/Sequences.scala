@@ -649,7 +649,45 @@ object Sequences {
       .orderBy("user_id", "ts_us", "event_id")
   }
 
+  /** q_temporal_decay — recency-weighted event mixture: each event's
+    * weight halves per week of age (measured back from the corpus'
+    * own max timestamp — never NOW(), which would make the result a
+    * function of when you ran it), and the per-type mass shares are
+    * emitted next to the unweighted shares. The pipeline question this
+    * answers: "if we recency-weight the crawl (fresh snapshots
+    * upweighted, stale mirrors decayed), how does the training mix
+    * actually shift?" — the weighted-vs-raw permille delta IS that
+    * answer, per type. Exact integers: weight = 2^(−age_weeks) in
+    * micros via a single shift (exponent clamped at 40 where the
+    * weight is already 0), no float exponentials to disagree on.
+    *
+    * Plan: one scan against a broadcast 1-row max-timestamp scalar,
+    * one |types|-group aggregate (map-side partials carry (count,
+    * weight-sum) pairs), and the share windows run over the ≤ |types|
+    * aggregate rows — bounded. Nothing about the shape changes at
+    * 100 TB: the scalar is still one row and the rollup is still
+    * type-count-sized. */
+  val qTemporalDecay: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), nanosToSec(col("ts")).as("sec"))
+    val mx = ev.agg(max("sec").as("max_sec"))
+    ev.crossJoin(broadcast(mx))
+      .withColumn("w_micros",
+        expr("""1000000 div shiftleft(CAST(1 AS BIGINT),
+          CAST(LEAST(((max_sec - sec) div 86400) div 7, 40) AS INT))""")
+          .cast(LongType))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("w_micros").cast(LongType).as("w_mass"))
+      .withColumn("raw_permille",
+        expr("(n * 1000) div (SUM(n) OVER ())").cast(LongType))
+      .withColumn("decay_permille",
+        expr("(w_mass * 1000) div (SUM(w_mass) OVER ())").cast(LongType))
+      .select("event_type", "n", "w_mass", "raw_permille", "decay_permille")
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_temporal_decay" -> qTemporalDecay,
     "q_rolling_median" -> qRollingMedian,
     "q_cdc_apply" -> qCdcApply,
     "q_tail_latency" -> qTailLatency,
@@ -669,6 +707,24 @@ object Sequences {
     "q_burst_users" -> qBurstUsers)
 
   val oracle: Map[String, String] = Map(
+    "q_temporal_decay" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 AS sec FROM events),
+        |mx AS (SELECT MAX(sec) AS max_sec FROM ev),
+        |w AS (
+        |  SELECT event_type,
+        |    1000000 // (CAST(1 AS BIGINT)
+        |      << LEAST(((max_sec - sec) // 86400) // 7, 40)) AS w_micros
+        |  FROM ev CROSS JOIN mx),
+        |agg AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(w_micros) AS BIGINT) AS w_mass
+        |  FROM w GROUP BY 1)
+        |SELECT event_type, n, w_mass,
+        |  CAST((n * 1000) // (SUM(n) OVER ()) AS BIGINT) AS raw_permille,
+        |  CAST((w_mass * 1000) // (SUM(w_mass) OVER ()) AS BIGINT)
+        |    AS decay_permille
+        |FROM agg ORDER BY event_type""".stripMargin,
     "q_rolling_median" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,

@@ -802,6 +802,53 @@ object Similarity {
       .orderBy("cid")
   }
 
+  /** q_silhouette — INTERNAL cluster-quality evaluation, the
+    * label-free companion to [[qClusterPurity]]: the simplified
+    * silhouette (Hruschka et al. 2004 — distances to CENTROIDS, not
+    * the O(n²) point-pair silhouette, which is the only version that
+    * ships at corpus scale). Per point: a = cosine distance to its
+    * assigned (nearest) centroid, b = distance to the best OTHER
+    * centroid; s = (b−a)/max(a,b). Under nearest-centroid assignment
+    * b ≥ a always, so s = (sim1−sim2)/(10⁶−sim2) in micros — the
+    * separation MARGIN in [0,1]; clusters whose mean margin is thin
+    * are the ones SemDeDup-style within-cluster pruning would bleed
+    * across. Integer throughout: sims in micros (house decimal dot),
+    * one integral division per point, means as integral permille.
+    *
+    * Scale shape: identical to [[qClusterPurity]] — one broadcast
+    * K-centroid assignment scan, a per-vec window over exactly K = 8
+    * rows (bounded frame), then a |K|-group rollup. Nothing
+    * corpus-sized shuffles. */
+  val qSilhouette: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === Dim)
+    val withNorm = Tables.spread(emb)
+      .select(col("vec_id"), decVec(col("embedding")).as("de"))
+      .withColumn("nrm", decDot(col("de"), col("de")).cast(DoubleType))
+      .localCheckpoint()
+    val cent = withNorm.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("de").as("ce"), col("nrm").as("nc"))
+    val sims = withNorm.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cid"),
+        cosMicrosPre(decDot(col("de"), col("ce")), col("nrm"), col("nc"))
+          .as("sim"))
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))
+    sims.withColumn("rk", row_number().over(w)).filter(col("rk") <= 2)
+      .groupBy("vec_id")
+      .agg(max(when(col("rk") === 1, col("cid"))).as("cid"),
+        max(when(col("rk") === 1, col("sim"))).as("sim1"),
+        max(when(col("rk") === 2, col("sim"))).as("sim2"))
+      .select(col("vec_id"), col("cid"),
+        expr("((sim1 - sim2) * 1000) div GREATEST(1000000 - sim2, 1)")
+          .cast(LongType).as("sil"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n"),
+        expr("SUM(sil) div COUNT(*)").cast(LongType)
+          .as("mean_sil_permille"),
+        min(col("sil")).cast(LongType).as("min_sil_permille"))
+      .orderBy("cid")
+  }
+
   /** q_pq_train — one Lloyd iteration of product-quantization codebook
     * TRAINING (Jégou et al. 2011 §III; [[qPqTopk]] is the serving
     * path, this is how its codebooks come to exist): the 64-dim space
@@ -1184,6 +1231,7 @@ object Similarity {
     "q_pq_topk" -> qPqTopk,
     "q_pq_train" -> qPqTrain,
     "q_cluster_purity" -> qClusterPurity,
+    "q_silhouette" -> qSilhouette,
     "q_hubness" -> qHubness,
     "q_pq_recall" -> qPqRecall,
     "q_kmeans_step" -> qKmeansStep,
@@ -1810,6 +1858,41 @@ object Similarity {
         |  CAST(t.cl AS BIGINT) AS n_top,
         |  CAST((t.cl * 1000) // tot.n AS BIGINT) AS purity_permille
         |FROM t JOIN tot USING (cid) WHERE t.rk = 1 ORDER BY cid""".stripMargin,
+    "q_silhouette" ->
+      """WITH el AS (
+        |  SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) AS x
+        |  FROM (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS i
+        |        FROM embeddings
+        |        WHERE embedding IS NOT NULL AND len(embedding) = 64)),
+        |nrm AS (SELECT vec_id, SUM(x*x) AS nrm FROM el GROUP BY vec_id),
+        |dots_cc AS (
+        |  SELECT ea.vec_id, eb.vec_id AS cid, SUM(ea.x * eb.x) AS dot
+        |  FROM el ea JOIN el eb ON ea.i = eb.i AND eb.vec_id < 8
+        |  GROUP BY 1, 2),
+        |sim_cc AS (
+        |  SELECT d.vec_id, d.cid,
+        |    CAST(CAST(CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS sim
+        |  FROM dots_cc d
+        |  JOIN nrm na ON d.vec_id = na.vec_id
+        |  JOIN nrm nb ON d.cid = nb.vec_id),
+        |per AS (
+        |  SELECT vec_id, cid, sim,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk
+        |  FROM sim_cc),
+        |tops AS (
+        |  SELECT vec_id,
+        |    MAX(CASE WHEN rk = 1 THEN cid END) AS cid,
+        |    MAX(CASE WHEN rk = 1 THEN sim END) AS sim1,
+        |    MAX(CASE WHEN rk = 2 THEN sim END) AS sim2
+        |  FROM per WHERE rk <= 2 GROUP BY vec_id),
+        |sil AS (
+        |  SELECT vec_id, cid,
+        |    ((sim1 - sim2) * 1000) // GREATEST(1000000 - sim2, 1) AS s
+        |  FROM tops)
+        |SELECT cid, COUNT(*) AS n,
+        |  CAST(SUM(s) // COUNT(*) AS BIGINT) AS mean_sil_permille,
+        |  CAST(MIN(s) AS BIGINT) AS min_sil_permille
+        |FROM sil GROUP BY cid ORDER BY cid""".stripMargin,
     "q_kmeans_step" ->
       """WITH el AS (
         |  SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) AS x

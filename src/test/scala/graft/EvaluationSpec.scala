@@ -39,6 +39,42 @@ class EvaluationSpec extends SparkSpec {
     }
   }
 
+  test("pr_curve replays from a brute sort; curve endpoints pin base rate") {
+    val got = Evaluation.qPrCurve(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getAs[Long]("k"), r.getAs[Long]("tp"),
+          r.getAs[Long]("precision_permille"),
+          r.getAs[Long]("recall_permille")))).toMap
+    val docs = graft.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .select(col("source"), col("doc_id"), col("n_chars"), col("lang"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.getString(3) == "en") 1L else 0L))
+    docs.groupBy(_._1).foreach { case (src, rows) =>
+      val sorted = rows.sortBy(t => (-t._3, t._2)) // score desc, doc_id
+      val n = sorted.length
+      val nPos = sorted.map(_._4).sum
+      val byDecile = sorted.zipWithIndex
+        .groupBy { case (_, i) => i.toLong * 10 / n + 1 }
+      var k = 0L; var tp = 0L
+      byDecile.keys.toSeq.sorted.foreach { dec =>
+        k += byDecile(dec).length
+        tp += byDecile(dec).map(_._1._4).sum
+        val exp = (k, tp, tp * 1000 / k, tp * 1000 / math.max(nPos, 1L))
+        assert(got((src, dec)) == exp, s"$src decile $dec")
+      }
+      // decile 10 is the whole source: precision = base rate, recall = all
+      assert(got((src, 10L))._1 == n)
+      if (nPos > 0) assert(got((src, 10L))._4 == 1000L)
+    }
+    // recall never decreases along each curve
+    got.keys.map(_._1).foreach { src =>
+      val curve = (1L to 10L).flatMap(d => got.get((src, d)).map(_._4))
+      assert(curve == curve.sorted, s"$src recall not monotone")
+    }
+  }
+
   test("kappa matches a hand-rolled confusion-matrix computation") {
     val row = Evaluation.qKappaAgreement(spark, sf).collect().head
     val (n, agree) = (row.getLong(0), row.getLong(1))

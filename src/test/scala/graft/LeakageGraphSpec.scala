@@ -48,6 +48,27 @@ class LeakageGraphSpec extends SparkSpec {
     assert(nTri === common / 3, s"tri=$nTri common=$common")
   }
 
+  test("clustering coeff: bands conserve nodes/triangles; cc bounded by clique") {
+    val bands = Graphs.qClusteringCoeff(spark, sf).collect()
+    assert(bands.nonEmpty)
+    val tri = Graphs.qDupTriangles(spark, sf).collect().head
+    // node and wedge mass conserve against the census
+    assert(bands.map(_.getAs[Long]("n_nodes")).sum === tri.getAs[Long]("n_nodes"))
+    assert(bands.map(_.getAs[Long]("n_wedges")).sum === tri.getAs[Long]("n_wedges"))
+    // each triangle closes one wedge at each of its 3 member nodes
+    assert(bands.map(_.getAs[Long]("n_closed")).sum ===
+      3 * tri.getAs[Long]("n_triangles"))
+    bands.foreach { b =>
+      val (cl, wd, cc) = (b.getAs[Long]("n_closed"), b.getAs[Long]("n_wedges"),
+        b.getAs[Long]("cc_permille"))
+      assert(cl <= wd)                    // closed wedges are wedges
+      assert(cc >= 0 && cc <= 1000)
+      if (wd > 0) assert(cc === cl * 1000 / wd)
+      // band 1 is degree-1 nodes: no wedges, no triangles possible
+      if (b.getAs[Long]("band") === 1L) assert(wd === 0L && cl === 0L)
+    }
+  }
+
   test("split leakage only reports duplicated fingerprints; flag matches counts") {
     val r = Selection.qSplitLeakage(spark, sf).collect()
     r.foreach { x =>

@@ -74,6 +74,56 @@ class PackingSpec extends SparkSpec {
     } finally { out.unpersist(); () }
   }
 
+  test("pack_mix histogram conserves chunks and memberships vs packChunks") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("text").isNotNull)
+    val placed = Packing.packChunks(docs, 8, 512L)
+      .select("shard", "first_chunk", "last_chunk", "n_chunks").collect()
+    val mix = Packing.qPackMix(spark, sf).collect()
+      .map(r => (r.getAs[Long]("n_docs"), r.getAs[Long]("n_sources"),
+        r.getAs[Long]("n_chunks")))
+    // total memberships: sum over cells of n_docs·n_chunks = Σ doc n_chunks
+    assert(mix.map(c => c._1 * c._3).sum === placed.map(_.getLong(3)).sum)
+    // total chunks: every (shard, chunk) counted once
+    val chunks = placed.flatMap(r =>
+      (r.getLong(1) to r.getLong(2)).map(c => (r.getLong(0), c))).toSet
+    assert(mix.map(_._3).sum === chunks.size.toLong)
+    // a chunk never has more sources than documents, and both ≥ 1
+    mix.foreach { case (nd, ns, _) => assert(ns >= 1L && ns <= nd) }
+    // packing does mix: some chunk holds >1 document at this sf
+    assert(mix.exists(_._1 > 1L))
+  }
+
+  test("curriculum plan: phases replay from a brute histogram; whole buckets only") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("text").isNotNull)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0),
+        r.getString(1).count(_ == ' ').toLong + 1L)) // wsTokens
+    val got = Packing.qCurriculumPlan(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("cum_docs"),
+          r.getAs[Long]("phase")))).toMap
+    docs.groupBy(_._1).foreach { case (src, rows) =>
+      val n = rows.length.toLong
+      val hist = rows.groupBy(t => 64 - java.lang.Long.numberOfLeadingZeros(t._2))
+        .view.mapValues(_.size.toLong).toMap
+      var cum = 0L
+      hist.keys.toSeq.sorted.foreach { b =>
+        val exp = (hist(b), cum + hist(b), cum * 4 / n)
+        assert(got((src, b.toLong)) == exp, s"$src bucket $b")
+        cum += hist(b)
+      }
+      // final cumulative covers the source; phases only move forward
+      assert(cum == n)
+      val phases = hist.keys.toSeq.sorted.map(b => got((src, b.toLong))._3)
+      assert(phases == phases.sorted)
+      phases.foreach(p => assert(p >= 0L && p <= 3L))
+    }
+  }
+
   test("shard assignment is content-determined and stable under repartition") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val a = Packing.packChunks(docs, 8, 512L).select("doc_id", "shard", "start_off")

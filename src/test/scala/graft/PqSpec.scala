@@ -119,6 +119,32 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("silhouette: exact members score 1000, equidistant tie scores 0") {
+    // Orthogonal-axis seeds 0-7; vec 8 EQUALS seed 2 (sim1 = 10⁶,
+    // sim2 = 0 → margin 1000); vec 9 = (e2+e3)/√2 sits EXACTLY between
+    // centroids 2 and 3 (sim1 = sim2, tie assigns the lower cid) →
+    // margin 0, the thin-boundary point the diagnostic exists to find.
+    def axis(j: Int): Array[Float] = {
+      val a = Array.fill(64)(0.0f); a(j) = 1.0f; a
+    }
+    val mid = { val a = Array.fill(64)(0.0f)
+      a(2) = 0.70710678f; a(3) = 0.70710678f; a }
+    val dir = writeEmb((0 until 8).map(axis) ++ Seq(axis(2), mid))
+    val r = Similarity.qSilhouette(spark, dir).collect()
+      .map(x => x.getAs[Long]("cid") ->
+        ((x.getAs[Long]("n"), x.getAs[Long]("mean_sil_permille"),
+          x.getAs[Long]("min_sil_permille")))).toMap
+    // cluster 2: seed + exact copy (1000 each) + the tie point (0)
+    assert(r(2L) == ((3L, 666L, 0L)), r(2L).toString)
+    (0L until 8L).filter(_ != 2L).foreach { c =>
+      assert(r(c) == ((1L, 1000L, 1000L)), s"cid $c: ${r(c)}")
+    }
+    // margins are permille-bounded and n conserves the corpus
+    assert(r.values.map(_._1).sum == 10L)
+    r.values.foreach { case (_, m, mn) =>
+      assert(mn >= 0L && mn <= m && m <= 1000L) }
+  }
+
   test("hubness: histogram conserves vectors and edges; hubs and antihubs split") {
     // hub 0 = e1; satellites 1-5 = e1 + 0.5·e_{i+1}. Every satellite's
     // top-1 is the hub (sim .894 vs .8 satellite-satellite); satellite

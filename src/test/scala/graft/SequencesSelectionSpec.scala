@@ -24,6 +24,36 @@ class SequencesSelectionSpec extends SparkSpec {
     assert(total === nEvents - nUsers)
   }
 
+  test("temporal decay: weights replay from a brute shift; shares conserve") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"),
+        graft.functions.Exprs.nanosToSec(col("ts")).as("sec"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val maxSec = ev.map(_._2).max
+    val expected = ev.groupBy(_._1).view.mapValues { g =>
+      val mass = g.map { case (_, sec) =>
+        val wk = math.min((maxSec - sec) / 86400 / 7, 40L)
+        1000000L >> wk
+      }.sum
+      (g.size.toLong, mass)
+    }.toMap
+    val got = Sequences.qTemporalDecay(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("w_mass"),
+          r.getAs[Long]("raw_permille"), r.getAs[Long]("decay_permille"))))
+      .toMap
+    val totalN = expected.values.map(_._1).sum
+    val totalW = expected.values.map(_._2).sum
+    expected.foreach { case (t, (n, w)) =>
+      assert(got(t) == ((n, w, n * 1000 / totalN, w * 1000 / totalW)), t)
+    }
+    // shares sum to ~1000 (flooring loses at most |types|-1 permille)
+    assert(math.abs(got.values.map(_._3).sum - 1000L) < got.size)
+    assert(math.abs(got.values.map(_._4).sum - 1000L) < got.size)
+    // the freshest events carry full weight: max w_mass <= 1e6 * n
+    got.values.foreach { case (n, w, _, _) => assert(w <= 1000000L * n) }
+  }
+
   test("window_distinct conserves events and bounds distinct users") {
     val r = Sequences.qWindowDistinct(spark, sf).collect()
     val ev = Tables.events(spark, sf)
