@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 import graft.Tables
 import graft.functions.Exprs.nanosToSec
@@ -255,7 +255,48 @@ object Graphs {
       .orderBy("band")
   }
 
+  /** q_assortativity — degree assortativity of the candidate graph
+    * (Newman 2002): the Pearson correlation of endpoint degrees over
+    * edges, answering whether heavy duplicators preferentially link
+    * to each other (r > 0: template farms form a connected rich club
+    * — dedup them as a block) or to leaves (r < 0: boilerplate
+    * hub-and-spoke — per-hub treatment). With M edges and per-edge
+    * endpoint degrees (j,k): r = (4M·Σjk − S1²) / (2M·Σ(j²+k²) − S1²),
+    * S1 = Σ(j+k) — the usual M⁻¹-normalized form cross-multiplied by
+    * 4M² so everything stays integral in DECIMAL(38,0) (deg ≤ 1e6,
+    * M ≤ 1e12 keeps 4M·Σjk < 1e38). The permille lands through the
+    * non-negative-numerator shift ((num+den)·1000 div den − 1000,
+    * num ≥ −den since r ≥ −1) so Spark's truncating div and DuckDB's
+    * flooring // agree on negative r.
+    *
+    * Plan: one degree aggregate, two edge⋈degree equi-joins (edge-
+    * list-sized), one global 4-sum rollup — the cheapest whole-graph
+    * statistic after the degree histogram. */
+  val qAssortativity: Q = (s, d) => {
+    val edges = Dedup.minhashCandidatePairs(s, d)
+      .select(col("a"), col("b")).localCheckpoint()
+    val deg = edges.select(col("a").as("v"))
+      .unionAll(edges.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    edges
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), Seq("b"))
+      .agg(
+        count(lit(1)).cast(DecimalType(38, 0)).as("m"),
+        sum(expr("CAST(da AS DECIMAL(38,0)) + db")).as("s1"),
+        sum(expr("CAST(da AS DECIMAL(38,0)) * da"
+          + " + CAST(db AS DECIMAL(38,0)) * db")).as("s2"),
+        sum(expr("CAST(da AS DECIMAL(38,0)) * db")).as("sjk"))
+      .select(col("m").cast(LongType).as("n_edges"),
+        expr("""CAST(CASE WHEN 2 * m * s2 - s1 * s1 > 0
+          THEN ((4 * m * sjk - s1 * s1) * 1000
+                + (2 * m * s2 - s1 * s1) * 1000)
+               div (2 * m * s2 - s1 * s1) - 1000
+          ELSE 0 END AS BIGINT)""").as("assort_permille"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_assortativity" -> qAssortativity,
     "q_pagerank_step" -> qPagerankStep,
     "q_kcore_prune" -> qKcorePrune,
     "q_degree_histogram" -> qDegreeHistogram,
@@ -329,6 +370,28 @@ object Graphs {
       """SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS deg
         |FROM (SELECT a AS doc_id FROM e4 UNION ALL SELECT b FROM e4)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    "q_assortativity" ->
+      ("WITH " + Dedup.minhashCandCte + ",\n" +
+      """deg AS (
+        |  SELECT v, CAST(COUNT(*) AS BIGINT) AS deg
+        |  FROM (SELECT a AS v FROM cand UNION ALL SELECT b FROM cand)
+        |  GROUP BY v),
+        |sums AS (
+        |  SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+        |    CAST(SUM(da.deg + db.deg) AS HUGEINT) AS s1,
+        |    CAST(SUM(CAST(da.deg AS HUGEINT) * da.deg
+        |      + CAST(db.deg AS HUGEINT) * db.deg) AS HUGEINT) AS s2,
+        |    CAST(SUM(CAST(da.deg AS HUGEINT) * db.deg) AS HUGEINT) AS sjk
+        |  FROM cand
+        |  JOIN deg da ON cand.a = da.v
+        |  JOIN deg db ON cand.b = db.v)
+        |SELECT CAST(m AS BIGINT) AS n_edges,
+        |  CAST(CASE WHEN 2 * m * s2 - s1 * s1 > 0
+        |    THEN ((4 * m * sjk - s1 * s1) * 1000
+        |          + (2 * m * s2 - s1 * s1) * 1000)
+        |         // (2 * m * s2 - s1 * s1) - 1000
+        |    ELSE 0 END AS BIGINT) AS assort_permille
+        |FROM sums""".stripMargin),
     "q_clustering_coeff" ->
       ("WITH " + Dedup.minhashCandCte + ",\n" +
       """deg AS (

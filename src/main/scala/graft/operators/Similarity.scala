@@ -923,6 +923,46 @@ object Similarity {
       .orderBy("k_occurrence")
   }
 
+  /** q_mutual_knn — reciprocal-nearest-neighbor pairs over the same
+    * deterministic vec_id < 512 sample as [[qHubness]]: (a, b) where
+    * EACH is in the other's cosine top-3. One-directional kNN edges
+    * are hubness-polluted (a hub is in everyone's top-k while its own
+    * top-k holds only its near-twins); the RECIPROCAL subset is the
+    * standard high-precision filter on top of them (the R-NN rule
+    * behind RNN-DBSCAN and image-dedup verification) — these pairs
+    * are what you auto-merge, the rest go to review. Emits each pair
+    * once (a < b) with its exact-micros cosine.
+    *
+    * Scale shape: inherits the sample contract (512² pairwise stays
+    * constant in corpus size; production feeds banded/IVF candidates
+    * into the same reciprocity join), then ONE self-equi-join of the
+    * k·512-row top-k edge list on the flipped key — edge-list-sized,
+    * never corpus-sized. */
+  val qMutualKnn: Q = (s, d) => {
+    val sample = Tables.spread(Tables.embeddings(s, d))
+      .filter(col("vec_id") < 512 && col("embedding").isNotNull &&
+        size(col("embedding")) === Dim)
+      .select(col("vec_id"), decVec(col("embedding")).as("de"))
+      .withColumn("nrm", decDot(col("de"), col("de")).cast(DoubleType))
+      .localCheckpoint()
+    val w = Window.partitionBy("qid").orderBy(col("sim_micros").desc, col("nid"))
+    val top = sample
+      .select(col("vec_id").as("qid"), col("de").as("qe"), col("nrm").as("nq"))
+      .join(sample.select(col("vec_id").as("nid"), col("de").as("ne"),
+        col("nrm").as("nn")), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        cosMicrosPre(decDot(col("qe"), col("ne")), col("nq"), col("nn"))
+          .as("sim_micros"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+      .select("qid", "nid", "sim_micros").localCheckpoint()
+    top.as("f")
+      .join(top.select(col("nid").as("qid"), col("qid").as("nid")).as("r"),
+        Seq("qid", "nid"))
+      .filter(col("qid") < col("nid"))
+      .select(col("qid").as("a"), col("nid").as("b"), col("sim_micros"))
+      .orderBy("a", "b")
+  }
+
   /** q_matryoshka_overlap — truncation-fidelity evaluation (Kusupati et
     * al. 2022, Matryoshka Representation Learning): before serving ANN
     * from a cheaper 32-dim prefix, measure how much of the full-64-dim
@@ -1233,6 +1273,7 @@ object Similarity {
     "q_cluster_purity" -> qClusterPurity,
     "q_silhouette" -> qSilhouette,
     "q_hubness" -> qHubness,
+    "q_mutual_knn" -> qMutualKnn,
     "q_pq_recall" -> qPqRecall,
     "q_kmeans_step" -> qKmeansStep,
     "q_semdedup" -> qSemdedup,
@@ -1583,6 +1624,31 @@ object Similarity {
         |  CAST(SUM(r.u) AS BIGINT) AS sum_unscaled
         |FROM r JOIN a ON r.vec_id = a.vec_id AND r.m = a.m
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q_mutual_knn" ->
+      """WITH el AS (
+        |  SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) AS x
+        |  FROM (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS i
+        |        FROM embeddings WHERE vec_id < 512)),
+        |nrm AS (SELECT vec_id, SUM(x*x) AS nrm FROM el GROUP BY vec_id),
+        |dots AS (
+        |  SELECT q.vec_id AS qid, e.vec_id AS nid, SUM(q.x * e.x) AS dot
+        |  FROM el q JOIN el e ON q.i = e.i AND e.vec_id <> q.vec_id
+        |  GROUP BY 1, 2),
+        |cosv AS (
+        |  SELECT qid, nid,
+        |    CAST(CAST(CAST(dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(ne.nrm AS DOUBLE)) AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS sim_micros
+        |  FROM dots
+        |  JOIN nrm nq ON qid = nq.vec_id
+        |  JOIN nrm ne ON nid = ne.vec_id),
+        |top AS (
+        |  SELECT qid, nid, sim_micros FROM (
+        |    SELECT qid, nid, sim_micros,
+        |      row_number() OVER (PARTITION BY qid ORDER BY sim_micros DESC, nid) AS rnk
+        |    FROM cosv) WHERE rnk <= 3)
+        |SELECT f.qid AS a, f.nid AS b, f.sim_micros
+        |FROM top f JOIN top r ON f.qid = r.nid AND f.nid = r.qid
+        |WHERE f.qid < f.nid
+        |ORDER BY a, b""".stripMargin,
     "q_hubness" ->
       """WITH el AS (
         |  SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) AS x

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -125,6 +126,45 @@ object TextStats {
       .withColumn("score_pct", expr("(n_stop * 100) div n_tokens"))
       .withColumn("keep_flag", col("score_pct") >= 3 && col("n_tokens") >= 10)
       .orderBy("doc_id")
+  }
+
+  /** q_filter_sweep — the threshold-selection curve BEHIND
+    * [[qQualityScore]]'s single keep flag: for every stopword-score
+    * cutoff t ∈ {0,10,…,100}, how many documents and tokens survive
+    * "keep iff score_pct ≥ t", in counts and corpus permille. Quality
+    * filtering trades corpus size against cleanliness; this is the
+    * table you read BEFORE picking the cutoff (the CCNet/Gopher
+    * papers publish exactly this curve), and re-running the corpus
+    * once per candidate threshold is the anti-pattern it replaces.
+    *
+    * Plan: ONE corpus scan (score from length/replace algebra,
+    * map-side bucket = score div 10), an ≤11-group histogram, and the
+    * sweep itself is a REVERSE cumulative window over those ≤11
+    * rows — the suffix sum at bucket b IS the population kept at
+    * threshold 10·b. Bounded frames; corpus work independent of how
+    * many thresholds you sweep. */
+  val qFilterSweep: Q = (s, d) => {
+    val hist = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(Packing.wsTokens(col("text")).as("n_tokens"),
+        nStop4(col("text")).as("n_stop"))
+      .withColumn("bucket",
+        least(expr("((n_stop * 100) div n_tokens) div 10"), lit(10L))
+          .cast(LongType))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").cast(LongType).as("tokens"))
+    val wRev = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("docs_kept", sum("n_docs").over(wRev).cast(LongType))
+      .withColumn("tokens_kept", sum("tokens").over(wRev).cast(LongType))
+      .select((col("bucket") * 10).cast(LongType).as("threshold_pct"),
+        col("docs_kept"), col("tokens_kept"),
+        expr("(docs_kept * 1000) div (SUM(n_docs) OVER ())")
+          .cast(LongType).as("docs_permille"),
+        expr("(tokens_kept * 1000) div (SUM(tokens) OVER ())")
+          .cast(LongType).as("tokens_permille"))
+      .orderBy("threshold_pct")
   }
 
   /** Gopher-style composite quality rules (Rae et al. 2021 §A1.1
@@ -1125,6 +1165,7 @@ object TextStats {
     "q_lang_confusion" -> qLangConfusion,
     "q_log_histogram" -> qLogHistogram,
     "q_quality_score" -> qQualityScore,
+    "q_filter_sweep" -> qFilterSweep,
     "q_token_count" -> qTokenCount,
     "q_fingerprint" -> qFingerprint,
     "q_hash_split" -> qHashSplit,
@@ -1525,6 +1566,31 @@ object TextStats {
         |  CAST((n_docs * 1000) // SUM(n_docs) OVER (PARTITION BY lang) AS BIGINT)
         |    AS share_permille
         |FROM cells ORDER BY lang, guess""".stripMargin
+    },
+    "q_filter_sweep" -> {
+      val nStop = nStop4Duck
+      s"""WITH hist AS (
+        |  SELECT LEAST(((n_stop * 100) // n_tokens) // 10, 10) AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS tokens
+        |  FROM (SELECT
+        |          CAST(length(text) - length(replace(text, ' ', '')) + 1
+        |            AS BIGINT) AS n_tokens,
+        |          $nStop AS n_stop
+        |        FROM documents WHERE text IS NOT NULL)
+        |  GROUP BY 1)
+        |SELECT CAST(bucket * 10 AS BIGINT) AS threshold_pct,
+        |  CAST(SUM(n_docs) OVER (ORDER BY bucket DESC
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS docs_kept,
+        |  CAST(SUM(tokens) OVER (ORDER BY bucket DESC
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tokens_kept,
+        |  CAST((SUM(n_docs) OVER (ORDER BY bucket DESC
+        |      ROWS UNBOUNDED PRECEDING) * 1000) // (SUM(n_docs) OVER ())
+        |    AS BIGINT) AS docs_permille,
+        |  CAST((SUM(tokens) OVER (ORDER BY bucket DESC
+        |      ROWS UNBOUNDED PRECEDING) * 1000) // (SUM(tokens) OVER ())
+        |    AS BIGINT) AS tokens_permille
+        |FROM hist ORDER BY threshold_pct""".stripMargin
     },
     "q_quality_score" -> {
       val nStop = nStop4Duck

@@ -48,6 +48,27 @@ class LeakageGraphSpec extends SparkSpec {
     assert(nTri === common / 3, s"tri=$nTri common=$common")
   }
 
+  test("assortativity replays exactly from a BigInt census and stays in [-1,1]") {
+    val edges = graft.operators.Dedup.minhashCandidatePairs(spark, sf)
+      .select(col("a"), col("b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val deg = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val m = BigInt(edges.length)
+    val s1 = edges.map { case (a, b) => BigInt(deg(a)) + deg(b) }.sum
+    val s2 = edges.map { case (a, b) =>
+      BigInt(deg(a)) * deg(a) + BigInt(deg(b)) * deg(b) }.sum
+    val sjk = edges.map { case (a, b) => BigInt(deg(a)) * deg(b) }.sum
+    val den = 2 * m * s2 - s1 * s1
+    val expected =
+      if (den > 0) ((4 * m * sjk - s1 * s1 + den) * 1000 / den - 1000).toLong
+      else 0L
+    val row = Graphs.qAssortativity(spark, sf).collect().head
+    assert(row.getAs[Long]("n_edges") === edges.length.toLong)
+    assert(row.getAs[Long]("assort_permille") === expected)
+    assert(expected >= -1000L && expected <= 1000L)
+  }
+
   test("clustering coeff: bands conserve nodes/triangles; cc bounded by clique") {
     val bands = Graphs.qClusteringCoeff(spark, sf).collect()
     assert(bands.nonEmpty)

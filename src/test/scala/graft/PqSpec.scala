@@ -145,6 +145,26 @@ class PqSpec extends SparkSpec {
       assert(mn >= 0L && mn <= m && m <= 1000L) }
   }
 
+  test("mutual knn: reciprocal pairs form exactly the K4 core of the hub fixture") {
+    // Same geometry as the hubness fixture: hub 0 = e1, satellites
+    // 1-5 = e1 + 0.5·e_{i+1}. Hub↔sat cos = .894427, sat↔sat = .800000;
+    // ties break to lowest id, so hub's top-3 = {1,2,3} and every
+    // satellite's = {hub} ∪ two lowest other sats. Reciprocity keeps
+    // exactly the K4 on {0,1,2,3} — satellites 4,5 point IN but nobody
+    // points back (the hub-pollution the reciprocal filter removes).
+    val hub = { val a = Array.fill(64)(0.0f); a(0) = 1.0f; a }
+    val sats = (1 to 5).map { i =>
+      val a = Array.fill(64)(0.0f); a(0) = 1.0f; a(i) = 0.5f; a }
+    val dir = writeEmb(hub +: sats)
+    val got = Similarity.qMutualKnn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("sim_micros"))
+      .toMap
+    val expected = Map(
+      (0L, 1L) -> 894427L, (0L, 2L) -> 894427L, (0L, 3L) -> 894427L,
+      (1L, 2L) -> 800000L, (1L, 3L) -> 800000L, (2L, 3L) -> 800000L)
+    assert(got === expected, got.toString)
+  }
+
   test("hubness: histogram conserves vectors and edges; hubs and antihubs split") {
     // hub 0 = e1; satellites 1-5 = e1 + 0.5·e_{i+1}. Every satellite's
     // top-1 is the hub (sim .894 vs .8 satellite-satellite); satellite

@@ -60,6 +60,33 @@ class QualitySurvivorSpec extends SparkSpec {
       (11L, 5L, 3L, 600L)), rows.mkString(","))
   }
 
+  test("qFilterSweep is exactly the suffix-sum curve of qQualityScore") {
+    val sf = "/root/testdata/sf0.001"
+    // per-doc (bucket, tokens) from the score operator the sweep claims
+    // to summarize — consistency between the two IS the contract
+    val perDoc = TextStats.qQualityScore(spark, sf).collect()
+      .filter(r => !r.isNullAt(r.fieldIndex("n_tokens")))
+      .map(r => (math.min(r.getAs[Long]("score_pct") / 10, 10L),
+        r.getAs[Long]("n_tokens")))
+    val totalDocs = perDoc.length.toLong
+    val totalToks = perDoc.map(_._2).sum
+    val got = TextStats.qFilterSweep(spark, sf).collect()
+      .map(r => r.getAs[Long]("threshold_pct") ->
+        ((r.getAs[Long]("docs_kept"), r.getAs[Long]("tokens_kept"),
+          r.getAs[Long]("docs_permille"), r.getAs[Long]("tokens_permille"))))
+      .toMap
+    got.keys.foreach { t =>
+      val kept = perDoc.filter(_._1 >= t / 10)
+      val (dk, tk) = (kept.length.toLong, kept.map(_._2).sum)
+      assert(got(t) == ((dk, tk, dk * 1000 / totalDocs, tk * 1000 / totalToks)),
+        s"threshold $t")
+    }
+    // threshold 0 keeps everything; curve is non-increasing in t
+    assert(got(got.keys.min) == ((totalDocs, totalToks, 1000L, 1000L)))
+    val curve = got.toSeq.sortBy(_._1).map(_._2._1)
+    assert(curve == curve.sorted.reverse)
+  }
+
   test("qZipfSlope: exact least-squares on a hand corpus; fixture slope plausible") {
     // freqs 8,4,2,1 → y = (3000,2000,1000,0) exactly; x = ⌊1000·log2(rank)⌋
     // = (0,1000,1584,2000); closed form gives −1459 (truncation toward 0)
