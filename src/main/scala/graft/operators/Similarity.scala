@@ -963,6 +963,70 @@ object Similarity {
       .orderBy("a", "b")
   }
 
+  /** q_nn_descent — one NN-descent refinement round (Dong et al.
+    * WWW'11, the standard kNN-GRAPH construction behind HNSW/ScaNN
+    * pipelines), measured against truth: seed each vector's top-3
+    * from an arbitrary bounded candidate window (|qid − nid| ≤ 3 —
+    * the deterministic stand-in for NN-descent's random init; note a
+    * cluster-assignment seed would be WRONG here, its neighbor graph
+    * is transitively closed so the descent step could never escape a
+    * cluster), then apply the descent step "my neighbor's neighbors
+    * are candidate neighbors" once and re-rank. Emits recall@3 vs the
+    * exact top-3 at stage 0 (seed) and stage 1 (after the round) —
+    * the convergence evidence that justifies descent rounds as a
+    * budget knob. Ties and sims ride the house exact-decimal micros
+    * contract, so both stages are engine-exact.
+    *
+    * Scale shape: the [[qHubness]] sample contract — the 512² sim
+    * matrix is the TRUTH leg (constant in corpus size) and doubles as
+    * the sim lookup for both stages, so the descent mechanics (seed
+    * edges ⋈ seed edges on the shared middle vertex → distinct →
+    * re-rank) are priced on edge-list-sized frames; at production
+    * scale the same join runs on the banded-LSH seed graph with sims
+    * computed per candidate, never all-pairs. */
+  val qNnDescent: Q = (s, d) => {
+    val sample = Tables.spread(Tables.embeddings(s, d))
+      .filter(col("vec_id") < 512 && col("embedding").isNotNull &&
+        size(col("embedding")) === Dim)
+      .select(col("vec_id"), decVec(col("embedding")).as("de"))
+      .withColumn("nrm", decDot(col("de"), col("de")).cast(DoubleType))
+      .localCheckpoint()
+    val cosv = sample
+      .select(col("vec_id").as("qid"), col("de").as("qe"), col("nrm").as("nq"))
+      .join(sample.select(col("vec_id").as("nid"), col("de").as("ne"),
+        col("nrm").as("nn")), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        cosMicrosPre(decDot(col("qe"), col("ne")), col("nq"), col("nn"))
+          .as("sim_micros"))
+      .localCheckpoint()
+    val w = Window.partitionBy("qid").orderBy(col("sim_micros").desc, col("nid"))
+    val truth = cosv.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3).select("qid", "nid").localCheckpoint()
+    val seed = cosv
+      .filter(abs(col("qid") - col("nid")) <= 3)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3).select("qid", "nid").localCheckpoint()
+    val expanded = seed.as("s1")
+      .join(seed.select(col("qid").as("nid"), col("nid").as("nid2")).as("s2"),
+        Seq("nid"))
+      .filter(col("qid") =!= col("nid2"))
+      .select(col("qid"), col("nid2").as("nid"))
+      .unionByName(seed)
+      .distinct()
+    val descended = expanded.join(cosv, Seq("qid", "nid"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3).select("qid", "nid")
+    val nQ = sample.agg(count(lit(1)).as("n_queries"))
+    def recallRow(stage: Long, knn: DataFrame): DataFrame =
+      knn.join(truth, Seq("qid", "nid"))
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(broadcast(nQ))
+        .select(lit(stage).as("stage"), col("n_queries"), col("n_hits"),
+          expr("(n_hits * 1000) div (3 * n_queries)").cast(LongType)
+            .as("recall_permille"))
+    recallRow(0L, seed).unionByName(recallRow(1L, descended)).orderBy("stage")
+  }
+
   /** q_matryoshka_overlap — truncation-fidelity evaluation (Kusupati et
     * al. 2022, Matryoshka Representation Learning): before serving ANN
     * from a cheaper 32-dim prefix, measure how much of the full-64-dim
@@ -1274,6 +1338,7 @@ object Similarity {
     "q_silhouette" -> qSilhouette,
     "q_hubness" -> qHubness,
     "q_mutual_knn" -> qMutualKnn,
+    "q_nn_descent" -> qNnDescent,
     "q_pq_recall" -> qPqRecall,
     "q_kmeans_step" -> qKmeansStep,
     "q_semdedup" -> qSemdedup,
@@ -1624,6 +1689,57 @@ object Similarity {
         |  CAST(SUM(r.u) AS BIGINT) AS sum_unscaled
         |FROM r JOIN a ON r.vec_id = a.vec_id AND r.m = a.m
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q_nn_descent" ->
+      """WITH el AS (
+        |  SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) AS x
+        |  FROM (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS i
+        |        FROM embeddings WHERE vec_id < 512)),
+        |nrm AS (SELECT vec_id, SUM(x*x) AS nrm FROM el GROUP BY vec_id),
+        |dots AS (
+        |  SELECT q.vec_id AS qid, e.vec_id AS nid, SUM(q.x * e.x) AS dot
+        |  FROM el q JOIN el e ON q.i = e.i AND e.vec_id <> q.vec_id
+        |  GROUP BY 1, 2),
+        |cosv AS (
+        |  SELECT qid, nid,
+        |    CAST(CAST(CAST(dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(ne.nrm AS DOUBLE)) AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS sim_micros
+        |  FROM dots
+        |  JOIN nrm nq ON qid = nq.vec_id
+        |  JOIN nrm ne ON nid = ne.vec_id),
+        |truth AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT qid, nid,
+        |      row_number() OVER (PARTITION BY qid
+        |        ORDER BY sim_micros DESC, nid) AS rk
+        |    FROM cosv) WHERE rk <= 3),
+        |seed AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT qid, nid,
+        |      row_number() OVER (PARTITION BY qid
+        |        ORDER BY sim_micros DESC, nid) AS rk
+        |    FROM cosv WHERE abs(qid - nid) <= 3) WHERE rk <= 3),
+        |expanded AS (
+        |  SELECT DISTINCT qid, nid FROM (
+        |    SELECT s1.qid, s2.nid FROM seed s1
+        |    JOIN seed s2 ON s1.nid = s2.qid AND s2.nid <> s1.qid
+        |    UNION ALL SELECT qid, nid FROM seed)),
+        |descended AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT e.qid, e.nid,
+        |      row_number() OVER (PARTITION BY e.qid
+        |        ORDER BY c.sim_micros DESC, e.nid) AS rk
+        |    FROM expanded e JOIN cosv c ON c.qid = e.qid AND c.nid = e.nid)
+        |  WHERE rk <= 3),
+        |nq AS (SELECT COUNT(DISTINCT vec_id) AS n_queries FROM el)
+        |SELECT stage, CAST(n_queries AS BIGINT) AS n_queries,
+        |  CAST(n_hits AS BIGINT) AS n_hits,
+        |  CAST((n_hits * 1000) // (3 * n_queries) AS BIGINT)
+        |    AS recall_permille
+        |FROM (
+        |  SELECT CAST(0 AS BIGINT) AS stage, COUNT(*) AS n_hits
+        |  FROM seed JOIN truth USING (qid, nid)
+        |  UNION ALL
+        |  SELECT 1, COUNT(*) FROM descended JOIN truth USING (qid, nid))
+        |CROSS JOIN nq ORDER BY stage""".stripMargin,
     "q_mutual_knn" ->
       """WITH el AS (
         |  SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) AS x

@@ -219,6 +219,50 @@ object TextStats {
         "r_len", "r_wlen", "r_stop", "r_alpha", "keep")
       .orderBy("doc_id")
 
+  /** q_cascade_filter — the attrition table of [[qQualityRules]]: the
+    * four Gopher rules applied as the SEQUENTIAL cascade a pipeline
+    * actually runs (len → wlen → stop → alpha), reporting after each
+    * stage the surviving documents and token mass, survival permille,
+    * and the drop charged to THAT stage. The per-rule flags say what
+    * each rule would do alone; the cascade says what each rule still
+    * catches after its predecessors — the number that decides rule
+    * order and whether a rule earns its scan.
+    *
+    * Plan: one corpus scan computes all four flags (length/replace
+    * algebra, no explode), ONE global aggregate carries the five
+    * (docs, tokens) pairs as conjunction-gated sums, and the 5-row
+    * attrition table unfolds driver-free via stack — corpus work is
+    * one pass regardless of cascade depth. */
+  val qCascadeFilter: Q = (s, d) => {
+    val f = qualityFlags(Tables.documents(s, d).filter(col("text").isNotNull))
+      .withColumn("s1", col("r_len").cast(LongType))
+      .withColumn("s2", (col("r_len") && col("r_wlen")).cast(LongType))
+      .withColumn("s3",
+        (col("r_len") && col("r_wlen") && col("r_stop")).cast(LongType))
+      .withColumn("s4", (col("r_len") && col("r_wlen") && col("r_stop")
+        && col("r_alpha")).cast(LongType))
+    f.agg(
+        count(lit(1)).as("n0"), sum(col("n_words")).as("w0"),
+        sum("s1").as("n1"), sum(expr("s1 * n_words")).as("w1"),
+        sum("s2").as("n2"), sum(expr("s2 * n_words")).as("w2"),
+        sum("s3").as("n3"), sum(expr("s3 * n_words")).as("w3"),
+        sum("s4").as("n4"), sum(expr("s4 * n_words")).as("w4"))
+      .selectExpr(
+        """stack(5,
+             0L, 'none',  CAST(n0 AS BIGINT), CAST(w0 AS BIGINT), CAST(0 AS BIGINT),
+             1L, 'len',   CAST(n1 AS BIGINT), CAST(w1 AS BIGINT), CAST(n0 - n1 AS BIGINT),
+             2L, 'wlen',  CAST(n2 AS BIGINT), CAST(w2 AS BIGINT), CAST(n1 - n2 AS BIGINT),
+             3L, 'stop',  CAST(n3 AS BIGINT), CAST(w3 AS BIGINT), CAST(n2 - n3 AS BIGINT),
+             4L, 'alpha', CAST(n4 AS BIGINT), CAST(w4 AS BIGINT), CAST(n3 - n4 AS BIGINT))
+           AS (stage, rule, docs_kept, tokens_kept, dropped_here)""")
+      .withColumn("docs_permille",
+        expr("(docs_kept * 1000) div (MAX(docs_kept) OVER ())").cast(LongType))
+      .withColumn("tokens_permille",
+        expr("(tokens_kept * 1000) div (MAX(tokens_kept) OVER ())")
+          .cast(LongType))
+      .orderBy("stage")
+  }
+
   /** q_quality_dup_corr — the cross-signal curation audit: ARE the
     * low-quality documents also the duplicated ones? Groups the corpus
     * by how many of the four Gopher rules pass (0..4) and reports the
@@ -1166,6 +1210,7 @@ object TextStats {
     "q_log_histogram" -> qLogHistogram,
     "q_quality_score" -> qQualityScore,
     "q_filter_sweep" -> qFilterSweep,
+    "q_cascade_filter" -> qCascadeFilter,
     "q_token_count" -> qTokenCount,
     "q_fingerprint" -> qFingerprint,
     "q_hash_split" -> qHashSplit,
@@ -1656,6 +1701,48 @@ object TextStats {
         |    AS dup_permille
         |FROM rules r LEFT JOIN flag USING (doc_id)
         |GROUP BY r.n_pass ORDER BY r.n_pass""".stripMargin
+    },
+    "q_cascade_filter" -> {
+      val nStop = nStop4Duck
+      s"""WITH flags AS (
+        |  SELECT n_words,
+        |    (n_words >= 10 AND n_words <= 100000) AS r_len,
+        |    ((nc * 100) // n_words >= 300
+        |      AND (nc * 100) // n_words <= 1000) AS r_wlen,
+        |    (n_stop >= 2) AS r_stop,
+        |    ((n_alpha * 100) // greatest(nc, 1) >= 70) AS r_alpha
+        |  FROM (
+        |    SELECT
+        |      CAST(length(text) - length(replace(text, ' ', '')) + 1
+        |        AS BIGINT) AS n_words,
+        |      length(replace(text, ' ', '')) AS nc,
+        |      length(text) - length(regexp_replace(text, '[a-z]', '', 'g'))
+        |        AS n_alpha,
+        |      $nStop AS n_stop
+        |    FROM documents WHERE text IS NOT NULL)),
+        |agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+        |    CAST(SUM(n_words) AS BIGINT) AS w0,
+        |    CAST(SUM(CASE WHEN r_len THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN r_len THEN n_words ELSE 0 END) AS BIGINT) AS w1,
+        |    CAST(SUM(CASE WHEN r_len AND r_wlen THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(SUM(CASE WHEN r_len AND r_wlen THEN n_words ELSE 0 END) AS BIGINT) AS w2,
+        |    CAST(SUM(CASE WHEN r_len AND r_wlen AND r_stop THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+        |    CAST(SUM(CASE WHEN r_len AND r_wlen AND r_stop THEN n_words ELSE 0 END) AS BIGINT) AS w3,
+        |    CAST(SUM(CASE WHEN r_len AND r_wlen AND r_stop AND r_alpha THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+        |    CAST(SUM(CASE WHEN r_len AND r_wlen AND r_stop AND r_alpha THEN n_words ELSE 0 END) AS BIGINT) AS w4
+        |  FROM flags),
+        |tbl AS (
+        |  SELECT CAST(0 AS BIGINT) AS stage, 'none' AS rule, n0 AS docs_kept,
+        |    w0 AS tokens_kept, CAST(0 AS BIGINT) AS dropped_here, n0, w0 FROM agg
+        |  UNION ALL SELECT 1, 'len', n1, w1, n0 - n1, n0, w0 FROM agg
+        |  UNION ALL SELECT 2, 'wlen', n2, w2, n1 - n2, n0, w0 FROM agg
+        |  UNION ALL SELECT 3, 'stop', n3, w3, n2 - n3, n0, w0 FROM agg
+        |  UNION ALL SELECT 4, 'alpha', n4, w4, n3 - n4, n0, w0 FROM agg)
+        |SELECT stage, rule, docs_kept, tokens_kept, dropped_here,
+        |  CAST((docs_kept * 1000) // n0 AS BIGINT) AS docs_permille,
+        |  CAST((tokens_kept * 1000) // w0 AS BIGINT) AS tokens_permille
+        |FROM tbl ORDER BY stage""".stripMargin
     },
     "q_quality_rules" -> {
       val nStop = nStop4Duck

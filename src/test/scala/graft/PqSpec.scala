@@ -145,6 +145,30 @@ class PqSpec extends SparkSpec {
       assert(mn >= 0L && mn <= m && m <= 1000L) }
   }
 
+  test("nn_descent: one round recovers a far-id twin the seed window misses") {
+    // v0, v1, v4, v7 share one direction; v2, v3, v5, v6 are orthogonal
+    // fillers. v0's truth top-3 = {1, 4, 7} but its ±3-id seed window
+    // only reaches {1, 2, 3} (1 hit). v1's seed holds 4, so the descent
+    // step routes 4 to v0 through their shared edge — recall must rise.
+    def axis(j: Int): Array[Float] = {
+      val a = Array.fill(64)(0.0f); a(j) = 1.0f; a
+    }
+    val u = axis(0)
+    val vecs = Seq(u, u, axis(1), axis(2), u, axis(3), axis(4), u)
+    val dir = writeEmb(vecs)
+    val r = Similarity.qNnDescent(spark, dir).collect()
+      .map(x => x.getAs[Long]("stage") ->
+        ((x.getAs[Long]("n_queries"), x.getAs[Long]("n_hits"),
+          x.getAs[Long]("recall_permille")))).toMap
+    assert(r.keySet === Set(0L, 1L))
+    assert(r(0L)._1 === 8L && r(1L)._1 === 8L)
+    // adding candidates under the same exact ordering never loses a
+    // truth hit (anything displacing a truth member IS a truth member)
+    assert(r(1L)._2 > r(0L)._2, r.toString)
+    assert(r(1L)._3 > r(0L)._3)
+    r.values.foreach { case (_, _, p) => assert(p >= 0L && p <= 1000L) }
+  }
+
   test("mutual knn: reciprocal pairs form exactly the K4 core of the hub fixture") {
     // Same geometry as the hubness fixture: hub 0 = e1, satellites
     // 1-5 = e1 + 0.5·e_{i+1}. Hub↔sat cos = .894427, sat↔sat = .800000;

@@ -87,6 +87,38 @@ class QualitySurvivorSpec extends SparkSpec {
     assert(curve == curve.sorted.reverse)
   }
 
+  test("qCascadeFilter attrition replays from the per-doc rule flags") {
+    val sf = "/root/testdata/sf0.001"
+    val flags = TextStats.qQualityRules(spark, sf).collect()
+      .map(r => (r.getAs[Long]("n_words"),
+        r.getAs[Boolean]("r_len"), r.getAs[Boolean]("r_wlen"),
+        r.getAs[Boolean]("r_stop"), r.getAs[Boolean]("r_alpha")))
+    type F = (Long, Boolean, Boolean, Boolean, Boolean)
+    val stages = Seq[F => Boolean](
+      _ => true, _._2, t => t._2 && t._3, t => t._2 && t._3 && t._4,
+      t => t._2 && t._3 && t._4 && t._5)
+    val got = TextStats.qCascadeFilter(spark, sf).collect()
+      .map(r => r.getAs[Long]("stage") -> r).toMap
+    assert(got.size === 5)
+    val (totDocs, totToks) = (flags.length.toLong, flags.map(_._1).sum)
+    var prevDocs = totDocs
+    stages.zipWithIndex.foreach { case (p, k) =>
+      val kept = flags.filter(p)
+      val row = got(k.toLong)
+      assert(row.getAs[Long]("docs_kept") === kept.length.toLong, s"stage $k")
+      assert(row.getAs[Long]("tokens_kept") === kept.map(_._1).sum, s"stage $k")
+      assert(row.getAs[Long]("dropped_here") === prevDocs - kept.length)
+      assert(row.getAs[Long]("docs_permille") ===
+        kept.length.toLong * 1000 / totDocs)
+      assert(row.getAs[Long]("tokens_permille") ===
+        kept.map(_._1).sum * 1000 / totToks)
+      prevDocs = kept.length.toLong
+    }
+    // the cascade's end state equals qQualityRules' conjunction keep
+    assert(got(4L).getAs[Long]("docs_kept") ===
+      flags.count(t => t._2 && t._3 && t._4 && t._5).toLong)
+  }
+
   test("qZipfSlope: exact least-squares on a hand corpus; fixture slope plausible") {
     // freqs 8,4,2,1 → y = (3000,2000,1000,0) exactly; x = ⌊1000·log2(rank)⌋
     // = (0,1000,1584,2000); closed form gives −1459 (truncation toward 0)
