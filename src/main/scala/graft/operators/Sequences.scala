@@ -686,7 +686,51 @@ object Sequences {
       .orderBy("event_type")
   }
 
+  /** q_attribution — first-touch vs last-touch conversion attribution
+    * over the event stream: every `purchase` credits (a) the user's
+    * FIRST event before it and (b) the event immediately preceding it,
+    * rolled up per touch type with within-model share permille. The
+    * two models bracket the attribution spectrum — when they disagree
+    * hard (entry points earn first-touch, closers earn last-touch),
+    * any single-touch number is lying, and this table is how you see
+    * it. Purchases with no prior event credit nothing (nothing touched
+    * them).
+    *
+    * Plan: ONE user-keyed window exchange serves both signals (lag-1
+    * and the unbounded-preceding-to-−1 first_value share the
+    * partitioning and ordering — Catalyst computes them in one
+    * WindowExec), the conversions frame is checkpointed once to feed
+    * both rollups, and the share windows run over ≤ |types| rows per
+    * model. High-cardinality user partitioning; no funnel. */
+  val qAttribution: Q = (s, d) => {
+    val wOrd = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
+    val conv = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        nanosToSec(col("ts")).as("sec"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(wOrd))
+      .withColumn("first_et", first(col("event_type")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+      .filter(col("event_type") === "purchase" && col("prev").isNotNull)
+      .select("prev", "first_et")
+      .localCheckpoint()
+    val firstAgg = conv.groupBy(col("first_et").as("touch_type"))
+      .agg(count(lit(1)).as("n_conversions"))
+      .select(lit("first_touch").as("model"), col("touch_type"),
+        col("n_conversions"))
+    val lastAgg = conv.groupBy(col("prev").as("touch_type"))
+      .agg(count(lit(1)).as("n_conversions"))
+      .select(lit("last_touch").as("model"), col("touch_type"),
+        col("n_conversions"))
+    firstAgg.unionByName(lastAgg)
+      .withColumn("share_permille",
+        expr("(n_conversions * 1000)"
+          + " div (SUM(n_conversions) OVER (PARTITION BY model))")
+          .cast(LongType))
+      .orderBy("model", "touch_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_attribution" -> qAttribution,
     "q_temporal_decay" -> qTemporalDecay,
     "q_rolling_median" -> qRollingMedian,
     "q_cdc_apply" -> qCdcApply,
@@ -707,6 +751,34 @@ object Sequences {
     "q_burst_users" -> qBurstUsers)
 
   val oracle: Map[String, String] = Map(
+    "q_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS sec,
+        |    event_type
+        |  FROM events),
+        |seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY sec, event_id) AS prev,
+        |    first_value(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY sec, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_et
+        |  FROM ev),
+        |conv AS (
+        |  SELECT prev, first_et FROM seq
+        |  WHERE event_type = 'purchase' AND prev IS NOT NULL),
+        |tbl AS (
+        |  SELECT 'first_touch' AS model, first_et AS touch_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n_conversions
+        |  FROM conv GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'last_touch', prev, CAST(COUNT(*) AS BIGINT)
+        |  FROM conv GROUP BY 2)
+        |SELECT model, touch_type, n_conversions,
+        |  CAST((n_conversions * 1000)
+        |    // (SUM(n_conversions) OVER (PARTITION BY model)) AS BIGINT)
+        |    AS share_permille
+        |FROM tbl ORDER BY model, touch_type""".stripMargin,
     "q_temporal_decay" ->
       """WITH ev AS (
         |  SELECT event_type, epoch_us(ts) // 1000000 AS sec FROM events),

@@ -24,6 +24,37 @@ class SequencesSelectionSpec extends SparkSpec {
     assert(total === nEvents - nUsers)
   }
 
+  test("attribution: both models replay from a brute per-user walk") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        graft.functions.Exprs.nanosToSec(col("ts")).as("sec"),
+        col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byUser = ev.groupBy(_._1).view.mapValues(_.sortBy(t => (t._3, t._2)))
+    val convs = byUser.values.flatMap { seq =>
+      seq.zipWithIndex.collect {
+        case ((_, _, _, "purchase"), i) if i > 0 =>
+          (seq.head._4, seq(i - 1)._4) // (first_touch, last_touch)
+      }
+    }.toSeq
+    val expFirst = convs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val expLast = convs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val got = Sequences.qAttribution(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_conversions"), r.getAs[Long]("share_permille"))))
+      .toMap
+    val total = convs.size.toLong
+    expFirst.foreach { case (t, n) =>
+      assert(got(("first_touch", t)) == ((n, n * 1000 / total)), s"first $t") }
+    expLast.foreach { case (t, n) =>
+      assert(got(("last_touch", t)) == ((n, n * 1000 / total)), s"last $t") }
+    // each model's credits conserve the conversion count
+    Seq("first_touch", "last_touch").foreach { m =>
+      assert(got.collect { case ((`m`, _), (n, _)) => n }.sum == total)
+    }
+  }
+
   test("temporal decay: weights replay from a brute shift; shares conserve") {
     val ev = Tables.events(spark, sf)
       .select(col("event_type"),
