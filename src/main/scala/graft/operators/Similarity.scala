@@ -923,6 +923,56 @@ object Similarity {
       .orderBy("k_occurrence")
   }
 
+  /** q_spectral_power — embedding anisotropy probe (Mu & Viswanath
+    * 2018, "All-but-the-Top": embedding clouds hide a dominant common
+    * direction that poisons cosine retrieval): ONE power-iteration
+    * action of the uncentered second-moment matrix on the fixed
+    * all-ones probe vector, w = Σᵢ sᵢ·uᵢ with sᵢ = Σ_d u_{i,d} — the
+    * 64 per-dim components a driver iterates on to extract the top
+    * direction — plus the ones-direction energy share
+    * (Σ sᵢ²)/(64·Σ|uᵢ|²) in permille, the "how anisotropic" scalar. A
+    * share near 1000/64 ≈ 16 is isotropic; far above it, retrieval
+    * wants the common direction removed before serving.
+    *
+    * Exactness: coordinates ride the 1e-8 unscaled-long grid
+    * ([[unscaledRows]]); all n²-ish products go through DECIMAL(38,0)
+    * (|s·u| ≤ 6.4e17 per row, ×1e12 rows < 1e38). The emitted per-dim
+    * value is the PER-VECTOR AVERAGE floor(w_d/n) — bounded by
+    * 6.4e17 at ANY corpus size, landed through the additive-shift
+    * floor (w + n·B) div n − B with B = 7e17 so Spark's truncating
+    * div and DuckDB's flooring // agree on negative components; the
+    * mean coordinate uses the same shift with B = 2e8.
+    *
+    * Plan: one per-vector 3-sum aggregate, one co-partitioned join
+    * back onto the exploded rows, one 64-group aggregate and a 1-row
+    * scalar broadcast — two corpus passes, nothing wider than
+    * (vec_id, dim) ever shuffles. */
+  val qSpectralPower: Q = (s, d) => {
+    val rows = unscaledRows(Tables.spread(Tables.embeddings(s, d)))
+      .localCheckpoint()
+    val sums = rows.groupBy("vec_id")
+      .agg(sum("u").as("sv"),
+        sum(expr("CAST(u AS DECIMAL(38,0)) * u")).as("uu"))
+      .localCheckpoint()
+    val scal = sums.agg(
+        sum(expr("CAST(sv AS DECIMAL(38,0)) * sv")).as("ss"),
+        sum("uu").as("tot"))
+      .select(expr("CAST((ss * 1000) div (64 * tot) AS BIGINT)")
+        .as("aniso_permille"))
+    rows.join(sums.select(col("vec_id"), col("sv")), "vec_id")
+      .groupBy(col("i").cast(LongType).as("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(u AS DECIMAL(38,0))")).as("su"),
+        sum(expr("CAST(sv AS DECIMAL(38,0)) * u")).as("w"))
+      .select(col("dim"), col("n"),
+        (expr("CAST((su + CAST(n AS DECIMAL(38,0)) * 200000000)"
+          + " div n AS BIGINT)") - lit(200000000L)).as("mean_u"),
+        (expr("CAST((w + CAST(n AS DECIMAL(38,0)) * 700000000000000000)"
+          + " div n AS BIGINT)") - lit(700000000000000000L)).as("w_avg"))
+      .crossJoin(broadcast(scal))
+      .orderBy("dim")
+  }
+
   /** q_mutual_knn — reciprocal-nearest-neighbor pairs over the same
     * deterministic vec_id < 512 sample as [[qHubness]]: (a, b) where
     * EACH is in the other's cosine top-3. One-directional kNN edges
@@ -1339,6 +1389,7 @@ object Similarity {
     "q_hubness" -> qHubness,
     "q_mutual_knn" -> qMutualKnn,
     "q_nn_descent" -> qNnDescent,
+    "q_spectral_power" -> qSpectralPower,
     "q_pq_recall" -> qPqRecall,
     "q_kmeans_step" -> qKmeansStep,
     "q_semdedup" -> qSemdedup,
@@ -1689,6 +1740,34 @@ object Similarity {
         |  CAST(SUM(r.u) AS BIGINT) AS sum_unscaled
         |FROM r JOIN a ON r.vec_id = a.vec_id AND r.m = a.m
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q_spectral_power" ->
+      """WITH el AS (
+        |  SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) AS x
+        |  FROM (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS i
+        |        FROM embeddings
+        |        WHERE embedding IS NOT NULL AND len(embedding) = 64)),
+        |uu AS (SELECT vec_id, i, CAST(x * 100000000 AS BIGINT) AS u FROM el),
+        |sums AS (
+        |  SELECT vec_id, CAST(SUM(u) AS HUGEINT) AS sv,
+        |    CAST(SUM(CAST(u AS HUGEINT) * u) AS HUGEINT) AS muu
+        |  FROM uu GROUP BY vec_id),
+        |scal AS (
+        |  SELECT CAST((SUM(sv * sv) * 1000) // (64 * SUM(muu)) AS BIGINT)
+        |    AS aniso_permille
+        |  FROM sums),
+        |agg AS (
+        |  SELECT CAST(uu.i AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(uu.u AS HUGEINT)) AS HUGEINT) AS su,
+        |    CAST(SUM(s.sv * uu.u) AS HUGEINT) AS w
+        |  FROM uu JOIN sums s USING (vec_id)
+        |  GROUP BY 1)
+        |SELECT dim, n,
+        |  CAST((su + CAST(n AS HUGEINT) * 200000000) // n AS BIGINT)
+        |    - 200000000 AS mean_u,
+        |  CAST((w + CAST(n AS HUGEINT) * 700000000000000000) // n AS BIGINT)
+        |    - 700000000000000000 AS w_avg,
+        |  aniso_permille
+        |FROM agg CROSS JOIN scal ORDER BY dim""".stripMargin,
     "q_nn_descent" ->
       """WITH el AS (
         |  SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) AS x

@@ -145,6 +145,43 @@ class PqSpec extends SparkSpec {
       assert(mn >= 0L && mn <= m && m <= 1000L) }
   }
 
+  test("spectral_power replays from BigInt floor-division; anisotropy endpoints") {
+    // v0 = 0.5·ones (the planted common direction), v1 = −e1, v2 = e2.
+    // dim 1's coordinate sum is −5e7 over n = 3 — floor(−5e7/3) ≠
+    // trunc(−5e7/3), so this pins the additive-shift floor on
+    // negatives, not just the happy path.
+    val v0 = Array.fill(64)(0.5f)
+    val v1 = { val a = Array.fill(64)(0.0f); a(0) = -1.0f; a }
+    val v2 = { val a = Array.fill(64)(0.0f); a(1) = 1.0f; a }
+    val vecs = Seq(v0, v1, v2)
+    val dir = writeEmb(vecs)
+    val u = vecs.map(_.map(x => BigInt((BigDecimal(x.toDouble) *
+      BigDecimal(100000000)).toBigIntExact.get.toLong)))
+    val sv = u.map(_.sum)
+    val ss = sv.map(s => s * s).sum
+    val tot = u.map(_.map(x => x * x).sum).sum
+    val expAniso = ((ss * 1000) / (64 * tot)).toLong
+    def floorDiv(a: BigInt, b: BigInt): BigInt =
+      if (a.sign * b.sign < 0 && a % b != 0) a / b - 1 else a / b
+    val n = BigInt(vecs.length)
+    val got = Similarity.qSpectralPower(spark, dir).collect()
+      .map(r => r.getAs[Long]("dim") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("mean_u"),
+          r.getAs[Long]("w_avg"), r.getAs[Long]("aniso_permille")))).toMap
+    assert(got.size === 64)
+    (0 until 64).foreach { d =>
+      val su = u.map(_(d)).sum
+      val w = u.indices.map(i => sv(i) * u(i)(d)).sum
+      val exp = (n.toLong, floorDiv(su, n).toLong, floorDiv(w, n).toLong,
+        expAniso)
+      assert(got((d + 1).toLong) == exp, s"dim ${d + 1}")
+    }
+    // a pure common-direction cloud is fully anisotropic: share = 1000
+    val dirPure = writeEmb(Seq.fill(4)(v0))
+    val pure = Similarity.qSpectralPower(spark, dirPure).collect().head
+    assert(pure.getAs[Long]("aniso_permille") === 1000L)
+  }
+
   test("nn_descent: one round recovers a far-id twin the seed window misses") {
     // v0, v1, v4, v7 share one direction; v2, v3, v5, v6 are orthogonal
     // fillers. v0's truth top-3 = {1, 4, 7} but its ±3-id seed window
