@@ -502,6 +502,38 @@ object Reports {
       .orderBy("user_id", "session_idx")
   }
 
+  /** q_session_window — the same gap rule through Spark's NATIVE
+    * batch `session_window` operator (the one the streaming engine
+    * merges state with), pinned against the lag+islands SQL form: a
+    * session extends while the next event lands strictly inside
+    * [start, last + gap) — so a gap of EXACTLY 7 days starts a new
+    * session here, where [[qSessionize]]'s `> gap` rule would merge
+    * it; both conventions exist in the wild and the pair documents
+    * the boundary. Emits per session the half-open window bounds in
+    * epoch-micros (end = last event + gap, Spark's convention), event
+    * count, cents mass, and the first event id.
+    *
+    * Plan: session_window plans as one user-keyed exchange + sort +
+    * SessionWindowStateless aggregation — the same shuffle shape as
+    * the islands form but with the session assignment fused into the
+    * aggregate instead of a separate WindowExec pass. */
+  val qSessionWindow: Q = (s, d) => {
+    val gapUs = 604800L * 1000000L
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(expr("ts div 1000")).as("tsm"),
+        (dec2(col("value")) * 100).cast(LongType).as("v_cents"))
+    ev.groupBy(col("user_id"), session_window(col("tsm"), "604800 seconds").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("v_cents")).cast(LongType).as("sum_cents"),
+        min(col("event_id")).cast(LongType).as("first_event_id"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"),
+        col("n_events"), col("sum_cents"), col("first_event_id"))
+      .orderBy("user_id", "start_us")
+  }
+
   /** Full CUBE over (status, priority) — all four grouping-set layers
     * (GROUPING SETS family beyond ROLLUP). */
   val qCubeAgg: Q = (s, d) => {
@@ -662,6 +694,7 @@ object Reports {
     "q_rollup_agg" -> qRollupAgg,
     "q_quantiles" -> qQuantiles,
     "q_sessionize" -> qSessionize,
+    "q_session_window" -> qSessionWindow,
     "q_funnel" -> qFunnel,
     "q_retention" -> qRetention,
     "q_cube_agg" -> qCubeAgg,
@@ -815,6 +848,30 @@ object Reports {
         |        OVER (PARTITION BY user_id ORDER BY epoch_ms(ts) // 1000, event_id) AS prev_ts
         |    FROM events))
         |GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+    "q_session_window" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_cents
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, event_id, ts_us, v_cents,
+        |    CASE WHEN lag(ts_us) OVER (PARTITION BY user_id
+        |        ORDER BY ts_us, event_id) IS NULL
+        |      OR ts_us - lag(ts_us) OVER (PARTITION BY user_id
+        |        ORDER BY ts_us, event_id) >= 604800000000
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM ev),
+        |s AS (
+        |  SELECT user_id, event_id, ts_us, v_cents,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        |SELECT user_id, CAST(MIN(ts_us) AS BIGINT) AS start_us,
+        |  CAST(MAX(ts_us) + 604800000000 AS BIGINT) AS end_us,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(v_cents) AS BIGINT) AS sum_cents,
+        |  CAST(MIN(event_id) AS BIGINT) AS first_event_id
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
     "q_quantiles" ->
       """SELECT l_returnflag, COUNT(*) AS n,
         |  CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.25) AS BIGINT) AS q25,

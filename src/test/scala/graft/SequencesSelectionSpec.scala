@@ -24,6 +24,36 @@ class SequencesSelectionSpec extends SparkSpec {
     assert(total === nEvents - nUsers)
   }
 
+  test("session_window: native operator replays from a brute gap walk") {
+    val gapUs = 604800L * 1000000L
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = ev.groupBy(_._1).flatMap { case (uid, rows) =>
+      val sorted = rows.sortBy(t => (t._3, t._2))
+      val sessions = sorted.tail.foldLeft(List(List(sorted.head))) {
+        case (acc, e) =>
+          if (e._3 - acc.head.head._3 >= gapUs) List(e) :: acc
+          else (e :: acc.head) :: acc.tail
+      }.map(_.reverse).reverse
+      sessions.map { sess =>
+        (uid, sess.map(_._3).min) ->
+          ((sess.map(_._3).max + gapUs, sess.size.toLong,
+            sess.map(_._4).sum, sess.map(_._2).min))
+      }
+    }.toMap
+    val got = graft.operators.Reports.qSessionWindow(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("start_us")) ->
+        ((r.getAs[Long]("end_us"), r.getAs[Long]("n_events"),
+          r.getAs[Long]("sum_cents"), r.getAs[Long]("first_event_id"))))
+      .toMap
+    assert(got === expected)
+    // sessions conserve events
+    assert(got.values.map(_._2).sum === ev.length.toLong)
+  }
+
   test("attribution: both models replay from a brute per-user walk") {
     val ev = Tables.events(spark, sf)
       .select(col("user_id"), col("event_id"),
