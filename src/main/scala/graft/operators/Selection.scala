@@ -241,7 +241,43 @@ object Selection {
       .orderBy("doc_id")
   }
 
+  /** q_inbatch_collisions — the false-negative audit of in-batch
+    * negative sampling (the contrastive-training default: every other
+    * item in the batch is treated as a negative): per deterministic
+    * hash batch, how many within-batch PAIRS share a label — each one
+    * a "negative" that is actually a positive, silently pushing
+    * same-class items apart. Emitted per batch: size, colliding
+    * pairs, total pairs, and the collision permille; a rate far above
+    * the class-imbalance baseline means batches need label-aware
+    * construction.
+    *
+    * Plan: batch id is a content hash ([[md5Long]] — stable under
+    * re-runs/partitioning like every selection op here), one
+    * (batch, label) count aggregate, one |batches|-group rollup of
+    * nl·(nl−1)/2 — nothing wider than (batch, label) shuffles, and
+    * the pair counts come from counts, never pair enumeration. */
+  val qInbatchCollisions: Q = (s, d) => {
+    val nB = 16
+    Tables.embeddings(s, d).filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("label").cast(LongType).as("label"))
+      .withColumn("batch",
+        pmod(md5Long(concat(lit("batch|"), col("vec_id").cast("string"))),
+          lit(nB)).cast(LongType))
+      .groupBy("batch", "label").agg(count(lit(1)).as("nl"))
+      .groupBy("batch")
+      .agg(sum("nl").cast(LongType).as("batch_size"),
+        sum(expr("nl * (nl - 1) div 2")).cast(LongType).as("n_collisions"))
+      .withColumn("n_pairs",
+        expr("batch_size * (batch_size - 1) div 2").cast(LongType))
+      .withColumn("collision_permille",
+        when(col("n_pairs") > 0,
+          expr("(n_collisions * 1000) div n_pairs")).otherwise(0L)
+          .cast(LongType))
+      .orderBy("batch")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_inbatch_collisions" -> qInbatchCollisions,
     "q_length_fence" -> qLengthFence,
     "q_weighted_sample" -> qWeightedSample,
     "q_class_balance" -> qClassBalance,
@@ -250,6 +286,24 @@ object Selection {
     "q_dsir_weights" -> qDsirWeights)
 
   val oracle: Map[String, String] = Map(
+    "q_inbatch_collisions" ->
+      """WITH e AS (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |    CAST('0x' || substr(md5('batch|' || CAST(vec_id AS VARCHAR)),
+        |      1, 15) AS BIGINT) % 16 AS batch
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |bl AS (
+        |  SELECT batch, label, COUNT(*) AS nl FROM e GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT batch, CAST(SUM(nl) AS BIGINT) AS batch_size,
+        |    CAST(SUM(nl * (nl - 1) // 2) AS BIGINT) AS n_collisions
+        |  FROM bl GROUP BY batch)
+        |SELECT batch, batch_size, n_collisions,
+        |  CAST(batch_size * (batch_size - 1) // 2 AS BIGINT) AS n_pairs,
+        |  CAST(CASE WHEN batch_size > 1
+        |    THEN (n_collisions * 1000) // (batch_size * (batch_size - 1) // 2)
+        |    ELSE 0 END AS BIGINT) AS collision_permille
+        |FROM agg ORDER BY batch""".stripMargin,
     "q_length_fence" ->
       """WITH docs AS (
         |  SELECT doc_id, lang, n_chars FROM documents WHERE text IS NOT NULL),

@@ -24,6 +24,31 @@ class SequencesSelectionSpec extends SparkSpec {
     assert(total === nEvents - nUsers)
   }
 
+  test("inbatch collisions: pair algebra replays; batches conserve the corpus") {
+    val rows = Tables.embeddings(spark, sf)
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("label").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val got = Selection.qInbatchCollisions(spark, sf).collect()
+      .map(r => r.getAs[Long]("batch") ->
+        ((r.getAs[Long]("batch_size"), r.getAs[Long]("n_collisions"),
+          r.getAs[Long]("n_pairs"), r.getAs[Long]("collision_permille"))))
+      .toMap
+    // batches partition the corpus
+    assert(got.values.map(_._1).sum === rows.length.toLong)
+    got.values.foreach { case (b, coll, pairs, pm) =>
+      assert(pairs === b * (b - 1) / 2)
+      assert(coll <= pairs) // colliding pairs are pairs
+      assert(pm >= 0L && pm <= 1000L)
+      if (pairs > 0) assert(pm === coll * 1000 / pairs)
+    }
+    // batching can only LOSE same-label pairs (splitting a label class
+    // across batches removes its cross-batch pairs): the within-batch
+    // collision total is bounded by the corpus-wide same-label pairs
+    assert(got.values.map(_._2).sum <=
+      rows.groupBy(_._2).values.map(g => g.size.toLong * (g.size - 1) / 2).sum)
+  }
+
   test("session_window: native operator replays from a brute gap walk") {
     val gapUs = 604800L * 1000000L
     val ev = Tables.events(spark, sf)
