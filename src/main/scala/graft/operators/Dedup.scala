@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 import graft.Tables
 import graft.functions.Exprs._
@@ -393,7 +394,13 @@ object Dedup {
     * computed in integer arithmetic — ceil(n·0.1) through doubles
     * over-estimates (30×0.1 → 3.0000000000000004) and would shorten the
     * prefix below the lossless bound. */
-  val qNgramJaccard: Q = (s, d) => {
+  val qNgramJaccard: Q = (s, d) => ngramJaccardPairs(s, d).orderBy("a", "b")
+
+  /** The exact-Jaccard near-dup pairs frame behind [[qNgramJaccard]]
+    * (and the [[qDedupSweep]] planning curve): (a, b, inter_n,
+    * union_n) for every pair with J ≥ 0.1, prefix-filtered candidates
+    * + exact verification. */
+  private[operators] def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), expr("n_chars div 100").as("blk"), col("text"))
     val g = documentGrams(docs).localCheckpoint()
@@ -447,7 +454,43 @@ object Dedup {
       .select(
         col("a"), col("b"), col("inter_n"),
         (col("sa.n") + col("sb.n") - col("inter_n")).as("union_n"))
-      .orderBy("a", "b")
+  }
+
+  /** q_dedup_sweep — the threshold-selection curve for near-dup
+    * REMOVAL, the dedup twin of the quality q_filter_sweep: for every
+    * Jaccard cutoff t ∈ {100,…,1000} permille, how many verified
+    * near-dup PAIRS have J ≥ t and how many DOCUMENTS are touched by
+    * at least one such pair (the upper bound on what dedup at t could
+    * remove). Dedup aggressiveness trades corpus mass against
+    * redundancy — this is the table read before picking t, computed
+    * from ONE pass over the verified pair list instead of re-running
+    * dedup once per candidate threshold.
+    *
+    * Plan: the [[ngramJaccardPairs]] spine (prefix-filtered, exact-
+    * verified, candidate-graph-sized) feeds a ≤10-bucket pair
+    * histogram and a per-doc MAX-bucket aggregate (a doc is touched
+    * at t iff its best edge reaches t — suffix sums turn both
+    * histograms into the full curve); the sweep itself runs over ≤ 10
+    * rows. */
+  val qDedupSweep: Q = (s, d) => {
+    val pairs = ngramJaccardPairs(s, d)
+      .select(col("a"), col("b"),
+        expr("((inter_n * 1000) div union_n) div 100").cast(LongType)
+          .as("bucket"))
+      .localCheckpoint()
+    val edgeHist = pairs.groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+    val docHist = pairs.select(col("a").as("doc_id"), col("bucket"))
+      .unionAll(pairs.select(col("b").as("doc_id"), col("bucket")))
+      .groupBy("doc_id").agg(max("bucket").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
+    val wRev = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    edgeHist.join(docHist, Seq("bucket"), "full")
+      .na.fill(0L, Seq("n_pairs", "n_docs"))
+      .select((col("bucket") * 100).cast(LongType).as("threshold_permille"),
+        sum("n_pairs").over(wRev).cast(LongType).as("pairs_ge"),
+        sum("n_docs").over(wRev).cast(LongType).as("docs_touched_ge"))
+      .orderBy("threshold_permille")
   }
 
   /** N-gram CONTAINMENT join: ordered pairs (a, b) where at least 80%
@@ -952,6 +995,7 @@ object Dedup {
     "q_simhash_sweep" -> qSimhashSweep,
     "q_edit_neardup" -> qEditNeardup,
     "q_ngram_jaccard" -> qNgramJaccard,
+    "q_dedup_sweep" -> qDedupSweep,
     "q_ngram_containment" -> qNgramContainment
   )
 
@@ -1289,6 +1333,43 @@ object Dedup {
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
         |ORDER BY a, b""".stripMargin,
+    "q_dedup_sweep" ->
+      """WITH pos AS (
+        |  SELECT doc_id, source, n_chars // 100 AS blk, text,
+        |         unnest(generate_series(1, greatest(length(text)-7, 1), 4)) AS i
+        |  FROM documents),
+        |g AS (SELECT DISTINCT doc_id, source, blk, substr(text, i, 8) AS gram
+        |      FROM pos),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter_n
+        |  FROM g a JOIN g b ON a.source = b.source AND a.blk = b.blk
+        |                   AND a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pr AS (
+        |  SELECT i.a, i.b,
+        |    ((i.inter_n * 1000) // (sa.n + sb.n - i.inter_n)) // 100 AS bucket
+        |  FROM inter i
+        |  JOIN sz sa ON i.a = sa.doc_id
+        |  JOIN sz sb ON i.b = sb.doc_id
+        |  WHERE i.inter_n * 10 >= sa.n + sb.n - i.inter_n),
+        |eh AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |       FROM pr GROUP BY 1),
+        |dm AS (SELECT doc_id, MAX(bucket) AS bucket FROM (
+        |         SELECT a AS doc_id, bucket FROM pr
+        |         UNION ALL SELECT b, bucket FROM pr) GROUP BY 1),
+        |dh AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |       FROM dm GROUP BY 1),
+        |jh AS (
+        |  SELECT COALESCE(eh.bucket, dh.bucket) AS bucket,
+        |    COALESCE(n_pairs, 0) AS n_pairs, COALESCE(n_docs, 0) AS n_docs
+        |  FROM eh FULL JOIN dh ON eh.bucket = dh.bucket)
+        |SELECT CAST(bucket * 100 AS BIGINT) AS threshold_permille,
+        |  CAST(SUM(n_pairs) OVER (ORDER BY bucket DESC
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pairs_ge,
+        |  CAST(SUM(n_docs) OVER (ORDER BY bucket DESC
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS docs_touched_ge
+        |FROM jh ORDER BY threshold_permille""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH pos AS (
         |  SELECT doc_id, source, n_chars // 100 AS blk, text,

@@ -119,6 +119,39 @@ class QualitySurvivorSpec extends SparkSpec {
       flags.count(t => t._2 && t._3 && t._4 && t._5).toLong)
   }
 
+  test("qDedupSweep is the suffix-sum curve of the verified pair list") {
+    // same-length (same block) corpus: exact dup (J=1), partial overlap
+    // (tail rewritten, J mid), and an unrelated doc — at least two
+    // thresholds on the curve
+    val base = "the quick brown fox jumps over the lazy dog while the cat " +
+      "naps on the warm windowsill near the garden gate just after noon ok"
+    val alt = base.dropRight(30) + ("x" * 30)
+    assert(alt.length == base.length)
+    val dir = writeDocs(Seq((1L, base), (2L, base), (3L, alt),
+      (4L, "z" * base.length)))
+    val pairs = Dedup.qNgramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Long]("inter_n"), r.getAs[Long]("union_n")))
+    assert(pairs.nonEmpty)
+    val bucketed = pairs.map { case (a, b, i, u) => (a, b, i * 1000 / u / 100) }
+    val got = Dedup.qDedupSweep(spark, dir).collect()
+      .map(r => r.getAs[Long]("threshold_permille") ->
+        ((r.getAs[Long]("pairs_ge"), r.getAs[Long]("docs_touched_ge"))))
+      .toMap
+    got.keys.foreach { t =>
+      val sel = bucketed.filter(_._3 * 100 >= t)
+      val docs = sel.flatMap(p => Seq(p._1, p._2)).distinct
+      assert(got(t) == ((sel.length.toLong, docs.length.toLong)), s"t=$t")
+    }
+    // the exact-dup pair pins the t=1000 row; the curve is multi-level
+    assert(got(1000L)._1 >= 1L)
+    assert(got.size >= 2)
+    // curve is non-increasing in t on both measures
+    val sorted = got.toSeq.sortBy(_._1).map(_._2)
+    assert(sorted.map(_._1) == sorted.map(_._1).sorted.reverse)
+    assert(sorted.map(_._2) == sorted.map(_._2).sorted.reverse)
+  }
+
   test("qZipfSlope: exact least-squares on a hand corpus; fixture slope plausible") {
     // freqs 8,4,2,1 → y = (3000,2000,1000,0) exactly; x = ⌊1000·log2(rank)⌋
     // = (0,1000,1584,2000); closed form gives −1459 (truncation toward 0)
