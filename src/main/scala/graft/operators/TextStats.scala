@@ -484,6 +484,62 @@ object TextStats {
     * Shape: two wordcount aggregates off ONE (source, word) count
     * table, an unhinted vocab join (AQE broadcasts small vocabularies;
     * web-scale ones shuffle), and a |sources|-group final sum. */
+  /** q_cond_entropy — per-source entropy RATES of the word stream:
+    * unigram entropy H(W) and bigram conditional entropy H(W₂|W₁),
+    * both in micro-bits, plus the predictability gain H(W) − H(W₂|W₁)
+    * (how many bits the previous word buys — the corpus-level
+    * statistic behind "this source is template-y" that perplexity
+    * buckets see only through a trained model). Conditioning can only
+    * help: the gain is ≥ 0 up to per-term flooring, and a source
+    * whose gain approaches H(W) is near-deterministic text.
+    *
+    * Determinism: each term is floored to micro-bits BEFORE summation
+    * ([[qSourceKl]]'s contract — both engines compute the identical
+    * double then floor, so no accumulation-order drift). H(W₂|W₁)
+    * sums −p(w₁,w₂)·log₂(c₁₂/c₁·) over bigrams, with c₁· the
+    * CONTINUATION count (bigrams starting at w₁), so the conditional
+    * distribution is proper.
+    *
+    * Plan: one adjacent-pair explode (the [[qPmiBigrams]] zip spine),
+    * a (source, w1, w2) partial-aggregated count, a (source, w1)
+    * rollup joined back (co-partitioned — same keys prefix), and the
+    * unigram leg reuses the standard word explode; final rollup is
+    * |sources|-group. Nothing wider than (source, bigram) shuffles. */
+  val qCondEntropy: Q = (s, d) => {
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+    val words = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val uni = words.groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val uniTot = uni.groupBy("source").agg(sum("c").as("n_s"))
+    val hUni = uni.join(broadcast(uniTot), "source")
+      .select(col("source"),
+        floor(lit(1000000.0) * (col("c").cast(DoubleType) / col("n_s")) *
+          log2(col("n_s").cast(DoubleType) / col("c"))).cast(LongType)
+          .as("term"))
+      .groupBy("source").agg(sum("term").as("h_uni_micro"))
+    val pairs = docs
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("tl", slice(col("ws"), lit(2), greatest(size(col("ws")) - 1, lit(0))))
+      .select(col("source"), explode(arrays_zip(col("ws"), col("tl"))).as("p"))
+      .select(col("source"), col("p.ws").as("w1"), col("p.tl").as("w2"))
+      .filter(col("w2").isNotNull && length(col("w1")) > 0 && length(col("w2")) > 0)
+      .groupBy("source", "w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = pairs.groupBy("source", "w1").agg(sum("c12").as("c1"))
+    val bigTot = pairs.groupBy("source").agg(sum("c12").as("n_b"))
+    val hCond = pairs.join(c1, Seq("source", "w1"))
+      .join(broadcast(bigTot), "source")
+      .select(col("source"),
+        floor(lit(1000000.0) * (col("c12").cast(DoubleType) / col("n_b")) *
+          log2(col("c1").cast(DoubleType) / col("c12"))).cast(LongType)
+          .as("term"))
+      .groupBy("source").agg(sum("term").as("h_cond_micro"))
+    hUni.join(hCond, "source")
+      .select(col("source"), col("h_uni_micro"), col("h_cond_micro"),
+        (col("h_uni_micro") - col("h_cond_micro")).as("gain_micro"))
+      .orderBy("source")
+  }
+
   val qSourceKl: Q = (s, d) => {
     val words = Tables.documents(s, d)
       .filter(col("text").isNotNull)
@@ -958,7 +1014,11 @@ object TextStats {
       .join(uni.select(col("w").as("w1"), col("n_w").as("n_x")), Seq("w1"))
       .join(uni.select(col("w").as("w2"), col("n_w").as("n_y")), Seq("w2"))
       .crossJoin(broadcast(total))
-      .withColumn("pmi_scaled", expr("(n_xy * n_total * 1000) div (n_x * n_y)"))
+      // n_xy·n_total is n²-scale: DECIMAL(38,0) like the skipgram twin
+      // (r9 ADVICE) — plain Long silently wraps at corpus scale
+      .withColumn("pmi_scaled",
+        expr("(CAST(n_xy AS DECIMAL(38,0)) * n_total * 1000)"
+          + " div (CAST(n_x AS DECIMAL(38,0)) * n_y)"))
       .select(col("w1"), col("w2"), col("n_xy"), col("pmi_scaled"))
       .orderBy(col("pmi_scaled").desc, col("w1"), col("w2"))
       .limit(20)
@@ -1219,6 +1279,7 @@ object TextStats {
     "q_source_mixture" -> qSourceMixture,
     "q_temperature_mix" -> qTemperatureMix,
     "q_source_kl" -> qSourceKl,
+    "q_cond_entropy" -> qCondEntropy,
     "q_token_budget" -> qTokenBudget,
     "q_stratified_sample" -> qStratifiedSample,
     "q_reservoir_sample" -> qReservoirSample,
@@ -1324,6 +1385,41 @@ object TextStats {
         |  CAST(MIN(CASE WHEN rn * 2 >= n_docs THEN n_chars END) AS BIGINT)
         |    AS median_chars
         |FROM cum GROUP BY source ORDER BY source""".stripMargin,
+    "q_cond_entropy" ->
+      """WITH w AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+        |  WHERE text IS NOT NULL),
+        |uni AS (SELECT source, w, COUNT(*) AS c FROM w
+        |        WHERE length(w) > 0 GROUP BY 1, 2),
+        |ut AS (SELECT source, SUM(c) AS n_s FROM uni GROUP BY 1),
+        |hu AS (
+        |  SELECT uni.source,
+        |    SUM(CAST(floor(1000000.0 * (CAST(c AS DOUBLE) / n_s)
+        |      * log2(CAST(n_s AS DOUBLE) / c)) AS BIGINT)) AS h_uni_micro
+        |  FROM uni JOIN ut ON uni.source = ut.source GROUP BY 1),
+        |pairs AS (
+        |  SELECT source, wl[i] AS w1, wl[i+1] AS w2, COUNT(*) AS c12
+        |  FROM (SELECT source, string_split(text, ' ') AS wl FROM documents
+        |        WHERE text IS NOT NULL),
+        |       LATERAL (SELECT unnest(range(1, len(wl))) AS i)
+        |  WHERE length(wl[i]) > 0 AND length(wl[i+1]) > 0
+        |  GROUP BY 1, 2, 3),
+        |cnt1 AS (SELECT source, w1, SUM(c12) AS c1 FROM pairs GROUP BY 1, 2),
+        |bt AS (SELECT source, SUM(c12) AS n_b FROM pairs GROUP BY 1),
+        |hc AS (
+        |  SELECT p.source,
+        |    SUM(CAST(floor(1000000.0 * (CAST(p.c12 AS DOUBLE) / bt.n_b)
+        |      * log2(CAST(cnt1.c1 AS DOUBLE) / p.c12)) AS BIGINT))
+        |      AS h_cond_micro
+        |  FROM pairs p
+        |  JOIN cnt1 ON p.source = cnt1.source AND p.w1 = cnt1.w1
+        |  JOIN bt ON p.source = bt.source
+        |  GROUP BY 1)
+        |SELECT hu.source, CAST(h_uni_micro AS BIGINT) AS h_uni_micro,
+        |  CAST(h_cond_micro AS BIGINT) AS h_cond_micro,
+        |  CAST(h_uni_micro - h_cond_micro AS BIGINT) AS gain_micro
+        |FROM hu JOIN hc ON hu.source = hc.source
+        |ORDER BY hu.source""".stripMargin,
     "q_pmi_bigrams" ->
       """WITH w AS (
         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents
@@ -1338,7 +1434,8 @@ object TextStats {
         |  WHERE length(wl[i]) > 0 AND length(wl[i+1]) > 0
         |  GROUP BY w1, w2 HAVING COUNT(*) >= 5)
         |SELECT p.w1, p.w2, p.n_xy,
-        |  CAST((p.n_xy * t.n_total * 1000) // (ux.n_w * uy.n_w) AS BIGINT) AS pmi_scaled
+        |  CAST((CAST(p.n_xy AS HUGEINT) * t.n_total * 1000)
+        |    // (CAST(ux.n_w AS HUGEINT) * uy.n_w) AS BIGINT) AS pmi_scaled
         |FROM pairs p
         |JOIN uni ux ON p.w1 = ux.w
         |JOIN uni uy ON p.w2 = uy.w, total t

@@ -119,6 +119,33 @@ class QualitySurvivorSpec extends SparkSpec {
       flags.count(t => t._2 && t._3 && t._4 && t._5).toLong)
   }
 
+  test("qCondEntropy: deterministic alternation has zero conditional entropy") {
+    // strictly alternating text: the next word is a FUNCTION of the
+    // previous one, so H(W2|W1) is exactly 0 while H(W) stays positive
+    // — the planted endpoint that separates the two rates
+    val dir = writeDocs(Seq(
+      (1L, "x y x y x y x"),
+      (2L, "y x y x y"),
+      (3L, "x y x y x y x y x")))
+    val r = graft.operators.TextStats.qCondEntropy(spark, dir).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Long]("h_cond_micro") === 0L)
+    assert(row.getAs[Long]("h_uni_micro") > 900000L) // near-balanced binary
+    assert(row.getAs[Long]("gain_micro") === row.getAs[Long]("h_uni_micro"))
+    // sf fixture: conditioning never hurts beyond per-term flooring
+    val sfr = graft.operators.TextStats
+      .qCondEntropy(spark, "/root/testdata/sf0.001").collect()
+    assert(sfr.nonEmpty)
+    sfr.foreach { x =>
+      assert(x.getAs[Long]("h_uni_micro") > 0L)
+      assert(x.getAs[Long]("h_cond_micro") >= 0L)
+      // exact H_cond ≤ exact H_uni; flooring slack is < #terms micros,
+      // far under 1% of the entropy scale here
+      assert(x.getAs[Long]("gain_micro") > -10000L)
+    }
+  }
+
   test("qDedupSweep is the suffix-sum curve of the verified pair list") {
     // same-length (same block) corpus: exact dup (J=1), partial overlap
     // (tail rewritten, J mid), and an unrelated doc — at least two
