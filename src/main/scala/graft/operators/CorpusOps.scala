@@ -901,15 +901,28 @@ object CorpusOps {
       .localCheckpoint()
     var cur = Ranking.globalDenseRank(toks, Seq(col("w")), "__dr")
       .select(col("doc_id"), col("pos"), col("__dr").as("r"))
-    val maxLen = toks.groupBy("doc_id").count().agg(max("count")).head().getLong(0)
+    // max() over an empty/all-null-text corpus is NULL — short-circuit
+    // to the round-1 ranks (which are themselves empty then) instead of
+    // NPE-ing on getLong, matching every other query's empty-input
+    // behavior.
+    val maxRow = toks.groupBy("doc_id").count().agg(max("count")).head()
+    val maxLen = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
     var h = 1L
     while (h < maxLen) {
       val wDoc = Window.partitionBy("doc_id").orderBy("pos")
       val tupled = cur.select(
         col("doc_id") +: col("pos") +: col("r") +:
-          (1 until Radix).map(j =>
+          (1 until Radix).map(j => {
+            // lead() takes an Int offset; j*h grows 16× per round, so a
+            // document longer than ~2^27 tokens would wrap the Int and
+            // silently corrupt ranks — fail fast instead.
+            require(j * h <= Int.MaxValue,
+              s"suffixRanks: lead offset ${j * h} exceeds Int range " +
+                s"(document of $maxLen tokens too long for the " +
+                "radix-16 prefix-doubling rounds)")
             coalesce(lead(col("r"), (j * h).toInt).over(wDoc), lit(-1L))
-              .as(s"r$j")): _*)
+              .as(s"r$j")
+          }): _*)
       cur = Ranking.globalDenseRank(tupled,
           col("r") +: (1 until Radix).map(j => col(s"r$j")), "__dr")
         .select(col("doc_id"), col("pos"), col("__dr").as("r"))

@@ -485,7 +485,15 @@ object Dedup {
       .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
     val wRev = Window.orderBy(col("bucket").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    edgeHist.join(docHist, Seq("bucket"), "full")
+    // Densify to the full promised domain {1..10} (thresholds
+    // 100..1000 permille): a bucket with no pairs must still emit its
+    // suffix-sum row, or a consumer reading the table as a dense
+    // 10-row curve misreads the gaps. Full join (not left) so an
+    // out-of-domain bucket could never silently drop pairs from the
+    // suffix sums.
+    val domain = s.range(1, 11).select(col("id").as("bucket"))
+    domain.join(edgeHist.join(docHist, Seq("bucket"), "full"),
+        Seq("bucket"), "full")
       .na.fill(0L, Seq("n_pairs", "n_docs"))
       .select((col("bucket") * 100).cast(LongType).as("threshold_permille"),
         sum("n_pairs").over(wRev).cast(LongType).as("pairs_ge"),
@@ -1360,10 +1368,15 @@ object Dedup {
         |         UNION ALL SELECT b, bucket FROM pr) GROUP BY 1),
         |dh AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs
         |       FROM dm GROUP BY 1),
-        |jh AS (
+        |dom AS (SELECT unnest(generate_series(1, 10)) AS bucket),
+        |jh0 AS (
         |  SELECT COALESCE(eh.bucket, dh.bucket) AS bucket,
         |    COALESCE(n_pairs, 0) AS n_pairs, COALESCE(n_docs, 0) AS n_docs
-        |  FROM eh FULL JOIN dh ON eh.bucket = dh.bucket)
+        |  FROM eh FULL JOIN dh ON eh.bucket = dh.bucket),
+        |jh AS (
+        |  SELECT COALESCE(dom.bucket, jh0.bucket) AS bucket,
+        |    COALESCE(n_pairs, 0) AS n_pairs, COALESCE(n_docs, 0) AS n_docs
+        |  FROM dom FULL JOIN jh0 ON dom.bucket = jh0.bucket)
         |SELECT CAST(bucket * 100 AS BIGINT) AS threshold_permille,
         |  CAST(SUM(n_pairs) OVER (ORDER BY bucket DESC
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pairs_ge,

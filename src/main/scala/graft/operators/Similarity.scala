@@ -1683,7 +1683,8 @@ object Similarity {
         |    ON a.vec_id % 2 = 0 AND b.vec_id = a.vec_id + 1 AND a.j = b.j
         |  GROUP BY 1)
         |SELECT CAST(pair * 2 AS BIGINT) AS a, CAST(pair * 2 + 1 AS BIGINT) AS b,
-        |  d64_sq, d16_sq,
+        |  CAST(d64_sq AS DECIMAL(38,0)) AS d64_sq,
+        |  CAST(d16_sq AS DECIMAL(38,0)) AS d16_sq,
         |  CAST(CASE WHEN d64_sq = 0 THEN 0
         |       ELSE (d16_sq * 1000) // (16 * d64_sq) END AS BIGINT)
         |    AS distortion_permille

@@ -155,7 +155,13 @@ object TextStats {
         sum("n_tokens").cast(LongType).as("tokens"))
     val wRev = Window.orderBy(col("bucket").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    hist
+    // Densify to the full promised domain {0..10} (thresholds
+    // 0,10,…,100): a score decile with no documents still emits its
+    // suffix-sum row, so the curve is always the dense 11-row table
+    // the scaladoc promises.
+    val domain = s.range(0, 11).select(col("id").as("bucket"))
+    domain.join(hist, Seq("bucket"), "full")
+      .na.fill(0L, Seq("n_docs", "tokens"))
       .withColumn("docs_kept", sum("n_docs").over(wRev).cast(LongType))
       .withColumn("tokens_kept", sum("tokens").over(wRev).cast(LongType))
       .select((col("bucket") * 10).cast(LongType).as("threshold_pct"),
@@ -1235,7 +1241,15 @@ object TextStats {
         expr("206835L - (1015L * w) div s - (84600L * syl) div w"))
     counted.groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
-        expr("sum(flesch_milli) div count(1)").cast(LongType)
+        // Possibly-negative quotient → additive-shift floor (the repo
+        // convention; Spark div truncates, DuckDB // floors, and the
+        // two only agree for non-negative quotients). B = 10^15 bounds
+        // |avg|: the per-doc score is ≥ −(1015+84600)·w ≳ −10^13 even
+        // for a 10^8-word document. The shift rides DECIMAL(38,0) —
+        // count·B wraps int64 past ~9k rows.
+        expr("(cast(sum(flesch_milli) as decimal(38,0))" +
+          " + cast(count(1) as decimal(38,0)) * 1000000000000000)" +
+          " div count(1) - 1000000000000000").cast(LongType)
           .as("avg_flesch_milli"),
         sum(when(col("flesch_milli") >= 60000L, 1L).otherwise(0L))
           .cast(LongType).as("n_easy"),
@@ -1302,7 +1316,10 @@ object TextStats {
         |  SELECT lang, 206835 - (1015 * w) // s - (84600 * syl) // w AS fm
         |  FROM c WHERE w > 0)
         |SELECT lang, COUNT(*) AS n_docs,
-        |  CAST(SUM(fm) // COUNT(*) AS BIGINT) AS avg_flesch_milli,
+        |  CAST((CAST(SUM(fm) AS HUGEINT)
+        |        + COUNT(*) * CAST(1000000000000000 AS HUGEINT))
+        |       // COUNT(*) - 1000000000000000 AS BIGINT)
+        |    AS avg_flesch_milli,
         |  CAST(SUM(CASE WHEN fm >= 60000 THEN 1 ELSE 0 END) AS BIGINT) AS n_easy,
         |  CAST(SUM(CASE WHEN fm < 30000 THEN 1 ELSE 0 END) AS BIGINT) AS n_hard
         |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
@@ -1711,7 +1728,7 @@ object TextStats {
     },
     "q_filter_sweep" -> {
       val nStop = nStop4Duck
-      s"""WITH hist AS (
+      s"""WITH hist0 AS (
         |  SELECT LEAST(((n_stop * 100) // n_tokens) // 10, 10) AS bucket,
         |    CAST(COUNT(*) AS BIGINT) AS n_docs,
         |    CAST(SUM(n_tokens) AS BIGINT) AS tokens
@@ -1720,7 +1737,12 @@ object TextStats {
         |            AS BIGINT) AS n_tokens,
         |          $nStop AS n_stop
         |        FROM documents WHERE text IS NOT NULL)
-        |  GROUP BY 1)
+        |  GROUP BY 1),
+        |dom AS (SELECT unnest(generate_series(0, 10)) AS bucket),
+        |hist AS (
+        |  SELECT COALESCE(dom.bucket, hist0.bucket) AS bucket,
+        |    COALESCE(n_docs, 0) AS n_docs, COALESCE(tokens, 0) AS tokens
+        |  FROM dom FULL JOIN hist0 ON dom.bucket = hist0.bucket)
         |SELECT CAST(bucket * 10 AS BIGINT) AS threshold_pct,
         |  CAST(SUM(n_docs) OVER (ORDER BY bucket DESC
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS docs_kept,
