@@ -303,13 +303,7 @@ object Crawl {
       // append resolves DataFrame columns against the live table's
       // schema case-insensitively before quoting (proven in-repo by the
       // streaming sink's lowercase 'entry' landing in Derby's ENTRY)
-      val fileRows = files.filter(col("st_mode").isNotNull)
-        .select(
-          col("path").cast("binary").as("path"),
-          col("extension").cast("binary").as("extension"),
-          col("st_mode"), col("st_ino"), col("st_dev"), col("st_nlink"),
-          col("st_uid"), col("st_gid"), col("st_size"),
-          col("st_atime"), col("st_mtime"), col("st_ctime"), col("owner"))
+      val fileRows = fileSinkColumns(files)
       // quote the schema exactly as the bootstrap DDL did — a name
       // quoteIdent had to protect (mixed case, hyphens) must reach the
       // INSERT identically or it case-folds/errors
@@ -321,6 +315,99 @@ object Crawl {
     }
     errs
   }
+
+  /** The reference's column subset/order for the files INSERT
+    * (storcrawl.py:330-345), shared by the JDBC and wire sinks. */
+  private def fileSinkColumns(files: DataFrame): DataFrame =
+    files.filter(col("st_mode").isNotNull)
+      .select(
+        col("path").cast("binary").as("path"),
+        col("extension").cast("binary").as("extension"),
+        col("st_mode"), col("st_ino"), col("st_dev"), col("st_nlink"),
+        col("st_uid"), col("st_gid"), col("st_size"),
+        col("st_atime"), col("st_mtime"), col("st_ctime"), col("owner"))
+
+  /** S4's live PostgreSQL write leg via [[PgWireClient]] — the
+    * reference's db_process (storcrawl.py:314-417) re-expressed
+    * Spark-first: each partition opens one server connection over the
+    * cluster's Unix socket and streams its rows through
+    * `COPY … FROM STDIN`, committing every `commitRows` rows (the
+    * reference's timed-commit cadence, T2, keyed by row count so the
+    * contract is deterministic and testable). COPY is the genuinely
+    * faster shape at scale — one wire message per ~64 KiB of rows
+    * versus the reference's one INSERT round trip per FILE — while
+    * keeping its semantics: bytea paths byte-exact, bit(19) modes,
+    * append-only, per-batch atomicity.
+    *
+    * Rows with NULL stats are excluded exactly as [[writeJdbcFull]]
+    * does (the DDL pins them NOT NULL). Returns the count of rows the
+    * server acknowledged (sum of `COPY n` tags via accumulator).
+    *
+    * On a real cluster each executor connects to the database host
+    * (swap the Unix socket for TCP, or use [[writeJdbc]] with the
+    * standard driver); `numPartitions` bounds the connection count the
+    * same way the reference's --injects bounds its writer processes. */
+  def writeFilesViaWire(
+      files: DataFrame,
+      socketDir: String, port: Int,
+      user: String, database: String, schema: String,
+      commitRows: Int = 10000,
+      numPartitions: Int = 4): Long = {
+    val rows = fileSinkColumns(files).repartition(numPartitions)
+    val cols = rows.columns.toSeq
+    val q = PgDdl.quoteIdent(schema)
+    val copySql =
+      s"COPY $q.files (${cols.mkString(", ")}) FROM STDIN"
+    val written = rows.sparkSession.sparkContext.longAccumulator("pg_rows_written")
+    rows.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      if (it.nonEmpty) {
+        val c = PgWireClient.connect(socketDir, port, user, database)
+        try it.grouped(commitRows).foreach { batch =>
+          c.query("BEGIN")
+          val n = c.copyIn(copySql, batch.iterator.map(encodeCopyRow))
+          c.query("COMMIT")
+          written.add(n)
+        } finally c.close()
+      }
+    }
+    written.value
+  }
+
+  /** Status snapshots (jsonb blobs, storcrawl.py:302-311) through the
+    * same wire path; single small frame, one connection. */
+  def writeStatusViaWire(
+      status: DataFrame,
+      socketDir: String, port: Int,
+      user: String, database: String, schema: String): Long = {
+    val q = PgDdl.quoteIdent(schema)
+    val rows = statusJsonb(status).select("entry").coalesce(1)
+    val written = rows.sparkSession.sparkContext.longAccumulator("pg_status_written")
+    rows.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      if (it.nonEmpty) {
+        val c = PgWireClient.connect(socketDir, port, user, database)
+        try {
+          c.query("BEGIN")
+          val n = c.copyIn(s"COPY $q.status (entry) FROM STDIN",
+            it.map(encodeCopyRow))
+          c.query("COMMIT")
+          written.add(n)
+        } finally c.close()
+      }
+    }
+    written.value
+  }
+
+  /** One COPY text line from a Row, encoding by runtime type: binary →
+    * bytea hex, strings COPY-escaped, numbers verbatim, null → \N. */
+  private def encodeCopyRow(r: org.apache.spark.sql.Row): String =
+    PgCopyText.line((0 until r.length).map { i =>
+      if (r.isNullAt(i)) PgCopyText.Null
+      else r.get(i) match {
+        case b: Array[Byte] => PgCopyText.bytea(b)
+        case s: String      => PgCopyText.escape(s)
+        case other          => other.toString
+      }
+    })
 
   /** S5 remainder — reporting-role bootstrap (storcrawl.py:166-215):
     * drop and recreate a read-only reporting principal, then grant it

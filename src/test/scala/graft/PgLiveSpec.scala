@@ -153,6 +153,91 @@ class PgLiveSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row(3) == "true", "timestamptz DEFAULT now() must fire") // bool::text = 'true'
   }
 
+  test("wire client: simple query, server error recovery, bytea round-trip") {
+    live()
+    val c = graft.crawl.PgWireClient.connect(base.toString, port, "postgres", "postgres")
+    try {
+      val r = c.query("SELECT 1 + 1, NULL, 'tab\there'")
+      assert(r.rows == Vector(Vector(Some("2"), None, Some("tab\there"))))
+      // a server error must throw AND leave the connection usable
+      intercept[graft.crawl.PgWireException](c.query("SELECT * FROM no_such_table_xyz"))
+      assert(c.query("SELECT 42").rows.head.head.contains("42"))
+      // COPY round trip incl. escaping of \t, \n, \\ and bytea hex
+      c.query("CREATE TEMP TABLE wt (b bytea, s text)")
+      val n = c.copyIn("COPY wt (b, s) FROM STDIN", Iterator(
+        graft.crawl.PgCopyText.line(Seq(
+          graft.crawl.PgCopyText.bytea(Array(0x00, 0xff, 0x5c).map(_.toByte)),
+          graft.crawl.PgCopyText.escape("a\tb\nc\\d"))),
+        graft.crawl.PgCopyText.line(Seq(graft.crawl.PgCopyText.Null, "plain"))))
+      assert(n == 2L)
+      val back = c.query(
+        "SELECT encode(b, 'hex'), s FROM wt ORDER BY s NULLS FIRST")
+      assert(back.rows == Vector(
+        Vector(Some("00ff5c"), Some("a\tb\nc\\d")),
+        Vector(None, Some("plain"))))
+    } finally c.close()
+  }
+
+  test("live Spark write leg: wire COPY sink appends crawl rows to PostgreSQL byte-exact") {
+    live()
+    runSeq(PgDdl.schemaBootstrap(schema, "postgres"))
+    val spark = SparkSpec.session
+    // crawl a real tree whose names exercise COPY escaping: tab,
+    // newline, backslash, quotes, unicode
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "pgwiretree")
+    def touch(name: String, content: String): Unit = {
+      val p = root.resolve(name)
+      Files.createDirectories(p.getParent)
+      Files.write(p, content.getBytes("UTF-8"))
+    }
+    touch("plain.txt", "hello")
+    touch("tab\tname.dat", "t")
+    touch("new\nline.log", "n")
+    touch("back\\slash'q\".bin", "b")
+    touch("sub/ünïcode.gz", "u")
+    val files = graft.crawl.Crawl.run(spark, Seq(root.toString))
+    val want = files.count()
+    assert(want >= 5L)
+
+    val written = Crawl.writeFilesViaWire(
+      files, base.toString, port, "postgres", "postgres", schema,
+      commitRows = 2, numPartitions = 3) // several batches AND connections
+    assert(written == want, "server must acknowledge every row")
+    val (c0, cnt) = psql(s"SELECT count(*), count(insert_time) FROM $schema.files")
+    assert(c0 == 0, cnt)
+    assert(cnt.trim == s"$want|$want", "rowcount + timestamptz default")
+    // byte-exact path fidelity through binary cast → COPY → bytea
+    val hostile = root.resolve("back\\slash'q\".bin").toString
+    val hex = hostile.getBytes("UTF-8").map(b => f"${b & 0xff}%02x").mkString
+    val (c1, got) = psql(
+      s"SELECT count(*) FROM $schema.files WHERE encode(path,'hex') = '$hex'")
+    assert(c1 == 0 && got.trim == "1", s"hostile path must round-trip: $got")
+    // st_mode landed as bit(19) digits; SERIAL ids dense from 1
+    val (c2, modes) = psql(
+      s"SELECT min(length(st_mode::text)), max(length(st_mode::text)), " +
+        s"min(id), max(id) FROM $schema.files")
+    assert(c2 == 0 && modes.trim == s"19|19|1|$want", modes)
+    // append-only: a second write doubles the count (reference commits
+    // incrementally into the same per-tag table)
+    Crawl.writeFilesViaWire(files, base.toString, port,
+      "postgres", "postgres", schema, commitRows = 1000, numPartitions = 1)
+    val (c3, twice) = psql(s"SELECT count(*) FROM $schema.files")
+    assert(c3 == 0 && twice.trim == (2 * want).toString)
+    // the status jsonb leg (storcrawl.py:302-311)
+    val ctrs = Crawl.counters(spark)
+    ctrs.filesSeen.add(want); ctrs.dirsSeen.add(3)
+    val status = Crawl.statusRows(spark, ctrs, 1700000000L, 1700000060L)
+    val ns = Crawl.writeStatusViaWire(
+      status, base.toString, port, "postgres", "postgres", schema)
+    assert(ns == 8L)
+    val (c4, ev) = psql(
+      s"""SELECT count(*),
+         |  count(*) FILTER (WHERE (entry->>'time')::bigint > 0)
+         |FROM $schema.status""".stripMargin)
+    assert(c4 == 0 && ev.trim == "8|8", s"jsonb entries must be queryable: $ev")
+  }
+
   test("reporting role bootstrap: live SELECT granted, INSERT denied") {
     live()
     runSeq(PgDdl.schemaBootstrap(schema, "postgres"))
