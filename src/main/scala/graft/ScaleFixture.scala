@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Derives a ×N scale fixture from an existing sf directory — the
+  * measured decade of headroom behind PERF.md §"sf1 scale proof".
+  *
+  * `documents`/`embeddings`/`events` are unioned N times with shifted
+  * ids; the other tables copy verbatim (dimension tables don't drive
+  * the dedup/ANN/suffix costs under test). Replica perturbation is
+  * chosen so the SCALE SHAPE stays honest:
+  *
+  *   - documents: replica i>0 maps vowels through a rotated alphabet
+  *     (translate is cheap and deterministic). Identical text across
+  *     replicas would turn every document into an N-clone near-dup
+  *     cluster — candidate pairs would grow ~N²/2 per doc and the
+  *     "10× data" run would really measure a 45×-denser duplicate
+  *     graph. Vowel-mapping breaks virtually every 8-gram across
+  *     replicas (only vowel-free grams survive) while keeping each
+  *     replica's INTERNAL clone structure — so the corpus-level dup
+  *     fraction matches the base corpus, which is what "10× more of
+  *     the same kind of data" means.
+  *   - embeddings: deterministic per-(vec, dim, replica) jitter of
+  *     ~1e-3 magnitude — scaling by a constant would preserve every
+  *     sign and land all replicas in the same sign-LSH buckets with
+  *     identical neighbor structure (an N× bucket-occupancy lie).
+  *   - events: ids/user ids shifted, timestamps offset by the replica
+  *     index times the base span, so sessionization/windows see more
+  *     users and more time, not N overlaid copies of one day.
+  *
+  * Usage: runMain graft.ScaleFixture <srcSfDir> <outDir> <N>
+  */
+object ScaleFixture {
+
+  def main(args: Array[String]): Unit = {
+    val Array(src, out, nStr) = args.take(3)
+    val n = nStr.toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-scale-fixture")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try build(spark, src, out, n)
+    finally spark.stop()
+  }
+
+  def build(spark: SparkSession, src: String, out: String, n: Int): Unit = {
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    val docShift = 1L + docs.agg(max("doc_id")).head().getLong(0)
+    val vecShift = 1L + emb.agg(max("vec_id")).head().getLong(0)
+    val evAgg = ev.agg(max("event_id"), max("user_id"),
+      max(unix_micros(col("ts").cast("timestamp"))), min(unix_micros(col("ts").cast("timestamp")))).head()
+    val (evShift, userShift) = (1L + evAgg.getLong(0), 1L + evAgg.getLong(1))
+    val tsSpanMicros = 1L + evAgg.getLong(2) - evAgg.getLong(3)
+
+    def replicas(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until n).map(i => f(df, i)).reduce(_ unionAll _)
+
+    val vowels = "aeiou"
+    replicas(docs) { (d, i) =>
+      val rot = vowels.drop(i % 5) + vowels.take(i % 5)
+      d.select(
+        (col("doc_id") + lit(i * docShift)).as("doc_id"),
+        (if (i == 0) col("text")
+         else translate(col("text"), vowels, rot)).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.repartition(32).write.mode(SaveMode.Overwrite)
+      .parquet(s"$out/documents.parquet")
+
+    replicas(emb) { (e, i) =>
+      e.select(
+        (col("vec_id") + lit(i * vecShift)).as("vec_id"),
+        (if (i == 0) col("embedding")
+         else expr(s"""transform(embedding, (x, j) ->
+              x + cast(pmod(hash(vec_id, j, $i), 2000) - 1000 as float) / 1000000.0f)"""))
+          .as("embedding"),
+        col("label"))
+    }.repartition(32).write.mode(SaveMode.Overwrite)
+      .parquet(s"$out/embeddings.parquet")
+
+    replicas(ev) { (e, i) =>
+      e.select(
+        (col("event_id") + lit(i * evShift)).as("event_id"),
+        timestamp_micros(unix_micros(col("ts").cast("timestamp"))
+          + lit(i * tsSpanMicros)).cast("timestamp_ntz").as("ts"),
+        (col("user_id") + lit(i * userShift)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.repartition(32).write.mode(SaveMode.Overwrite)
+      .parquet(s"$out/events.parquet")
+
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/$t.parquet")
+    }
+    println(s"[scale-fixture] wrote ${n}x of $src to $out")
+  }
+}

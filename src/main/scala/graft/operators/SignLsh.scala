@@ -187,9 +187,35 @@ object SignLsh {
       java.math.BigDecimal.valueOf(math.round(rnd.nextGaussian() * 100), 2))))
   }
 
-  /** Parameters of the oracle query: bits sized by [[bitsFor]](n=500,
-    * target 32) — the same formula the production path uses. */
-  private[operators] val OracleParams = Params(bits = 4, bands = 2, seed = 42L)
+  /** The oracle twin's parameter ceiling: hyperplanes are generated
+    * once at [[OracleMaxBits]] per band and each run USES the first
+    * `adaptiveBits(n)` of them — so the plane literals (and the DuckDB
+    * VALUES table built from them) are corpus-independent while the
+    * bucket count still grows with the corpus. 16 bits covers corpora
+    * to ~2M vectors at the target-32 occupancy. */
+  private[operators] val OracleMaxBits = 16
+  private[operators] val OracleBands = 2
+  private[operators] val OracleParams =
+    Params(bits = OracleMaxBits, bands = OracleBands, seed = 42L)
+
+  /** Scale-adaptive bits for the PROOF-TWIN queries: the smallest
+    * b ∈ [4, [[OracleMaxBits]]] with 32·2^b ≥ n — [[bitsFor]] with
+    * target bucket 32, in pure INTEGER arithmetic so DuckDB computes
+    * the identical value in SQL (a float log2 could differ by an ulp
+    * at a boundary and flip the whole parameterization). Round 11's
+    * sf1 scale run caught the previous PINNED bits=4: at 10× corpus
+    * the buckets held 10× the vectors and candidate pairs grew ~100×
+    * (43.9× measured wall) — fixed occupancy, not fixed bits, is what
+    * survives scale. */
+  private[operators] def adaptiveBits(n: Long): Int =
+    (4 to OracleMaxBits).find(b => 32L * (1L << b) >= n).getOrElse(OracleMaxBits)
+
+  /** The same formula as a DuckDB scalar CTE (`bn(v)`). */
+  private def bnCte: String =
+    s"""bn AS (
+       |  SELECT COALESCE(MIN(b), $OracleMaxBits) AS v
+       |  FROM (SELECT unnest(generate_series(4, $OracleMaxBits)) AS b)
+       |  WHERE 32 * (1 << b) >= (SELECT count(*) FROM embeddings))""".stripMargin
 
   /** Banded sign-LSH near-dup with exact decimal signatures — the
     * scaled algorithm, hash-verified against the generated-SQL twin in
@@ -221,9 +247,13 @@ object SignLsh {
     val planes = decimalHyperplanes(OracleParams, 64)
     def dot(a: Column, b: Column): Column = decDot(a, b)
     val emb = graft.Tables.embeddings(s, d)
+    // one driver-side count sizes the signature width so bucket
+    // occupancy stays ~32 at ANY corpus size (integer formula —
+    // engine-identical to the oracle's bn CTE)
+    val bits = adaptiveBits(emb.count())
     val de = Similarity.decVec(col("embedding"))
-    val bandStructs = (0 until OracleParams.bands).map { b =>
-      val key = (0 until OracleParams.bits).map { i =>
+    val bandStructs = (0 until OracleBands).map { b =>
+      val key = (0 until bits).map { i =>
         when(dot(de, planeCol(planes(b)(i))) >= 0, lit(1L << i)).otherwise(lit(0L))
       }.reduce(_ + _)
       struct(lit(b).as("band"), key.as("key"))
@@ -272,9 +302,10 @@ object SignLsh {
   val qSignlshMultiprobe: (org.apache.spark.sql.SparkSession, String) => DataFrame = (s, d) => {
     val planes = decimalHyperplanes(OracleParams, 64)
     val emb = graft.Tables.embeddings(s, d)
+    val bits = adaptiveBits(emb.count()) // see qSignlshNeardup
     val de = Similarity.decVec(col("embedding"))
-    val bandStructs = (0 until OracleParams.bands).map { b =>
-      val dots = (0 until OracleParams.bits).map(i => decDot(de, planeCol(planes(b)(i))))
+    val bandStructs = (0 until OracleBands).map { b =>
+      val dots = (0 until bits).map(i => decDot(de, planeCol(planes(b)(i))))
       val key = dots.zipWithIndex.map { case (dt, i) =>
         when(dt >= 0, lit(1L << i)).otherwise(lit(0L))
       }.reduce(_ + _)
@@ -335,13 +366,15 @@ object SignLsh {
       dIx <- 0 until 64
     } yield s"($b, $i, ${dIx + 1}, ${planes(b)(i)(dIx).toPlainString})"
     s"""WITH w(band, bit, i, wv) AS (VALUES ${rows.mkString(", ")}),
+       |$bnCte,
        |el AS (
        |  SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) AS x
        |  FROM (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS i
        |        FROM embeddings)),
        |dots AS (
        |  SELECT e.vec_id, w.band, w.bit, SUM(e.x * CAST(w.wv AS DECIMAL(12,8))) AS dot
-       |  FROM el e JOIN w ON e.i = w.i GROUP BY 1, 2, 3),
+       |  FROM el e JOIN w ON e.i = w.i AND w.bit < (SELECT v FROM bn)
+       |  GROUP BY 1, 2, 3),
        |keys AS (
        |  SELECT vec_id, band,
        |    CAST(SUM(CASE WHEN dot >= 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS key
