@@ -989,7 +989,46 @@ object CorpusOps {
       .limit(20)
   }
 
+  /** q_prefix_cache — exact-prefix sharing audit at depths 4/8/16
+    * tokens: how many documents open with the SAME first-d tokens, and
+    * the share of prefix tokens a depth-d prefix cache would serve
+    * from one cached entry per group. This is the data-side planning
+    * table for prefix/KV caching (one shared prompt prefix = one
+    * cached attention block served to every request that opens with
+    * it) and doubles as a prompt-template audit — a corpus whose
+    * documents massively share openings is template-stamped, which
+    * both caching AND dedup policy want to know.
+    *
+    * Plan: one corpus scan; the token array splits once and the three
+    * depths explode from a literal array (the array, not the text,
+    * is reused per depth); a (depth, prefix)-keyed count then a
+    * 3-group rollup. The group key is the prefix STRING for oracle
+    * parity — at 100 TB swap it for md5(prefix) so 16-byte digests
+    * shuffle instead of text (the [[qContentChunks]] note; counts are
+    * identical modulo md5 collisions). */
+  val qPrefixCache: Q = (s, d) => {
+    val toks = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+    val g = toks
+      .select(col("doc_id"), col("ts"),
+        explode(array(lit(4), lit(8), lit(16))).as("depth"))
+      .filter(size(col("ts")) >= col("depth"))
+      .select(col("depth").cast(LongType).as("depth"),
+        array_join(slice(col("ts"), lit(1), col("depth")), " ").as("prefix"))
+      .groupBy("depth", "prefix").agg(count(lit(1)).as("n"))
+    g.groupBy("depth")
+      .agg(sum("n").cast(LongType).as("n_docs"),
+        count(lit(1)).as("n_groups"),
+        sum(when(col("n") > 1, 1L).otherwise(0L)).cast(LongType)
+          .as("n_shared_groups"),
+        sum(expr("(n - 1) * depth")).cast(LongType).as("saved_tokens"))
+      .withColumn("hit_permille",
+        expr("(saved_tokens * 1000) div (n_docs * depth)").cast(LongType))
+      .orderBy("depth")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_prefix_cache" -> qPrefixCache,
     "q_suffix_ranks" -> qSuffixRanks,
     "q_repeated_spans" -> qRepeatedSpans,
     "q_dup_positions" -> qDupPositions,
@@ -1045,6 +1084,26 @@ object CorpusOps {
       |  FROM pp)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_prefix_cache" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts
+        |  FROM documents WHERE text IS NOT NULL),
+        |pf AS (
+        |  SELECT CAST(d AS BIGINT) AS depth,
+        |    array_to_string(ts[1:CAST(d AS INT)], ' ') AS prefix
+        |  FROM toks CROSS JOIN (SELECT unnest([4, 8, 16]) AS d)
+        |  WHERE len(ts) >= d),
+        |g AS (
+        |  SELECT depth, prefix, COUNT(*) AS n FROM pf GROUP BY 1, 2)
+        |SELECT depth,
+        |  CAST(SUM(n) AS BIGINT) AS n_docs,
+        |  COUNT(*) AS n_groups,
+        |  CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_shared_groups,
+        |  CAST(SUM((n - 1) * depth) AS BIGINT) AS saved_tokens,
+        |  (CAST(SUM((n - 1) * depth) AS BIGINT) * 1000)
+        |    // (CAST(SUM(n) AS BIGINT) * depth) AS hit_permille
+        |FROM g GROUP BY depth ORDER BY depth""".stripMargin,
     "q_suffix_ranks" ->
       // direct form: sort ALL suffix token-lists at once (list compare
       // is element-wise VARCHAR lexicographic = token order); equality

@@ -322,7 +322,69 @@ object Evaluation {
       .orderBy("event_type")
   }
 
+  /** q_mann_whitney — the Mann–Whitney U rank-sum test between every
+    * source pair on document length: the nonparametric "is corpus A
+    * longer than corpus B" comparison quality pipelines need when
+    * length/score distributions are heavy-tailed and a mean test lies.
+    * Reported per pair: 2·U₁ (doubled so tie half-credits stay
+    * INTEGER) and the common-language effect size P(a > b) + ½P(tie)
+    * in permille — which is exactly the ROC-AUC of "distinguish the
+    * sources by length", the same statistic [[qRocAuc]] computes for
+    * a labeled classifier.
+    *
+    * Exactness: midranks via the doubled form 2·mid(v) = 2·cum<(v) +
+    * ties(v) + 1 — all integers; 2U₁ = Σ c₁(v)·2mid(v) − n₁(n₁+1)
+    * rides DECIMAL(38,0) (rank·count products reach n² and wrap int64
+    * past ~3B docs — the qRocAuc lesson).
+    *
+    * Plan: the corpus collapses to a per-(source, value) HISTOGRAM
+    * map-side — everything after is value-domain-sized, not
+    * corpus-sized. The pair table explodes each source's histogram
+    * once per partner (sources² rows of |V| each), the midrank cumsum
+    * windows partition per PAIR over distinct values only, and the
+    * rollup is one row per pair. At 100 TB the histogram is the whole
+    * trick: ranks need a total order, but only over the ~10⁴ distinct
+    * lengths, never the 10¹² rows. */
+  val qMannWhitney: Q = (s, d) => {
+    val hist = Tables.documents(s, d)
+      // NULL lengths out: Spark windows sort nulls FIRST, DuckDB LAST —
+      // a null value would silently shift every rank between engines
+      .filter(col("n_chars").isNotNull)
+      .groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds both sides of the pair explode
+    val srcs = hist.select("source").distinct()
+    val pairs = srcs.select(col("source").as("sa"))
+      .join(srcs.select(col("source").as("sb")), col("sa") < col("sb"))
+    val m1 = pairs.join(hist.withColumnRenamed("source", "sa"), Seq("sa"))
+      .select(col("sa"), col("sb"), col("v"), col("c").as("c1"), lit(0L).as("c2"))
+    val m2 = pairs.join(hist.withColumnRenamed("source", "sb"), Seq("sb"))
+      .select(col("sa"), col("sb"), col("v"), lit(0L).as("c1"), col("c").as("c2"))
+    val merged = m1.unionAll(m2)
+      .groupBy("sa", "sb", "v")
+      .agg(sum("c1").as("c1"), sum("c2").as("c2"))
+    val wCum = Window.partitionBy("sa", "sb").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dec = DecimalType(38, 0)
+    merged
+      .withColumn("cum", sum(expr("c1 + c2")).over(wCum) - expr("c1 + c2"))
+      .groupBy("sa", "sb")
+      .agg(sum("c1").cast(LongType).as("n1"),
+        sum("c2").cast(LongType).as("n2"),
+        sum(col("c1").cast(dec) * (expr("2 * cum + (c1 + c2) + 1")))
+          .cast(dec).as("r1x2"))
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        col("n1"), col("n2"),
+        (col("r1x2") - col("n1").cast(dec) * (col("n1") + 1))
+          .cast(dec).as("u2x"),
+        expr("""((r1x2 - cast(n1 as decimal(38,0)) * (n1 + 1)) * 500)
+               div (cast(n1 as decimal(38,0)) * n2)""")
+          .cast(LongType).as("cles_permille"))
+      .orderBy("source_a", "source_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_mann_whitney" -> qMannWhitney,
     "q_roc_auc" -> qRocAuc,
     "q_pr_curve" -> qPrCurve,
     "q_kappa_agreement" -> qKappaAgreement,
@@ -332,6 +394,37 @@ object Evaluation {
     "q_ols_trend" -> qOlsTrend)
 
   val oracle: Map[String, String] = Map(
+    "q_mann_whitney" ->
+      """WITH hist AS (
+        |  SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+        |srcs AS (SELECT DISTINCT source FROM hist),
+        |pairs AS (
+        |  SELECT a.source AS sa, b.source AS sb
+        |  FROM srcs a JOIN srcs b ON a.source < b.source),
+        |merged AS (
+        |  SELECT sa, sb, v, SUM(c1) AS c1, SUM(c2) AS c2 FROM (
+        |    SELECT p.sa, p.sb, h.v, h.c AS c1, 0 AS c2
+        |    FROM pairs p JOIN hist h ON h.source = p.sa
+        |    UNION ALL
+        |    SELECT p.sa, p.sb, h.v, 0, h.c
+        |    FROM pairs p JOIN hist h ON h.source = p.sb)
+        |  GROUP BY 1, 2, 3),
+        |cum AS (
+        |  SELECT sa, sb, v, c1, c2,
+        |    SUM(c1 + c2) OVER (PARTITION BY sa, sb ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) - (c1 + c2) AS cb
+        |  FROM merged),
+        |agg AS (
+        |  SELECT sa, sb,
+        |    CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+        |    SUM(CAST(c1 AS HUGEINT) * (2 * cb + (c1 + c2) + 1)) AS r1x2
+        |  FROM cum GROUP BY 1, 2)
+        |SELECT sa AS source_a, sb AS source_b, n1, n2,
+        |  CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DECIMAL(38,0)) AS u2x,
+        |  CAST(((r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1)) * 500)
+        |    // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS cles_permille
+        |FROM agg ORDER BY source_a, source_b""".stripMargin,
     "q_roc_auc" ->
       """WITH docs AS (
         |  SELECT source, n_chars AS score,

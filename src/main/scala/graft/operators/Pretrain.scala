@@ -120,12 +120,121 @@ object Pretrain {
       .orderBy("src_a", "src_b")
   }
 
+  /** q_domain_mix_round — one fixed-point multiplicative-weights
+    * rebalance of the per-source training mixture (the DoReMi move,
+    * Xie et al. 2023, with the exponential update linearized so every
+    * step is INTEGER): sources whose mean token surprisal under the
+    * corpus unigram LM exceeds the corpus mean are up-weighted
+    * (hard-for-the-reference-model domains get more mass), clamped to
+    * [0.5×, 2×] per round, then renormalized to permille. Surprisal
+    * stands in for the trained-proxy excess loss — same shape, no GPU.
+    *
+    * Exactness: per-word surprisal floors to micro-bits BEFORE any
+    * sum ([[TextStats.qSourceKl]]'s proven per-term-floor contract);
+    * source sums ride DECIMAL(38,0) (count×micros wraps int64 past
+    * ~10¹² tokens); the signed excess is divided through the
+    * additive-shift floor (+10⁹, ÷2000, −5·10⁵ — Spark `div`
+    * truncates, DuckDB `//` floors, they agree only shifted
+    * non-negative).
+    *
+    * Plan: one (source, word) count table feeds everything — a vocab
+    * rollup for corpus word counts, an UNHINTED vocab join back (AQE
+    * broadcasts small vocabularies, web-scale ones shuffle), a
+    * |sources|-group rollup, and the renormalization window runs over
+    * the |sources|-row result, not the corpus. */
+  val qDomainMixRound: Q = (s, d) => {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val dec = DecimalType(38, 0)
+    val words = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val sw = words.groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
+      .localCheckpoint() // feeds the vocab rollup AND the join back
+    val cw = sw.groupBy("w").agg(sum("c_sw").as("c_w"))
+    val tot = cw.agg(sum("c_w").as("n_tot"))
+    val sMic = cw.crossJoin(broadcast(tot))
+      .select(col("w"), col("c_w"), col("n_tot"),
+        floor(lit(1000000.0) *
+          log2(col("n_tot").cast(DoubleType) / col("c_w")))
+          .cast(LongType).as("s_mic"))
+      .localCheckpoint() // two consumers: per-source and corpus sums
+    val corpus = sMic
+      .agg(sum(col("c_w").cast(dec) * col("s_mic")).cast(dec).as("c_sum"),
+        max("n_tot").as("n_tot"))
+      .select(expr("c_sum div n_tot").cast(LongType).as("corpus_micro"),
+        col("n_tot"))
+    val bySrc = sw.join(sMic.select("w", "s_mic"), Seq("w"))
+      .groupBy("source")
+      .agg(sum("c_sw").cast(LongType).as("n_tokens"),
+        sum(col("c_sw").cast(dec) * col("s_mic")).cast(dec).as("s_sum"))
+    bySrc.crossJoin(broadcast(corpus))
+      .withColumn("surprisal_micro",
+        expr("s_sum div n_tokens").cast(LongType))
+      .withColumn("w0_permille",
+        expr("(n_tokens * 1000) div n_tot").cast(LongType))
+      .withColumn("excess_micro",
+        (col("surprisal_micro") - col("corpus_micro")).cast(LongType))
+      .withColumn("factor_permille",
+        greatest(lit(500L), least(lit(2000L),
+          lit(1000L) + (expr("(excess_micro + 1000000000) div 2000")
+            - lit(500000L)))).cast(LongType))
+      .withColumn("w1_raw", col("w0_permille") * col("factor_permille"))
+      .withColumn("w1_permille",
+        expr("(w1_raw * 1000) div (sum(w1_raw) over ())").cast(LongType))
+      .select("source", "n_tokens", "w0_permille", "surprisal_micro",
+        "excess_micro", "factor_permille", "w1_permille")
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_bpe_merge" -> qBpeMerge,
+    "q_domain_mix_round" -> qDomainMixRound,
     "q_span_corruption" -> qSpanCorruption,
     "q_vocab_overlap" -> qVocabOverlap)
 
   val oracle: Map[String, String] = Map(
+    "q_domain_mix_round" ->
+      """WITH words AS (
+        |  SELECT source, w FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS w
+        |    FROM documents WHERE text IS NOT NULL)
+        |  WHERE length(w) > 0),
+        |sw AS (SELECT source, w, COUNT(*) AS c_sw FROM words GROUP BY 1, 2),
+        |cw AS (SELECT w, CAST(SUM(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n_tot FROM cw),
+        |smic AS (
+        |  SELECT w, c_w,
+        |    CAST(floor(1000000.0 *
+        |      log2(CAST((SELECT n_tot FROM tot) AS DOUBLE) / c_w)) AS BIGINT)
+        |      AS s_mic
+        |  FROM cw),
+        |corpus AS (
+        |  SELECT CAST(SUM(CAST(c_w AS HUGEINT) * s_mic)
+        |           // (SELECT n_tot FROM tot) AS BIGINT) AS corpus_micro
+        |  FROM smic),
+        |bysrc AS (
+        |  SELECT source, CAST(SUM(c_sw) AS BIGINT) AS n_tokens,
+        |    SUM(CAST(c_sw AS HUGEINT) * s_mic) AS s_sum
+        |  FROM sw JOIN smic USING (w) GROUP BY source),
+        |step AS (
+        |  SELECT source, n_tokens,
+        |    CAST((n_tokens * 1000) // (SELECT n_tot FROM tot) AS BIGINT)
+        |      AS w0_permille,
+        |    CAST(s_sum // n_tokens AS BIGINT) AS surprisal_micro,
+        |    CAST(s_sum // n_tokens - (SELECT corpus_micro FROM corpus)
+        |      AS BIGINT) AS excess_micro
+        |  FROM bysrc),
+        |f AS (
+        |  SELECT *, GREATEST(500, LEAST(2000,
+        |      1000 + ((excess_micro + 1000000000) // 2000 - 500000)))
+        |      AS factor_permille
+        |  FROM step),
+        |r AS (SELECT *, w0_permille * factor_permille AS w1_raw FROM f)
+        |SELECT source, n_tokens, w0_permille, surprisal_micro, excess_micro,
+        |  CAST(factor_permille AS BIGINT) AS factor_permille,
+        |  CAST((w1_raw * 1000) // (SUM(w1_raw) OVER ()) AS BIGINT)
+        |    AS w1_permille
+        |FROM r ORDER BY source""".stripMargin,
     "q_bpe_merge" ->
       """WITH pairs AS (
         |  SELECT substr(text, i, 2) AS pair

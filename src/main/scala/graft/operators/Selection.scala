@@ -276,7 +276,58 @@ object Selection {
       .orderBy("batch")
   }
 
+  /** q_epoch_shuffle — the training-order audit: a deterministic
+    * per-epoch global shuffle (order by [[md5Long]]('ep|' ‖ epoch ‖
+    * '|' ‖ doc_id)) for epochs 0–2, reported as the Spearman FOOTRULE
+    * distance Σ|r₁−r₂| between every epoch pair. Multi-epoch training
+    * wants each epoch to be a genuinely different permutation of the
+    * corpus (repeating one order correlates gradient noise across
+    * epochs), yet reproducible under any executor count or retry —
+    * properties a seeded sort by content hash gives for free and an
+    * `ORDER BY rand()` gives never. For independent uniform
+    * permutations E[footrule] = n²/3, so the normalized column should
+    * read ≈ 667‰ of its n²/2 maximum; values near 0 mean the "new"
+    * epoch is the old order in disguise.
+    *
+    * Plan: ONE range exchange ranks all three epochs at once —
+    * [[Ranking.globalRowNumber]] over (epoch, h, doc_id) gives a
+    * global rn whose per-epoch rank is rn − epoch·n (epochs are
+    * contiguous equal-sized blocks), with n supplied by a broadcast
+    * scalar frame, not a driver action. The pair distances are one
+    * doc-keyed self-join (3 rows/doc) and a 3-group rollup; footrule
+    * sums ride DECIMAL(38,0) — Σ|Δr| ≤ n² wraps int64 past ~4B
+    * docs. */
+  val qEpochShuffle: Q = (s, d) => {
+    import org.apache.spark.sql.types.DecimalType
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val n1 = docs.agg(count(lit(1)).as("n"))
+    val hashed = docs
+      .select(col("doc_id"), explode(sequence(lit(0L), lit(2L))).as("e"))
+      .withColumn("h", md5Long(concat(lit("ep|"), col("e").cast("string"),
+        lit("|"), col("doc_id").cast("string"))))
+    val ranked = Ranking.globalRowNumber(hashed,
+        Seq(col("e"), col("h"), col("doc_id")), "rn")
+      .crossJoin(broadcast(n1))
+      .select(col("doc_id"), col("e"), (col("rn") - col("e") * col("n")).as("r"))
+    ranked.as("a")
+      .join(ranked.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.e") < col("b.e"))
+      .groupBy(col("a.e").as("epoch_a"), col("b.e").as("epoch_b"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(abs(col("a.r") - col("b.r")).cast(DecimalType(38, 0)))
+          .cast(DecimalType(38, 0)).as("footrule"))
+      // permille of the n²/2 maximum as footrule·2000 div n² (single
+      // decimal division — an inner n² div 2 would return a LONG and
+      // wrap past ~4B docs; the odd-n floor(n²/2) nuance is < 1‰)
+      .withColumn("footrule_permille",
+        when(col("n_docs") > 1,
+          expr("(footrule * 2000) div (cast(n_docs as decimal(38,0)) * n_docs)"))
+          .cast(LongType))
+      .orderBy("epoch_a", "epoch_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_epoch_shuffle" -> qEpochShuffle,
     "q_inbatch_collisions" -> qInbatchCollisions,
     "q_length_fence" -> qLengthFence,
     "q_weighted_sample" -> qWeightedSample,
@@ -286,6 +337,29 @@ object Selection {
     "q_dsir_weights" -> qDsirWeights)
 
   val oracle: Map[String, String] = Map(
+    "q_epoch_shuffle" ->
+      """WITH docs AS (SELECT doc_id FROM documents),
+        |nn AS (SELECT COUNT(*) AS n FROM docs),
+        |h AS (
+        |  SELECT e, doc_id,
+        |    CAST('0x' || substr(md5('ep|' || CAST(e AS VARCHAR) || '|' ||
+        |      CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM docs CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS e)),
+        |r AS (
+        |  SELECT e, doc_id,
+        |    row_number() OVER (ORDER BY e, h, doc_id)
+        |      - e * (SELECT n FROM nn) AS r
+        |  FROM h)
+        |SELECT CAST(a.e AS BIGINT) AS epoch_a, CAST(b.e AS BIGINT) AS epoch_b,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(CAST(abs(a.r - b.r) AS HUGEINT)) AS DECIMAL(38,0))
+        |    AS footrule,
+        |  CASE WHEN COUNT(*) > 1 THEN
+        |    CAST((SUM(CAST(abs(a.r - b.r) AS HUGEINT)) * 2000)
+        |      // (CAST(COUNT(*) AS HUGEINT) * COUNT(*)) AS BIGINT)
+        |  END AS footrule_permille
+        |FROM r a JOIN r b ON a.doc_id = b.doc_id AND a.e < b.e
+        |GROUP BY 1, 2 ORDER BY epoch_a, epoch_b""".stripMargin,
     "q_inbatch_collisions" ->
       """WITH e AS (
         |  SELECT CAST(label AS BIGINT) AS label,

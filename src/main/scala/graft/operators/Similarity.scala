@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, Decimal, DecimalType, DoubleType, LongType, StructField, StructType}
 
 import graft.Tables
 
@@ -1366,7 +1366,99 @@ object Similarity {
       .orderBy("level")
   }
 
+  /** q_kcenter_coreset — greedy k-center (farthest-point) coreset
+    * selection over the embedding corpus (Gonzalez 1985's 2-approx;
+    * the geometric backbone of diversity-driven data pruning à la
+    * "coverage" selection: pick the k points that together minimize
+    * the max distance of any point to its nearest pick). Start from
+    * the lowest vec_id, then k−1 rounds of "take the point farthest
+    * from the chosen set". Emits each pick in order with its EXACT
+    * squared distance to the set at selection time, plus the final
+    * covering radius — the objective value data-pruning sweeps read.
+    *
+    * Exactness: distances are exact-decimal squared Euclidean via the
+    * identity ‖a−c‖² = ⟨a,a⟩+⟨c,c⟩−2⟨a,c⟩ over DECIMAL(12,8) coords
+    * ([[graft.functions.DecimalDotExpr]]), written as two
+    * subtractions (a LITERAL·decimal product would trip Spark's
+    * precision-loss rescale); ties in the argmax break on vec_id in
+    * both engines, so every pick is engine-identical.
+    *
+    * Plan: selection is INHERENTLY sequential (each pick conditions
+    * the next), so the driver runs k bounded rounds; each round is
+    * one distributed scan — a per-row min-update against the new
+    * center (a 64-decimal literal, codegen'd dot) and a TakeOrdered
+    * top-1 (per-partition heaps, no global sort). State is one
+    * localCheckpointed (vec_id, de, nrm, mind) frame — lineage stays
+    * flat across rounds, nothing but the 1-row argmax ever reaches
+    * the driver. k·(one scan) at any corpus size. */
+  val qKcenterCoreset: Q = (s, d) => {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val K = 6
+    def decLit(v: java.math.BigDecimal, p: Int, sc: Int): Column =
+      ColumnBridge.column(Literal.create(Decimal(v), DecimalType(p, sc)))
+    def vecLit(xs: Seq[java.math.BigDecimal]): Column =
+      ColumnBridge.column(Literal.create(xs,
+        ArrayType(DecimalType(12, 8), containsNull = false)))
+    val base = Tables.embeddings(s, d)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === 64)
+      .select(col("vec_id"), decVec(col("embedding")).as("de"))
+      .withColumn("nrm", decDot(col("de"), col("de")))
+    val c0 = base.agg(min("vec_id")).head().getLong(0)
+    val first = base.filter(col("vec_id") === c0)
+      .select(col("de"), col("nrm")).head()
+    def centerDist(de: Seq[java.math.BigDecimal],
+        nrm: java.math.BigDecimal): Column = {
+      // run the identity at DECIMAL(26,16): dots are < 64·10⁸ (10 int
+      // digits), and at (38,16) operands Spark's precision-loss rule
+      // shaves one scale digit PER add/sub — three ops would truncate
+      // the exact value to scale 13 (caught by the oracle compare)
+      val dAC = decDot(col("de"), vecLit(de)).cast(DecimalType(26, 16))
+      (col("nrm").cast(DecimalType(26, 16)) + decLit(nrm, 26, 16)
+        - dAC - dAC).cast(DecimalType(38, 16))
+    }
+    var cur = base
+      .withColumn("mind", centerDist(
+        first.getSeq[java.math.BigDecimal](0), first.getDecimal(1)))
+      .localCheckpoint()
+    val zero = new java.math.BigDecimal(java.math.BigInteger.ZERO, 16)
+    val picks = scala.collection.mutable.ArrayBuffer[
+      (Long, Long, java.math.BigDecimal)]((0L, c0, zero))
+    val chosen = scala.collection.mutable.ArrayBuffer[Long](c0)
+    for (t <- 1 until K) {
+      // exclude prior picks: with exact-duplicate geometry the max mind
+      // can be 0 and an unguarded argmax would re-pick a center
+      val top = cur.filter(!col("vec_id").isInCollection(chosen))
+        .orderBy(col("mind").desc, col("vec_id"))
+        .select("vec_id", "mind", "de", "nrm").head()
+      chosen += top.getLong(0)
+      picks += ((t.toLong, top.getLong(0), top.getDecimal(1)))
+      cur = cur.withColumn("__d2n", centerDist(
+          top.getSeq[java.math.BigDecimal](2), top.getDecimal(3)))
+        // CASE, not least(): the DuckDB twin's LEAST on DECIMAL(38,16)
+        // silently degrades to DOUBLE, so both engines take the CASE
+        // form; <= keeps the incumbent on ties (same value either way)
+        .withColumn("mind",
+          when(col("mind") <= col("__d2n"), col("mind"))
+            .otherwise(col("__d2n")))
+        .drop("__d2n")
+        .localCheckpoint()
+    }
+    val cover = cur.agg(max("mind")).head().getDecimal(0)
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("ord", LongType, nullable = false),
+      StructField("vec_id", LongType, nullable = false),
+      StructField("d2_sel", DecimalType(38, 16), nullable = true),
+      StructField("d2_cover", DecimalType(38, 16), nullable = true)))
+    s.createDataFrame(
+      picks.map(p => org.apache.spark.sql.Row(p._1, p._2, p._3, cover))
+        .toList.asJava, schema)
+      .orderBy("ord")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_kcenter_coreset" -> qKcenterCoreset,
     "q_hnsw_levels" -> qHnswLevels,
     "q_ivf_nprobe_sweep" -> qIvfNprobeSweep,
     "q_centroid_drift" -> qCentroidDrift,
@@ -1473,7 +1565,54 @@ object Similarity {
       |  WHERE c.nid <> l.qid
       |  GROUP BY 1, 2)""".stripMargin
 
+  /** DuckDB twin of [[qKcenterCoreset]]: the greedy rounds unroll into
+    * chained CTEs (c0..c5 pick, m0..m5 min-distance state); distances
+    * are Σ(aᵢ−bᵢ)² over the same DECIMAL(12,8) coords — exactly equal
+    * to Spark's ⟨a,a⟩+⟨c,c⟩−2⟨a,c⟩ identity, term for term. CASE (not
+    * LEAST, which falls back to DOUBLE at DECIMAL(38,16)) keeps the
+    * running minimum exact. */
+  private def kcenterSqlText: String = {
+    val K = 6
+    val sb = new StringBuilder
+    sb.append(
+      """WITH el AS (
+        |  SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) AS x
+        |  FROM (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS i
+        |        FROM embeddings
+        |        WHERE embedding IS NOT NULL AND len(embedding) = 64)),
+        |c0 AS (SELECT MIN(vec_id) AS c FROM el),
+        |m0 AS (
+        |  SELECT a.vec_id, SUM((a.x - b.x) * (a.x - b.x)) AS d2
+        |  FROM el a JOIN el b ON a.i = b.i AND b.vec_id = (SELECT c FROM c0)
+        |  GROUP BY 1)""".stripMargin)
+    for (t <- 1 until K) {
+      val prior = (0 until t).map(j => s"(SELECT c FROM c$j)").mkString(", ")
+      sb.append(s""",
+        |c$t AS (SELECT vec_id AS c, d2 FROM m${t - 1}
+        |        WHERE vec_id NOT IN ($prior)
+        |        ORDER BY d2 DESC, vec_id LIMIT 1),
+        |m$t AS (
+        |  SELECT m.vec_id,
+        |    CASE WHEN m.d2 <= n.d2 THEN m.d2 ELSE n.d2 END AS d2
+        |  FROM m${t - 1} m JOIN (
+        |    SELECT a.vec_id, SUM((a.x - b.x) * (a.x - b.x)) AS d2
+        |    FROM el a JOIN el b ON a.i = b.i AND b.vec_id = (SELECT c FROM c$t)
+        |    GROUP BY 1) n ON m.vec_id = n.vec_id)""".stripMargin)
+    }
+    sb.append(s""",
+      |cov AS (SELECT MAX(d2) AS mx FROM m${K - 1})
+      |SELECT ord, vec_id, d2_sel, (SELECT mx FROM cov) AS d2_cover FROM (
+      |  SELECT CAST(0 AS BIGINT) AS ord, (SELECT c FROM c0) AS vec_id,
+      |         CAST(0 AS DECIMAL(38,16)) AS d2_sel""".stripMargin)
+    for (t <- 1 until K) sb.append(s"""
+      |  UNION ALL SELECT $t, (SELECT c FROM c$t),
+      |    CAST((SELECT d2 FROM c$t) AS DECIMAL(38,16))""".stripMargin)
+    sb.append("\n) ORDER BY ord")
+    sb.result()
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_kcenter_coreset" -> kcenterSqlText,
     "q_hnsw_levels" ->
       """WITH nodes AS (
         |  SELECT vec_id,

@@ -206,4 +206,39 @@ class EvaluationSpec extends SparkSpec {
       }
     }
   }
+
+  test("mann-whitney: midrank U replays the textbook hand example with ties") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory(Paths.get("target"), "mwu").toString
+    import spark.implicits._
+    // A = [1,2,2,5], B = [2,3]: joint midranks 1→1, 2→3, 3→5, 5→6
+    // R1 = 1+3+3+6 = 13 → 2U1 = 26 − 4·5 = 6 (U1 = 3: pairs a>b are
+    // (5,2),(5,3) plus two half-credit ties (2,2)) → CLES = 3/8 = 375‰
+    val rows = Seq((1L, 1L, "a"), (2L, 2L, "a"), (3L, 2L, "a"), (4L, 5L, "a"),
+      (5L, 2L, "b"), (6L, 3L, "b"))
+    rows.map { case (i, n, src) => (i, s"doc $i", "en", src, n) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Evaluation.qMannWhitney(spark, dir).collect()
+    assert(r.length === 1)
+    val x = r.head
+    assert(x.getAs[String]("source_a") === "a")
+    assert(x.getAs[Long]("n1") === 4L && x.getAs[Long]("n2") === 2L)
+    assert(x.getAs[java.math.BigDecimal]("u2x").longValueExact() === 6L)
+    assert(x.getAs[Long]("cles_permille") === 375L)
+  }
+
+  test("mann-whitney on sf fixture: CLES symmetric-complement and in range") {
+    val sf = "/root/testdata/sf0.001"
+    val r = Evaluation.qMannWhitney(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      val p = x.getAs[Long]("cles_permille")
+      assert(p >= 0L && p <= 1000L)
+      // 2U1 + 2U2 = 2·n1·n2: recompute U2 from the identity
+      val u2x = x.getAs[java.math.BigDecimal]("u2x").longValueExact()
+      val prod = 2L * x.getAs[Long]("n1") * x.getAs[Long]("n2")
+      assert(u2x >= 0L && u2x <= prod)
+    }
+  }
 }

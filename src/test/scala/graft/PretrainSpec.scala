@@ -78,4 +78,50 @@ class PretrainSpec extends SparkSpec {
     assert(r.map(_.getAs[Long]("n_purchase")).sum ===
       ev.filter(col("event_type") === "purchase").count())
   }
+
+  test("domain mix round: template-y source down-weighted, weights renormalize") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory(Paths.get("target"), "mix").toString
+    import spark.implicits._
+    // 'tmpl' is one word repeated (surprisal ~ log2(N/c) small); 'div'
+    // is all-distinct words (high surprisal) — the MW step must push
+    // mass from tmpl to div
+    val tmpl = (1L to 6L).map(i => (i, Seq.fill(20)("aaa").mkString(" "), "en", "tmpl"))
+    val div = (7L to 12L).map(i =>
+      (i, (1 to 20).map(j => s"w${i}_$j").mkString(" "), "en", "div"))
+    (tmpl ++ div).map { case (i, t, l, src) => (i, t, l, src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Pretrain.qDomainMixRound(spark, dir).collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    assert(r.keySet === Set("tmpl", "div"))
+    assert(r("div").getAs[Long]("surprisal_micro") >
+      r("tmpl").getAs[Long]("surprisal_micro"))
+    assert(r("div").getAs[Long]("factor_permille") >
+      r("tmpl").getAs[Long]("factor_permille"))
+    r.values.foreach { x =>
+      val f = x.getAs[Long]("factor_permille")
+      assert(f >= 500L && f <= 2000L)
+    }
+    // renormalized permilles sum to 1000 up to per-source flooring
+    val w1 = r.values.map(_.getAs[Long]("w1_permille")).sum
+    assert(w1 <= 1000L && w1 > 1000L - r.size)
+    // token-weighted excess cancels up to integer-division slack
+    val slack = r.values.map(_.getAs[Long]("n_tokens")).sum
+    val bal = r.values.map(x =>
+      BigInt(x.getAs[Long]("n_tokens")) * x.getAs[Long]("excess_micro")).sum
+    assert(bal.abs < BigInt(slack) * 2, s"weighted excess $bal vs slack $slack")
+  }
+
+  test("domain mix round on sf fixture: weights renormalize; factors clamped") {
+    val r = Pretrain.qDomainMixRound(spark, sf).collect()
+    assert(r.nonEmpty)
+    val w1 = r.map(_.getAs[Long]("w1_permille")).sum
+    assert(w1 <= 1000L && w1 > 1000L - r.length)
+    r.foreach { x =>
+      val f = x.getAs[Long]("factor_permille")
+      assert(f >= 500L && f <= 2000L)
+      assert(x.getAs[Long]("surprisal_micro") >= 0L)
+    }
+  }
 }

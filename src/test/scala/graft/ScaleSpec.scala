@@ -274,4 +274,38 @@ class ScaleSpec extends SparkSpec {
     }
     assert(labels == want, "star labels diverge from union-find ground truth")
   }
+
+  test("k-center coreset: greedy picks replay on a hand geometry; invariants hold") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory(Paths.get("target"), "kcenter").toString
+    import spark.implicits._
+    def v(hot: Map[Int, Float]): Seq[Float] =
+      (0 until 64).map(i => hot.getOrElse(i, 0.0f))
+    // origin + axis points with hand-computable squared distances
+    val rows = Seq(
+      (1L, v(Map.empty)),            // c0 (min vec_id)
+      (2L, v(Map(0 -> 3.0f))),       // d²(·,1)=9
+      (3L, v(Map(1 -> 4.0f))),       // 16 → pick 1
+      (4L, v(Map(0 -> 1.0f, 1 -> 1.0f))), // 2
+      (5L, v(Map(2 -> 2.0f))),       // 4
+      (6L, v(Map(0 -> 3.0f, 1 -> 0.1f))), // ~9.01 near vec 2
+      (7L, v(Map(3 -> 0.5f))))       // 0.25
+      .map { case (i, e) => (i, e, 0) }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = graft.operators.Similarity.qKcenterCoreset(spark, dir).collect()
+    assert(r.map(_.getAs[Long]("ord")).toSeq === (0L to 5L))
+    val picks = r.map(_.getAs[Long]("vec_id")).toSeq
+    assert(picks.head === 1L)
+    assert(picks(1) === 3L) // farthest from origin (16)
+    assert(picks.distinct.length === 6, "picks must not repeat")
+    // greedy invariant: selection distances non-increasing after ord 0;
+    // final cover ≤ the last selection distance
+    val d2 = r.map(_.getAs[java.math.BigDecimal]("d2_sel"))
+    (2 until 6).foreach(i => assert(d2(i).compareTo(d2(i - 1)) <= 0,
+      s"d2_sel must be non-increasing at $i"))
+    val cover = r.head.getAs[java.math.BigDecimal]("d2_cover")
+    assert(cover.compareTo(d2(5)) <= 0)
+    assert(r.map(_.getAs[java.math.BigDecimal]("d2_cover")).distinct.length === 1)
+  }
 }

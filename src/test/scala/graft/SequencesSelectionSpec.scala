@@ -24,6 +24,66 @@ class SequencesSelectionSpec extends SparkSpec {
     assert(total === nEvents - nUsers)
   }
 
+  test("epoch shuffle: footrule replays exactly from a JVM md5 of the planted corpus") {
+    import java.nio.file.Files
+    import java.nio.file.Paths
+    val dir = Files.createTempDirectory(Paths.get("target"), "epochs").toString
+    val ids = (1L to 9L)
+    import spark.implicits._
+    ids.map(i => (i, s"doc $i", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // replicate md5Long: first 15 hex chars of md5 as a Long
+    def h(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    def ranks(e: Int): Map[Long, Long] =
+      ids.sortBy(i => (h(s"ep|$e|$i"), i)).zipWithIndex
+        .map { case (i, r) => i -> (r + 1L) }.toMap
+    val want = for ((a, b) <- Seq((0, 1), (0, 2), (1, 2))) yield {
+      val (ra, rb) = (ranks(a), ranks(b))
+      val f = ids.map(i => math.abs(ra(i) - rb(i))).sum
+      ((a.toLong, b.toLong), (f, f * 2000 / (9L * 9L)))
+    }
+    val got = Selection.qEpochShuffle(spark, dir).collect()
+      .map(r => (r.getAs[Long]("epoch_a"), r.getAs[Long]("epoch_b")) ->
+        ((r.getAs[java.math.BigDecimal]("footrule").longValueExact(),
+          r.getAs[Long]("footrule_permille")))).toMap
+    assert(got === want.toMap)
+    // ranks are a permutation: every epoch pair covers all 9 docs
+    assert(got.values.forall(_._1 >= 0))
+  }
+
+  test("prefix cache: hand-planted shared openings at every depth") {
+    import java.nio.file.Files
+    import java.nio.file.Paths
+    val dir = Files.createTempDirectory(Paths.get("target"), "prefixes").toString
+    import spark.implicits._
+    val p16 = (1 to 16).map(i => s"t$i").mkString(" ")
+    Seq(
+      (1L, s"$p16 alpha beta"),         // 18 tokens, shares p16 with doc 2
+      (2L, s"$p16 gamma"),              // 17 tokens
+      (3L, "a b c d e f g h x"),        // 9 tokens: depth 4+8 only
+      (4L, "a b c d Z Z Z Z Z"),        // shares depth-4 prefix with doc 3
+      (5L, "one two three"))            // 3 tokens: below every depth
+      .map { case (i, t) => (i, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.CorpusOps.qPrefixCache(spark, dir).collect()
+      .map(r => r.getAs[Long]("depth") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_groups"),
+          r.getAs[Long]("n_shared_groups"), r.getAs[Long]("saved_tokens"),
+          r.getAs[Long]("hit_permille")))).toMap
+    // depth 4: docs 1-4 eligible; groups {p4(1,2)}, {abcd(3,4)} shared
+    assert(got(4L) === ((4L, 2L, 2L, 8L, 500L)))
+    // depth 8: docs 1-4; doc3/doc4 prefixes diverge at token 5
+    assert(got(8L) === ((4L, 3L, 1L, 8L, 250L)))
+    // depth 16: docs 1-2 share the full p16
+    assert(got(16L) === ((2L, 1L, 1L, 16L, 500L)))
+  }
+
   test("inbatch collisions: pair algebra replays; batches conserve the corpus") {
     val rows = Tables.embeddings(spark, sf)
       .filter(col("embedding").isNotNull)
