@@ -277,6 +277,59 @@ object Dedup {
   val qDedupComponents: Q = (s, d) =>
     minhashComponents(s, d).orderBy("id")
 
+  /** q_cluster_split — leakage-safe train/val/test assignment: the
+    * split is a hash of the near-dup COMPONENT id, not the document
+    * id, so every member of a duplicate cluster lands in the same
+    * split by construction. Hash-splitting documents independently
+    * (X13's `q_hash_split`) leaks: a near-dup pair straddling
+    * train/val is the classic eval-inflation bug `q_split_leakage`
+    * MEASURES — this operator makes the count structurally zero, and
+    * emits it per split so the oracle PINS the guarantee rather than
+    * the scaladoc asserting it. 80/10/10 via bucket = hash(comp) mod
+    * 10; singletons are their own component.
+    *
+    * Plan: one candidate-pair build (the shared minhash spine), the
+    * component rounds, then a doc-keyed left join + two bounded
+    * rollups; the cross-split proof re-joins the edge list against
+    * the 2-column assignment — nothing wider than (doc, split)
+    * shuffles. At 100 TB the components come from the materialized
+    * artifact ([[buildArtifacts]]) instead of a rebuild. */
+  val qClusterSplit: Q = (s, d) => {
+    val edges = minhashCandidatePairs(s, d).localCheckpoint()
+    val comps =
+      if (edges.count() <= SmallGraphEdges) componentsContracted(edges)
+      else componentsDistributed(edges)
+    val assigned = Tables.documents(s, d).select(col("doc_id"))
+      .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("comp", coalesce(col("comp"), col("doc_id")))
+      .withColumn("bucket",
+        pmod(md5Long(concat(lit("split|"), col("comp").cast("string"))),
+          lit(10L)))
+      .withColumn("split",
+        when(col("bucket") <= 7, "train")
+          .when(col("bucket") === 8, "val").otherwise("test"))
+      .localCheckpoint() // three consumers: rollup, proof join, total
+    val sa = assigned.select(col("doc_id").as("a"), col("split").as("split_a"))
+    val sb = assigned.select(col("doc_id").as("b"), col("split").as("split_b"))
+    val cross = edges.join(sa, "a").join(sb, "b")
+      .groupBy(col("split_a").as("split"))
+      .agg(sum(when(col("split_a") =!= col("split_b"), 1L).otherwise(0L))
+        .as("cross_split_pairs"))
+    assigned.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("comp")).as("n_clusters"))
+      .join(cross, Seq("split"), "left")
+      .na.fill(0L, Seq("cross_split_pairs"))
+      .crossJoin(broadcast(assigned.agg(count(lit(1)).as("n_total"))))
+      .select(col("split"),
+        col("n_docs").cast(LongType).as("n_docs"),
+        col("n_clusters").cast(LongType).as("n_clusters"),
+        expr("(n_docs * 1000) div n_total").cast(LongType)
+          .as("share_permille"),
+        col("cross_split_pairs").cast(LongType).as("cross_split_pairs"))
+      .orderBy("split")
+  }
+
   // ---- Materialized dedup artifacts --------------------------------------
   //
   // The component-consuming queries (components, cluster_sizes,
@@ -997,6 +1050,7 @@ object Dedup {
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_minhash_lsh" -> qDedupMinhashLsh,
     "q_dedup_components" -> qDedupComponents,
+    "q_cluster_split" -> qClusterSplit,
     "q_dedup_keep" -> qDedupKeep,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_simhash_neardup" -> qSimhashNeardup,
@@ -1142,6 +1196,38 @@ object Dedup {
          |JOIN documents da ON c.a = da.doc_id
          |JOIN documents db ON c.b = db.doc_id
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    "q_cluster_split" ->
+      (s"WITH RECURSIVE $minhashCandCte,\n" +
+       """edges2 AS (SELECT a, b FROM cand UNION ALL SELECT b, a FROM cand),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges2),
+         |reach AS (
+         |  SELECT id, id AS comp FROM nodes
+         |  UNION
+         |  SELECT e.b AS id, r.comp FROM reach r JOIN edges2 e ON e.a = r.id),
+         |cmp AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+         |asg AS (
+         |  SELECT doc_id, comp,
+         |    CASE WHEN bkt <= 7 THEN 'train'
+         |         WHEN bkt = 8 THEN 'val' ELSE 'test' END AS split
+         |  FROM (
+         |    SELECT d0.doc_id, COALESCE(c.comp, d0.doc_id) AS comp,
+         |      CAST('0x' || substr(md5('split|' ||
+         |        CAST(COALESCE(c.comp, d0.doc_id) AS VARCHAR)), 1, 15)
+         |        AS BIGINT) % 10 AS bkt
+         |    FROM documents d0 LEFT JOIN cmp c ON c.id = d0.doc_id)),
+         |x AS (
+         |  SELECT sa.split AS split, CAST(SUM(CASE WHEN sa.split <> sb.split
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS cross_split_pairs
+         |  FROM cand JOIN asg sa ON cand.a = sa.doc_id
+         |            JOIN asg sb ON cand.b = sb.doc_id
+         |  GROUP BY 1)
+         |SELECT a.split, COUNT(*) AS n_docs,
+         |  CAST(COUNT(DISTINCT a.comp) AS BIGINT) AS n_clusters,
+         |  CAST((COUNT(*) * 1000) // (SELECT COUNT(*) FROM documents)
+         |    AS BIGINT) AS share_permille,
+         |  COALESCE(MAX(x.cross_split_pairs), 0) AS cross_split_pairs
+         |FROM asg a LEFT JOIN x ON x.split = a.split
+         |GROUP BY a.split ORDER BY a.split""".stripMargin),
     "q_dedup_components" ->
       (s"WITH RECURSIVE $minhashCandCte,\n" +
        "edges2 AS (SELECT a, b FROM cand UNION ALL SELECT b, a FROM cand),\n" +

@@ -383,7 +383,79 @@ object Evaluation {
       .orderBy("source_a", "source_b")
   }
 
+  /** q_simpson_reversal — Simpson's-paradox audit of the quality keep
+    * rate between every source pair: does "source A keeps more than
+    * source B" hold per language stratum but FLIP when the strata are
+    * pooled (or vice versa)? Pooled comparisons drive real mixing
+    * decisions, and a reversal means the pooled number is a
+    * composition artifact (A is heavy in an easy language), not a
+    * quality fact — the single most common way a corpus dashboard
+    * lies. Emits per pair: strata counted (languages both sources
+    * populate), the pooled verdict, how many strata agree/reverse/tie,
+    * and the paradox flag (reversals outnumber agreements under a
+    * decided pooled verdict).
+    *
+    * Exactness: rates are never divided — `k_a·n_b <?> k_b·n_a`
+    * cross-multiplication decides every verdict in DECIMAL(38,0)
+    * (count×count wraps int64 past ~3B docs); the keep rule is
+    * [[TextStats.qQualityScore]]'s verbatim, so the audit measures
+    * the SAME flag the pipeline filters on.
+    *
+    * Plan: one scan collapses to a (source, lang) histogram — the
+    * pairing, verdicts, and rollup all run on |sources|·|langs| rows.
+    * The 100 TB cost is the scan; the paradox math is free. */
+  val qSimpsonReversal: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val h = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("source"), col("lang"),
+        graft.operators.Packing.wsTokens(col("text")).as("n_tokens"),
+        TextStats.nStop4(col("text")).as("n_stop"))
+      .withColumn("keep",
+        expr("(n_stop * 100) div n_tokens") >= 3 && col("n_tokens") >= 10)
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("k"))
+      .localCheckpoint() // both sides of the source pairing
+    val a = h.select(col("source").as("sa"), col("lang"),
+      col("n").as("na"), col("k").as("ka"))
+    val b = h.select(col("source").as("sb"), col("lang"),
+      col("n").as("nb"), col("k").as("kb"))
+    val strat = a.join(b, Seq("lang")).filter(col("sa") < col("sb"))
+      .withColumn("v",
+        when(col("ka").cast(dec) * col("nb") > col("kb").cast(dec) * col("na"), 1L)
+          .when(col("ka").cast(dec) * col("nb") < col("kb").cast(dec) * col("na"), -1L)
+          .otherwise(0L))
+    strat.groupBy("sa", "sb")
+      .agg(count(lit(1)).as("n_strata"),
+        sum("na").cast(dec).as("tna"), sum("ka").cast(dec).as("tka"),
+        sum("nb").cast(dec).as("tnb"), sum("kb").cast(dec).as("tkb"),
+        sum(when(col("v") === 1L, 1L).otherwise(0L)).as("a_wins"),
+        sum(when(col("v") === -1L, 1L).otherwise(0L)).as("b_wins"),
+        sum(when(col("v") === 0L, 1L).otherwise(0L)).cast(LongType)
+          .as("n_ties"))
+      .withColumn("pooled_verdict",
+        when(col("tka") * col("tnb") > col("tkb") * col("tna"), 1L)
+          .when(col("tka") * col("tnb") < col("tkb") * col("tna"), -1L)
+          .otherwise(0L))
+      .withColumn("n_agree",
+        when(col("pooled_verdict") === 1L, col("a_wins"))
+          .when(col("pooled_verdict") === -1L, col("b_wins"))
+          .otherwise(lit(0L)).cast(LongType))
+      .withColumn("n_reversed",
+        when(col("pooled_verdict") === 1L, col("b_wins"))
+          .when(col("pooled_verdict") === -1L, col("a_wins"))
+          .otherwise(lit(0L)).cast(LongType))
+      .withColumn("simpson_flag",
+        col("pooled_verdict") =!= 0L && col("n_reversed") > col("n_agree"))
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        col("n_strata").cast(LongType).as("n_strata"),
+        col("pooled_verdict"), col("n_agree"), col("n_reversed"),
+        col("n_ties"), col("simpson_flag"))
+      .orderBy("source_a", "source_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_simpson_reversal" -> qSimpsonReversal,
     "q_mann_whitney" -> qMannWhitney,
     "q_roc_auc" -> qRocAuc,
     "q_pr_curve" -> qPrCurve,
@@ -394,6 +466,50 @@ object Evaluation {
     "q_ols_trend" -> qOlsTrend)
 
   val oracle: Map[String, String] = Map(
+    "q_simpson_reversal" -> {
+      val nStop = TextStats.nStop4Duck
+      s"""WITH h AS (
+        |  SELECT source, lang, COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN (n_stop * 100) // n_tokens >= 3
+        |          AND n_tokens >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS k
+        |  FROM (SELECT source, lang,
+        |          CAST(length(text) - length(replace(text, ' ', '')) + 1
+        |            AS BIGINT) AS n_tokens,
+        |          $nStop AS n_stop
+        |        FROM documents WHERE text IS NOT NULL)
+        |  GROUP BY 1, 2),
+        |strat AS (
+        |  SELECT a.source AS sa, b.source AS sb, a.lang,
+        |    a.n AS na, a.k AS ka, b.n AS nb, b.k AS kb,
+        |    CASE WHEN CAST(a.k AS HUGEINT) * b.n > CAST(b.k AS HUGEINT) * a.n
+        |           THEN 1
+        |         WHEN CAST(a.k AS HUGEINT) * b.n < CAST(b.k AS HUGEINT) * a.n
+        |           THEN -1 ELSE 0 END AS v
+        |  FROM h a JOIN h b ON a.lang = b.lang AND a.source < b.source),
+        |agg AS (
+        |  SELECT sa, sb, COUNT(*) AS n_strata,
+        |    CAST(SUM(na) AS HUGEINT) AS tna, CAST(SUM(ka) AS HUGEINT) AS tka,
+        |    CAST(SUM(nb) AS HUGEINT) AS tnb, CAST(SUM(kb) AS HUGEINT) AS tkb,
+        |    CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a_wins,
+        |    CAST(SUM(CASE WHEN v = -1 THEN 1 ELSE 0 END) AS BIGINT) AS b_wins,
+        |    CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ties
+        |  FROM strat GROUP BY 1, 2),
+        |verd AS (
+        |  SELECT *, CASE WHEN tka * tnb > tkb * tna THEN 1
+        |                 WHEN tka * tnb < tkb * tna THEN -1
+        |                 ELSE 0 END AS pv
+        |  FROM agg)
+        |SELECT sa AS source_a, sb AS source_b, n_strata,
+        |  CAST(pv AS BIGINT) AS pooled_verdict,
+        |  CAST(CASE WHEN pv = 1 THEN a_wins WHEN pv = -1 THEN b_wins
+        |       ELSE 0 END AS BIGINT) AS n_agree,
+        |  CAST(CASE WHEN pv = 1 THEN b_wins WHEN pv = -1 THEN a_wins
+        |       ELSE 0 END AS BIGINT) AS n_reversed,
+        |  n_ties,
+        |  (pv <> 0 AND (CASE WHEN pv = 1 THEN b_wins ELSE a_wins END)
+        |    > (CASE WHEN pv = 1 THEN a_wins ELSE b_wins END)) AS simpson_flag
+        |FROM verd ORDER BY source_a, source_b""".stripMargin
+    },
     "q_mann_whitney" ->
       """WITH hist AS (
         |  SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c

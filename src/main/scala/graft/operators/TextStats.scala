@@ -111,7 +111,7 @@ object TextStats {
     * is consumed by the first match. A presence signal, not an exact
     * frequency; [[qWordBigrams]]-style explode counting is the exact
     * form when frequencies matter. */
-  private def nStop4(text: Column): Column =
+  private[operators] def nStop4(text: Column): Column =
     occurrences(text, "the") + occurrences(text, "a") +
     occurrences(text, "of") + occurrences(text, "and")
 
@@ -1301,7 +1301,7 @@ object TextStats {
   )
 
   /** DuckDB twin of [[nStop4]]. */
-  private lazy val nStop4Duck: String = Seq("the", "a", "of", "and")
+  private[operators] lazy val nStop4Duck: String = Seq("the", "a", "of", "and")
     .map(w => s"(${occurrencesDuck("text", w)})").mkString(" + ")
 
   val oracle: Map[String, String] = Map(

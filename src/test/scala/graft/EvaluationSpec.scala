@@ -228,6 +228,34 @@ class EvaluationSpec extends SparkSpec {
     assert(x.getAs[Long]("cles_permille") === 375L)
   }
 
+  test("simpson reversal: the textbook two-strata flip raises the flag") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory(Paths.get("target"), "simpson").toString
+    import spark.implicits._
+    // keep-doc passes qQualityScore's rule (10 tokens, 4 stopwords →
+    // score 40%); fail-doc has 10 tokens, 0 stopwords → score 0
+    val keep = "the a of and the a of and w1 w2"
+    val fail = "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"
+    def docs(src: String, lang: String, nKeep: Int, nFail: Int, base: Long) =
+      (0 until nKeep).map(i => (base + i, keep, lang, src)) ++
+        (0 until nFail).map(i => (base + 1000 + i, fail, lang, src))
+    // A wins BOTH strata (0.9>0.8 in l1, 0.111>0 in l2) but loses
+    // pooled (19/100 vs 80/110) — the classic composition artifact
+    val rows = docs("a", "l1", 9, 1, 0L) ++ docs("a", "l2", 10, 80, 10000L) ++
+      docs("b", "l1", 80, 20, 20000L) ++ docs("b", "l2", 0, 10, 30000L)
+    rows.map { case (i, t, l, s0) => (i, t, l, s0, t.length.toLong) }
+      .toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Evaluation.qSimpsonReversal(spark, dir).collect()
+    assert(r.length === 1)
+    val x = r.head
+    assert(x.getAs[Long]("n_strata") === 2L)
+    assert(x.getAs[Long]("pooled_verdict") === -1L) // b wins pooled
+    assert(x.getAs[Long]("n_agree") === 0L)
+    assert(x.getAs[Long]("n_reversed") === 2L)      // a won both strata
+    assert(x.getAs[Boolean]("simpson_flag"))
+  }
+
   test("mann-whitney on sf fixture: CLES symmetric-complement and in range") {
     val sf = "/root/testdata/sf0.001"
     val r = Evaluation.qMannWhitney(spark, sf).collect()

@@ -247,4 +247,28 @@ class QualitySurvivorSpec extends SparkSpec {
     val cv = r.map(_.getAs[Long]("cum_vocab"))
     assert(cv.toSeq === cv.toSeq.sorted)
   }
+
+  test("qClusterSplit: clone clusters never straddle splits; splits partition the corpus") {
+    // three exact-clone families + singletons: family members MUST land
+    // in one split, regardless of how doc-id hashing would scatter them
+    val fam = "the quick brown fox jumps over the lazy dog near the old gate " * 3
+    val fam2 = "pack my box with five dozen liquor jugs before the night ends " * 3
+    val fam3 = "how vexingly quick daft zebras jump over the fence at dawn ok " * 3
+    val dir = writeDocs(
+      (1L to 4L).map(i => (i, fam)) ++
+        (5L to 8L).map(i => (i, fam2)) ++
+        (9L to 12L).map(i => (i, fam3)) ++
+        Seq((13L, "z" * 100), (14L, "q " + ("y" * 98))))
+    val r = graft.operators.Dedup.qClusterSplit(spark, dir).collect()
+    assert(r.map(_.getAs[Long]("cross_split_pairs")).forall(_ == 0L),
+      "a near-dup pair straddling splits breaks the structural guarantee")
+    assert(r.map(_.getAs[Long]("n_docs")).sum === 14L)
+    assert(r.map(_.getAs[Long]("share_permille")).sum <= 1000L)
+    // every clone family is in exactly one split: replay from components
+    val comp = graft.operators.Dedup.qDedupComponents(spark, dir).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    Seq(1L to 4L, 5L to 8L, 9L to 12L).foreach { f =>
+      assert(f.map(comp).distinct.size === 1, s"family $f must be one component")
+    }
+  }
 }
