@@ -58,7 +58,18 @@ object Tables {
     tableCache.keysIterator
       .filter(k => k._2 == pathPrefix || k._2.startsWith(dirPrefix))
       .foreach(tableCache.remove)
+    invalidationHooks.values.foreach(_(pathPrefix))
   }
+
+  /** Derived-artifact caches elsewhere (e.g. the suffix-rank memo in
+    * [[graft.operators.CorpusOps]]) share the immutability contract and
+    * must flush with the reader cache: they register here, keyed by a
+    * stable name so re-registration replaces rather than accumulates. */
+  private val invalidationHooks =
+    scala.collection.concurrent.TrieMap.empty[String, String => Unit]
+
+  def onInvalidate(name: String)(f: String => Unit): Unit =
+    invalidationHooks.put(name, f)
 
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")

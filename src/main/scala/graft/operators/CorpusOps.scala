@@ -889,9 +889,31 @@ object CorpusOps {
     * Tokens are the RAW space-split sequence (empties kept): position
     * arithmetic and the oracle's `arr[pos:]` list slice must see the
     * identical sequence, and `split` is lossless only unfiltered. */
-  /** The suffix-rank table (doc_id, pos, r) — see [[qSuffixRanks]] for
-    * the algorithm; shared with [[qRepeatedSpans]]. */
+  /** The suffix-rank table (doc_id, pos, r), memoized per (session,
+    * dir) under [[Tables]]' immutability contract — the SA rounds are
+    * the two consumers' ([[qSuffixRanks]], [[qRepeatedSpans]]) entire
+    * cost, and without the memo a dedup report that asks for both
+    * rebuilds the identical table twice. The entry is the
+    * localCheckpointed final ranks (narrow (doc, pos, r) — blocks free
+    * on GC when the entry drops); a rewritten corpus dir must go
+    * through [[Tables.invalidate]], which flushes this memo too. */
+  private val ranksCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  Tables.onInvalidate("corpusops-suffix-ranks") { prefix =>
+    val dirPrefix = prefix.stripSuffix("/") + "/"
+    ranksCache.keysIterator
+      .filter(k => k._2 == prefix || k._2.startsWith(dirPrefix) ||
+        dirPrefix.startsWith(k._2.stripSuffix("/") + "/"))
+      .foreach(ranksCache.remove)
+  }
+
   private def suffixRanks(s: SparkSession, d: String): DataFrame = {
+    ranksCache.keysIterator
+      .filter(_._1.sparkContext.isStopped).foreach(ranksCache.remove)
+    ranksCache.getOrElseUpdate((s, d), computeSuffixRanks(s, d).localCheckpoint())
+  }
+
+  private def computeSuffixRanks(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val Radix = 16
     val toks = Tables.spread(Tables.documents(s, d)
