@@ -1583,9 +1583,14 @@ object Similarity {
         |c0 AS (SELECT MIN(vec_id) AS c FROM el),
         |m0 AS (
         |  SELECT a.vec_id, SUM((a.x - b.x) * (a.x - b.x)) AS d2
-        |  FROM el a JOIN el b ON a.i = b.i AND b.vec_id = (SELECT c FROM c0)
+        |  FROM el a JOIN (SELECT i, x FROM el
+        |                  WHERE vec_id = (SELECT c FROM c0)) b ON a.i = b.i
         |  GROUP BY 1)""".stripMargin)
     for (t <- 1 until K) {
+      // the center filter must live INSIDE a derived table: as a join
+      // condition (`b.vec_id = (SELECT …)`) DuckDB 1.0 evaluates the
+      // scalar AFTER the a.i = b.i join — a |corpus|²·64-row
+      // intermediate that took the sf0.1 oracle past the budget gate
       val prior = (0 until t).map(j => s"(SELECT c FROM c$j)").mkString(", ")
       sb.append(s""",
         |c$t AS (SELECT vec_id AS c, d2 FROM m${t - 1}
@@ -1596,7 +1601,8 @@ object Similarity {
         |    CASE WHEN m.d2 <= n.d2 THEN m.d2 ELSE n.d2 END AS d2
         |  FROM m${t - 1} m JOIN (
         |    SELECT a.vec_id, SUM((a.x - b.x) * (a.x - b.x)) AS d2
-        |    FROM el a JOIN el b ON a.i = b.i AND b.vec_id = (SELECT c FROM c$t)
+        |    FROM el a JOIN (SELECT i, x FROM el
+        |                    WHERE vec_id = (SELECT c FROM c$t)) b ON a.i = b.i
         |    GROUP BY 1) n ON m.vec_id = n.vec_id)""".stripMargin)
     }
     sb.append(s""",
