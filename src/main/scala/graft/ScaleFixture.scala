@@ -11,16 +11,21 @@ import org.apache.spark.sql.functions._
   * the dedup/ANN/suffix costs under test). Replica perturbation is
   * chosen so the SCALE SHAPE stays honest:
   *
-  *   - documents: replica i>0 maps vowels through a rotated alphabet
-  *     (translate is cheap and deterministic). Identical text across
-  *     replicas would turn every document into an N-clone near-dup
-  *     cluster — candidate pairs would grow ~N²/2 per doc and the
-  *     "10× data" run would really measure a 45×-denser duplicate
-  *     graph. Vowel-mapping breaks virtually every 8-gram across
-  *     replicas (only vowel-free grams survive) while keeping each
-  *     replica's INTERNAL clone structure — so the corpus-level dup
-  *     fraction matches the base corpus, which is what "10× more of
-  *     the same kind of data" means.
+  *   - documents: replica i>0 maps a–z through the alphabet rotated
+  *     by i (translate is cheap and deterministic; 25 distinct
+  *     non-identity rotations, so the map is INJECTIVE in the replica
+  *     index for n ≤ 26 — enforced). Identical text across replicas
+  *     would turn every document into an N-clone near-dup cluster —
+  *     candidate pairs would grow ~N²/2 per doc and the "10× data"
+  *     run would really measure a 45×-denser duplicate graph. (An
+  *     earlier vowel-only rotation had just 5 distinct values, so
+  *     replicas i and i+5 were byte-identical — the exact trap.)
+  *     Per-replica rotation is a bijection on letters, so each
+  *     replica's INTERNAL clone/shingle structure is preserved
+  *     exactly while every letter-bearing gram differs across
+  *     replicas — the corpus-level dup fraction matches the base
+  *     corpus, which is what "10× more of the same kind of data"
+  *     means.
   *   - embeddings: deterministic per-(vec, dim, replica) jitter of
   *     ~1e-3 magnitude — scaling by a constant would preserve every
   *     sign and land all replicas in the same sign-LSH buckets with
@@ -61,13 +66,16 @@ object ScaleFixture {
     def replicas(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until n).map(i => f(df, i)).reduce(_ unionAll _)
 
-    val vowels = "aeiou"
+    require(n <= 26, s"ScaleFixture supports n <= 26 (one distinct " +
+      s"alphabet rotation per replica keeps the perturbation injective " +
+      s"in the replica index); got n=$n")
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
     replicas(docs) { (d, i) =>
-      val rot = vowels.drop(i % 5) + vowels.take(i % 5)
+      val rot = alpha.drop(i % 26) + alpha.take(i % 26)
       d.select(
         (col("doc_id") + lit(i * docShift)).as("doc_id"),
         (if (i == 0) col("text")
-         else translate(col("text"), vowels, rot)).as("text"),
+         else translate(col("text"), alpha, rot)).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.repartition(32).write.mode(SaveMode.Overwrite)
       .parquet(s"$out/documents.parquet")

@@ -23,11 +23,38 @@ object Verify {
     // so its run always covers the full surface.
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Output-typing contract (round 3, re-broken r10/r11): decimal128
+    // final columns are hash-fragile on the driver's arrow stack — the
+    // ONLY 4 red rows of r11 were exactly the 4 queries emitting
+    // DecimalType. Reject them structurally so the class can't recur:
+    // the offending query's parquet is never written (its row then
+    // fails check.py as unreadable) and the run exits nonzero.
+    import org.apache.spark.sql.types._
+    def decimalCols(dt: DataType, path: String): Seq[String] = dt match {
+      case _: DecimalType => Seq(path)
+      case s: StructType =>
+        s.fields.toSeq.flatMap(f => decimalCols(f.dataType, s"$path.${f.name}"))
+      case a: ArrayType => decimalCols(a.elementType, s"$path[]")
+      case m: MapType =>
+        decimalCols(m.keyType, s"$path.key") ++
+          decimalCols(m.valueType, s"$path.value")
+      case _ => Nil
+    }
+    var nRejected = 0
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        val bad = df.schema.fields.toSeq
+          .flatMap(f => decimalCols(f.dataType, f.name))
+        if (bad.nonEmpty) {
+          nRejected += 1
+          System.err.println(s"[verify] $name REJECTED: DecimalType output " +
+            s"column(s) ${bad.mkString(", ")} — the no-DECIMAL-output " +
+            "contract (integer-scale to BIGINT or CAST to STRING)")
+        } else df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
@@ -51,5 +78,13 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // nonzero AFTER the full dump (one bad query must not zero the rest
+    // of the artifact — the r9 lesson), but loud enough that no decimal
+    // query survives the pre-commit gate
+    if (nRejected > 0) {
+      System.err.println(s"[verify] $nRejected quer(ies) rejected for " +
+        "DecimalType output — fix before committing")
+      sys.exit(2)
+    }
   }
 }

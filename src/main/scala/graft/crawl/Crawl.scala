@@ -343,6 +343,22 @@ object Crawl {
     * does (the DDL pins them NOT NULL). Returns the count of rows the
     * server acknowledged (sum of `COPY n` tags via accumulator).
     *
+    * Delivery contract: AT-LEAST-ONCE, same as the reference's
+    * db_process (INSERT loop with timed commits, no idempotence key,
+    * storcrawl.py:366-383). A Spark task that fails AFTER some batch
+    * commits re-runs its whole partition and re-appends the committed
+    * batches — the files table is append-only with no unique key, so
+    * nothing deduplicates them; the accumulator counts only the
+    * attempt that reached each `COPY n` tag, so on retry the returned
+    * count can UNDERSTATE table rows (never overstate). Callers must
+    * treat `written` as a lower bound, not an equality check, whenever
+    * task retries are possible. For exactly-once on a real cluster:
+    * one transaction per task (single COPY, narrows the dup window to
+    * the commit-vs-task-report race) or stage into a per-task temp
+    * table keyed by (stageId, partitionId) and swap in on commit —
+    * both documented here rather than built, because the micro-batch
+    * commit cadence IS the T2 contract PgLiveSpec pins.
+    *
     * On a real cluster each executor connects to the database host
     * (swap the Unix socket for TCP, or use [[writeJdbc]] with the
     * standard driver); `numPartitions` bounds the connection count the

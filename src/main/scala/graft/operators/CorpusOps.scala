@@ -899,18 +899,42 @@ object CorpusOps {
     * through [[Tables.invalidate]], which flushes this memo too. */
   private val ranksCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
+  /** Bumped by every invalidation; [[suffixRanks]] re-checks it after
+    * a compute so an invalidate that fires DURING getOrElseUpdate can
+    * never leave a stale memo behind (the hook's remove would land
+    * before the insert and be lost otherwise). */
+  private val invalGen = new java.util.concurrent.atomic.AtomicLong(0)
   Tables.onInvalidate("corpusops-suffix-ranks") { prefix =>
     val dirPrefix = prefix.stripSuffix("/") + "/"
     ranksCache.keysIterator
       .filter(k => k._2 == prefix || k._2.startsWith(dirPrefix) ||
-        dirPrefix.startsWith(k._2.stripSuffix("/") + "/"))
+        dirPrefix.startsWith(k._2.stripSuffix("/") + "/") ||
+        // stopped-session entries pin localCheckpoint blocks for
+        // nothing — sweep them on every invalidation too, not only
+        // lazily on the next suffixRanks call
+        k._1.sparkContext.isStopped)
       .foreach(ranksCache.remove)
+    invalGen.incrementAndGet()
   }
 
   private def suffixRanks(s: SparkSession, d: String): DataFrame = {
     ranksCache.keysIterator
       .filter(_._1.sparkContext.isStopped).foreach(ranksCache.remove)
-    ranksCache.getOrElseUpdate((s, d), computeSuffixRanks(s, d).localCheckpoint())
+    // generation re-check: an invalidation racing the compute removes
+    // keys BEFORE this insert lands, so drop and retry when one fired
+    // mid-compute. Invalidations are rare (fixture rewrites), so the
+    // occasional redundant compute beats serving a stale table; the
+    // global (not per-dir) generation only costs that same redundancy.
+    var res: DataFrame = null
+    var settled = false
+    while (!settled) {
+      val g0 = invalGen.get()
+      res = ranksCache.getOrElseUpdate((s, d),
+        computeSuffixRanks(s, d).localCheckpoint())
+      if (invalGen.get() == g0) settled = true
+      else ranksCache.remove((s, d))
+    }
+    res
   }
 
   private def computeSuffixRanks(s: SparkSession, d: String): DataFrame = {

@@ -375,8 +375,10 @@ object Evaluation {
           .cast(dec).as("r1x2"))
       .select(col("sa").as("source_a"), col("sb").as("source_b"),
         col("n1"), col("n2"),
+        // BIGINT out (no-DECIMAL-output contract): u2x = 2·U₁ ≤ 2·n1·n2
+        // fits int64 below ~3B docs/source; decimal only INSIDE the agg
         (col("r1x2") - col("n1").cast(dec) * (col("n1") + 1))
-          .cast(dec).as("u2x"),
+          .cast(LongType).as("u2x"),
         expr("""((r1x2 - cast(n1 as decimal(38,0)) * (n1 + 1)) * 500)
                div (cast(n1 as decimal(38,0)) * n2)""")
           .cast(LongType).as("cles_permille"))
@@ -537,7 +539,7 @@ object Evaluation {
         |    SUM(CAST(c1 AS HUGEINT) * (2 * cb + (c1 + c2) + 1)) AS r1x2
         |  FROM cum GROUP BY 1, 2)
         |SELECT sa AS source_a, sb AS source_b, n1, n2,
-        |  CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DECIMAL(38,0)) AS u2x,
+        |  CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS BIGINT) AS u2x,
         |  CAST(((r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1)) * 500)
         |    // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS cles_permille
         |FROM agg ORDER BY source_a, source_b""".stripMargin,

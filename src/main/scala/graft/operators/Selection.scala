@@ -295,8 +295,10 @@ object Selection {
     * contiguous equal-sized blocks), with n supplied by a broadcast
     * scalar frame, not a driver action. The pair distances are one
     * doc-keyed self-join (3 rows/doc) and a 3-group rollup; footrule
-    * sums ride DECIMAL(38,0) — Σ|Δr| ≤ n² wraps int64 past ~4B
-    * docs. */
+    * sums ride DECIMAL(38,0) internally and leave as BIGINT — Σ|Δr| ≤
+    * n² fits int64 up to ~3B docs (the no-DECIMAL-output contract,
+    * SURVEY §"output typing": decimal128 final columns hash-fragile
+    * on the driver's arrow stack, r10+r11). */
   val qEpochShuffle: Q = (s, d) => {
     import org.apache.spark.sql.types.DecimalType
     val docs = Tables.documents(s, d).select(col("doc_id"))
@@ -315,14 +317,16 @@ object Selection {
       .groupBy(col("a.e").as("epoch_a"), col("b.e").as("epoch_b"))
       .agg(count(lit(1)).as("n_docs"),
         sum(abs(col("a.r") - col("b.r")).cast(DecimalType(38, 0)))
-          .cast(DecimalType(38, 0)).as("footrule"))
+          .cast(DecimalType(38, 0)).as("fr_dec"))
       // permille of the n²/2 maximum as footrule·2000 div n² (single
       // decimal division — an inner n² div 2 would return a LONG and
       // wrap past ~4B docs; the odd-n floor(n²/2) nuance is < 1‰)
       .withColumn("footrule_permille",
         when(col("n_docs") > 1,
-          expr("(footrule * 2000) div (cast(n_docs as decimal(38,0)) * n_docs)"))
+          expr("(fr_dec * 2000) div (cast(n_docs as decimal(38,0)) * n_docs)"))
           .cast(LongType))
+      .select(col("epoch_a"), col("epoch_b"), col("n_docs"),
+        col("fr_dec").cast(LongType).as("footrule"), col("footrule_permille"))
       .orderBy("epoch_a", "epoch_b")
   }
 
@@ -352,7 +356,7 @@ object Selection {
         |  FROM h)
         |SELECT CAST(a.e AS BIGINT) AS epoch_a, CAST(b.e AS BIGINT) AS epoch_b,
         |  COUNT(*) AS n_docs,
-        |  CAST(SUM(CAST(abs(a.r - b.r) AS HUGEINT)) AS DECIMAL(38,0))
+        |  CAST(SUM(CAST(abs(a.r - b.r) AS HUGEINT)) AS BIGINT)
         |    AS footrule,
         |  CASE WHEN COUNT(*) > 1 THEN
         |    CAST((SUM(CAST(abs(a.r - b.r) AS HUGEINT)) * 2000)

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, Decimal, DecimalType, DoubleType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, Decimal, DecimalType, DoubleType, LongType, StringType, StructField, StructType}
 
 import graft.Tables
 
@@ -1187,10 +1187,16 @@ object Similarity {
       .groupBy("pair")
       .agg(sum(sq38(col("ua") - col("ub")))
         .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("d64_sq"))
+    // STRING out for the squared distances (no-DECIMAL-output contract):
+    // d16_sq ≤ 16·(2·3.2·10⁹)² ≈ 6.6·10²⁰ genuinely exceeds int64, and
+    // decimal128 final columns are hash-fragile on the driver's arrow
+    // stack (r10+r11). Scale-0 decimals stringify plain (never
+    // scientific) on both engines, so the strings hash identically.
     d64.join(d16, Seq("pair"))
       .select((col("pair") * 2).cast(LongType).as("a"),
         (col("pair") * 2 + 1).cast(LongType).as("b"),
-        col("d64_sq"), col("d16_sq"),
+        col("d64_sq").cast(StringType).as("d64_sq"),
+        col("d16_sq").cast(StringType).as("d16_sq"),
         when(col("d64_sq") === 0, 0L)
           .otherwise(expr("(d16_sq * 1000) div (16 * d64_sq)"))
           .cast(LongType).as("distortion_permille"))
@@ -1381,7 +1387,15 @@ object Similarity {
     * ([[graft.functions.DecimalDotExpr]]), written as two
     * subtractions (a LITERAL·decimal product would trip Spark's
     * precision-loss rescale); ties in the argmax break on vec_id in
-    * both engines, so every pick is engine-identical.
+    * both engines, so every pick is engine-identical. The OUTPUT
+    * distances leave on the ×10¹⁶ unscaled-integer grid as BIGINT
+    * (`d2_sel_e16`/`d2_cover_e16`): coords sit on the 10⁻⁸ grid, so
+    * d²·10¹⁶ is an exact integer ≤ 64·(2·10⁸)² ≈ 2.6·10¹⁸ < 2⁶³ for
+    * unit-scale coords — and the no-DECIMAL-output contract (decimal128
+    * final columns hash-fragile on the driver's arrow stack, r10+r11)
+    * rules the raw DECIMAL(38,16) out. Fewer than K eligible vectors →
+    * EMPTY result on both engines (all-or-nothing; an unguarded argmax
+    * would NPE here and the oracle would emit NULL-center rows).
     *
     * Plan: selection is INHERENTLY sequential (each pick conditions
     * the next), so the driver runs k bounded rounds; each round is
@@ -1400,61 +1414,74 @@ object Similarity {
     def vecLit(xs: Seq[java.math.BigDecimal]): Column =
       ColumnBridge.column(Literal.create(xs,
         ArrayType(DecimalType(12, 8), containsNull = false)))
+    val outSchema = StructType(Seq(
+      StructField("ord", LongType, nullable = false),
+      StructField("vec_id", LongType, nullable = false),
+      StructField("d2_sel_e16", LongType, nullable = false),
+      StructField("d2_cover_e16", LongType, nullable = false)))
     val base = Tables.embeddings(s, d)
       .filter(col("embedding").isNotNull && size(col("embedding")) === 64)
       .select(col("vec_id"), decVec(col("embedding")).as("de"))
       .withColumn("nrm", decDot(col("de"), col("de")))
-    val c0 = base.agg(min("vec_id")).head().getLong(0)
-    val first = base.filter(col("vec_id") === c0)
-      .select(col("de"), col("nrm")).head()
-    def centerDist(de: Seq[java.math.BigDecimal],
-        nrm: java.math.BigDecimal): Column = {
-      // run the identity at DECIMAL(26,16): dots are < 64·10⁸ (10 int
-      // digits), and at (38,16) operands Spark's precision-loss rule
-      // shaves one scale digit PER add/sub — three ops would truncate
-      // the exact value to scale 13 (caught by the oracle compare)
-      val dAC = decDot(col("de"), vecLit(de)).cast(DecimalType(26, 16))
-      (col("nrm").cast(DecimalType(26, 16)) + decLit(nrm, 26, 16)
-        - dAC - dAC).cast(DecimalType(38, 16))
-    }
-    var cur = base
-      .withColumn("mind", centerDist(
-        first.getSeq[java.math.BigDecimal](0), first.getDecimal(1)))
-      .localCheckpoint()
-    val zero = new java.math.BigDecimal(java.math.BigInteger.ZERO, 16)
-    val picks = scala.collection.mutable.ArrayBuffer[
-      (Long, Long, java.math.BigDecimal)]((0L, c0, zero))
-    val chosen = scala.collection.mutable.ArrayBuffer[Long](c0)
-    for (t <- 1 until K) {
-      // exclude prior picks: with exact-duplicate geometry the max mind
-      // can be 0 and an unguarded argmax would re-pick a center
-      val top = cur.filter(!col("vec_id").isInCollection(chosen))
-        .orderBy(col("mind").desc, col("vec_id"))
-        .select("vec_id", "mind", "de", "nrm").head()
-      chosen += top.getLong(0)
-      picks += ((t.toLong, top.getLong(0), top.getDecimal(1)))
-      cur = cur.withColumn("__d2n", centerDist(
-          top.getSeq[java.math.BigDecimal](2), top.getDecimal(3)))
-        // CASE, not least(): the DuckDB twin's LEAST on DECIMAL(38,16)
-        // silently degrades to DOUBLE, so both engines take the CASE
-        // form; <= keeps the incumbent on ties (same value either way)
-        .withColumn("mind",
-          when(col("mind") <= col("__d2n"), col("mind"))
-            .otherwise(col("__d2n")))
-        .drop("__d2n")
-        .localCheckpoint()
-    }
-    val cover = cur.agg(max("mind")).head().getDecimal(0)
+    // all-or-nothing: < K eligible vectors → empty frame (mirrored by
+    // the oracle's COUNT(DISTINCT vec_id) >= K guard); also covers the
+    // empty-table NPE on the min() head below
+    val hd = base.agg(count(lit(1)), min("vec_id")).head()
     import scala.jdk.CollectionConverters._
-    val schema = StructType(Seq(
-      StructField("ord", LongType, nullable = false),
-      StructField("vec_id", LongType, nullable = false),
-      StructField("d2_sel", DecimalType(38, 16), nullable = true),
-      StructField("d2_cover", DecimalType(38, 16), nullable = true)))
-    s.createDataFrame(
-      picks.map(p => org.apache.spark.sql.Row(p._1, p._2, p._3, cover))
-        .toList.asJava, schema)
-      .orderBy("ord")
+    if (hd.getLong(0) < K)
+      s.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), outSchema)
+    else {
+      val c0 = hd.getLong(1)
+      val first = base.filter(col("vec_id") === c0)
+        .select(col("de"), col("nrm")).head()
+      def centerDist(de: Seq[java.math.BigDecimal],
+          nrm: java.math.BigDecimal): Column = {
+        // run the identity at DECIMAL(26,16): dots are < 64·10⁸ (10 int
+        // digits), and at (38,16) operands Spark's precision-loss rule
+        // shaves one scale digit PER add/sub — three ops would truncate
+        // the exact value to scale 13 (caught by the oracle compare)
+        val dAC = decDot(col("de"), vecLit(de)).cast(DecimalType(26, 16))
+        (col("nrm").cast(DecimalType(26, 16)) + decLit(nrm, 26, 16)
+          - dAC - dAC).cast(DecimalType(38, 16))
+      }
+      var cur = base
+        .withColumn("mind", centerDist(
+          first.getSeq[java.math.BigDecimal](0), first.getDecimal(1)))
+        .localCheckpoint()
+      // ×10¹⁶ unscaled-integer view of a scale-16 decimal — exact by
+      // construction (coords on the 10⁻⁸ grid); longValueExact guards
+      // the documented 2.6·10¹⁸ unit-scale bound at runtime
+      def e16(v: java.math.BigDecimal): Long =
+        v.setScale(16).movePointRight(16).longValueExact()
+      val picks = scala.collection.mutable.ArrayBuffer[
+        (Long, Long, Long)]((0L, c0, 0L))
+      val chosen = scala.collection.mutable.ArrayBuffer[Long](c0)
+      for (t <- 1 until K) {
+        // exclude prior picks: with exact-duplicate geometry the max mind
+        // can be 0 and an unguarded argmax would re-pick a center
+        val top = cur.filter(!col("vec_id").isInCollection(chosen))
+          .orderBy(col("mind").desc, col("vec_id"))
+          .select("vec_id", "mind", "de", "nrm").head()
+        chosen += top.getLong(0)
+        picks += ((t.toLong, top.getLong(0), e16(top.getDecimal(1))))
+        cur = cur.withColumn("__d2n", centerDist(
+            top.getSeq[java.math.BigDecimal](2), top.getDecimal(3)))
+          // CASE, not least(): the DuckDB twin's LEAST on DECIMAL(38,16)
+          // silently degrades to DOUBLE, so both engines take the CASE
+          // form; <= keeps the incumbent on ties (same value either way)
+          .withColumn("mind",
+            when(col("mind") <= col("__d2n"), col("mind"))
+              .otherwise(col("__d2n")))
+          .drop("__d2n")
+          .localCheckpoint()
+      }
+      val cover = e16(cur.agg(max("mind")).head().getDecimal(0))
+      s.createDataFrame(
+        picks.map(p => org.apache.spark.sql.Row(p._1, p._2, p._3, cover))
+          .toList.asJava, outSchema)
+        .orderBy("ord")
+    }
   }
 
   val queries: Map[String, Q] = Map(
@@ -1567,23 +1594,28 @@ object Similarity {
 
   /** DuckDB twin of [[qKcenterCoreset]]: the greedy rounds unroll into
     * chained CTEs (c0..c5 pick, m0..m5 min-distance state); distances
-    * are Σ(aᵢ−bᵢ)² over the same DECIMAL(12,8) coords — exactly equal
-    * to Spark's ⟨a,a⟩+⟨c,c⟩−2⟨a,c⟩ identity, term for term. CASE (not
-    * LEAST, which falls back to DOUBLE at DECIMAL(38,16)) keeps the
-    * running minimum exact. */
+    * are Σ(aᵤ−bᵤ)² over the ×10⁸ unscaled-long coord grid — the exact
+    * ×10¹⁶ integer image of Spark's decimal ⟨a,a⟩+⟨c,c⟩−2⟨a,c⟩
+    * identity (monotone scaling ⇒ identical picks and tiebreaks), and
+    * already the BIGINT the final select emits (no-DECIMAL-output
+    * contract). CASE (not LEAST) keeps HUGEINT state exact; the
+    * `nel >= K` guard mirrors Spark's all-or-nothing short-circuit. */
   private def kcenterSqlText: String = {
     val K = 6
     val sb = new StringBuilder
     sb.append(
       """WITH el AS (
-        |  SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) AS x
+        |  SELECT vec_id, i,
+        |    CAST(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) * 100000000
+        |      AS BIGINT) AS u
         |  FROM (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS i
         |        FROM embeddings
         |        WHERE embedding IS NOT NULL AND len(embedding) = 64)),
+        |nel AS (SELECT COUNT(DISTINCT vec_id) AS n FROM el),
         |c0 AS (SELECT MIN(vec_id) AS c FROM el),
         |m0 AS (
-        |  SELECT a.vec_id, SUM((a.x - b.x) * (a.x - b.x)) AS d2
-        |  FROM el a JOIN (SELECT i, x FROM el
+        |  SELECT a.vec_id, SUM(CAST(a.u - b.u AS HUGEINT) * (a.u - b.u)) AS d2
+        |  FROM el a JOIN (SELECT i, u FROM el
         |                  WHERE vec_id = (SELECT c FROM c0)) b ON a.i = b.i
         |  GROUP BY 1)""".stripMargin)
     for (t <- 1 until K) {
@@ -1600,20 +1632,21 @@ object Similarity {
         |  SELECT m.vec_id,
         |    CASE WHEN m.d2 <= n.d2 THEN m.d2 ELSE n.d2 END AS d2
         |  FROM m${t - 1} m JOIN (
-        |    SELECT a.vec_id, SUM((a.x - b.x) * (a.x - b.x)) AS d2
-        |    FROM el a JOIN (SELECT i, x FROM el
+        |    SELECT a.vec_id, SUM(CAST(a.u - b.u AS HUGEINT) * (a.u - b.u)) AS d2
+        |    FROM el a JOIN (SELECT i, u FROM el
         |                    WHERE vec_id = (SELECT c FROM c$t)) b ON a.i = b.i
         |    GROUP BY 1) n ON m.vec_id = n.vec_id)""".stripMargin)
     }
     sb.append(s""",
       |cov AS (SELECT MAX(d2) AS mx FROM m${K - 1})
-      |SELECT ord, vec_id, d2_sel, (SELECT mx FROM cov) AS d2_cover FROM (
+      |SELECT ord, vec_id, d2_sel_e16,
+      |  CAST((SELECT mx FROM cov) AS BIGINT) AS d2_cover_e16 FROM (
       |  SELECT CAST(0 AS BIGINT) AS ord, (SELECT c FROM c0) AS vec_id,
-      |         CAST(0 AS DECIMAL(38,16)) AS d2_sel""".stripMargin)
+      |         CAST(0 AS BIGINT) AS d2_sel_e16""".stripMargin)
     for (t <- 1 until K) sb.append(s"""
       |  UNION ALL SELECT $t, (SELECT c FROM c$t),
-      |    CAST((SELECT d2 FROM c$t) AS DECIMAL(38,16))""".stripMargin)
-    sb.append("\n) ORDER BY ord")
+      |    CAST((SELECT d2 FROM c$t) AS BIGINT)""".stripMargin)
+    sb.append(s"\n) WHERE (SELECT n FROM nel) >= $K ORDER BY ord")
     sb.result()
   }
 
@@ -1828,8 +1861,8 @@ object Similarity {
         |    ON a.vec_id % 2 = 0 AND b.vec_id = a.vec_id + 1 AND a.j = b.j
         |  GROUP BY 1)
         |SELECT CAST(pair * 2 AS BIGINT) AS a, CAST(pair * 2 + 1 AS BIGINT) AS b,
-        |  CAST(d64_sq AS DECIMAL(38,0)) AS d64_sq,
-        |  CAST(d16_sq AS DECIMAL(38,0)) AS d16_sq,
+        |  CAST(d64_sq AS VARCHAR) AS d64_sq,
+        |  CAST(d16_sq AS VARCHAR) AS d16_sq,
         |  CAST(CASE WHEN d64_sq = 0 THEN 0
         |       ELSE (d16_sq * 1000) // (16 * d64_sq) END AS BIGINT)
         |    AS distortion_permille

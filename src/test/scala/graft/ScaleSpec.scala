@@ -300,12 +300,32 @@ class ScaleSpec extends SparkSpec {
     assert(picks(1) === 3L) // farthest from origin (16)
     assert(picks.distinct.length === 6, "picks must not repeat")
     // greedy invariant: selection distances non-increasing after ord 0;
-    // final cover ≤ the last selection distance
-    val d2 = r.map(_.getAs[java.math.BigDecimal]("d2_sel"))
-    (2 until 6).foreach(i => assert(d2(i).compareTo(d2(i - 1)) <= 0,
-      s"d2_sel must be non-increasing at $i"))
-    val cover = r.head.getAs[java.math.BigDecimal]("d2_cover")
-    assert(cover.compareTo(d2(5)) <= 0)
-    assert(r.map(_.getAs[java.math.BigDecimal]("d2_cover")).distinct.length === 1)
+    // final cover ≤ the last selection distance. Distances leave on the
+    // ×10¹⁶ integer grid as BIGINT (no-DECIMAL-output contract).
+    val d2 = r.map(_.getAs[Long]("d2_sel_e16"))
+    assert(d2(1) === 16L * 10000000000000000L, "d²(origin, vec 3) = 16 on the e16 grid")
+    (2 until 6).foreach(i => assert(d2(i) <= d2(i - 1),
+      s"d2_sel_e16 must be non-increasing at $i"))
+    val cover = r.head.getAs[Long]("d2_cover_e16")
+    assert(cover <= d2(5))
+    assert(r.map(_.getAs[Long]("d2_cover_e16")).distinct.length === 1)
+  }
+
+  test("k-center coreset: fewer than K eligible vectors -> empty frame, not a crash") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory(Paths.get("target"), "kcenter-small").toString
+    import spark.implicits._
+    def v(hot: Map[Int, Float]): Seq[Float] =
+      (0 until 64).map(i => hot.getOrElse(i, 0.0f))
+    // 3 eligible vectors (< K = 6) plus one filtered out by the len-64 gate
+    val rows = Seq(
+      (1L, v(Map.empty), 0), (2L, v(Map(0 -> 1.0f)), 0),
+      (3L, v(Map(1 -> 1.0f)), 0), (4L, Seq(1.0f, 2.0f), 0))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = graft.operators.Similarity.qKcenterCoreset(spark, dir)
+    assert(r.columns.toSeq ===
+      Seq("ord", "vec_id", "d2_sel_e16", "d2_cover_e16"))
+    assert(r.count() === 0L, "all-or-nothing: < K vectors must yield an empty frame")
   }
 }

@@ -98,24 +98,37 @@ def main():
             n_fail += 1
             continue
         # Structural type gate (version-independent): an oracle whose
-        # OUTPUT column is HUGEINT is driver-gate-fragile — DuckDB's
-        # arrow export of HUGEINT flipped from float64 (old releases)
-        # to decimal128(38,0) (current), so the same oracle can hash
-        # green locally and red on the driver (r10: q_jl_distortion,
-        # the round's only red row). DESCRIBE reports the declared
-        # type without running the query, so this catches it on every
-        # DuckDB version. Fix at the source: CAST the output column.
+        # OUTPUT column is HUGEINT or DECIMAL is driver-gate-fragile —
+        # DuckDB's arrow export of HUGEINT flipped from float64 (old
+        # releases) to decimal128(38,0) (current), and decimal128
+        # output columns proved hash-fragile on the driver's stack
+        # regardless of which side casts (r10+r11: the only 4 red rows
+        # of 266 were exactly the 4 decimal-output queries, all
+        # value-correct). DESCRIBE reports the declared type without
+        # running the query, so this catches it on every DuckDB
+        # version. Fix at the source: integer-scale the column to
+        # BIGINT or CAST it to VARCHAR on BOTH engines.
         try:
             desc = con.execute(f"DESCRIBE {sql}").fetchall()
             fragile = [(r[0], r[1]) for r in desc
-                       if "HUGEINT" in str(r[1]).upper()]
+                       if "HUGEINT" in str(r[1]).upper()
+                       or "DECIMAL" in str(r[1]).upper()]
         except Exception:
             fragile = []  # DESCRIBE quirk; the arrow compare still runs
         if fragile:
             c, t = fragile[0]
             print(f"FAIL {name}: version-fragile oracle output type "
-                  f"col={c} duck={t} — CAST it (HUGEINT arrow export "
-                  f"is DuckDB-version-dependent)")
+                  f"col={c} duck={t} — no-DECIMAL-output contract "
+                  f"(BIGINT-scale or VARCHAR it on both engines)")
+            n_fail += 1
+            continue
+        # Mirror on the Spark side: a decimal128 arrow column in the
+        # Spark dump is the same hash hazard even if the oracle agrees.
+        dec_cols = [f.name for f in tbl.schema
+                    if pa.types.is_decimal(canon_type(f.type))]
+        if dec_cols:
+            print(f"FAIL {name}: spark output emits DecimalType "
+                  f"col={dec_cols[0]} — no-DECIMAL-output contract")
             n_fail += 1
             continue
         t0 = time.monotonic()
