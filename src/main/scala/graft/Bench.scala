@@ -36,7 +36,18 @@ import org.apache.spark.sql.SparkSession
   * (`bench_baseline.json`, flat {"query":seconds} map — regenerated
   * each round from the shipped artifact). Parsed with a two-token
   * regex, not a JSON library: the file is machine-written flat pairs.
-  */
+  *
+  * PROVENANCE CONTRACT (r12, after the q_knn_classify false flag):
+  * every value must come from a FULL-SURFACE 5-pass seq run
+  * (target/bench.json `queries_seq`) — the same context the
+  * regression gate measures. Isolated SPARK_GRAFT_BENCH_ONLY medians
+  * are sanity probes only and must never be committed as baselines:
+  * the context mismatch reads as a regression for cache-sensitive
+  * queries and every such flag so far was measurement skew, not a
+  * plan change (PERF.md "Baseline protocol change"). Before adopting
+  * a regenerated baseline, isolated-probe any query whose new/old
+  * ratio exceeds 1.5× — adopt on context skew, fix on real
+  * regression. */
 object BenchBaseline {
   private val pair = """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r
   /** Looks in SPARK_GRAFT_BENCH_BASELINE, else cwd. A missing or

@@ -504,14 +504,17 @@ object Reports {
 
   /** q_session_window — the same gap rule through Spark's NATIVE
     * batch `session_window` operator (the one the streaming engine
-    * merges state with), pinned against the lag+islands SQL form: a
-    * session extends while the next event lands strictly inside
-    * [start, last + gap) — so a gap of EXACTLY 7 days starts a new
-    * session here, where [[qSessionize]]'s `> gap` rule would merge
-    * it; both conventions exist in the wild and the pair documents
-    * the boundary. Emits per session the half-open window bounds in
-    * epoch-micros (end = last event + gap, Spark's convention), event
-    * count, cents mass, and the first event id.
+    * merges state with), pinned against the lag+islands SQL form.
+    * Boundary convention, MEASURED on Spark 4.1.2 and pinned by a
+    * planted spec (r12): an event at exactly `last + gap` MERGES —
+    * windows that touch ([s, e) then [e, e+gap)) coalesce, so a new
+    * session starts only when the delta is STRICTLY greater than the
+    * gap. That is the same `> gap` rule as [[qSessionize]]'s islands
+    * form (an earlier reading of this operator claimed `>=` — the sf
+    * fixture has no exact-gap pair, so only the planted boundary spec
+    * distinguishes the two). Emits per session the half-open window
+    * bounds in epoch-micros (end = last event + gap, Spark's
+    * convention), event count, cents mass, and the first event id.
     *
     * Plan: session_window plans as one user-keyed exchange + sort +
     * SessionWindowStateless aggregation — the same shuffle shape as
@@ -858,7 +861,7 @@ object Reports {
         |    CASE WHEN lag(ts_us) OVER (PARTITION BY user_id
         |        ORDER BY ts_us, event_id) IS NULL
         |      OR ts_us - lag(ts_us) OVER (PARTITION BY user_id
-        |        ORDER BY ts_us, event_id) >= 604800000000
+        |        ORDER BY ts_us, event_id) > 604800000000
         |      THEN 1 ELSE 0 END AS is_new
         |  FROM ev),
         |s AS (

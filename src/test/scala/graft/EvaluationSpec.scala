@@ -224,7 +224,7 @@ class EvaluationSpec extends SparkSpec {
     val x = r.head
     assert(x.getAs[String]("source_a") === "a")
     assert(x.getAs[Long]("n1") === 4L && x.getAs[Long]("n2") === 2L)
-    assert(x.getAs[java.math.BigDecimal]("u2x").longValueExact() === 6L)
+    assert(x.getAs[Long]("u2x") === 6L)
     assert(x.getAs[Long]("cles_permille") === 375L)
   }
 
@@ -264,7 +264,7 @@ class EvaluationSpec extends SparkSpec {
       val p = x.getAs[Long]("cles_permille")
       assert(p >= 0L && p <= 1000L)
       // 2U1 + 2U2 = 2·n1·n2: recompute U2 from the identity
-      val u2x = x.getAs[java.math.BigDecimal]("u2x").longValueExact()
+      val u2x = x.getAs[Long]("u2x")
       val prod = 2L * x.getAs[Long]("n1") * x.getAs[Long]("n2")
       assert(u2x >= 0L && u2x <= prod)
     }

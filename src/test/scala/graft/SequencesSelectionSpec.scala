@@ -49,7 +49,7 @@ class SequencesSelectionSpec extends SparkSpec {
     }
     val got = Selection.qEpochShuffle(spark, dir).collect()
       .map(r => (r.getAs[Long]("epoch_a"), r.getAs[Long]("epoch_b")) ->
-        ((r.getAs[java.math.BigDecimal]("footrule").longValueExact(),
+        ((r.getAs[Long]("footrule"),
           r.getAs[Long]("footrule_permille")))).toMap
     assert(got === want.toMap)
     // ranks are a permutation: every epoch pair covers all 9 docs
@@ -118,9 +118,11 @@ class SequencesSelectionSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     val expected = ev.groupBy(_._1).flatMap { case (uid, rows) =>
       val sorted = rows.sortBy(t => (t._3, t._2))
+      // STRICT >: Spark merges an event at exactly last + gap (touching
+      // windows coalesce) — pinned by the planted boundary test below
       val sessions = sorted.tail.foldLeft(List(List(sorted.head))) {
         case (acc, e) =>
-          if (e._3 - acc.head.head._3 >= gapUs) List(e) :: acc
+          if (e._3 - acc.head.head._3 > gapUs) List(e) :: acc
           else (e :: acc.head) :: acc.tail
       }.map(_.reverse).reverse
       sessions.map { sess =>
@@ -137,6 +139,31 @@ class SequencesSelectionSpec extends SparkSpec {
     assert(got === expected)
     // sessions conserve events
     assert(got.values.map(_._2).sum === ev.length.toLong)
+  }
+
+  test("session_window boundary: exactly last + gap MERGES, gap + 1 splits") {
+    // the sf fixture has no exact-gap pair, so only this planted case
+    // distinguishes Spark's measured `> gap` rule from the `>=` reading
+    // (which would emit 3 sessions here and a different end_us)
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory(Paths.get("target"), "sessgap").toString
+    import spark.implicits._
+    val gapUs = 604800L * 1000000L
+    val t0 = 1700000000L * 1000000L // epoch-micros
+    Seq(
+      (7L, 1L, (t0) * 1000L, 1.0),
+      (7L, 2L, (t0 + gapUs) * 1000L, 2.0),          // exactly last + gap → merge
+      (7L, 3L, (t0 + 2 * gapUs + 1) * 1000L, 3.0))  // gap + 1 past new last → split
+      .toDF("user_id", "event_id", "ts", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.Reports.qSessionWindow(spark, dir).collect()
+      .map(r => (r.getAs[Long]("start_us"), r.getAs[Long]("end_us"),
+        r.getAs[Long]("n_events")))
+      .sortBy(_._1)
+    assert(got.length === 2, s"expected merge-then-split, got ${got.toSeq}")
+    assert(got(0) === ((t0, t0 + 2 * gapUs, 2L)),
+      "touching windows coalesce; end extends to merged last + gap")
+    assert(got(1) === ((t0 + 2 * gapUs + 1, t0 + 3 * gapUs + 1, 1L)))
   }
 
   test("attribution: both models replay from a brute per-user walk") {
