@@ -456,7 +456,197 @@ object Evaluation {
       .orderBy("source_a", "source_b")
   }
 
+  /** q_kendall_tau — rank-agreement audit between two per-document
+    * quality signals (token count vs stopword-ratio bucket), per
+    * source, as Kendall concordant/discordant pair counts. Two
+    * signals that "measure quality" but rank documents in a different
+    * order will silently disagree about what a threshold filter
+    * keeps; tau is the threshold-free way to see it, and emitting the
+    * raw (P, Q, tie) counts lets any tau variant (a, b, c) be formed
+    * downstream without re-scanning the corpus.
+    *
+    * The distributed-exact trick (the 2-D analog of
+    * [[qMannWhitney]]'s histogram): the y signal is BUCKETED to a
+    * fixed 32-cell grid (stop-permille div 32 — tau is computed ON
+    * that grid, stated contract), so concordance needs only 2-D
+    * dominance counts over (x, bucket) cells, never row pairs:
+    * P = Σ_cell c · #{items with smaller x AND smaller bucket}, where
+    * the dominance count comes from a per-(source, bucket) running
+    * sum over x (32 bounded windows) plus a per-(source, x) prefix
+    * over the 32 buckets. Everything after the first scan is
+    * value-domain-sized (|distinct x| · 32 rows per source).
+    *
+    * Exactness: pair counts ride DECIMAL(38,0) (P ≤ n²/2 wraps int64
+    * past ~4B docs/source) and leave as BIGINT; the signed
+    * tau-a permille uses the additive-shift floor division
+    * ((x + B·n) div n − B) so Spark's truncate-toward-zero and
+    * DuckDB's floor agree on negative values. */
+  val qKendallTau: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val base = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("source"),
+        graft.operators.Packing.wsTokens(col("text")).as("x"),
+        TextStats.nStop4(col("text")).as("n_stop"))
+      .filter(col("x") >= 1)
+      // nStop ≤ token count by construction (each counted stopword
+      // consumes a token), so permille ≤ 1000 and bucket ≤ 31; least()
+      // pins the contract if the signal ever changes
+      .withColumn("b", least(expr("(n_stop * 1000) div x div 32"), lit(31L)))
+    val cells = base.groupBy("source", "x", "b").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds grid, x-ties, and y-ties below
+    val grid = cells.select("source", "x").distinct()
+      .select(col("source"), col("x"),
+        explode(sequence(lit(0L), lit(31L))).as("b"))
+      .join(cells, Seq("source", "x", "b"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val wLess = Window.partitionBy("source", "b").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wPref = Window.partitionBy("source", "x").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy("source", "x")
+    val dom = grid
+      .withColumn("lessb", coalesce(sum(col("c")).over(wLess), lit(0L)))
+      .withColumn("prefb", coalesce(sum(col("lessb")).over(wPref), lit(0L)))
+      .withColumn("totless", sum(col("lessb")).over(wTot))
+    val pq = dom.groupBy("source")
+      .agg(sum(col("c")).cast(LongType).as("n"),
+        sum(col("c").cast(dec) * col("prefb")).cast(dec).as("p"),
+        sum(col("c").cast(dec) * (col("totless") - col("lessb") - col("prefb")))
+          .cast(dec).as("q"))
+    val tiesX = cells.groupBy("source", "x").agg(sum("c").as("cx"))
+      .groupBy("source")
+      .agg(sum(expr("cast(cx as decimal(38,0)) * (cx - 1) div 2"))
+        .cast(LongType).as("n_ties_x"))
+    val tiesY = cells.groupBy("source", "b").agg(sum("c").as("cb"))
+      .groupBy("source")
+      .agg(sum(expr("cast(cb as decimal(38,0)) * (cb - 1) div 2"))
+        .cast(LongType).as("n_ties_y"))
+    pq.join(tiesX, Seq("source")).join(tiesY, Seq("source"))
+      .filter(col("n") >= 2)
+      .withColumn("n0", expr("cast(n as decimal(38,0)) * (n - 1) div 2"))
+      .select(col("source"), col("n"),
+        col("p").cast(LongType).as("n_conc"),
+        col("q").cast(LongType).as("n_disc"),
+        col("n_ties_x"), col("n_ties_y"),
+        // additive-shift floor: |P−Q| ≤ n0 so the permille is in
+        // [−1000, 1000]; +1001·n0 makes the dividend non-negative in
+        // both engines, then the shift subtracts back out
+        expr("((p - q) * 1000 + n0 * 1001) div n0 - 1001")
+          .cast(LongType).as("tau_a_permille"))
+      .orderBy("source")
+  }
+
+  /** q_wasserstein_1d — exact 1-D earth-mover's distance between every
+    * source pair's document-length distributions. KS
+    * ([[qMannWhitney]]'s sibling q_ks_distance) reports the WORST
+    * single CDF gap; W₁ integrates ALL of it — the number that tracks
+    * "how many characters of mass must move to make source B look
+    * like source A", which is what a mixture rebalance actually costs.
+    *
+    * Exact integer form on the merged value grid: with per-source
+    * counts nA/nB and inclusive cumulative counts cumA/cumB at each
+    * distinct length v, W₁ = Σ_gaps |cumA·nB − cumB·nA| · (v′ − v) on
+    * the common denominator nA·nB, emitted milli-scaled
+    * (·1000 div (nA·nB)) — non-negative, so truncate-vs-floor never
+    * diverges. The cross-products ride DECIMAL(38,0) (n²·range wraps
+    * int64 early); the histogram trick keeps everything after the
+    * first scan value-domain-sized, exactly as [[qMannWhitney]]. */
+  val qWasserstein1d: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val hist = Tables.documents(s, d)
+      .filter(col("n_chars").isNotNull)
+      .groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // both sides of the pair explode
+    val srcs = hist.select("source").distinct()
+    val pairs = srcs.select(col("source").as("sa"))
+      .join(srcs.select(col("source").as("sb")), col("sa") < col("sb"))
+    val m1 = pairs.join(hist.withColumnRenamed("source", "sa"), Seq("sa"))
+      .select(col("sa"), col("sb"), col("v"), col("c").as("c1"), lit(0L).as("c2"))
+    val m2 = pairs.join(hist.withColumnRenamed("source", "sb"), Seq("sb"))
+      .select(col("sa"), col("sb"), col("v"), lit(0L).as("c1"), col("c").as("c2"))
+    val merged = m1.unionAll(m2)
+      .groupBy("sa", "sb", "v")
+      .agg(sum("c1").as("c1"), sum("c2").as("c2"))
+    val wCum = Window.partitionBy("sa", "sb").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLead = Window.partitionBy("sa", "sb").orderBy("v")
+    val wPair = Window.partitionBy("sa", "sb")
+    merged
+      .withColumn("cuma", sum("c1").over(wCum))
+      .withColumn("cumb", sum("c2").over(wCum))
+      .withColumn("na", sum("c1").over(wPair))
+      .withColumn("nb", sum("c2").over(wPair))
+      .withColumn("nextv", lead(col("v"), 1).over(wLead))
+      // last grid point carries no mass gap (CDFs are both 1 past it)
+      .withColumn("term",
+        when(col("nextv").isNotNull,
+          abs(col("cuma").cast(dec) * col("nb")
+            - col("cumb").cast(dec) * col("na"))
+            * (col("nextv") - col("v")))
+          .otherwise(lit(0L).cast(dec)))
+      .groupBy("sa", "sb")
+      .agg(max(col("na")).cast(LongType).as("n_a"),
+        max(col("nb")).cast(LongType).as("n_b"),
+        sum(col("term")).cast(dec).as("num"))
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        col("n_a"), col("n_b"),
+        expr("(num * 1000) div (cast(n_a as decimal(38,0)) * n_b)")
+          .cast(LongType).as("w1_milli"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** q_mcnemar_filters — paired filter-change audit: for each source,
+    * the 2×2 agreement table between the pipeline's stopword-ratio
+    * keep rule ([[TextStats.qQualityScore]]'s, rule A) and a
+    * mean-token-length sanity rule (rule B), with McNemar's statistic
+    * on the discordant cells. Swapping quality filters mid-pipeline
+    * is only safe when the keep DECISIONS mostly agree — aggregate
+    * keep RATES can match while the filters keep disjoint documents,
+    * and McNemar is the paired test that sees it (only b and c, the
+    * disagreements, carry signal).
+    *
+    * Exact: χ² = (b−c)²/(b+c) emitted permille via non-negative
+    * integer division ((b−c)² is a square — no sign hazard); the
+    * square rides DECIMAL(38,0) past ~3B docs/source. One scan, one
+    * |sources|-group rollup — nothing here costs anything at scale. */
+  val qMcnemarFilters: Q = (s, d) => {
+    // n_chars (the precomputed column), NOT length(text): Spark length
+    // counts UTF-16 units, DuckDB counts codepoints — they diverge on
+    // non-BMP text, while the stored column is engine-neutral
+    val base = Tables.documents(s, d)
+      .filter(col("text").isNotNull && col("n_chars").isNotNull)
+      .select(col("source"),
+        graft.operators.Packing.wsTokens(col("text")).as("nt"),
+        TextStats.nStop4(col("text")).as("ns"),
+        col("n_chars").cast(LongType).as("len"))
+      .filter(col("nt") >= 1)
+      .withColumn("ka",
+        expr("(ns * 100) div nt") >= 3 && col("nt") >= 10)
+      .withColumn("kb",
+        col("nt") >= 10 && expr("len div nt").between(3L, 12L))
+    base.groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ka") && col("kb"), 1L).otherwise(0L)).as("n_both"),
+        sum(when(col("ka") && !col("kb"), 1L).otherwise(0L)).as("n_a_only"),
+        sum(when(!col("ka") && col("kb"), 1L).otherwise(0L)).as("n_b_only"),
+        sum(when(!col("ka") && !col("kb"), 1L).otherwise(0L)).as("n_neither"))
+      .withColumn("agree_permille",
+        expr("((n_both + n_neither) * 1000) div n"))
+      .withColumn("mcnemar_permille",
+        when(col("n_a_only") + col("n_b_only") > 0,
+          expr("""(cast(n_a_only - n_b_only as decimal(38,0))
+                  * (n_a_only - n_b_only) * 1000)
+                 div (n_a_only + n_b_only)"""))
+          .cast(LongType))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_kendall_tau" -> qKendallTau,
+    "q_wasserstein_1d" -> qWasserstein1d,
+    "q_mcnemar_filters" -> qMcnemarFilters,
     "q_simpson_reversal" -> qSimpsonReversal,
     "q_mann_whitney" -> qMannWhitney,
     "q_roc_auc" -> qRocAuc,
@@ -468,6 +658,128 @@ object Evaluation {
     "q_ols_trend" -> qOlsTrend)
 
   val oracle: Map[String, String] = Map(
+    "q_kendall_tau" -> {
+      val nStop = TextStats.nStop4Duck
+      s"""WITH base AS (
+        |  SELECT source, n_tokens AS x,
+        |    LEAST(((n_stop * 1000) // n_tokens) // 32, 31) AS b
+        |  FROM (SELECT source,
+        |          CAST(length(text) - length(replace(text, ' ', '')) + 1
+        |            AS BIGINT) AS n_tokens,
+        |          $nStop AS n_stop
+        |        FROM documents WHERE text IS NOT NULL)
+        |  WHERE n_tokens >= 1),
+        |cells AS (
+        |  SELECT source, x, b, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM base GROUP BY 1, 2, 3),
+        |fullgrid AS (
+        |  SELECT xs.source, xs.x, bb.b, COALESCE(c.c, 0) AS c
+        |  FROM (SELECT DISTINCT source, x FROM cells) xs
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) bb
+        |  LEFT JOIN cells c
+        |    ON c.source = xs.source AND c.x = xs.x AND c.b = bb.b),
+        |dom1 AS (
+        |  SELECT source, x, b, c,
+        |    COALESCE(SUM(c) OVER (PARTITION BY source, b ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lessb
+        |  FROM fullgrid),
+        |dom2 AS (
+        |  SELECT source, x, b, c, lessb,
+        |    COALESCE(SUM(lessb) OVER (PARTITION BY source, x ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefb,
+        |    SUM(lessb) OVER (PARTITION BY source, x) AS totless
+        |  FROM dom1),
+        |pq AS (
+        |  SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+        |    SUM(CAST(c AS HUGEINT) * prefb) AS p,
+        |    SUM(CAST(c AS HUGEINT) * (totless - lessb - prefb)) AS q
+        |  FROM dom2 GROUP BY 1),
+        |tx AS (
+        |  SELECT source,
+        |    CAST(SUM(CAST(cx AS HUGEINT) * (cx - 1) // 2) AS BIGINT) AS n_ties_x
+        |  FROM (SELECT source, x, CAST(COUNT(*) AS BIGINT) AS cx
+        |        FROM base GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |ty AS (
+        |  SELECT source,
+        |    CAST(SUM(CAST(cb AS HUGEINT) * (cb - 1) // 2) AS BIGINT) AS n_ties_y
+        |  FROM (SELECT source, b, CAST(COUNT(*) AS BIGINT) AS cb
+        |        FROM base GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT pq.source, n, CAST(p AS BIGINT) AS n_conc,
+        |  CAST(q AS BIGINT) AS n_disc, n_ties_x, n_ties_y,
+        |  CAST(((p - q) * 1000 + (CAST(n AS HUGEINT) * (n - 1) // 2) * 1001)
+        |    // (CAST(n AS HUGEINT) * (n - 1) // 2) - 1001 AS BIGINT)
+        |    AS tau_a_permille
+        |FROM pq JOIN tx USING (source) JOIN ty USING (source)
+        |WHERE n >= 2 ORDER BY source""".stripMargin
+    },
+    "q_wasserstein_1d" ->
+      """WITH hist AS (
+        |  SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+        |srcs AS (SELECT DISTINCT source FROM hist),
+        |pairs AS (
+        |  SELECT a.source AS sa, b.source AS sb
+        |  FROM srcs a JOIN srcs b ON a.source < b.source),
+        |merged AS (
+        |  SELECT sa, sb, v, SUM(c1) AS c1, SUM(c2) AS c2 FROM (
+        |    SELECT p.sa, p.sb, h.v, h.c AS c1, 0 AS c2
+        |    FROM pairs p JOIN hist h ON h.source = p.sa
+        |    UNION ALL
+        |    SELECT p.sa, p.sb, h.v, 0, h.c
+        |    FROM pairs p JOIN hist h ON h.source = p.sb)
+        |  GROUP BY 1, 2, 3),
+        |cum AS (
+        |  SELECT sa, sb, v,
+        |    SUM(c1) OVER w AS cuma, SUM(c2) OVER w AS cumb,
+        |    SUM(c1) OVER (PARTITION BY sa, sb) AS na,
+        |    SUM(c2) OVER (PARTITION BY sa, sb) AS nb,
+        |    lead(v) OVER (PARTITION BY sa, sb ORDER BY v) AS nextv
+        |  FROM merged
+        |  WINDOW w AS (PARTITION BY sa, sb ORDER BY v
+        |    ROWS UNBOUNDED PRECEDING))
+        |SELECT sa AS source_a, sb AS source_b,
+        |  CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+        |  CAST(SUM(CASE WHEN nextv IS NOT NULL THEN
+        |        abs(CAST(cuma AS HUGEINT) * nb - CAST(cumb AS HUGEINT) * na)
+        |          * (nextv - v)
+        |      ELSE 0 END) * 1000
+        |    // (CAST(MAX(na) AS HUGEINT) * MAX(nb)) AS BIGINT) AS w1_milli
+        |FROM cum GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
+    "q_mcnemar_filters" -> {
+      val nStop = TextStats.nStop4Duck
+      s"""WITH flagged AS (
+        |  SELECT source,
+        |    ((n_stop * 100) // n_tokens >= 3 AND n_tokens >= 10) AS ka,
+        |    (n_tokens >= 10 AND len // n_tokens BETWEEN 3 AND 12) AS kb
+        |  FROM (SELECT source,
+        |          CAST(length(text) - length(replace(text, ' ', '')) + 1
+        |            AS BIGINT) AS n_tokens,
+        |          $nStop AS n_stop,
+        |          CAST(n_chars AS BIGINT) AS len
+        |        FROM documents
+        |        WHERE text IS NOT NULL AND n_chars IS NOT NULL)
+        |  WHERE n_tokens >= 1),
+        |agg AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN ka AND kb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_both,
+        |    CAST(SUM(CASE WHEN ka AND NOT kb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a_only,
+        |    CAST(SUM(CASE WHEN NOT ka AND kb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b_only,
+        |    CAST(SUM(CASE WHEN NOT ka AND NOT kb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_neither
+        |  FROM flagged GROUP BY 1)
+        |SELECT source, n, n_both, n_a_only, n_b_only, n_neither,
+        |  CAST(((n_both + n_neither) * 1000) // n AS BIGINT) AS agree_permille,
+        |  CASE WHEN n_a_only + n_b_only > 0 THEN
+        |    CAST((CAST(n_a_only - n_b_only AS HUGEINT) * (n_a_only - n_b_only)
+        |      * 1000) // (n_a_only + n_b_only) AS BIGINT)
+        |  END AS mcnemar_permille
+        |FROM agg ORDER BY source""".stripMargin
+    },
     "q_simpson_reversal" -> {
       val nStop = TextStats.nStop4Duck
       s"""WITH h AS (

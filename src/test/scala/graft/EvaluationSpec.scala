@@ -269,4 +269,103 @@ class EvaluationSpec extends SparkSpec {
       assert(u2x >= 0L && u2x <= prod)
     }
   }
+
+  private def plantedDocs(name: String,
+      rows: Seq[(Long, String, String, String, Long)]): String = {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory(Paths.get("target"), name).toString
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  /** nStop stopwords interleaved with filler so the non-overlapping
+    * " word " counter sees every one; total token count exact. */
+  private def mkText(nTok: Int, nStop: Int): String = {
+    require(nStop * 2 <= nTok)
+    val stops = Seq.fill(nStop)(Seq("the", "w")).flatten
+    (stops ++ Seq.fill(nTok - stops.length)("w")).mkString(" ")
+  }
+
+  test("kendall tau: hand-counted concordant/discordant/tie pairs replay") {
+    // (x=tokens, bucket): A(10,0) B(20,7) C(30,15) D(20,0) E(40,2) —
+    // conc {AB,AC,AE,BC,CD,DE}=6, disc {BE,CE}=2, x-tie {BD}, y-tie {AD}
+    val dir = plantedDocs("kendall", Seq(
+      (1L, mkText(10, 0), "en", "s1", 10L),
+      (2L, mkText(20, 5), "en", "s1", 20L),   // permille 250 -> b 7
+      (3L, mkText(30, 15), "en", "s1", 30L),  // permille 500 -> b 15
+      (4L, mkText(20, 0), "en", "s1", 20L),
+      (5L, mkText(40, 3), "en", "s1", 40L)))  // permille 75 -> b 2
+    val r = Evaluation.qKendallTau(spark, dir).collect()
+    assert(r.length === 1)
+    val x = r.head
+    assert(x.getAs[Long]("n") === 5L)
+    assert(x.getAs[Long]("n_conc") === 6L)
+    assert(x.getAs[Long]("n_disc") === 2L)
+    assert(x.getAs[Long]("n_ties_x") === 1L)
+    assert(x.getAs[Long]("n_ties_y") === 1L)
+    // pair classes partition n0 = 10; tau_a = (6-2)*1000 div 10
+    assert(x.getAs[Long]("tau_a_permille") === 400L)
+  }
+
+  test("kendall tau: negative tau floors like DuckDB (additive-shift division)") {
+    // perfectly anti-ordered, no ties: x up, bucket down -> tau_a = -1000
+    val dir = plantedDocs("kendallneg", Seq(
+      (1L, mkText(10, 5), "en", "s1", 10L),   // permille 500 -> b 15
+      (2L, mkText(20, 5), "en", "s1", 20L),   // permille 250 -> b 7
+      (3L, mkText(40, 3), "en", "s1", 40L)))  // permille 75  -> b 2
+    val r = Evaluation.qKendallTau(spark, dir).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("n_conc") === 0L)
+    assert(r.head.getAs[Long]("n_disc") === 3L)
+    assert(r.head.getAs[Long]("tau_a_permille") === -1000L)
+  }
+
+  test("wasserstein 1d: hand CDF integral replays exactly") {
+    // A lengths {1,1,3}, B lengths {2,4}: W1 = 4/3 -> 1333 milli
+    val dir = plantedDocs("wass", Seq(
+      (1L, "x", "en", "a", 1L), (2L, "x", "en", "a", 1L),
+      (3L, "x", "en", "a", 3L),
+      (4L, "x", "en", "b", 2L), (5L, "x", "en", "b", 4L)))
+    val r = Evaluation.qWasserstein1d(spark, dir).collect()
+    assert(r.length === 1)
+    val x = r.head
+    assert(x.getAs[String]("source_a") === "a")
+    assert(x.getAs[Long]("n_a") === 3L && x.getAs[Long]("n_b") === 2L)
+    assert(x.getAs[Long]("w1_milli") === 1333L)
+  }
+
+  test("wasserstein 1d: identical distributions measure zero; shift measures the shift") {
+    val dir = plantedDocs("wass0", Seq(
+      (1L, "x", "en", "a", 5L), (2L, "x", "en", "a", 9L),
+      (3L, "x", "en", "b", 5L), (4L, "x", "en", "b", 9L),
+      // c = a + 100: EMD of a point-mass shift is exactly the shift
+      (5L, "x", "en", "c", 105L), (6L, "x", "en", "c", 109L)))
+    val got = Evaluation.qWasserstein1d(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("w1_milli"))
+      .toMap
+    assert(got(("a", "b")) === 0L)
+    assert(got(("a", "c")) === 100000L)
+  }
+
+  test("mcnemar filters: 2x2 cells, agreement, and discordant statistic replay") {
+    // both-keep / 2x A-only (len ratio 2) / B-only (no stops) / neither
+    val dir = plantedDocs("mcnemar", Seq(
+      (1L, mkText(20, 5), "en", "s1", 100L),  // ka (25% stops), kb (len/nt=5)
+      (2L, mkText(20, 5), "en", "s1", 40L),   // ka, !kb (2 < 3)
+      (3L, mkText(20, 5), "en", "s1", 41L),   // ka, !kb (41 div 20 = 2)
+      (4L, mkText(20, 0), "en", "s1", 100L),  // !ka (0% stops), kb
+      (5L, mkText(20, 0), "en", "s1", 400L))) // !ka, !kb (20 > 12)
+    val r = Evaluation.qMcnemarFilters(spark, dir).collect()
+    assert(r.length === 1)
+    val x = r.head
+    assert(x.getAs[Long]("n") === 5L)
+    assert((x.getAs[Long]("n_both"), x.getAs[Long]("n_a_only"),
+      x.getAs[Long]("n_b_only"), x.getAs[Long]("n_neither"))
+      === ((1L, 2L, 1L, 1L)))
+    assert(x.getAs[Long]("agree_permille") === 400L)
+    // (b-c)^2 * 1000 div (b+c) = 1*1000 div 3
+    assert(x.getAs[Long]("mcnemar_permille") === 333L)
+  }
 }
