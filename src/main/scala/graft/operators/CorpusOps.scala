@@ -619,6 +619,79 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** q_crossdomain_ppl — the SOURCE-TRANSFER matrix of
+    * [[qStupidBackoff]]'s bigram LM: for every ordered (train, eval)
+    * source pair, the bits-per-bigram of scoring eval's bigram stream
+    * under train's counts (Stupid Backoff, the same 0.4-backoff
+    * spelled as 2.5·N/c₂). The diagonal is each source's in-domain
+    * baseline; off-diagonal rows answer the mixture question
+    * perplexity-based filtering actually asks — "which sources does a
+    * model of A transfer to, and which look like noise under it?"
+    * (the Pile/CCNet-style domain-similarity score, computed exactly).
+    *
+    * Determinism: per DISTINCT eval bigram the term is ONE double
+    * log2 over exact integer counts, floored to milli-bits, THEN
+    * weighted by the bigram's instance count — the [[qStupidBackoff]]
+    * contract lifted from per-instance to per-type (identical values,
+    * since equal bigrams share equal terms).
+    *
+    * Scale shape: everything is TYPE-count-sized, never corpus-sized
+    * — the eval side is the bigram histogram, and the train fan-out
+    * multiplies it by |sources| (a grid of |bigram types|·S rows,
+    * vocabulary-bounded, asymptotically corpus-independent). Model
+    * joins stay UNHINTED on the gram key (the X76 rule: AQE
+    * broadcasts small vocabularies, web-scale shuffles); only the
+    * per-source token totals and the source list ride forced
+    * broadcasts. */
+  val qCrossdomainPpl: Q = (s, d) => {
+    val docs = Tables.spread(Tables.documents(s, d))
+      .filter(col("text").isNotNull)
+    val ws = split(col("text"), " ")
+    val uni = docs.select(col("source"), explode(ws).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // three consumers: c1, c2, totals
+    val nTot = uni.groupBy("source").agg(sum("c").cast(LongType).as("n_t"))
+    val big = docs
+      .filter(size(ws) >= 2)
+      .select(col("source"),
+        explode(arrays_zip(
+          slice(ws, lit(1), size(ws) - 1).as("a"),
+          slice(ws, lit(2), size(ws) - 1).as("b"))).as("p"))
+      .filter(length(col("p.a")) > 0 && length(col("p.b")) > 0)
+      .groupBy(col("source"), col("p.a").as("w1"), col("p.b").as("w2"))
+      .agg(count(lit(1)).as("cb"))
+      .localCheckpoint() // both sides of the eval × train grid
+    val srcs = nTot.select(col("source").as("st"))
+    big.withColumnRenamed("source", "se")
+      .crossJoin(broadcast(srcs))
+      .join(big.select(col("source").as("st"), col("w1"), col("w2"),
+        col("cb").as("c12")), Seq("st", "w1", "w2"), "left")
+      .join(uni.select(col("source").as("st"), col("w").as("w1"),
+        col("c").as("c1")), Seq("st", "w1"), "left")
+      .join(uni.select(col("source").as("st"), col("w").as("w2"),
+        col("c").as("c2")), Seq("st", "w2"), "left")
+      .join(broadcast(nTot.withColumnRenamed("source", "st")), Seq("st"))
+      .select(col("st"), col("se"), col("cb"),
+        col("c12").isNull.as("backoff"),
+        when(col("c12").isNotNull,
+          floor(lit(1000) * log2(col("c1").cast(DoubleType) / col("c12"))))
+          .otherwise(
+            floor(lit(1000) * log2(
+              lit(2.5) * col("n_t").cast(DoubleType) /
+                coalesce(col("c2"), lit(1L)).cast(DoubleType))))
+          .cast(LongType).as("term_milli"))
+      .groupBy(col("st").as("train_source"), col("se").as("eval_source"))
+      .agg(sum("cb").cast(LongType).as("n_bigrams"),
+        sum(when(col("backoff"), col("cb")).otherwise(0L))
+          .cast(LongType).as("n_backoff"),
+        sum((col("cb") * col("term_milli"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast(LongType).as("bits_milli"))
+      .withColumn("bpt_milli", expr("bits_milli div n_bigrams"))
+      .orderBy("train_source", "eval_source")
+  }
+
   /** Source-keyed synthetic raw URLs for the host-level operators:
     * each adjacent even/odd doc pair names the same logical URL
     * through two spellings (upper-cased www/:443 variant with
@@ -1083,6 +1156,7 @@ object CorpusOps {
     "q_host_rollup" -> qHostRollup,
     "q_url_dedup" -> qUrlDedup,
     "q_stupid_backoff" -> qStupidBackoff,
+    "q_crossdomain_ppl" -> qCrossdomainPpl,
     "q_pii_scrub" -> qPiiScrub,
     "q_unigram_ppl" -> qUnigramPpl,
     "q_ppl_buckets" -> qPplBuckets,
@@ -1345,6 +1419,47 @@ object CorpusOps {
         |  CAST(SUM(term_milli) AS BIGINT) AS bits_milli,
         |  CAST(SUM(term_milli) // COUNT(*) AS BIGINT) AS bpt_milli
         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_crossdomain_ppl" ->
+      """WITH wl AS (
+        |  SELECT source, string_split(text, ' ') AS w FROM documents
+        |  WHERE text IS NOT NULL),
+        |pairs AS (
+        |  SELECT source, w[i] AS w1, w[i+1] AS w2
+        |  FROM wl, LATERAL (SELECT unnest(range(1, len(w))) AS i)
+        |  WHERE len(w) >= 2 AND length(w[i]) > 0 AND length(w[i+1]) > 0),
+        |uni AS (
+        |  SELECT source, wu AS w, COUNT(*) AS c
+        |  FROM (SELECT source, unnest(w) AS wu FROM wl)
+        |  WHERE length(wu) > 0 GROUP BY 1, 2),
+        |nt AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_t FROM uni GROUP BY 1),
+        |big AS (
+        |  SELECT source, w1, w2, CAST(COUNT(*) AS BIGINT) AS cb
+        |  FROM pairs GROUP BY 1, 2, 3),
+        |srcs AS (SELECT DISTINCT source FROM nt),
+        |terms AS (
+        |  SELECT t.source AS st, e.source AS se, e.cb,
+        |    b.cb IS NULL AS backoff,
+        |    CASE WHEN b.cb IS NOT NULL
+        |      THEN CAST(floor(1000 * log2(CAST(u1.c AS DOUBLE) / b.cb)) AS BIGINT)
+        |      ELSE CAST(floor(1000 * log2(
+        |        2.5 * CAST(n.n_t AS DOUBLE)
+        |          / CAST(COALESCE(u2.c, 1) AS DOUBLE))) AS BIGINT)
+        |    END AS term_milli
+        |  FROM big e
+        |  CROSS JOIN srcs t
+        |  LEFT JOIN big b
+        |    ON b.source = t.source AND b.w1 = e.w1 AND b.w2 = e.w2
+        |  LEFT JOIN uni u1 ON u1.source = t.source AND u1.w = e.w1
+        |  LEFT JOIN uni u2 ON u2.source = t.source AND u2.w = e.w2
+        |  JOIN nt n ON n.source = t.source)
+        |SELECT st AS train_source, se AS eval_source,
+        |  CAST(SUM(cb) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(CASE WHEN backoff THEN cb ELSE 0 END) AS BIGINT)
+        |    AS n_backoff,
+        |  CAST(SUM(CAST(cb AS HUGEINT) * term_milli) AS BIGINT) AS bits_milli,
+        |  CAST(SUM(CAST(cb AS HUGEINT) * term_milli) // SUM(cb) AS BIGINT)
+        |    AS bpt_milli
+        |FROM terms GROUP BY 1, 2 ORDER BY train_source, eval_source""".stripMargin,
     "q_pii_scrub" ->
       """WITH p AS (
         |  SELECT doc_id,

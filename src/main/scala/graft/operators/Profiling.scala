@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.Tables
 import graft.functions.Exprs.{dec2, intScaled, md5Long}
@@ -504,6 +504,62 @@ object Profiling {
       .orderBy("source")
   }
 
+  /** q_theil_index — Theil-T inequality of per-document token mass,
+    * DECOMPOSED by source: within-source terms (is one source
+    * internally lopsided?) and the per-source between-source term (is
+    * total inequality just source composition?). Gini
+    * ([[qGiniConcentration]]) gives one number per source; Theil is
+    * the entropy-based index whose between/within ADDITIVITY answers
+    * the question a mixture owner actually asks — "do I fix this by
+    * re-weighting sources, or by packing/pruning inside one?"
+    *
+    * Determinism: the [[graft.operators.CorpusOps.qCharEntropy]]
+    * contract — each p·log₂(ratio) term is ONE pinned double
+    * expression over exact integer counts, floored to micro-bits
+    * BEFORE any summation (per DISTINCT token-count value, then
+    * weighted by its histogram count), so no accumulation-order
+    * drift exists on either engine. Within-term: for count value v in
+    * source s, floor(10⁶·(v/Xₛ)·log₂(v·nₛ/Xₛ))·c_v. Between-term per
+    * source: floor(10⁶·(Xₛ/X)·log₂(Xₛ·N/(X·nₛ))). Consumers sum
+    * share-weighted within + between terms for the total.
+    *
+    * Plan: one scan to the (source, token-count) histogram; both
+    * rollups are value-domain-sized; the global totals ride a 1-row
+    * broadcast. Nothing here grows super-linearly at 100 TB. */
+  val qTheilIndex: Q = (s, d) => {
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("source"),
+        size(filter(split(col("text"), " "), w => length(w) > 0))
+          .cast(LongType).as("v"))
+      .filter(col("v") > 0) // log of a zero-mass doc is undefined
+    val hist = docs.groupBy("source", "v").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds the per-source and global rollups
+    val srcAgg = hist.groupBy("source")
+      .agg(sum("c").cast(LongType).as("n_s"),
+        sum(col("c") * col("v")).cast(LongType).as("xs"))
+    val tot = srcAgg.agg(sum("n_s").cast(LongType).as("nn"),
+      sum("xs").cast(LongType).as("xx"))
+    val within = hist.join(srcAgg, Seq("source"))
+      .select(col("source"),
+        (col("c") * floor(lit(1000000.0)
+          * (col("v").cast(DoubleType) / col("xs"))
+          * log2(col("v").cast(DoubleType) * col("n_s") / col("xs"))))
+          .cast(LongType).as("t"))
+      .groupBy("source").agg(sum("t").cast(LongType).as("t_within_micro"))
+    srcAgg.join(within, Seq("source"))
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("n_s").as("n_docs"),
+        col("xs").as("tokens"),
+        expr("(cast(xs as decimal(38,0)) * 1000000) div xx")
+          .cast(LongType).as("share_micro"),
+        col("t_within_micro"),
+        floor(lit(1000000.0) * (col("xs").cast(DoubleType) / col("xx"))
+          * log2(col("xs").cast(DoubleType) * col("nn")
+            / (col("xx").cast(DoubleType) * col("n_s"))))
+          .cast(LongType).as("t_between_term_micro"))
+      .orderBy("source")
+  }
+
   /** q_column_entropy — Shannon entropy (milli-bits, exact per-term
     * flooring) of every event column's value distribution, plus its
     * cardinality. The complement of [[qColumnProfile]]'s census: two
@@ -817,6 +873,7 @@ object Profiling {
     "q_column_entropy" -> qColumnEntropy,
     "q_ks_distance" -> qKsDistance,
     "q_gini_concentration" -> qGiniConcentration,
+    "q_theil_index" -> qTheilIndex,
     "q_hll_cardinality" -> qHllCardinality,
     "q_key_skew" -> qKeySkew,
     "q_zorder_layout" -> qZorderLayout,
@@ -1088,6 +1145,39 @@ object Profiling {
         |       // (CAST(n_docs AS HUGEINT) * total_tokens) AS BIGINT)
         |    AS gini_permille
         |FROM agg WHERE total_tokens > 0 ORDER BY source""".stripMargin,
+    "q_theil_index" ->
+      """WITH docs AS (
+        |  SELECT source,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> length(w) > 0))
+        |      AS BIGINT) AS v
+        |  FROM documents WHERE text IS NOT NULL),
+        |hist AS (
+        |  SELECT source, v, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM docs WHERE v > 0 GROUP BY 1, 2),
+        |sa AS (
+        |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_s,
+        |    CAST(SUM(c * v) AS BIGINT) AS xs
+        |  FROM hist GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS nn,
+        |               CAST(SUM(xs) AS BIGINT) AS xx FROM sa),
+        |within AS (
+        |  SELECT h.source,
+        |    CAST(SUM(h.c * CAST(floor(1000000.0
+        |        * (CAST(h.v AS DOUBLE) / sa.xs)
+        |        * log2(CAST(h.v AS DOUBLE) * sa.n_s / sa.xs)) AS BIGINT))
+        |      AS BIGINT) AS t_within_micro
+        |  FROM hist h JOIN sa ON h.source = sa.source
+        |  GROUP BY 1)
+        |SELECT sa.source, sa.n_s AS n_docs, sa.xs AS tokens,
+        |  CAST((CAST(sa.xs AS HUGEINT) * 1000000) // tot.xx AS BIGINT)
+        |    AS share_micro,
+        |  w.t_within_micro,
+        |  CAST(floor(1000000.0 * (CAST(sa.xs AS DOUBLE) / tot.xx)
+        |    * log2(CAST(sa.xs AS DOUBLE) * tot.nn
+        |      / (CAST(tot.xx AS DOUBLE) * sa.n_s))) AS BIGINT)
+        |    AS t_between_term_micro
+        |FROM sa JOIN within w ON sa.source = w.source, tot
+        |ORDER BY sa.source""".stripMargin,
     "q_hll_cardinality" ->
       """WITH words AS (
         |  SELECT source, doc_id, w.w, w.pos

@@ -288,6 +288,72 @@ object Similarity {
   val qQuantizeEmbed: Q = (s, d) =>
     quantizeEmbeddings(Tables.embeddings(s, d).filter(col("vec_id") < 100))
 
+  /** q_int8_recall — measured retrieval recall@3 of SQ8 scalar
+    * quantization under the inner-product metric: truth is the exact
+    * integer dot ⟨u_q, u_n⟩ on the ×10⁸ unscaled grid; the approximate
+    * side ranks by the DEQUANTIZED int8 dot ⟨q_q, q_n⟩·scale_n (the
+    * serving-tier score — scale_q is constant per query and drops out
+    * of its ranking). Completes the quantization-eval triangle with
+    * [[qPqRecall]] (product quantization) and [[qIvfRecall]]
+    * (partition pruning): SQ8 is the 4×-compression baseline every
+    * serving stack tries first, and this measures exactly what its
+    * rounding costs at k = 3.
+    *
+    * Exactness: quantization is [[quantizeEmbeddings]]' integer
+    * round-half-away; int8 dots ≤ 64·127² fit Long and the ·scaleₙ
+    * rescale rides DECIMAL(38,0); truth dots Σ u·u′ ≤ 64·10¹⁶ fit
+    * Long for the sub-unit fixture coords (the [[qJlDistortion]]
+    * bound). Ties break on nid in both rankings and both engines.
+    *
+    * Plan: per-vector int8 arrays come from ONE scan (array HOFs over
+    * the physical embedding column — O(1) lambdas, the winnowing rule
+    * allows them); 3 query rows broadcast against the corpus scan, the
+    * dot is a codegen'd zip_with/aggregate, and the only shuffle is
+    * the 3-key top-3 window — [[qAnnTopk]]'s shape with integer
+    * arithmetic. */
+  val qInt8Recall: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, d)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === 64)
+    val vecs = Tables.spread(emb)
+      .select(col("vec_id"),
+        expr("""transform(embedding,
+                 x -> cast(cast(cast(x as double) as decimal(12,8))
+                      * 100000000 as bigint))""").as("u"))
+      .withColumn("sc", expr("array_max(transform(u, x -> abs(x)))"))
+      .withColumn("qa", expr(
+        """transform(u, x -> CASE WHEN sc = 0 THEN 0L ELSE
+          |  (CASE WHEN x < 0 THEN -1L WHEN x > 0 THEN 1L ELSE 0L END)
+          |  * ((254 * abs(x) + sc) div (2 * sc)) END)""".stripMargin))
+      .localCheckpoint() // feeds query and corpus sides of both ranks
+    val q = vecs.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("u").as("uq"), col("qa").as("qq"))
+    val pairs = broadcast(q).join(
+        vecs.select(col("vec_id").as("nid"), col("u").as("un"),
+          col("qa").as("qn"), col("sc").as("scn")),
+        col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        expr("""aggregate(zip_with(uq, un, (x, y) -> x * y),
+                 0L, (acc, v) -> acc + v)""").as("dot_exact"),
+        (expr("""aggregate(zip_with(qq, qn, (x, y) -> x * y),
+                 0L, (acc, v) -> acc + v)""").cast(DecimalType(38, 0))
+          * col("scn")).cast(DecimalType(38, 0)).as("score_i8"))
+      .localCheckpoint() // two rankings over one pairwise pass
+    val wT = Window.partitionBy("qid").orderBy(col("dot_exact").desc, col("nid"))
+    val wA = Window.partitionBy("qid").orderBy(col("score_i8").desc, col("nid"))
+    val truth = pairs.withColumn("rk", row_number().over(wT))
+      .filter(col("rk") <= 3).select("qid", "nid")
+    val approx = pairs.withColumn("rk", row_number().over(wA))
+      .filter(col("rk") <= 3).select("qid", "nid")
+    approx.join(truth, Seq("qid", "nid"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+      // a query whose approx top-3 misses ALL truth rows still emits
+      .join(q.select("qid"), Seq("qid"), "right")
+      .select(col("qid"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall_permille", expr("(n_hits * 1000) div 3"))
+      .orderBy("qid")
+  }
+
   /** IVF top-k through the oracle — the production ANN shape
     * ([[ivfTopk]], float k-means, recall-tested) re-expressed
     * decimal-exact so DuckDB can verify the WHOLE pipeline: fixed
@@ -1499,6 +1565,7 @@ object Similarity {
     "q_embedding_norms" -> qEmbeddingNorms,
     "q_embedding_centroids" -> qEmbeddingCentroids,
     "q_quantize_embed" -> qQuantizeEmbed,
+    "q_int8_recall" -> qInt8Recall,
     "q_ivf_topk" -> qIvfTopk,
     "q_ivf_recall" -> qIvfRecall,
     "q_pq_topk" -> qPqTopk,
@@ -2480,6 +2547,54 @@ object Similarity {
         |  END AS q,
         |  sc.sc AS scale_unscaled
         |FROM u JOIN sc ON u.vec_id = sc.vec_id
-        |ORDER BY u.vec_id, idx""".stripMargin
+        |ORDER BY u.vec_id, idx""".stripMargin,
+    "q_int8_recall" ->
+      """WITH el AS (
+        |  SELECT vec_id, i,
+        |    CAST(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) * 100000000
+        |      AS BIGINT) AS u
+        |  FROM (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS i
+        |        FROM embeddings
+        |        WHERE embedding IS NOT NULL AND len(embedding) = 64)),
+        |sc AS (SELECT vec_id, MAX(abs(u)) AS sc FROM el GROUP BY vec_id),
+        |qv AS (
+        |  SELECT el.vec_id, el.i,
+        |    CASE WHEN sc.sc = 0 THEN 0
+        |         ELSE (CASE WHEN el.u < 0 THEN -1 WHEN el.u > 0 THEN 1 ELSE 0 END)
+        |              * CAST((254 * abs(el.u) + sc.sc) // (2 * sc.sc) AS BIGINT)
+        |    END AS q
+        |  FROM el JOIN sc ON el.vec_id = sc.vec_id),
+        |exact AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+        |    CAST(SUM(CAST(a.u AS HUGEINT) * b.u) AS BIGINT) AS dot_exact
+        |  FROM el a JOIN el b ON a.i = b.i AND b.vec_id <> a.vec_id
+        |  WHERE a.vec_id < 3 GROUP BY 1, 2),
+        |approx AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+        |    SUM(a.q * b.q) * CAST(s.sc AS HUGEINT) AS score_i8
+        |  FROM qv a JOIN qv b ON a.i = b.i AND b.vec_id <> a.vec_id
+        |  JOIN sc s ON s.vec_id = b.vec_id
+        |  WHERE a.vec_id < 3 GROUP BY a.vec_id, b.vec_id, s.sc),
+        |truth3 AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT qid, nid,
+        |      row_number() OVER (PARTITION BY qid
+        |        ORDER BY dot_exact DESC, nid) AS rk
+        |    FROM exact) WHERE rk <= 3),
+        |approx3 AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT qid, nid,
+        |      row_number() OVER (PARTITION BY qid
+        |        ORDER BY score_i8 DESC, nid) AS rk
+        |    FROM approx) WHERE rk <= 3),
+        |hits AS (
+        |  SELECT a.qid, COUNT(*) AS n_hits
+        |  FROM approx3 a JOIN truth3 t ON a.qid = t.qid AND a.nid = t.nid
+        |  GROUP BY 1)
+        |SELECT q.qid, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  CAST((COALESCE(h.n_hits, 0) * 1000) // 3 AS BIGINT) AS recall_permille
+        |FROM (SELECT DISTINCT vec_id AS qid FROM el WHERE vec_id < 3) q
+        |LEFT JOIN hits h ON q.qid = h.qid
+        |ORDER BY q.qid""".stripMargin
   )
 }

@@ -349,6 +349,55 @@ class EvaluationSpec extends SparkSpec {
     assert(got(("a", "c")) === 100000L)
   }
 
+  test("theil index: equal-mass sources zero within; shares and between terms replay") {
+    // s1 = [2,2] tokens, s2 = [4]: within-Theil is exactly 0 for both
+    // (all log2 ratios are 1); s3 = [1,3] has genuine within-inequality
+    val dir = plantedDocs("theil", Seq(
+      (1L, "w w", "en", "s1", 3L), (2L, "w w", "en", "s1", 3L),
+      (3L, "w w w w", "en", "s2", 7L),
+      (4L, "w", "en", "s3", 1L), (5L, "w w w", "en", "s3", 5L)))
+    val got = Profiling.qTheilIndex(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet === Set("s1", "s2", "s3"))
+    assert(got("s1").getAs[Long]("t_within_micro") === 0L)
+    assert(got("s2").getAs[Long]("t_within_micro") === 0L)
+    assert(got("s3").getAs[Long]("t_within_micro") > 0L)
+    // shares on the exact integer grid: 4/12, 4/12, 4/12 of token mass
+    Seq("s1", "s2", "s3").foreach(s =>
+      assert(got(s).getAs[Long]("share_micro") === 333333L))
+    // between terms: s1/s3 have n_s=2 (denser docs than average), s2
+    // n_s=1; hand floors: 1e6*(4/12)*log2(4*5/(12*2)) and *log2(20/12)
+    val b1 = got("s1").getAs[Long]("t_between_term_micro")
+    val b2 = got("s2").getAs[Long]("t_between_term_micro")
+    assert(b1 === got("s3").getAs[Long]("t_between_term_micro"))
+    assert(math.abs(b1 - math.floor(1e6 * (4.0 / 12)
+      * (math.log(4.0 * 5 / (12.0 * 2)) / math.log(2))).toLong) <= 1)
+    assert(math.abs(b2 - math.floor(1e6 * (4.0 / 12)
+      * (math.log(4.0 * 5 / 12.0) / math.log(2))).toLong) <= 1)
+  }
+
+  test("crossdomain ppl: hand-scored 2x2 transfer matrix replays") {
+    // s1: "a b a b" -> bigrams (a,b)x2 (b,a)x1, uni a:2 b:2, N=4
+    // s2: "a c"     -> bigram (a,c)x1, uni a:1 c:1, N=2
+    val dir = plantedDocs("xppl", Seq(
+      (1L, "a b a b", "en", "s1", 7L),
+      (2L, "a c", "en", "s2", 3L)))
+    val got = graft.operators.CorpusOps.qCrossdomainPpl(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("n_backoff"),
+          r.getAs[Long]("bits_milli"), r.getAs[Long]("bpt_milli"))))
+      .toMap
+    assert(got.size === 4, "full ordered matrix incl. diagonal")
+    // in-domain s1: (a,b) seen log2(2/2)=0; (b,a) seen log2(2/1)=1 bit
+    assert(got(("s1", "s1")) === ((3L, 0L, 1000L, 333L)))
+    // s1 -> s2: (a,c) unseen, c('c')=0 -> floor(1000*log2(2.5*4/1))
+    assert(got(("s1", "s2")) === ((1L, 1L, 3321L, 3321L)))
+    // s2 -> s1: all three unseen; backoff log2(2.5*2/1) per instance
+    assert(got(("s2", "s1")) === ((3L, 3L, 3L * 2321L, 2321L)))
+    // in-domain s2: exact hit, zero bits
+    assert(got(("s2", "s2")) === ((1L, 0L, 0L, 0L)))
+  }
+
   test("mcnemar filters: 2x2 cells, agreement, and discordant statistic replay") {
     // both-keep / 2x A-only (len ratio 2) / B-only (no stops) / neither
     val dir = plantedDocs("mcnemar", Seq(

@@ -328,4 +328,35 @@ class ScaleSpec extends SparkSpec {
       Seq("ord", "vec_id", "d2_sel_e16", "d2_cover_e16"))
     assert(r.count() === 0L, "all-or-nothing: < K vectors must yield an empty frame")
   }
+
+  test("int8 recall: a hand-planted rounding flip crosses the k boundary; lossless queries stay 1000") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory(Paths.get("target"), "int8rec").toString
+    import spark.implicits._
+    def v(hot: Map[Int, Float]): Seq[Float] =
+      (0 until 64).map(i => hot.getOrElse(i, 0.0f))
+    // query 0 = e0. Exact IP order: v5 (.99) > v4 (.9005) > v3 = v6 (.9).
+    // int8: v4's scale is dragged to 1.0 by its dim-2 component, so its
+    // dim-0 quantizes to 114 (127·0.9005 rounds DOWN) while v3/v6 use
+    // their own 0.9 scale and keep 127 — dequantized 114·1e8 < 127·0.9e8
+    // drops v4 below BOTH, pushing it past k=3: truth {5,4,3}, approx
+    // {5,3,6}, hits 2. Queries 1 and 2 are lossless (components are 0
+    // or ±scale) → recall exactly 1000.
+    val rows = Seq(
+      (0L, v(Map(0 -> 1.0f))),                 // query of interest
+      (1L, v(Map(1 -> 1.0f))),                 // lossless query
+      (2L, v(Map(10 -> 1.0f))),                // lossless query
+      (3L, v(Map(0 -> 0.9f, 1 -> 0.9f))),
+      (4L, v(Map(0 -> 0.9005f, 2 -> 1.0f))),
+      (5L, v(Map(0 -> 0.99f))),
+      (6L, v(Map(0 -> 0.9f, 1 -> 0.9f))))      // exact tie with v3
+      .map { case (i, e) => (i, e, 0) }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.operators.Similarity.qInt8Recall(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_hits"),
+        r.getAs[Long]("recall_permille"))).toMap
+    assert(got === Map(0L -> ((2L, 666L)),
+      1L -> ((3L, 1000L)), 2L -> ((3L, 1000L))))
+  }
 }
