@@ -128,8 +128,10 @@ class SemanticOpsSpec extends SparkSpec {
     }.sum
     val first = r.head
     assert(first.getLong(0) === 0L && first.getLong(1) === 1L)
-    assert(BigInt(first.getDecimal(2).toBigInteger) === d64)
-    assert(BigInt(first.getDecimal(3).toBigInteger) === d16)
+    // d64_sq/d16_sq leave as plain-notation STRINGS (no-DECIMAL-output
+    // contract; d16_sq genuinely exceeds int64)
+    assert(BigInt(first.getString(2)) === d64)
+    assert(BigInt(first.getString(3)) === d16)
     assert(first.getAs[Long]("distortion_permille") ===
       (d16 * 1000 / (16 * d64)).toLong)
     // JL expectation: distortion centers on 1000; with k=16 the spread
