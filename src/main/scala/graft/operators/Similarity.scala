@@ -975,8 +975,14 @@ object Similarity {
     val w = Window.partitionBy("qid").orderBy(col("sim_micros").desc, col("nid"))
     val top = sample
       .select(col("vec_id").as("qid"), col("de").as("qe"), col("nrm").as("nq"))
-      .join(sample.select(col("vec_id").as("nid"), col("de").as("ne"),
-        col("nrm").as("nn")), col("qid") =!= col("nid"))
+      // EXPLICIT broadcast: the sample is <= 512 rows BY CONSTRUCTION,
+      // but size-only stats propagate the parent SCAN's bytes through
+      // the filter — at 10x data the estimate crosses the broadcast
+      // threshold and this non-equi self-join silently degrades to a
+      // 32x32-partition cartesian (r12 sf1 proof: 12 s vs ~1.2 s).
+      // Bounded-by-construction frames must carry the hint themselves.
+      .join(broadcast(sample.select(col("vec_id").as("nid"), col("de").as("ne"),
+        col("nrm").as("nn"))), col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         cosMicrosPre(decDot(col("qe"), col("ne")), col("nq"), col("nn"))
           .as("sim_micros"))
@@ -1064,8 +1070,14 @@ object Similarity {
     val w = Window.partitionBy("qid").orderBy(col("sim_micros").desc, col("nid"))
     val top = sample
       .select(col("vec_id").as("qid"), col("de").as("qe"), col("nrm").as("nq"))
-      .join(sample.select(col("vec_id").as("nid"), col("de").as("ne"),
-        col("nrm").as("nn")), col("qid") =!= col("nid"))
+      // EXPLICIT broadcast: the sample is <= 512 rows BY CONSTRUCTION,
+      // but size-only stats propagate the parent SCAN's bytes through
+      // the filter — at 10x data the estimate crosses the broadcast
+      // threshold and this non-equi self-join silently degrades to a
+      // 32x32-partition cartesian (r12 sf1 proof: 12 s vs ~1.2 s).
+      // Bounded-by-construction frames must carry the hint themselves.
+      .join(broadcast(sample.select(col("vec_id").as("nid"), col("de").as("ne"),
+        col("nrm").as("nn"))), col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         cosMicrosPre(decDot(col("qe"), col("ne")), col("nq"), col("nn"))
           .as("sim_micros"))
@@ -1109,8 +1121,10 @@ object Similarity {
       .localCheckpoint()
     val cosv = sample
       .select(col("vec_id").as("qid"), col("de").as("qe"), col("nrm").as("nq"))
-      .join(sample.select(col("vec_id").as("nid"), col("de").as("ne"),
-        col("nrm").as("nn")), col("qid") =!= col("nid"))
+      // explicit broadcast: see qHubness — the <= 512-row bound is by
+      // construction; stats-blind planning cartesians this at scale
+      .join(broadcast(sample.select(col("vec_id").as("nid"), col("de").as("ne"),
+        col("nrm").as("nn"))), col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         cosMicrosPre(decDot(col("qe"), col("ne")), col("nq"), col("nn"))
           .as("sim_micros"))

@@ -42,7 +42,8 @@ object StreamIntervalJoin {
       imps: Dataset[Impression],
       clicks: Dataset[Click],
       windowSec: Int,
-      watermarkSec: Int): DataFrame = {
+      watermarkSec: Int,
+      joinType: String = "inner"): DataFrame = {
     val i = (if (imps.isStreaming)
                imps.withWatermark("ts", s"$watermarkSec seconds")
              else imps.toDF()).alias("i")
@@ -55,9 +56,28 @@ object StreamIntervalJoin {
     i.join(c, expr(
         s"""i.user = c.user
            |AND c.ts >= i.ts
-           |AND c.ts <= i.ts + interval $windowSec seconds""".stripMargin))
+           |AND c.ts <= i.ts + interval $windowSec seconds""".stripMargin),
+        joinType)
       .select(col("c.click_id"), col("i.imp_id"),
         col("i.user").as("user"),
         col("i.ts").as("imp_ts"), col("c.ts").as("click_ts"))
   }
+
+  /** UNATTRIBUTED impressions — the left-outer leg: every impression,
+    * matched rows carrying their click and unmatched ones a NULL
+    * click_id. In streaming this is the semantics worth pinning: an
+    * unmatched impression CANNOT emit when it arrives (a matching
+    * click may still come), so the engine holds it and emits the
+    * null-extended row only once the watermark proves its window
+    * [ts, ts + windowSec] can no longer receive a click — the
+    * outer-result delay IS the correctness, and the spec pins it
+    * (nothing emits until the closing batch). Batch over the same
+    * rows gives the identical row set immediately — stream==batch
+    * parity once the stream is closed out. */
+  def attributeOuter(
+      imps: Dataset[Impression],
+      clicks: Dataset[Click],
+      windowSec: Int,
+      watermarkSec: Int): DataFrame =
+    attribute(imps, clicks, windowSec, watermarkSec, "left_outer")
 }

@@ -66,6 +66,56 @@ class StreamIntervalJoinSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("left-outer interval join: unmatched impressions emit null ONLY after the watermark seals their window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[Impression]
+    val clicks = MemoryStream[Click]
+    val q = StreamIntervalJoin.attributeOuter(
+        imps.toDS(), clicks.toDS(), windowSec = 60, watermarkSec = 30)
+      .writeStream.format("memory").queryName("oj")
+      .outputMode("append").start()
+    def rows() = spark.table("oj").collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getLong(1))).toSet
+    try {
+      // imp 1 (u1) gets a click; imp 2 (u2) never does
+      imps.addData(Impression(1L, "u1", ts(0)), Impression(2L, "u2", ts(5)))
+      clicks.addData(Click(10L, "u1", ts(10)))
+      q.processAllAvailable()
+      assert(rows() === Set((Some(10L), 1L)),
+        "the unmatched impression must NOT emit while its window is open")
+      // advance BOTH sides far past imp 2's window [5, 65] — the
+      // GLOBAL watermark is the MIN across all inputs, so a closer on
+      // the click stream alone would leave it pinned at the impression
+      // side's last advance and the null row would never emit. The
+      // null-extended row then surfaces in the state-cleanup batch
+      // that follows the advance, so push two closing batches.
+      imps.addData(Impression(99L, "u99", ts(900)))
+      clicks.addData(Click(90L, "u9", ts(900)))
+      q.processAllAvailable()
+      clicks.addData(Click(91L, "u8", ts(901)))
+      q.processAllAvailable()
+      assert(rows() === Set((Some(10L), 1L), (None, 2L)),
+        "sealed unmatched impression emits exactly once, null-extended; " +
+          "the UNSEALED closer impression (window still open) is withheld")
+    } finally { q.stop() }
+    // batch parity on the sealed universe; batch ALSO emits the closer
+    // impression's null row because batch has no notion of "still
+    // open" — that one row is exactly the stream/batch difference,
+    // and it is the difference by DESIGN (the stream may yet match it)
+    val batch = StreamIntervalJoin.attributeOuter(
+        Seq(Impression(1L, "u1", ts(0)), Impression(2L, "u2", ts(5)),
+          Impression(99L, "u99", ts(900))).toDS(),
+        Seq(Click(10L, "u1", ts(10)), Click(90L, "u9", ts(900)),
+          Click(91L, "u8", ts(901))).toDS(),
+        windowSec = 60, watermarkSec = 30)
+      .collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getLong(1))).toSet
+    assert(batch === Set((Some(10L), 1L), (None, 2L), (None, 99L)))
+  }
+
   test("interval join: an impression arriving past the watermark is dropped, not matched") {
     import spark.implicits._
     // batch 1 advances both watermarks far ahead; the impression then
