@@ -388,7 +388,12 @@ object Similarity {
     val probes = simCc.filter(col("vec_id") < 3)
       .withColumn("rk", row_number().over(wv)).filter(col("rk") <= 3)
       .select(col("vec_id").as("qid"), col("cid"))
-    val cand = probes.join(assign, Seq("cid"))
+    // explicit broadcast: probes is <= nprobe·|queries| rows BY
+    // CONSTRUCTION, but its size estimate inherits the corpus-sized
+    // simCc frame (size-only stats don't shrink through filters —
+    // the r12 stats-blind-cartesian lesson); unhinted, this equi-join
+    // shuffles the CORPUS on the 8-value cid key, a skewed exchange
+    val cand = broadcast(probes).join(assign, Seq("cid"))
       .filter(col("qid") =!= col("nid"))
       .select("qid", "nid").distinct()
     val qs = withNorm.filter(col("vec_id") < 3)
@@ -437,7 +442,8 @@ object Similarity {
       .withColumn("lvl", row_number().over(wv).cast(LongType))
       .filter(col("lvl") <= 3)
       .select(col("vec_id").as("qid"), col("cid"), col("lvl"))
-    val candL = probesL.join(assign, Seq("cid"))
+    // broadcast: same bounded-probe-frame contract as ivfTopk's cand
+    val candL = broadcast(probesL).join(assign, Seq("cid"))
       .filter(col("qid") =!= col("nid"))
       .groupBy("qid", "nid").agg(min(col("lvl")).as("lvl"))
       .localCheckpoint() // feeds scoring, the count spine, and the join
