@@ -53,6 +53,13 @@ object Verify {
           System.err.println(s"[verify] $name REJECTED: DecimalType output " +
             s"column(s) ${bad.mkString(", ")} — the no-DECIMAL-output " +
             "contract (integer-scale to BIGINT or CAST to STRING)")
+          // also delete any STALE dump from a prior run in a reused
+          // outDir — otherwise check.py would compare the old parquet
+          // and could pass, silently masking the rejection
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+          }
+          rm(new java.io.File(s"$outDir/$name"))
         } else df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       }
       catch { case e: Throwable =>

@@ -685,8 +685,11 @@ object CorpusOps {
       .agg(sum("cb").cast(LongType).as("n_bigrams"),
         sum(when(col("backoff"), col("cb")).otherwise(0L))
           .cast(LongType).as("n_backoff"),
-        sum((col("cb") * col("term_milli"))
-          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        // cast cb to decimal BEFORE the multiply (the qKendallTau
+        // pattern): a Long product would wrap past ~2e14 instances of
+        // one bigram type while the HUGEINT oracle stays exact
+        sum(col("cb").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          * col("term_milli"))
           .cast(LongType).as("bits_milli"))
       .withColumn("bpt_milli", expr("bits_milli div n_bigrams"))
       .orderBy("train_source", "eval_source")
@@ -970,41 +973,51 @@ object CorpusOps {
     * localCheckpointed final ranks (narrow (doc, pos, r) — blocks free
     * on GC when the entry drops); a rewritten corpus dir must go
     * through [[Tables.invalidate]], which flushes this memo too. */
+  /** Memo entries carry the invalidation generation current when
+    * their compute STARTED, so a reader can tell an entry inserted by
+    * a compute that raced an invalidation (stale data read from the
+    * pre-rewrite dir) from a fresh one. */
   private val ranksCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
-  /** Bumped by every invalidation; [[suffixRanks]] re-checks it after
-    * a compute so an invalidate that fires DURING getOrElseUpdate can
-    * never leave a stale memo behind (the hook's remove would land
-    * before the insert and be lost otherwise). */
+    .empty[(SparkSession, String), (Long, DataFrame)]
   private val invalGen = new java.util.concurrent.atomic.AtomicLong(0)
-  Tables.onInvalidate("corpusops-suffix-ranks") { prefix =>
+  /** Per-prefix log of the LAST invalidation generation — bounded by
+    * the number of distinct fixture dirs ever invalidated. */
+  private val invalLog = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def prefixMatches(dir: String, prefix: String): Boolean = {
     val dirPrefix = prefix.stripSuffix("/") + "/"
+    dir == prefix || dir.startsWith(dirPrefix) ||
+      dirPrefix.startsWith(dir.stripSuffix("/") + "/")
+  }
+  Tables.onInvalidate("corpusops-suffix-ranks") { prefix =>
     ranksCache.keysIterator
-      .filter(k => k._2 == prefix || k._2.startsWith(dirPrefix) ||
-        dirPrefix.startsWith(k._2.stripSuffix("/") + "/") ||
+      .filter(k => prefixMatches(k._2, prefix) ||
         // stopped-session entries pin localCheckpoint blocks for
         // nothing — sweep them on every invalidation too, not only
         // lazily on the next suffixRanks call
         k._1.sparkContext.isStopped)
       .foreach(ranksCache.remove)
-    invalGen.incrementAndGet()
+    invalLog.put(prefix.stripSuffix("/"), invalGen.incrementAndGet())
   }
 
   private def suffixRanks(s: SparkSession, d: String): DataFrame = {
     ranksCache.keysIterator
       .filter(_._1.sparkContext.isStopped).foreach(ranksCache.remove)
-    // generation re-check: an invalidation racing the compute removes
-    // keys BEFORE this insert lands, so drop and retry when one fired
-    // mid-compute. Invalidations are rare (fixture rewrites), so the
-    // occasional redundant compute beats serving a stale table; the
-    // global (not per-dir) generation only costs that same redundancy.
+    // staleness re-check: the hook's remove lands BEFORE a racing
+    // compute's insert, so a memo entry can be born stale (computed
+    // from the pre-rewrite dir). Each entry records the generation at
+    // its compute start; it is stale iff a LATER invalidation matches
+    // this dir — checked on every read, so a stale entry is neither
+    // kept NOR served (the earlier global-gen retry prevented keeping
+    // but could still serve one to a reader that started post-hook).
     var res: DataFrame = null
     var settled = false
     while (!settled) {
       val g0 = invalGen.get()
-      res = ranksCache.getOrElseUpdate((s, d),
-        computeSuffixRanks(s, d).localCheckpoint())
-      if (invalGen.get() == g0) settled = true
+      val (gIns, df) = ranksCache.getOrElseUpdate((s, d),
+        (g0, computeSuffixRanks(s, d).localCheckpoint()))
+      val stale = invalLog.exists { case (p, g) =>
+        g > gIns && prefixMatches(d, p) }
+      if (!stale) { res = df; settled = true }
       else ranksCache.remove((s, d))
     }
     res

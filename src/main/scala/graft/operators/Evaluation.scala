@@ -354,8 +354,11 @@ object Evaluation {
       .agg(count(lit(1)).as("c"))
       .localCheckpoint() // feeds both sides of the pair explode
     val srcs = hist.select("source").distinct()
+    // broadcast: bounded pair frame, same stats-blind-cartesian class
+    // as qWasserstein1d's pairs (r12 rule)
     val pairs = srcs.select(col("source").as("sa"))
-      .join(srcs.select(col("source").as("sb")), col("sa") < col("sb"))
+      .join(broadcast(srcs.select(col("source").as("sb"))),
+        col("sa") < col("sb"))
     val m1 = pairs.join(hist.withColumnRenamed("source", "sa"), Seq("sa"))
       .select(col("sa"), col("sb"), col("v"), col("c").as("c1"), lit(0L).as("c2"))
     val m2 = pairs.join(hist.withColumnRenamed("source", "sb"), Seq("sb"))
@@ -560,8 +563,13 @@ object Evaluation {
       .agg(count(lit(1)).as("c"))
       .localCheckpoint() // both sides of the pair explode
     val srcs = hist.select("source").distinct()
+    // broadcast: |sources| rows by construction, but the distinct's
+    // size estimate inherits the corpus scan (stats don't shrink
+    // through aggregates) — unhinted, this non-equi pair join is the
+    // r12 stats-blind-cartesian class
     val pairs = srcs.select(col("source").as("sa"))
-      .join(srcs.select(col("source").as("sb")), col("sa") < col("sb"))
+      .join(broadcast(srcs.select(col("source").as("sb"))),
+        col("sa") < col("sb"))
     val m1 = pairs.join(hist.withColumnRenamed("source", "sa"), Seq("sa"))
       .select(col("sa"), col("sb"), col("v"), col("c").as("c1"), lit(0L).as("c2"))
     val m2 = pairs.join(hist.withColumnRenamed("source", "sb"), Seq("sb"))

@@ -1509,10 +1509,12 @@ object Similarity {
       .filter(col("embedding").isNotNull && size(col("embedding")) === 64)
       .select(col("vec_id"), decVec(col("embedding")).as("de"))
       .withColumn("nrm", decDot(col("de"), col("de")))
-    // all-or-nothing: < K eligible vectors → empty frame (mirrored by
-    // the oracle's COUNT(DISTINCT vec_id) >= K guard); also covers the
+    // all-or-nothing: < K eligible vectors → empty frame (mirroring
+    // the oracle's COUNT(DISTINCT vec_id) >= K guard — DISTINCT, not
+    // rows: duplicate vec_ids would satisfy a row count yet leave the
+    // pick loop's argmax head() empty mid-run); also covers the
     // empty-table NPE on the min() head below
-    val hd = base.agg(count(lit(1)), min("vec_id")).head()
+    val hd = base.agg(countDistinct(col("vec_id")), min("vec_id")).head()
     import scala.jdk.CollectionConverters._
     if (hd.getLong(0) < K)
       s.createDataFrame(

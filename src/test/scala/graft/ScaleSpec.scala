@@ -329,6 +329,24 @@ class ScaleSpec extends SparkSpec {
     assert(r.count() === 0L, "all-or-nothing: < K vectors must yield an empty frame")
   }
 
+  test("k-center coreset: duplicate vec_ids count once toward K (row count would crash mid-loop)") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory(Paths.get("target"), "kcenter-dup").toString
+    import spark.implicits._
+    def v(hot: Map[Int, Float]): Seq[Float] =
+      (0 until 64).map(i => hot.getOrElse(i, 0.0f))
+    // 3 DISTINCT ids, each row duplicated -> 6 rows but only 3 pickable
+    // centers: a row-count >= K guard would proceed and the pick loop's
+    // argmax head() would throw at t = 3
+    val rows = (1L to 3L).flatMap(i =>
+      Seq.fill(2)((i, v(Map(i.toInt -> 1.0f)), 0)))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = graft.operators.Similarity.qKcenterCoreset(spark, dir)
+    assert(r.count() === 0L,
+      "3 distinct < K=6 must short-circuit to empty, mirroring the oracle's COUNT(DISTINCT)")
+  }
+
   test("int8 recall: a hand-planted rounding flip crosses the k boundary; lossless queries stay 1000") {
     import java.nio.file.{Files, Paths}
     val dir = Files.createTempDirectory(Paths.get("target"), "int8rec").toString

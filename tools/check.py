@@ -124,8 +124,20 @@ def main():
             continue
         # Mirror on the Spark side: a decimal128 arrow column in the
         # Spark dump is the same hash hazard even if the oracle agrees.
-        dec_cols = [f.name for f in tbl.schema
-                    if pa.types.is_decimal(canon_type(f.type))]
+        # Recurses like Verify.scala's decimalCols — a decimal nested
+        # in a list/struct/map is the same hazard.
+        def has_decimal(t):
+            t = canon_type(t)
+            if pa.types.is_decimal(t):
+                return True
+            if pa.types.is_list(t) or pa.types.is_large_list(t):
+                return has_decimal(t.value_type)
+            if pa.types.is_struct(t):
+                return any(has_decimal(f.type) for f in t)
+            if pa.types.is_map(t):
+                return has_decimal(t.key_type) or has_decimal(t.item_type)
+            return False
+        dec_cols = [f.name for f in tbl.schema if has_decimal(f.type)]
         if dec_cols:
             print(f"FAIL {name}: spark output emits DecimalType "
                   f"col={dec_cols[0]} — no-DECIMAL-output contract")
