@@ -41,6 +41,19 @@ object Verify {
       case _ => Nil
     }
     var nRejected = 0
+    var nFailed = 0
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    // per-query outcome, written to outDir/run_manifest.json at the end:
+    // a SCOPED rerun into a reused outDir leaves other queries' old
+    // parquet in place, and without a manifest check.py happily
+    // adjudicates the stale files (judge-reproduced r12 — 15:15-era
+    // decimal dumps read as contract failures against code that no
+    // longer produces them). The manifest names exactly what THIS run
+    // produced; check.py scopes to it and calls everything else
+    // "stale, ignored".
+    val statuses = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -50,20 +63,27 @@ object Verify {
           .flatMap(f => decimalCols(f.dataType, f.name))
         if (bad.nonEmpty) {
           nRejected += 1
+          statuses(name) = "rejected"
           System.err.println(s"[verify] $name REJECTED: DecimalType output " +
             s"column(s) ${bad.mkString(", ")} — the no-DECIMAL-output " +
             "contract (integer-scale to BIGINT or CAST to STRING)")
           // also delete any STALE dump from a prior run in a reused
           // outDir — otherwise check.py would compare the old parquet
           // and could pass, silently masking the rejection
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
-          }
           rm(new java.io.File(s"$outDir/$name"))
-        } else df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } else {
+          df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+          statuses(name) = "written"
+        }
       }
       catch { case e: Throwable =>
+        // same gate strength as the rejection path (ADVICE r12: a
+        // crashed query must not exit 0, and its stale dump from a
+        // prior run must not silently stand in for it)
+        nFailed += 1
+        statuses(name) = "failed"
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        rm(new java.io.File(s"$outDir/$name"))
       }
       // self-join queries persist their shared inputs; drop them so one
       // query's cache never outlives its run
@@ -84,13 +104,17 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val manifest = statuses
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/run_manifest.json"),
+      s"""{"sf": ${q(sfDir)}, "scoped": ${only.isDefined}, "queries": $manifest}""")
     spark.stop()
     // nonzero AFTER the full dump (one bad query must not zero the rest
     // of the artifact — the r9 lesson), but loud enough that no decimal
-    // query survives the pre-commit gate
-    if (nRejected > 0) {
+    // or crashing query survives the pre-commit gate
+    if (nRejected > 0 || nFailed > 0) {
       System.err.println(s"[verify] $nRejected quer(ies) rejected for " +
-        "DecimalType output — fix before committing")
+        s"DecimalType output, $nFailed threw — fix before committing")
       sys.exit(2)
     }
   }

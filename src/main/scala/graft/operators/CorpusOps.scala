@@ -973,55 +973,16 @@ object CorpusOps {
     * localCheckpointed final ranks (narrow (doc, pos, r) — blocks free
     * on GC when the entry drops); a rewritten corpus dir must go
     * through [[Tables.invalidate]], which flushes this memo too. */
-  /** Memo entries carry the invalidation generation current when
-    * their compute STARTED, so a reader can tell an entry inserted by
-    * a compute that raced an invalidation (stale data read from the
-    * pre-rewrite dir) from a fresh one. */
-  private val ranksCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (Long, DataFrame)]
-  private val invalGen = new java.util.concurrent.atomic.AtomicLong(0)
-  /** Per-prefix log of the LAST invalidation generation — bounded by
-    * the number of distinct fixture dirs ever invalidated. */
-  private val invalLog = scala.collection.concurrent.TrieMap.empty[String, Long]
-  private def prefixMatches(dir: String, prefix: String): Boolean = {
-    val dirPrefix = prefix.stripSuffix("/") + "/"
-    dir == prefix || dir.startsWith(dirPrefix) ||
-      dirPrefix.startsWith(dir.stripSuffix("/") + "/")
-  }
-  Tables.onInvalidate("corpusops-suffix-ranks") { prefix =>
-    ranksCache.keysIterator
-      .filter(k => prefixMatches(k._2, prefix) ||
-        // stopped-session entries pin localCheckpoint blocks for
-        // nothing — sweep them on every invalidation too, not only
-        // lazily on the next suffixRanks call
-        k._1.sparkContext.isStopped)
-      .foreach(ranksCache.remove)
-    invalLog.put(prefix.stripSuffix("/"), invalGen.incrementAndGet())
-  }
+  /** The staleness-generation protocol documented above now lives in
+    * [[graft.Memo]] (r13): the recheck loop is BOUNDED there (a
+    * pathological invalidation cadence serves a correct un-memoized
+    * result instead of recomputing forever) and discarded stale
+    * entries' localCheckpoint blocks are unpersisted EXPLICITLY
+    * rather than waiting on driver GC — both ADVICE-r12 findings. */
+  private val ranksMemo = new graft.Memo("corpusops-suffix-ranks")
 
-  private def suffixRanks(s: SparkSession, d: String): DataFrame = {
-    ranksCache.keysIterator
-      .filter(_._1.sparkContext.isStopped).foreach(ranksCache.remove)
-    // staleness re-check: the hook's remove lands BEFORE a racing
-    // compute's insert, so a memo entry can be born stale (computed
-    // from the pre-rewrite dir). Each entry records the generation at
-    // its compute start; it is stale iff a LATER invalidation matches
-    // this dir — checked on every read, so a stale entry is neither
-    // kept NOR served (the earlier global-gen retry prevented keeping
-    // but could still serve one to a reader that started post-hook).
-    var res: DataFrame = null
-    var settled = false
-    while (!settled) {
-      val g0 = invalGen.get()
-      val (gIns, df) = ranksCache.getOrElseUpdate((s, d),
-        (g0, computeSuffixRanks(s, d).localCheckpoint()))
-      val stale = invalLog.exists { case (p, g) =>
-        g > gIns && prefixMatches(d, p) }
-      if (!stale) { res = df; settled = true }
-      else ranksCache.remove((s, d))
-    }
-    res
-  }
+  private def suffixRanks(s: SparkSession, d: String): DataFrame =
+    ranksMemo(s, d)(computeSuffixRanks(s, d))
 
   private def computeSuffixRanks(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

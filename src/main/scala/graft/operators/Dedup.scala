@@ -3,9 +3,9 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
-import graft.Tables
+import graft.{Memo, Tables}
 import graft.functions.Exprs._
 
 /** Deduplication operators for large-scale training-data pipelines, over
@@ -86,10 +86,24 @@ object Dedup {
     * table is localCheckpointed before the self-join so the
     * shingle→signature pipeline runs ONCE (it is tiny: ≤2 rows/doc of
     * (long-ish string, id)), not once per join branch. */
-  /** Unsorted minhash-LSH candidate pairs (a < b). */
+  /** The two memoized spine stages, per (session, dir) under
+    * [[graft.Memo]]'s immutability/invalidation contract. ~10 report
+    * queries (components, cluster_sizes, dedup_keep, lsh_precision,
+    * cluster_split, dedup_sweep, and the whole [[Graphs]] family) sit
+    * on the same shingle→signature→band→pair pipeline; memoizing it
+    * is the in-session twin of the [[buildArtifacts]] story — one
+    * spine per dedup-report session instead of one per query (at
+    * 100 TB: one corpus scan instead of ten). The entries are tiny
+    * derived frames (the candidate EDGE list and the (id, comp)
+    * labels — near-dup-pair-sized, never corpus-sized). */
+  private val pairsMemo = new Memo("dedup-minhash-pairs")
+  private val compsMemo = new Memo("dedup-minhash-components")
+
+  /** Unsorted minhash-LSH candidate pairs (a < b), memoized +
+    * localCheckpointed per (session, dir). */
   def minhashCandidatePairs(s: SparkSession, d: String): DataFrame =
-    candidatePairsFromSig(minhashSignatures(
-      Tables.documents(s, d).select("doc_id", "text")))
+    pairsMemo(s, d)(candidatePairsFromSig(minhashSignatures(
+      Tables.documents(s, d).select("doc_id", "text"))))
 
   /** Candidate pairs from an already-computed signature table —
     * consumers that also need the signatures themselves
@@ -183,9 +197,24 @@ object Dedup {
     var labels = edges2.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()
-    var changed = 1L
+    // Convergence via the MONOTONE label-sum invariant (r12 verdict
+    // #4): every round takes each id's min over a set CONTAINING its
+    // own label, so comp is non-increasing per id, and the id set is
+    // constant (msgs ids ⊆ edge endpoints = the initial label ids) —
+    // therefore labels changed iff Σcomp strictly decreased. One
+    // single-row aggregate per round (a scan of the just-checkpointed
+    // blocks) replaces the join+filter+count probe, which was a
+    // labels⋈labels shuffle per round. Decimal sum: n·2^63 overflows
+    // BIGINT at scale, and the test must be exact (ComponentsSpec
+    // pins equality of the two convergence rules).
+    def labelSum(l: DataFrame): java.math.BigDecimal = {
+      val r = l.agg(sum(col("comp").cast(DecimalType(38, 0)))).head()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    var prevSum = labelSum(labels)
+    var changed = true
     var iter = 0
-    while (changed > 0 && iter < 50) {
+    while (changed && iter < 50) {
       val msgs = edges2.join(labels, edges2("a") === labels("id"))
         .select(col("b").as("id"), col("comp"))
       val mins = labels.unionAll(msgs)
@@ -199,12 +228,13 @@ object Dedup {
         .select(col("x.id").as("id"),
           least(col("x.comp"), coalesce(col("ccomp"), col("x.comp"))).as("comp"))
       val next = jumped.localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") =!= col("prev")).count()
+      val nextSum = labelSum(next)
+      changed = prevSum.compareTo(nextSum) != 0
       labels = next
+      prevSum = nextSum
       iter += 1
     }
-    require(changed == 0, s"components did not converge in $iter rounds")
+    require(!changed, s"components did not converge in $iter rounds")
     labels
   }
 
@@ -247,13 +277,36 @@ object Dedup {
       nbDown.join(m, "u").select(col("v").as("a"), col("m").as("b"))
         .unionAll(m.select(col("u").as("a"), col("m").as("b")))
     }
+    // Convergence probe cost (r12 verdict #4): the exact fixpoint test
+    // is two exceptAll shuffles PER ROUND — the dominant driver-latency
+    // cost of the loop. Replace the per-round probes with a one-job
+    // set SIGNATURE of the (canonical, distinct) edge set — count plus
+    // an exact decimal sum of per-edge 64-bit hashes (decimal so the
+    // sum can't overflow under ANSI; order-independent, duplicate-free
+    // by canon's distinct) — and run the exact two-sided exceptAll
+    // test ONLY when signatures match. A hash collision before the
+    // true fixpoint fails the exact confirm and the loop continues, so
+    // the cheap probe can never terminate early — it only decides WHEN
+    // to pay the exact test, which now runs once at convergence
+    // instead of every round (ComponentsSpec pins label equality of
+    // the two convergence rules).
+    def sig(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("l"), col("g")).cast(DecimalType(38, 0)))).head()
+      (r.getLong(0), if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+    }
     var edges = canon(edgesIn).localCheckpoint()
+    var prevSig = sig(edges)
     var rounds = 0
-    var done = edges.isEmpty
+    var done = prevSig._1 == 0L
     while (!done && rounds < maxRounds) {
       val next = canon(smallStar(canon(largeStar(edges)))).localCheckpoint()
-      done = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      val nextSig = sig(next)
+      done = prevSig._1 == nextSig._1 &&
+        prevSig._2.compareTo(nextSig._2) == 0 &&
+        next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
       edges = next
+      prevSig = nextSig
       rounds += 1
     }
     require(done, s"large/small-star did not converge in $rounds rounds")
@@ -268,11 +321,15 @@ object Dedup {
     * once (the size probe and the chosen algorithm both read them; the
     * pair pipeline must not rerun), contract small graphs to a single
     * executor-task union-find, propagate large ones distributed. */
-  private[graft] def minhashComponents(s: SparkSession, d: String): DataFrame = {
-    val edges = minhashCandidatePairs(s, d).localCheckpoint()
-    if (edges.count() <= SmallGraphEdges) componentsContracted(edges)
-    else componentsDistributed(edges)
-  }
+  private[graft] def minhashComponents(s: SparkSession, d: String): DataFrame =
+    compsMemo(s, d) {
+      // pairs come back already checkpointed from the memo — the size
+      // probe and the chosen algorithm read persisted blocks, never
+      // rerunning the pair pipeline
+      val edges = minhashCandidatePairs(s, d)
+      if (edges.count() <= SmallGraphEdges) componentsContracted(edges)
+      else componentsDistributed(edges)
+    }
 
   val qDedupComponents: Q = (s, d) =>
     minhashComponents(s, d).orderBy("id")
@@ -295,10 +352,8 @@ object Dedup {
     * shuffles. At 100 TB the components come from the materialized
     * artifact ([[buildArtifacts]]) instead of a rebuild. */
   val qClusterSplit: Q = (s, d) => {
-    val edges = minhashCandidatePairs(s, d).localCheckpoint()
-    val comps =
-      if (edges.count() <= SmallGraphEdges) componentsContracted(edges)
-      else componentsDistributed(edges)
+    val edges = minhashCandidatePairs(s, d)
+    val comps = minhashComponents(s, d)
     val assigned = Tables.documents(s, d).select(col("doc_id"))
       .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .withColumn("comp", coalesce(col("comp"), col("doc_id")))
@@ -346,12 +401,10 @@ object Dedup {
     * min/max pruning) and component labels (clustered on `id`). */
   def buildArtifacts(s: SparkSession, d: String, out: String,
       targetBytes: Long = 64L << 20): Unit = {
-    val pairs = minhashCandidatePairs(s, d).localCheckpoint()
+    val pairs = minhashCandidatePairs(s, d)
     OutputLayout.writeSized(pairs, s"$out/candidate_pairs", targetBytes, Seq("a", "b"))
-    val comps =
-      if (pairs.count() <= SmallGraphEdges) componentsContracted(pairs)
-      else componentsDistributed(pairs)
-    OutputLayout.writeSized(comps, s"$out/components", targetBytes, Seq("id"))
+    OutputLayout.writeSized(minhashComponents(s, d), s"$out/components",
+      targetBytes, Seq("id"))
     // if a prior run's artifacts under `out` were read through Tables,
     // same-session readers must not keep the stale file listing
     Tables.invalidate(out)
@@ -794,13 +847,10 @@ object Dedup {
     * appear in some candidate pair (broadcast semi-filter) — at the
     * 0.84-threshold band config that is a small fraction of the
     * corpus. */
-  val qLshPrecision: Q = (s, d) => {
-    // localCheckpoint, not persist: same single-computation guarantee
-    // for the branches below, but the blocks are context-cleaned when
-    // the frame is GC'd — repeated calls in a long-lived session do
-    // not accumulate cached blocks
-    lshPrecisionFrom(s, d, minhashCandidatePairs(s, d).localCheckpoint())
-  }
+  val qLshPrecision: Q = (s, d) =>
+    // the memoized pair frame is already checkpointed — the branches
+    // below all read persisted blocks
+    lshPrecisionFrom(s, d, minhashCandidatePairs(s, d))
 
   private def lshPrecisionFrom(s: SparkSession, d: String, cand: DataFrame): DataFrame = {
     // unhinted semi-filter (r9 "weak" flag): the candidate-doc set is

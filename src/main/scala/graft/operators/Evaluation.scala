@@ -24,6 +24,20 @@ object Evaluation {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** DECIMAL(38,0) → BIGINT that FAILS LOUDLY past ±(2⁶³−1) instead of
+    * Spark's silent non-ANSI wrap. The pair-count columns this guards
+    * (u2x here, n_conc/n_disc in [[qKendallTau]]) are n²-scale and
+    * exceed int64 past ~2-4B docs/source; the DuckDB oracle's
+    * CAST(HUGEINT AS BIGINT) already raises there, so without the
+    * guard the two engines failed DIFFERENTLY — DuckDB with an error,
+    * Spark with a wrapped value (ADVICE r12). raise_error makes the
+    * failure symmetric: both engines now stop at the bound. */
+  private def bigintExact(c: Column, what: String): Column =
+    when(c.between(lit(Long.MinValue).cast(DecimalType(38, 0)),
+        lit(Long.MaxValue).cast(DecimalType(38, 0))), c.cast(LongType))
+      .otherwise(raise_error(
+        concat(lit(s"$what overflows BIGINT: "), c.cast("string"))).cast(LongType))
+
   /** q_roc_auc — per-source ROC-AUC of a length-based relevance score
     * against the `lang = 'en'` binary label, via the Mann-Whitney
     * rank statistic: AUC = (Σ r̄⁺ − n⁺(n⁺+1)/2) / (n⁺ n⁻) with
@@ -379,9 +393,11 @@ object Evaluation {
       .select(col("sa").as("source_a"), col("sb").as("source_b"),
         col("n1"), col("n2"),
         // BIGINT out (no-DECIMAL-output contract): u2x = 2·U₁ ≤ 2·n1·n2
-        // fits int64 below ~3B docs/source; decimal only INSIDE the agg
-        (col("r1x2") - col("n1").cast(dec) * (col("n1") + 1))
-          .cast(LongType).as("u2x"),
+        // fits int64 below ~3B docs/source; decimal only INSIDE the
+        // agg, and [[bigintExact]] raises at the bound like the
+        // oracle's HUGEINT→BIGINT cast does
+        bigintExact(col("r1x2") - col("n1").cast(dec) * (col("n1") + 1),
+          "u2x").as("u2x"),
         expr("""((r1x2 - cast(n1 as decimal(38,0)) * (n1 + 1)) * 500)
                div (cast(n1 as decimal(38,0)) * n2)""")
           .cast(LongType).as("cles_permille"))
@@ -529,8 +545,8 @@ object Evaluation {
       .filter(col("n") >= 2)
       .withColumn("n0", expr("cast(n as decimal(38,0)) * (n - 1) div 2"))
       .select(col("source"), col("n"),
-        col("p").cast(LongType).as("n_conc"),
-        col("q").cast(LongType).as("n_disc"),
+        bigintExact(col("p"), "n_conc").as("n_conc"),
+        bigintExact(col("q"), "n_disc").as("n_disc"),
         col("n_ties_x"), col("n_ties_y"),
         // additive-shift floor: |P−Q| ≤ n0 so the permille is in
         // [−1000, 1000]; +1001·n0 makes the dividend non-negative in

