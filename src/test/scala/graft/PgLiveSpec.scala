@@ -32,6 +32,13 @@ import graft.crawl.{Crawl, PgDdl}
   * If the PostgreSQL server binaries are absent the tests cancel
   * (documented environment block), keeping the suite green elsewhere.
   */
+object PgLiveSpec {
+  /** Poison flag for the exactly-once leg: local-mode executors share
+    * the JVM, so one static boolean injects a first-pull-only task
+    * failure into a lazily-evaluated partition iterator. */
+  val tripped = new java.util.concurrent.atomic.AtomicBoolean(false)
+}
+
 class PgLiveSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val pgBin: Option[String] =
@@ -236,6 +243,86 @@ class PgLiveSpec extends AnyFunSuite with BeforeAndAfterAll {
          |  count(*) FILTER (WHERE (entry->>'time')::bigint > 0)
          |FROM $schema.status""".stripMargin)
     assert(c4 == 0 && ev.trim == "8|8", s"jsonb entries must be queryable: $ev")
+  }
+
+  test("exactly-once tx sink: a partition killed mid-COPY appends zero duplicates on retry") {
+    live()
+    val txSchema = "storcrawl_tx"
+    runSeq(PgDdl.schemaBootstrap(txSchema, "postgres"))
+    val spark = SparkSpec.session
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "pgtxtree")
+    (1 to 9).foreach { i =>
+      Files.write(root.resolve(f"f$i%02d.txt"), s"content $i".getBytes("UTF-8"))
+    }
+    val crawled = graft.crawl.Crawl.run(spark, Seq(root.toString))
+    val want = crawled.count()
+    assert(want >= 9L)
+
+    // Rebuild the frame over a 3-partition RDD with a LAZY poison in
+    // the final (result) stage: the marker row THROWS the first time
+    // any task pulls it — i.e. while writeFilesViaWireTx's single COPY
+    // is mid-stream, after earlier rows of that partition already went
+    // down the wire. local[4] has task maxFailures=1, so the job
+    // fails; the retry is the whole-write replay with the SAME
+    // writeId, which is the identical code path a cluster-mode task
+    // retry takes through the ledger (claim-conflict skip for
+    // partitions that committed, clean single append for the one the
+    // server rolled back).
+    val marker = crawled.orderBy("path").select("path")
+      .collect().last.getString(0)
+    PgLiveSpec.tripped.set(false)
+    val rows = crawled.collect().toSeq.sortBy(_.getString(0))
+    val poisoned = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 3).map { r =>
+        if (r.getString(0) == marker &&
+            !PgLiveSpec.tripped.getAndSet(true))
+          throw new RuntimeException("injected mid-COPY task kill")
+        r
+      }, crawled.schema)
+
+    val attempt1 = intercept[org.apache.spark.SparkException] {
+      Crawl.writeFilesViaWireTx(poisoned, base.toString, port,
+        "postgres", "postgres", txSchema, writeId = "w1", numPartitions = 0)
+    }
+    assert(attempt1.getMessage.contains("injected mid-COPY task kill") ||
+      Option(attempt1.getCause).exists(_.getMessage.contains("injected")),
+      s"unexpected failure: ${attempt1.getMessage}")
+    // the killed partition's open transaction rolled back server-side:
+    // whatever landed is exactly what the ledger claims, nothing more
+    val (a0, audit) = psql(
+      s"""SELECT (SELECT count(*) FROM $txSchema.files) -
+         |       (SELECT coalesce(sum(n_rows), 0) FROM $txSchema.write_ledger)""".stripMargin)
+    assert(a0 == 0 && audit.trim == "0",
+      s"files rows must equal the ledger audit after a mid-COPY kill: $audit")
+    val (p0, partial) = psql(s"SELECT count(*) FROM $txSchema.files")
+    assert(p0 == 0 && partial.trim.toLong < want,
+      "the killed partition must NOT have landed")
+
+    // retry: same frame, same writeId — committed partitions skip via
+    // the ledger claim, the rolled-back one appends exactly once
+    val appended = Crawl.writeFilesViaWireTx(poisoned, base.toString, port,
+      "postgres", "postgres", txSchema, writeId = "w1", numPartitions = 0)
+    assert(appended == want - partial.trim.toLong,
+      "retry must append exactly the rolled-back partition")
+    val (c0, cnt) = psql(s"SELECT count(*) FROM $txSchema.files")
+    assert(c0 == 0 && cnt.trim.toLong == want, s"total must be exact: $cnt")
+    val (d0, dups) = psql(
+      s"SELECT count(*) FROM (SELECT path FROM $txSchema.files " +
+        "GROUP BY path HAVING count(*) > 1) d")
+    assert(d0 == 0 && dups.trim == "0", s"zero duplicate rows required: $dups")
+
+    // full-write replay (driver retry / re-run of the same logical
+    // write): every partition's claim conflicts, nothing is appended
+    val replay = Crawl.writeFilesViaWireTx(poisoned, base.toString, port,
+      "postgres", "postgres", txSchema, writeId = "w1", numPartitions = 0)
+    assert(replay == 0L, "idempotent replay must append nothing")
+    val (r0, rcnt) = psql(s"SELECT count(*) FROM $txSchema.files")
+    assert(r0 == 0 && rcnt.trim.toLong == want)
+    // and the ledger audit still reconciles the table exactly
+    val (l0, ledger) = psql(
+      s"SELECT sum(n_rows), count(*) FROM $txSchema.write_ledger")
+    assert(l0 == 0 && ledger.trim == s"$want|3", s"ledger audit: $ledger")
   }
 
   test("reporting role bootstrap: live SELECT granted, INSERT denied") {
