@@ -667,7 +667,235 @@ object Evaluation {
       .orderBy("source")
   }
 
+  /** q_kruskal_wallis — Kruskal–Wallis H across ALL sources at once on
+    * document length: the k-sample extension of [[qMannWhitney]] (one
+    * omnibus rank test instead of k² pairwise readouts — the right
+    * first question when comparing many sources' length profiles).
+    * Emits per-source rank sums and deviations plus the corpus H and
+    * its tie-corrected form, every number exact-integer.
+    *
+    * Distributed-exact trick: global midranks come from the VALUE
+    * HISTOGRAM, never row sorting — and the histogram's cumulative
+    * runs as a TWO-LEVEL decomposition (the X136 pattern): a
+    * within-block window partitioned by `v div 4096` (≤ 4096 rows per
+    * partition, bounded by construction) plus one block-level window
+    * over domain/4096 rows. No unpartitioned corpus-sized sort
+    * anywhere; the oracle uses the plain single window (same values —
+    * prefix sums are associative). Doubled midranks
+    * (midrank2 = 2·|{u<v}| + c_v + 1) keep ties integral.
+    *
+    * Exactness: H = 3/(N(N+1))·Σᵢ devᵢ²/nᵢ with devᵢ = ranksum2ᵢ −
+    * nᵢ(N+1) (the doubled deviation); per-source dev²·10⁶ div n floors
+    * once per source (stated contract), tie correction applies as a
+    * separate ppm factor so no term needs more than DECIMAL(38,0) —
+    * dev² bounds the contract at ~4B rows, where [[bigintExact]]
+    * fails loudly in both engines. Degenerate corpora guard: n<2 emits
+    * nothing; an all-tied corpus emits a NULL tie-corrected H. */
+  val qKruskalWallis: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val base = Tables.documents(s, d)
+      .filter(col("n_chars").isNotNull)
+      .select(col("source"), col("n_chars").cast(LongType).as("v"))
+    val hist = base.groupBy("v").agg(count(lit(1)).as("cv"))
+      .localCheckpoint() // feeds ranks, ties, and the total below
+    val blocked = hist.withColumn("blk", expr("v div 4096"))
+    val wInBlk = Window.partitionBy("blk").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // block-level window: domain/4096 rows by construction (document
+    // lengths, not documents) — the bounded-frame contract
+    val wBlk = Window.orderBy("blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blkCum = blocked.groupBy("blk").agg(sum("cv").as("bc"))
+      .withColumn("bcum", coalesce(sum("bc").over(wBlk), lit(0L)))
+    val ranked = blocked
+      .withColumn("inblk", coalesce(sum("cv").over(wInBlk), lit(0L)))
+      .join(blkCum.select("blk", "bcum"), Seq("blk"))
+      .withColumn("midrank2",
+        lit(2L) * (col("bcum") + col("inblk")) + col("cv") + lit(1L))
+    val tot = hist.agg(sum("cv").cast(LongType).as("n_total"))
+      .filter(col("n_total") >= 2)
+    val parts = base.groupBy("source", "v").agg(count(lit(1)).as("c"))
+      .join(ranked.select("v", "midrank2"), Seq("v"))
+      .groupBy("source")
+      .agg(sum("c").cast(LongType).as("n"),
+        sum(col("c").cast(dec) * col("midrank2")).cast(dec).as("rs2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("dv",
+        col("rs2") - col("n").cast(dec) * (col("n_total").cast(dec) + lit(1L)))
+      .withColumn("dev2_n_micro", expr("(dv * dv * 1000000) div n"))
+    val ties = hist.agg(
+      sum(expr("cast(cv as decimal(38,0)) * cv * cv - cv")).cast(dec)
+        .as("tie_num"))
+    val gstat = parts.groupBy("n_total")
+      .agg(sum("dev2_n_micro").cast(dec).as("ssum"))
+      .withColumn("h_micro",
+        expr("(3 * ssum) div (cast(n_total as decimal(38,0)) * (n_total + 1))"))
+      .crossJoin(broadcast(ties))
+      .withColumn("n3n",
+        expr("cast(n_total as decimal(38,0)) * n_total * n_total - n_total"))
+      .withColumn("tie_ppm", expr("((n3n - tie_num) * 1000000) div n3n"))
+      .select(col("n_total").as("nt"), col("h_micro"), col("tie_ppm"))
+    parts.join(broadcast(gstat), col("n_total") === col("nt"))
+      .select(col("source"), col("n"),
+        bigintExact(col("rs2"), "ranksum2").as("ranksum2"),
+        bigintExact(col("dv"), "dev2x").as("dev2x"),
+        bigintExact(col("h_micro"), "h_micro").as("h_micro"),
+        col("tie_ppm").cast(LongType).as("tie_ppm"),
+        when(col("tie_ppm") > 0,
+          expr("(h_micro * 1000000) div tie_ppm")).cast(LongType)
+          .as("h_tiecorr_micro"))
+      .orderBy("source")
+  }
+
+  /** q_cramers_v — Cramér's V association between the corpus's two
+    * categorical axes (lang × source): the full-grid χ² (expected
+    * counts from the margins, ZERO cells included — they carry
+    * R·C/N each) and V² = χ²/(N·(min(r,c)−1)). THE one-number answer
+    * to "are languages evenly spread across sources, or do sources
+    * specialize?" — a mixture design that assumes independence is
+    * wrong exactly when V is large.
+    *
+    * Exact-integer: each cell contributes ((O·N − R·C)²·10⁶) div
+    * (N·R·C) — a square over a positive divisor, so Spark's
+    * truncating div and DuckDB's flooring // agree; the grid is
+    * |langs|×|sources| (bounded dimension tables, broadcast), and V²
+    * is emitted rather than V (no sqrt — the determinism contract
+    * keeps everything in exact integers). O·N bounds the contract at
+    * ~4B rows; [[bigintExact]] fails loudly there. Degenerate 1×c /
+    * r×1 tables emit a NULL v2_micro. */
+  val qCramersV: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val cells = Tables.documents(s, d)
+      .filter(col("lang").isNotNull && col("source").isNotNull)
+      .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+      .localCheckpoint() // feeds margins and the grid below
+    val rowsT = cells.groupBy("lang").agg(sum("o").cast(LongType).as("r"))
+    val colsT = cells.groupBy("source").agg(sum("o").cast(LongType).as("c"))
+    val tot = cells.agg(sum("o").cast(LongType).as("n"))
+    val dims = rowsT.agg(count(lit(1)).as("nr"))
+      .crossJoin(colsT.agg(count(lit(1)).as("nc")))
+    val chi = rowsT.crossJoin(broadcast(colsT))
+      .join(cells, Seq("lang", "source"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(expr(
+        """((cast(o as decimal(38,0)) * n - cast(r as decimal(38,0)) * c)
+          | * (cast(o as decimal(38,0)) * n - cast(r as decimal(38,0)) * c)
+          | * 1000000) div (cast(n as decimal(38,0)) * r * c)"""
+          .stripMargin).as("term"))
+      .agg(sum("term").cast(dec).as("chi2m"))
+    chi.crossJoin(broadcast(tot)).crossJoin(broadcast(dims))
+      .select(col("n"),
+        col("nr").cast(LongType).as("n_rows"),
+        col("nc").cast(LongType).as("n_cols"),
+        bigintExact(col("chi2m"), "chi2_micro").as("chi2_micro"),
+        when(least(col("nr"), col("nc")) > 1,
+          expr("chi2m div (cast(n as decimal(38,0)) * (least(nr, nc) - 1))"))
+          .cast(LongType).as("v2_micro"))
+  }
+
+  /** The three keep rules the multi-rater audits score, one frame:
+    * rule A and B verbatim from [[qMcnemarFilters]] (stopword-ratio
+    * and mean-token-length), rule C a plain length fence
+    * (120 ≤ n_chars ≤ 2000). Three INDEPENDENT mechanisms — ratio,
+    * shape, size — is what makes their agreement statistics
+    * informative rather than circular. */
+  private def keepRules3(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("text").isNotNull && col("n_chars").isNotNull)
+      .select(col("source"),
+        graft.operators.Packing.wsTokens(col("text")).as("nt"),
+        TextStats.nStop4(col("text")).as("ns"),
+        col("n_chars").cast(LongType).as("len"))
+      .filter(col("nt") >= 1)
+      .withColumn("ra",
+        (expr("(ns * 100) div nt") >= 3 && col("nt") >= 10).cast(LongType))
+      .withColumn("rb",
+        (col("nt") >= 10 && expr("len div nt").between(3L, 12L))
+          .cast(LongType))
+      .withColumn("rc", col("len").between(120L, 2000L).cast(LongType))
+
+  /** q_cochran_q — Cochran's Q omnibus test across the THREE keep
+    * rules of [[keepRules3]], per source: do the rules' keep rates
+    * differ beyond what their shared per-document randomness explains?
+    * The k-rule generalization of [[qMcnemarFilters]] (k=2 McNemar is
+    * its special case) — the right gate before swapping any one rule
+    * of a cascade, because rule-marginals can differ while the
+    * cascade's outcome doesn't, and vice versa.
+    *
+    * Exact: Q = (k−1)(k·ΣCⱼ² − T²)/(k·T − ΣRᵢ²) with k=3; the
+    * numerator is ≥ 0 by Cauchy–Schwarz and the denominator ≥ 0
+    * always (Rᵢ ≤ k), so permille division is floor-consistent in
+    * both engines; all-unanimous sources (denominator 0) emit NULL.
+    * One scan, one |sources|-group rollup. */
+  val qCochranQ: Q = (s, d) => {
+    keepRules3(s, d)
+      .withColumn("r", col("ra") + col("rb") + col("rc"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum("ra").cast(LongType).as("keep_a"),
+        sum("rb").cast(LongType).as("keep_b"),
+        sum("rc").cast(LongType).as("keep_c"),
+        sum(expr("r")).cast(LongType).as("t"),
+        sum(expr("r * r")).cast(LongType).as("sum_r2"))
+      .withColumn("q_milli",
+        when(expr("3 * t - sum_r2") > 0,
+          expr("""(2 * (3 * (cast(keep_a as decimal(38,0)) * keep_a
+                 + cast(keep_b as decimal(38,0)) * keep_b
+                 + cast(keep_c as decimal(38,0)) * keep_c)
+                 - cast(t as decimal(38,0)) * t) * 1000)
+                 div (3 * t - sum_r2)"""))
+          .cast(LongType))
+      .select("source", "n", "keep_a", "keep_b", "keep_c", "q_milli")
+      .orderBy("source")
+  }
+
+  /** q_fleiss_kappa — Fleiss' κ inter-rater agreement of the same
+    * three keep rules ([[keepRules3]]), per source: the
+    * chance-corrected DEGREE of agreement (where [[qCochranQ]] tests
+    * for marginal differences — the two are the standard pair of
+    * multi-rater readouts). m=3 raters, binary categories: per-doc
+    * pair agreement is R(R−1)+(3−R)(2−R) of 6; chance agreement is
+    * p² + (1−p)² at the pooled keep rate.
+    *
+    * Exact: P̄ and P̄ₑ in micros (floored once each — stated
+    * contract); κ_milli uses the additive-shift floor
+    * ((P̄−P̄ₑ)·1000 + (10⁶−P̄ₑ)·2000) div (10⁶−P̄ₑ) − 2000, so
+    * Spark's truncate-toward-zero and DuckDB's floor agree on
+    * negative κ (the shift covers κ ≥ −2; binary-m=3 κ is ≥ −½).
+    * Perfect-chance sources (P̄ₑ = 10⁶, all docs unanimously one
+    * side) emit NULL. */
+  val qFleissKappa: Q = (s, d) => {
+    keepRules3(s, d)
+      .withColumn("r", col("ra") + col("rb") + col("rc"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("r")).cast(LongType).as("t"),
+        sum(expr("r * (r - 1) + (3 - r) * (2 - r)")).cast(LongType)
+          .as("pbar_num"))
+      .withColumn("pbar_micro",
+        expr("(cast(pbar_num as decimal(38,0)) * 1000000) div (6 * n)")
+          .cast(LongType))
+      .withColumn("pe_micro",
+        expr("""((cast(t as decimal(38,0)) * t
+               + (3 * cast(n as decimal(38,0)) - t)
+               * (3 * cast(n as decimal(38,0)) - t)) * 1000000)
+               div (9 * cast(n as decimal(38,0)) * n)""").cast(LongType))
+      .withColumn("kappa_milli",
+        when(col("pe_micro") < 1000000L,
+          expr("""((pbar_micro - pe_micro) * 1000
+                 + (1000000 - pe_micro) * 2000)
+                 div (1000000 - pe_micro) - 2000"""))
+          .cast(LongType))
+      .select("source", "n", "pbar_micro", "pe_micro", "kappa_milli")
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_kruskal_wallis" -> qKruskalWallis,
+    "q_cramers_v" -> qCramersV,
+    "q_cochran_q" -> qCochranQ,
+    "q_fleiss_kappa" -> qFleissKappa,
     "q_kendall_tau" -> qKendallTau,
     "q_wasserstein_1d" -> qWasserstein1d,
     "q_mcnemar_filters" -> qMcnemarFilters,
@@ -682,6 +910,151 @@ object Evaluation {
     "q_ols_trend" -> qOlsTrend)
 
   val oracle: Map[String, String] = Map(
+    "q_kruskal_wallis" ->
+      // the oracle's cumulative is the plain single window; the Spark
+      // side runs the two-level blocked decomposition — identical
+      // values (prefix sums are associative), different scale story
+      """WITH base AS (
+        |  SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents
+        |  WHERE n_chars IS NOT NULL),
+        |hist AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS cv FROM base GROUP BY v),
+        |ranked AS (
+        |  SELECT v, cv,
+        |    2 * COALESCE(SUM(cv) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cv + 1
+        |      AS midrank2
+        |  FROM hist),
+        |tot AS (SELECT CAST(SUM(cv) AS BIGINT) AS n_total FROM hist
+        |        HAVING SUM(cv) >= 2),
+        |parts AS (
+        |  SELECT p.source, p.n, p.ranksum2, p.n_total,
+        |    p.ranksum2 - CAST(p.n AS HUGEINT) * (p.n_total + 1) AS dv
+        |  FROM (
+        |    SELECT b.source, CAST(COUNT(*) AS BIGINT) AS n,
+        |      CAST(SUM(r.midrank2) AS HUGEINT) AS ranksum2, n_total
+        |    FROM base b JOIN ranked r ON b.v = r.v CROSS JOIN tot
+        |    GROUP BY b.source, n_total) p),
+        |ties AS (
+        |  SELECT CAST(SUM(CAST(cv AS HUGEINT) * cv * cv - cv) AS HUGEINT)
+        |    AS tie_num
+        |  FROM hist),
+        |gstat AS (
+        |  SELECT n_total,
+        |    (3 * SUM((dv * dv * 1000000) // n))
+        |      // (CAST(n_total AS HUGEINT) * (n_total + 1)) AS h_micro,
+        |    ((CAST(n_total AS HUGEINT)*n_total*n_total - n_total - tie_num)
+        |      * 1000000)
+        |      // (CAST(n_total AS HUGEINT)*n_total*n_total - n_total)
+        |      AS tie_ppm
+        |  FROM parts CROSS JOIN ties GROUP BY n_total, tie_num)
+        |SELECT p.source, p.n, CAST(p.ranksum2 AS BIGINT) AS ranksum2,
+        |  CAST(p.dv AS BIGINT) AS dev2x,
+        |  CAST(g.h_micro AS BIGINT) AS h_micro,
+        |  CAST(g.tie_ppm AS BIGINT) AS tie_ppm,
+        |  CAST(CASE WHEN g.tie_ppm > 0
+        |    THEN (g.h_micro * 1000000) // g.tie_ppm END AS BIGINT)
+        |    AS h_tiecorr_micro
+        |FROM parts p CROSS JOIN gstat g
+        |ORDER BY p.source""".stripMargin,
+    "q_cramers_v" ->
+      """WITH cells AS (
+        |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM documents
+        |  WHERE lang IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2),
+        |rows_t AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+        |cols_t AS (SELECT source, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+        |grid AS (
+        |  SELECT rt.r, ct.c, COALESCE(cells.o, 0) AS o
+        |  FROM rows_t rt CROSS JOIN cols_t ct
+        |  LEFT JOIN cells ON cells.lang = rt.lang AND cells.source = ct.source),
+        |chi AS (
+        |  SELECT SUM(
+        |    ((CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+        |     * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c) * 1000000)
+        |    // (CAST(n AS HUGEINT) * r * c)) AS chi2m
+        |  FROM grid CROSS JOIN tot),
+        |dims AS (SELECT (SELECT COUNT(*) FROM rows_t) AS nr,
+        |                (SELECT COUNT(*) FROM cols_t) AS nc)
+        |SELECT n, CAST(nr AS BIGINT) AS n_rows, CAST(nc AS BIGINT) AS n_cols,
+        |  CAST(chi2m AS BIGINT) AS chi2_micro,
+        |  CAST(CASE WHEN LEAST(nr, nc) > 1
+        |    THEN chi2m // (CAST(n AS HUGEINT) * (LEAST(nr, nc) - 1)) END
+        |    AS BIGINT) AS v2_micro
+        |FROM chi CROSS JOIN tot CROSS JOIN dims""".stripMargin,
+    "q_cochran_q" -> {
+      val nStop = TextStats.nStop4Duck
+      s"""WITH rules AS (
+        |  SELECT source,
+        |    CASE WHEN (n_stop * 100) // nt >= 3 AND nt >= 10
+        |      THEN 1 ELSE 0 END AS ra,
+        |    CASE WHEN nt >= 10 AND len // nt BETWEEN 3 AND 12
+        |      THEN 1 ELSE 0 END AS rb,
+        |    CASE WHEN len BETWEEN 120 AND 2000 THEN 1 ELSE 0 END AS rc
+        |  FROM (SELECT source,
+        |          CAST(length(text) - length(replace(text, ' ', '')) + 1
+        |            AS BIGINT) AS nt,
+        |          $nStop AS n_stop,
+        |          CAST(n_chars AS BIGINT) AS len
+        |        FROM documents
+        |        WHERE text IS NOT NULL AND n_chars IS NOT NULL)
+        |  WHERE nt >= 1),
+        |agg AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(ra) AS BIGINT) AS keep_a,
+        |    CAST(SUM(rb) AS BIGINT) AS keep_b,
+        |    CAST(SUM(rc) AS BIGINT) AS keep_c,
+        |    CAST(SUM(ra + rb + rc) AS BIGINT) AS t,
+        |    CAST(SUM((ra + rb + rc) * (ra + rb + rc)) AS BIGINT) AS sum_r2
+        |  FROM rules GROUP BY source)
+        |SELECT source, n, keep_a, keep_b, keep_c,
+        |  CAST(CASE WHEN 3 * t - sum_r2 > 0 THEN
+        |    (2 * (3 * (CAST(keep_a AS HUGEINT) * keep_a
+        |         + CAST(keep_b AS HUGEINT) * keep_b
+        |         + CAST(keep_c AS HUGEINT) * keep_c)
+        |         - CAST(t AS HUGEINT) * t) * 1000)
+        |    // (3 * t - sum_r2) END AS BIGINT) AS q_milli
+        |FROM agg ORDER BY source""".stripMargin
+    },
+    "q_fleiss_kappa" -> {
+      val nStop = TextStats.nStop4Duck
+      s"""WITH rules AS (
+        |  SELECT source,
+        |    (CASE WHEN (n_stop * 100) // nt >= 3 AND nt >= 10
+        |       THEN 1 ELSE 0 END)
+        |    + (CASE WHEN nt >= 10 AND len // nt BETWEEN 3 AND 12
+        |       THEN 1 ELSE 0 END)
+        |    + (CASE WHEN len BETWEEN 120 AND 2000 THEN 1 ELSE 0 END) AS r
+        |  FROM (SELECT source,
+        |          CAST(length(text) - length(replace(text, ' ', '')) + 1
+        |            AS BIGINT) AS nt,
+        |          $nStop AS n_stop,
+        |          CAST(n_chars AS BIGINT) AS len
+        |        FROM documents
+        |        WHERE text IS NOT NULL AND n_chars IS NOT NULL)
+        |  WHERE nt >= 1),
+        |agg AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(r) AS BIGINT) AS t,
+        |    CAST(SUM(r * (r - 1) + (3 - r) * (2 - r)) AS BIGINT) AS pbar_num
+        |  FROM rules GROUP BY source),
+        |scaled AS (
+        |  SELECT source, n,
+        |    CAST((CAST(pbar_num AS HUGEINT) * 1000000) // (6 * n) AS BIGINT)
+        |      AS pbar_micro,
+        |    CAST(((CAST(t AS HUGEINT) * t
+        |         + (3 * CAST(n AS HUGEINT) - t) * (3 * CAST(n AS HUGEINT) - t))
+        |         * 1000000)
+        |      // (9 * CAST(n AS HUGEINT) * n) AS BIGINT) AS pe_micro
+        |  FROM agg)
+        |SELECT source, n, pbar_micro, pe_micro,
+        |  CAST(CASE WHEN pe_micro < 1000000 THEN
+        |    ((CAST(pbar_micro AS HUGEINT) - pe_micro) * 1000
+        |     + (1000000 - CAST(pe_micro AS HUGEINT)) * 2000)
+        |    // (1000000 - pe_micro) - 2000 END AS BIGINT) AS kappa_milli
+        |FROM scaled ORDER BY source""".stripMargin
+    },
     "q_kendall_tau" -> {
       val nStop = TextStats.nStop4Duck
       s"""WITH base AS (

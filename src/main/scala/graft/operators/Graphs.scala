@@ -295,7 +295,48 @@ object Graphs {
           ELSE 0 END AS BIGINT)""").as("assort_permille"))
   }
 
+  /** q_harmonic_centrality — radius-2 harmonic centrality of every
+    * node in the minhash candidate graph: HC₂(v) = Σ_{u≠v, d(v,u)≤2}
+    * 1/d(v,u) = deg(v) + |N₂(v)|/2, emitted exact as
+    * hc_permille = 1000·deg + 500·|N₂|. The influence ranking a dedup
+    * triage wants — unlike raw degree it sees THROUGH one hop (a
+    * template hub's near-neighbors inherit centrality), and unlike
+    * PageRank it needs no iteration: two equi-joins, done.
+    *
+    * Scale shape: N₂ is neighbors-of-neighbors (one self-join of the
+    * symmetric edge list on the shared middle vertex) minus self and
+    * direct neighbors (one anti-join), DISTINCT'd before counting —
+    * all candidate-graph-sized, the same wedge frame as
+    * [[qDupTriangles]] (banded LSH bounds it; a hub's wedge set
+    * squares, which is the identical, accepted skew story as the
+    * triangle census — salting applies if a real corpus's hub degree
+    * demands it). Reads the memoized spine, so the report family
+    * prices the candidate generator once per session. */
+  val qHarmonicCentrality: Q = (s, d) => {
+    val edges = Dedup.minhashCandidatePairs(s, d).select(col("a"), col("b"))
+    val sym = edges.select(col("a").as("v"), col("b").as("nbr"))
+      .unionAll(edges.select(col("b").as("v"), col("a").as("nbr")))
+      .localCheckpoint() // three consumers: deg, wedge join, anti join
+    val deg = sym.groupBy("v").agg(count(lit(1)).as("deg"))
+    val two = sym.as("s1")
+      .join(sym.as("s2"), col("s1.nbr") === col("s2.v"))
+      .filter(col("s2.nbr") =!= col("s1.v"))
+      .select(col("s1.v").as("v"), col("s2.nbr").as("u"))
+      .distinct()
+    val dist2 = two.join(sym.withColumnRenamed("nbr", "u"),
+        Seq("v", "u"), "left_anti")
+      .groupBy("v").agg(count(lit(1)).as("n2"))
+    deg.join(dist2, Seq("v"), "left")
+      .select(col("v").cast(LongType).as("doc_id"),
+        col("deg").cast(LongType).as("deg"),
+        coalesce(col("n2"), lit(0L)).cast(LongType).as("n_dist2"),
+        (lit(1000L) * col("deg") + lit(500L) * coalesce(col("n2"), lit(0L)))
+          .cast(LongType).as("hc_permille"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_harmonic_centrality" -> qHarmonicCentrality,
     "q_assortativity" -> qAssortativity,
     "q_pagerank_step" -> qPagerankStep,
     "q_kcore_prune" -> qKcorePrune,
@@ -329,6 +370,28 @@ object Graphs {
   }.mkString(",\n")
 
   val oracle: Map[String, String] = Map(
+    "q_harmonic_centrality" ->
+      ("WITH " + Dedup.minhashCandCte + ",\n" +
+      """sym AS (SELECT a AS v, b AS nbr FROM cand
+        |         UNION ALL SELECT b, a FROM cand),
+        |deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS deg
+        |        FROM sym GROUP BY v),
+        |two AS (
+        |  SELECT DISTINCT s1.v, s2.nbr AS u
+        |  FROM sym s1 JOIN sym s2 ON s1.nbr = s2.v
+        |  WHERE s2.nbr <> s1.v),
+        |dist2 AS (
+        |  SELECT t.v, CAST(COUNT(*) AS BIGINT) AS n2
+        |  FROM two t
+        |  LEFT JOIN sym s ON s.v = t.v AND s.nbr = t.u
+        |  WHERE s.nbr IS NULL
+        |  GROUP BY t.v)
+        |SELECT CAST(d.v AS BIGINT) AS doc_id, d.deg,
+        |  CAST(COALESCE(d2.n2, 0) AS BIGINT) AS n_dist2,
+        |  CAST(1000 * d.deg + 500 * COALESCE(d2.n2, 0) AS BIGINT)
+        |    AS hc_permille
+        |FROM deg d LEFT JOIN dist2 d2 ON d2.v = d.v
+        |ORDER BY doc_id""".stripMargin),
     "q_degree_histogram" ->
       ("WITH " + Dedup.minhashCandCte + ",\n" +
       """deg AS (

@@ -262,7 +262,35 @@ object Packing {
       .orderBy("n_docs", "n_sources")
   }
 
+  /** q_pad_waste — length-bucketed batching waste curve: for each
+    * candidate bucket width w ∈ {64, 128, 256, 512}, the padding a
+    * pad-to-bucket batcher wastes when every document pads to the next
+    * multiple of w (⌈t/w⌉·w), as absolute tokens and as permille of
+    * padded volume. The complement of [[qPackChunks]]' concat-packing:
+    * when sequences must NOT cross document boundaries, bucketing is
+    * the standard layout, and this curve is how its width gets chosen
+    * (the knee is the budget decision). One scan, a 4× map-side
+    * explode, a 4-group rollup — nothing scale-relevant beyond the
+    * scan. */
+  val qPadWaste: Q = (s, d) => {
+    Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(wsTokens(col("text")).as("t"))
+      .select(col("t"), explode(array(lit(64L), lit(128L), lit(256L),
+        lit(512L))).as("bucket_w"))
+      .withColumn("padded", expr("((t + bucket_w - 1) div bucket_w) * bucket_w"))
+      .groupBy("bucket_w")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("t").cast(LongType).as("total_tokens"),
+        sum("padded").cast(LongType).as("total_padded"))
+      .withColumn("waste_permille",
+        expr("((total_padded - total_tokens) * 1000) div total_padded")
+          .cast(LongType))
+      .orderBy("bucket_w")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_pad_waste" -> qPadWaste,
     "q_pack_chunks" -> qPackChunks,
     "q_greedy_pack" -> qGreedyPack,
     "q_shard_plan" -> qShardPlan,
@@ -274,6 +302,18 @@ object Packing {
     s"CAST('0x' || substr(md5('pack|' || CAST($expr AS VARCHAR)), 1, 15) AS BIGINT) % $NShards"
 
   val oracle: Map[String, String] = Map(
+    "q_pad_waste" ->
+      """SELECT CAST(w AS BIGINT) AS bucket_w,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(t) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(((t + w - 1) // w) * w) AS BIGINT) AS total_padded,
+        |  CAST((SUM(((t + w - 1) // w) * w - t) * 1000)
+        |    // SUM(((t + w - 1) // w) * w) AS BIGINT) AS waste_permille
+        |FROM (SELECT CAST(length(text) - length(replace(text, ' ', '')) + 1
+        |        AS BIGINT) AS t
+        |      FROM documents WHERE text IS NOT NULL),
+        |  LATERAL (SELECT unnest(ARRAY[64, 128, 256, 512]) AS w)
+        |GROUP BY w ORDER BY w""".stripMargin,
     "q_pack_mix" ->
       s"""WITH base AS (
         |  SELECT doc_id, source,

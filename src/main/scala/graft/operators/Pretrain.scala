@@ -186,13 +186,117 @@ object Pretrain {
       .orderBy("source")
   }
 
+  /** q_unimax_mix — UniMax epoch-capped budget allocation (Chung et
+    * al., "UniMax: Fairer and More Effective Language Sampling for
+    * Large-Scale Multilingual Pretraining", ICLR 2023): given
+    * per-source token counts, a total token budget B = 1.2×corpus and
+    * an epoch cap of 1.25 epochs per source, water-fill the budget —
+    * every source gets an equal share except those whose cap binds,
+    * whose surplus redistributes to the rest. The standard fix for
+    * temperature sampling's pathology (tiny sources epoch'd into the
+    * hundreds); emitted per source with the resulting epoch count in
+    * milli-epochs.
+    *
+    * Distributed closed form, no sequential loop: sort sources
+    * ascending by cap; i is capped iff capᵢ·(n−i+1) + prefixᵢ₋₁ ≤ B,
+    * and that condition is PREFIX-CLOSED (caps ascend, so the LHS
+    * difference (capᵢ₊₁−capᵢ)(n−i) ≥ 0 — once false, always false;
+    * UnimaxSpec pins it against the sequential greedy). m = the last
+    * capped index; uncapped sources get ⌊(B − Σ₁..m cap)/(n−m)⌋ with
+    * the integer remainder assigned to the LAST source in (cap,
+    * source) order — same total as the greedy, assigned
+    * deterministically in ONE window pass over the |sources|-row
+    * rollup (bounded by construction; the corpus-sized work is just
+    * the token-count scan). */
+  val qUnimaxMix: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .groupBy("source")
+      .agg(sum(Packing.wsTokens(col("text"))).cast(LongType).as("n_tokens"))
+    val budget = tok.agg(expr("(sum(n_tokens) * 1200) div 1000")
+      .cast(LongType).as("b"))
+    val wOrd = Window.orderBy("cap", "source") // |sources| rows
+    val ordered = tok
+      .withColumn("cap", expr("(n_tokens * 1250) div 1000"))
+      .withColumn("idx", row_number().over(wOrd).cast(LongType))
+      .withColumn("ns", count(lit(1)).over(Window.partitionBy()).cast(LongType))
+      .withColumn("prefix_b", coalesce(sum("cap").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(budget))
+      .withColumn("is_capped",
+        (col("cap") * (col("ns") - col("idx") + 1L) + col("prefix_b")
+          <= col("b")).cast(LongType))
+      .localCheckpoint() // feeds both the m rollup and the allocation
+    val m = ordered.agg(
+      coalesce(max(when(col("is_capped") === 1L, col("idx"))), lit(0L))
+        .as("m"))
+    val capSum = ordered.crossJoin(broadcast(m))
+      .filter(col("idx") <= col("m"))
+      .agg(coalesce(sum("cap"), lit(0L)).as("capsum"))
+    ordered.crossJoin(broadcast(m)).crossJoin(broadcast(capSum))
+      .withColumn("allocated",
+        when(col("idx") <= col("m"), col("cap"))
+          .otherwise(expr("(b - capsum) div (ns - m)"))
+          + when(col("idx") === col("ns") && col("ns") > col("m"),
+              expr("(b - capsum) % (ns - m)")).otherwise(lit(0L)))
+      .select(col("source"), col("n_tokens"),
+        col("cap").cast(LongType).as("cap_tokens"),
+        col("allocated").cast(LongType).as("allocated"),
+        (col("idx") <= col("m")).cast(LongType).as("capped"),
+        expr("(allocated * 1000) div n_tokens").cast(LongType)
+          .as("epochs_milli"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_unimax_mix" -> qUnimaxMix,
     "q_bpe_merge" -> qBpeMerge,
     "q_domain_mix_round" -> qDomainMixRound,
     "q_span_corruption" -> qSpanCorruption,
     "q_vocab_overlap" -> qVocabOverlap)
 
   val oracle: Map[String, String] = Map(
+    "q_unimax_mix" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |    CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1)
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL GROUP BY source),
+        |budget AS (SELECT (SUM(n_tokens) * 1200) // 1000 AS b FROM tok),
+        |ordered AS (
+        |  SELECT source, n_tokens, (n_tokens * 1250) // 1000 AS cap,
+        |    ROW_NUMBER() OVER (ORDER BY (n_tokens * 1250) // 1000, source)
+        |      AS idx,
+        |    COUNT(*) OVER () AS ns,
+        |    COALESCE(SUM((n_tokens * 1250) // 1000) OVER (
+        |      ORDER BY (n_tokens * 1250) // 1000, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS prefix_b
+        |  FROM tok),
+        |cond AS (
+        |  SELECT ordered.*, b,
+        |    CASE WHEN cap * (ns - idx + 1) + prefix_b <= b
+        |      THEN 1 ELSE 0 END AS is_capped
+        |  FROM ordered CROSS JOIN budget),
+        |mrow AS (
+        |  SELECT COALESCE(MAX(CASE WHEN is_capped = 1 THEN idx END), 0) AS m
+        |  FROM cond),
+        |csum AS (
+        |  SELECT COALESCE(SUM(cap), 0) AS capsum
+        |  FROM cond CROSS JOIN mrow WHERE idx <= m),
+        |alloc AS (
+        |  SELECT c.source, c.n_tokens, c.cap, c.idx, c.ns, c.b, m.m, cs.capsum,
+        |    (CASE WHEN c.idx <= m.m THEN c.cap
+        |          ELSE (c.b - cs.capsum) // (c.ns - m.m) END)
+        |    + (CASE WHEN c.idx = c.ns AND c.ns > m.m
+        |        THEN (c.b - cs.capsum) % (c.ns - m.m) ELSE 0 END) AS allocated
+        |  FROM cond c CROSS JOIN mrow m CROSS JOIN csum cs)
+        |SELECT source, n_tokens, CAST(cap AS BIGINT) AS cap_tokens,
+        |  CAST(allocated AS BIGINT) AS allocated,
+        |  CAST(CASE WHEN idx <= m THEN 1 ELSE 0 END AS BIGINT) AS capped,
+        |  CAST((allocated * 1000) // n_tokens AS BIGINT) AS epochs_milli
+        |FROM alloc ORDER BY source""".stripMargin,
     "q_domain_mix_round" ->
       """WITH words AS (
         |  SELECT source, w FROM (

@@ -863,7 +863,85 @@ object Profiling {
       .orderBy("bucket")
   }
 
+  /** q_sort_advisor — sort-key layout advisor: for each candidate sort
+    * key of the documents table (lang / source / lang,source) and each
+    * payload column (lang, source, a 128-char length bucket), the
+    * RUN COUNT and mean run length of the payload when rows are laid
+    * out in (key, doc_id) order. The number a compaction policy
+    * actually needs: runs ≈ distinct values means the layout
+    * co-locates that column perfectly (zone maps prune it, encodings
+    * collapse it — the [[qZoneMap]]/[[qPruneProof]] family measured
+    * BEFORE rewriting any data); runs ≈ row count means sorting by
+    * that key buys the column nothing.
+    *
+    * Scale shape: adjacency needs order, but never a global sort —
+    * runs count as "rows whose predecessor differs", computed in
+    * BLOCKS (the X136 two-level decomposition): within-block lag over
+    * windows partitioned by (key, column, key-value, doc_id div 8192)
+    * — ≤ 8192 rows per partition by construction — plus a boundary
+    * stitch joining each block's first row to the PREVIOUS
+    * NON-EMPTY block's last row via one lag over the per-block
+    * summary frame (n/8192 rows — three orders below the corpus; the
+    * decomposition applies recursively if that ever outgrows a task).
+    * The 9× melt (3 keys × 3 payloads) happens map-side before the
+    * one exchange; the oracle runs the plain per-key lag. */
+  val qSortAdvisor: Q = (s, d) => {
+    val base = Tables.documents(s, d)
+      .filter(col("lang").isNotNull && col("source").isNotNull &&
+        col("n_chars").isNotNull)
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr("n_chars div 128").cast("string").as("len_bkt"))
+    val melted = base
+      .select(col("doc_id"),
+        explode(array(
+          struct(lit("lang").as("kname"), col("lang").as("kval")),
+          struct(lit("source").as("kname"), col("source").as("kval")),
+          struct(lit("lang,source").as("kname"),
+            concat(col("lang"), lit("|"), col("source")).as("kval"))))
+          .as("k"),
+        col("lang"), col("source"), col("len_bkt"))
+      .select(col("doc_id"), col("k.kname").as("kname"),
+        col("k.kval").as("kval"),
+        explode(array(
+          struct(lit("lang").as("cname"), col("lang").as("cval")),
+          struct(lit("source").as("cname"), col("source").as("cval")),
+          struct(lit("len_bkt").as("cname"), col("len_bkt").as("cval"))))
+          .as("c"))
+      .select(col("doc_id"), col("kname"), col("kval"),
+        col("c.cname").as("cname"), col("c.cval").as("cval"))
+      .withColumn("blk", expr("doc_id div 8192"))
+    // within-block run starts: partitions bounded at 8192 rows
+    val wBlk = Window.partitionBy("kname", "cname", "kval", "blk")
+      .orderBy("doc_id")
+    val inBlk = melted
+      .withColumn("prev", lag(col("cval"), 1).over(wBlk))
+      .withColumn("is_start",
+        (col("prev").isNull || col("prev") =!= col("cval")).cast(LongType))
+      .localCheckpoint() // feeds block rollup + boundary summary
+    val blkRuns = inBlk.groupBy("kname", "cname", "kval", "blk")
+      .agg(sum("is_start").as("starts"), count(lit(1)).as("rows_n"),
+        min(struct(col("doc_id"), col("cval"))).as("first_row"),
+        max(struct(col("doc_id"), col("cval"))).as("last_row"))
+    // boundary stitch: a block's first row is NOT a run start when the
+    // key's previous non-empty block ends on the same value — one lag
+    // over the per-block summary (n/8192 rows per key)
+    val wSum = Window.partitionBy("kname", "cname", "kval").orderBy("blk")
+    val stitched = blkRuns
+      .withColumn("prev_last", lag(col("last_row.cval"), 1).over(wSum))
+      .withColumn("dup_boundary",
+        (col("prev_last").isNotNull &&
+          col("prev_last") === col("first_row.cval")).cast(LongType))
+    stitched.groupBy("kname", "cname")
+      .agg(sum(expr("starts - dup_boundary")).cast(LongType).as("n_runs"),
+        sum("rows_n").cast(LongType).as("n"))
+      .select(col("kname").as("sort_key"), col("cname").as("payload"),
+        col("n_runs"),
+        expr("(n * 1000) div n_runs").cast(LongType).as("mean_run_milli"))
+      .orderBy("sort_key", "payload")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_sort_advisor" -> qSortAdvisor,
     "q_psi_drift" -> qPsiDrift,
     "q_prune_proof" -> qPruneProof,
     "q_kmv_intersect" -> qKmvIntersect,
@@ -893,6 +971,36 @@ object Profiling {
     .mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    "q_sort_advisor" ->
+      // plain per-key lag; the Spark side runs the blocked two-level
+      // form — identical run counts, different scale story
+      """WITH base AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(n_chars // 128 AS VARCHAR) AS len_bkt
+        |  FROM documents
+        |  WHERE lang IS NOT NULL AND source IS NOT NULL
+        |    AND n_chars IS NOT NULL),
+        |melted AS (
+        |  SELECT k.kname, k.kval, c.cname, c.cval, doc_id FROM base,
+        |  LATERAL (SELECT unnest(ARRAY['lang','source','lang,source'])
+        |             AS kname,
+        |           unnest(ARRAY[lang, source, lang || '|' || source])
+        |             AS kval) k,
+        |  LATERAL (SELECT unnest(ARRAY['lang','source','len_bkt']) AS cname,
+        |           unnest(ARRAY[lang, source, len_bkt]) AS cval) c),
+        |runs AS (
+        |  SELECT kname, cname,
+        |    CAST(SUM(CASE WHEN prev IS NULL OR prev <> cval
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_runs,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM (SELECT kname, cname, cval,
+        |          LAG(cval) OVER (PARTITION BY kname, cname, kval
+        |            ORDER BY doc_id) AS prev
+        |        FROM melted)
+        |  GROUP BY 1, 2)
+        |SELECT kname AS sort_key, cname AS payload, n_runs,
+        |  CAST((n * 1000) // n_runs AS BIGINT) AS mean_run_milli
+        |FROM runs ORDER BY sort_key, payload""".stripMargin,
     "q_psi_drift" ->
       """WITH ev AS (
         |  SELECT epoch_us(ts) AS ts_us,

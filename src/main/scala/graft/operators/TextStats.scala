@@ -1258,7 +1258,66 @@ object TextStats {
       .orderBy("lang")
   }
 
+  /** q_self_bleu — corpus diversity via self-BLEU-2 (Zhu et al. 2018,
+    * the Texygen diversity metric): over the 64-document audit panel
+    * (doc_id < 64, the bounded probe-frame idiom), each document's
+    * modified bigram precision against the other 63 pooled as
+    * references, with the standard BLEU clip — a bigram counts only up
+    * to its maximum count in any OTHER panel document. High self-BLEU
+    * = the corpus repeats itself (template farms, mirrored boilerplate
+    * — the generation-side twin of the dedup family's findings); the
+    * corpus row is the micro-average over the panel.
+    *
+    * The clip needs "max count among other docs" per (doc, bigram)
+    * WITHOUT an n² pairing: per bigram take (m1, |argmax|, m2) —
+    * max, its multiplicity, runner-up — then max-other is m1 unless
+    * this doc IS the unique max, where it's m2 (0 if none). Windows
+    * partition per bigram over ≤ 64 rows, every frame bounded by the
+    * panel (and broadcast-hinted per the r12 rule: size stats do not
+    * shrink through filters). At scale the panel stays fixed while
+    * the corpus grows — the metric's cost is O(panel²) by design. */
+  val qSelfBleu: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val panel = Tables.documents(s, d)
+      .filter(col("doc_id") < 64 && col("text").isNotNull)
+    val grams = panel
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("tl",
+        slice(col("ws"), lit(2), greatest(size(col("ws")) - 1, lit(0))))
+      .select(col("doc_id"), explode(arrays_zip(col("ws"), col("tl"))).as("p"))
+      .filter(col("p.tl").isNotNull &&
+        length(col("p.ws")) > 0 && length(col("p.tl")) > 0)
+      .select(col("doc_id"),
+        concat(col("p.ws"), lit(" "), col("p.tl")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // both sides of the clip join
+    val wG = Window.partitionBy("g") // ≤ 64 rows per bigram
+    val gstats = grams
+      .withColumn("rnk", dense_rank().over(wG.orderBy(col("c").desc)))
+      .groupBy("g")
+      .agg(max("c").as("m1"),
+        sum(when(col("rnk") === 1, 1L).otherwise(0L)).as("nm1"),
+        max(when(col("rnk") > 1, col("c"))).as("m2"))
+    val perDoc = grams.join(broadcast(gstats), Seq("g"))
+      .withColumn("clip", least(col("c"),
+        when(col("c") === col("m1") && col("nm1") === 1L,
+          coalesce(col("m2"), lit(0L))).otherwise(col("m1"))))
+      .groupBy("doc_id")
+      .agg(sum("c").cast(LongType).as("n_bigrams"),
+        sum("clip").cast(LongType).as("n_clipped"))
+    val corpus = perDoc.agg(
+      expr("(sum(n_clipped) * 1000) div sum(n_bigrams)")
+        .cast(LongType).as("corpus_permille"))
+    perDoc.crossJoin(broadcast(corpus))
+      .select(col("doc_id"), col("n_bigrams"), col("n_clipped"),
+        expr("(n_clipped * 1000) div n_bigrams").cast(LongType)
+          .as("bleu2_permille"),
+        col("corpus_permille"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_self_bleu" -> qSelfBleu,
     "q_flesch_reading" -> qFleschReading,
     "q_burstiness" -> qBurstiness,
     "q_skipgram_pmi" -> qSkipgramPmi,
@@ -1305,6 +1364,39 @@ object TextStats {
     .map(w => s"(${occurrencesDuck("text", w)})").mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    "q_self_bleu" ->
+      """WITH panel AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id < 64 AND text IS NOT NULL),
+        |grams AS (
+        |  SELECT doc_id, w[i] || ' ' || w[i+1] AS g,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM panel),
+        |       LATERAL (SELECT unnest(range(1, len(w))) AS i)
+        |  WHERE length(w[i]) > 0 AND length(w[i+1]) > 0
+        |  GROUP BY doc_id, g),
+        |gstats AS (
+        |  SELECT g, MAX(c) AS m1,
+        |    CAST(COUNT(*) FILTER (WHERE rnk = 1) AS BIGINT) AS nm1,
+        |    MAX(CASE WHEN rnk > 1 THEN c END) AS m2
+        |  FROM (SELECT g, c,
+        |          DENSE_RANK() OVER (PARTITION BY g ORDER BY c DESC) AS rnk
+        |        FROM grams)
+        |  GROUP BY g),
+        |clipped AS (
+        |  SELECT gr.doc_id, gr.c,
+        |    LEAST(gr.c, CASE WHEN gr.c = gs.m1 AND gs.nm1 = 1
+        |      THEN COALESCE(gs.m2, 0) ELSE gs.m1 END) AS clip
+        |  FROM grams gr JOIN gstats gs ON gr.g = gs.g),
+        |per_doc AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(clip) AS BIGINT) AS n_clipped
+        |  FROM clipped GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, n_clipped,
+        |  (n_clipped * 1000) // n_bigrams AS bleu2_permille,
+        |  CAST((SUM(n_clipped) OVER () * 1000)
+        |    // (SUM(n_bigrams) OVER ()) AS BIGINT) AS corpus_permille
+        |FROM per_doc ORDER BY doc_id""".stripMargin,
     "q_flesch_reading" ->
       """WITH c AS (
         |  SELECT lang,

@@ -417,4 +417,106 @@ class EvaluationSpec extends SparkSpec {
     // (b-c)^2 * 1000 div (b+c) = 1*1000 div 3
     assert(x.getAs[Long]("mcnemar_permille") === 333L)
   }
+
+  test("kruskal-wallis: exact-integer brute replay (sorted midranks)") {
+    val docs = graft.Tables.documents(spark, sf)
+      .filter(col("n_chars").isNotNull)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val all = docs.map(_._2).sorted
+    val nTot = BigInt(all.length)
+    // doubled midrank per value: 2*|{u<v}| + c_v + 1
+    val cnt = all.groupBy(identity).view.mapValues(_.length).toMap
+    val below = all.distinct.map(v => v -> all.count(_ < v)).toMap
+    def mr2(v: Long) = BigInt(2 * below(v) + cnt(v) + 1)
+    val bySrc = docs.groupBy(_._1)
+    val parts = bySrc.map { case (src, rows) =>
+      val n = BigInt(rows.length)
+      val rs2 = rows.map(r => mr2(r._2)).sum
+      val dv = rs2 - n * (nTot + 1)
+      (src, n, rs2, dv, (dv * dv * 1000000) / n)
+    }
+    val hMicro = (3 * parts.map(_._5).sum) / (nTot * (nTot + 1))
+    val tieNum = cnt.values.map(c => BigInt(c).pow(3) - c).sum
+    val n3n = nTot.pow(3) - nTot
+    val tiePpm = ((n3n - tieNum) * 1000000) / n3n
+    val hCorr = (hMicro * 1000000) / tiePpm
+    val got = Evaluation.qKruskalWallis(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.size === bySrc.size)
+    parts.foreach { case (src, n, rs2, dv, _) =>
+      val g = got(src)
+      assert(g.getAs[Long]("n") === n.toLong, src)
+      assert(g.getAs[Long]("ranksum2") === rs2.toLong, src)
+      assert(g.getAs[Long]("dev2x") === dv.toLong, src)
+      assert(g.getAs[Long]("h_micro") === hMicro.toLong, src)
+      assert(g.getAs[Long]("tie_ppm") === tiePpm.toLong, src)
+      assert(g.getAs[Long]("h_tiecorr_micro") === hCorr.toLong, src)
+    }
+    // rank-sum identity: doubled rank sums total 2 * N(N+1)/2
+    assert(parts.map(_._3).sum === nTot * (nTot + 1))
+  }
+
+  test("cramers v: full-grid chi2 replay; independence fixture scores 0") {
+    val docs = graft.Tables.documents(spark, sf)
+      .filter(col("lang").isNotNull && col("source").isNotNull)
+      .select(col("lang"), col("source")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val n = BigInt(docs.length)
+    val rowT = docs.groupBy(_._1).view.mapValues(x => BigInt(x.length)).toMap
+    val colT = docs.groupBy(_._2).view.mapValues(x => BigInt(x.length)).toMap
+    val cells = docs.groupBy(identity).view.mapValues(x => BigInt(x.length)).toMap
+    // keys.toSeq: a for-yield over Sets would DEDUPLICATE equal terms
+    val chi2 = (for (l <- rowT.keys.toSeq; s <- colT.keys.toSeq) yield {
+      val o = cells.getOrElse((l, s), BigInt(0))
+      val d = o * n - rowT(l) * colT(s)
+      (d * d * 1000000) / (n * rowT(l) * colT(s))
+    }).sum
+    val v2 = chi2 / (n * (math.min(rowT.size, colT.size) - 1))
+    val g = Evaluation.qCramersV(spark, sf).collect().head
+    assert(g.getAs[Long]("n") === n.toLong)
+    assert(g.getAs[Long]("n_rows") === rowT.size.toLong)
+    assert(g.getAs[Long]("n_cols") === colT.size.toLong)
+    assert(g.getAs[Long]("chi2_micro") === chi2.toLong)
+    assert(g.getAs[Long]("v2_micro") === v2.toLong)
+    // perfectly independent 2x2 fixture: chi2 exactly 0
+    val dir = plantedDocs("cramind", Seq(
+      (1L, "t", "en", "s1", 10L), (2L, "t", "en", "s2", 10L),
+      (3L, "t", "de", "s1", 10L), (4L, "t", "de", "s2", 10L)))
+    val ind = Evaluation.qCramersV(spark, dir).collect().head
+    assert(ind.getAs[Long]("chi2_micro") === 0L)
+    assert(ind.getAs[Long]("v2_micro") === 0L)
+  }
+
+  test("cochran q + fleiss kappa: hand-counted planted panel") {
+    // rules on (nt, nStop, len): A = stop%>=3 && nt>=10;
+    // B = nt>=10 && len div nt in [3,12]; C = len in [120,2000]
+    val dir = plantedDocs("cochran", Seq(
+      (1L, mkText(20, 5), "en", "s1", 130L), // A,B(6),C   R=3
+      (2L, mkText(20, 5), "en", "s1", 40L),  // A,!B(2),!C R=1
+      (3L, mkText(20, 0), "en", "s1", 130L), // !A,B,C     R=2
+      (4L, mkText(20, 0), "en", "s1", 60L),  // !A,B(3),!C R=1
+      (5L, mkText(4, 1), "en", "s1", 100L))) // !A(nt<10),!B,!C R=0
+    // C_a=2, C_b=3, C_c=2, T=7, sumR2=9+1+4+1+0=15
+    val q = Evaluation.qCochranQ(spark, dir).collect().head
+    assert((q.getAs[Long]("n"), q.getAs[Long]("keep_a"),
+      q.getAs[Long]("keep_b"), q.getAs[Long]("keep_c")) === ((5L, 2L, 3L, 2L)))
+    // Q = 2*(3*(4+9+4) - 49) / (21 - 15) = 2*2/6
+    assert(q.getAs[Long]("q_milli") === (2L * (3 * 17 - 49) * 1000) / 6)
+    val f = Evaluation.qFleissKappa(spark, dir).collect().head
+    // pbar_num per doc (R=3,1,2,1,0): 6+2+2+2+6 = 18; pbar = 18/30
+    assert(f.getAs[Long]("pbar_micro") === (18L * 1000000) / 30)
+    // pe: T=7, 3n=15 -> (49 + 64)*1e6 / 225
+    assert(f.getAs[Long]("pe_micro") === (113L * 1000000) / 225)
+    val pbar = (18L * 1000000) / 30; val pe = (113L * 1000000) / 225
+    val shift = ((pbar - pe) * 1000 + (1000000L - pe) * 2000) / (1000000L - pe) - 2000
+    assert(f.getAs[Long]("kappa_milli") === shift)
+    // unanimous fixture: pe = 1e6 -> NULL kappa
+    val uni = plantedDocs("fleissuni", Seq(
+      (1L, mkText(20, 5), "en", "s1", 130L),
+      (2L, mkText(20, 5), "en", "s1", 131L)))
+    val fu = Evaluation.qFleissKappa(spark, uni).collect().head
+    assert(fu.getAs[Long]("pbar_micro") === 1000000L)
+    assert(fu.isNullAt(fu.fieldIndex("kappa_milli")))
+  }
 }

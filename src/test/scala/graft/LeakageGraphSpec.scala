@@ -126,4 +126,27 @@ class LeakageGraphSpec extends SparkSpec {
       assert(share <= 1000L && share >= 1000L - cells.length)
     }
   }
+
+  test("harmonic centrality replays from a brute BFS over the spine") {
+    val edges = graft.operators.Dedup.minhashCandidatePairs(spark, sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val got = graft.operators.Graphs.qHarmonicCentrality(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Long]("deg"), r.getAs[Long]("n_dist2"),
+          r.getAs[Long]("hc_permille")))).toMap
+    assert(got.keySet === adj.keySet)
+    adj.foreach { case (v, nbrs) =>
+      val two = nbrs.flatMap(adj(_)) - v -- nbrs
+      val (deg, n2, hc) = got(v)
+      assert(deg === nbrs.size.toLong, s"deg($v)")
+      assert(n2 === two.size.toLong, s"n2($v)")
+      assert(hc === 1000L * nbrs.size + 500L * two.size, s"hc($v)")
+    }
+    // radius-2 harmonic dominates degree; equality iff no 2-hop shell
+    got.values.foreach { case (deg, n2, hc) =>
+      assert(hc >= 1000L * deg && (n2 > 0 || hc == 1000L * deg))
+    }
+  }
 }

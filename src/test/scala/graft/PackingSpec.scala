@@ -130,4 +130,26 @@ class PackingSpec extends SparkSpec {
     val b = Packing.packChunks(docs.repartition(11), 8, 512L).select("doc_id", "shard", "start_off")
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  test("pad waste: exact ceil-padding replay; waste monotone in width") {
+    val toks = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(org.apache.spark.sql.functions.col("text").isNotNull)
+      .select(Packing.wsTokens(org.apache.spark.sql.functions.col("text")))
+      .collect().map(_.getLong(0))
+    val got = Packing.qPadWaste(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"),
+          r.getAs[Long]("total_padded"), r.getAs[Long]("waste_permille"))))
+    assert(got.map(_._1).toSeq === Seq(64L, 128L, 256L, 512L))
+    got.foreach { case (w, (nd, tt, tp, wp)) =>
+      assert(nd === toks.length.toLong)
+      assert(tt === toks.sum)
+      val padded = toks.map(t => (t + w - 1) / w * w).sum
+      assert(tp === padded, s"w=$w")
+      assert(wp === (padded - toks.sum) * 1000 / padded, s"w=$w")
+    }
+    // wider buckets never waste less (ceil to a coarser grid)
+    val wastes = got.map(_._2._4)
+    assert(wastes.sliding(2).forall(p => p(0) <= p(1)))
+  }
 }

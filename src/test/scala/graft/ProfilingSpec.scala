@@ -131,4 +131,83 @@ class ProfilingSpec extends SparkSpec {
     // dense every eval transition is seen in training — the hand-built
     // model above is what pins the smoothing branch)
   }
+
+  test("sort advisor: blocked run counting equals a brute global sort") {
+    val docs = Tables.documents(spark, sf)
+      .filter(col("lang").isNotNull && col("source").isNotNull &&
+        col("n_chars").isNotNull)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        (r.getLong(3) / 128).toString))
+    def runsOf(key: ((Long, String, String, String)) => String,
+        payload: ((Long, String, String, String)) => String): Long = {
+      docs.groupBy(key).values.map { grp =>
+        val vals = grp.sortBy(_._1).map(payload)
+        1L + vals.sliding(2).count(p => p.length == 2 && p(0) != p(1))
+      }.sum
+    }
+    val keys = Map[String, ((Long, String, String, String)) => String](
+      "lang" -> (_._2), "source" -> (_._3),
+      "lang,source" -> (t => t._2 + "|" + t._3))
+    val payloads = Map[String, ((Long, String, String, String)) => String](
+      "lang" -> (_._2), "source" -> (_._3), "len_bkt" -> (_._4))
+    val got = Profiling.qSortAdvisor(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_runs"), r.getAs[Long]("mean_run_milli")))).toMap
+    assert(got.size === 9)
+    for ((kn, kf) <- keys; (cn, cf) <- payloads) {
+      val runs = runsOf(kf, cf)
+      assert(got((kn, cn))._1 === runs, s"$kn/$cn")
+      assert(got((kn, cn))._2 === docs.length.toLong * 1000 / runs, s"$kn/$cn")
+    }
+  }
+
+  test("sort advisor: block-boundary stitch survives gaps and 8192 crossings") {
+    // en: doc_ids 8190,8191 (blk 0) + 8192,8193 (blk 1), same source
+    //   -> source runs must stitch to 1 ACROSS the block boundary
+    // de: doc_ids 100 (blk 0) and 17000 (blk 2, blk 1 EMPTY for de),
+    //   same source -> the gap must stitch too (prev NON-EMPTY block)
+    // fr: 200 (blk 0, src x) and 18000 (blk 2, src y)
+    //   -> differing boundary values stay 2 runs
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("advisor").toString
+    Seq(
+      (8190L, "en", "sx"), (8191L, "en", "sx"),
+      (8192L, "en", "sx"), (8193L, "en", "sx"),
+      (100L, "de", "sx"), (17000L, "de", "sx"),
+      (200L, "fr", "sx"), (18000L, "fr", "sy"))
+      .toDF("doc_id", "lang", "source")
+      .select(col("doc_id"), lit("t").as("text"), col("lang"), col("source"),
+        lit(10L).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Profiling.qSortAdvisor(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_runs"))
+      .toMap
+    // sorted by lang: runs of source = en(1) + de(1, gap-stitched)
+    //   + fr(2, boundary values differ) = 4
+    assert(got(("lang", "source")) === 4L)
+    // sorted by lang: runs of lang = 3 (one per key group)
+    assert(got(("lang", "lang")) === 3L)
+    // sorted by source: sx rows ordered 100,200,8190..8193,17000 ->
+    // lang runs de,fr,en,de = 4; sy -> fr = 1
+    assert(got(("source", "lang")) === 5L)
+  }
+
+  test("sort advisor: mean run length identity on single-run fixture") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("advisor1").toString
+    (0L until 6L).map(i => (i, "en", "s0"))
+      .toDF("doc_id", "lang", "source")
+      .select(col("doc_id"), lit("t").as("text"), col("lang"), col("source"),
+        lit(10L).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Profiling.qSortAdvisor(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_runs"), r.getAs[Long]("mean_run_milli")))).toMap
+    // every payload constant: 1 run of length 6 under every key
+    got.values.foreach { case (runs, mean) =>
+      assert(runs === 1L); assert(mean === 6000L)
+    }
+  }
 }
