@@ -110,26 +110,68 @@ object Dedup {
     * ([[qMinhashEstimate]]) pass their checkpointed frame so the
     * shingle→md5→min aggregation runs ONCE, not once per use. */
   private[graft] def candidatePairsFromSig(sig: DataFrame): DataFrame = {
-    // 2 bands × 4 rows (threshold ≈ (1/2)^(1/4) ≈ 0.84 — genuine
-    // near-dups; 4 bands × 2 rows fires on ~half-similar docs, which on
-    // a shared-vocabulary corpus floods the candidate set). Keys
-    // explode from ONE array so the signature aggregation runs once.
-    val bandKeys = sig.select(
+    // triangle-salted self-pair join: a hot band bucket (boilerplate-
+    // heavy corpus) spreads its quadratic pair work over the salt
+    // cells instead of landing on one reducer
+    Skew.saltedSelfPairs(bandKeysFromSig(sig), Seq("band_key"), "doc_id",
+        buckets = 4)
+      .distinct()
+  }
+
+  /** (doc_id, band_key) rows of the standard 2-band × 4-row LSH
+    * banding (threshold ≈ (1/2)^(1/4) ≈ 0.84 — genuine near-dups;
+    * 4 bands × 2 rows fires on ~half-similar docs, which on a
+    * shared-vocabulary corpus floods the candidate set). Keys explode
+    * from ONE array so the signature aggregation runs once;
+    * localCheckpointed because every consumer joins it at least
+    * twice. Shared by the self-pair spine and the cross-set
+    * decontamination join ([[qFuzzyDecontaminate]]). */
+  private[graft] def bandKeysFromSig(sig: DataFrame): DataFrame =
+    sig.select(
       col("doc_id"),
       explode(array((0 until 2).map { b =>
         val parts = lit(s"$b") +: (0 until 4).map(j =>
           concat(lit(":"), col(s"m${4 * b + j}").cast("string")))
         concat(parts: _*)
       }: _*)).as("band_key")).localCheckpoint()
-    // triangle-salted self-pair join: a hot band bucket (boilerplate-
-    // heavy corpus) spreads its quadratic pair work over the salt
-    // cells instead of landing on one reducer
-    Skew.saltedSelfPairs(bandKeys, Seq("band_key"), "doc_id", buckets = 4)
-      .distinct()
-  }
 
   val qDedupMinhashLsh: Q = (s, d) =>
     minhashCandidatePairs(s, d).orderBy("a", "b")
+
+  /** q_fuzzy_decontaminate — NEAR-duplicate benchmark decontamination:
+    * training documents whose minhash band key collides with any
+    * held-out eval document (the standard eval split,
+    * md5("eval|"+doc_id) % 20 = 0 — [[TextStats.qDecontaminate]]'s).
+    * Completes the decontamination triangle: exact n-gram containment
+    * (X37), Bloom-prefiltered at scale (X85), and now FUZZY — a
+    * lightly-edited eval leak (whitespace, punctuation, a paraphrased
+    * sentence) defeats exact 13-gram matching but not an 0.84-threshold
+    * signature collision. Emits each flagged train doc with its eval
+    * collision count and smallest colliding eval id.
+    *
+    * Scale shape: signatures shuffle 8 longs/doc (the X2 contract);
+    * the cross-set probe is ONE equi-join on band_key between the
+    * train keys and the ~5% eval keys — LSH bucketing bounds it
+    * exactly as the self-pair spine (the eval side grows with the
+    * corpus, so it is NOT broadcast-hinted — AQE may still choose to).
+    * Distinct-before-rollup so a pair colliding in both bands counts
+    * once. */
+  val qFuzzyDecontaminate: Q = (s, d) => {
+    val keys = bandKeysFromSig(minhashSignatures(
+      Tables.documents(s, d).select("doc_id", "text")))
+      .withColumn("is_eval", pmod(graft.functions.Exprs.md5Long(
+        concat(lit("eval|"), col("doc_id").cast("string"))), lit(20)) === 0)
+    val evalKeys = keys.filter(col("is_eval"))
+      .select(col("band_key"), col("doc_id").as("eval_id"))
+    keys.filter(!col("is_eval"))
+      .select(col("band_key"), col("doc_id"))
+      .join(evalKeys, "band_key")
+      .select(col("doc_id"), col("eval_id")).distinct()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast(LongType).as("n_eval_hits"),
+        min("eval_id").cast(LongType).as("first_eval_match"))
+      .orderBy("doc_id")
+  }
 
   /** Transitive near-dup clustering: connected components over the
     * minhash-LSH candidate graph, component label = min doc_id in the
@@ -1099,6 +1141,7 @@ object Dedup {
     "q_cluster_sizes" -> qClusterSizes,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_minhash_lsh" -> qDedupMinhashLsh,
+    "q_fuzzy_decontaminate" -> qFuzzyDecontaminate,
     "q_dedup_components" -> qDedupComponents,
     "q_cluster_split" -> qClusterSplit,
     "q_dedup_keep" -> qDedupKeep,
@@ -1204,6 +1247,21 @@ object Dedup {
     // no stripMargin around the interpolated CTE: its continuation
     // lines begin with the || concat operator, which an outer
     // stripMargin would eat one pipe of
+    "q_fuzzy_decontaminate" ->
+      ("WITH " + minhashCandCte + """,
+        |ekeys AS (
+        |  SELECT doc_id, band_key,
+        |    CAST('0x' || substr(md5('eval|' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 20 = 0 AS is_eval
+        |  FROM keys)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_eval_hits,
+        |  CAST(MIN(eval_id) AS BIGINT) AS first_eval_match
+        |FROM (
+        |  SELECT DISTINCT t.doc_id, e.eval_id
+        |  FROM (SELECT doc_id, band_key FROM ekeys WHERE NOT is_eval) t
+        |  JOIN (SELECT doc_id AS eval_id, band_key FROM ekeys
+        |        WHERE is_eval) e USING (band_key))
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "q_dedup_minhash_lsh" ->
       (s"WITH $minhashCandCte\n" +
        "SELECT a, b FROM cand ORDER BY a, b"),

@@ -355,7 +355,70 @@ object Relevance {
       .orderBy("k")
   }
 
+  /** The truncated-RBO depth weights, ppm: (1−p)·p^(d−1)/(1−p¹⁰) at
+    * p = 0.9 for d = 1..10, PINNED as literals so both engines use the
+    * identical integers (no float pow at query time — the same
+    * pinned-constant determinism as the r11 LSH bits). */
+  private[operators] val rboWeightPpm = Seq(
+    153533L, 138180L, 124362L, 111926L, 100733L,
+    90660L, 81594L, 73434L, 66091L, 59482L)
+
+  /** q_rbo_rankings — Rank-Biased Overlap (Webber, Moffat & Zobel
+    * 2010) at depth 10, p = 0.9, between two per-source document
+    * rankings: token count vs character count (each desc, doc_id
+    * tiebreak). The TOP-WEIGHTED agreement readout the Kendall audit
+    * (X229) cannot give: tau weighs all pairs equally, but a filter
+    * cares about the head of the ranking — two signals can agree on
+    * the corpus and still pick different top-10s. RBO@10 =
+    * Σ_d w_d · |A∩B @ d| / d with the geometric weights pinned in
+    * [[rboWeightPpm]]; per-depth terms are (ppm·overlap) div d —
+    * non-negative integer division, floor-consistent.
+    *
+    * Shape: two per-source row_number windows pruned to rank ≤ 10
+    * (source-partition windows — the [[Ranking.groupedRowNumber]]
+    * range-bucketed form is the swap if sources are few and huge),
+    * one ≤10-row-per-source self-join on doc_id, and a 10-term
+    * conditional rollup. Everything after the scan is
+    * 10·|sources| rows. */
+  val qRboRankings: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(s, d)
+      .filter(col("text").isNotNull && col("n_chars").isNotNull)
+      .select(col("source"), col("doc_id"),
+        Packing.wsTokens(col("text")).as("nt"),
+        col("n_chars").cast(LongType).as("len"))
+    val wA = Window.partitionBy("source").orderBy(col("nt").desc, col("doc_id"))
+    val wB = Window.partitionBy("source").orderBy(col("len").desc, col("doc_id"))
+    val ranked = base
+      .withColumn("ra", row_number().over(wA).cast(LongType))
+      .withColumn("rb", row_number().over(wB).cast(LongType))
+      .filter(col("ra") <= 10 || col("rb") <= 10)
+      .localCheckpoint() // both sides of the match join
+    // bounded self-join (≤10 rows/source each side): broadcast-hinted
+    // per the r12 rule — size stats do not shrink through filters
+    val matches = ranked.filter(col("ra") <= 10)
+      .select(col("source"), col("doc_id"), col("ra"))
+      .join(broadcast(ranked.filter(col("rb") <= 10)
+        .select(col("source"), col("doc_id"), col("rb"))),
+        Seq("source", "doc_id"))
+      .withColumn("dmin", greatest(col("ra"), col("rb")))
+    val ovCols = (1 to 10).map(dd =>
+      sum(when(col("dmin") <= dd, 1L).otherwise(0L)).as(s"ov$dd"))
+    val agg = matches.groupBy("source").agg(ovCols.head, ovCols.tail: _*)
+    // left join from the source list: a pair of DISJOINT top-10s is a
+    // legal (and interesting) zero row, not a missing one
+    base.select("source").distinct()
+      .join(agg, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("ov10"), lit(0L)).cast(LongType).as("overlap_10"),
+        coalesce(rboWeightPpm.zipWithIndex.map { case (w, i) =>
+          expr(s"($w * ov${i + 1}) div ${i + 1}")
+        }.reduce(_ + _), lit(0L)).cast(LongType).as("rbo_ppm"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_rbo_rankings" -> qRboRankings,
     "q_rank_overlap" -> qRankOverlap,
     "q_rrf_fusion" -> qRrfFusion,
     "q_bm25" -> qBm25,
@@ -367,6 +430,42 @@ object Relevance {
     "q_datasheet" -> qDatasheet)
 
   val oracle: Map[String, String] = Map(
+    "q_rbo_rankings" -> {
+      val terms = rboWeightPpm.zipWithIndex.map { case (w, i) =>
+        s"($w * ov${i + 1}) // ${i + 1}"
+      }.mkString(" + ")
+      val ovs = (1 to 10).map(dd =>
+        s"SUM(CASE WHEN dmin <= $dd THEN 1 ELSE 0 END) AS ov$dd")
+        .mkString(",\n    ")
+      s"""WITH base AS (
+        |  SELECT source, doc_id,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1
+        |      AS BIGINT) AS nt,
+        |    CAST(n_chars AS BIGINT) AS len
+        |  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+        |ranked AS (
+        |  SELECT source, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY nt DESC, doc_id) AS ra,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY len DESC, doc_id) AS rb
+        |  FROM base),
+        |matches AS (
+        |  SELECT a.source, GREATEST(a.ra, b.rb) AS dmin
+        |  FROM (SELECT source, doc_id, ra FROM ranked WHERE ra <= 10) a
+        |  JOIN (SELECT source, doc_id, rb FROM ranked WHERE rb <= 10) b
+        |    USING (source, doc_id)),
+        |agg AS (
+        |  SELECT source,
+        |    $ovs
+        |  FROM matches GROUP BY source)
+        |SELECT s.source,
+        |  CAST(COALESCE(agg.ov10, 0) AS BIGINT) AS overlap_10,
+        |  CAST(COALESCE($terms, 0) AS BIGINT) AS rbo_ppm
+        |FROM (SELECT DISTINCT source FROM base) s
+        |LEFT JOIN agg USING (source)
+        |ORDER BY source""".stripMargin
+    },
     "q_rank_overlap" ->
       // naive single full-vocabulary window per half ON PURPOSE: hash
       // equality proves the engine's bucketed two-phase top-k prune

@@ -1316,7 +1316,73 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** q_js_divergence — pairwise Jensen–Shannon divergence between
+    * every source pair's unigram distributions, via both KL legs
+    * against the pair mixture M = (A+B)/2. The SYMMETRIC, bounded
+    * ([0,1] bit) companion to [[qSourceKl]]'s one-vs-corpus drift: the
+    * full matrix is what a mixture designer clusters sources by
+    * (near-zero JS = the same crawl twice — X107's vocabulary overlap
+    * sees shared WORDS, JS sees shared FREQUENCIES).
+    *
+    * Determinism: the [[qSourceKl]] float contract — each term is the
+    * identical double expression in both engines
+    * (p·log₂(2·cₐ·n_b / (cₐ·n_b + c_b·nₐ))), floored to micro-bits
+    * BEFORE summation. Emits both legs and js2_micro = their sum
+    * (TWICE the JS divergence — the halving stays integer-free, so no
+    * signed-division shift is needed; consumers halve downstream).
+    *
+    * Shape: one (source, word) count table feeds both sides of the
+    * pair melt (the [[Evaluation.qWasserstein1d]] union pattern); the
+    * merged frame is |pairs|·|pair vocab| rows — S²·V, with S the
+    * bounded source count; everything after the word-count scan is
+    * vocabulary-sized, never corpus-sized. */
+  val qJsDivergence: Q = (s, d) => {
+    val words = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val uni = words.groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds totals and both melt legs
+    val tot = uni.groupBy("source").agg(sum("c").cast(LongType).as("n"))
+    // bounded pair frame: broadcast per the r12 rule
+    val pairs = tot.select(col("source").as("sa"), col("n").as("na"))
+      .join(broadcast(tot.select(col("source").as("sb"), col("n").as("nb"))),
+        col("sa") < col("sb"))
+    val mA = pairs.join(uni.withColumnRenamed("source", "sa"), Seq("sa"))
+      .select(col("sa"), col("sb"), col("na"), col("nb"), col("w"),
+        col("c").as("ca"), lit(0L).as("cb"))
+    val mB = pairs.join(uni.withColumnRenamed("source", "sb"), Seq("sb"))
+      .select(col("sa"), col("sb"), col("na"), col("nb"), col("w"),
+        lit(0L).as("ca"), col("c").as("cb"))
+    val merged = mA.unionAll(mB)
+      .groupBy("sa", "sb", "na", "nb", "w")
+      .agg(sum("ca").as("ca"), sum("cb").as("cb"))
+    merged
+      .select(col("sa"), col("sb"), col("na"), col("nb"),
+        when(col("ca") > 0,
+          floor(lit(1000000.0) * (col("ca").cast(DoubleType) / col("na")) *
+            log2(lit(2.0) * col("ca").cast(DoubleType) * col("nb") /
+              (col("ca").cast(DoubleType) * col("nb")
+                + col("cb").cast(DoubleType) * col("na")))))
+          .otherwise(lit(0L)).cast(LongType).as("ta"),
+        when(col("cb") > 0,
+          floor(lit(1000000.0) * (col("cb").cast(DoubleType) / col("nb")) *
+            log2(lit(2.0) * col("cb").cast(DoubleType) * col("na") /
+              (col("ca").cast(DoubleType) * col("nb")
+                + col("cb").cast(DoubleType) * col("na")))))
+          .otherwise(lit(0L)).cast(LongType).as("tb"))
+      .groupBy("sa", "sb", "na", "nb")
+      .agg(sum("ta").cast(LongType).as("klm_a_micro"),
+        sum("tb").cast(LongType).as("klm_b_micro"))
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        col("na").as("n_tokens_a"), col("nb").as("n_tokens_b"),
+        col("klm_a_micro"), col("klm_b_micro"),
+        (col("klm_a_micro") + col("klm_b_micro")).cast(LongType)
+          .as("js2_micro"))
+      .orderBy("source_a", "source_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_js_divergence" -> qJsDivergence,
     "q_self_bleu" -> qSelfBleu,
     "q_flesch_reading" -> qFleschReading,
     "q_burstiness" -> qBurstiness,
@@ -1364,6 +1430,44 @@ object TextStats {
     .map(w => s"(${occurrencesDuck("text", w)})").mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    "q_js_divergence" ->
+      """WITH uni AS (
+        |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        |        FROM documents WHERE text IS NOT NULL)
+        |  WHERE length(w) > 0 GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM uni GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.source AS sa, a.n AS na, b.source AS sb, b.n AS nb
+        |  FROM tot a JOIN tot b ON a.source < b.source),
+        |merged AS (
+        |  SELECT sa, sb, na, nb, w, SUM(ca) AS ca, SUM(cb) AS cb FROM (
+        |    SELECT p.sa, p.sb, p.na, p.nb, u.w, u.c AS ca, 0 AS cb
+        |    FROM pairs p JOIN uni u ON u.source = p.sa
+        |    UNION ALL
+        |    SELECT p.sa, p.sb, p.na, p.nb, u.w, 0, u.c
+        |    FROM pairs p JOIN uni u ON u.source = p.sb)
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |terms AS (
+        |  SELECT sa, sb, na, nb,
+        |    CASE WHEN ca > 0 THEN CAST(floor(
+        |      1000000.0 * (CAST(ca AS DOUBLE) / na) *
+        |      log2(2.0 * CAST(ca AS DOUBLE) * nb /
+        |        (CAST(ca AS DOUBLE) * nb + CAST(cb AS DOUBLE) * na)))
+        |      AS BIGINT) ELSE 0 END AS ta,
+        |    CASE WHEN cb > 0 THEN CAST(floor(
+        |      1000000.0 * (CAST(cb AS DOUBLE) / nb) *
+        |      log2(2.0 * CAST(cb AS DOUBLE) * na /
+        |        (CAST(ca AS DOUBLE) * nb + CAST(cb AS DOUBLE) * na)))
+        |      AS BIGINT) ELSE 0 END AS tb
+        |  FROM merged)
+        |SELECT sa AS source_a, sb AS source_b,
+        |  na AS n_tokens_a, nb AS n_tokens_b,
+        |  CAST(SUM(ta) AS BIGINT) AS klm_a_micro,
+        |  CAST(SUM(tb) AS BIGINT) AS klm_b_micro,
+        |  CAST(SUM(ta) + SUM(tb) AS BIGINT) AS js2_micro
+        |FROM terms GROUP BY 1, 2, 3, 4
+        |ORDER BY source_a, source_b""".stripMargin,
     "q_self_bleu" ->
       """WITH panel AS (
         |  SELECT doc_id, text FROM documents
