@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.Tables
 import graft.functions.Exprs.{dec2, intScaled, md5Long, nanosToSec}
@@ -729,7 +729,115 @@ object Sequences {
       .orderBy("model", "touch_type")
   }
 
+  /** q_interarrival_fit — does each event type's arrival process look
+    * Poisson? Per type: pooled per-user inter-arrival gaps, their
+    * exact mean, and the Kolmogorov–Smirnov distance between the
+    * empirical gap distribution and the exponential with that mean —
+    * the model-fit readout behind every "is this traffic organic or a
+    * bot burst" triage (bots arrive in lockstep: tiny KS against a
+    * point mass, huge against the exponential). Complements
+    * [[qKsDistance]] (two-sample) with the one-sample
+    * model-vs-data form.
+    *
+    * Float contract: the model CDF 1 − e^(−g·n/Σg) is ONE pinned
+    * double expression per distinct gap value, identical in both
+    * engines, and the KS max floors to a 10⁻³ grid — the
+    * [[graft.operators.TextStats]] log2 determinism argument, applied
+    * to exp. Both CDF sides of each empirical jump are compared
+    * (right limit cum/n and left limit (cum−c)/n), the textbook
+    * one-sample D.
+    *
+    * Shape: gaps from a (type, user)-keyed lag (high-cardinality
+    * partitions), then a VALUE HISTOGRAM per type — everything after
+    * the scan is |distinct gaps|·|types| rows, and the cum window is
+    * value-domain-sized. All-zero-gap or gap-free types emit
+    * nothing (no exponential to fit; stated). */
+  val qInterarrivalFit: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        expr("ts div 1000000000").as("sec"))
+    val wLag = Window.partitionBy("event_type", "user_id")
+      .orderBy("sec", "event_id")
+    val hist = ev
+      .withColumn("g", col("sec") - lag(col("sec"), 1).over(wLag))
+      .filter(col("g").isNotNull)
+      .groupBy("event_type", "g").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds totals and the cum window
+    val tot = hist.groupBy("event_type")
+      .agg(sum("c").cast(LongType).as("n"),
+        sum(expr("g * c")).cast(LongType).as("gsum"))
+      .filter(col("n") >= 1 && col("gsum") > 0)
+    val wCum = Window.partitionBy("event_type").orderBy("g")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ks = hist
+      .withColumn("cumc", sum("c").over(wCum))
+      .join(broadcast(tot), Seq("event_type"))
+      .select(col("event_type"),
+        greatest(
+          abs(col("cumc").cast(DoubleType) / col("n") -
+            (lit(1.0) - exp(-col("g").cast(DoubleType) * col("n")
+              / col("gsum")))),
+          abs((col("cumc") - col("c")).cast(DoubleType) / col("n") -
+            (lit(1.0) - exp(-col("g").cast(DoubleType) * col("n")
+              / col("gsum"))))).as("t"))
+      .groupBy("event_type").agg(max("t").as("d"))
+    tot.join(ks, Seq("event_type"))
+      .select(col("event_type"), col("n").as("n_gaps"),
+        expr("(gsum * 1000) div n").cast(LongType).as("mean_gap_milli"),
+        floor(lit(1000.0) * col("d")).cast(LongType).as("ks_milli"))
+      .orderBy("event_type")
+  }
+
+  /** q_theil_sen — robust trend per event type: the Theil–Sen
+    * estimator (median of all pairwise slopes) over daily revenue,
+    * the breakdown-resistant companion to [[Evaluation.qOlsTrend]]'s
+    * least squares — one flash-sale day drags an OLS slope arbitrarily
+    * far but moves the pairwise-slope median by one rank. Emits the
+    * lower-median slope in micro-cents/day (median rank (m+1)/2,
+    * pinned — no even-m averaging, so the result is always an actual
+    * pairwise slope).
+    *
+    * Exact: slope_micro = ⌊Δcents·10⁶ / Δday⌋ via the additive-shift
+    * floor division (shift 10¹⁸ covers |slope| ≤ 10¹² cents/day —
+    * Δcents·10⁶ + Δday·10¹⁸ stays positive and inside DECIMAL(38,0)
+    * for any day span < 10¹⁵), so Spark's truncating div and DuckDB's
+    * flooring // agree on negative slopes. Shape: the pair join is
+    * DAY-domain-sized (days², time-bounded, never event-count-sized);
+    * the median window partitions per type over those pairs. */
+  val qTheilSen: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("(ts div 1000000000) div 86400").as("day"),
+        intScaled(dec2(col("value")), 100L).as("cents"))
+      .groupBy("event_type", "day")
+      .agg(sum("cents").cast(LongType).as("cents"))
+      .localCheckpoint() // both sides of the pair join
+    val slopes = daily.as("a")
+      .join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.day") < col("b.day"))
+      .select(col("a.event_type").as("event_type"),
+        expr("""((cast(b.cents - a.cents as decimal(38,0)) * 1000000
+               + cast(b.day - a.day as decimal(38,0)) * 1000000000000000000)
+               div (b.day - a.day)) - 1000000000000000000""").as("sm"))
+    val wRank = Window.partitionBy("event_type").orderBy("sm")
+    val wCnt = Window.partitionBy("event_type")
+    val nDays = daily.groupBy("event_type")
+      .agg(count(lit(1)).cast(LongType).as("n_days"))
+    slopes
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("m", count(lit(1)).over(wCnt))
+      .filter(col("rn") === expr("(m + 1) div 2"))
+      .join(broadcast(nDays), Seq("event_type"))
+      .select(col("event_type"), col("n_days"),
+        col("m").cast(LongType).as("n_pairs"),
+        col("sm").cast(LongType).as("ts_slope_micro_cents"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_interarrival_fit" -> qInterarrivalFit,
+    "q_theil_sen" -> qTheilSen,
     "q_attribution" -> qAttribution,
     "q_temporal_decay" -> qTemporalDecay,
     "q_rolling_median" -> qRollingMedian,
@@ -751,6 +859,66 @@ object Sequences {
     "q_burst_users" -> qBurstUsers)
 
   val oracle: Map[String, String] = Map(
+    "q_interarrival_fit" ->
+      """WITH ev AS (
+        |  SELECT event_type, user_id, event_id,
+        |    CAST(epoch_ms(ts) // 1000 AS BIGINT) AS sec
+        |  FROM events),
+        |hist AS (
+        |  SELECT event_type, g, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        |    SELECT event_type,
+        |      sec - LAG(sec) OVER (PARTITION BY event_type, user_id
+        |        ORDER BY sec, event_id) AS g
+        |    FROM ev)
+        |  WHERE g IS NOT NULL GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(SUM(g * c) AS BIGINT) AS gsum
+        |  FROM hist GROUP BY 1
+        |  HAVING SUM(c) >= 1 AND SUM(g * c) > 0),
+        |cum AS (
+        |  SELECT h.event_type, h.g, h.c, t.n, t.gsum,
+        |    SUM(h.c) OVER (PARTITION BY h.event_type ORDER BY h.g) AS cumc
+        |  FROM hist h JOIN tot t USING (event_type)),
+        |ks AS (
+        |  SELECT event_type, MAX(GREATEST(
+        |      abs(CAST(cumc AS DOUBLE) / n
+        |        - (1.0 - exp(-(CAST(g AS DOUBLE)) * n / gsum))),
+        |      abs(CAST(cumc - c AS DOUBLE) / n
+        |        - (1.0 - exp(-(CAST(g AS DOUBLE)) * n / gsum))))) AS d
+        |  FROM cum GROUP BY 1)
+        |SELECT t.event_type, t.n AS n_gaps,
+        |  CAST((t.gsum * 1000) // t.n AS BIGINT) AS mean_gap_milli,
+        |  CAST(floor(1000.0 * k.d) AS BIGINT) AS ks_milli
+        |FROM tot t JOIN ks k USING (event_type)
+        |ORDER BY t.event_type""".stripMargin,
+    "q_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(epoch_ms(ts) // 1000 // 86400 AS BIGINT) AS day,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |slopes AS (
+        |  SELECT a.event_type,
+        |    ((CAST(b.cents - a.cents AS HUGEINT) * 1000000
+        |      + CAST(b.day - a.day AS HUGEINT) * 1000000000000000000)
+        |     // (b.day - a.day)) - 1000000000000000000 AS sm
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day < b.day),
+        |ranked AS (
+        |  SELECT event_type, sm,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY sm) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS m
+        |  FROM slopes),
+        |nd AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+        |  FROM daily GROUP BY 1)
+        |SELECT r.event_type, nd.n_days, CAST(r.m AS BIGINT) AS n_pairs,
+        |  CAST(r.sm AS BIGINT) AS ts_slope_micro_cents
+        |FROM ranked r JOIN nd USING (event_type)
+        |WHERE r.rn = (r.m + 1) // 2
+        |ORDER BY r.event_type""".stripMargin,
     "q_attribution" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS sec,

@@ -849,9 +849,15 @@ object TextStats {
     val gramRows = docs
       .filter(size(ws) >= 3)
       .select(col("doc_id"), col("is_eval"), explode(grams).as("g"))
-    // two consumers (bloom build + verify join) — materialize once
+    // two consumers (bloom build + verify join). NOT checkpointed
+    // (r13): the distinct eval-gram frame is the largest single block
+    // set any query parks in the MemoryStore, and in a long multi-query
+    // pass those MEMORY_AND_DISK blocks evict exactly when the verify
+    // join needs them — the recompute (one 5%-of-corpus gram explode)
+    // is cheaper than the eviction+reload it replaced (PERF.md r13
+    // "bloom context sensitivity": isolated 1.9 s either way; in a
+    // 12-query context 4.3 s checkpointed vs ~2 s recomputed).
     val evalGrams = gramRows.filter(col("is_eval")).select(col("g")).distinct()
-      .localCheckpoint()
     val bloomRow = evalGrams.agg(
       GraftSqlBridge.column(
         graft.functions.BloomLongsAgg(
@@ -1381,7 +1387,59 @@ object TextStats {
       .orderBy("source_a", "source_b")
   }
 
+  /** q_lang_mix — code-switching audit: run the [[qLangId]] marker
+    * cascade on every 10-token BLOCK (the [[qBoilerplateStrip]]
+    * blocking) instead of the whole document, and report each doc's
+    * majority class, minority-block count, and mix permille. A
+    * document-level language label silently averages over mixed
+    * documents — boilerplate in one language wrapping content in
+    * another, machine-concatenated crawls — and mixed docs are
+    * exactly the ones a per-language pipeline (X96's fences, X66's
+    * mixtures) mishandles. Majority ties break (count DESC, guess
+    * ASC), the [[qLangId]] determinism idiom.
+    *
+    * Plan: one scan, the block explode is map-side, votes aggregate
+    * on (doc_id, guess) — ≤4 rows per doc — and the majority window
+    * partitions on doc_id (high-cardinality, fully parallel). Nothing
+    * wider than (doc, guess) shuffles. */
+  val qLangMix: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ws = split(col("text"), " ")
+    val blocks = transform(
+      sequence(lit(0), ((size(ws) - 1) / 10).cast("int")),
+      i => concat_ws(" ", slice(ws, i * 10 + 1, lit(10))))
+    val scored = Tables.spread(
+        Tables.documents(s, d).filter(col("text").isNotNull))
+      .select(col("doc_id"), posexplode(blocks).as(Seq("idx", "block")))
+      .select(col("doc_id"),
+        occurrences(col("block"), "the").as("c_the"),
+        occurrences(col("block"), "data").as("c_data"),
+        occurrences(col("block"), "scan").as("c_scan"),
+        occurrences(col("block"), "join").as("c_join"))
+      .withColumn("guess",
+        when(col("c_the") >= col("c_data") && col("c_the") >= col("c_scan")
+               && col("c_the") >= col("c_join"), "en")
+          .when(col("c_data") >= col("c_scan")
+            && col("c_data") >= col("c_join"), "dat")
+          .when(col("c_scan") >= col("c_join"), "scn")
+          .otherwise("jon"))
+    val votes = scored.groupBy("doc_id", "guess").agg(count(lit(1)).as("c"))
+    val wMaj = Window.partitionBy("doc_id").orderBy(col("c").desc, col("guess"))
+    val wDoc = Window.partitionBy("doc_id")
+    votes
+      .withColumn("rn", row_number().over(wMaj))
+      .withColumn("nb", sum("c").over(wDoc))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"),
+        col("nb").cast(LongType).as("n_blocks"),
+        col("guess").as("majority_guess"),
+        (col("nb") - col("c")).cast(LongType).as("n_minority"),
+        expr("((nb - c) * 1000) div nb").cast(LongType).as("mix_permille"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_lang_mix" -> qLangMix,
     "q_js_divergence" -> qJsDivergence,
     "q_self_bleu" -> qSelfBleu,
     "q_flesch_reading" -> qFleschReading,
@@ -1430,6 +1488,41 @@ object TextStats {
     .map(w => s"(${occurrencesDuck("text", w)})").mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    "q_lang_mix" -> {
+      def occ(w: String) = occurrencesDuck("block", w)
+      s"""WITH blocks AS (
+        |  SELECT doc_id, array_to_string(w[(i*10+1):(i*10+10)], ' ') AS block
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |        WHERE text IS NOT NULL),
+        |       LATERAL (SELECT unnest(range(0, (len(w)-1)//10 + 1)) AS i)),
+        |scored AS (
+        |  SELECT doc_id,
+        |    CASE WHEN c_the >= c_data AND c_the >= c_scan AND c_the >= c_join
+        |           THEN 'en'
+        |         WHEN c_data >= c_scan AND c_data >= c_join THEN 'dat'
+        |         WHEN c_scan >= c_join THEN 'scn'
+        |         ELSE 'jon' END AS guess
+        |  FROM (SELECT doc_id,
+        |          ${occ("the")} AS c_the,
+        |          ${occ("data")} AS c_data,
+        |          ${occ("scan")} AS c_scan,
+        |          ${occ("join")} AS c_join
+        |        FROM blocks)),
+        |votes AS (
+        |  SELECT doc_id, guess, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM scored GROUP BY 1, 2),
+        |maj AS (
+        |  SELECT doc_id, guess, c,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, guess)
+        |      AS rn,
+        |    SUM(c) OVER (PARTITION BY doc_id) AS nb
+        |  FROM votes)
+        |SELECT doc_id, CAST(nb AS BIGINT) AS n_blocks,
+        |  guess AS majority_guess,
+        |  CAST(nb - c AS BIGINT) AS n_minority,
+        |  CAST(((nb - c) * 1000) // nb AS BIGINT) AS mix_permille
+        |FROM maj WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    },
     "q_js_divergence" ->
       """WITH uni AS (
         |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c

@@ -111,6 +111,98 @@ class FuzzyDecontaminateSpec extends SparkSpec {
     }
   }
 
+  test("lang mix: block-level cascade finds the minority block a doc-level label averages away") {
+    // doc 1: blocks of 10 tokens — block 1 'the'-heavy (en), block 2
+    // 'data'-heavy (dat) -> majority en (tie count 1=1 breaks to the
+    // lexicographically... count DESC then guess ASC: 'dat' < 'en' so
+    // a 1-1 tie picks 'dat'. Use 2 en blocks vs 1 dat so majority=en.
+    val enBlk = "the w the w the w w w w w"           // 10 tokens, en
+    val datBlk = "data w data w data w w w w w"       // 10 tokens, dat
+    val dir = writeDocs(
+      (1L, s"$enBlk $enBlk $datBlk", "s0"), // 3 blocks: en,en,dat
+      (2L, s"$enBlk $enBlk", "s0"))         // pure en
+    val got = graft.operators.TextStats.qLangMix(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_blocks"), r.getAs[String]("majority_guess"),
+          r.getAs[Long]("n_minority"), r.getAs[Long]("mix_permille")))).toMap
+    assert(got(1L) === ((3L, "en", 1L, 333L)))
+    assert(got(2L) === ((2L, "en", 0L, 0L)))
+  }
+
+  test("interarrival fit: lockstep arrivals score far from exponential") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("iaf").toString
+    // one user, 41 events exactly 100 s apart: all gaps = 100, mean
+    // 100; exponential CDF at 100 is 1-1/e ~ .632 but the empirical
+    // CDF jumps 0 -> 1 there: D = .632 -> ks_milli 632
+    val t0 = 1700000000L
+    (0 until 41).map(i =>
+        (i.toLong, new java.sql.Timestamp((t0 + 100L * i) * 1000),
+          7L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = graft.operators.Sequences.qInterarrivalFit(spark, dir)
+      .collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("n_gaps") === 40L)
+    assert(r.head.getAs[Long]("mean_gap_milli") === 100000L)
+    val exp632 = math.floor(1000.0 * math.max(
+      math.abs(1.0 - (1.0 - math.exp(-1.0))),
+      math.abs(0.0 - (1.0 - math.exp(-1.0))))).toLong
+    assert(r.head.getAs[Long]("ks_milli") === exp632)
+    assert(r.head.getAs[Long]("ks_milli") === 632L)
+  }
+
+  test("theil-sen: one outlier day moves the median slope by a rank, not a mile") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tsen").toString
+    // days 0..4 with daily cents 100,200,300,400,10000 (one flash day)
+    // pairwise slopes (cents/day): 10 pairs; clean trend 100/day, the
+    // outlier contributes 4 big slopes -> median stays 100/day
+    val t0 = 86400L * 20000 // day-aligned epoch
+    val days = Seq(0L -> 1.00, 1L -> 2.00, 2L -> 3.00, 3L -> 4.00,
+      4L -> 100.00)
+    days.zipWithIndex.map { case ((day, v), i) =>
+      (i.toLong, new java.sql.Timestamp((t0 + day * 86400 + 10) * 1000),
+        1L, "click", v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = graft.operators.Sequences.qTheilSen(spark, dir).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("n_days") === 5L)
+    assert(r.head.getAs[Long]("n_pairs") === 10L)
+    // slopes micro-cents/day sorted: 100/day clean pairs dominate the
+    // lower median (rank (10+1) div 2 = 5)
+    val cents = days.map { case (d, v) => (d, math.round(v * 100)) }
+    val slopes = (for {
+      i <- cents.indices; j <- (i + 1) until cents.length
+    } yield {
+      val dy = cents(j)._2 - cents(i)._2
+      val dx = cents(j)._1 - cents(i)._1
+      math.floorDiv(dy * 1000000L, dx)
+    }).sorted
+    assert(r.head.getAs[Long]("ts_slope_micro_cents") === slopes(4))
+    assert(slopes(4) === 100000000L, "median slope is the clean 100 cents/day")
+  }
+
+  test("theil-sen: negative slopes floor identically to the oracle rule") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tsenneg").toString
+    val t0 = 86400L * 20000
+    // 3 days, strictly falling with a non-divisible drop: slopes
+    // (cents/day): (150-301)/1 = -151, (37-301)/2 = -132, (37-150)/1
+    // = -113; median rank 2 -> floor(-264/2) = -132
+    val days = Seq(0L -> 3.01, 1L -> 1.50, 2L -> 0.37)
+    days.zipWithIndex.map { case ((day, v), i) =>
+      (i.toLong, new java.sql.Timestamp((t0 + day * 86400) * 1000),
+        1L, "click", v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = graft.operators.Sequences.qTheilSen(spark, dir).collect().head
+    assert(r.getAs[Long]("n_pairs") === 3L)
+    assert(r.getAs[Long]("ts_slope_micro_cents") === -132000000L)
+  }
+
   test("rbo: identical rankings score the full weight mass; disjoint score 0") {
     // token count and char count produce the SAME ranking when texts
     // are single repeated chars (len tracks tokens)
