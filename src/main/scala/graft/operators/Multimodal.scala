@@ -590,6 +590,100 @@ object Multimodal {
       .orderBy("magic_hex")
   }
 
+  /** 64-bit average hash (aHash) of a decoded image — the classic
+    * perceptual near-dup signature (resize to 8×8 grayscale, threshold
+    * each cell by the mean): re-encodes, format conversions, and
+    * pixel-exact rescales of the same picture hash IDENTICALLY, while
+    * a different picture differs in many bits. Implemented as integer
+    * BOX SAMPLING (each cell averages the Rec. 601 luminance of the
+    * pixel block it covers, integer division throughout) instead of a
+    * Graphics2D rescale — interpolation is renderer-dependent; the box
+    * sum is bit-deterministic on every JVM. Strict `> mean` threshold
+    * (stated; an all-flat image hashes to 0). */
+  private[operators] def aHashOf(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val lums = new Array[Long](64)
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        val x0 = cx * w / 8; val x1 = math.max(x0 + 1, (cx + 1) * w / 8)
+        val y0 = cy * h / 8; val y1 = math.max(y0 + 1, (cy + 1) * h / 8)
+        var s = 0L; var n = 0L
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) {
+            val rgb = img.getRGB(x, y)
+            s += (((rgb >> 16) & 0xff) * 299 +
+              ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+            n += 1; x += 1
+          }
+          y += 1
+        }
+        lums(cy * 8 + cx) = s / math.max(n, 1L)
+        cx += 1
+      }
+      cy += 1
+    }
+    val mean = lums.sum / 64
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (lums(i) > mean) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  /** (media_id, ahash) for every decodable image in the set — blobs
+    * never shuffle; only the 8-byte hash flows downstream. */
+  def imageHashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (r.kind != "image" || r.payload == null) Iterator.empty
+        else try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          if (img == null || img.getWidth <= 0 || img.getHeight <= 0)
+            Iterator.empty
+          else Iterator.single((r.media_id, aHashOf(img)))
+        } catch { case _: Exception => Iterator.empty }
+      }
+    }.toDF("media_id", "ahash")
+  }
+
+  /** Perceptual image near-dup pairs: aHash hamming ≤ `maxHamming`
+    * (default 3) via the PIGEONHOLE blocking of the SimHash family
+    * (Dedup X126): 4 disjoint 16-bit bands of the hash — two hashes
+    * within hamming 3 must agree on at least one whole band, so the
+    * band equi-join is provably LOSSLESS at the threshold and the
+    * join is never all-pairs. Hamming rides the codegen'd
+    * bit_count(a XOR b). The multimodal twin of the text dedup spine:
+    * decode map-side, shuffle 8 bytes per image, bucket-join. */
+  def imageNearDups(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-band pigeonhole is lossless only to hamming 3")
+    val hashes = imageHashes(media).localCheckpoint() // both join sides
+    val keys = hashes.select(col("media_id"), col("ahash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("ahash"), b * 16)
+            .bitwiseAND(lit(0xffffL)).as("bkey"))): _*)).as("k"))
+      .select(col("media_id"), col("ahash"),
+        col("k.band").as("band"), col("k.bkey").as("bkey"))
+    keys.as("x").join(keys.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("a"), col("y.media_id").as("b"),
+        bit_count(col("x.ahash").bitwiseXOR(col("y.ahash")))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("a", "b")
+  }
+
   val queries: Map[String, Q] = Map("q_binary_magic" -> qBinaryMagic)
 
   val oracle: Map[String, String] = Map(

@@ -835,7 +835,49 @@ object Sequences {
       .orderBy("event_type")
   }
 
+  /** q_rfm_segments — RFM customer segmentation over the event log:
+    * per user, Recency (last-activity day), Frequency (event count),
+    * Monetary (total cents), each scored into ascending quartiles
+    * 1..4 (ties break on user_id — pinned), concatenated into the
+    * classic 3-digit segment code (444 = recent+frequent+big-spend,
+    * 111 = churned small fry), rolled up to segment populations and
+    * revenue. The standard marketing-analytics cut — and the same
+    * quartile machinery a data pipeline uses to stratify users for
+    * sampling.
+    *
+    * Scale shape: each quartile is [[Ranking.globalRowNumber]] (the
+    * range-bucketed distributed rank — NO single-task global window;
+    * the oracle runs the plain ntile) + [[Ranking.ntileFromRn]]'s
+    * pure-integer bucket arithmetic; three ranks over the
+    * |users|-sized rollup, then a ≤64-group final aggregate. */
+  val qRfmSegments: Q = (s, d) => {
+    val users = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("(ts div 1000000000) div 86400").as("day"),
+        intScaled(dec2(col("value")), 100L).as("cents"))
+      .groupBy("user_id")
+      .agg(max("day").as("r_day"),
+        count(lit(1)).as("f_cnt"),
+        sum("cents").cast(LongType).as("m_cents"))
+      .localCheckpoint() // three rank passes + the rollup read it
+    val n = users.count()
+    def quartile(metric: String, out: String)(df: DataFrame): DataFrame =
+      Ranking.globalRowNumber(df, Seq(col(metric), col("user_id")), "__rn")
+        .withColumn(out, Ranking.ntileFromRn(col("__rn"), lit(n), 4))
+        .drop("__rn")
+    val scored = quartile("m_cents", "m_q")(
+      quartile("f_cnt", "f_q")(quartile("r_day", "r_q")(users)))
+    scored
+      .withColumn("rfm_code",
+        (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).cast(LongType))
+      .groupBy("rfm_code")
+      .agg(count(lit(1)).cast(LongType).as("n_users"),
+        sum("m_cents").cast(LongType).as("total_cents"))
+      .orderBy("rfm_code")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_rfm_segments" -> qRfmSegments,
     "q_interarrival_fit" -> qInterarrivalFit,
     "q_theil_sen" -> qTheilSen,
     "q_attribution" -> qAttribution,
@@ -859,6 +901,24 @@ object Sequences {
     "q_burst_users" -> qBurstUsers)
 
   val oracle: Map[String, String] = Map(
+    "q_rfm_segments" ->
+      """WITH users AS (
+        |  SELECT user_id,
+        |    MAX(CAST(epoch_ms(ts) // 1000 // 86400 AS BIGINT)) AS r_day,
+        |    CAST(COUNT(*) AS BIGINT) AS f_cnt,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS m_cents
+        |  FROM events GROUP BY user_id),
+        |scored AS (
+        |  SELECT user_id, m_cents,
+        |    ntile(4) OVER (ORDER BY r_day, user_id) AS r_q,
+        |    ntile(4) OVER (ORDER BY f_cnt, user_id) AS f_q,
+        |    ntile(4) OVER (ORDER BY m_cents, user_id) AS m_q
+        |  FROM users)
+        |SELECT CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS rfm_code,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(m_cents) AS BIGINT) AS total_cents
+        |FROM scored GROUP BY 1 ORDER BY rfm_code""".stripMargin,
     "q_interarrival_fit" ->
       """WITH ev AS (
         |  SELECT event_type, user_id, event_id,

@@ -303,4 +303,64 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(4L).feature.length == 8 && feats(4L).width.isEmpty)
     assert(feats(3L).n_bytes == 4 && feats(4L).n_bytes == 2)
   }
+
+  /** Deterministic 16×16 gradient with optional per-cell brightness
+    * tweaks — cell (cx, cy) of the 8×8 aHash grid covers a 2×2 block. */
+  private def gradPng(tweak: Map[(Int, Int), Int] = Map.empty,
+      scale: Int = 1, format: String = "png"): Array[Byte] = {
+    val img = new BufferedImage(16 * scale, 16 * scale,
+      BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16 * scale; x <- 0 until 16 * scale) {
+      val cx = (x / scale) / 2; val cy = (y / scale) / 2
+      val base = ((x / scale) * 8 + (y / scale) * 8).min(255)
+      val v = (base + tweak.getOrElse((cx, cy), 0)).max(0).min(255)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
+  test("aHash: re-encode and pixel-exact rescale hash identically; different pictures differ") {
+    import spark.implicits._
+    val media = Seq(
+      MediaRow(1L, "image", gradPng(), "image/png", None, None, None),
+      MediaRow(2L, "image", gradPng(format = "bmp"), "image/bmp", None, None, None),
+      MediaRow(3L, "image", gradPng(scale = 2), "image/png", None, None, None),
+      MediaRow(4L, "image", halfPng(16, 16), "image/png", None, None, None)
+    ).toDS()
+    val h = Multimodal.imageHashes(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) === h(2L), "PNG and BMP of the same pixels hash equal")
+    assert(h(1L) === h(3L), "2x pixel-replicated upscale hashes equal (box sampling)")
+    assert(java.lang.Long.bitCount(h(1L) ^ h(4L)) > 3,
+      "a different picture is far in hamming space")
+  }
+
+  test("aHash near-dups: banded join finds exactly the brute-force pairs") {
+    import spark.implicits._
+    // base gradient + two perturbed copies (flip a dark cell bright —
+    // flips that cell's bit and can nudge the mean) + one far image
+    val media = Seq(
+      MediaRow(1L, "image", gradPng(), "image/png", None, None, None),
+      MediaRow(2L, "image", gradPng(Map((0, 0) -> 200)), "image/png", None, None, None),
+      MediaRow(3L, "image", gradPng(Map((0, 1) -> 200)), "image/png", None, None, None),
+      MediaRow(4L, "image", halfPng(16, 16), "image/png", None, None, None),
+      MediaRow(5L, "audio", Array[Byte](1, 2), "audio/wav", None, None, None)
+    ).toDS()
+    val hashes = Multimodal.imageHashes(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!hashes.contains(5L), "non-images never hash")
+    val brute = (for {
+      a <- hashes.keys; b <- hashes.keys if a < b
+      d = java.lang.Long.bitCount(hashes(a) ^ hashes(b)) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    val got = Multimodal.imageNearDups(media, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === brute, "pigeonhole banding is lossless at hamming 3")
+    assert(got.exists { case (a, b, _) => Set(a, b) == Set(1L, 2L) },
+      "the one-cell perturbation is a near-dup of the base")
+    assert(!got.exists { case (a, b, _) => a == 4L || b == 4L },
+      "the unrelated picture pairs with nothing")
+  }
 }
