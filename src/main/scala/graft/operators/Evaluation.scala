@@ -722,7 +722,16 @@ object Evaluation {
       .crossJoin(broadcast(tot))
       .withColumn("dv",
         col("rs2") - col("n").cast(dec) * (col("n_total").cast(dec) + lit(1L)))
-      .withColumn("dev2_n_micro", expr("(dv * dv * 1000000) div n"))
+      // coalesce-raise: past ~4B rows dv² overflows DECIMAL(38,0) and
+      // Spark's non-ANSI arithmetic yields NULL — which sum() would
+      // silently SKIP (a wrong H, not an error). DuckDB's HUGEINT
+      // raises at the same magnitude; this keeps the failure symmetric
+      // (the ADVICE-r12 loud-bound rule, applied to the mid-pipeline
+      // term, not just the final cast).
+      .withColumn("dev2_n_micro",
+        coalesce(expr("(dv * dv * 1000000) div n"),
+          raise_error(concat(lit("kruskal dev^2 overflows decimal(38,0): "),
+            col("dv").cast("string"))).cast(dec)))
     val ties = hist.agg(
       sum(expr("cast(cv as decimal(38,0)) * cv * cv - cv")).cast(dec)
         .as("tie_num"))
@@ -778,11 +787,16 @@ object Evaluation {
       .join(cells, Seq("lang", "source"), "left")
       .withColumn("o", coalesce(col("o"), lit(0L)))
       .crossJoin(broadcast(tot))
-      .select(expr(
+      // coalesce-raise: (O·N−R·C)² overflows DECIMAL(38,0) past ~4B
+      // rows and would otherwise NULL out of the sum silently — the
+      // same symmetric loud-bound guard as [[qKruskalWallis]]
+      .select(coalesce(expr(
         """((cast(o as decimal(38,0)) * n - cast(r as decimal(38,0)) * c)
           | * (cast(o as decimal(38,0)) * n - cast(r as decimal(38,0)) * c)
           | * 1000000) div (cast(n as decimal(38,0)) * r * c)"""
-          .stripMargin).as("term"))
+          .stripMargin),
+        raise_error(lit("cramers chi2 term overflows decimal(38,0)"))
+          .cast(dec)).as("term"))
       .agg(sum("term").cast(dec).as("chi2m"))
     chi.crossJoin(broadcast(tot)).crossJoin(broadcast(dims))
       .select(col("n"),

@@ -207,7 +207,10 @@ object Pretrain {
     * source) order — same total as the greedy, assigned
     * deterministically in ONE window pass over the |sources|-row
     * rollup (bounded by construction; the corpus-sized work is just
-    * the token-count scan). */
+    * the token-count scan). Long-arithmetic bound: the capped-prefix
+    * test multiplies cap × |sources|, exact while
+    * total_tokens × 1.25 × n_sources < 2⁶³ — a 100 TB corpus
+    * (~2.5×10¹³ tokens) stays exact to ~300k sources. */
   val qUnimaxMix: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val tok = Tables.documents(s, d)
