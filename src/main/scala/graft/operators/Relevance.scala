@@ -417,7 +417,49 @@ object Relevance {
       .orderBy("source")
   }
 
+  /** q_winsorized_mean — robust per-source length profile: the raw
+    * mean of n_chars next to the P5/P95-winsorized mean (values
+    * outside the exact percentile fences CLAMP to them, the standard
+    * winsorization) and the clamp count. The robust-stats companion
+    * to [[qMadOutliers]]: MAD FLAGS the tail, winsorization prices
+    * what the tail does to the mean — a 2× gap between the two means
+    * is the "this source's average is a few giant documents" readout
+    * a mixture designer needs before trusting any length-weighted
+    * statistic.
+    *
+    * Exact: fences are percentile_disc (the [[Reports.qQuantiles]]
+    * pinned discrete-quantile rule — both engines pick the smallest
+    * value with cumulative share ≥ p, no interpolation), means are
+    * floored milli via non-negative integer division. Two passes over
+    * the (source, v) rollup: one aggregate for fences+raw sums, one
+    * clamp+sum join back (source-keyed, co-partitioned). */
+  val qWinsorizedMean: Q = (s, d) => {
+    def pd(p: String) = expr(
+      s"CAST(percentile_disc($p) WITHIN GROUP (ORDER BY v) AS BIGINT)")
+    val base = Tables.documents(s, d)
+      .filter(col("n_chars").isNotNull)
+      .select(col("source"), col("n_chars").cast(LongType).as("v"))
+    val fences = base.groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum("v").cast(LongType).as("sum_raw"),
+        pd("0.05").as("p05"), pd("0.95").as("p95"))
+    base.join(fences, "source")
+      .withColumn("w", least(greatest(col("v"), col("p05")), col("p95")))
+      .groupBy("source", "n", "sum_raw", "p05", "p95")
+      .agg(sum("w").cast(LongType).as("sum_w"),
+        sum(when(col("v") < col("p05") || col("v") > col("p95"), 1L)
+          .otherwise(0L)).cast(LongType).as("n_clamped"))
+      .select(col("source"), col("n").cast(LongType).as("n"),
+        col("p05"), col("p95"),
+        expr("(sum_raw * 1000) div n").cast(LongType).as("mean_milli"),
+        expr("(sum_w * 1000) div n").cast(LongType)
+          .as("winsor_mean_milli"),
+        col("n_clamped"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_winsorized_mean" -> qWinsorizedMean,
     "q_rbo_rankings" -> qRboRankings,
     "q_rank_overlap" -> qRankOverlap,
     "q_rrf_fusion" -> qRrfFusion,
@@ -430,6 +472,25 @@ object Relevance {
     "q_datasheet" -> qDatasheet)
 
   val oracle: Map[String, String] = Map(
+    "q_winsorized_mean" ->
+      """WITH base AS (
+        |  SELECT source, CAST(n_chars AS BIGINT) AS v
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |fences AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(v) AS BIGINT) AS sum_raw,
+        |    CAST(quantile_disc(v, 0.05) AS BIGINT) AS p05,
+        |    CAST(quantile_disc(v, 0.95) AS BIGINT) AS p95
+        |  FROM base GROUP BY source)
+        |SELECT f.source, f.n, f.p05, f.p95,
+        |  CAST((f.sum_raw * 1000) // f.n AS BIGINT) AS mean_milli,
+        |  CAST((SUM(LEAST(GREATEST(b.v, f.p05), f.p95)) * 1000) // f.n
+        |    AS BIGINT) AS winsor_mean_milli,
+        |  CAST(SUM(CASE WHEN b.v < f.p05 OR b.v > f.p95 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_clamped
+        |FROM base b JOIN fences f USING (source)
+        |GROUP BY f.source, f.n, f.p05, f.p95, f.sum_raw
+        |ORDER BY f.source""".stripMargin,
     "q_rbo_rankings" -> {
       val terms = rboWeightPpm.zipWithIndex.map { case (w, i) =>
         s"($w * ov${i + 1}) // ${i + 1}"

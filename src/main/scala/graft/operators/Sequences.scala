@@ -876,7 +876,71 @@ object Sequences {
       .orderBy("rfm_code")
   }
 
+  /** One CUSUM argmax pass over (parts…, day, c): per part group, the
+    * day where the running deviation sum bows furthest (ties →
+    * earliest), with the group's day count and the |s| ceiling share.
+    * The [[qCusumChangepoint]] kernel, parameterized over the
+    * partition so [[qChangepointSegments]] can re-run it inside each
+    * half of a split. */
+  private def cusumPick(cnt: DataFrame, parts: Seq[String]): DataFrame = {
+    val pc = parts.map(col)
+    val wT = Window.partitionBy(pc: _*)
+    val wRun = Window.partitionBy(pc: _*).orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPick = Window.partitionBy(pc: _*)
+      .orderBy(col("abs_s").desc, col("day"))
+    cnt
+      .withColumn("dd", count(lit(1)).over(wT).cast(DecimalType(38, 0)))
+      .withColumn("stot", sum(col("c")).over(wT))
+      .withColumn("s", sum(col("dd") * col("c") - col("stot")).over(wRun))
+      .withColumn("abs_s", abs(col("s")))
+      .withColumn("rk", row_number().over(wPick))
+      .filter(col("rk") === 1)
+      .select(pc :+ col("dd").cast(LongType).as("n_days") :+
+        col("day").cast(LongType).as("cp_day") :+
+        expr("(abs_s * 1000) div (dd * stot)").cast(LongType)
+          .as("cusum_permille"): _*)
+  }
+
+  /** q_changepoint_segments — two-level binary segmentation of each
+    * event type's daily rate (Scott & Knott's recursion, depth 2):
+    * the level-1 CUSUM changepoint splits the day range, then the
+    * SAME kernel re-runs independently inside each half — up to three
+    * changepoints locating up to four rate regimes, where
+    * [[qCusumChangepoint]] stops at one. Level-2 deviation shares are
+    * scaled by their OWN half's ceiling (stated — each recursion level
+    * answers "where does THIS segment break", not "how big globally").
+    * Halves with a single day emit nothing (no interior split exists).
+    *
+    * Plan: the kernel is windows over the ≤|types|·|days| daily
+    * rollup; level 2 re-partitions the SAME rollup by (type, half) —
+    * two result-sized passes, nothing corpus-sized after the one
+    * scan. */
+  val qChangepointSegments: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val cnt = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("(ts div 1000000000) div 86400").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).cast(dec).as("c"))
+      .localCheckpoint() // level 1 and the half melt both read it
+    val l1 = cusumPick(cnt, Seq("event_type"))
+    val halves = cnt.join(
+        broadcast(l1.select(col("event_type"), col("cp_day"))), "event_type")
+      .withColumn("half",
+        when(col("day") <= col("cp_day"), 0L).otherwise(1L))
+      .select("event_type", "half", "day", "c")
+    val l2 = cusumPick(halves, Seq("event_type", "half"))
+      .filter(col("n_days") >= 2)
+    l1.select(col("event_type"), lit(1L).as("level"), lit(0L).as("segment"),
+        col("n_days"), col("cp_day"), col("cusum_permille"))
+      .unionByName(l2.select(col("event_type"), lit(2L).as("level"),
+        col("half").as("segment"), col("n_days"), col("cp_day"),
+        col("cusum_permille")))
+      .orderBy("event_type", "level", "segment")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_changepoint_segments" -> qChangepointSegments,
     "q_rfm_segments" -> qRfmSegments,
     "q_interarrival_fit" -> qInterarrivalFit,
     "q_theil_sen" -> qTheilSen,
@@ -901,6 +965,60 @@ object Sequences {
     "q_burst_users" -> qBurstUsers)
 
   val oracle: Map[String, String] = Map(
+    "q_changepoint_segments" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(epoch_ms(ts) // 1000 // 86400 AS BIGINT) AS day,
+        |    CAST(COUNT(*) AS HUGEINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |d1 AS (
+        |  SELECT event_type, day, c,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS HUGEINT) AS dd,
+        |    SUM(c) OVER (PARTITION BY event_type) AS stot
+        |  FROM daily),
+        |c1 AS (
+        |  SELECT event_type, day, dd, stot,
+        |    SUM(dd * c - stot) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS s
+        |  FROM d1),
+        |p1 AS (
+        |  SELECT event_type, CAST(dd AS BIGINT) AS n_days,
+        |    CAST(day AS BIGINT) AS cp_day,
+        |    CAST((abs(s) * 1000) // (dd * stot) AS BIGINT) AS cusum_permille
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        |          ORDER BY abs(s) DESC, day) AS rk FROM c1)
+        |  WHERE rk = 1),
+        |halves AS (
+        |  SELECT d.event_type,
+        |    CASE WHEN d.day <= p1.cp_day THEN 0 ELSE 1 END AS half,
+        |    d.day, d.c
+        |  FROM daily d JOIN p1 USING (event_type)),
+        |d2 AS (
+        |  SELECT event_type, half, day, c,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type, half) AS HUGEINT)
+        |      AS dd,
+        |    SUM(c) OVER (PARTITION BY event_type, half) AS stot
+        |  FROM halves),
+        |c2 AS (
+        |  SELECT event_type, half, day, dd, stot,
+        |    SUM(dd * c - stot) OVER (PARTITION BY event_type, half
+        |      ORDER BY day ROWS UNBOUNDED PRECEDING) AS s
+        |  FROM d2),
+        |p2 AS (
+        |  SELECT event_type, CAST(half AS BIGINT) AS segment,
+        |    CAST(dd AS BIGINT) AS n_days, CAST(day AS BIGINT) AS cp_day,
+        |    CAST((abs(s) * 1000) // (dd * stot) AS BIGINT) AS cusum_permille
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, half
+        |          ORDER BY abs(s) DESC, day) AS rk FROM c2)
+        |  WHERE rk = 1 AND dd >= 2)
+        |SELECT event_type, CAST(1 AS BIGINT) AS level,
+        |  CAST(0 AS BIGINT) AS segment, n_days, cp_day, cusum_permille
+        |FROM p1
+        |UNION ALL
+        |SELECT event_type, CAST(2 AS BIGINT), segment, n_days, cp_day,
+        |  cusum_permille
+        |FROM p2
+        |ORDER BY event_type, level, segment""".stripMargin,
     "q_rfm_segments" ->
       """WITH users AS (
         |  SELECT user_id,

@@ -203,6 +203,58 @@ class FuzzyDecontaminateSpec extends SparkSpec {
     assert(r.getAs[Long]("ts_slope_micro_cents") === -132000000L)
   }
 
+  test("winsorized mean: the clamp prices the outlier; clean data clamps nothing") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("winsor").toString
+    // sa: 19 docs of 100 chars + one 10000-char monster
+    // sb: 20 docs all exactly 100 chars (degenerate fences p05=p95=100)
+    val rows = (1L to 19L).map(i => (i, "sa", 100L)) ++ Seq((20L, "sa", 10000L)) ++
+      (21L to 40L).map(i => (i, "sb", 100L))
+    rows.map { case (id, src, len) => (id, "t", "en", src, len) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.Relevance.qWinsorizedMean(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val sa = got("sa")
+    // percentile_disc(.05) over 20 sorted values = the 1st (100);
+    // .95 = the 19th (100) -> the monster clamps to 100
+    assert(sa.getAs[Long]("p05") === 100L && sa.getAs[Long]("p95") === 100L)
+    assert(sa.getAs[Long]("mean_milli") === (19L * 100 + 10000) * 1000 / 20)
+    assert(sa.getAs[Long]("winsor_mean_milli") === 100000L)
+    assert(sa.getAs[Long]("n_clamped") === 1L)
+    val sb = got("sb")
+    assert(sb.getAs[Long]("mean_milli") === 100000L)
+    assert(sb.getAs[Long]("winsor_mean_milli") === 100000L)
+    assert(sb.getAs[Long]("n_clamped") === 0L)
+  }
+
+  test("changepoint segments: a clean step splits at the boundary; flat halves score zero") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cpseg").toString
+    val t0 = 86400L * 20000
+    // days 0..9 one event/day, days 10..19 five events/day
+    val evs = (0 until 10).map(d => Seq.fill(1)(d)) ++
+      (10 until 20).map(d => Seq.fill(5)(d))
+    evs.flatten.zipWithIndex.map { case (d, i) =>
+      (i.toLong, new java.sql.Timestamp((t0 + d * 86400 + 100) * 1000),
+        1L, "click", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.Sequences.qChangepointSegments(spark, dir)
+      .collect().map(r => (r.getAs[Long]("level"), r.getAs[Long]("segment")) ->
+        ((r.getAs[Long]("n_days"), r.getAs[Long]("cp_day"),
+          r.getAs[Long]("cusum_permille")))).toMap
+    assert(got.keySet === Set((1L, 0L), (2L, 0L), (2L, 1L)))
+    // level 1: |s| bows maximally at the last low-rate day (day 9)
+    val (nd, cp, pm) = got((1L, 0L))
+    assert(nd === 20L && cp === 20000L + 9L)
+    assert(pm > 0L)
+    // both halves are FLAT: every deviation is zero, permille 0,
+    // argmax ties to the earliest day of the half
+    assert(got((2L, 0L)) === ((10L, 20000L, 0L)))
+    assert(got((2L, 1L)) === ((10L, 20010L, 0L)))
+  }
+
   test("rbo: identical rankings score the full weight mass; disjoint score 0") {
     // token count and char count produce the SAME ranking when texts
     // are single repeated chars (len tracks tokens)
