@@ -73,6 +73,27 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val mode = sys.env.getOrElse("SPARK_GRAFT_BENCH_MODE", "both")
+
+    // Host-load provenance (VERDICT r13: the committed r13 record was
+    // measured inside a load-4..9 co-tenant window and its numbers were
+    // not comparable round-over-round; adjudicating the five false
+    // regression flags cost a judge probe). Every artifact now carries
+    // the 1-min system load average sampled BEFORE the warmup, AFTER
+    // each seq pass, and at the end. Only the pre-run sample gates
+    // commit-grade: once the bench itself runs at local[N] it drives
+    // host load to ~N, so mid-run samples are the adjudication record
+    // (compare across rounds), not a gate.
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val loadGate = sys.env.get("SPARK_GRAFT_BENCH_LOAD_GATE")
+      .flatMap(v => scala.util.Try(v.trim.toDouble).toOption.filter(_ > 0))
+      .getOrElse(2.0)
+    val loadStart = loadAvg()
+    val commitGrade = loadStart <= loadGate
+    if (!commitGrade) System.err.println(
+      f"[bench] host load $loadStart%.2f exceeds gate $loadGate%.2f at start" +
+        " — artifact marked commit_grade=false; do not adopt as baseline")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -254,6 +275,7 @@ object Bench {
     // not argument about measurement context
     var seqPasses: Seq[Map[String, Double]] = Seq.empty
     var gcPasses: Seq[Map[String, Double]] = Seq.empty
+    var loadPasses: Seq[Double] = Seq.empty // load avg sampled at each pass end
     def runSeqMedian(): Map[String, Double] = {
       // per-pass totals to stderr: pass 1 carries every janino compile
       // (cold codegen), passes 2+ measure steady state — the 1-vs-rest
@@ -262,9 +284,11 @@ object Bench {
       // entry cache no longer covers the query surface
       val runs = (1 to seqRepeat).map { i =>
         val (r, g) = runSeq(i)
-        System.err.println(f"[bench] seq pass $i/$seqRepeat total ${r.values.sum}%.1f s (gc ${g.values.sum}%.1f s)")
+        val la = loadAvg()
+        System.err.println(f"[bench] seq pass $i/$seqRepeat total ${r.values.sum}%.1f s (gc ${g.values.sum}%.1f s, load $la%.2f)")
         seqPasses :+= r
         gcPasses :+= g
+        loadPasses :+= la
         r
       }
       runs.head.keys.map { k =>
@@ -318,7 +342,7 @@ object Bench {
     val qsum = qmap.values.sum
     def mkLine(entries: Seq[(String, Double)]): String = {
       val qs = entries.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_kind":"$kind","queries":$qs,"queries_kind":"$qkind","n_queries":${qmap.size},"queries_shown":${entries.size},"queries_sum_sec":$qsum%.3f,"seq_repeat":$seqRepeat,"regressions_n":${regressions.size},"detail":"target/bench.json","sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_kind":"$kind","queries":$qs,"queries_kind":"$qkind","n_queries":${qmap.size},"queries_shown":${entries.size},"queries_sum_sec":$qsum%.3f,"seq_repeat":$seqRepeat,"regressions_n":${regressions.size},"load_start":$loadStart%.2f,"commit_grade":$commitGrade,"detail":"target/bench.json","sf":"$sfDir"}"""
     }
     // slowest-first, ties broken by name for a deterministic artifact
     val bySlowest = qmap.toSeq.sortBy { case (k, v) => (-v, k) }
@@ -329,11 +353,26 @@ object Bench {
     println(mkLine(shown))
     def jsArr(ms: Seq[Map[String, Double]]): String =
       ms.map(js).mkString("[", ",", "]")
+    val loadEnd = loadAvg()
+    val hostCpus = Runtime.getRuntime.availableProcessors()
+    val loadJson = loadPasses.map(l => f"$l%.2f").mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","value_kind":"$kind","queries_concurrent":${js(results)},"queries_seq":${seqResults.map(js).getOrElse("null")},"queries_seq_passes":${jsArr(seqPasses)},"queries_gc_sec_passes":${jsArr(gcPasses)},"gc_between_queries":$gcBetween,"seq_order":"shuffled_per_pass","seq_repeat":$seqRepeat,"regressions":${regressions.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total,"unit":"sec","value_kind":"$kind","queries_concurrent":${js(results)},"queries_seq":${seqResults.map(js).getOrElse("null")},"queries_seq_passes":${jsArr(seqPasses)},"queries_gc_sec_passes":${jsArr(gcPasses)},"gc_between_queries":$gcBetween,"seq_order":"shuffled_per_pass","seq_repeat":$seqRepeat,"regressions":${regressions.mkString("{", ",", "}")},"load_avg_start":$loadStart%.2f,"load_avg_per_pass":$loadJson,"load_avg_end":$loadEnd%.2f,"load_gate":$loadGate%.2f,"commit_grade":$commitGrade,"host_cpus":$hostCpus,"sf":"$sfDir"}"""
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, (full + "\n").getBytes("UTF-8"))
+    // Stamped copy: target/bench.json is overwritten by EVERY Bench
+    // invocation, including scoped SPARK_GRAFT_BENCH_ONLY probes — r13
+    // lost its best clean close artifact exactly this way (only a 4 KB
+    // stdout tail survived). The stamped file makes every run's full
+    // artifact durable; stderr names it so the operator can find it.
+    val stamp = java.time.format.DateTimeFormatter
+      .ofPattern("yyyyMMdd-HHmmss").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.now())
+    val stamped = java.nio.file.Paths.get(s"target/bench-$stamp.json")
+    java.nio.file.Files.write(stamped, (full + "\n").getBytes("UTF-8"))
+    System.err.println(s"[bench] artifact also at $stamped" +
+      (if (commitGrade) "" else " (NOT commit-grade: host load)"))
     spark.stop()
   }
 }

@@ -98,23 +98,39 @@ object Dedup {
     * labels — near-dup-pair-sized, never corpus-sized). */
   private val pairsMemo = new Memo("dedup-minhash-pairs")
   private val compsMemo = new Memo("dedup-minhash-components")
+  private val bandKeysMemo = new Memo("dedup-minhash-bandkeys")
+
+  /** The corpus's (doc_id, band_key) banding, memoized per (session,
+    * dir) — the SHARED upstream of the self-pair spine
+    * ([[minhashCandidatePairs]]) and the cross-set decontamination
+    * probe ([[qFuzzyDecontaminate]]), so a report session that runs
+    * both prices the corpus-scale shingle→md5→min aggregation ONCE
+    * (ADVICE r13: the fuzzy probe used to bypass the memo and pay it
+    * twice). The entry is 2 rows/doc of (long, short string) — band-
+    * key-sized, never corpus-sized. */
+  def minhashBandKeys(s: SparkSession, d: String): DataFrame =
+    bandKeysMemo(s, d)(bandKeysExpr(minhashSignatures(
+      Tables.documents(s, d).select("doc_id", "text"))))
 
   /** Unsorted minhash-LSH candidate pairs (a < b), memoized +
-    * localCheckpointed per (session, dir). */
+    * localCheckpointed per (session, dir); reads the shared
+    * [[minhashBandKeys]] entry. */
   def minhashCandidatePairs(s: SparkSession, d: String): DataFrame =
-    pairsMemo(s, d)(candidatePairsFromSig(minhashSignatures(
-      Tables.documents(s, d).select("doc_id", "text"))))
+    pairsMemo(s, d)(candidatePairsFromKeys(minhashBandKeys(s, d)))
 
   /** Candidate pairs from an already-computed signature table —
     * consumers that also need the signatures themselves
     * ([[qMinhashEstimate]]) pass their checkpointed frame so the
     * shingle→md5→min aggregation runs ONCE, not once per use. */
-  private[graft] def candidatePairsFromSig(sig: DataFrame): DataFrame = {
+  private[graft] def candidatePairsFromSig(sig: DataFrame): DataFrame =
+    candidatePairsFromKeys(bandKeysFromSig(sig))
+
+  /** Candidate pairs from a (doc_id, band_key) frame. */
+  private[graft] def candidatePairsFromKeys(keys: DataFrame): DataFrame = {
     // triangle-salted self-pair join: a hot band bucket (boilerplate-
     // heavy corpus) spreads its quadratic pair work over the salt
     // cells instead of landing on one reducer
-    Skew.saltedSelfPairs(bandKeysFromSig(sig), Seq("band_key"), "doc_id",
-        buckets = 4)
+    Skew.saltedSelfPairs(keys, Seq("band_key"), "doc_id", buckets = 4)
       .distinct()
   }
 
@@ -124,16 +140,21 @@ object Dedup {
     * shared-vocabulary corpus floods the candidate set). Keys explode
     * from ONE array so the signature aggregation runs once;
     * localCheckpointed because every consumer joins it at least
-    * twice. Shared by the self-pair spine and the cross-set
-    * decontamination join ([[qFuzzyDecontaminate]]). */
+    * twice (the memoized path checkpoints via [[graft.Memo]] instead,
+    * so [[bandKeysExpr]] stays checkpoint-free). Shared by the
+    * self-pair spine and the cross-set decontamination join
+    * ([[qFuzzyDecontaminate]]). */
   private[graft] def bandKeysFromSig(sig: DataFrame): DataFrame =
+    bandKeysExpr(sig).localCheckpoint()
+
+  private def bandKeysExpr(sig: DataFrame): DataFrame =
     sig.select(
       col("doc_id"),
       explode(array((0 until 2).map { b =>
         val parts = lit(s"$b") +: (0 until 4).map(j =>
           concat(lit(":"), col(s"m${4 * b + j}").cast("string")))
         concat(parts: _*)
-      }: _*)).as("band_key")).localCheckpoint()
+      }: _*)).as("band_key"))
 
   val qDedupMinhashLsh: Q = (s, d) =>
     minhashCandidatePairs(s, d).orderBy("a", "b")
@@ -149,16 +170,17 @@ object Dedup {
     * signature collision. Emits each flagged train doc with its eval
     * collision count and smallest colliding eval id.
     *
-    * Scale shape: signatures shuffle 8 longs/doc (the X2 contract);
-    * the cross-set probe is ONE equi-join on band_key between the
+    * Scale shape: signatures shuffle 8 longs/doc (the X2 contract),
+    * read from the SHARED [[minhashBandKeys]] memo entry so a session
+    * that also runs the dedup report family prices the corpus scan
+    * once; the cross-set probe is ONE equi-join on band_key between the
     * train keys and the ~5% eval keys — LSH bucketing bounds it
     * exactly as the self-pair spine (the eval side grows with the
     * corpus, so it is NOT broadcast-hinted — AQE may still choose to).
     * Distinct-before-rollup so a pair colliding in both bands counts
     * once. */
   val qFuzzyDecontaminate: Q = (s, d) => {
-    val keys = bandKeysFromSig(minhashSignatures(
-      Tables.documents(s, d).select("doc_id", "text")))
+    val keys = minhashBandKeys(s, d)
       .withColumn("is_eval", pmod(graft.functions.Exprs.md5Long(
         concat(lit("eval|"), col("doc_id").cast("string"))), lit(20)) === 0)
     val evalKeys = keys.filter(col("is_eval"))

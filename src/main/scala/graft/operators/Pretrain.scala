@@ -203,8 +203,12 @@ object Pretrain {
     * difference (capᵢ₊₁−capᵢ)(n−i) ≥ 0 — once false, always false;
     * UnimaxSpec pins it against the sequential greedy). m = the last
     * capped index; uncapped sources get ⌊(B − Σ₁..m cap)/(n−m)⌋ with
-    * the integer remainder assigned to the LAST source in (cap,
-    * source) order — same total as the greedy, assigned
+    * the integer remainder distributed greedily: +1 to each of the
+    * LAST rem sources in (cap, source) order (idx > n − rem), which
+    * is exactly the per-source result of the sequential greedy and
+    * provably respects every cap (the smallest uncapped cap exceeds
+    * the rational share, so share+1 ≤ cap whenever rem > 0) — same
+    * total AND same per-source split as the greedy, assigned
     * deterministically in ONE window pass over the |sources|-row
     * rollup (bounded by construction; the corpus-sized work is just
     * the token-count scan). Long-arithmetic bound: the capped-prefix
@@ -240,9 +244,10 @@ object Pretrain {
     ordered.crossJoin(broadcast(m)).crossJoin(broadcast(capSum))
       .withColumn("allocated",
         when(col("idx") <= col("m"), col("cap"))
-          .otherwise(expr("(b - capsum) div (ns - m)"))
-          + when(col("idx") === col("ns") && col("ns") > col("m"),
-              expr("(b - capsum) % (ns - m)")).otherwise(lit(0L)))
+          .otherwise(expr("(b - capsum) div (ns - m)")
+            + when(col("idx") > col("ns")
+                - expr("(b - capsum) % (ns - m)"), lit(1L))
+              .otherwise(lit(0L))))
       .select(col("source"), col("n_tokens"),
         col("cap").cast(LongType).as("cap_tokens"),
         col("allocated").cast(LongType).as("allocated"),
@@ -291,9 +296,10 @@ object Pretrain {
         |alloc AS (
         |  SELECT c.source, c.n_tokens, c.cap, c.idx, c.ns, c.b, m.m, cs.capsum,
         |    (CASE WHEN c.idx <= m.m THEN c.cap
-        |          ELSE (c.b - cs.capsum) // (c.ns - m.m) END)
-        |    + (CASE WHEN c.idx = c.ns AND c.ns > m.m
-        |        THEN (c.b - cs.capsum) % (c.ns - m.m) ELSE 0 END) AS allocated
+        |          ELSE (c.b - cs.capsum) // (c.ns - m.m)
+        |           + (CASE WHEN c.idx > c.ns
+        |                - ((c.b - cs.capsum) % (c.ns - m.m))
+        |              THEN 1 ELSE 0 END) END) AS allocated
         |  FROM cond c CROSS JOIN mrow m CROSS JOIN csum cs)
         |SELECT source, n_tokens, CAST(cap AS BIGINT) AS cap_tokens,
         |  CAST(allocated AS BIGINT) AS allocated,

@@ -84,7 +84,7 @@ class UnimaxSpec extends SparkSpec {
     assert(x.getAs[Long]("epochs_milli") === 1200L)
   }
 
-  test("integer remainder lands on the LAST uncapped source in cap order") {
+  test("integer remainder spreads +1 over the LAST rem uncapped sources") {
     // caps asc: s1 12 (capped), s2 625, s3 628; B = 1215
     // share (1215-12)/2 = 601 rem 1 -> s2 601, s3 602
     val dir = writeSources("s1" -> 10, "s2" -> 500, "s3" -> 503)
@@ -92,6 +92,26 @@ class UnimaxSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getAs[Long]("allocated")).toMap
     assert(rows === Map("s1" -> 12L, "s2" -> 601L, "s3" -> 602L))
     assert(rows.values.sum === 1215L)
+  }
+
+  test("equal caps: remainder >= 2 never pushes a source over its cap") {
+    // 3 equal sources of 9 tokens: caps 11 each, B = 32; 11*3 = 33 > 32
+    // so m = 0, share 32/3 = 10 rem 2 -> alloc 10/11/11 (NOT 10/10/12,
+    // which would put the last source at 1333 milli-epochs > the 1250
+    // cap). Per-source equality with the sequential greedy included.
+    val dir = writeSources("s1" -> 9, "s2" -> 9, "s3" -> 9)
+    val rows = Pretrain.qUnimaxMix(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("cap_tokens"), r.getAs[Long]("allocated"),
+          r.getAs[Long]("epochs_milli")))).toMap
+    assert(rows.map { case (s, v) => s -> v._2 } ===
+      Map("s1" -> 10L, "s2" -> 11L, "s3" -> 11L))
+    rows.foreach { case (s, (cap, alloc, em)) =>
+      assert(alloc <= cap, s"$s allocation respects its cap")
+      assert(em <= 1250L, s"$s stays under 1.25 epochs")
+    }
+    val g = greedy(rows.toSeq.map { case (s, v) => (s, v._1) }, 32L)
+    rows.foreach { case (s, v) => assert(g(s) === v._2, s) }
   }
 
   test("sf fixture: budget respected, caps respected, greedy totals equal") {

@@ -1,25 +1,43 @@
 #!/usr/bin/env python3
 """Regenerate bench_baseline.json from a close-run artifact.
 
-Usage: python3 tools/regen_baseline.py [bench_json] [baseline_json]
+Usage: python3 tools/regen_baseline.py [bench_json] [baseline_json] [--force]
 
 Implements the provenance contract (Bench.scala): baselines come ONLY
-from a full-surface 5-pass seq artifact. Prints every query whose
-new/old ratio exceeds 1.5x in either direction so the operator can
-isolated-probe before adopting (context skew -> adopt; real plan
-regression -> fix first). Exits nonzero without writing if the
-artifact looks scoped (fewer queries than the old baseline).
+from a full-surface 5-pass seq artifact measured on a quiet host.
+Refuses (exit nonzero, nothing written) when:
+  - the artifact looks scoped (fewer queries than the old baseline);
+  - the artifact carries commit_grade=false or a load_avg_start above
+    the gate (co-tenant window — r13's contaminated record);
+  - any query moved >1.5x in either direction, unless --force: movers
+    must be isolated-probed first (context skew -> adopt with --force;
+    real plan regression -> fix the plan, re-run, then regen).
 """
 import json
 import sys
 
-bench_path = sys.argv[1] if len(sys.argv) > 1 else "target/bench.json"
-base_path = sys.argv[2] if len(sys.argv) > 2 else "bench_baseline.json"
+args = [a for a in sys.argv[1:] if a != "--force"]
+force = "--force" in sys.argv[1:]
+bench_path = args[0] if len(args) > 0 else "target/bench.json"
+base_path = args[1] if len(args) > 1 else "bench_baseline.json"
 
 art = json.load(open(bench_path))
 seq = art.get("queries_seq")
 if not seq:
     sys.exit("artifact has no queries_seq map — not a seq/both run")
+
+# Quiet-host preflight: a pre-r14 artifact has no load fields (treated
+# as unknown -> warn but allow); an r14+ artifact must be commit-grade.
+load = art.get("load_avg_start")
+gate = art.get("load_gate", 2.0)
+if art.get("commit_grade") is False or (load is not None and load > gate):
+    sys.exit(f"artifact is not commit-grade (load_avg_start={load}, "
+             f"gate={gate}) — re-run the close on a quiet host "
+             "(provenance contract: no baseline from a loaded-host run)")
+if load is None:
+    print("WARNING: artifact carries no load_avg_start (pre-r14 Bench?) — "
+          "cannot verify quiet-host provenance", file=sys.stderr)
+
 try:
     old = json.load(open(base_path))
 except FileNotFoundError:
@@ -41,6 +59,10 @@ for q in new_qs:
 dropped = sorted(set(old) - set(seq))
 for q in dropped:
     print(f"DROPPED {q} (was {old[q]:.3f})")
+
+if movers and not force:
+    sys.exit(f"{len(movers)} movers >1.5x — isolated-probe each (context "
+             "skew vs plan regression), then re-run with --force to adopt")
 
 with open(base_path, "w") as f:
     json.dump({q: round(v, 6) for q, v in sorted(seq.items())}, f, indent=0)
