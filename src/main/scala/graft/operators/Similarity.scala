@@ -43,7 +43,7 @@ object Similarity {
     * order-independent, equals the oracle's SUM exactly). No row
     * explosion, no join, no shuffle, and unlike a zip_with/aggregate
     * fold it runs inside whole-stage codegen. */
-  private def decDot(a: Column, b: Column): Column = {
+  private[operators] def decDot(a: Column, b: Column): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(graft.functions.DecimalDotExpr(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
@@ -1220,10 +1220,13 @@ object Similarity {
     // walk enters; deeper levels collapse into it)
     val thr = Seq(144115188075855872L, 18014398509481984L, 2251799813685248L)
     val lvlExpr = thr.map(t => s"CAST(u < ${t}L AS INT)").mkString(" + ")
+    // no checkpoint: one trivial projection off the checkpointed
+    // sample, consumed twice (entry limit-1, edge membership) — a
+    // barrier here would cost a whole job to save a md5 over 512 rows
     val nodes = sample.select(col("vec_id"))
       .withColumn("u", md5Long(concat(lit("hnsw|"), col("vec_id").cast("string"))))
       .withColumn("lvl", expr(lvlExpr).cast(LongType))
-      .select("vec_id", "lvl").localCheckpoint()
+      .select("vec_id", "lvl")
     val entry = broadcast(
       nodes.orderBy(col("lvl").desc, col("vec_id")).limit(1)
         .select(col("vec_id").as("c")))
@@ -1249,34 +1252,56 @@ object Similarity {
       .select(col("l"), col("qid").as("src"), col("nid").as("dst"))
       .localCheckpoint()
     val probes = sample.select(col("vec_id").as("probe"))
-    val simsByProbe = cosv.select(col("qid").as("probe"),
-      col("nid").as("cand"), col("sim_micros"))
-    // step: (next current node, the candidate set the hop EVALUATED)
+    // both hop-side frames are bounded by construction (512² sims ≈
+    // 6 MB, ≤ 4·512·16 edges) — broadcast them so every hop is
+    // map-side: the r13 plan shuffled the sim matrix at EVERY hop
+    // (shuffle join + sort window), 27 shuffle rounds for a bounded
+    // diagnostic, the concurrent run's straggler
+    val simsByProbe = broadcast(cosv.select(col("qid").as("probe"),
+      col("nid").as("cand"), col("sim_micros")))
+    val edgesB = broadcast(edges)
+    // step: (next current node, the candidate set the hop EVALUATED).
+    // No per-hop distinct — candidates are a SET semantically, but the
+    // argmax is duplicate-insensitive and the final pool dedups, so
+    // the mid-walk shuffle bought nothing. Argmax via max_by partial
+    // aggregation (one light groupBy shuffle) instead of a global
+    // sort window; ties impossible (score, -cand) is injective.
     def step(cur: DataFrame, l: Int): (DataFrame, DataFrame) = {
       val cand = cur.select(col("probe"), col("c").as("cand"))
-        .unionAll(cur.join(edges.filter(col("l") === l),
+        .unionAll(cur.join(edgesB.filter(col("l") === l),
             cur("c") === col("src"))
           .select(col("probe"), col("dst").as("cand")))
-        .distinct()
       val next = cand.join(simsByProbe, Seq("probe", "cand"), "left")
         .withColumn("score",
           when(col("probe") === col("cand"), lit(1000001L))
             .otherwise(col("sim_micros")))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("probe").orderBy(col("score").desc, col("cand"))))
-        .filter(col("rk") === 1)
-        .select(col("probe"), col("cand").as("c"))
+        .groupBy("probe")
+        .agg(max_by(col("cand"), struct(col("score"), -col("cand"))).as("c"))
       (next, cand)
     }
+    // One lineage barrier PER LAYER, not per hop (r13 verdict: the
+    // 9 per-hop localCheckpoints were the plan floor — 9 sequential
+    // jobs for a bounded diagnostic, the concurrent run's straggler).
+    // The hops of one layer chain lazily inside a single plan: `cur`
+    // appears twice per hop (identity candidate + edge join), so an
+    // un-checkpointed segment grows 2^hops — bounded at 2^3 here,
+    // safe; 2^9 across the whole walk is not. Candidate frames in
+    // `seen` recompute their (<= 512 x 17 row) hop chains from the
+    // per-layer checkpoints when the pool evaluates — bounded work,
+    // traded for 5 fewer job barriers.
     var cur = probes.crossJoin(entry)
     var seen = cur.select(col("probe"), col("c").as("cand"))
-    for (l <- 3 to 0 by -1; _ <- 1 to (if (l == 0) 3 else 2)) {
-      val (next, cand) = step(cur, l)
-      cur = next.localCheckpoint() // flat lineage across 9 steps
-      seen = seen.unionAll(cand)
+    for (l <- 3 to 0 by -1) {
+      var c = cur
+      for (_ <- 1 to (if (l == 0) 3 else 2)) {
+        val (next, cand) = step(c, l)
+        c = next
+        seen = seen.unionAll(cand)
+      }
+      cur = c.localCheckpoint()
     }
     val pool = seen
-      .unionAll(cur.join(edges.filter(col("l") === 0), cur("c") === col("src"))
+      .unionAll(cur.join(edgesB.filter(col("l") === 0), cur("c") === col("src"))
         .select(col("probe"), col("dst").as("cand")))
       .distinct()
       .filter(col("probe") =!= col("cand"))
