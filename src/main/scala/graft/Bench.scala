@@ -219,6 +219,17 @@ object Bench {
       val order = rnd.shuffle(benchQueries.toSeq.sortBy(_._1))
       val walls = Map.newBuilder[String, Double]
       val gcs = Map.newBuilder[String, Double]
+      // NOTE (r13 directive 5): clearCache() clears CacheManager
+      // entries (df.cache()) only — it does NOT unpersist RDD-level
+      // localCheckpoint blocks, and the graft.Memo spine entries hold
+      // strong references, so ContextCleaner never collects them
+      // either. The memoized dedup spine (signatures→pairs→components)
+      // therefore survives both the inter-query clearCache and the
+      // per-pass boundary: the ~10 dedup-family queries price the
+      // spine build ONCE PER BENCH JVM (whichever family member the
+      // shuffled order runs first in pass 1 pays it; every later
+      // member and every later pass reads persisted blocks). That is
+      // the intended in-session analog of the X61 artifact path.
       order.foreach { case (name, fn) =>
         hardenContext()
         val g0 = gcMs()

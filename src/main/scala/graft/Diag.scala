@@ -3,7 +3,18 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Ad-hoc plan/timing diagnostics: runMain graft.Diag <query> [sfDir]
-  * prints the formatted physical plan and 3 timed runs. */
+  * prints the formatted physical plan and 3 timed runs.
+  *
+  * KNOWN-BOUNDED `WindowExec: No Partition Defined` warnings
+  * (allowlist, r13 verdict): every bare `OVER ()` on the surface sits
+  * on a frame bounded BY CONSTRUCTION, not by data — the ≤512-row ANN
+  * sample contract (q_hnsw_search, q_nn_descent, q_pq_train,
+  * q_kmeans_step, q_mutual_knn and kin), ≤|sources| rollups (the
+  * 20-source mixture/divergence family), or ≤|splits|/|buckets| grids.
+  * A single-partition window over such a frame is the intended plan;
+  * the warning is Spark's generic heuristic, not a scale hazard. Any
+  * NEW bare OVER () must state its bound in a comment at the use site
+  * (grep "bare OVER" / "bounded-by-construction"). */
 object Diag {
   def main(args: Array[String]): Unit = {
     val name = args(0)
