@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.Tables
 
@@ -1120,7 +1120,77 @@ object CorpusOps {
       .orderBy("depth")
   }
 
+  /** q_jelinek_mercer — held-out Jelinek-Mercer interpolated bigram
+    * scoring (Jelinek & Mercer 1980; Chen & Goodman 1998's baseline
+    * smoother): S(w₂|w₁) = λ·c₁₂/c₁ + (1−λ)·c₂/N with λ = 1/2,
+    * completing the count-LM smoothing triad — [[TextStats.qKneserNey]]
+    * (absolute discounting + continuation), [[qStupidBackoff]] (hard
+    * backoff), and now linear interpolation, the one whose score NEVER
+    * hits a zero branch (every bigram blends both legs), so it
+    * measures how much the unigram prior dilutes sharp bigram
+    * predictions rather than how often backoff fires. Same 90/10
+    * doc_id-hash split (salt `jm|`), per held-out doc Σ −log₂ S in
+    * floored milli-bits.
+    *
+    * Integer spelling: with λ = 1/2, S = (c₁₂·N + c₂·c₁)/(2·c₁·N), so
+    * each term is ONE double log₂ of a ratio of exact integer
+    * products (no 0.5 float arithmetic that could associate
+    * differently); products ride DECIMAL(38,0)/HUGEINT before the
+    * double cast (c·N is n²-scale). OOV floors: unseen w₂ takes
+    * c₂ = 1 (the [[qStupidBackoff]] convention); unseen w₁ takes
+    * c₁ = 1, which cancels exactly (the bigram leg is already zero,
+    * and c₂·c₁/(2·c₁·N) = c₂/(2N) for any c₁ > 0).
+    *
+    * Scale shape: the X76 rule — model joins unhinted (AQE broadcasts
+    * small vocabularies, web-scale shuffles on the gram key), N on a
+    * forced one-row broadcast, one eval-stream shuffle for the per-doc
+    * rollup. */
+  val qJelinekMercer: Q = (s, d) => {
+    val docs = Tables.spread(Tables.documents(s, d)).filter(col("text").isNotNull)
+      .withColumn("is_train",
+        pmod(graft.functions.Exprs.md5Long(
+          concat(lit("jm|"), col("doc_id").cast("string"))), lit(10L)) =!= 0)
+    val ws = split(col("text"), " ")
+    def pairsOf(df: DataFrame) = df
+      .filter(size(ws) >= 2)
+      .select(col("doc_id"),
+        explode(arrays_zip(
+          slice(ws, lit(1), size(ws) - 1).as("a"),
+          slice(ws, lit(2), size(ws) - 1).as("b"))).as("p"))
+      .filter(length(col("p.a")) > 0 && length(col("p.b")) > 0)
+      .select(col("doc_id"), col("p.a").as("w1"), col("p.b").as("w2"))
+    val train = docs.filter(col("is_train"))
+    val uni = train
+      .select(explode(ws).as("w")).filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val nTotal = uni.agg(sum("c").as("n_total"))
+    val big = pairsOf(train).groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val dec = DecimalType(38, 0)
+    pairsOf(docs.filter(!col("is_train")))
+      .join(big, Seq("w1", "w2"), "left")
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"), "left")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"), "left")
+      .crossJoin(broadcast(nTotal))
+      .select(col("doc_id"),
+        col("c12").isNull.as("unseen"),
+        floor(lit(1000) * log2(
+          (lit(2).cast(dec) * coalesce(col("c1"), lit(1L)) * col("n_total"))
+            .cast(DoubleType)
+          / (coalesce(col("c12"), lit(0L)).cast(dec) * col("n_total")
+            + coalesce(col("c2"), lit(1L)).cast(dec)
+              * coalesce(col("c1"), lit(1L))).cast(DoubleType)))
+          .cast(LongType).as("term_milli"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("unseen"), 1L).otherwise(0L)).cast(LongType)
+          .as("n_unseen"),
+        sum(col("term_milli")).cast(LongType).as("bits_milli"))
+      .withColumn("bpt_milli", expr("bits_milli div n_bigrams"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_jelinek_mercer" -> qJelinekMercer,
     "q_prefix_cache" -> qPrefixCache,
     "q_suffix_ranks" -> qSuffixRanks,
     "q_repeated_spans" -> qRepeatedSpans,
@@ -1355,6 +1425,44 @@ object CorpusOps {
         |  CAST(-(b.nd) AS BIGINT) AS kept_doc,
         |  CAST(b.nc AS BIGINT) AS kept_chars
         |FROM best ORDER BY canonical_url""".stripMargin),
+    "q_jelinek_mercer" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    CAST('0x' || substr(md5('jm|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |      % 10 <> 0 AS is_train
+        |  FROM documents WHERE text IS NOT NULL),
+        |wl AS (SELECT doc_id, is_train, string_split(text, ' ') AS w FROM d),
+        |pairs AS (
+        |  SELECT doc_id, is_train, w[i] AS w1, w[i+1] AS w2
+        |  FROM wl, LATERAL (SELECT unnest(range(1, len(w))) AS i)
+        |  WHERE len(w) >= 2 AND length(w[i]) > 0 AND length(w[i+1]) > 0),
+        |uni AS (
+        |  SELECT wu AS w, COUNT(*) AS c
+        |  FROM (SELECT unnest(w) AS wu FROM wl WHERE is_train)
+        |  WHERE length(wu) > 0 GROUP BY wu),
+        |nt AS (SELECT SUM(c) AS n_total FROM uni),
+        |big AS (
+        |  SELECT w1, w2, COUNT(*) AS c12 FROM pairs WHERE is_train GROUP BY w1, w2),
+        |terms AS (
+        |  SELECT p.doc_id,
+        |    b.c12 IS NULL AS unseen,
+        |    CAST(floor(1000 * log2(
+        |      CAST(2 * CAST(COALESCE(u1.c, 1) AS HUGEINT) * nt.n_total
+        |        AS DOUBLE)
+        |      / CAST(CAST(COALESCE(b.c12, 0) AS HUGEINT) * nt.n_total
+        |        + CAST(COALESCE(u2.c, 1) AS HUGEINT) * COALESCE(u1.c, 1)
+        |        AS DOUBLE))) AS BIGINT) AS term_milli
+        |  FROM pairs p
+        |  LEFT JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+        |  LEFT JOIN uni u1 ON p.w1 = u1.w
+        |  LEFT JOIN uni u2 ON p.w2 = u2.w
+        |  CROSS JOIN nt
+        |  WHERE NOT p.is_train)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(CASE WHEN unseen THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen,
+        |  CAST(SUM(term_milli) AS BIGINT) AS bits_milli,
+        |  CAST(SUM(term_milli) // COUNT(*) AS BIGINT) AS bpt_milli
+        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_stupid_backoff" ->
       """WITH d AS (
         |  SELECT doc_id, text,

@@ -1152,7 +1152,58 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q_snb_eval — blocking-quality scorecard for the sorted-
+    * neighborhood generator: pairs completeness (recall of the SNB
+    * adjacent-pair candidates against the minhash-LSH candidate set as
+    * reference) and reduction ratio (candidates vs all n(n−1)/2
+    * pairs) — the two numbers record-linkage literature judges every
+    * blocking scheme by (Christen 2012, ch. 4), here pinning the
+    * [[qSortedNeighbors]] generator against the [[X2]] spine the way
+    * [[qLshPrecision]] pins LSH against gram truth. A blocking scheme
+    * is a candidate GENERATOR: recall bounds what any downstream
+    * verifier can keep, reduction is what it saves you — both exact,
+    * neither asserted.
+    *
+    * Candidates are the RAW adjacent pairs (no LCP verify filter —
+    * that is the verifier's job, not the generator's); docs under 8
+    * chars have no block and cannot be SNB candidates (stated).
+    *
+    * Plan: the SNB leg is one prefix-keyed window (the
+    * [[qSortedNeighbors]] shape); the truth leg reads the memoized
+    * pair spine; the intersection is one pair-keyed join of two
+    * near-dup-sized frames; reduction's n(n−1) rides DECIMAL(38,0). */
+  val qSnbEval: Q = (s, d) => {
+    val byBlock = Window
+      .partitionBy(col("pfx")).orderBy(col("text"), col("doc_id"))
+    val snb = Tables.documents(s, d)
+      .filter(col("text").isNotNull && length(col("text")) >= 8)
+      .select(col("doc_id"), col("text"), substring(col("text"), 1, 8).as("pfx"))
+      .withColumn("nxt_id", lead("doc_id", 1).over(byBlock))
+      .filter(col("nxt_id").isNotNull)
+      .select(least(col("doc_id"), col("nxt_id")).as("a"),
+        greatest(col("doc_id"), col("nxt_id")).as("b"))
+      .distinct()
+      .localCheckpoint() // two consumers: count + intersection
+    val truth = minhashCandidatePairs(s, d)
+    val nDocs = Tables.documents(s, d).filter(col("text").isNotNull)
+      .agg(count(lit(1)).as("n_docs"))
+    snb.agg(count(lit(1)).as("n_snb"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+      .crossJoin(snb.join(truth, Seq("a", "b")).agg(count(lit(1)).as("n_common")))
+      .crossJoin(broadcast(nDocs))
+      .select(col("n_docs").cast(LongType).as("n_docs"),
+        col("n_snb").cast(LongType).as("n_candidates"),
+        col("n_truth").cast(LongType).as("n_truth"),
+        col("n_common").cast(LongType).as("n_common"),
+        when(col("n_truth") > 0, expr("(n_common * 1000) div n_truth"))
+          .otherwise(lit(0L)).cast(LongType).as("recall_permille"),
+        expr("""1000 - (cast(n_snb as decimal(38,0)) * 2000)
+               | div (cast(n_docs as decimal(38,0)) * (n_docs - 1))"""
+          .stripMargin).cast(LongType).as("reduction_permille"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_snb_eval" -> qSnbEval,
     "q_sorted_neighbors" -> qSortedNeighbors,
     "q_lsh_cost_sweep" -> qLshCostSweep,
     "q_dedup_best" -> qDedupBest,
@@ -1231,6 +1282,34 @@ object Dedup {
   }.mkString("\n  UNION ALL ")
 
   val oracle: Map[String, String] = Map(
+    "q_snb_eval" ->
+      (s"WITH $minhashCandCte,\n" +
+        """snbdocs AS (
+          |  SELECT doc_id, text, substr(text, 1, 8) AS pfx
+          |  FROM documents WHERE text IS NOT NULL AND length(text) >= 8),
+          |adj AS (
+          |  SELECT doc_id,
+          |    lead(doc_id) OVER (PARTITION BY pfx ORDER BY text, doc_id)
+          |      AS nxt_id
+          |  FROM snbdocs),
+          |snb AS MATERIALIZED (
+          |  SELECT DISTINCT LEAST(doc_id, nxt_id) AS a,
+          |    GREATEST(doc_id, nxt_id) AS b
+          |  FROM adj WHERE nxt_id IS NOT NULL),
+          |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs
+          |       FROM documents WHERE text IS NOT NULL),
+          |cs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM snb),
+          |ts AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM cand),
+          |cm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_common
+          |       FROM snb JOIN cand USING (a, b))
+          |SELECT n_docs, n_candidates, n_truth, n_common,
+          |  CAST(CASE WHEN n_truth > 0
+          |    THEN (n_common * 1000) // n_truth ELSE 0 END AS BIGINT)
+          |    AS recall_permille,
+          |  CAST(1000 - (CAST(n_candidates AS HUGEINT) * 2000)
+          |    // (CAST(n_docs AS HUGEINT) * (n_docs - 1)) AS BIGINT)
+          |    AS reduction_permille
+          |FROM nd CROSS JOIN cs CROSS JOIN ts CROSS JOIN cm""".stripMargin),
     "q_sorted_neighbors" ->
       """WITH docs AS (
         |  SELECT doc_id, text, substr(text, 1, 8) AS pfx

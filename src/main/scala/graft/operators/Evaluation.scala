@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.Tables
 import graft.functions.Exprs.{dec2, intScaled}
@@ -905,7 +905,111 @@ object Evaluation {
       .orderBy("source")
   }
 
+  /** q_mutual_info — mutual information I(lang; source) in micro-bits,
+    * with both marginal entropies and the normalized MI
+    * (I / min(H_lang, H_source), the [0,1] coefficient). The
+    * information-theoretic companion of [[qCramersV]] on the SAME
+    * contingency table: V measures departure-from-independence on a
+    * χ² scale, MI measures it in bits — "how much does knowing the
+    * source tell you about the language" is the number a mixture
+    * designer actually wants (a corpus where MI ≈ min-entropy has
+    * languages siloed per source; decontamination and mixture
+    * balancing behave completely differently there).
+    *
+    * Determinism: every p·log₂ term floors to micro-bits BEFORE the
+    * sum (the [[TextStats.qSourceKl]] contract — identical doubles on
+    * both engines against a 1e-6 grid). MI terms can be individually
+    * negative; floor (not trunc) agrees across engines for negatives,
+    * and both engines spell the identical floor(double) here.
+    *
+    * Plan: one scan → (lang, source) cell counts (the grid is
+    * |langs|·|sources| — bounded); margins and total are rollups OF
+    * THE GRID; everything after the first aggregate is result-sized. */
+  val qMutualInfo: Q = (s, d) => {
+    val cells = Tables.documents(s, d)
+      .filter(col("lang").isNotNull && col("source").isNotNull)
+      .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+      .localCheckpoint() // feeds margins, total, and the term sum
+    val rowsT = cells.groupBy("lang").agg(sum("o").cast(LongType).as("cl"))
+    val colsT = cells.groupBy("source").agg(sum("o").cast(LongType).as("cs"))
+    val tot = cells.agg(sum("o").cast(LongType).as("n"))
+    val mi = cells.join(broadcast(rowsT), "lang")
+      .join(broadcast(colsT), "source")
+      .crossJoin(broadcast(tot))
+      .select(floor(lit(1000000.0)
+        * (col("o").cast(DoubleType) / col("n"))
+        * log2((col("o").cast(DoubleType) * col("n"))
+          / (col("cl").cast(DoubleType) * col("cs"))))
+        .cast(LongType).as("term"))
+      .agg(sum("term").as("mi_micro"))
+    def entropy(m: DataFrame, c: String, out: String): DataFrame =
+      m.crossJoin(broadcast(tot))
+        .select(floor(lit(1000000.0) * (col(c).cast(DoubleType) / col("n"))
+          * log2(col("n").cast(DoubleType) / col(c)))
+          .cast(LongType).as("term"))
+        .agg(sum("term").as(out))
+    mi.crossJoin(entropy(rowsT, "cl", "h_lang_micro"))
+      .crossJoin(entropy(colsT, "cs", "h_source_micro"))
+      .crossJoin(broadcast(tot))
+      .select(col("n").as("n_docs"),
+        col("mi_micro").cast(LongType).as("mi_micro"),
+        col("h_lang_micro").cast(LongType).as("h_lang_micro"),
+        col("h_source_micro").cast(LongType).as("h_source_micro"),
+        when(least(col("h_lang_micro"), col("h_source_micro")) > 0,
+          expr("(mi_micro * 1000) div least(h_lang_micro, h_source_micro)"))
+          .otherwise(lit(0L)).cast(LongType).as("nmi_permille"))
+  }
+
+  /** q_spearman_corr — per-source Spearman rank correlation between
+    * document length in characters and in whitespace tokens. Length
+    * metrics are the cheapest quality signals a pipeline has; how
+    * tightly their RANKINGS agree per source (monotone association,
+    * which Pearson misses under nonlinearity) tells you whether one
+    * can proxy the other in that source's filters — the rank-based
+    * sibling of [[qKendallTau]] at one window instead of an O(n²)
+    * concordance count.
+    *
+    * Deterministic permutation variant: ranks are row_number over
+    * (metric, doc_id) — the doc_id tiebreak makes both rankings total
+    * orders, so ρ = 1 − 6Σd²/(n(n²−1)) is EXACT integer arithmetic
+    * (the midrank tie correction would need a √ — this variant stays
+    * on the integer grid and is pinned identically in the oracle).
+    * Additive-shift floor for the possibly-negative quotient:
+    * ((2D − 6Σd²)·10⁶) div D − 10⁶ with D = n(n²−1) > 0, numerator
+    * ≥ 0 because Σd² ≤ D/3.
+    *
+    * Plan: two per-source rank windows sharing one exchange, a
+    * |sources|-group sum; Σd² rides DECIMAL(38,0) (n³-scale — wraps
+    * int64 past ~2M docs/source). */
+  val qSpearmanCorr: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val base = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        Packing.wsTokens(col("text")).as("n_tok"))
+    val wx = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+    val wy = Window.partitionBy("source").orderBy(col("n_tok"), col("doc_id"))
+    base
+      .withColumn("rx", row_number().over(wx).cast(LongType))
+      .withColumn("ry", row_number().over(wy).cast(LongType))
+      .withColumn("dd",
+        ((col("rx") - col("ry")) * (col("rx") - col("ry"))).cast(dec))
+      .groupBy("source")
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        sum("dd").as("sd2"))
+      .filter(col("n_docs") >= 2)
+      .withColumn("rho_micro", expr(
+        """((2 * (cast(n_docs as decimal(38,0)) * n_docs * n_docs - n_docs)
+          | - 6 * sd2) * 1000000)
+          | div (cast(n_docs as decimal(38,0)) * n_docs * n_docs - n_docs)
+          | - 1000000""".stripMargin).cast(LongType))
+      .select("source", "n_docs", "rho_micro")
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_mutual_info" -> qMutualInfo,
+    "q_spearman_corr" -> qSpearmanCorr,
     "q_kruskal_wallis" -> qKruskalWallis,
     "q_cramers_v" -> qCramersV,
     "q_cochran_q" -> qCochranQ,
@@ -924,6 +1028,59 @@ object Evaluation {
     "q_ols_trend" -> qOlsTrend)
 
   val oracle: Map[String, String] = Map(
+    "q_mutual_info" ->
+      """WITH cells AS (
+        |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2),
+        |rt AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS cl FROM cells GROUP BY 1),
+        |ct AS (SELECT source, CAST(SUM(o) AS BIGINT) AS cs FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+        |mi AS (
+        |  SELECT CAST(SUM(CAST(floor(1000000.0
+        |      * (CAST(o AS DOUBLE) / n)
+        |      * log2((CAST(o AS DOUBLE) * n) / (CAST(cl AS DOUBLE) * cs)))
+        |    AS BIGINT)) AS BIGINT) AS mi_micro
+        |  FROM cells JOIN rt USING (lang) JOIN ct USING (source)
+        |    CROSS JOIN tot),
+        |hl AS (
+        |  SELECT CAST(SUM(CAST(floor(1000000.0 * (CAST(cl AS DOUBLE) / n)
+        |      * log2(CAST(n AS DOUBLE) / cl)) AS BIGINT)) AS BIGINT)
+        |    AS h_lang_micro
+        |  FROM rt CROSS JOIN tot),
+        |hs AS (
+        |  SELECT CAST(SUM(CAST(floor(1000000.0 * (CAST(cs AS DOUBLE) / n)
+        |      * log2(CAST(n AS DOUBLE) / cs)) AS BIGINT)) AS BIGINT)
+        |    AS h_source_micro
+        |  FROM ct CROSS JOIN tot)
+        |SELECT n AS n_docs, mi_micro, h_lang_micro, h_source_micro,
+        |  CAST(CASE WHEN LEAST(h_lang_micro, h_source_micro) > 0
+        |    THEN (mi_micro * 1000) // LEAST(h_lang_micro, h_source_micro)
+        |    ELSE 0 END AS BIGINT) AS nmi_permille
+        |FROM mi CROSS JOIN hl CROSS JOIN hs CROSS JOIN tot""".stripMargin,
+    "q_spearman_corr" ->
+      """WITH base AS (
+        |  SELECT source, doc_id, n_chars,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1
+        |      AS BIGINT) AS n_tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |ranked AS (
+        |  SELECT source,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS rx,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n_tok, doc_id) AS ry
+        |  FROM base),
+        |agg AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    SUM(CAST(rx - ry AS HUGEINT) * (rx - ry)) AS sd2
+        |  FROM ranked GROUP BY 1)
+        |SELECT source, n_docs,
+        |  CAST(((2 * (CAST(n_docs AS HUGEINT) * n_docs * n_docs - n_docs)
+        |    - 6 * sd2) * 1000000)
+        |    // (CAST(n_docs AS HUGEINT) * n_docs * n_docs - n_docs)
+        |    - 1000000 AS BIGINT) AS rho_micro
+        |FROM agg WHERE n_docs >= 2 ORDER BY source""".stripMargin,
     "q_kruskal_wallis" ->
       // the oracle's cumulative is the plain single window; the Spark
       // side runs the two-level blocked decomposition — identical

@@ -939,7 +939,158 @@ object Sequences {
       .orderBy("event_type", "level", "segment")
   }
 
+  /** q_eventually_follows — the process-mining eventually-follows
+    * matrix (van der Aalst, "Process Mining", ch. 6): for each ordered
+    * type pair (a, b), how many users have SOME a-event strictly
+    * before SOME b-event — the transitive companion of
+    * [[qEventTransitions]]' directly-follows counts, and the relation
+    * conformance checking starts from (a `report_done` that is ever
+    * eventually followed by `crawl_start` in the same case is a
+    * process violation the adjacent-pair matrix cannot see).
+    *
+    * Exists-before reduces to endpoints: user u has a→b iff
+    * min-key(a-events) < max-key(b-events) in the total (ts_sec,
+    * event_id) order — no pair enumeration, no quadratic blowup.
+    * a = b rows read "user has ≥ 2 events of the type".
+    *
+    * Plan: one (user, type) aggregate off the scan (min/max structs),
+    * then a user-keyed self-join of ≤ |types| rows per user (bounded
+    * fan-out |types|² per user), a |types|²-cell rollup, and a
+    * broadcast one-row total. At 100 TB the only corpus-sized exchange
+    * is the first aggregate's shuffle on (user, type). */
+  val qEventuallyFollows: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        nanosToSec(col("ts")).as("ts_sec"), col("event_id"))
+    val ext = ev.groupBy("user_id", "event_type")
+      .agg(min(struct(col("ts_sec"), col("event_id"))).as("fk"),
+        max(struct(col("ts_sec"), col("event_id"))).as("lk"))
+      .select(col("user_id"), col("event_type"),
+        col("fk.ts_sec").as("f_ts"), col("fk.event_id").as("f_id"),
+        col("lk.ts_sec").as("l_ts"), col("lk.event_id").as("l_id"))
+    val tot = ev.agg(countDistinct(col("user_id")).as("n_total"))
+    val a = ext.select(col("user_id"), col("event_type").as("type_a"),
+      col("f_ts"), col("f_id"))
+    val b = ext.select(col("user_id"), col("event_type").as("type_b"),
+      col("l_ts"), col("l_id"))
+    a.join(b, Seq("user_id"))
+      .filter(col("f_ts") < col("l_ts") ||
+        (col("f_ts") === col("l_ts") && col("f_id") < col("l_id")))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).cast(LongType).as("n_users"))
+      .crossJoin(broadcast(tot))
+      .select(col("type_a"), col("type_b"), col("n_users"),
+        expr("(n_users * 1000) div n_total").cast(LongType)
+          .as("support_permille"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** q_littles_law — the queueing-theory audit L = λW over the 7-day
+    * session spine ([[graft.operators.Reports]]' `q_sessionize` gap
+    * rule): per 7-day week, sessions STARTED (λ·T), their total
+    * duration (λ·T·W), and the exact time-average of concurrently-open
+    * sessions L from interval overlap. In steady state the two sides
+    * agree; weeks where they diverge are ramp-up/ramp-down or
+    * censoring at the data boundary — exactly what a capacity planner
+    * reads the residual for. All integer: λW per week-unit collapses
+    * to duration-sum/T, so both sides are milli-scaled exact ratios
+    * and the residual is their difference (shift-free: overlap and
+    * duration sums are non-negative; the residual subtracts AFTER the
+    * two floors).
+    *
+    * Session presence is the half-open [start, end): a single-event
+    * session has zero measure in L and zero duration in W — the two
+    * sides stay consistent by construction.
+    *
+    * Plan: the session rollup is one user-keyed window + aggregate
+    * (the sessionize shape); the overlap leg explodes each session to
+    * its covered weeks (the [[qIntervalOverlap]] bucket-join shape —
+    * rows = Σ weeks-per-session, user-week bounded, never events ×
+    * weeks); both rollups are week-keyed. */
+  val qLittlesLaw: Q = (s, d) => {
+    val gap = 604800L
+    val w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    val sessions = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), nanosToSec(col("ts")).as("ts_sec"))
+      .withColumn("prev_ts", lag(col("ts_sec"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull || col("ts_sec") - col("prev_ts") > gap, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("is_new")).over(w))
+      .groupBy("user_id", "session_idx")
+      .agg(min(col("ts_sec")).as("t0"), max(col("ts_sec")).as("t1"))
+      .localCheckpoint() // two consumers: started-rollup + overlap melt
+    val started = sessions
+      .withColumn("week", expr("t0 div 604800"))
+      .groupBy("week")
+      .agg(count(lit(1)).cast(LongType).as("n_started"),
+        sum(col("t1") - col("t0")).cast(LongType).as("dur_sec"))
+    val overlap = sessions
+      .select(col("t0"), col("t1"),
+        explode(sequence(expr("t0 div 604800"), expr("t1 div 604800")))
+          .as("week"))
+      .select(col("week"),
+        (least(col("t1"), (col("week") + 1) * gap)
+          - greatest(col("t0"), col("week") * gap)).as("ov_sec"))
+      .groupBy("week").agg(sum(col("ov_sec")).cast(LongType).as("ov_sec"))
+    started.join(overlap, Seq("week"), "full")
+      .na.fill(0L, Seq("n_started", "dur_sec", "ov_sec"))
+      .select(col("week").cast(LongType).as("week"),
+        col("n_started"), col("dur_sec"),
+        expr("(ov_sec * 1000) div 604800").cast(LongType).as("l_milli"),
+        expr("(dur_sec * 1000) div 604800").cast(LongType).as("lw_milli"))
+      .withColumn("resid_milli",
+        (col("l_milli") - col("lw_milli")).cast(LongType))
+      .orderBy("week")
+  }
+
+  /** q_hourly_anomaly — seasonally-adjusted volume anomalies: each
+    * hourly event count is judged against its OWN (weekday, hour)
+    * profile cell (the [[qSeasonality]] grid), so a busy Monday 9am is
+    * normal while the same count at Sunday 3am flags. The score is the
+    * exact z² against the cell's mean/variance, kept integral by
+    * clearing denominators: z² = (n·c − s)² / (n·Σc² − s²) with n the
+    * cell's bucket count, s its count sum — no square root, no float,
+    * HUGEINT/DECIMAL(38,0) interiors (counts square to n²·c² scale).
+    * Top 20 by z² (ties by bucket) rather than a fixed fence, so the
+    * report is non-empty on any corpus and ranks what an on-call
+    * engineer would look at first. Cells need ≥ 4 buckets and positive
+    * variance (a constant cell has no scale to judge against).
+    *
+    * Plan: one scan → hourly rollup (time-keyed, balanced), a
+    * 168-cell profile aggregate joined back broadcast, and a
+    * result-sized top-k sort. */
+  val qHourlyAnomaly: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val hourly = Tables.events(s, d)
+      .select(expr("(ts div 1000000000) div 3600").as("hb"))
+      .groupBy("hb").agg(count(lit(1)).cast(dec).as("c"))
+      .withColumn("dow", expr("((hb div 24) + 4) % 7"))
+      .withColumn("hod", expr("hb % 24"))
+    val prof = hourly.groupBy("dow", "hod")
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("s2"))
+    hourly.join(broadcast(prof), Seq("dow", "hod"))
+      .filter(col("n") >= 4 &&
+        col("n") * col("s2") - col("s") * col("s") > 0)
+      .withColumn("z2_milli",
+        expr("""((n * c - s) * (n * c - s) * 1000)
+               | div (n * s2 - s * s)""".stripMargin).cast(LongType))
+      .select(col("hb").cast(LongType).as("hour_bucket"),
+        col("dow").cast(LongType).as("dow"),
+        col("hod").cast(LongType).as("hour_of_day"),
+        col("c").cast(LongType).as("n_events"),
+        col("n").cast(LongType).as("cell_buckets"),
+        col("z2_milli"))
+      .orderBy(col("z2_milli").desc, col("hour_bucket"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_eventually_follows" -> qEventuallyFollows,
+    "q_littles_law" -> qLittlesLaw,
+    "q_hourly_anomaly" -> qHourlyAnomaly,
     "q_changepoint_segments" -> qChangepointSegments,
     "q_rfm_segments" -> qRfmSegments,
     "q_interarrival_fit" -> qInterarrivalFit,
@@ -965,6 +1116,102 @@ object Sequences {
     "q_burst_users" -> qBurstUsers)
 
   val oracle: Map[String, String] = Map(
+    "q_eventually_follows" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |    CAST(epoch_ms(ts) // 1000 AS BIGINT) AS ts_sec, event_id
+        |  FROM events),
+        |ranked AS (
+        |  SELECT user_id, event_type, ts_sec, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts_sec, event_id) AS rf,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts_sec DESC, event_id DESC) AS rl
+        |  FROM ev),
+        |ext AS (
+        |  SELECT user_id, event_type,
+        |    MAX(CASE WHEN rf = 1 THEN ts_sec END) AS f_ts,
+        |    MAX(CASE WHEN rf = 1 THEN event_id END) AS f_id,
+        |    MAX(CASE WHEN rl = 1 THEN ts_sec END) AS l_ts,
+        |    MAX(CASE WHEN rl = 1 THEN event_id END) AS l_id
+        |  FROM ranked GROUP BY 1, 2),
+        |tot AS (SELECT COUNT(DISTINCT user_id) AS n_total FROM ev),
+        |hits AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b
+        |  FROM ext a JOIN ext b USING (user_id)
+        |  WHERE a.f_ts < b.l_ts OR (a.f_ts = b.l_ts AND a.f_id < b.l_id))
+        |SELECT type_a, type_b, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST((COUNT(*) * 1000) // (SELECT n_total FROM tot) AS BIGINT)
+        |    AS support_permille
+        |FROM hits GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_littles_law" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id,
+        |    CAST(epoch_ms(ts) // 1000 AS BIGINT) AS ts_sec
+        |  FROM events),
+        |lagged AS (
+        |  SELECT user_id, event_id, ts_sec,
+        |    LAG(ts_sec) OVER (PARTITION BY user_id
+        |      ORDER BY ts_sec, event_id) AS prev_ts
+        |  FROM ev),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts_sec,
+        |    CASE WHEN prev_ts IS NULL OR ts_sec - prev_ts > 604800
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM lagged),
+        |idx AS (
+        |  SELECT user_id, ts_sec,
+        |    SUM(is_new) OVER (PARTITION BY user_id
+        |      ORDER BY ts_sec, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged),
+        |sess AS (
+        |  SELECT user_id, sid, MIN(ts_sec) AS t0, MAX(ts_sec) AS t1
+        |  FROM idx GROUP BY 1, 2),
+        |started AS (
+        |  SELECT t0 // 604800 AS week,
+        |    CAST(COUNT(*) AS BIGINT) AS n_started,
+        |    CAST(SUM(t1 - t0) AS BIGINT) AS dur_sec
+        |  FROM sess GROUP BY 1),
+        |melt AS (
+        |  SELECT unnest(generate_series(t0 // 604800, t1 // 604800)) AS week,
+        |    t0, t1
+        |  FROM sess),
+        |ov AS (
+        |  SELECT week,
+        |    CAST(SUM(LEAST(t1, (week + 1) * 604800)
+        |      - GREATEST(t0, week * 604800)) AS BIGINT) AS ov_sec
+        |  FROM melt GROUP BY 1)
+        |SELECT CAST(week AS BIGINT) AS week,
+        |  COALESCE(n_started, 0) AS n_started,
+        |  COALESCE(dur_sec, 0) AS dur_sec,
+        |  CAST((COALESCE(ov_sec, 0) * 1000) // 604800 AS BIGINT) AS l_milli,
+        |  CAST((COALESCE(dur_sec, 0) * 1000) // 604800 AS BIGINT) AS lw_milli,
+        |  CAST((COALESCE(ov_sec, 0) * 1000) // 604800
+        |    - (COALESCE(dur_sec, 0) * 1000) // 604800 AS BIGINT) AS resid_milli
+        |FROM started FULL JOIN ov USING (week)
+        |ORDER BY week""".stripMargin,
+    "q_hourly_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT CAST(epoch_ms(ts) // 1000 // 3600 AS BIGINT) AS hb,
+        |    CAST(COUNT(*) AS HUGEINT) AS c
+        |  FROM events GROUP BY 1),
+        |cells AS (
+        |  SELECT hb, c, ((hb // 24) + 4) % 7 AS dow, hb % 24 AS hod
+        |  FROM hourly),
+        |prof AS (
+        |  SELECT dow, hod, CAST(COUNT(*) AS HUGEINT) AS n,
+        |    SUM(c) AS s, SUM(c * c) AS s2
+        |  FROM cells GROUP BY 1, 2)
+        |SELECT CAST(hb AS BIGINT) AS hour_bucket,
+        |  CAST(dow AS BIGINT) AS dow,
+        |  CAST(hod AS BIGINT) AS hour_of_day,
+        |  CAST(c AS BIGINT) AS n_events,
+        |  CAST(n AS BIGINT) AS cell_buckets,
+        |  CAST(((n * c - s) * (n * c - s) * 1000) // (n * s2 - s * s)
+        |    AS BIGINT) AS z2_milli
+        |FROM cells JOIN prof USING (dow, hod)
+        |WHERE n >= 4 AND n * s2 - s * s > 0
+        |ORDER BY z2_milli DESC, hour_bucket LIMIT 20""".stripMargin,
     "q_changepoint_segments" ->
       """WITH daily AS (
         |  SELECT event_type,

@@ -1739,7 +1739,74 @@ object Similarity {
     }
   }
 
+  /** q_lof — Local Outlier Factor (Breunig et al. 2000, k = 5) over
+    * the 512-vector diagnostic sample in cosine-distance micros: the
+    * DENSITY-relative outlier screen that [[qEmbeddingOutliers]]'
+    * distance-to-centroid rule cannot replace — a point on the edge of
+    * a tight cluster scores higher than a point deep inside a diffuse
+    * one, which is exactly the mislabeled-example signature in
+    * embedding space. Top 20 by LOF (ties by vec_id), each with its
+    * 5-NN radius.
+    *
+    * Integer spelling: d = 10⁶ − sim_micros; reach(p→o) =
+    * max(kdist(o), d(p,o)); ra(p) = Σ reach over N₅(p) (floor-guarded
+    * to ≥ 1 — duplicate vectors give genuinely zero radii); lrd ratios
+    * avoid rationals by one fixed 10¹² reciprocal grid: LOF_milli =
+    * ra(p)·Σ_o (10¹² div ra(o))·1000 div (5·10¹²), every floor
+    * mirrored verbatim in the oracle. Interiors ride DECIMAL(38,0)/
+    * HUGEINT (ra·Σinv is ~10²⁰).
+    *
+    * Scale shape: the [[qHubness]] sample contract — all frames after
+    * the broadcast self-join are ≤ 512·5 rows; a production LOF feeds
+    * the same algebra from banded-LSH candidate lists (X20/X212)
+    * instead of the dense sim matrix. */
+  val qLof: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val sample = Tables.spread(Tables.embeddings(s, d))
+      .filter(col("vec_id") < 512 && col("embedding").isNotNull &&
+        size(col("embedding")) === Dim)
+      .select(col("vec_id"), decVec(col("embedding")).as("de"))
+      .withColumn("nrm", decDot(col("de"), col("de")).cast(DoubleType))
+      .localCheckpoint()
+    val cosv = sample
+      .select(col("vec_id").as("qid"), col("de").as("qe"), col("nrm").as("nq"))
+      // explicit broadcast: <= 512 rows by construction (qHubness rule)
+      .join(broadcast(sample.select(col("vec_id").as("nid"), col("de").as("ne"),
+        col("nrm").as("nn"))), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (lit(1000000L) - cosMicrosPre(decDot(col("qe"), col("ne")),
+          col("nq"), col("nn"))).as("dd"))
+    val wk = Window.partitionBy("qid").orderBy(col("dd"), col("nid"))
+    val knn = cosv.withColumn("rk", row_number().over(wk))
+      .filter(col("rk") <= 5).select("qid", "nid", "dd")
+      .localCheckpoint() // three consumers: kdist, reach, lof rollup
+    val kd = knn.groupBy("qid").agg(max(col("dd")).as("kdist"))
+    val reach = knn
+      .join(broadcast(kd.select(col("qid").as("nid"), col("kdist").as("kd_o"))),
+        Seq("nid"))
+      .select(col("qid"), greatest(col("kd_o"), col("dd")).as("r"))
+    val ra = reach.groupBy("qid")
+      .agg(greatest(sum(col("r")).cast(dec), lit(1).cast(dec)).as("ra"))
+    val inv = ra.select(col("qid").as("nid"),
+      expr("cast(1000000000000 as decimal(38,0)) div ra").as("iv"))
+    knn.join(broadcast(inv), Seq("nid"))
+      .join(broadcast(ra), Seq("qid"))
+      .groupBy(col("qid"), col("ra"))
+      .agg(sum(col("iv")).as("siv"))
+      .select(col("qid"),
+        expr("""cast((ra * siv * 1000)
+               | div (5 * cast(1000000000000 as decimal(38,0)))
+               | as bigint)""".stripMargin).as("lof_milli"))
+      .join(broadcast(kd), Seq("qid"))
+      .select(col("qid").cast(LongType).as("vec_id"),
+        col("kdist").cast(LongType).as("kdist_micros"),
+        col("lof_milli"))
+      .orderBy(col("lof_milli").desc, col("vec_id"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_lof" -> qLof,
     "q_kcenter_coreset" -> qKcenterCoreset,
     "q_hnsw_levels" -> qHnswLevels,
     "q_hnsw_search" -> qHnswSearch,
@@ -2383,6 +2450,48 @@ object Similarity {
         |FROM top f JOIN top r ON f.qid = r.nid AND f.nid = r.qid
         |WHERE f.qid < f.nid
         |ORDER BY a, b""".stripMargin,
+    "q_lof" ->
+      """WITH el AS (
+        |  SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) AS x
+        |  FROM (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS i
+        |        FROM embeddings WHERE vec_id < 512)),
+        |nrm AS (SELECT vec_id, SUM(x*x) AS nrm FROM el GROUP BY vec_id),
+        |dots AS (
+        |  SELECT q.vec_id AS qid, e.vec_id AS nid, SUM(q.x * e.x) AS dot
+        |  FROM el q JOIN el e ON q.i = e.i AND e.vec_id <> q.vec_id
+        |  GROUP BY 1, 2),
+        |dist AS (
+        |  SELECT qid, nid,
+        |    1000000 - CAST(CAST(CAST(dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(ne.nrm AS DOUBLE)) AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS dd
+        |  FROM dots
+        |  JOIN nrm nq ON qid = nq.vec_id
+        |  JOIN nrm ne ON nid = ne.vec_id),
+        |knn AS (
+        |  SELECT qid, nid, dd FROM (
+        |    SELECT qid, nid, dd,
+        |      row_number() OVER (PARTITION BY qid ORDER BY dd, nid) AS rk
+        |    FROM dist) WHERE rk <= 5),
+        |kd AS (SELECT qid, MAX(dd) AS kdist FROM knn GROUP BY qid),
+        |reach AS (
+        |  SELECT k.qid, GREATEST(ko.kdist, k.dd) AS r
+        |  FROM knn k JOIN kd ko ON k.nid = ko.qid),
+        |ra AS (
+        |  SELECT qid, GREATEST(CAST(SUM(r) AS HUGEINT), 1) AS ra
+        |  FROM reach GROUP BY qid),
+        |inv AS (
+        |  SELECT qid, CAST(1000000000000 AS HUGEINT) // ra AS iv FROM ra),
+        |lof AS (
+        |  SELECT k.qid,
+        |    CAST((rp.ra * SUM(io.iv) * 1000)
+        |      // (5 * CAST(1000000000000 AS HUGEINT)) AS BIGINT) AS lof_milli
+        |  FROM knn k
+        |  JOIN inv io ON k.nid = io.qid
+        |  JOIN ra rp ON k.qid = rp.qid
+        |  GROUP BY k.qid, rp.ra)
+        |SELECT CAST(l.qid AS BIGINT) AS vec_id,
+        |  CAST(kd.kdist AS BIGINT) AS kdist_micros, l.lof_milli
+        |FROM lof l JOIN kd ON l.qid = kd.qid
+        |ORDER BY l.lof_milli DESC, vec_id LIMIT 20""".stripMargin,
     "q_hubness" ->
       """WITH el AS (
         |  SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) AS x
