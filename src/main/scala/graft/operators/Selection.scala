@@ -330,7 +330,86 @@ object Selection {
       .orderBy("epoch_a", "epoch_b")
   }
 
+  /** q_hyperband_plan — per-source successive-halving schedule (the
+    * inner loop of Hyperband, Li et al. 2018, η = 3): rung r keeps the
+    * top ⌊n/3ʳ⌋ documents by score and grants survivors 3ʳ budget
+    * units, so every rung costs ~the same total compute while the
+    * pool sharpens 3× — the data-curriculum shape of "train briefly
+    * on everything, longest on the best" ported from hyperparameter
+    * search to data selection. Emits per (source, rung): survivors,
+    * the score cutoff (the weakest survivor — the number a curator
+    * quotes as "rung-r admission"), and the rung's unit budget.
+    * Score = n_chars with doc_id tiebreak (the [[qScoreNormalize]]
+    * convention); rungs with zero survivors emit nothing.
+    *
+    * Plan: ONE per-source rank window (shared exchange with the
+    * per-source count), a ≤4-way rung explode of the ALREADY-ranked
+    * rows pre-filtered to rn ≤ n (so the explode never exceeds
+    * ~1.5 rows/doc: Σ 3⁻ʳ < 1.5), and a (source, rung)-bounded
+    * rollup. The qPrCurve per-source-window caveat and remedy apply. */
+  val qHyperbandPlan: Q = (s, d) => {
+    val wRank = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val wSrc = Window.partitionBy("source")
+    Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rn", row_number().over(wRank).cast(LongType))
+      .withColumn("n", count(lit(1)).over(wSrc).cast(LongType))
+      .select(col("source"), col("n_chars"), col("rn"),
+        explode(expr("filter(transform(sequence(0, 3)," +
+          " r -> named_struct('rung', CAST(r AS BIGINT)," +
+          " 'keep', n div CAST(power(3, r) AS BIGINT)))," +
+          " x -> x.keep >= 1)")).as("x"))
+      .filter(col("rn") <= col("x.keep"))
+      .groupBy(col("source"), col("x.rung").as("rung"))
+      .agg(count(lit(1)).cast(LongType).as("n_kept"),
+        min(col("n_chars")).cast(LongType).as("cutoff_score"))
+      .withColumn("unit_budget",
+        expr("n_kept * CAST(power(3, rung) AS BIGINT)"))
+      .orderBy("source", "rung")
+  }
+
+  /** q_weighted_topk_sample — EXACT-k weighted sampling without
+    * replacement per source (Efraimidis & Spirakis 2006, algorithm
+    * A-ES): rank by the Gumbel-trick key log₂(w) − log₂(−log₂(u))
+    * with u a deterministic md5-uniform in (0,1), take the top 5.
+    * [[qWeightedSample]]'s Bernoulli coin gives a VARIABLE-size
+    * sample; mixture assembly usually needs exactly k per stratum —
+    * this is the standard distributed answer (one key per row, one
+    * top-k, provably ∝-weight without replacement). Using −log₂(u)
+    * instead of −ln(u) scales every exponential by the same 1/ln 2,
+    * which cancels in the ranking, and keeps the whole key on the
+    * repo's pinned-log2 determinism contract. Keys floor to micros
+    * with doc_id tiebreak, mirrored in the oracle.
+    *
+    * Plan: scan-side key projection (codegen'd md5 + two log₂), one
+    * per-source top-k window — the [[qClassBalance]] shape. */
+  val qWeightedTopkSample: Q = (s, d) => {
+    // (h + 0.5)/2^60 ∈ (0, 1); the upper clamp guards the measure-zero
+    // case where the 60-bit h double-rounds up to 2^60 exactly
+    val u = least(
+      (md5Long(concat(lit("ates|"), col("doc_id").cast("string")))
+        .cast(DoubleType) + lit(0.5)) / lit(1152921504606846976.0), // 2^60
+      lit(0.9999999999999999))
+    val keyMicro = floor(lit(1000000.0) *
+      (log2(col("n_chars").cast(DoubleType)) - log2(-log2(u))))
+      .cast(LongType)
+    val w = Window.partitionBy("source")
+      .orderBy(col("key_micro").desc, col("doc_id"))
+    Tables.documents(s, d)
+      .filter(col("text").isNotNull && col("n_chars") >= 1)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("key_micro", keyMicro)
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= 5)
+      .select("source", "rk", "doc_id", "n_chars", "key_micro")
+      .orderBy("source", "rk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_hyperband_plan" -> qHyperbandPlan,
+    "q_weighted_topk_sample" -> qWeightedTopkSample,
     "q_epoch_shuffle" -> qEpochShuffle,
     "q_inbatch_collisions" -> qInbatchCollisions,
     "q_length_fence" -> qLengthFence,
@@ -341,6 +420,51 @@ object Selection {
     "q_dsir_weights" -> qDsirWeights)
 
   val oracle: Map[String, String] = Map(
+    "q_hyperband_plan" ->
+      """WITH base AS (
+        |  SELECT source, doc_id, n_chars FROM documents
+        |  WHERE text IS NOT NULL),
+        |ranked AS (
+        |  SELECT source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM base),
+        |melt AS (
+        |  SELECT source, n_chars, rn, n,
+        |    unnest(generate_series(0, 3)) AS rung
+        |  FROM ranked),
+        |kept AS (
+        |  SELECT source, rung, n_chars
+        |  FROM melt
+        |  WHERE n // CAST(power(3, rung) AS BIGINT) >= 1
+        |    AND rn <= n // CAST(power(3, rung) AS BIGINT))
+        |SELECT source, CAST(rung AS BIGINT) AS rung,
+        |  CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  CAST(MIN(n_chars) AS BIGINT) AS cutoff_score,
+        |  CAST(COUNT(*) * CAST(power(3, rung) AS BIGINT) AS BIGINT)
+        |    AS unit_budget
+        |FROM kept GROUP BY source, rung ORDER BY source, rung""".stripMargin,
+    "q_weighted_topk_sample" ->
+      """WITH base AS (
+        |  SELECT source, doc_id, n_chars,
+        |    LEAST((CAST(CAST('0x' || substr(md5('ates|' ||
+        |        CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE)
+        |        + 0.5) / 1152921504606846976.0,
+        |      0.9999999999999999) AS u
+        |  FROM documents WHERE text IS NOT NULL AND n_chars >= 1),
+        |keyed AS (
+        |  SELECT source, doc_id, n_chars,
+        |    CAST(floor(1000000.0 * (log2(CAST(n_chars AS DOUBLE))
+        |      - log2(-log2(u)))) AS BIGINT) AS key_micro
+        |  FROM base),
+        |ranked AS (
+        |  SELECT source, doc_id, n_chars, key_micro,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY key_micro DESC, doc_id) AS BIGINT) AS rk
+        |  FROM keyed)
+        |SELECT source, rk, doc_id, n_chars, key_micro
+        |FROM ranked WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
     "q_epoch_shuffle" ->
       """WITH docs AS (SELECT doc_id FROM documents),
         |nn AS (SELECT COUNT(*) AS n FROM docs),

@@ -1087,7 +1087,74 @@ object Sequences {
       .limit(20)
   }
 
+  /** q_kaplan_meier — the Kaplan-Meier survival estimator (Kaplan &
+    * Meier 1958) over session durations with right-censoring at the
+    * observation boundary: a session whose last event is within one
+    * gap of the data's end may still be open, so treating it as
+    * "ended" would bias every duration statistic short — the exact
+    * error KM exists to remove, and the difference between this and
+    * a naive duration histogram IS the censoring mass. Per death
+    * time: the at-risk count, deaths, and the cumulative survival in
+    * floored micro-log₂ units (log-space keeps the product a SUM, so
+    * the per-term floor-before-sum contract applies verbatim; a
+    * final all-die row floors to the −10⁹ sentinel rather than −∞,
+    * stated). Censored-at-t sessions count at risk AT t (the standard
+    * convention).
+    *
+    * Sessions use a 1-DAY gap (activity bursts): under the X19 7-day
+    * spine this corpus collapses to one session per user, all
+    * censored — a survival curve needs completed spells to estimate.
+    *
+    * Plan: the X19 session rollup shape (one user-keyed window), a
+    * one-row broadcast of the observation end, then everything runs on
+    * the DISTINCT-DURATION frame — value-domain-sized like the
+    * [[qChangepointSegments]] daily rollup, so the bare ORDER BY dur
+    * windows are bounded by the time domain, not the corpus. */
+  val qKaplanMeier: Q = (s, d) => {
+    val gap = 86400L // 1-day bursts: the 7-day spine censors everything
+    val w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), nanosToSec(col("ts")).as("ts_sec"))
+    val sessions = ev
+      .withColumn("prev_ts", lag(col("ts_sec"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull || col("ts_sec") - col("prev_ts") > gap, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("is_new")).over(w))
+      .groupBy("user_id", "session_idx")
+      .agg(min(col("ts_sec")).as("t0"), max(col("ts_sec")).as("t1"))
+    val tmax = ev.agg(max(col("ts_sec")).as("tmax"))
+    val durs = sessions.crossJoin(broadcast(tmax))
+      .select((col("t1") - col("t0")).as("dur"),
+        when(col("tmax") - col("t1") <= gap, 0L).otherwise(1L).as("death"))
+    val byDur = durs.groupBy("dur")
+      .agg(count(lit(1)).as("cnt"), sum(col("death")).as("d"))
+    val nTot = durs.agg(count(lit(1)).as("n"))
+    // distinct-duration frame: bare ORDER BY windows bounded by the
+    // value domain (≤ |distinct durations| rows), not the corpus
+    val wD = Window.orderBy("dur")
+    byDur
+      .withColumn("n_before", coalesce(sum(col("cnt")).over(
+        wD.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(nTot))
+      .withColumn("n_risk", (col("n") - col("n_before")).cast(LongType))
+      .filter(col("d") >= 1)
+      .withColumn("term",
+        when(col("n_risk") > col("d"),
+          floor(lit(1000000.0) * log2(
+            (col("n_risk") - col("d")).cast(DoubleType) / col("n_risk"))))
+          .otherwise(lit(-1000000000L)).cast(LongType))
+      .withColumn("log2_surv_micro",
+        sum(col("term")).over(wD.rowsBetween(Window.unboundedPreceding, 0))
+          .cast(LongType))
+      .select(col("dur").cast(LongType).as("dur_sec"),
+        col("n_risk"), col("d").cast(LongType).as("n_events"),
+        col("log2_surv_micro"))
+      .orderBy("dur_sec")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_kaplan_meier" -> qKaplanMeier,
     "q_eventually_follows" -> qEventuallyFollows,
     "q_littles_law" -> qLittlesLaw,
     "q_hourly_anomaly" -> qHourlyAnomaly,
@@ -1116,6 +1183,54 @@ object Sequences {
     "q_burst_users" -> qBurstUsers)
 
   val oracle: Map[String, String] = Map(
+    "q_kaplan_meier" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id,
+        |    CAST(epoch_ms(ts) // 1000 AS BIGINT) AS ts_sec
+        |  FROM events),
+        |lagged AS (
+        |  SELECT user_id, event_id, ts_sec,
+        |    LAG(ts_sec) OVER (PARTITION BY user_id
+        |      ORDER BY ts_sec, event_id) AS prev_ts
+        |  FROM ev),
+        |idx AS (
+        |  SELECT user_id, ts_sec,
+        |    SUM(CASE WHEN prev_ts IS NULL OR ts_sec - prev_ts > 86400
+        |      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+        |      ORDER BY ts_sec, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM lagged),
+        |sess AS (
+        |  SELECT user_id, sid, MIN(ts_sec) AS t0, MAX(ts_sec) AS t1
+        |  FROM idx GROUP BY 1, 2),
+        |tm AS (SELECT MAX(ts_sec) AS tmax FROM ev),
+        |durs AS (
+        |  SELECT t1 - t0 AS dur,
+        |    CASE WHEN (SELECT tmax FROM tm) - t1 <= 86400
+        |      THEN 0 ELSE 1 END AS death
+        |  FROM sess),
+        |bydur AS (
+        |  SELECT dur, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |    CAST(SUM(death) AS BIGINT) AS d
+        |  FROM durs GROUP BY dur),
+        |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM durs),
+        |risk AS (
+        |  SELECT dur, d,
+        |    (SELECT n FROM nt) - COALESCE(SUM(cnt) OVER (ORDER BY dur
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_risk
+        |  FROM bydur),
+        |terms AS (
+        |  SELECT dur, n_risk, d,
+        |    CASE WHEN n_risk > d
+        |      THEN CAST(floor(1000000.0 * log2(
+        |        CAST(n_risk - d AS DOUBLE) / n_risk)) AS BIGINT)
+        |      ELSE -1000000000 END AS term
+        |  FROM risk WHERE d >= 1)
+        |SELECT CAST(dur AS BIGINT) AS dur_sec,
+        |  CAST(n_risk AS BIGINT) AS n_risk, d AS n_events,
+        |  CAST(SUM(term) OVER (ORDER BY dur
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS log2_surv_micro
+        |FROM terms ORDER BY dur_sec""".stripMargin,
     "q_eventually_follows" ->
       """WITH ev AS (
         |  SELECT user_id, event_type,

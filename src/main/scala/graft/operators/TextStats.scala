@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.Tables
 
@@ -1438,7 +1438,77 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** q_burrows_delta — Burrows' Delta stylometric distance between
+    * sources (Burrows 2002; Evert et al. 2017 for the formalization):
+    * z-score each source's relative frequency of the corpus's top-20
+    * words against the across-source distribution, then Delta(a,b) =
+    * mean |z_a − z_b|. THE standard authorship/style distance —
+    * applied to a training corpus it answers "which sources write
+    * alike" on function-word style rather than topical vocabulary
+    * (the complement of [[qVocabOverlap]]'s content-word overlap and
+    * [[qSourceKl]]'s full-distribution drift).
+    *
+    * Integer spelling: f = (c_sw·10⁶) div n_s (exact micros; missing
+    * grid cells are genuine zeros); dev_n = S·f − Σf (exact integer,
+    * clears the mean's denominator); z = dev_n·√S̅/√(Σdev_n²) — the two
+    * √ and the division are single IEEE-exact-rounded double ops,
+    * spelled identically in the oracle, floored to milli before the
+    * pair stage; a zero-variance word (all sources agree) pins z = 0.
+    * Delta floors the 20-term |z| mean to milli.
+    *
+    * Plan: one word scan → (source, word) counts; the top-20 word
+    * table and the source list both broadcast (20 rows / |sources|
+    * rows); the z table is a 20·|sources| grid built by a broadcast
+    * cross + left join (zeros materialized — a missing cell is DATA
+    * here); the pair stage joins the grid to itself per word —
+    * 20·|sources|² rows, bounded by the source census. */
+  val qBurrowsDelta: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val words = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val sw = words.groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
+      .localCheckpoint() // feeds totals, the top-20 rollup, and the grid
+    val srcTot = sw.groupBy("source").agg(sum("c_sw").as("n_s"))
+    val top20 = sw.groupBy("w").agg(sum("c_sw").as("c_w"))
+      .orderBy(col("c_w").desc, col("w")).limit(20).select("w")
+    val grid = broadcast(top20).crossJoin(broadcast(srcTot))
+      .join(sw, Seq("source", "w"), "left")
+      .select(col("w"), col("source"),
+        expr("(coalesce(c_sw, 0) * 1000000) div n_s").cast(LongType)
+          .as("f_mic"))
+    val stats = grid.groupBy("w")
+      .agg(count(lit(1)).as("ns"), sum("f_mic").as("sf"))
+    val devs = grid.join(broadcast(stats), Seq("w"))
+      .withColumn("dev_n",
+        (col("ns") * col("f_mic") - col("sf")).cast(LongType))
+    val sd2 = devs.groupBy("w")
+      .agg(max("ns").as("ns"),
+        sum((col("dev_n").cast(dec) * col("dev_n")).cast(dec)).as("sd2"))
+    val z = devs.select(col("w"), col("source"), col("dev_n"))
+      .join(broadcast(sd2), Seq("w"))
+      .select(col("w"), col("source"),
+        when(col("sd2") > 0,
+          floor(lit(1000.0) * col("dev_n").cast(DoubleType)
+            * sqrt(col("ns").cast(DoubleType))
+            / sqrt(col("sd2").cast(DoubleType))))
+          .otherwise(lit(0L)).cast(LongType).as("z_milli"))
+    z.select(col("w"), col("source").as("source_a"), col("z_milli").as("za"))
+      .join(z.select(col("w"), col("source").as("source_b"),
+        col("z_milli").as("zb")), Seq("w"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_words"),
+        sum(abs(col("za") - col("zb"))).as("sabs"))
+      .select(col("source_a"), col("source_b"),
+        col("n_words").cast(LongType).as("n_words"),
+        expr("sabs div n_words").cast(LongType).as("delta_milli"))
+      .orderBy("source_a", "source_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_burrows_delta" -> qBurrowsDelta,
     "q_lang_mix" -> qLangMix,
     "q_js_divergence" -> qJsDivergence,
     "q_self_bleu" -> qSelfBleu,
@@ -1488,6 +1558,52 @@ object TextStats {
     .map(w => s"(${occurrencesDuck("text", w)})").mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    "q_burrows_delta" ->
+      """WITH words AS (
+        |  SELECT source, w FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS w
+        |    FROM documents WHERE text IS NOT NULL)
+        |  WHERE length(w) > 0),
+        |sw AS MATERIALIZED (
+        |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c_sw
+        |  FROM words GROUP BY 1, 2),
+        |srctot AS (SELECT source, CAST(SUM(c_sw) AS BIGINT) AS n_s
+        |           FROM sw GROUP BY 1),
+        |top20 AS (
+        |  SELECT w FROM (SELECT w, SUM(c_sw) AS c_w FROM sw GROUP BY w)
+        |  ORDER BY c_w DESC, w LIMIT 20),
+        |grid AS (
+        |  SELECT t.w, s.source,
+        |    CAST((COALESCE(x.c_sw, 0) * 1000000) // s.n_s AS BIGINT)
+        |      AS f_mic
+        |  FROM top20 t CROSS JOIN srctot s
+        |  LEFT JOIN sw x ON x.w = t.w AND x.source = s.source),
+        |stats AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS ns,
+        |    CAST(SUM(f_mic) AS BIGINT) AS sf
+        |  FROM grid GROUP BY w),
+        |devs AS (
+        |  SELECT g.w, g.source,
+        |    CAST(st.ns * g.f_mic - st.sf AS BIGINT) AS dev_n
+        |  FROM grid g JOIN stats st USING (w)),
+        |sd2 AS (
+        |  SELECT w, MAX(st.ns) AS ns,
+        |    SUM(CAST(dev_n AS HUGEINT) * dev_n) AS sd2
+        |  FROM devs JOIN stats st USING (w) GROUP BY w),
+        |z AS (
+        |  SELECT d.w, d.source,
+        |    CASE WHEN s2.sd2 > 0
+        |      THEN CAST(floor(1000.0 * CAST(d.dev_n AS DOUBLE)
+        |        * sqrt(CAST(s2.ns AS DOUBLE))
+        |        / sqrt(CAST(s2.sd2 AS DOUBLE))) AS BIGINT)
+        |      ELSE 0 END AS z_milli
+        |  FROM devs d JOIN sd2 s2 USING (w))
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_words,
+        |  CAST(SUM(abs(a.z_milli - b.z_milli)) // COUNT(*) AS BIGINT)
+        |    AS delta_milli
+        |FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_lang_mix" -> {
       def occ(w: String) = occurrencesDuck("block", w)
       s"""WITH blocks AS (

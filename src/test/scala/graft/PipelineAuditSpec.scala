@@ -180,6 +180,74 @@ class PipelineAuditSpec extends SparkSpec {
     assert(got.tail.forall(_._2 < 2000L), "cluster points must stay low")
   }
 
+  test("hyperband: eta=3 rungs keep 9/3/1 with equal unit budgets") {
+    val dir = tmp("hb")
+    writeDocs(dir, (1 to 9).map(i =>
+      (i.toLong, "t", "en", "s", i * 10L)))
+    val got = graft.operators.Selection.qHyperbandPlan(spark, dir).collect()
+      .map(r => r.getAs[Long]("rung") ->
+        ((r.getAs[Long]("n_kept"), r.getAs[Long]("cutoff_score"),
+          r.getAs[Long]("unit_budget"))))
+    // n=9: rung 0 keeps 9 (cutoff 10), rung 1 keeps 3 (cutoff 70),
+    // rung 2 keeps 1 (cutoff 90), rung 3 keeps 0 -> absent;
+    // every present rung costs the same 9 units
+    assert(got.toMap === Map(
+      0L -> ((9L, 10L, 9L)), 1L -> ((3L, 70L, 9L)), 2L -> ((1L, 90L, 9L))))
+  }
+
+  test("weighted top-k sample: exact k, deterministic, heavy doc always in") {
+    val dir = tmp("ates")
+    // 9 weight-1 docs + 1 doc at weight 10^6: the Gumbel key gap
+    // (~20 bits) cannot be crossed by any 60-bit md5 uniform here
+    writeDocs(dir, (1 to 9).map(i => (i.toLong, "t", "en", "s", 1L))
+      :+ ((10L, "t", "en", "s", 1000000L)))
+    val a = graft.operators.Selection.qWeightedTopkSample(spark, dir).collect()
+    val b = graft.operators.Selection.qWeightedTopkSample(spark, dir).collect()
+    assert(a.length === 5, "exactly k survivors")
+    assert(a.map(_.getAs[Long]("doc_id")).toSeq ===
+      b.map(_.getAs[Long]("doc_id")).toSeq, "deterministic across runs")
+    assert(a.map(_.getAs[Long]("doc_id")).contains(10L),
+      "the 10^6-weight doc must be sampled")
+    val keys = a.map(_.getAs[Long]("key_micro"))
+    assert(keys.sorted.reverse.toSeq === keys.toSeq, "ranked by key desc")
+  }
+
+  test("kaplan-meier: hand-traced censoring, sentinel on the last death") {
+    val dir = tmp("km")
+    val day10 = 864000L
+    writeEvents(dir, Seq(
+      // A: burst [0, 3600] (death), then a point burst at day 10 (censored)
+      (0L, 0L, 1L, "A"), (1L, 3600L, 1L, "A"), (2L, day10, 1L, "A"),
+      // B: single point at day 10 (censored, dur 0)
+      (3L, day10, 2L, "A"),
+      // C: burst [0, 7200] (death), then day 10 (censored)
+      (4L, 0L, 3L, "A"), (5L, 7200L, 3L, "A"), (6L, day10, 3L, "A")))
+    val got = graft.operators.Sequences.qKaplanMeier(spark, dir).collect()
+      .map(r => (r.getAs[Long]("dur_sec"), r.getAs[Long]("n_risk"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("log2_surv_micro")))
+    // durations: 0 (censored x3), 3600 death, 7200 death
+    // at 3600: n_risk 2, d 1 -> log2(1/2) = -1e6
+    // at 7200: n_risk 1, d 1 -> all die: the -1e9 sentinel accumulates
+    assert(got.toSeq === Seq(
+      (3600L, 2L, 1L, -1000000L),
+      (7200L, 1L, 1L, -1001000000L)))
+  }
+
+  test("burrows delta: identical sources at 0, symmetric to the odd one out") {
+    val dir = tmp("bd")
+    val styleA = "the of and to in a is was it for"
+    val styleB = "zig zag zog zug zeg zyg zag zig zog zug"
+    writeDocs(dir, Seq(
+      (1L, styleA, "en", "s1", 10L), (2L, styleA, "en", "s2", 10L),
+      (3L, styleB, "en", "s3", 10L)))
+    val got = graft.operators.TextStats.qBurrowsDelta(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Long]("delta_milli")).toMap
+    assert(got(("s1", "s2")) === 0L, "identical styles have zero delta")
+    assert(got(("s1", "s3")) === got(("s2", "s3")), "delta is symmetric")
+    assert(got(("s1", "s3")) > 0L)
+  }
+
   test("snb scorecard: bounds and truth-count consistency on sf0.001") {
     val sf = "/root/testdata/sf0.001"
     val r = Dedup.qSnbEval(spark, sf).collect().head
