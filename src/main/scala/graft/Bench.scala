@@ -90,10 +90,30 @@ object Bench {
       .flatMap(v => scala.util.Try(v.trim.toDouble).toOption.filter(_ > 0))
       .getOrElse(2.0)
     val loadStart = loadAvg()
-    val commitGrade = loadStart <= loadGate
-    if (!commitGrade) System.err.println(
+    // a negative sample means the platform exposes no load average —
+    // "unknown" must fail the gate, not pass it (ADVICE r14: -1 <= 2.0
+    // silently marked loaded-unknowable artifacts commit-grade)
+    val loadKnown = loadStart >= 0
+    val commitGrade = loadKnown && loadStart <= loadGate
+    if (!loadKnown) System.err.println(
+      "[bench] host load average UNAVAILABLE on this platform — artifact" +
+        " marked commit_grade=false (quiet-host provenance unverifiable)")
+    else if (!commitGrade) System.err.println(
       f"[bench] host load $loadStart%.2f exceeds gate $loadGate%.2f at start" +
         " — artifact marked commit_grade=false; do not adopt as baseline")
+    // Per-PASS load gate (VERDICT r14 #5): the start sample gates the
+    // artifact, but co-tenant windows that OPEN mid-run contaminated
+    // r14's 14:03 driver artifact (per-pass loads to 16) while its
+    // start load was borderline. Each query's wall now carries the
+    // load sampled right after it ran; a query's MEDIAN is
+    // commit-grade only when a majority of its passes ran under this
+    // gate. The default 10.0 sits between the observed commit-grade
+    // per-pass band (2.8-9.1, bench self-load included) and the
+    // loaded-window band (5.5-16.1): it flags windows, not the bench's
+    // own local[32] footprint.
+    val passLoadGate = sys.env.get("SPARK_GRAFT_BENCH_PASS_LOAD_GATE")
+      .flatMap(v => scala.util.Try(v.trim.toDouble).toOption.filter(_ > 0))
+      .getOrElse(10.0)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -214,11 +234,12 @@ object Bench {
     // read as alphabet-contiguous regression blocks. Randomizing per
     // pass decorrelates any residual context effect from query name —
     // a median over 5 passes then samples 5 different neighborhoods.
-    def runSeq(pass: Int): (Map[String, Double], Map[String, Double]) = {
+    def runSeq(pass: Int): (Map[String, Double], Map[String, Double], Map[String, Double]) = {
       val rnd = new scala.util.Random(0x67726166745231L + pass)
       val order = rnd.shuffle(benchQueries.toSeq.sortBy(_._1))
       val walls = Map.newBuilder[String, Double]
       val gcs = Map.newBuilder[String, Double]
+      val loads = Map.newBuilder[String, Double]
       // NOTE (r13 directive 5): clearCache() clears CacheManager
       // entries (df.cache()) only — it does NOT unpersist RDD-level
       // localCheckpoint blocks, and the graft.Memo spine entries hold
@@ -238,8 +259,11 @@ object Bench {
         spark.catalog.clearCache()
         walls += name -> (System.nanoTime() - s0) / 1e9
         gcs += name -> (gcMs() - g0) / 1e3
+        // 1-min load sampled right after the query: the adjudication
+        // record for the per-query commit-grade verdict below
+        loads += name -> loadAvg()
       }
-      (walls.result(), gcs.result())
+      (walls.result(), gcs.result(), loads.result())
     }
 
     def runConcurrent(): Map[String, Double] = {
@@ -287,6 +311,7 @@ object Bench {
     var seqPasses: Seq[Map[String, Double]] = Seq.empty
     var gcPasses: Seq[Map[String, Double]] = Seq.empty
     var loadPasses: Seq[Double] = Seq.empty // load avg sampled at each pass end
+    var loadQueryPasses: Seq[Map[String, Double]] = Seq.empty // per-query post-run load
     def runSeqMedian(): Map[String, Double] = {
       // per-pass totals to stderr: pass 1 carries every janino compile
       // (cold codegen), passes 2+ measure steady state — the 1-vs-rest
@@ -294,12 +319,13 @@ object Bench {
       // cache"); a warm pass nearly as slow as pass 1 means the 4096-
       // entry cache no longer covers the query surface
       val runs = (1 to seqRepeat).map { i =>
-        val (r, g) = runSeq(i)
+        val (r, g, ql) = runSeq(i)
         val la = loadAvg()
         System.err.println(f"[bench] seq pass $i/$seqRepeat total ${r.values.sum}%.1f s (gc ${g.values.sum}%.1f s, load $la%.2f)")
         seqPasses :+= r
         gcPasses :+= g
         loadPasses :+= la
+        loadQueryPasses :+= ql
         r
       }
       runs.head.keys.map { k =>
@@ -367,8 +393,34 @@ object Bench {
     val loadEnd = loadAvg()
     val hostCpus = Runtime.getRuntime.availableProcessors()
     val loadJson = loadPasses.map(l => f"$l%.2f").mkString("[", ",", "]")
+    // Per-query commit-grade verdict (VERDICT r14 #5): a query's median
+    // is commit-grade only when a MAJORITY of its passes ran with the
+    // post-query load sample under the pass gate. This converts the
+    // "different random subsets flag under load" adjudication from
+    // narrative into arithmetic the artifact itself carries; regen
+    // refuses to adopt a below-gate query's median as baseline. A
+    // negative (unavailable) sample counts as a dirty pass.
+    val mediansBelowGate: Seq[String] =
+      if (loadQueryPasses.isEmpty) Seq.empty
+      else loadQueryPasses.head.keys.toSeq.sorted.filter { q =>
+        val clean = loadQueryPasses.count(p =>
+          p.get(q).exists(l => l >= 0 && l <= passLoadGate))
+        clean < loadQueryPasses.size / 2 + 1
+      }
+    val mediansCommitGrade =
+      loadQueryPasses.headOption.map(_.size - mediansBelowGate.size).getOrElse(0)
+    if (mediansBelowGate.nonEmpty) System.err.println(
+      s"[bench] ${mediansBelowGate.size} query medians below the per-pass " +
+        f"load gate $passLoadGate%.1f (majority of passes dirty) — " +
+        "not baseline-adoptable")
+    // Memo-build attribution (VERDICT r14 #6): which query paid each
+    // memoized spine build, so the seq medians are interpretable.
+    val memoBuilds = Memo.buildEvents().map(e =>
+      f"""{"memo":"${e.memo}","thread":"${e.thread}","ms":${e.ms}%.1f}""")
+      .mkString("[", ",", "]")
+    val belowJson = mediansBelowGate.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full =
-      f"""{"metric":"total","value":$total,"unit":"sec","value_kind":"$kind","queries_concurrent":${js(results)},"queries_seq":${seqResults.map(js).getOrElse("null")},"queries_seq_passes":${jsArr(seqPasses)},"queries_gc_sec_passes":${jsArr(gcPasses)},"gc_between_queries":$gcBetween,"seq_order":"shuffled_per_pass","seq_repeat":$seqRepeat,"regressions":${regressions.mkString("{", ",", "}")},"load_avg_start":$loadStart%.2f,"load_avg_per_pass":$loadJson,"load_avg_end":$loadEnd%.2f,"load_gate":$loadGate%.2f,"commit_grade":$commitGrade,"host_cpus":$hostCpus,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total,"unit":"sec","value_kind":"$kind","queries_concurrent":${js(results)},"queries_seq":${seqResults.map(js).getOrElse("null")},"queries_seq_passes":${jsArr(seqPasses)},"queries_gc_sec_passes":${jsArr(gcPasses)},"queries_load_passes":${jsArr(loadQueryPasses)},"gc_between_queries":$gcBetween,"seq_order":"shuffled_per_pass","seq_repeat":$seqRepeat,"regressions":${regressions.mkString("{", ",", "}")},"load_avg_start":$loadStart%.2f,"load_avg_per_pass":$loadJson,"load_avg_end":$loadEnd%.2f,"load_gate":$loadGate%.2f,"pass_load_gate":$passLoadGate%.2f,"medians_commit_grade":$mediansCommitGrade,"medians_below_gate":$belowJson,"memo_builds":$memoBuilds,"commit_grade":$commitGrade,"host_cpus":$hostCpus,"sf":"$sfDir"}"""
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, (full + "\n").getBytes("UTF-8"))
@@ -384,6 +436,17 @@ object Bench {
     java.nio.file.Files.write(stamped, (full + "\n").getBytes("UTF-8"))
     System.err.println(s"[bench] artifact also at $stamped" +
       (if (commitGrade) "" else " (NOT commit-grade: host load)"))
+    // Bounded stamp retention (ADVICE r14): scoped probe loops would
+    // otherwise accumulate stamped artifacts without limit. Keep the
+    // newest 24 (a full round's close runs + probes), lexicographic =
+    // chronological for the fixed-width stamp.
+    scala.util.Try {
+      import scala.jdk.CollectionConverters._
+      val stamps = java.nio.file.Files.list(out.getParent).iterator().asScala
+        .filter(_.getFileName.toString.matches("bench-\\d{8}-\\d{6}\\.json"))
+        .toSeq.sortBy(_.getFileName.toString)
+      stamps.dropRight(24).foreach(java.nio.file.Files.deleteIfExists(_))
+    }: Unit
     spark.stop()
   }
 }

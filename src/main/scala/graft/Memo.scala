@@ -69,7 +69,15 @@ final class Memo(name: String) {
       val entry = cache.get((s, d)) match {
         case Some(e) => e
         case None =>
-          val fresh = (g0, compute.localCheckpoint())
+          val t0 = System.nanoTime()
+          val built = compute.localCheckpoint()
+          // attribution record (VERDICT r14 #6): the spine build cost
+          // lands on whichever caller touches the memo first — in a
+          // shuffled bench pass that is a random family member, which
+          // made that query's pass-1 wall uninterpretable. The log
+          // names the payer; Bench ships it in the artifact.
+          Memo.logBuild(name, d, (System.nanoTime() - t0) / 1e6)
+          val fresh = (g0, built)
           cache.putIfAbsent((s, d), fresh) match {
             case Some(winner) => // lost the insert race: free our copy
               Memo.freeCheckpoint(fresh._2); winner
@@ -90,6 +98,24 @@ final class Memo(name: String) {
 
 object Memo {
   private[graft] val MaxAttempts = 3
+
+  /** One memo-build event: (memo name, dir, building thread's name,
+    * build wall ms). The thread name attributes the build to the
+    * paying query when the caller names its threads (Bench does:
+    * "bench-seq:&lt;query&gt;#k"). Bounded: a JVM builds each (memo,
+    * dir) at most a handful of times (invalidations), so the queue
+    * stays tiny; the 4096 cap is a leak backstop, not a budget. */
+  final case class BuildEvent(memo: String, dir: String, thread: String, ms: Double)
+  private val buildLog = new java.util.concurrent.ConcurrentLinkedQueue[BuildEvent]
+  private def logBuild(memo: String, dir: String, ms: Double): Unit = {
+    if (buildLog.size < 4096)
+      buildLog.add(BuildEvent(memo, dir, Thread.currentThread().getName, ms)): Unit
+  }
+  /** Snapshot of every memo build this JVM has paid for, in order. */
+  def buildEvents(): Seq[BuildEvent] = {
+    import scala.jdk.CollectionConverters._
+    buildLog.iterator().asScala.toSeq
+  }
 
   /** Best-effort explicit unpersist of a localCheckpointed frame's
     * storage blocks. A checkpointed Dataset's analyzed plan is a

@@ -1197,9 +1197,14 @@ object Dedup {
         col("n_common").cast(LongType).as("n_common"),
         when(col("n_truth") > 0, expr("(n_common * 1000) div n_truth"))
           .otherwise(lit(0L)).cast(LongType).as("recall_permille"),
-        expr("""1000 - (cast(n_snb as decimal(38,0)) * 2000)
-               | div (cast(n_docs as decimal(38,0)) * (n_docs - 1))"""
-          .stripMargin).cast(LongType).as("reduction_permille"))
+        // n_docs >= 2 guard (ADVICE r14): on a 0/1-doc corpus the
+        // n(n-1) denominator is 0 — Spark yields NULL but DuckDB
+        // errors on integer division by zero; both engines must emit 0
+        when(col("n_docs") >= 2,
+          expr("""1000 - (cast(n_snb as decimal(38,0)) * 2000)
+                 | div (cast(n_docs as decimal(38,0)) * (n_docs - 1))"""
+            .stripMargin)).otherwise(lit(0L))
+          .cast(LongType).as("reduction_permille"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -1306,8 +1311,10 @@ object Dedup {
           |  CAST(CASE WHEN n_truth > 0
           |    THEN (n_common * 1000) // n_truth ELSE 0 END AS BIGINT)
           |    AS recall_permille,
-          |  CAST(1000 - (CAST(n_candidates AS HUGEINT) * 2000)
-          |    // (CAST(n_docs AS HUGEINT) * (n_docs - 1)) AS BIGINT)
+          |  CAST(CASE WHEN n_docs >= 2
+          |    THEN 1000 - (CAST(n_candidates AS HUGEINT) * 2000)
+          |      // (CAST(n_docs AS HUGEINT) * (n_docs - 1))
+          |    ELSE 0 END AS BIGINT)
           |    AS reduction_permille
           |FROM nd CROSS JOIN cs CROSS JOIN ts CROSS JOIN cm""".stripMargin),
     "q_sorted_neighbors" ->

@@ -357,11 +357,14 @@ object Selection {
       .withColumn("rn", row_number().over(wRank).cast(LongType))
       .withColumn("n", count(lit(1)).over(wSrc).cast(LongType))
       .select(col("source"), col("n_chars"), col("rn"),
+        // the rn <= keep bound runs INSIDE the array filter (ADVICE
+        // r14: a post-explode filter materializes up to 4 rows/doc
+        // first; this way the explode itself never exceeds ~1.5
+        // rows/doc on average — Σ 3⁻ʳ < 1.5)
         explode(expr("filter(transform(sequence(0, 3)," +
           " r -> named_struct('rung', CAST(r AS BIGINT)," +
           " 'keep', n div CAST(power(3, r) AS BIGINT)))," +
-          " x -> x.keep >= 1)")).as("x"))
-      .filter(col("rn") <= col("x.keep"))
+          " x -> x.keep >= 1 AND rn <= x.keep)")).as("x"))
       .groupBy(col("source"), col("x.rung").as("rung"))
       .agg(count(lit(1)).cast(LongType).as("n_kept"),
         min(col("n_chars")).cast(LongType).as("cutoff_score"))

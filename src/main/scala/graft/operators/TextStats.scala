@@ -726,13 +726,23 @@ object TextStats {
     * counts and a ≥20%-duplicated flag via integer cross-multiply.
     * Grams stay inside a per-doc aggregation — the shuffle carries
     * (doc_id, gram) pairs with map-side partial aggregation, and at
-    * 100 TB the gram explosion never leaves its scan stage unreduced. */
+    * 100 TB the gram explosion never leaves its scan stage unreduced.
+    *
+    * Grams hash to xxhash64 keys INSIDE the projection lambda
+    * (VERDICT r14 #2): the duplicate-count aggregate never needs the
+    * strings back, and the (doc_id, gram-string) shuffle was the
+    * largest transient string volume on the bench surface — 16 B/row
+    * now, load-robust where the string variant paid eviction I/O
+    * under co-resident MemoryStore pressure. A within-doc 64-bit
+    * collision (the only way output could shift: two distinct grams
+    * of ONE doc colliding) has probability ~n²/2⁶⁵ per doc —
+    * immaterial at any corpus scale. */
   val qGramRepetition: Q = (s, d) => {
     val ws = split(col("text"), " ")
     val grams = transform(
       sequence(lit(0), size(ws) - 3),
-      i => concat_ws(" ",
-        element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3)))
+      i => xxhash64(concat_ws(" ",
+        element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3))))
     Tables.spread(Tables.documents(s, d)) // single-row-group scan → fan out before the explode
       .filter(size(ws) >= 3) // sequence(0, n) needs n >= 0
       .select(col("doc_id"), explode(grams).as("g"))
@@ -846,33 +856,42 @@ object TextStats {
       sequence(lit(0), size(ws) - 3),
       i => concat_ws(" ",
         element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3)))
+    // Grams hash to xxhash64 keys (8 B) at the explode and the STRINGS
+    // never leave the map side (VERDICT r14 #2: the r13 un-persisted
+    // string variant recomputed its gram explode under MemoryStore
+    // pressure — correct on a quiet host, 4× under co-resident load,
+    // i.e. "whoever runs next pays"). The bloom filter already keyed
+    // on xxhash64(gram), so probing and the exact verify join now use
+    // the SAME 8-byte key. The distinct eval-key frame has two
+    // consumers (bloom build + verify join) and persists DISK_ONLY:
+    // at 8 B/key it is a bounded disk read that CANNOT evict — its
+    // cost no longer depends on what co-resident queries do to the
+    // MemoryStore. A cross-set 64-bit collision (one corpus gram
+    // colliding with one eval gram) could inflate a doc's n_shared by
+    // 1 with probability ~|corpus grams|·|eval grams|/2⁶⁴ —
+    // immaterial for a contamination screen and invisible at oracle
+    // scale; the string-exact variant remains [[qDecontaminate]].
     val gramRows = docs
       .filter(size(ws) >= 3)
       .select(col("doc_id"), col("is_eval"), explode(grams).as("g"))
-    // two consumers (bloom build + verify join). NOT checkpointed
-    // (r13): the distinct eval-gram frame is the largest single block
-    // set any query parks in the MemoryStore, and in a long multi-query
-    // pass those MEMORY_AND_DISK blocks evict exactly when the verify
-    // join needs them — the recompute (one 5%-of-corpus gram explode)
-    // is cheaper than the eviction+reload it replaced (PERF.md r13
-    // "bloom context sensitivity": isolated 1.9 s either way; in a
-    // 12-query context 4.3 s checkpointed vs ~2 s recomputed).
-    val evalGrams = gramRows.filter(col("is_eval")).select(col("g")).distinct()
-    val bloomRow = evalGrams.agg(
+      .select(col("doc_id"), col("is_eval"), xxhash64(col("g")).as("gh"))
+    val evalKeys = gramRows.filter(col("is_eval")).select(col("gh")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val bloomRow = evalKeys.agg(
       GraftSqlBridge.column(
         graft.functions.BloomLongsAgg(
-          GraftSqlBridge.expression(xxhash64(col("g"))),
+          GraftSqlBridge.expression(col("gh")),
           Literal(bloomBits), Literal(bloomK)).toAggregateExpression()).as("bf"))
     val prefiltered = gramRows.filter(!col("is_eval"))
-      .select(col("doc_id"), col("g"))
+      .select(col("doc_id"), col("gh"))
       .crossJoin(broadcast(bloomRow))
       .filter(GraftSqlBridge.column(graft.functions.BloomContainsExpr(
         GraftSqlBridge.expression(col("bf")),
-        GraftSqlBridge.expression(xxhash64(col("g"))),
+        GraftSqlBridge.expression(col("gh")),
         Literal(bloomK))))
-      .select(col("doc_id"), col("g"))
+      .select(col("doc_id"), col("gh"))
     val shared = prefiltered
-      .join(evalGrams.hint("shuffle_hash"), Seq("g"))
+      .join(evalKeys.hint("shuffle_hash"), Seq("gh"))
       .distinct()
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
     Tables.documents(s, d).filter(!isEval)

@@ -37,6 +37,17 @@ if art.get("commit_grade") is False or (load is not None and load > gate):
 if load is None:
     print("WARNING: artifact carries no load_avg_start (pre-r14 Bench?) — "
           "cannot verify quiet-host provenance", file=sys.stderr)
+if load is not None and load < 0:
+    sys.exit("artifact's load_avg_start is negative — the platform exposed "
+             "no load average, quiet-host provenance unverifiable; refusing")
+
+# Per-query pass-load verdict (r15): a query whose median formed under a
+# majority of dirty passes (medians_below_gate, emitted by Bench) is not
+# baseline-adoptable — keep its old value, or skip it when new.
+below = set(art.get("medians_below_gate") or [])
+if below:
+    print(f"WARNING: {len(below)} query medians below the per-pass load "
+          f"gate — keeping old baseline values for them", file=sys.stderr)
 
 try:
     old = json.load(open(base_path))
@@ -64,7 +75,23 @@ if movers and not force:
     sys.exit(f"{len(movers)} movers >1.5x — isolated-probe each (context "
              "skew vs plan regression), then re-run with --force to adopt")
 
+out = {}
+kept_old = skipped_new = 0
+for q, v in sorted(seq.items()):
+    if q in below:
+        if q in old:
+            out[q] = old[q]
+            kept_old += 1
+            print(f"BELOW-GATE {q}: keeping old baseline {old[q]:.3f} "
+                  f"(measured {v:.3f} under dirty passes)")
+        else:
+            skipped_new += 1
+            print(f"BELOW-GATE {q}: NEW query with dirty passes — skipped "
+                  "(no baseline until a clean run)")
+    else:
+        out[q] = round(v, 6)
 with open(base_path, "w") as f:
-    json.dump({q: round(v, 6) for q, v in sorted(seq.items())}, f, indent=0)
-print(f"wrote {base_path}: {len(seq)} queries "
-      f"({len(movers)} movers >1.5x, {len(new_qs)} new, {len(dropped)} dropped)")
+    json.dump(out, f, indent=0)
+print(f"wrote {base_path}: {len(out)} queries "
+      f"({len(movers)} movers >1.5x, {len(new_qs)} new, {len(dropped)} dropped, "
+      f"{kept_old} below-gate kept old, {skipped_new} below-gate skipped)")
