@@ -736,16 +736,22 @@ object TextStats {
     * under co-resident MemoryStore pressure. A within-doc 64-bit
     * collision (the only way output could shift: two distinct grams
     * of ONE doc colliding) has probability ~n²/2⁶⁵ per doc —
-    * immaterial at any corpus scale. */
+    * immaterial at any corpus scale. The hash sits in the
+    * POST-explode projection, not the transform lambda:
+    * higher-order-function lambdas evaluate interpreted
+    * (CodegenFallback), and hashing there measured 2× the whole
+    * query; after the Generate it runs inside whole-stage codegen
+    * and the strings still never leave the stage. */
   val qGramRepetition: Q = (s, d) => {
     val ws = split(col("text"), " ")
     val grams = transform(
       sequence(lit(0), size(ws) - 3),
-      i => xxhash64(concat_ws(" ",
-        element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3))))
+      i => concat_ws(" ",
+        element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3)))
     Tables.spread(Tables.documents(s, d)) // single-row-group scan → fan out before the explode
       .filter(size(ws) >= 3) // sequence(0, n) needs n >= 0
       .select(col("doc_id"), explode(grams).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("g"))
       // two-stage, not countDistinct: count-distinct-with-count(*) in
       // one agg plans an Expand that doubles the exploded gram stream;
       // aggregating (doc, gram) first shrinks before the second shuffle
