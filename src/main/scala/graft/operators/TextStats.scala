@@ -837,9 +837,11 @@ object TextStats {
     * itself large (a 100 M-gram eval corpus is GBs of strings — too big
     * to broadcast, and a corpus-sized shuffle join against the full
     * gram stream is the thing we must avoid). Here the eval set is
-    * summarized into a fixed-size Bloom filter (one mergeable
-    * [[graft.functions.BloomLongsAgg]] pass, ~8 bits/gram regardless of
-    * string length), the single-row filter broadcasts, and the corpus
+    * summarized into a Bloom filter SIZED FROM ITS DISTINCT-KEY COUNT
+    * (one mergeable [[graft.functions.BloomLongsAgg]] pass, ~10
+    * bits/gram regardless of string length — a fixed size saturates
+    * at the first decade of eval growth), the single-row filter
+    * broadcasts, and the corpus
     * gram stream probes it map-side inside whole-stage codegen
     * ([[graft.functions.BloomContainsExpr]]). Only the matched sliver —
     * true positives plus the filter's small false-positive rate —
@@ -851,7 +853,6 @@ object TextStats {
   val qBloomDecontaminate: Q = (s, d) => {
     import org.apache.spark.sql.GraftSqlBridge
     import org.apache.spark.sql.catalyst.expressions.Literal
-    val bloomBits = 1 << 20
     val bloomK = 5
     val isEval = pmod(
       graft.functions.Exprs.md5Long(concat(lit("eval|"), col("doc_id").cast("string"))),
@@ -883,6 +884,22 @@ object TextStats {
       .select(col("doc_id"), col("is_eval"), xxhash64(col("g")).as("gh"))
     val evalKeys = gramRows.filter(col("is_eval")).select(col("gh")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // The filter is SIZED FROM THE SET IT SUMMARIZES (r15 ×10 decade
+    // proof caught the fixed 2^20-bit version growing 6.8× per decade:
+    // at 10× the eval grams the false-positive rate saturates and the
+    // "sliver" reaching the verify join degrades toward corpus size).
+    // ~10 bits/key ≈ 0.9% fpr at k=5; floor 2^20, cap 2^30 (128 MB —
+    // the aggregate's own bound; a benchmark suite that overflows even
+    // that is no longer "tiny by construction" and belongs on the
+    // exact shuffled path). The count() doubles as the DISK_ONLY
+    // materialization, so the two downstream consumers read persisted
+    // 8-byte keys — the count is not an extra corpus scan.
+    val nEval = evalKeys.count()
+    val bloomBits = {
+      val want = math.max(1L << 20,
+        java.lang.Long.highestOneBit(math.max(1L, nEval * 10L - 1)) << 1)
+      math.min(want, 1L << 30).toInt
+    }
     val bloomRow = evalKeys.agg(
       GraftSqlBridge.column(
         graft.functions.BloomLongsAgg(
