@@ -34,6 +34,17 @@ import org.apache.spark.sql.functions._
   *     index times the base span, so sessionization/windows see more
   *     users and more time, not N overlaid copies of one day.
   *
+  * CHAINING CAVEAT (r15, found by the ×100 decade proof): building
+  * ×(a·b) as ScaleFixture(ScaleFixture(src, a), b) COMPOSES the
+  * alphabet rotations, and rotation composition is additive mod 26 —
+  * chain replica (i, j) carries rotation i+j, so rotations collide
+  * with multiplicity (1,2,…,min(a,b),…,2,1) and the product fixture
+  * contains byte-identical text copies the single-invocation fixture
+  * is designed to avoid. Near-dup/contamination output then grows
+  * super-linearly in the SECOND decade by construction (PERF.md
+  * "×100 decade proof", reading #2). Total replicas beyond 26 need a
+  * second perturbation axis, not a chain of rotations.
+  *
   * Usage: runMain graft.ScaleFixture <srcSfDir> <outDir> <N>
   */
 object ScaleFixture {
