@@ -93,4 +93,23 @@ class MemoSpec extends SparkSpec {
     assert(!(p3 eq p1), "invalidation must evict the spine memo")
     assert(p3.count() === 0L, "post-rewrite spine reads the new corpus")
   }
+
+  test("memo builds are logged with the paying thread and a wall time") {
+    val dir = tmpDocs(Seq("cccc", "dddd"))
+    val m = new Memo("memo-spec-attribution")
+    val before = Memo.buildEvents().size
+    val t = new Thread(() => {
+      m(spark, dir)(Tables.documents(spark, dir).select(col("doc_id"))): Unit
+    }, "memo-spec-payer")
+    t.start(); t.join()
+    // a second touch serves the cached frame: no new build event
+    m(spark, dir)(Tables.documents(spark, dir).select(col("doc_id"))): Unit
+    val events = Memo.buildEvents().drop(before)
+    val mine = events.filter(_.memo == "memo-spec-attribution")
+    assert(mine.size === 1, s"exactly one build event, got $events")
+    assert(mine.head.thread === "memo-spec-payer",
+      "the build must be attributed to the thread that paid it")
+    assert(mine.head.ms > 0.0, "build wall time must be recorded")
+    assert(mine.head.dir === dir)
+  }
 }
