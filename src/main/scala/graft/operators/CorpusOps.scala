@@ -1189,7 +1189,43 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** q_good_turing — Good-Turing frequency re-estimation from the
+    * count-of-counts table (Good 1953; the adjusted-count form
+    * r* = (r+1)·N_{r+1}/N_r that Katz backoff and absolute
+    * discounting calibrate against). For the 12 SMALLEST observed
+    * frequencies r (the head where GT matters; higher counts are
+    * left at their MLE in every practical smoother — an absolute
+    * r ≤ k cutoff is vacuous on a corpus whose rarest type already
+    * exceeds k): the number of word types N_r seen exactly r times,
+    * N_{r+1}, and the milli-scaled adjusted count — all exact
+    * integer arithmetic, so both engines agree digit-for-digit.
+    * r* = 0 where N_{r+1} = 0 (the standard raw-GT gap the
+    * Gale-Sampson smoothing exists to fill — reported, not hidden).
+    *
+    * Scale shape: the wordcount is the canonical map-side-combined
+    * aggregate; count-of-counts collapses it to a value-domain-sized
+    * frame (≤ max observed frequency distinct rows); the N_{r+1}
+    * lookup is a self-join of that tiny frame on r+1. Nothing after
+    * the first shuffle is corpus-sized. */
+  val qGoodTuring: Q = (s, d) => {
+    val freq = Tables.spread(Tables.documents(s, d).filter(col("text").isNotNull))
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("r"))
+    val coc = freq.groupBy("r").agg(count(lit(1)).as("n_r"))
+    val nxt = coc.select((col("r") - 1).as("r"), col("n_r").as("n_next"))
+    coc.join(nxt, Seq("r"), "left")
+      .orderBy("r").limit(12)
+      .select(col("r").cast(LongType).as("r"),
+        col("n_r").cast(LongType).as("n_r"),
+        coalesce(col("n_next"), lit(0L)).cast(LongType).as("n_next"))
+      .withColumn("r_star_milli",
+        expr("((r + 1) * n_next * 1000) div n_r").cast(LongType))
+      .orderBy("r")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_good_turing" -> qGoodTuring,
     "q_jelinek_mercer" -> qJelinekMercer,
     "q_prefix_cache" -> qPrefixCache,
     "q_suffix_ranks" -> qSuffixRanks,
@@ -1248,6 +1284,20 @@ object CorpusOps {
       |  FROM pp)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_good_turing" ->
+      """WITH words AS (
+        |  SELECT w FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w
+        |    FROM documents WHERE text IS NOT NULL)
+        |  WHERE length(w) > 0),
+        |freq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS r FROM words GROUP BY w),
+        |coc AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r FROM freq GROUP BY r)
+        |SELECT c.r, c.n_r,
+        |  CAST(COALESCE(n2.n_r, 0) AS BIGINT) AS n_next,
+        |  CAST(((c.r + 1) * COALESCE(n2.n_r, 0) * 1000) // c.n_r AS BIGINT)
+        |    AS r_star_milli
+        |FROM coc c LEFT JOIN coc n2 ON n2.r = c.r + 1
+        |ORDER BY c.r LIMIT 12""".stripMargin,
     "q_prefix_cache" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS ts

@@ -998,6 +998,47 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** q_boruvka_step — one Borůvka selection round over the near-dup
+    * candidate graph (Borůvka 1926; the selection phase every
+    * O(log n)-round distributed MST / single-linkage clustering
+    * implementation runs, cf. CLRS §23 and the MST-over-MapReduce
+    * literature): each document picks its single strongest incident
+    * candidate edge, weighted by minhash signature agreement
+    * (125 permille per agreeing component — [[qMinhashEstimate]]'s
+    * estimator). The chosen edges are what a single-linkage
+    * clusterer would contract next round; emitting them per vertex
+    * makes the round oracle-checkable without recursion.
+    * Deterministic under ties: (weight DESC, partner ASC).
+    *
+    * Scale shape: candidate-graph-sized throughout — the pair spine
+    * comes from the banded-LSH memo (never all-pairs), the two
+    * signature joins key on doc_id, and the per-vertex argmax is one
+    * map-side-combinable max_by on a high-cardinality key. The
+    * undirected doubling is a unionAll (no shuffle of its own). */
+  val qBoruvkaStep: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val sig = minhashSignatures(docs).localCheckpoint()
+    val cand = candidatePairsFromSig(sig)
+    val sa = sig.select(col("doc_id").as("a") +:
+      (0 until 8).map(j => col(s"m$j").as(s"a$j")): _*)
+    val sb = sig.select(col("doc_id").as("b") +:
+      (0 until 8).map(j => col(s"m$j").as(s"b$j")): _*)
+    val est = (0 until 8)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
+      .reduce(_ + _) * lit(125L)
+    val w = cand.join(sa, Seq("a")).join(sb, Seq("b"))
+      .select(col("a"), col("b"), est.as("w_permille"))
+    val und = w.select(col("a").as("doc_id"), col("b").as("partner"), col("w_permille"))
+      .unionAll(w.select(col("b").as("doc_id"), col("a").as("partner"), col("w_permille")))
+    und.groupBy("doc_id")
+      .agg(max_by(struct(col("partner"), col("w_permille")),
+        struct(col("w_permille"), -col("partner"))).as("best"))
+      .select(col("doc_id"),
+        col("best.partner").as("partner"),
+        col("best.w_permille").as("w_permille"))
+      .orderBy("doc_id")
+  }
+
   /** Cross-source near-dup contamination matrix — which source pairs
     * leak into each other (the diagnostic behind train/eval splits and
     * crawl-overlap audits): minhash-LSH candidate pairs joined back to
@@ -1214,6 +1255,7 @@ object Dedup {
     "q_dedup_best" -> qDedupBest,
     "q_hybrid_neardup" -> qHybridNeardup,
     "q_minhash_estimate" -> qMinhashEstimate,
+    "q_boruvka_step" -> qBoruvkaStep,
     "q_dup_matrix" -> qDupMatrix,
     "q_lsh_precision" -> qLshPrecision,
     "q_cluster_sizes" -> qClusterSizes,
@@ -1373,6 +1415,25 @@ object Dedup {
     "q_dedup_minhash_lsh" ->
       (s"WITH $minhashCandCte\n" +
        "SELECT a, b FROM cand ORDER BY a, b"),
+    "q_boruvka_step" ->
+      (s"WITH $minhashCandCte,\n" +
+       s"""wts AS (
+         |  SELECT c.a, c.b, CAST((${(0 until 8)
+            .map(j => s"(CASE WHEN sa.m$j = sb.m$j THEN 1 ELSE 0 END)")
+            .mkString(" + ")}) * 125 AS BIGINT) AS w_permille
+         |  FROM cand c
+         |  JOIN sig sa ON sa.doc_id = c.a
+         |  JOIN sig sb ON sb.doc_id = c.b),
+         |und AS (
+         |  SELECT a AS doc_id, b AS partner, w_permille FROM wts
+         |  UNION ALL
+         |  SELECT b AS doc_id, a AS partner, w_permille FROM wts),
+         |rk AS (
+         |  SELECT doc_id, partner, w_permille, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY w_permille DESC, partner) AS rn
+         |  FROM und)
+         |SELECT doc_id, partner, w_permille
+         |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin),
     "q_minhash_estimate" ->
       (s"WITH $minhashCandCte,\n" +
        """gpos AS (
