@@ -56,6 +56,17 @@ object BenchBaseline {
     * disabled gate is indistinguishable from a clean run. */
   def load(path: String = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
                                             "bench_baseline.json")): Option[Map[String, Double]] = {
+    loadAt(path)
+  }
+  /** The per-query executor-CPU baseline (bench_baseline_cpu.json,
+    * written by regen_baseline.py beside the wall file) — the
+    * load-invariant half of the r16 regression gate. Missing is
+    * normal until the first r16-format close adopts one. */
+  def loadCpu(path: String = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE_CPU",
+                                               "bench_baseline_cpu.json")): Option[Map[String, Double]] = {
+    loadAt(path)
+  }
+  private def loadAt(path: String): Option[Map[String, Double]] = {
     val p = java.nio.file.Paths.get(path)
     val r = if (!java.nio.file.Files.isReadable(p)) None
     else scala.util.Try {
@@ -132,6 +143,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Per-query executor CPU / run / peak-memory attribution (VERDICT
+    // r15 #1): every query invocation runs in its own job group, so a
+    // group-keyed listener turns task metrics into the load-invariant
+    // third column beside wall and GC. Registered before the warmup so
+    // the first measured query's stages are all mapped.
+    val groupMetrics = new GroupMetricsListener
+    spark.sparkContext.addSparkListener(groupMetrics)
     // one untimed generic warmup to absorb session init (not a pre-run
     // of any measured query)
     spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -163,8 +181,10 @@ object Bench {
 
     val groupSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
+    // returns the invocation's job-group id — the key under which
+    // groupMetrics accumulated this run's task metrics
     def collectWatched(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-                       tag: String): Unit = {
+                       tag: String): String = {
       abandonedGroups.keysIterator.foreach(spark.sparkContext.cancelJobGroup)
       // unique per INVOCATION: repeat passes re-run the same (tag, name)
       // and an abandoned pass-1 thread must never alias the live pass-2
@@ -194,6 +214,7 @@ object Bench {
           s"[bench] $tag $name TIMED OUT after ${queryBudgetSec}s — jobs cancelled")
       } else err.foreach(e =>
         System.err.println(s"[bench] $tag $name failed: ${e.getMessage}"))
+      group
     }
 
     // Dev-only subset filter (comma-separated names), mirroring
@@ -234,12 +255,18 @@ object Bench {
     // read as alphabet-contiguous regression blocks. Randomizing per
     // pass decorrelates any residual context effect from query name —
     // a median over 5 passes then samples 5 different neighborhoods.
-    def runSeq(pass: Int): (Map[String, Double], Map[String, Double], Map[String, Double]) = {
+    final case class SeqPass(walls: Map[String, Double], gcs: Map[String, Double],
+                             loads: Map[String, Double], cpus: Map[String, Double],
+                             runs: Map[String, Double], mems: Map[String, Double])
+    def runSeq(pass: Int): SeqPass = {
       val rnd = new scala.util.Random(0x67726166745231L + pass)
       val order = rnd.shuffle(benchQueries.toSeq.sortBy(_._1))
       val walls = Map.newBuilder[String, Double]
       val gcs = Map.newBuilder[String, Double]
       val loads = Map.newBuilder[String, Double]
+      val cpus = Map.newBuilder[String, Double]
+      val runs = Map.newBuilder[String, Double]
+      val mems = Map.newBuilder[String, Double]
       // NOTE (r13 directive 5): clearCache() clears CacheManager
       // entries (df.cache()) only — it does NOT unpersist RDD-level
       // localCheckpoint blocks, and the graft.Memo spine entries hold
@@ -255,15 +282,29 @@ object Bench {
         hardenContext()
         val g0 = gcMs()
         val s0 = System.nanoTime()
-        collectWatched(name, fn, "seq")
+        val group = collectWatched(name, fn, "seq")
         spark.catalog.clearCache()
         walls += name -> (System.nanoTime() - s0) / 1e9
         gcs += name -> (gcMs() - g0) / 1e3
         // 1-min load sampled right after the query: the adjudication
         // record for the per-query commit-grade verdict below
         loads += name -> loadAvg()
+        // drain the async listener bus BEFORE reading the group's task
+        // metrics — the query thread returns when collect() does, often
+        // ahead of the last task-end events; an undrained read
+        // undercounts. Bounded wait, outside the timed region; a
+        // timeout ships a possibly-low number rather than blocking the
+        // bench (sequential mode only — under the concurrent phase the
+        // bus never drains while 8 queries run, and CPU attribution is
+        // a seq-pass artifact anyway).
+        org.apache.spark.graftbridge.CoreBridge
+          .waitListenerBusEmpty(spark.sparkContext, 10000): Unit
+        cpus += name -> groupMetrics.cpuSec(group)
+        runs += name -> groupMetrics.runSec(group)
+        mems += name -> groupMetrics.peakMemMb(group)
       }
-      (walls.result(), gcs.result(), loads.result())
+      SeqPass(walls.result(), gcs.result(), loads.result(),
+        cpus.result(), runs.result(), mems.result())
     }
 
     def runConcurrent(): Map[String, Double] = {
@@ -312,6 +353,14 @@ object Bench {
     var gcPasses: Seq[Map[String, Double]] = Seq.empty
     var loadPasses: Seq[Double] = Seq.empty // load avg sampled at each pass end
     var loadQueryPasses: Seq[Map[String, Double]] = Seq.empty // per-query post-run load
+    var cpuPasses: Seq[Map[String, Double]] = Seq.empty // per-query executor CPU sec
+    var runPasses: Seq[Map[String, Double]] = Seq.empty // per-query executor task-run sec
+    var memPasses: Seq[Map[String, Double]] = Seq.empty // per-query max task peak-exec-mem MB
+    def medianBy(runs: Seq[Map[String, Double]]): Map[String, Double] =
+      runs.head.keys.map { k =>
+        val xs = runs.map(_(k)).sorted
+        k -> xs(xs.size / 2)
+      }.toMap
     def runSeqMedian(): Map[String, Double] = {
       // per-pass totals to stderr: pass 1 carries every janino compile
       // (cold codegen), passes 2+ measure steady state — the 1-vs-rest
@@ -319,19 +368,20 @@ object Bench {
       // cache"); a warm pass nearly as slow as pass 1 means the 4096-
       // entry cache no longer covers the query surface
       val runs = (1 to seqRepeat).map { i =>
-        val (r, g, ql) = runSeq(i)
+        val p = runSeq(i)
+        val r = p.walls
         val la = loadAvg()
-        System.err.println(f"[bench] seq pass $i/$seqRepeat total ${r.values.sum}%.1f s (gc ${g.values.sum}%.1f s, load $la%.2f)")
+        System.err.println(f"[bench] seq pass $i/$seqRepeat total ${r.values.sum}%.1f s (gc ${p.gcs.values.sum}%.1f s, cpu ${p.cpus.values.sum}%.1f s, load $la%.2f)")
         seqPasses :+= r
-        gcPasses :+= g
+        gcPasses :+= p.gcs
         loadPasses :+= la
-        loadQueryPasses :+= ql
+        loadQueryPasses :+= p.loads
+        cpuPasses :+= p.cpus
+        runPasses :+= p.runs
+        memPasses :+= p.mems
         r
       }
-      runs.head.keys.map { k =>
-        val xs = runs.map(_(k)).sorted
-        k -> xs(xs.size / 2)
-      }.toMap
+      medianBy(runs)
     }
     // Headline value + its explicit kind (ADVICE r7: the semantics must
     // live IN the artifact, not in a code comment):
@@ -349,18 +399,50 @@ object Bench {
         val (r, w) = timed(runConcurrent _)
         (r, w, "concurrent_wall_warm", Some(s))
     }
+    // per-query executor-CPU medians over the same passes — the
+    // load-invariant regression column (VERDICT r15 #1)
+    val cpuMedians: Option[Map[String, Double]] =
+      if (cpuPasses.nonEmpty) Some(medianBy(cpuPasses)) else None
+    val memMedians: Option[Map[String, Double]] =
+      if (memPasses.nonEmpty) Some(medianBy(memPasses)) else None
     // median-vs-median regression gate: bench_baseline.json (checked in,
     // per-query seq medians of the prior accepted round) → any query
     // whose current median exceeds 2× its baseline is named in the
     // artifact itself. A missing baseline or query is skipped, never
     // fatal — the gate flags regressions, it must not brick the bench.
+    //
+    // CPU-FIRST ADJUDICATION (VERDICT r15 #1-2): every flagged entry
+    // now carries the executor-CPU median against the CPU baseline and
+    // a machine verdict — "cpu_regressed" (CPU itself moved >1.5×: the
+    // PLAN got more expensive, load cannot explain it) vs "context"
+    // (wall inflated but CPU is flat: co-tenant starvation/IO wait —
+    // the r14/r15 adjudications that used to take an isolated-probe
+    // session each). A query is also flagged on CPU alone (>2× CPU at
+    // flat wall = a plan regression hidden by an idle host). Entries
+    // without a CPU baseline (pre-r16 artifact) stay "unclassified".
+    val cpuBase = BenchBaseline.loadCpu()
     val regressions = (for {
       seq <- seqResults
       base <- BenchBaseline.load()
     } yield {
-      val regs = seq.toSeq.sortBy(_._1).collect {
-        case (q, t) if base.get(q).exists(b => t > 2.0 * b && t - b > 0.5) =>
-          f""""$q":{"median":$t%.3f,"baseline":${base(q)}%.3f}"""
+      val regs = seq.toSeq.sortBy(_._1).flatMap { case (q, t) =>
+        val wallReg = base.get(q).exists(b => t > 2.0 * b && t - b > 0.5)
+        val cpuM = cpuMedians.flatMap(_.get(q))
+        val cpuB = cpuBase.flatMap(_.get(q))
+        val cpuReg = (for (m <- cpuM; b <- cpuB)
+          yield m > 2.0 * b && m - b > 0.5).getOrElse(false)
+        if (!wallReg && !cpuReg) None
+        else {
+          val clazz = (cpuM, cpuB) match {
+            case (Some(m), Some(b)) =>
+              if (m > 1.5 * b && m - b > 0.25) "cpu_regressed" else "context"
+            case _ => "unclassified"
+          }
+          val wallB = base.getOrElse(q, -1.0)
+          val cm = cpuM.map(m => f"$m%.3f").getOrElse("null")
+          val cb = cpuB.map(b => f"$b%.3f").getOrElse("null")
+          Some(f""""$q":{"median":$t%.3f,"baseline":$wallB%.3f,"cpu_median":$cm,"cpu_baseline":$cb,"class":"$clazz"}""")
+        }
       }
       regs.foreach(r => System.err.println(s"[bench] REGRESSION $r"))
       regs
@@ -416,11 +498,11 @@ object Bench {
     // Memo-build attribution (VERDICT r14 #6): which query paid each
     // memoized spine build, so the seq medians are interpretable.
     val memoBuilds = Memo.buildEvents().map(e =>
-      f"""{"memo":"${e.memo}","thread":"${e.thread}","ms":${e.ms}%.1f}""")
+      f"""{"memo":"${e.memo}","thread":"${e.thread}","ms":${e.ms}%.1f,"won":${e.won}}""")
       .mkString("[", ",", "]")
     val belowJson = mediansBelowGate.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full =
-      f"""{"metric":"total","value":$total,"unit":"sec","value_kind":"$kind","queries_concurrent":${js(results)},"queries_seq":${seqResults.map(js).getOrElse("null")},"queries_seq_passes":${jsArr(seqPasses)},"queries_gc_sec_passes":${jsArr(gcPasses)},"queries_load_passes":${jsArr(loadQueryPasses)},"gc_between_queries":$gcBetween,"seq_order":"shuffled_per_pass","seq_repeat":$seqRepeat,"regressions":${regressions.mkString("{", ",", "}")},"load_avg_start":$loadStart%.2f,"load_avg_per_pass":$loadJson,"load_avg_end":$loadEnd%.2f,"load_gate":$loadGate%.2f,"pass_load_gate":$passLoadGate%.2f,"medians_commit_grade":$mediansCommitGrade,"medians_below_gate":$belowJson,"memo_builds":$memoBuilds,"commit_grade":$commitGrade,"host_cpus":$hostCpus,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total,"unit":"sec","value_kind":"$kind","queries_concurrent":${js(results)},"queries_seq":${seqResults.map(js).getOrElse("null")},"queries_seq_passes":${jsArr(seqPasses)},"queries_gc_sec_passes":${jsArr(gcPasses)},"queries_load_passes":${jsArr(loadQueryPasses)},"queries_cpu_seq":${cpuMedians.map(js).getOrElse("null")},"queries_cpu_sec_passes":${jsArr(cpuPasses)},"queries_run_sec_passes":${jsArr(runPasses)},"queries_peakmem_mb":${memMedians.map(js).getOrElse("null")},"queries_peakmem_mb_passes":${jsArr(memPasses)},"gc_between_queries":$gcBetween,"seq_order":"shuffled_per_pass","seq_repeat":$seqRepeat,"regressions":${regressions.mkString("{", ",", "}")},"load_avg_start":$loadStart%.2f,"load_avg_per_pass":$loadJson,"load_avg_end":$loadEnd%.2f,"load_gate":$loadGate%.2f,"pass_load_gate":$passLoadGate%.2f,"medians_commit_grade":$mediansCommitGrade,"medians_below_gate":$belowJson,"memo_builds":$memoBuilds,"commit_grade":$commitGrade,"host_cpus":$hostCpus,"sf":"$sfDir"}"""
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, (full + "\n").getBytes("UTF-8"))
@@ -432,21 +514,33 @@ object Bench {
     val stamp = java.time.format.DateTimeFormatter
       .ofPattern("yyyyMMdd-HHmmss").withZone(java.time.ZoneOffset.UTC)
       .format(java.time.Instant.now())
-    val stamped = java.nio.file.Paths.get(s"target/bench-$stamp.json")
+    // commit-grade closes get a "-cg" suffix so retention can budget
+    // them separately from probe runs (ADVICE r15: a >24-probe loop
+    // used to delete the last commit-grade close — the exact loss mode
+    // the stamps were added to prevent)
+    val stamped = java.nio.file.Paths.get(
+      s"target/bench-$stamp${if (commitGrade) "-cg" else ""}.json")
     java.nio.file.Files.write(stamped, (full + "\n").getBytes("UTF-8"))
     System.err.println(s"[bench] artifact also at $stamped" +
       (if (commitGrade) "" else " (NOT commit-grade: host load)"))
-    // Bounded stamp retention (ADVICE r14): scoped probe loops would
-    // otherwise accumulate stamped artifacts without limit. Keep the
-    // newest 24 (a full round's close runs + probes), lexicographic =
-    // chronological for the fixed-width stamp.
-    scala.util.Try {
+    // Bounded stamp retention (ADVICE r14/r15): scoped probe loops
+    // would otherwise accumulate stamped artifacts without limit.
+    // Probes and commit-grade closes prune on SEPARATE budgets (newest
+    // 24 each), so no amount of probing can evict a close artifact;
+    // lexicographic = chronological for the fixed-width stamp. The
+    // directory stream is closed deterministically (try/finally) —
+    // Files.list leaks the handle otherwise.
+    def prune(pattern: String): Unit = scala.util.Try {
       import scala.jdk.CollectionConverters._
-      val stamps = java.nio.file.Files.list(out.getParent).iterator().asScala
-        .filter(_.getFileName.toString.matches("bench-\\d{8}-\\d{6}\\.json"))
+      val listing = java.nio.file.Files.list(out.getParent)
+      val stamps = try listing.iterator().asScala
+        .filter(_.getFileName.toString.matches(pattern))
         .toSeq.sortBy(_.getFileName.toString)
+      finally listing.close()
       stamps.dropRight(24).foreach(java.nio.file.Files.deleteIfExists(_))
     }: Unit
+    prune("bench-\\d{8}-\\d{6}\\.json")
+    prune("bench-\\d{8}-\\d{6}-cg\\.json")
     spark.stop()
   }
 }

@@ -71,17 +71,26 @@ final class Memo(name: String) {
         case None =>
           val t0 = System.nanoTime()
           val built = compute.localCheckpoint()
+          val ms = (System.nanoTime() - t0) / 1e6
+          val fresh = (g0, built)
           // attribution record (VERDICT r14 #6): the spine build cost
           // lands on whichever caller touches the memo first — in a
           // shuffled bench pass that is a random family member, which
           // made that query's pass-1 wall uninterpretable. The log
-          // names the payer; Bench ships it in the artifact.
-          Memo.logBuild(name, d, (System.nanoTime() - t0) / 1e6)
-          val fresh = (g0, built)
+          // names the payer; Bench ships it in the artifact. Logged
+          // AFTER the insert race resolves (ADVICE r15): a losing
+          // thread still paid the build wall (its event stays — that
+          // cost IS in its query's measurement), but the event now
+          // carries won=false so memo_builds distinguishes the build
+          // the memo retained from a concurrent duplicate that was
+          // immediately freed.
           cache.putIfAbsent((s, d), fresh) match {
             case Some(winner) => // lost the insert race: free our copy
+              Memo.logBuild(name, d, ms, won = false)
               Memo.freeCheckpoint(fresh._2); winner
-            case None => fresh
+            case None =>
+              Memo.logBuild(name, d, ms, won = true)
+              fresh
           }
       }
       val stale = invalLog.exists { case (p, g) =>
@@ -100,16 +109,21 @@ object Memo {
   private[graft] val MaxAttempts = 3
 
   /** One memo-build event: (memo name, dir, building thread's name,
-    * build wall ms). The thread name attributes the build to the
-    * paying query when the caller names its threads (Bench does:
+    * build wall ms, whether this build WON the insert race and was
+    * retained — a lost race's build is freed immediately, but its
+    * wall cost landed in the losing query's measurement all the same,
+    * so both are logged and the flag tells them apart (ADVICE r15)).
+    * The thread name attributes the build to the paying query when
+    * the caller names its threads (Bench does:
     * "bench-seq:&lt;query&gt;#k"). Bounded: a JVM builds each (memo,
     * dir) at most a handful of times (invalidations), so the queue
     * stays tiny; the 4096 cap is a leak backstop, not a budget. */
-  final case class BuildEvent(memo: String, dir: String, thread: String, ms: Double)
+  final case class BuildEvent(memo: String, dir: String, thread: String,
+                              ms: Double, won: Boolean)
   private val buildLog = new java.util.concurrent.ConcurrentLinkedQueue[BuildEvent]
-  private def logBuild(memo: String, dir: String, ms: Double): Unit = {
+  private def logBuild(memo: String, dir: String, ms: Double, won: Boolean): Unit = {
     if (buildLog.size < 4096)
-      buildLog.add(BuildEvent(memo, dir, Thread.currentThread().getName, ms)): Unit
+      buildLog.add(BuildEvent(memo, dir, Thread.currentThread().getName, ms, won)): Unit
   }
   /** Snapshot of every memo build this JVM has paid for, in order. */
   def buildEvents(): Seq[BuildEvent] = {

@@ -11,21 +11,30 @@ import org.apache.spark.sql.functions._
   * the dedup/ANN/suffix costs under test). Replica perturbation is
   * chosen so the SCALE SHAPE stays honest:
   *
-  *   - documents: replica i>0 maps a–z through the alphabet rotated
-  *     by i (translate is cheap and deterministic; 25 distinct
-  *     non-identity rotations, so the map is INJECTIVE in the replica
-  *     index for n ≤ 26 — enforced). Identical text across replicas
-  *     would turn every document into an N-clone near-dup cluster —
-  *     candidate pairs would grow ~N²/2 per doc and the "10× data"
-  *     run would really measure a 45×-denser duplicate graph. (An
-  *     earlier vowel-only rotation had just 5 distinct values, so
-  *     replicas i and i+5 were byte-identical — the exact trap.)
-  *     Per-replica rotation is a bijection on letters, so each
-  *     replica's INTERNAL clone/shingle structure is preserved
-  *     exactly while every letter-bearing gram differs across
-  *     replicas — the corpus-level dup fraction matches the base
-  *     corpus, which is what "10× more of the same kind of data"
-  *     means.
+  *   - documents: replica i>0 maps a–z through a per-replica AFFINE
+  *     letter permutation x → aᵢ·x + bᵢ (mod 26), with bᵢ = i mod 26
+  *     (the rotation axis) and aᵢ cycling the 12 units of ℤ₂₆ (the
+  *     second axis, added for the r15 ×100 directive). 12 × 26 = 312
+  *     distinct permutations, so the map is INJECTIVE in the replica
+  *     index for n ≤ 312 — enforced — and a ×100 fixture now comes
+  *     from ONE invocation instead of a chained ×10∘×10 (whose
+  *     composed rotations collided: i+j mod 26 repeats with
+  *     multiplicity 1,2,…,10,…,2,1 — the byte-identical-clone
+  *     artifact the r15 decade proof had to read around). Two
+  *     distinct affine maps agree on at most 2 of 26 letters, so any
+  *     text with ≥3 distinct letters differs across replicas.
+  *     Identical text across replicas would turn every document into
+  *     an N-clone near-dup cluster — candidate pairs would grow
+  *     ~N²/2 per doc and the "10× data" run would really measure a
+  *     denser duplicate graph. (An earlier vowel-only rotation had
+  *     just 5 distinct values, so replicas i and i+5 were
+  *     byte-identical — the exact trap.) Each affine map is a
+  *     bijection on letters, so each replica's INTERNAL clone/shingle
+  *     structure is preserved exactly while every letter-bearing gram
+  *     differs across replicas — the corpus-level dup fraction
+  *     matches the base corpus, which is what "N× more of the same
+  *     kind of data" means. For i ≤ 25 the maps are the pure
+  *     rotations (aᵢ = 1), so existing ×10 fixtures are unchanged.
   *   - embeddings: deterministic per-(vec, dim, replica) jitter of
   *     ~1e-3 magnitude — scaling by a constant would preserve every
   *     sign and land all replicas in the same sign-LSH buckets with
@@ -36,14 +45,13 @@ import org.apache.spark.sql.functions._
   *
   * CHAINING CAVEAT (r15, found by the ×100 decade proof): building
   * ×(a·b) as ScaleFixture(ScaleFixture(src, a), b) COMPOSES the
-  * alphabet rotations, and rotation composition is additive mod 26 —
-  * chain replica (i, j) carries rotation i+j, so rotations collide
-  * with multiplicity (1,2,…,min(a,b),…,2,1) and the product fixture
-  * contains byte-identical text copies the single-invocation fixture
-  * is designed to avoid. Near-dup/contamination output then grows
-  * super-linearly in the SECOND decade by construction (PERF.md
-  * "×100 decade proof", reading #2). Total replicas beyond 26 need a
-  * second perturbation axis, not a chain of rotations.
+  * letter permutations, and affine maps compose to affine maps —
+  * chain replicas can collide exactly as the r15 rotation chains did
+  * (composition is NOT injective in the pair (i, j)), so the product
+  * fixture may contain byte-identical text copies the
+  * single-invocation fixture is designed to avoid. Never chain:
+  * with the affine axis a single invocation covers n ≤ 312 (×100 and
+  * beyond); scales past that need a third perturbation axis.
   *
   * Usage: runMain graft.ScaleFixture <srcSfDir> <outDir> <N>
   */
@@ -77,16 +85,20 @@ object ScaleFixture {
     def replicas(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until n).map(i => f(df, i)).reduce(_ unionAll _)
 
-    require(n <= 26, s"ScaleFixture supports n <= 26 (one distinct " +
-      s"alphabet rotation per replica keeps the perturbation injective " +
-      s"in the replica index); got n=$n")
+    require(n <= 312, s"ScaleFixture supports n <= 312 (12 units × 26 " +
+      s"shifts = 312 distinct affine letter permutations keep the " +
+      s"perturbation injective in the replica index); got n=$n")
     val alpha = "abcdefghijklmnopqrstuvwxyz"
+    // the 12 units of Z26, identity first so replicas 0..25 are the
+    // pure rotations (back-compatible with pre-r16 ×10 fixtures)
+    val units = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
     replicas(docs) { (d, i) =>
-      val rot = alpha.drop(i % 26) + alpha.take(i % 26)
+      val (a, b) = (units((i / 26) % 12), i % 26)
+      val image = alpha.map(c => alpha((a * (c - 'a') + b) % 26)).mkString
       d.select(
         (col("doc_id") + lit(i * docShift)).as("doc_id"),
         (if (i == 0) col("text")
-         else translate(col("text"), alpha, rot)).as("text"),
+         else translate(col("text"), alpha, image)).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.repartition(32).write.mode(SaveMode.Overwrite)
       .parquet(s"$out/documents.parquet")

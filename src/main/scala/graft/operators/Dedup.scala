@@ -86,19 +86,36 @@ object Dedup {
     * table is localCheckpointed before the self-join so the
     * shingle→signature pipeline runs ONCE (it is tiny: ≤2 rows/doc of
     * (long-ish string, id)), not once per join branch. */
-  /** The two memoized spine stages, per (session, dir) under
-    * [[graft.Memo]]'s immutability/invalidation contract. ~10 report
+  /** The memoized spine stages, per (session, dir) under
+    * [[graft.Memo]]'s immutability/invalidation contract. ~13 report
     * queries (components, cluster_sizes, dedup_keep, lsh_precision,
-    * cluster_split, dedup_sweep, and the whole [[Graphs]] family) sit
-    * on the same shingle→signature→band→pair pipeline; memoizing it
-    * is the in-session twin of the [[buildArtifacts]] story — one
-    * spine per dedup-report session instead of one per query (at
-    * 100 TB: one corpus scan instead of ten). The entries are tiny
-    * derived frames (the candidate EDGE list and the (id, comp)
-    * labels — near-dup-pair-sized, never corpus-sized). */
+    * cluster_split, dedup_sweep, minhash_estimate, boruvka_step,
+    * lsh_cost_sweep, and the whole [[Graphs]] family) sit on the same
+    * shingle→signature→band→pair pipeline; memoizing it is the
+    * in-session twin of the [[buildArtifacts]] story — one spine per
+    * dedup-report session instead of one per query (at 100 TB: one
+    * corpus scan instead of thirteen). The entries are tiny derived
+    * frames (the 9-long signature rows, the band keys, the candidate
+    * EDGE list, and the (id, comp) labels — signature/near-dup-pair-
+    * sized, never corpus-sized). */
   private val pairsMemo = new Memo("dedup-minhash-pairs")
   private val compsMemo = new Memo("dedup-minhash-components")
   private val bandKeysMemo = new Memo("dedup-minhash-bandkeys")
+  private val sigMemo = new Memo("dedup-minhash-signatures")
+
+  /** The corpus's 8-permutation signature table, memoized per
+    * (session, dir) — the spine stage BELOW [[minhashBandKeys]]
+    * (VERDICT r15 #4: the consumers that need raw signatures, not
+    * band keys — [[qMinhashEstimate]]'s estimator columns,
+    * [[qBoruvkaStep]]'s edge weights, [[qLshCostSweep]]'s banding
+    * sweep — each rebuilt the corpus-scale shingle→md5→min pipeline
+    * privately, the exact cost the memo family exists to amortize).
+    * The entry is 9 longs/doc — signature-sized, never corpus-sized;
+    * at 100 TB it is the once-per-session corpus scan every
+    * signature consumer shares. */
+  def minhashSignatureTable(s: SparkSession, d: String): DataFrame =
+    sigMemo(s, d)(minhashSignatures(
+      Tables.documents(s, d).select("doc_id", "text")))
 
   /** The corpus's (doc_id, band_key) banding, memoized per (session,
     * dir) — the SHARED upstream of the self-pair spine
@@ -106,24 +123,18 @@ object Dedup {
     * probe ([[qFuzzyDecontaminate]]), so a report session that runs
     * both prices the corpus-scale shingle→md5→min aggregation ONCE
     * (ADVICE r13: the fuzzy probe used to bypass the memo and pay it
-    * twice). The entry is 2 rows/doc of (long, short string) — band-
-    * key-sized, never corpus-sized. */
+    * twice). Reads the memoized [[minhashSignatureTable]], so band
+    * keys and raw-signature consumers share one corpus scan. The
+    * entry is 2 rows/doc of (long, short string) — band-key-sized,
+    * never corpus-sized. */
   def minhashBandKeys(s: SparkSession, d: String): DataFrame =
-    bandKeysMemo(s, d)(bandKeysExpr(minhashSignatures(
-      Tables.documents(s, d).select("doc_id", "text"))))
+    bandKeysMemo(s, d)(bandKeysExpr(minhashSignatureTable(s, d)))
 
   /** Unsorted minhash-LSH candidate pairs (a < b), memoized +
     * localCheckpointed per (session, dir); reads the shared
     * [[minhashBandKeys]] entry. */
   def minhashCandidatePairs(s: SparkSession, d: String): DataFrame =
     pairsMemo(s, d)(candidatePairsFromKeys(minhashBandKeys(s, d)))
-
-  /** Candidate pairs from an already-computed signature table —
-    * consumers that also need the signatures themselves
-    * ([[qMinhashEstimate]]) pass their checkpointed frame so the
-    * shingle→md5→min aggregation runs ONCE, not once per use. */
-  private[graft] def candidatePairsFromSig(sig: DataFrame): DataFrame =
-    candidatePairsFromKeys(bandKeysFromSig(sig))
 
   /** Candidate pairs from a (doc_id, band_key) frame. */
   private[graft] def candidatePairsFromKeys(keys: DataFrame): DataFrame = {
@@ -139,14 +150,10 @@ object Dedup {
     * 4 bands × 2 rows fires on ~half-similar docs, which on a
     * shared-vocabulary corpus floods the candidate set). Keys explode
     * from ONE array so the signature aggregation runs once;
-    * localCheckpointed because every consumer joins it at least
-    * twice (the memoized path checkpoints via [[graft.Memo]] instead,
-    * so [[bandKeysExpr]] stays checkpoint-free). Shared by the
-    * self-pair spine and the cross-set decontamination join
+    * checkpoint-free — the memoized path ([[minhashBandKeys]])
+    * checkpoints via [[graft.Memo]]. Shared by the self-pair spine
+    * and the cross-set decontamination join
     * ([[qFuzzyDecontaminate]]). */
-  private[graft] def bandKeysFromSig(sig: DataFrame): DataFrame =
-    bandKeysExpr(sig).localCheckpoint()
-
   private def bandKeysExpr(sig: DataFrame): DataFrame =
     sig.select(
       col("doc_id"),
@@ -958,10 +965,12 @@ object Dedup {
     * only, like the precision report. */
   val qMinhashEstimate: Q = (s, d) => {
     val docs = Tables.documents(s, d).select("doc_id", "text")
-    val sig = minhashSignatures(docs).localCheckpoint()
-    // candidates derive from the SAME checkpointed signature table the
-    // estimate columns read — the shingle pipeline runs once
-    val cand = candidatePairsFromSig(sig).localCheckpoint()
+    // both sides come from the memoized spine: the signature table
+    // (shared with qBoruvkaStep / qLshCostSweep) and the banded pair
+    // memo — the shingle pipeline runs once PER SESSION, not per query
+    // (VERDICT r15 #4)
+    val sig = minhashSignatureTable(s, d)
+    val cand = minhashCandidatePairs(s, d)
     val sa = sig.select(col("doc_id").as("a") +:
       (0 until 8).map(j => col(s"m$j").as(s"a$j")): _*)
     val sb = sig.select(col("doc_id").as("b") +:
@@ -1011,14 +1020,17 @@ object Dedup {
     * Deterministic under ties: (weight DESC, partner ASC).
     *
     * Scale shape: candidate-graph-sized throughout — the pair spine
-    * comes from the banded-LSH memo (never all-pairs), the two
-    * signature joins key on doc_id, and the per-vertex argmax is one
-    * map-side-combinable max_by on a high-cardinality key. The
-    * undirected doubling is a unionAll (no shuffle of its own). */
+    * comes from the banded-LSH pair memo and the edge weights from
+    * the memoized signature table (both [[graft.Memo]] entries shared
+    * with the rest of the dedup family — one corpus scan per session,
+    * never all-pairs; VERDICT r15 #4 fixed an earlier private
+    * rebuild of both), the two signature joins key on doc_id, and the
+    * per-vertex argmax is one map-side-combinable max_by on a
+    * high-cardinality key. The undirected doubling is a unionAll (no
+    * shuffle of its own). */
   val qBoruvkaStep: Q = (s, d) => {
-    val docs = Tables.documents(s, d).select("doc_id", "text")
-    val sig = minhashSignatures(docs).localCheckpoint()
-    val cand = candidatePairsFromSig(sig)
+    val sig = minhashSignatureTable(s, d)
+    val cand = minhashCandidatePairs(s, d)
     val sa = sig.select(col("doc_id").as("a") +:
       (0 until 8).map(j => col(s"m$j").as(s"a$j")): _*)
     val sb = sig.select(col("doc_id").as("b") +:
@@ -1126,12 +1138,12 @@ object Dedup {
     * the production threshold ([[candidatePairsFromSig]]); r=1 shows
     * the recall-greedy flood; the sweep is how an operator picks the
     * curve point at 100 TB from signature-sized data only — raw text
-    * never enters. Plan: ONE signature computation (localCheckpointed),
+    * never enters. Plan: ONE signature computation (the memoized
+    * [[minhashSignatureTable]], shared session-wide),
     * a 15-band-key explode, one (r, key) count aggregate, a 4-row
     * rollup. */
   val qLshCostSweep: Q = (s, d) => {
-    val sig = minhashSignatures(
-      Tables.documents(s, d).select("doc_id", "text")).localCheckpoint()
+    val sig = minhashSignatureTable(s, d)
     def keysFor(r: Int): DataFrame = {
       val bands = (0 until 8 / r).map { b =>
         concat_ws(":", lit(b.toString) +:

@@ -111,5 +111,6 @@ class MemoSpec extends SparkSpec {
       "the build must be attributed to the thread that paid it")
     assert(mine.head.ms > 0.0, "build wall time must be recorded")
     assert(mine.head.dir === dir)
+    assert(mine.head.won, "an uncontended build wins the insert race")
   }
 }

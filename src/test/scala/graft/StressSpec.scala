@@ -207,7 +207,7 @@ class StressSpec extends SparkSpec {
     // task-skew invariant: the hot bucket's quadratic pair work reaches
     // every triangle salt cell, no cell holds a majority (unsalted: one
     // reducer holds 100%)
-    val g = 4 // buckets used by candidatePairsFromSig
+    val g = 4 // buckets used by candidatePairsFromKeys
     val cells = hotTruth
       .groupBy { case (a, b) =>
         (math.min(salt(a, g), salt(b, g)), math.max(salt(a, g), salt(b, g))) }
