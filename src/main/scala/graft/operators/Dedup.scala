@@ -1135,7 +1135,7 @@ object Dedup {
     * number of pair comparisons the band join will emit, counted with
     * band multiplicity — the join's work, not its distinct output),
     * and the hottest bucket (the straggler bound). The r=4 row prices
-    * the production threshold ([[candidatePairsFromSig]]); r=1 shows
+    * the production threshold ([[candidatePairsFromKeys]]); r=1 shows
     * the recall-greedy flood; the sweep is how an operator picks the
     * curve point at 100 TB from signature-sized data only — raw text
     * never enters. Plan: ONE signature computation (the memoized
