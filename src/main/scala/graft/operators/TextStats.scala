@@ -743,12 +743,18 @@ object TextStats {
     * query; after the Generate it runs inside whole-stage codegen
     * and the strings still never leave the stage. */
   val qGramRepetition: Q = (s, d) => {
-    val ws = split(col("text"), " ")
+    // the split materializes as a column FIRST (r16): referencing the
+    // raw split(...) expression inside the transform lambda re-ran the
+    // split per array ELEMENT (3 element_at + size per gram — O(L²)
+    // work per doc in the interpreted lambda); as an attribute the
+    // lambda's element_at is a row-field read
+    val ws = col("__ws")
     val grams = transform(
       sequence(lit(0), size(ws) - 3),
       i => concat_ws(" ",
         element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3)))
     Tables.spread(Tables.documents(s, d)) // single-row-group scan → fan out before the explode
+      .withColumn("__ws", split(col("text"), " "))
       .filter(size(ws) >= 3) // sequence(0, n) needs n >= 0
       .select(col("doc_id"), explode(grams).as("g"))
       .select(col("doc_id"), xxhash64(col("g")).as("g"))
@@ -806,7 +812,10 @@ object TextStats {
       graft.functions.Exprs.md5Long(concat(lit("eval|"), col("doc_id").cast("string"))),
       lit(20)) === 0
     val docs = Tables.spread(Tables.documents(s, d)).withColumn("is_eval", isEval)
-    val ws = split(col("text"), " ")
+      // split materialized as a column: a lambda over the raw split
+      // expression re-splits per element (see qGramRepetition, r16)
+      .withColumn("__ws", split(col("text"), " "))
+    val ws = col("__ws")
     val grams = transform(
       sequence(lit(0), size(ws) - 3),
       i => concat_ws(" ",
@@ -840,9 +849,11 @@ object TextStats {
     * summarized into a Bloom filter SIZED FROM ITS DISTINCT-KEY COUNT
     * (one mergeable [[graft.functions.BloomLongsAgg]] pass, ~10
     * bits/gram regardless of string length — a fixed size saturates
-    * at the first decade of eval growth), the single-row filter
-    * broadcasts, and the corpus
-    * gram stream probes it map-side inside whole-stage codegen
+    * at the first decade of eval growth), the finished filter becomes
+    * a driver-held foldable literal (the manual-bloom shape of the
+    * optimization guide §3.2 — `stat.bloomFilter` + broadcast does the
+    * same driver hop), and the corpus gram stream probes it map-side
+    * inside whole-stage codegen against one resident byte[]
     * ([[graft.functions.BloomContainsExpr]]). Only the matched sliver —
     * true positives plus the filter's small false-positive rate —
     * reaches the exact verify join, which is deliberately a SHUFFLED
@@ -858,7 +869,10 @@ object TextStats {
       graft.functions.Exprs.md5Long(concat(lit("eval|"), col("doc_id").cast("string"))),
       lit(20)) === 0
     val docs = Tables.spread(Tables.documents(s, d)).withColumn("is_eval", isEval)
-    val ws = split(col("text"), " ")
+      // split materialized as a column: a lambda over the raw split
+      // expression re-splits per element (see qGramRepetition, r16)
+      .withColumn("__ws", split(col("text"), " "))
+    val ws = col("__ws")
     val grams = transform(
       sequence(lit(0), size(ws) - 3),
       i => concat_ws(" ",
@@ -905,14 +919,27 @@ object TextStats {
         graft.functions.BloomLongsAgg(
           GraftSqlBridge.expression(col("gh")),
           Literal(bloomBits), Literal(bloomK)).toAggregateExpression()).as("bf"))
+    // The finished filter lands on the driver and probes as a FOLDABLE
+    // LITERAL, not a broadcast column (r16, guide §3.2's manual-bloom
+    // shape). The former crossJoin(broadcast(bloomRow)) form routed the
+    // filter binary through a BroadcastNestedLoopJoin row, and the
+    // probe's UnsafeRow.getBinary COPIED the whole filter once per
+    // corpus gram — ~bloomBytes × |corpus grams| of pure memcpy/alloc
+    // (measured 56 executor-CPU-s for a 128 KB filter over 248 k grams
+    // at sf0.1; the whole query burned 170-520 CPU-s per bench pass,
+    // saturating the host — the actual mechanism behind the r14/r15
+    // "bloom inflates under load" adjudications: it WAS the load). As
+    // a Literal the codegen'd probe references ONE resident byte[]
+    // (ctx.addReferenceObj), zero per-row copies. Driver exposure is
+    // unchanged: a BroadcastExchange collected the same bytes to the
+    // driver anyway; the 2^30-bit cap bounds it at 128 MB.
+    val bfBytes = bloomRow.head().getAs[Array[Byte]](0)
     val prefiltered = gramRows.filter(!col("is_eval"))
       .select(col("doc_id"), col("gh"))
-      .crossJoin(broadcast(bloomRow))
       .filter(GraftSqlBridge.column(graft.functions.BloomContainsExpr(
-        GraftSqlBridge.expression(col("bf")),
+        Literal(bfBytes, org.apache.spark.sql.types.BinaryType),
         GraftSqlBridge.expression(col("gh")),
         Literal(bloomK))))
-      .select(col("doc_id"), col("gh"))
     val shared = prefiltered
       .join(evalKeys.hint("shuffle_hash"), Seq("gh"))
       .distinct()
@@ -969,11 +996,14 @@ object TextStats {
     * and reassembly is a per-doc ordered aggregation — the engines
     * agree because block index gives a total order within each doc. */
   val qBoilerplateStrip: Q = (s, d) => {
-    val ws = split(col("text"), " ")
+    // split materialized as a column: a lambda over the raw split
+    // expression re-splits per block (see qGramRepetition, r16)
+    val ws = col("__ws")
     val blocks = transform(
       sequence(lit(0), ((size(ws) - 1) / 10).cast("int")),
       i => concat_ws(" ", slice(ws, i * 10 + 1, lit(10))))
     val exploded = Tables.spread(Tables.documents(s, d))
+      .withColumn("__ws", split(col("text"), " "))
       .select(col("doc_id"), posexplode(blocks).as(Seq("idx", "block")))
     // the df>=3 boilerplate set is usually small, but on template-heavy
     // corpora (headers, footers, license blurbs) it grows with corpus
@@ -1446,12 +1476,15 @@ object TextStats {
     * wider than (doc, guess) shuffles. */
   val qLangMix: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val ws = split(col("text"), " ")
+    // split materialized as a column: a lambda over the raw split
+    // expression re-splits per block (see qGramRepetition, r16)
+    val ws = col("__ws")
     val blocks = transform(
       sequence(lit(0), ((size(ws) - 1) / 10).cast("int")),
       i => concat_ws(" ", slice(ws, i * 10 + 1, lit(10))))
     val scored = Tables.spread(
         Tables.documents(s, d).filter(col("text").isNotNull))
+      .withColumn("__ws", split(col("text"), " "))
       .select(col("doc_id"), posexplode(blocks).as(Seq("idx", "block")))
       .select(col("doc_id"),
         occurrences(col("block"), "the").as("c_the"),
