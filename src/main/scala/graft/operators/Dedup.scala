@@ -576,8 +576,18 @@ object Dedup {
   /** The exact-Jaccard near-dup pairs frame behind [[qNgramJaccard]]
     * (and the [[qDedupSweep]] planning curve): (a, b, inter_n,
     * union_n) for every pair with J ≥ 0.1, prefix-filtered candidates
-    * + exact verification. */
-  private[operators] def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
+    * + exact verification. Memoized per (session, dir) like the
+    * minhash spine (r16): both consumers rebuilt the identical
+    * gram→df→prefix→verify pipeline privately — at 100 TB, two
+    * corpus-scale gram explodes for one dedup report. The entry is
+    * the verified PAIR list (near-dup-pair-sized, never
+    * corpus-sized). */
+  private val jaccardPairsMemo = new Memo("dedup-ngram-jaccard-pairs")
+
+  private[operators] def ngramJaccardPairs(s: SparkSession, d: String): DataFrame =
+    jaccardPairsMemo(s, d)(computeNgramJaccardPairs(s, d))
+
+  private def computeNgramJaccardPairs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), expr("n_chars div 100").as("blk"), col("text"))
     val g = documentGrams(docs).localCheckpoint()

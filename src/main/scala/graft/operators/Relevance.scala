@@ -92,23 +92,48 @@ object Relevance {
     * sim_micros). [[qSparseCosine]] ships the 8-probe report;
     * [[qRetrievalEval]] widens to 64 probes and scores the ranking
     * against labels. */
+  /** The probe-independent tf-idf weight table (doc_id, word, w) and
+    * per-doc norms, memoized per (session, dir) under [[graft.Memo]]'s
+    * immutability/invalidation contract — the same in-session spine
+    * pattern as the dedup pair memo and the suffix-rank memo. FOUR
+    * report queries ([[qSparseCosine]], [[qRrfFusion]]'s sparse
+    * channel, [[qRetrievalEval]], [[qNdcg]]) sit on the identical
+    * explode→tf→df→weight pipeline and differ only in probe count;
+    * un-memoized, a retrieval report priced the corpus-wide token
+    * explode + two aggregations once PER QUERY (at 100 TB: four
+    * corpus scans for one scorecard). The entries are the
+    * corpus-token-sized weight rows and the |docs|-sized norms —
+    * the same order as the suffix-rank memo's entry. */
+  private val wtabMemo = new graft.Memo("relevance-tfidf-weights")
+  private val normsMemo = new graft.Memo("relevance-tfidf-norms")
+
+  private def tfidfWeights(s: SparkSession, d: String): DataFrame =
+    wtabMemo(s, d) {
+      val docs = Tables.spread(Tables.documents(s, d).filter(col("text").isNotNull))
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      tf.join(dfreq, Seq("word"))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("w",
+          expr("tf * (((n_docs - df + 1) * 1000) div (df + 1))").cast(LongType))
+        .select("doc_id", "word", "w")
+    }
+
+  private def tfidfNorms(s: SparkSession, d: String): DataFrame =
+    normsMemo(s, d) {
+      tfidfWeights(s, d).groupBy("doc_id")
+        .agg(sum(expr("w * w")).cast(DoubleType).as("nrm"))
+    }
+
   private def sparseTopK(s: SparkSession, d: String, nProbes: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.spread(Tables.documents(s, d).filter(col("text").isNotNull))
-    val tf = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .filter(length(col("word")) > 0)
-      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
-    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
-    val wtab = tf.join(dfreq, Seq("word"))
-      .crossJoin(broadcast(nDocs))
-      .withColumn("w",
-        expr("tf * (((n_docs - df + 1) * 1000) div (df + 1))").cast(LongType))
-      .select("doc_id", "word", "w")
-    val norms = wtab.groupBy("doc_id")
-      .agg(sum(expr("w * w")).cast(DoubleType).as("nrm"))
+    val wtab = tfidfWeights(s, d)
+    val norms = tfidfNorms(s, d)
     val probes = wtab.filter(col("doc_id") < nProbes)
       .select(col("doc_id").as("qid"), col("word"), col("w").as("qw"))
     val dots = broadcast(probes)

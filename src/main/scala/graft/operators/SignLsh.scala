@@ -243,50 +243,84 @@ object SignLsh {
         org.apache.spark.sql.types.DecimalType(12, 8), containsNull = false)))
   }
 
-  val qSignlshNeardup: (org.apache.spark.sql.SparkSession, String) => DataFrame = (s, d) => {
-    val planes = decimalHyperplanes(OracleParams, 64)
-    def dot(a: Column, b: Column): Column = decDot(a, b)
-    val emb = graft.Tables.embeddings(s, d)
-    // one driver-side count sizes the signature width so bucket
-    // occupancy stays ~32 at ANY corpus size (integer formula —
-    // engine-identical to the oracle's bn CTE)
-    val bits = adaptiveBits(emb.count())
-    val de = Similarity.decVec(col("embedding"))
-    val bandStructs = (0 until OracleBands).map { b =>
-      val key = (0 until bits).map { i =>
-        when(dot(de, planeCol(planes(b)(i))) >= 0, lit(1L << i)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      struct(lit(b).as("band"), key.as("key"))
+  /** The oracle-twin signature table (vec_id, band, key, flip) and the
+    * decimal-norm verify table (vec_id, de, nrm), memoized per
+    * (session, dir) under [[graft.Memo]] (r16). [[qSignlshNeardup]]
+    * and [[qSignlshMultiprobe]] each rebuilt the full
+    * adaptive-bits × bands decimal-dot signature pipeline (plus the
+    * emb.count() sizing job and two localCheckpoint barriers)
+    * privately — at 100 TB, two corpus-scale signature scans for one
+    * LSH report. The neardup query reads (band, key) only; the flip
+    * column it ignores prices one extra array_sort over ≤bits structs
+    * per (vector, band) — noise next to the shared dots. Entries are
+    * signature-sized (2 rows/vec of three longs) and norm-sized
+    * (1 row/vec of a 64-decimal array). */
+  private val oracleKeysMemo = new graft.Memo("signlsh-oracle-keys")
+  private val oracleNormsMemo = new graft.Memo("signlsh-oracle-norms")
+
+  private def oracleKeyTable(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    oracleKeysMemo(s, d) {
+      val planes = decimalHyperplanes(OracleParams, 64)
+      val emb = graft.Tables.embeddings(s, d)
+      // one driver-side count sizes the signature width so bucket
+      // occupancy stays ~32 at ANY corpus size (integer formula —
+      // engine-identical to the oracle's bn CTE); runs once per
+      // (session, dir) inside the memo build
+      val bits = adaptiveBits(emb.count())
+      val de = Similarity.decVec(col("embedding"))
+      val bandStructs = (0 until OracleBands).map { b =>
+        val dots = (0 until bits).map(i => decDot(de, planeCol(planes(b)(i))))
+        val key = dots.zipWithIndex.map { case (dt, i) =>
+          when(dt >= 0, lit(1L << i)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        // lowest-|margin| bit mask: lexicographic struct sort on
+        // (|dot|, mask) — mask is monotone in bit index, so the
+        // tiebreak matches the oracle's ORDER BY abs(dot), bit
+        val margins = array(dots.zipWithIndex.map { case (dt, i) =>
+          struct(abs(dt).as("m"), lit(1L << i).as("bit"))
+        }: _*)
+        val flip = element_at(array_sort(margins), 1).getField("bit")
+        struct(lit(b).as("band"), key.as("key"), flip.as("flip"))
+      }
+      emb
+        .select(col("vec_id"), explode(array(bandStructs: _*)).as("s"))
+        .select(col("vec_id"), col("s.band").as("band"), col("s.key").as("key"),
+          col("s.flip").as("flip"))
     }
-    // checkpoint: keys feeds BOTH sides of the self-join — uncached,
-    // the 4-dot-per-band signature pipeline would run once per branch
-    val keys = emb
-      .select(col("vec_id"), explode(array(bandStructs: _*)).as("s"))
-      .select(col("vec_id"), col("s.band").as("band"), col("s.key").as("key"))
-      .localCheckpoint()
+
+  private def oracleNormTable(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    oracleNormsMemo(s, d) {
+      val emb = graft.Tables.embeddings(s, d)
+      emb.select(col("vec_id"), Similarity.decVec(col("embedding")).as("de"))
+        .select(col("vec_id"), col("de"),
+          decDot(col("de"), col("de"))
+            .cast(org.apache.spark.sql.types.DoubleType).as("nrm"))
+    }
+
+  /** Exact-decimal cosine verify at ≥ 0.3 over an (a, b) candidate
+    * frame — the shared tail of both oracle-twin queries. */
+  private def verifyPairs(s: org.apache.spark.sql.SparkSession, d: String,
+                          cand: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val withNorm = oracleNormTable(s, d)
+    val ea = withNorm.select(col("vec_id").as("a"), col("de").as("ae"), col("nrm").as("na"))
+    val eb = withNorm.select(col("vec_id").as("b"), col("de").as("be"), col("nrm").as("nb"))
+    cand.join(ea, "a").join(eb, "b")
+      .select(col("a"), col("b"),
+        Similarity.cosMicrosPre(decDot(col("ae"), col("be")), col("na"), col("nb"))
+          .as("sim_micros"))
+      .filter(col("sim_micros") >= 300000L)
+      .orderBy("a", "b")
+  }
+
+  val qSignlshNeardup: (org.apache.spark.sql.SparkSession, String) => DataFrame = (s, d) => {
+    val keys = oracleKeyTable(s, d)
     val cand = keys.as("pa")
       .join(keys.as("pb"),
         col("pa.band") === col("pb.band") && col("pa.key") === col("pb.key") &&
           col("pa.vec_id") < col("pb.vec_id"))
       .select(col("pa.vec_id").as("a"), col("pb.vec_id").as("b"))
       .distinct()
-    // norms once per VECTOR, not per pair — the verify stage then costs
-    // one decimal dot per candidate instead of three; the micros
-    // expression is the shared Similarity.cosMicrosPre contract.
-    // Checkpointed for the same two-branch reason as keys.
-    val withNorm = emb.select(col("vec_id"),
-      Similarity.decVec(col("embedding")).as("de"))
-      .select(col("vec_id"), col("de"),
-        dot(col("de"), col("de")).cast(org.apache.spark.sql.types.DoubleType).as("nrm"))
-      .localCheckpoint()
-    val ea = withNorm.select(col("vec_id").as("a"), col("de").as("ae"), col("nrm").as("na"))
-    val eb = withNorm.select(col("vec_id").as("b"), col("de").as("be"), col("nrm").as("nb"))
-    cand.join(ea, "a").join(eb, "b")
-      .select(col("a"), col("b"),
-        Similarity.cosMicrosPre(dot(col("ae"), col("be")), col("na"), col("nb"))
-          .as("sim_micros"))
-      .filter(col("sim_micros") >= 300000L)
-      .orderBy("a", "b")
+    verifyPairs(s, d, cand)
   }
 
   /** Multiprobe sign-LSH through the oracle — the last branch of the
@@ -300,32 +334,9 @@ object SignLsh {
     * the same exact-decimal cosine at ≥ 0.3 as [[qSignlshNeardup]],
     * making the result a strict superset of the exact-bucket query's. */
   val qSignlshMultiprobe: (org.apache.spark.sql.SparkSession, String) => DataFrame = (s, d) => {
-    val planes = decimalHyperplanes(OracleParams, 64)
-    val emb = graft.Tables.embeddings(s, d)
-    val bits = adaptiveBits(emb.count()) // see qSignlshNeardup
-    val de = Similarity.decVec(col("embedding"))
-    val bandStructs = (0 until OracleBands).map { b =>
-      val dots = (0 until bits).map(i => decDot(de, planeCol(planes(b)(i))))
-      val key = dots.zipWithIndex.map { case (dt, i) =>
-        when(dt >= 0, lit(1L << i)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      // lowest-|margin| bit mask: lexicographic struct sort on
-      // (|dot|, mask) — mask is monotone in bit index, so the tiebreak
-      // matches the oracle's ORDER BY abs(dot), bit
-      val margins = array(dots.zipWithIndex.map { case (dt, i) =>
-        struct(abs(dt).as("m"), lit(1L << i).as("bit"))
-      }: _*)
-      val flip = element_at(array_sort(margins), 1).getField("bit")
-      struct(lit(b).as("band"), key.as("key"), flip.as("flip"))
-    }
-    // checkpoint: keys feeds FOUR consumers (both exact self-join
-    // branches, the probe side, and the probe-target side) — uncached,
-    // the 8-dot signature+margin pipeline would run once per branch
-    val keys = emb
-      .select(col("vec_id"), explode(array(bandStructs: _*)).as("s"))
-      .select(col("vec_id"), col("s.band").as("band"), col("s.key").as("key"),
-        col("s.flip").as("flip"))
-      .localCheckpoint()
+    // the signature pipeline (and its four-consumer checkpoint) now
+    // comes from the memoized spine shared with qSignlshNeardup (r16)
+    val keys = oracleKeyTable(s, d)
     val exact = keys.as("pa")
       .join(keys.as("pb"),
         col("pa.band") === col("pb.band") && col("pa.key") === col("pb.key") &&
@@ -340,19 +351,7 @@ object SignLsh {
       .select(least(col("qa"), col("qb")).as("a"),
         greatest(col("qa"), col("qb")).as("b"))
     val cand = exact.unionAll(hits).distinct()
-    val withNorm = emb.select(col("vec_id"),
-      Similarity.decVec(col("embedding")).as("de"))
-      .select(col("vec_id"), col("de"),
-        decDot(col("de"), col("de")).cast(org.apache.spark.sql.types.DoubleType).as("nrm"))
-      .localCheckpoint()
-    val ea = withNorm.select(col("vec_id").as("a"), col("de").as("ae"), col("nrm").as("na"))
-    val eb = withNorm.select(col("vec_id").as("b"), col("de").as("be"), col("nrm").as("nb"))
-    cand.join(ea, "a").join(eb, "b")
-      .select(col("a"), col("b"),
-        Similarity.cosMicrosPre(decDot(col("ae"), col("be")), col("na"), col("nb"))
-          .as("sim_micros"))
-      .filter(col("sim_micros") >= 300000L)
-      .orderBy("a", "b")
+    verifyPairs(s, d, cand)
   }
 
   /** Shared oracle CTE prefix: seeded weights as a VALUES table of
