@@ -971,27 +971,46 @@ object Similarity {
     * pairwise stage 512², constant in corpus size (at 100 TB the same
     * query runs on the sample unchanged). Both self-join sides are
     * sample-sized, so the join stays UNHINTED (AQE broadcasts it). */
+  /** The deterministic 512-vector diagnostic sample (vec_id, de, nrm)
+    * and its exact cosine matrix (qid, nid, sim_micros), memoized per
+    * (session, dir) under [[graft.Memo]] (r16). Five sample-contract
+    * queries ([[qHubness]], [[qMutualKnn]], [[qNnDescent]],
+    * [[qHnswSearch]], [[qLof]] via d = 10⁶ − sim) each rebuilt the
+    * 512² decimal-dot matrix privately — measured ~17 executor-CPU-s
+    * per build at sf0.1, the family's single most repeated compute.
+    * Entries are bounded BY CONSTRUCTION: ≤ 512 sample rows (decimal
+    * arrays) and ≤ 512·511 (long, long, long) matrix rows — constant
+    * in corpus size, the same reason the sample contract scales. The
+    * explicit broadcast inside the build keeps the r12 rule: size-only
+    * stats would cartesian the non-equi self-join at 10× data. */
+  private val sampleMemo = new graft.Memo("similarity-sample-512")
+  private val sampleSimMemo = new graft.Memo("similarity-sample-sims")
+
+  private def sample512(s: SparkSession, d: String): DataFrame =
+    sampleMemo(s, d) {
+      Tables.spread(Tables.embeddings(s, d))
+        .filter(col("vec_id") < 512 && col("embedding").isNotNull &&
+          size(col("embedding")) === Dim)
+        .select(col("vec_id"), decVec(col("embedding")).as("de"))
+        .withColumn("nrm", decDot(col("de"), col("de")).cast(DoubleType))
+    }
+
+  private def sampleSims(s: SparkSession, d: String): DataFrame =
+    sampleSimMemo(s, d) {
+      val sample = sample512(s, d)
+      sample
+        .select(col("vec_id").as("qid"), col("de").as("qe"), col("nrm").as("nq"))
+        .join(broadcast(sample.select(col("vec_id").as("nid"), col("de").as("ne"),
+          col("nrm").as("nn"))), col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"),
+          cosMicrosPre(decDot(col("qe"), col("ne")), col("nq"), col("nn"))
+            .as("sim_micros"))
+    }
+
   val qHubness: Q = (s, d) => {
-    val sample = Tables.spread(Tables.embeddings(s, d))
-      .filter(col("vec_id") < 512 && col("embedding").isNotNull &&
-        size(col("embedding")) === Dim)
-      .select(col("vec_id"), decVec(col("embedding")).as("de"))
-      .withColumn("nrm", decDot(col("de"), col("de")).cast(DoubleType))
-      .localCheckpoint()
+    val sample = sample512(s, d)
     val w = Window.partitionBy("qid").orderBy(col("sim_micros").desc, col("nid"))
-    val top = sample
-      .select(col("vec_id").as("qid"), col("de").as("qe"), col("nrm").as("nq"))
-      // EXPLICIT broadcast: the sample is <= 512 rows BY CONSTRUCTION,
-      // but size-only stats propagate the parent SCAN's bytes through
-      // the filter — at 10x data the estimate crosses the broadcast
-      // threshold and this non-equi self-join silently degrades to a
-      // 32x32-partition cartesian (r12 sf1 proof: 12 s vs ~1.2 s).
-      // Bounded-by-construction frames must carry the hint themselves.
-      .join(broadcast(sample.select(col("vec_id").as("nid"), col("de").as("ne"),
-        col("nrm").as("nn"))), col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"),
-        cosMicrosPre(decDot(col("qe"), col("ne")), col("nq"), col("nn"))
-          .as("sim_micros"))
+    val top = sampleSims(s, d)
       .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
     val occ = top.groupBy(col("nid")).agg(count(lit(1)).as("k_occ"))
     sample.select(col("vec_id").as("nid"))
@@ -1067,26 +1086,11 @@ object Similarity {
     * k·512-row top-k edge list on the flipped key — edge-list-sized,
     * never corpus-sized. */
   val qMutualKnn: Q = (s, d) => {
-    val sample = Tables.spread(Tables.embeddings(s, d))
-      .filter(col("vec_id") < 512 && col("embedding").isNotNull &&
-        size(col("embedding")) === Dim)
-      .select(col("vec_id"), decVec(col("embedding")).as("de"))
-      .withColumn("nrm", decDot(col("de"), col("de")).cast(DoubleType))
-      .localCheckpoint()
     val w = Window.partitionBy("qid").orderBy(col("sim_micros").desc, col("nid"))
-    val top = sample
-      .select(col("vec_id").as("qid"), col("de").as("qe"), col("nrm").as("nq"))
-      // EXPLICIT broadcast: the sample is <= 512 rows BY CONSTRUCTION,
-      // but size-only stats propagate the parent SCAN's bytes through
-      // the filter — at 10x data the estimate crosses the broadcast
-      // threshold and this non-equi self-join silently degrades to a
-      // 32x32-partition cartesian (r12 sf1 proof: 12 s vs ~1.2 s).
-      // Bounded-by-construction frames must carry the hint themselves.
-      .join(broadcast(sample.select(col("vec_id").as("nid"), col("de").as("ne"),
-        col("nrm").as("nn"))), col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"),
-        cosMicrosPre(decDot(col("qe"), col("ne")), col("nq"), col("nn"))
-          .as("sim_micros"))
+    // sim matrix from the memoized sample spine (r16); the top-k edge
+    // list stays checkpointed — it feeds both sides of the
+    // reciprocity join
+    val top = sampleSims(s, d)
       .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
       .select("qid", "nid", "sim_micros").localCheckpoint()
     top.as("f")
@@ -1119,22 +1123,10 @@ object Similarity {
     * scale the same join runs on the banded-LSH seed graph with sims
     * computed per candidate, never all-pairs. */
   val qNnDescent: Q = (s, d) => {
-    val sample = Tables.spread(Tables.embeddings(s, d))
-      .filter(col("vec_id") < 512 && col("embedding").isNotNull &&
-        size(col("embedding")) === Dim)
-      .select(col("vec_id"), decVec(col("embedding")).as("de"))
-      .withColumn("nrm", decDot(col("de"), col("de")).cast(DoubleType))
-      .localCheckpoint()
-    val cosv = sample
-      .select(col("vec_id").as("qid"), col("de").as("qe"), col("nrm").as("nq"))
-      // explicit broadcast: see qHubness — the <= 512-row bound is by
-      // construction; stats-blind planning cartesians this at scale
-      .join(broadcast(sample.select(col("vec_id").as("nid"), col("de").as("ne"),
-        col("nrm").as("nn"))), col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"),
-        cosMicrosPre(decDot(col("qe"), col("ne")), col("nq"), col("nn"))
-          .as("sim_micros"))
-      .localCheckpoint()
+    // sample + sim matrix from the memoized spine (r16) — the memo's
+    // localCheckpoint replaces the per-query ones
+    val sample = sample512(s, d)
+    val cosv = sampleSims(s, d)
     val w = Window.partitionBy("qid").orderBy(col("sim_micros").desc, col("nid"))
     val truth = cosv.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3).select("qid", "nid").localCheckpoint()
@@ -1200,125 +1192,112 @@ object Similarity {
     * are tiny at any corpus size. */
   val qHnswSearch: Q = (s, d) => {
     import graft.functions.Exprs.md5Long
-    val sample = Tables.spread(Tables.embeddings(s, d))
-      .filter(col("vec_id") < 512 && col("embedding").isNotNull &&
-        size(col("embedding")) === Dim)
-      .select(col("vec_id"), decVec(col("embedding")).as("de"))
-      .withColumn("nrm", decDot(col("de"), col("de")).cast(DoubleType))
-      .localCheckpoint()
-    // explicit broadcast: <= 512-row bound by construction (qHubness
-    // rule — stats-blind planning cartesians this at scale)
-    val cosv = sample
-      .select(col("vec_id").as("qid"), col("de").as("qe"), col("nrm").as("nq"))
-      .join(broadcast(sample.select(col("vec_id").as("nid"), col("de").as("ne"),
-        col("nrm").as("nn"))), col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"),
-        cosMicrosPre(decDot(col("qe"), col("ne")), col("nq"), col("nn"))
-          .as("sim_micros"))
-      .localCheckpoint()
+    // sample + 512² sim matrix from the memoized spine (r16); the
+    // memo's localCheckpoint replaces the per-query ones
+    val sample = sample512(s, d)
+    val cosv = sampleSims(s, d)
     // levels via the qHnswLevels rule, capped at 3 (the top layer the
-    // walk enters; deeper levels collapse into it)
+    // walk enters; deeper levels collapse into it). The md5 stays IN
+    // THE ENGINE (one 512-row job) so the level rule has exactly one
+    // spelling.
     val thr = Seq(144115188075855872L, 18014398509481984L, 2251799813685248L)
     val lvlExpr = thr.map(t => s"CAST(u < ${t}L AS INT)").mkString(" + ")
-    // no checkpoint: one trivial projection off the checkpointed
-    // sample, consumed twice (entry limit-1, edge membership) — a
-    // barrier here would cost a whole job to save a md5 over 512 rows
     val nodes = sample.select(col("vec_id"))
       .withColumn("u", md5Long(concat(lit("hnsw|"), col("vec_id").cast("string"))))
       .withColumn("lvl", expr(lvlExpr).cast(LongType))
       .select("vec_id", "lvl")
-    val entry = broadcast(
-      nodes.orderBy(col("lvl").desc, col("vec_id")).limit(1)
-        .select(col("vec_id").as("c")))
-    // per-layer top-M out-edges in ONE frame keyed by l; the 4-row
-    // layer frame is bounded by construction -> explicit broadcast.
-    // Out-degree is PER LAYER (HNSW convention, inverted: layer 0
-    // keeps M = 8 close neighbors for final precision; upper layers
-    // get M = 16 so a hop can CROSS cluster islands — a clustered
-    // corpus's top-4 layer-0 neighbors are all same-cluster, and a
-    // greedy walk over such islands absorbs at the entry's cluster,
-    // which is exactly what the first cut of this operator measured:
-    // recall 218 permille with M = 4 everywhere)
-    val layers = broadcast(s.range(0, 4).select(col("id").as("l")))
-    val mem = nodes.join(layers, col("lvl") >= col("l"))
-      .select(col("l"), col("vec_id"))
-    val wE = Window.partitionBy("l", "qid")
-      .orderBy(col("sim_micros").desc, col("nid"))
-    val edges = cosv
-      .join(mem.withColumnRenamed("vec_id", "qid"), Seq("qid"))
-      .join(mem.withColumnRenamed("vec_id", "nid"), Seq("l", "nid"))
-      .withColumn("rk", row_number().over(wE))
-      .filter(col("rk") <= when(col("l") === 0, lit(8)).otherwise(lit(16)))
-      .select(col("l"), col("qid").as("src"), col("nid").as("dst"))
-      .localCheckpoint()
-    val probes = sample.select(col("vec_id").as("probe"))
-    // both hop-side frames are bounded by construction (512² sims ≈
-    // 6 MB, ≤ 4·512·16 edges) — broadcast them so every hop is
-    // map-side: the r13 plan shuffled the sim matrix at EVERY hop
-    // (shuffle join + sort window), 27 shuffle rounds for a bounded
-    // diagnostic, the concurrent run's straggler
-    val simsByProbe = broadcast(cosv.select(col("qid").as("probe"),
-      col("nid").as("cand"), col("sim_micros")))
-    val edgesB = broadcast(edges)
-    // step: (next current node, the candidate set the hop EVALUATED).
-    // No per-hop distinct — candidates are a SET semantically, but the
-    // argmax is duplicate-insensitive and the final pool dedups, so
-    // the mid-walk shuffle bought nothing. Argmax via max_by partial
-    // aggregation (one light groupBy shuffle) instead of a global
-    // sort window; ties impossible (score, -cand) is injective.
-    def step(cur: DataFrame, l: Int): (DataFrame, DataFrame) = {
-      val cand = cur.select(col("probe"), col("c").as("cand"))
-        .unionAll(cur.join(edgesB.filter(col("l") === l),
-            cur("c") === col("src"))
-          .select(col("probe"), col("dst").as("cand")))
-      val next = cand.join(simsByProbe, Seq("probe", "cand"), "left")
-        .withColumn("score",
-          when(col("probe") === col("cand"), lit(1000001L))
-            .otherwise(col("sim_micros")))
-        .groupBy("probe")
-        .agg(max_by(col("cand"), struct(col("score"), -col("cand"))).as("c"))
-      (next, cand)
-    }
-    // One lineage barrier PER LAYER, not per hop (r13 verdict: the
-    // 9 per-hop localCheckpoints were the plan floor — 9 sequential
-    // jobs for a bounded diagnostic, the concurrent run's straggler).
-    // The hops of one layer chain lazily inside a single plan: `cur`
-    // appears twice per hop (identity candidate + edge join), so an
-    // un-checkpointed segment grows 2^hops — bounded at 2^3 here,
-    // safe; 2^9 across the whole walk is not. Candidate frames in
-    // `seen` recompute their (<= 512 x 17 row) hop chains from the
-    // per-layer checkpoints when the pool evaluates — bounded work,
-    // traded for 5 fewer job barriers.
-    var cur = probes.crossJoin(entry)
-    var seen = cur.select(col("probe"), col("c").as("cand"))
-    for (l <- 3 to 0 by -1) {
-      var c = cur
-      for (_ <- 1 to (if (l == 0) 3 else 2)) {
-        val (next, cand) = step(c, l)
-        c = next
-        seen = seen.unionAll(cand)
+    // ---- bounded in-memory walk (r16; the r15 deferral taken) ----
+    // The unrolled-join walk priced 9 chained groupBy shuffles + 4
+    // lineage barriers + a pool re-derivation per run — ~15 sequential
+    // stages for a bounded diagnostic (r16 measured 33-52 executor-
+    // CPU-s / 5.5-9 s wall at sf0.1, the workload's slowest query).
+    // Both walk inputs are bounded BY CONSTRUCTION (≤ 512·511 sim
+    // rows ≈ 6 MB, ≤ 512 level rows), and the former plan already
+    // collected the sim matrix to the driver to broadcast it
+    // (BroadcastExchange = collect + ship); materializing the same
+    // bytes as driver maps and walking each probe inside ONE
+    // mapPartitions pass is the same memory exposure with zero
+    // mid-walk shuffles. Semantics are bit-identical: greedy argmax
+    // by (score, -cand) with the probe's own node at +∞, stay-put
+    // absorbing, 2 hops/layer (3 at layer 0), pool = every evaluated
+    // candidate ∪ the settled node's layer-0 out-neighbors, truth =
+    // exact top-3 under (sim DESC, nid) — HnswSpec pins the fixture
+    // behaviors and the DuckDB oracle pins the output. At production
+    // scale the same walk runs over banded-LSH layer edges with the
+    // sample bound unchanged — the inputs stay sample-sized at any
+    // corpus size, which is what makes the in-memory form legal.
+    val simRows = cosv.collect()
+    val lvlRows = nodes.collect()
+    val levels: Array[(Long, Long)] =
+      lvlRows.map(r => (r.getLong(0), r.getLong(1)))
+    // per-probe neighbor lists pre-sorted by (sim DESC, nid ASC): the
+    // truth top-3 reads the prefix, the per-layer out-edges filter it
+    val byQid: Map[Long, Array[(Long, Long)]] = simRows
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (q, rs) =>
+        q -> rs.map(t => (t._2, t._3)).sortBy(t => (-t._2, t._1))
       }
-      cur = c.localCheckpoint()
+    val simOf: Map[(Long, Long), Long] = simRows
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val truthMap: Map[Long, Array[Long]] =
+      byQid.map { case (q, ns) => q -> ns.take(3).map(_._1) }
+    val edgeMap: Map[(Long, Long), Array[Long]] = (for {
+      l <- 0L to 3L
+      memberSet = levels.collect { case (v, lvl) if lvl >= l => v }.toSet
+      src <- memberSet
+      m = if (l == 0L) 8 else 16
+    } yield ((l, src),
+      byQid.getOrElse(src, Array.empty[(Long, Long)])
+        .iterator.map(_._1).filter(memberSet.contains).take(m).toArray)).toMap
+    val entryId: Long = levels
+      .sortBy { case (v, lvl) => (-lvl, v) }
+      .headOption.map(_._1).getOrElse(-1L)
+    val model = s.sparkContext.broadcast(
+      (entryId, simOf, edgeMap, truthMap))
+    val sp = s
+    import sp.implicits._
+    val probes = sample.select(col("vec_id")).as[Long]
+    val walked = probes.mapPartitions { it =>
+      val (entry, sims, edges, truths) = model.value
+      it.map { probe =>
+        var c = entry
+        val seen = scala.collection.mutable.HashSet[Long](c)
+        var l = 3
+        while (l >= 0) {
+          var h = if (l == 0) 3 else 2
+          while (h > 0) {
+            // candidates = {current} ∪ out-neighbors; argmax by
+            // (score, -cand), score(probe itself) = 1000001 > any sim
+            var bestC = c
+            var bestS = if (c == probe) 1000001L else sims((probe, c))
+            val nbrs = edges.getOrElse((l.toLong, c), Array.empty[Long])
+            var i = 0
+            while (i < nbrs.length) {
+              val nb = nbrs(i)
+              seen += nb
+              val sc = if (nb == probe) 1000001L else sims((probe, nb))
+              if (sc > bestS || (sc == bestS && nb < bestC)) {
+                bestS = sc; bestC = nb
+              }
+              i += 1
+            }
+            c = bestC
+            seen += c
+            h -= 1
+          }
+          l -= 1
+        }
+        val pool = seen ++ edges.getOrElse((0L, c), Array.empty[Long])
+        pool -= probe
+        val top3 = pool.toArray
+          .map(x => (sims((probe, x)), x)).sortBy(t => (-t._1, t._2))
+          .take(3).map(_._2)
+        val truth = truths.getOrElse(probe, Array.empty[Long])
+        (probe, c, top3.count(truth.contains).toLong)
+      }
     }
-    val pool = seen
-      .unionAll(cur.join(edgesB.filter(col("l") === 0), cur("c") === col("src"))
-        .select(col("probe"), col("dst").as("cand")))
-      .distinct()
-      .filter(col("probe") =!= col("cand"))
-    val top3 = pool.join(simsByProbe, Seq("probe", "cand"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("probe").orderBy(col("sim_micros").desc, col("cand"))))
-      .filter(col("rk") <= 3).select("probe", "cand")
-    val truth = cosv
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("qid").orderBy(col("sim_micros").desc, col("nid"))))
-      .filter(col("rk") <= 3)
-      .select(col("qid").as("probe"), col("nid").as("cand"))
-    val hits = top3.join(truth, Seq("probe", "cand"))
-      .groupBy("probe").agg(count(lit(1)).as("n_hits"))
-    probes.join(cur.withColumnRenamed("c", "settled"), Seq("probe"))
-      .join(hits, Seq("probe"), "left")
-      .na.fill(0L, Seq("n_hits"))
+    walked.toDF("probe", "settled", "n_hits")
       // bare OVER (): 512-row bounded-by-construction frame
       .withColumn("recall_permille",
         expr("(sum(n_hits) OVER () * 1000) div (3 * count(1) OVER ())")
@@ -1762,20 +1741,12 @@ object Similarity {
     * instead of the dense sim matrix. */
   val qLof: Q = (s, d) => {
     val dec = DecimalType(38, 0)
-    val sample = Tables.spread(Tables.embeddings(s, d))
-      .filter(col("vec_id") < 512 && col("embedding").isNotNull &&
-        size(col("embedding")) === Dim)
-      .select(col("vec_id"), decVec(col("embedding")).as("de"))
-      .withColumn("nrm", decDot(col("de"), col("de")).cast(DoubleType))
-      .localCheckpoint()
-    val cosv = sample
-      .select(col("vec_id").as("qid"), col("de").as("qe"), col("nrm").as("nq"))
-      // explicit broadcast: <= 512 rows by construction (qHubness rule)
-      .join(broadcast(sample.select(col("vec_id").as("nid"), col("de").as("ne"),
-        col("nrm").as("nn"))), col("qid") =!= col("nid"))
+    // distance derives from the memoized sample sim matrix (r16):
+    // d = 10⁶ − sim_micros, the same integers the private build
+    // produced
+    val cosv = sampleSims(s, d)
       .select(col("qid"), col("nid"),
-        (lit(1000000L) - cosMicrosPre(decDot(col("qe"), col("ne")),
-          col("nq"), col("nn"))).as("dd"))
+        (lit(1000000L) - col("sim_micros")).as("dd"))
     val wk = Window.partitionBy("qid").orderBy(col("dd"), col("nid"))
     val knn = cosv.withColumn("rk", row_number().over(wk))
       .filter(col("rk") <= 5).select("qid", "nid", "dd")
