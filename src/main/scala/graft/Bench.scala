@@ -140,6 +140,24 @@ object Bench {
       // (PERF.md "codegen class cache" section).
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
+      // Scale-adaptive post-shuffle sizing (r16, guide §2.2): partition
+      // counts derive from DATA SIZE, not the core-count constant.
+      // parallelismFirst=true (the Spark default) floors AQE coalescing
+      // at defaultParallelism, so at local[32] a 10 KB shuffle still
+      // schedules 32 tasks — ~0.15 s of pure task overhead per stage,
+      // paid by every one of the ~200 sub-second queries' 3-8 stages.
+      // false is the setting Spark's own docs recommend for production
+      // clusters (respect advisoryPartitionSizeInBytes); the advisory
+      // size is deliberately SMALL (4 MB) so compute-dense medium
+      // shuffles (gram/decimal-dot aggregations, MBs at sf0.1) keep
+      // multi-task parallelism while metadata-sized shuffles collapse
+      // to one task. At 100 TB the same pair yields size-derived
+      // partition counts on every exchange — nothing here encodes the
+      // local core count. Env knobs are the A/B levers (PERF.md r16).
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION", "4m"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

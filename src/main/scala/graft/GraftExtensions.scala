@@ -38,7 +38,21 @@ object GraftExtensions {
     Seq(findExtensionDescriptor, decimalDotDescriptor, floatDotDescriptor,
       zOrderDescriptor, topKDescriptor, freqItemsDescriptor,
       bloomAggDescriptor, bloomContainsDescriptor, cmsAggDescriptor,
-      lcpDescriptor) ++ kllDescriptors
+      lcpDescriptor, md5Long60Descriptor) ++ kllDescriptors
+
+  val md5Long60Descriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_md5_long60"),
+    new ExpressionInfo(
+      classOf[graft.functions.Md5Long60Expr].getCanonicalName, null,
+      "graft_md5_long60",
+      "graft_md5_long60(c) - first 60 bits of md5(c) as BIGINT, computed " +
+        "from the digest bytes; value-identical to " +
+        "conv(substring(md5(c),1,15),16,10) without the hex round-trip", ""),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "graft_md5_long60 takes exactly 1 argument")
+      graft.functions.Md5Long60Expr(children.head)
+    })
 
   val lcpDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (

@@ -64,9 +64,20 @@ object Exprs {
   /** Deterministic 60-bit positive hash shared with DuckDB:
     * first 15 hex chars of md5, parsed base-16. Used as the hash family
     * for minhash / simhash / fingerprints so the oracle can reproduce
-    * signatures bit-for-bit. */
-  def md5Long(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+    * signatures bit-for-bit. Computed by [[Md5Long60Expr]] straight
+    * from the digest bytes (r16) — value-identical to the legacy
+    * `conv(substring(md5(c),1,15),16,10)` spelling without the hex
+    * encode / substring / base-16 string parse per call. */
+  def md5Long(c: Column): Column = md5LongHalf(c, 0)
+
+  /** The second 60-bit digest window (hex chars [17,31]) — the extra
+    * draw bits q_bootstrap_ci consumes; value-identical to the legacy
+    * `conv(substring(md5(c),17,15),16,10)` spelling. */
+  def md5LongHalf(c: Column, half: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(Md5Long60Expr(ColumnBridge.expression(c), half))
+      .cast(LongType)
+  }
 
   /** Seeded variant: h_i(s) = md5Long(s || '|' || i). */
   def md5LongSeeded(c: Column, seed: Column): Column =

@@ -117,7 +117,7 @@ object Profiling {
       .select(col("source"),
         concat_ws(" ", col("w"), col("w2"), col("w3")).as("gram"))
       .distinct()
-      .withColumn("h", expr(s"${md5LongSql("gram")} div 1048576").cast(LongType))
+      .withColumn("h", shiftrightunsigned(md5Long(col("gram")), 20))
     val w = Window.partitionBy("source").orderBy(col("h"), col("gram"))
     val kth = grams
       .withColumn("rn", row_number().over(w))
@@ -135,11 +135,6 @@ object Profiling {
         col("n_est"), col("err_permille"))
       .orderBy("source")
   }
-
-  /** Inline DuckDB-compatible md5Long spelling for SQL-expression
-    * contexts (the Column form lives in [[graft.functions.Exprs]]). */
-  private def md5LongSql(c: String): String =
-    s"cast(conv(substring(md5($c), 1, 15), 16, 10) as bigint)"
 
   /** q_bigram_ttr — corpus diversity at the bigram level: per source,
     * total word bigrams vs distinct word bigrams and the type-token
@@ -348,7 +343,7 @@ object Profiling {
       .select(col("source"),
         concat_ws(" ", col("w"), col("w2"), col("w3")).as("gram"))
       .distinct()
-      .withColumn("h", expr(s"${md5LongSql("gram")} div 1048576").cast(LongType))
+      .withColumn("h", shiftrightunsigned(md5Long(col("gram")), 20))
     val regs = grams
       .withColumn("j", (col("h") % 64).cast(LongType))
       .withColumn("v", expr("h div 64").cast(LongType))
@@ -391,7 +386,11 @@ object Profiling {
     * rows — ONE table read for all profiled keys — then a 96-group
     * hash aggregate; the Gini windows run over 32-row frames. */
   val qKeySkew: Q = (s, d) => {
+    // no spread here: with the native md5Long the whole profile is
+    // ~0.7 CPU-s at sf0.1 — the fan-out exchange costs more wall than
+    // the single-row-group scan serializes (isolated A/B, r16)
     val kv = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
       .select(explode(map(
         lit("l_orderkey"), col("l_orderkey").cast("string"),
         lit("l_partkey"), col("l_partkey").cast("string"),
@@ -715,7 +714,7 @@ object Profiling {
       .select(col("source"), explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .distinct()
-      .withColumn("h", expr(s"${md5LongSql("word")} div 1048576").cast(LongType))
+      .withColumn("h", shiftrightunsigned(md5Long(col("word")), 20))
       .localCheckpoint()
     val w = Window.partitionBy("source").orderBy(col("h"), col("word"))
     val mins = sv

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.Tables
-import graft.functions.Exprs.{dec2, intScaled, md5Long, nanosToSec}
+import graft.functions.Exprs.{dec2, intScaled, md5Long, md5LongHalf, nanosToSec}
 
 /** Event-sequence mining over the status/event stream.
   *
@@ -245,12 +245,12 @@ object Sequences {
       .agg(count(lit(1)).as("n_rows"),
         expr("sum(v_cents) div count(1)").cast(LongType).as("mean_cents"))
     // draw b = 8j + i comes from md5 #j: long m = 2j + i/4 (hex chars
-    // [1,15] then [17,31]), 15-bit field i%4 of that long
+    // [1,15] then [17,31], the two Md5Long60 halves — native digest
+    // reads, no hex/conv round-trip; r16), 15-bit field i%4 of that long
     val longs = (0 until 16).map { m =>
       val j = m / 2
-      val start = 1 + (m % 2) * 16
-      conv(substring(md5(concat(col("event_id").cast("string"),
-        lit(s"|boot|$j"))), start, 15), 16, 10).cast(LongType).as(s"L$m")
+      md5LongHalf(concat(col("event_id").cast("string"),
+        lit(s"|boot|$j")), m % 2).as(s"L$m")
     }
     val draws = (0 until 64).map { b =>
       val i = b % 8
