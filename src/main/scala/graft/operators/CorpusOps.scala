@@ -83,7 +83,10 @@ object CorpusOps {
       .filter(col("text").isNotNull)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
-    val uni = words.groupBy("w").agg(count(lit(1)).as("n_w"))
+    // the unigram model rolls up from the memoized per-source spine
+    // (vocabulary-sized input — r16); the eval stream stays per-doc
+    val uni = TextStats.sourceWordCounts(s, d)
+      .groupBy("w").agg(sum("c").cast(LongType).as("n_w"))
     val total = uni.agg(sum("n_w").as("n_total"))
     val scored = uni.crossJoin(broadcast(total))
       .select(col("w"),
@@ -480,11 +483,14 @@ object CorpusOps {
           slice(ws, lit(2), size(ws) - 1).as("b"))).as("p"))
       .select(col("doc_id"), col("p.a").as("w1"), col("p.b").as("w2"))
       .filter(length(col("w1")) > 0 && length(col("w2")) > 0)
-    val words = docs
-      .select(explode(ws).as("w")).filter(length(col("w")) > 0)
-    val uni = words.groupBy(col("w").as("w1")).agg(count(lit(1)).as("c1"))
+    // model tables roll up from the memoized per-source spines (r16):
+    // summing the (source, …) counts over source is the same corpus
+    // count, and the rollup input is vocabulary-sized, not corpus-sized
+    val uni = TextStats.sourceWordCounts(s, d)
+      .groupBy(col("w").as("w1")).agg(sum("c").cast(LongType).as("c1"))
     val vocab = uni.agg(count(lit(1)).as("v"))
-    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val big = TextStats.sourceBigramCounts(s, d)
+      .groupBy("w1", "w2").agg(sum("cb").cast(LongType).as("c12"))
     val scoredPairs = big
       .join(uni, "w1")
       .crossJoin(broadcast(vocab))
@@ -522,7 +528,9 @@ object CorpusOps {
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
-    val uni = words.groupBy("w").agg(count(lit(1)).as("n_w"))
+    // model side rides the memoized spine rollup (r16)
+    val uni = TextStats.sourceWordCounts(s, d)
+      .groupBy("w").agg(sum("c").cast(LongType).as("n_w"))
     val total = uni.agg(sum("n_w").as("n_total"))
     val scored = uni.crossJoin(broadcast(total))
       .select(col("w"),
@@ -644,24 +652,12 @@ object CorpusOps {
     * per-source token totals and the source list ride forced
     * broadcasts. */
   val qCrossdomainPpl: Q = (s, d) => {
-    val docs = Tables.spread(Tables.documents(s, d))
-      .filter(col("text").isNotNull)
-    val ws = split(col("text"), " ")
-    val uni = docs.select(col("source"), explode(ws).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy("source", "w").agg(count(lit(1)).as("c"))
-      .localCheckpoint() // three consumers: c1, c2, totals
+    // both count tables come from the memoized TextStats spines (r16):
+    // uni feeds c1, c2 and the totals; big feeds both sides of the
+    // eval × train grid
+    val uni = TextStats.sourceWordCounts(s, d)
     val nTot = uni.groupBy("source").agg(sum("c").cast(LongType).as("n_t"))
-    val big = docs
-      .filter(size(ws) >= 2)
-      .select(col("source"),
-        explode(arrays_zip(
-          slice(ws, lit(1), size(ws) - 1).as("a"),
-          slice(ws, lit(2), size(ws) - 1).as("b"))).as("p"))
-      .filter(length(col("p.a")) > 0 && length(col("p.b")) > 0)
-      .groupBy(col("source"), col("p.a").as("w1"), col("p.b").as("w2"))
-      .agg(count(lit(1)).as("cb"))
-      .localCheckpoint() // both sides of the eval × train grid
+    val big = TextStats.sourceBigramCounts(s, d)
     val srcs = nTot.select(col("source").as("st"))
     big.withColumnRenamed("source", "se")
       .crossJoin(broadcast(srcs))
@@ -831,10 +827,9 @@ object CorpusOps {
     * greedy step, not just the piece counts. */
   val qWordpiece: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val words = Tables.documents(s, d).filter(col("text").isNotNull)
-      .select(explode(split(col("text"), " ")).as("word"))
-      .filter(length(col("word")) > 0)
-      .groupBy("word").agg(count(lit(1)).as("n"))
+    // word-type counts roll up from the memoized spine (r16)
+    val words = TextStats.sourceWordCounts(s, d)
+      .groupBy(col("w").as("word")).agg(sum("c").cast(LongType).as("n"))
     // token-weighted gram counts from word TYPES: positions explode
     // once per type, weighted by the type's corpus count
     def grams(len: Int) = words
@@ -1208,10 +1203,9 @@ object CorpusOps {
     * lookup is a self-join of that tiny frame on r+1. Nothing after
     * the first shuffle is corpus-sized. */
   val qGoodTuring: Q = (s, d) => {
-    val freq = Tables.spread(Tables.documents(s, d).filter(col("text").isNotNull))
-      .select(explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy("w").agg(count(lit(1)).as("r"))
+    // corpus word frequencies = the memoized spine summed over source
+    val freq = TextStats.sourceWordCounts(s, d)
+      .groupBy("w").agg(sum("c").cast(LongType).as("r"))
     val coc = freq.groupBy("r").agg(count(lit(1)).as("n_r"))
     val nxt = coc.select((col("r") - 1).as("r"), col("n_r").as("n_next"))
     coc.join(nxt, Seq("r"), "left")

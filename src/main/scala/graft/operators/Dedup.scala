@@ -587,7 +587,10 @@ object Dedup {
   private[operators] def ngramJaccardPairs(s: SparkSession, d: String): DataFrame =
     jaccardPairsMemo(s, d)(computeNgramJaccardPairs(s, d))
 
-  private def computeNgramJaccardPairs(s: SparkSession, d: String): DataFrame = {
+  /** test-visible (BroadcastRegimeSpec): the memoized query's own plan
+    * is a checkpoint read, so the join-regime pin must target the
+    * spine compute directly */
+  private[graft] def computeNgramJaccardPairs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), expr("n_chars div 100").as("blk"), col("text"))
     val g = documentGrams(docs).localCheckpoint()
@@ -837,9 +840,10 @@ object Dedup {
     * type web vocabulary the naive join is impossible and this shape
     * is the standard one. */
   val qEditNeardup: Q = (s, d) => {
-    val vocab = Tables.spread(Tables.documents(s, d).filter(col("text").isNotNull))
-      .select(explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) > 0).distinct().localCheckpoint()
+    // the vocabulary = the memoized word-count spine's distinct keys
+    // (vocabulary-sized dedup instead of a corpus explode — r16)
+    val vocab = TextStats.sourceWordCounts(s, d)
+      .select("w").distinct().localCheckpoint()
     val variants = vocab
       .select(col("w"), explode(sequence(lit(0), length(col("w")))).as("i"))
       .select(col("w"),

@@ -40,10 +40,10 @@ object IndexStats {
     * losslessness proof. Total-token count broadcasts as a scalar
     * row. */
   val qCoverageCurve: Q = (s, d) => {
-    val counts = Tables.spread(Tables.documents(s, d).filter(col("text").isNotNull))
-      .select(explode(split(col("text"), " ")).as("word"))
-      .filter(length(col("word")) > 0)
-      .groupBy("word").agg(count(lit(1)).as("n"))
+    // corpus type counts roll up from the memoized TextStats spine
+    // (r16); still checkpointed — it feeds the total AND the prune
+    val counts = TextStats.sourceWordCounts(s, d)
+      .groupBy(col("w").as("word")).agg(sum("c").cast(LongType).as("n"))
       .localCheckpoint()
     val total = counts.agg(sum("n").as("n_total"))
     val wLocal = Window.partitionBy("b").orderBy(col("n").desc, col("word"))

@@ -98,11 +98,10 @@ object Pretrain {
     * the pair aggregate is |S|²-cell tiny. Per-source sizes broadcast
     * back onto the pair table. */
   val qVocabOverlap: Q = (s, d) => {
-    val sv = Tables.spread(Tables.documents(s, d).filter(col("text").isNotNull))
-      .select(col("source"), explode(split(col("text"), " ")).as("word"))
-      .filter(length(col("word")) > 0)
-      .distinct()
-      .localCheckpoint()
+    // the memoized (source, w, c) spine's keys ARE the vocabulary —
+    // distinct and checkpoint come for free (r16)
+    val sv = TextStats.sourceWordCounts(s, d)
+      .select(col("source"), col("w").as("word"))
     val sizes = sv.groupBy("source").agg(count(lit(1)).as("n"))
     val inter = sv.as("a")
       .join(sv.as("b"), col("a.word") === col("b.word")
@@ -145,11 +144,8 @@ object Pretrain {
   val qDomainMixRound: Q = (s, d) => {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val dec = DecimalType(38, 0)
-    val words = Tables.documents(s, d).filter(col("text").isNotNull)
-      .select(col("source"), explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) > 0)
-    val sw = words.groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
-      .localCheckpoint() // feeds the vocab rollup AND the join back
+    // the vocab rollup AND the join back read the memoized spine (r16)
+    val sw = TextStats.sourceWordCounts(s, d).withColumnRenamed("c", "c_sw")
     val cw = sw.groupBy("w").agg(sum("c_sw").as("c_w"))
     val tot = cw.agg(sum("c_w").as("n_tot"))
     val sMic = cw.crossJoin(broadcast(tot))

@@ -710,12 +710,11 @@ object Profiling {
     * spine broadcasts. */
   val qKmvIntersect: Q = (s, d) => {
     val k = 32
-    val sv = Tables.spread(Tables.documents(s, d).filter(col("text").isNotNull))
-      .select(col("source"), explode(split(col("text"), " ")).as("word"))
-      .filter(length(col("word")) > 0)
-      .distinct()
+    // the distinct (source, word) set IS the memoized spine's key set
+    // (r16); the hash is a cheap native map over vocabulary-sized rows
+    val sv = TextStats.sourceWordCounts(s, d)
+      .select(col("source"), col("w").as("word"))
       .withColumn("h", shiftrightunsigned(md5Long(col("word")), 20))
-      .localCheckpoint()
     val w = Window.partitionBy("source").orderBy(col("h"), col("word"))
     val mins = sv
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)

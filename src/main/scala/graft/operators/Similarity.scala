@@ -603,6 +603,20 @@ object Similarity {
       .select(col("vec_id"), (col("i0") + 1).as("i"),
         (col("x") * lit(100000000L)).cast(LongType).as("u"))
 
+  /** The corpus as exploded (vec_id, i, u) unscaled-long rows,
+    * memoized per (session, dir) like the other derived spines (r16).
+    * Four queries ([[qPqTopk]], [[qPqRecall]] — which also calls
+    * qPqTopk, so it used to pay the explode TWICE — [[qPqTrain]],
+    * [[qSpectralPower]]) each re-ran the decVec explode and privately
+    * checkpointed the result. Narrow rows (3 longs × 64/doc), one
+    * corpus read per session. */
+  private val unscaledMemo = new graft.Memo("similarity-unscaled-rows")
+
+  private def unscaledTable(s: SparkSession, d: String): DataFrame =
+    unscaledMemo(s, d) {
+      unscaledRows(Tables.spread(Tables.embeddings(s, d)))
+    }
+
   /** Product quantization (PQ, Jégou et al. 2011) through the oracle —
     * the ANN MEMORY-scale path: 64 dims × 4 B of float become M=4
     * one-byte codes (one centroid id per 16-dim subspace), a 64×
@@ -620,9 +634,9 @@ object Similarity {
     * the ADC join broadcasts a 96-row LUT; the only corpus-keyed
     * shuffles are on vec_id (high-cardinality, parallel). */
   val qPqTopk: Q = (s, d) => {
-    // one explode pass feeds the codebook, the corpus encode, and the
-    // query LUT (the qIvfTopk materialize-once pattern)
-    val el = unscaledRows(Tables.spread(Tables.embeddings(s, d))).localCheckpoint()
+    // one memoized explode pass feeds the codebook, the corpus encode,
+    // and the query LUT (shared with recall/train/spectral — r16)
+    val el = unscaledTable(s, d)
     val cb = el.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("i"), col("u").as("cu"))
     // exact subspace distances side → (vec_id, sub, cid, d2)
@@ -655,7 +669,7 @@ object Similarity {
     * side is brute force BY DESIGN (it is the truth, not the index);
     * the query side (192 rows) broadcasts against the corpus rows. */
   val qPqRecall: Q = (s, d) => {
-    val el = unscaledRows(Tables.spread(Tables.embeddings(s, d))).localCheckpoint()
+    val el = unscaledTable(s, d)
     val q = el.filter(col("vec_id") < 3)
       .select(col("vec_id").as("qid"), col("i"), col("u").as("uq"))
     val truth = el.select(col("vec_id").as("nid"), col("i"), col("u").as("un"))
@@ -956,7 +970,7 @@ object Similarity {
     * are K·M·8 = 512 BOUNDED BY CONSTRUCTION (broadcast is correct at
     * any corpus size), and both aggregates collapse map-side. */
   val qPqTrain: Q = (s, d) => {
-    val rows = unscaledRows(Tables.spread(Tables.embeddings(s, d)))
+    val rows = unscaledTable(s, d)
       .select(col("vec_id"), expr("(i - 1) div 8").as("m"),
         expr("(i - 1) % 8").as("sd"), col("u"))
     val cents = rows.filter(col("vec_id") < 8)
@@ -1062,8 +1076,7 @@ object Similarity {
     * scalar broadcast — two corpus passes, nothing wider than
     * (vec_id, dim) ever shuffles. */
   val qSpectralPower: Q = (s, d) => {
-    val rows = unscaledRows(Tables.spread(Tables.embeddings(s, d)))
-      .localCheckpoint()
+    val rows = unscaledTable(s, d)
     val sums = rows.groupBy("vec_id")
       .agg(sum("u").as("sv"),
         sum(expr("CAST(u AS DECIMAL(38,0)) * u")).as("uu"))
@@ -1402,17 +1415,23 @@ object Similarity {
     * co-partitioned on the shared pair key. */
   val qJlDistortion: Q = (s, d) => {
     import graft.functions.Exprs.md5Long
-    val comps = Tables.embeddings(s, d)
-      .filter(col("embedding").isNotNull && size(col("embedding")) === 64)
-      .select(col("vec_id"), posexplode(decVec(col("embedding"))).as(Seq("i0", "x")))
-      .select(col("vec_id"), (col("i0") + 1).as("j"),
-        (col("x") * lit(100000000L)).cast(LongType).as("u"))
+    // the exploded component frame is the memoized [[unscaledTable]]
+    // spine (r16) — this query used to rebuild it privately
+    val comps = unscaledTable(s, d)
+      .select(col("vec_id"), col("i").as("j"), col("u"))
+    // the ±1 sign matrix has 16·64 = 1024 entries: build it ONCE and
+    // broadcast-join the fan-out instead of re-hashing md5 per
+    // (corpus row × dim × k) — same s(k,j) values, 1024 hashes total
+    // (r16, guide §4: hoist per-row work that is constant per key)
+    val signs = broadcast(
+      s.range(0, 16).select(col("id").as("k"))
+        .crossJoin(s.range(1, 65).select(col("id").as("j")))
+        .withColumn("s",
+          when(pmod(md5Long(concat(lit("jl|"), col("k").cast("string"),
+            lit("|"), col("j").cast("string"))), lit(2L)) === 0, 1L)
+            .otherwise(-1L)))
     val proj = comps
-      .select(col("vec_id"), col("j"), col("u"),
-        explode(sequence(lit(0), lit(15))).as("k"))
-      .withColumn("s",
-        when(pmod(md5Long(concat(lit("jl|"), col("k").cast("string"),
-          lit("|"), col("j").cast("string"))), lit(2L)) === 0, 1L).otherwise(-1L))
+      .join(signs, Seq("j"))
       .groupBy(col("vec_id"), col("k"))
       .agg(sum(col("s") * col("u")).cast(LongType).as("y"))
     def pairHalf(df: DataFrame, even: Boolean, out: String): DataFrame = {

@@ -21,6 +21,49 @@ object TextStats {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** The per-source word-count table (source, w, c) — the shared
+    * model spine of the distribution-divergence / LM family, memoized
+    * per (session, dir) like the dedup/retrieval spines (r16). Six-plus
+    * queries (qCondEntropy, qSourceKl, qJsDivergence, qBurrowsDelta,
+    * Pretrain.qDomainMixRound, CorpusOps.qCrossdomainPpl, qVocabOverlap
+    * via distinct, and the corpus-level rollups in qBigramPpl) each
+    * re-ran the identical corpus word explode + count. The entry is
+    * VOCABULARY-sized (|sources|·|vocab| rows), never corpus-sized —
+    * the memo design rule. Tokenization contract: whitespace split,
+    * empty tokens dropped, null texts contribute nothing. */
+  private val sourceWordCountsMemo = new graft.Memo("text-source-word-counts")
+
+  private[operators] def sourceWordCounts(s: SparkSession, d: String): DataFrame =
+    sourceWordCountsMemo(s, d) {
+      Tables.spread(Tables.documents(s, d).filter(col("text").isNotNull))
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    }
+
+  /** The per-source adjacent-bigram count table (source, w1, w2, cb),
+    * same memo treatment — shared by qCondEntropy,
+    * CorpusOps.qCrossdomainPpl, and the corpus-level bigram-model
+    * rollup in CorpusOps.qBigramPpl. Pairs are (w[i], w[i+1]) with
+    * both sides non-empty — the slice/arrays_zip spelling every
+    * consumer used verbatim. */
+  private val sourceBigramCountsMemo = new graft.Memo("text-source-bigram-counts")
+
+  private[operators] def sourceBigramCounts(s: SparkSession, d: String): DataFrame =
+    sourceBigramCountsMemo(s, d) {
+      val docs = Tables.spread(Tables.documents(s, d).filter(col("text").isNotNull))
+      val ws = split(col("text"), " ")
+      docs
+        .filter(size(ws) >= 2)
+        .select(col("source"),
+          explode(arrays_zip(
+            slice(ws, lit(1), size(ws) - 1).as("a"),
+            slice(ws, lit(2), size(ws) - 1).as("b"))).as("p"))
+        .filter(length(col("p.a")) > 0 && length(col("p.b")) > 0)
+        .groupBy(col("source"), col("p.a").as("w1"), col("p.b").as("w2"))
+        .agg(count(lit(1)).as("cb"))
+    }
+
   /** Occurrences of `word` as a whitespace-delimited token: pad the text
     * with spaces, delete every " word " occurrence, divide the length
     * delta. Non-overlapping left-to-right replace matches DuckDB's. */
@@ -512,11 +555,8 @@ object TextStats {
     * unigram leg reuses the standard word explode; final rollup is
     * |sources|-group. Nothing wider than (source, bigram) shuffles. */
   val qCondEntropy: Q = (s, d) => {
-    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
-    val words = docs
-      .select(col("source"), explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) > 0)
-    val uni = words.groupBy("source", "w").agg(count(lit(1)).as("c"))
+    // both count tables come from the memoized spines (r16)
+    val uni = sourceWordCounts(s, d)
     val uniTot = uni.groupBy("source").agg(sum("c").as("n_s"))
     val hUni = uni.join(broadcast(uniTot), "source")
       .select(col("source"),
@@ -524,13 +564,7 @@ object TextStats {
           log2(col("n_s").cast(DoubleType) / col("c"))).cast(LongType)
           .as("term"))
       .groupBy("source").agg(sum("term").as("h_uni_micro"))
-    val pairs = docs
-      .withColumn("ws", split(col("text"), " "))
-      .withColumn("tl", slice(col("ws"), lit(2), greatest(size(col("ws")) - 1, lit(0))))
-      .select(col("source"), explode(arrays_zip(col("ws"), col("tl"))).as("p"))
-      .select(col("source"), col("p.ws").as("w1"), col("p.tl").as("w2"))
-      .filter(col("w2").isNotNull && length(col("w1")) > 0 && length(col("w2")) > 0)
-      .groupBy("source", "w1", "w2").agg(count(lit(1)).as("c12"))
+    val pairs = sourceBigramCounts(s, d).withColumnRenamed("cb", "c12")
     val c1 = pairs.groupBy("source", "w1").agg(sum("c12").as("c1"))
     val bigTot = pairs.groupBy("source").agg(sum("c12").as("n_b"))
     val hCond = pairs.join(c1, Seq("source", "w1"))
@@ -547,11 +581,7 @@ object TextStats {
   }
 
   val qSourceKl: Q = (s, d) => {
-    val words = Tables.documents(s, d)
-      .filter(col("text").isNotNull)
-      .select(col("source"), explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) > 0)
-    val sw = words.groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
+    val sw = sourceWordCounts(s, d).withColumnRenamed("c", "c_sw")
     val srcTot = sw.groupBy("source").agg(sum("c_sw").as("n_s"))
     val cw = sw.groupBy("w").agg(sum("c_sw").as("c_w"))
     val tot = cw.agg(sum("c_w").as("n_tot"))
@@ -698,10 +728,10 @@ object TextStats {
     * regression run over ≤32 rows. */
   val qZipfSlope: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val freq = Tables.spread(Tables.documents(s, d).filter(col("text").isNotNull))
-      .select(explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy("w").agg(count(lit(1)).as("freq"))
+    // corpus type counts = the memoized (source, w, c) spine summed
+    // over source (r16); top-32 still plans as TakeOrdered
+    val freq = sourceWordCounts(s, d)
+      .groupBy("w").agg(sum("c").cast(LongType).as("freq"))
       .orderBy(col("freq").desc, col("w")).limit(32)
     freq
       .withColumn("rank",
@@ -1033,16 +1063,10 @@ object TextStats {
     * shuffle is the partial-aggregated (w1, w2) count, and the top-20
     * plans as TakeOrdered, never a global sort. */
   val qWordBigrams: Q = (s, d) => {
-    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
-    val pairs = docs
-      .withColumn("ws", split(col("text"), " "))
-      .withColumn("tl", slice(col("ws"), lit(2), greatest(size(col("ws")) - 1, lit(0))))
-      // arrays_zip pads the shorter side with null: the final (w_n,
-      // null) struct drops in the null filter below
-      .select(explode(arrays_zip(col("ws"), col("tl"))).as("p"))
-      .select(col("p.ws").as("w1"), col("p.tl").as("w2"))
-      .filter(col("w2").isNotNull && length(col("w1")) > 0 && length(col("w2")) > 0)
-    pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+    // corpus pair counts = the memoized per-source bigram spine summed
+    // over source (vocabulary-sized rollup, not a corpus explode — r16)
+    sourceBigramCounts(s, d)
+      .groupBy("w1", "w2").agg(sum("cb").cast(LongType).as("n"))
       .orderBy(col("n").desc, col("w1"), col("w2"))
       .limit(20)
   }
@@ -1080,19 +1104,13 @@ object TextStats {
     * monotone transform so the ranking is identical). Min support
     * n_xy ≥ 5 kills the one-off-pair noise PMI is notorious for. */
   val qPmiBigrams: Q = (s, d) => {
-    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
-    val words = docs
-      .select(explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) > 0)
-    val uni = words.groupBy("w").agg(count(lit(1)).as("n_w"))
-    val total = words.agg(count(lit(1)).as("n_total"))
-    val pairs = docs
-      .withColumn("ws", split(col("text"), " "))
-      .withColumn("tl", slice(col("ws"), lit(2), greatest(size(col("ws")) - 1, lit(0))))
-      .select(explode(arrays_zip(col("ws"), col("tl"))).as("p"))
-      .select(col("p.ws").as("w1"), col("p.tl").as("w2"))
-      .filter(col("w2").isNotNull && length(col("w1")) > 0 && length(col("w2")) > 0)
-      .groupBy("w1", "w2").agg(count(lit(1)).as("n_xy"))
+    // unigram counts, the token total, and the pair counts all roll up
+    // from the memoized spines (vocabulary-sized inputs — r16)
+    val swc = sourceWordCounts(s, d)
+    val uni = swc.groupBy("w").agg(sum("c").cast(LongType).as("n_w"))
+    val total = swc.agg(sum("c").cast(LongType).as("n_total"))
+    val pairs = sourceBigramCounts(s, d)
+      .groupBy("w1", "w2").agg(sum("cb").cast(LongType).as("n_xy"))
       .filter(col("n_xy") >= 5)
     pairs
       .join(uni.select(col("w").as("w1"), col("n_w").as("n_x")), Seq("w1"))
@@ -1415,11 +1433,9 @@ object TextStats {
     * bounded source count; everything after the word-count scan is
     * vocabulary-sized, never corpus-sized. */
   val qJsDivergence: Q = (s, d) => {
-    val words = Tables.documents(s, d).filter(col("text").isNotNull)
-      .select(col("source"), explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) > 0)
-    val uni = words.groupBy("source", "w").agg(count(lit(1)).as("c"))
-      .localCheckpoint() // feeds totals and both melt legs
+    // the memoized spine is already checkpointed — totals and both
+    // melt legs read persisted blocks (r16)
+    val uni = sourceWordCounts(s, d)
     val tot = uni.groupBy("source").agg(sum("c").cast(LongType).as("n"))
     // bounded pair frame: broadcast per the r12 rule
     val pairs = tot.select(col("source").as("sa"), col("n").as("na"))
@@ -1539,12 +1555,8 @@ object TextStats {
     * 20·|sources|² rows, bounded by the source census. */
   val qBurrowsDelta: Q = (s, d) => {
     val dec = DecimalType(38, 0)
-    val words = Tables.documents(s, d)
-      .filter(col("text").isNotNull)
-      .select(col("source"), explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) > 0)
-    val sw = words.groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
-      .localCheckpoint() // feeds totals, the top-20 rollup, and the grid
+    // totals, the top-20 rollup, and the grid read the memoized spine
+    val sw = sourceWordCounts(s, d).withColumnRenamed("c", "c_sw")
     val srcTot = sw.groupBy("source").agg(sum("c_sw").as("n_s"))
     val top20 = sw.groupBy("w").agg(sum("c_sw").as("c_w"))
       .orderBy(col("c_w").desc, col("w")).limit(20).select("w")

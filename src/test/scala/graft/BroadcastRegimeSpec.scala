@@ -30,15 +30,17 @@ class BroadcastRegimeSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   // query -> forced-broadcast equi-joins that remain when thresholds
-  // are -1 (all provably bounded frames; see scaladoc)
+  // are -1 (all provably bounded frames; see scaladoc).
+  // q_ngram_jaccard's verify pipeline moved into the memoized pair
+  // spine (r16) — its own plan is a checkpoint read now, so the
+  // regime pin targets the spine COMPUTE via the test-visible
+  // accessor below (same joins, same intent).
   private val allowedForced = Map(
-    "q_ngram_jaccard" -> 0,
     "q_minhash_estimate" -> 0,
     "q_lsh_precision" -> 0,
     "q_retrieval_eval" -> 2)
 
-  private def runOne(name: String): (Int, Int, Seq[String]) = {
-    val df = SparkEntry.queries(name)(spark, sf)
+  private def planCounts(df: org.apache.spark.sql.DataFrame): (Int, Int, Seq[String]) = {
     val rows = df.collect().map(_.toString).toSeq
     val plan = df.queryExecution.executedPlan.toString
     spark.catalog.clearCache()
@@ -46,16 +48,22 @@ class BroadcastRegimeSpec extends SparkSpec {
       "SortMergeJoin".r.findAllIn(plan).length, rows)
   }
 
+  private def runOne(name: String): (Int, Int, Seq[String]) =
+    planCounts(SparkEntry.queries(name)(spark, sf))
+
+  private def runJaccardSpine(): (Int, Int, Seq[String]) =
+    planCounts(graft.operators.Dedup.computeNgramJaccardPairs(spark, sf))
+
   test("near-dup + retrieval-eval joins: runtime-sized, not forced; rows identical") {
     val conf = spark.conf
     val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
       "spark.sql.adaptive.autoBroadcastJoinThreshold")
     val saved = keys.map(k => k -> conf.getOption(k)).toMap
 
-    val noBcast =
+    val (noBcast, spineNoBcast) =
       try {
         keys.foreach(conf.set(_, "-1"))
-        allowedForced.keys.map(n => n -> runOne(n)).toMap
+        (allowedForced.keys.map(n => n -> runOne(n)).toMap, runJaccardSpine())
       } finally saved.foreach {
         case (k, Some(v)) => conf.set(k, v)
         case (k, None)    => conf.unset(k)
@@ -68,6 +76,11 @@ class BroadcastRegimeSpec extends SparkSpec {
           s"(allowed bounded: $allowed) — an unbounded frame is hinted again")
       assert(smj > 0, s"$name: expected shuffled fallback joins in the plan")
     }
+    assert(spineNoBcast._1 == 0,
+      s"jaccard spine: ${spineNoBcast._1} forced broadcast equi-joins " +
+        "with thresholds=-1 — an unbounded frame is hinted again")
+    assert(spineNoBcast._2 > 0,
+      "jaccard spine: expected shuffled fallback joins in the plan")
 
     allowedForced.keys.foreach { name =>
       val (bhj, _, rows) = runOne(name)
@@ -76,5 +89,10 @@ class BroadcastRegimeSpec extends SparkSpec {
       assert(rows == noBcast(name)._3,
         s"$name: join strategy must not change the result")
     }
+    val spineDefault = runJaccardSpine()
+    assert(spineDefault._1 > 0,
+      "jaccard spine: AQE should broadcast the small frames at default thresholds")
+    assert(spineDefault._3 == spineNoBcast._3,
+      "jaccard spine: join strategy must not change the result")
   }
 }
