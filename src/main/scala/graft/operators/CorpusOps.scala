@@ -369,16 +369,27 @@ object CorpusOps {
       Tables.documents(s, d)
         .filter(col("text").isNotNull)
         .select(col("doc_id"), ws.as("ws")))
-    val wordRows = base
+    // grams assemble scan-side from zipped slices of the materialized
+    // word array — novelty needs no positions, so the doc-keyed
+    // sort+window exchange the lead() form paid is gone outright
+    // (r16, guide §2.4). The gram key is the 60-bit native hash, not
+    // the 32-char md5 hex: 8 bytes cross the gram shuffle instead of
+    // ~40, and first-doc/novelty COUNTS are hash-family-independent
+    // as long as the hash is injective on the corpus's grams (the X4
+    // xxhash64 precedent — ~2^-21 collision odds corpus-wide at sf0.1,
+    // deterministic, and the oracle hash gate would catch the
+    // astronomically unlucky corpus rather than flake).
+    val n = size(col("ws"))
+    val grams = base
       .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "word")))
-    val byPos = Window.partitionBy("doc_id").orderBy("pos")
-    val grams = wordRows
-      .withColumn("w1", lead("word", 1).over(byPos))
-      .withColumn("w2", lead("word", 2).over(byPos))
-      .filter(col("w2").isNotNull)
       .select(col("doc_id"),
-        md5(concat_ws(" ", col("word"), col("w1"), col("w2"))).as("h"))
+        explode(arrays_zip(
+          slice(col("ws"), lit(1), n - 2).as("a"),
+          slice(col("ws"), lit(2), n - 2).as("b"),
+          slice(col("ws"), lit(3), n - 2).as("c"))).as("p"))
+      .select(col("doc_id"),
+        graft.functions.Exprs.md5Long(
+          concat_ws(" ", col("p.a"), col("p.b"), col("p.c"))).as("h"))
       .distinct()
     val agg = grams
       .withColumn("first_doc", min("doc_id").over(Window.partitionBy("h")))

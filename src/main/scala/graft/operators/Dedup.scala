@@ -524,11 +524,23 @@ object Dedup {
     sig.select(col("doc_id"), simhash.as("simhash"))
   }
 
+  /** The full-corpus simhash signature frame, memoized per
+    * (session, dir) like the minhash signature spine (r16): three
+    * queries (qDedupSimhash, qSimhashNeardup, qSimhashSweep — and
+    * qHybridNeardup through the first two) each re-ran the word
+    * explode + 32-bit-sum aggregation privately. One long per doc —
+    * doc-count-sized, never corpus-token-sized. */
+  private val simhashSigMemo = new Memo("dedup-simhash-signatures")
+
+  private[operators] def simhashSignatureTable(s: SparkSession, d: String): DataFrame =
+    simhashSigMemo(s, d) {
+      simhashSignatures(Tables.documents(s, d).select("doc_id", "text"))
+    }
+
   /** SimHash signature report: the sorted projection of
     * [[simhashSignatures]]. */
   val qDedupSimhash: Q = (s, d) =>
-    simhashSignatures(Tables.documents(s, d).select("doc_id", "text"))
-      .orderBy("doc_id")
+    simhashSignatureTable(s, d).orderBy("doc_id")
 
   /** Distinct char-8-gram (stride 4) keys per document, unsorted — the
     * shared input of the Jaccard join. The key is xxhash64 of the gram:
@@ -756,11 +768,10 @@ object Dedup {
     * chunk_value, doc_id) triples shuffle — two small ints per doc per
     * chunk. */
   val qSimhashNeardup: Q = (s, d) => {
-    // one signature computation, persisted (a doc_id + a long per doc);
-    // without this the word-explode aggregation runs once per chunk
-    // branch per join side — 4× the most expensive stage, plus sorts
-    val sig = simhashSignatures(Tables.documents(s, d).select("doc_id", "text"))
-      .localCheckpoint()
+    // one signature computation per SESSION (the memoized spine, r16);
+    // without persistence the word-explode aggregation would run once
+    // per chunk branch per join side — 4× the most expensive stage
+    val sig = simhashSignatureTable(s, d)
     val chunks = sig.select(col("doc_id"), col("simhash"), lit(0).as("ck"),
         (col("simhash") % 65536).as("cv"))
       .unionAll(sig.select(col("doc_id"), col("simhash"), lit(1).as("ck"),
@@ -799,8 +810,7 @@ object Dedup {
     * count/width grows with the Manku table layout (more pieces →
     * smaller buckets → tighter balls), same operator shape. */
   val qSimhashSweep: Q = (s, d) => {
-    val sig = simhashSignatures(Tables.documents(s, d).select("doc_id", "text"))
-      .localCheckpoint() // word-explode agg runs once, not per join side
+    val sig = simhashSignatureTable(s, d) // memoized spine (r16)
     val pieces = (0 until 4).map { k =>
       sig.select(col("doc_id"), col("simhash"), lit(k.toLong).as("ck"),
         expr(s"(simhash div ${1L << (8 * k)}) % 256").as("cv"))

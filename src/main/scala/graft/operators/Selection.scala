@@ -222,9 +222,17 @@ object Selection {
       .select(col("doc_id"), col("lang"),
         pmod(md5Long(concat(lit("dsir|"), col("p.a"), lit(" "), col("p.b"))),
           lit(64L)).as("f"))
+      // pre-aggregate to the per-doc 64-feature histogram and
+      // checkpoint it: the corpus bigram explode used to run TWICE
+      // (model pass + scoring pass), and per-bigram rows crossed the
+      // doc-keyed shuffle where ≤64 (doc, f, cnt) rows now do (r16,
+      // guide §2.3/§2.4)
+      .groupBy("doc_id", "lang", "f").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val model = feats.groupBy("f").agg(
-      sum(when(col("lang") === "en", 1L).otherwise(0L)).cast(LongType).as("c_t"),
-      count(lit(1)).as("c_r"))
+      sum(when(col("lang") === "en", col("cnt")).otherwise(0L))
+        .cast(LongType).as("c_t"),
+      sum(col("cnt")).cast(LongType).as("c_r"))
     val totals = model.agg(sum("c_t").as("t_tot"), sum("c_r").as("r_tot"))
     val scored = model.crossJoin(broadcast(totals))
       .select(col("f"),
@@ -235,7 +243,8 @@ object Selection {
     feats
       .join(broadcast(scored), Seq("f"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_feats"), sum("term_milli").as("dsir_milli"))
+      .agg(sum(col("cnt")).cast(LongType).as("n_feats"),
+        sum(col("cnt") * col("term_milli")).as("dsir_milli"))
       .withColumn("sel",
         when(col("dsir_milli") >= 0, 1L).otherwise(0L).cast(LongType))
       .orderBy("doc_id")

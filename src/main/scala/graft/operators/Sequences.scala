@@ -861,10 +861,17 @@ object Sequences {
         sum("cents").cast(LongType).as("m_cents"))
       .localCheckpoint() // three rank passes + the rollup read it
     val n = users.count()
+    // each quartile pass ends in a localCheckpoint: chained directly,
+    // every globalRowNumber re-executed its predecessors' range
+    // exchange + offset join for its OWN range-boundary sample job and
+    // offsets broadcast — measured ~20 executor-CPU-s for a |users|-
+    // sized frame (isolated, r16); with the lineage cut per pass it is
+    // one execution each (guide §3.3 "materialise to truncate plans")
     def quartile(metric: String, out: String)(df: DataFrame): DataFrame =
       Ranking.globalRowNumber(df, Seq(col(metric), col("user_id")), "__rn")
         .withColumn(out, Ranking.ntileFromRn(col("__rn"), lit(n), 4))
         .drop("__rn")
+        .localCheckpoint()
     val scored = quartile("m_cents", "m_q")(
       quartile("f_cnt", "f_q")(quartile("r_day", "r_q")(users)))
     scored
