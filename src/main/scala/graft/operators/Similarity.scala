@@ -1419,21 +1419,35 @@ object Similarity {
     // spine (r16) — this query used to rebuild it privately
     val comps = unscaledTable(s, d)
       .select(col("vec_id"), col("i").as("j"), col("u"))
-    // the ±1 sign matrix has 16·64 = 1024 entries: build it ONCE and
-    // broadcast-join the fan-out instead of re-hashing md5 per
-    // (corpus row × dim × k) — same s(k,j) values, 1024 hashes total
-    // (r16, guide §4: hoist per-row work that is constant per key)
-    val signs = broadcast(
-      s.range(0, 16).select(col("id").as("k"))
-        .crossJoin(s.range(1, 65).select(col("id").as("j")))
-        .withColumn("s",
-          when(pmod(md5Long(concat(lit("jl|"), col("k").cast("string"),
-            lit("|"), col("j").cast("string"))), lit(2L)) === 0, 1L)
-            .otherwise(-1L)))
+    // the ±1 sign matrix has 16·64 = 1024 entries: compute it ONCE on
+    // the driver (same md5 bits via Md5Util — s(k,j) values identical
+    // to the per-row md5Long the explode form evaluated corpus×64×16
+    // times) and fold it in as ARRAY LITERALS, so the projection is
+    // one grouped pass with 16 map-side sums — no ×16 fan-out join,
+    // no per-row hash (r16, guide §4: hoist work that is constant per
+    // key; an intermediate broadcast-join form measured 4× the CPU of
+    // even the hash-per-row original — join-probe row copies cost
+    // more than the native digest).
+    val sgn: IndexedSeq[Array[Long]] = (0 until 16).map { k =>
+      (1 to 64).map { j =>
+        if (graft.functions.Md5Util.long60(
+          s"jl|$k|$j".getBytes(java.nio.charset.StandardCharsets.UTF_8)) % 2 == 0) 1L
+        else -1L
+      }.toArray
+    }
+    val ySums = (0 until 16).map { k =>
+      sum(col("u") * element_at(lit(sgn(k)), col("j").cast("int")))
+        .cast(LongType).as(s"y$k")
+    }
+    // checkpointed: BOTH parity halves of the d16 pair join read proj
     val proj = comps
-      .join(signs, Seq("j"))
-      .groupBy(col("vec_id"), col("k"))
-      .agg(sum(col("s") * col("u")).cast(LongType).as("y"))
+      .groupBy(col("vec_id"))
+      .agg(ySums.head, ySums.tail: _*)
+      .select(col("vec_id"),
+        posexplode(array((0 until 16).map(k => col(s"y$k")): _*))
+          .as(Seq("k0", "y")))
+      .select(col("vec_id"), col("k0").cast(LongType).as("k"), col("y"))
+      .localCheckpoint()
     def pairHalf(df: DataFrame, even: Boolean, out: String): DataFrame = {
       val f = if (even) pmod(col("vec_id"), lit(2)) === 0
               else pmod(col("vec_id"), lit(2)) === 1
