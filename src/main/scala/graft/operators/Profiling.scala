@@ -102,22 +102,36 @@ object Profiling {
     * is a per-source window over hash order (bounded by k after the
     * rank filter); at scale the window input can pre-prune with a
     * per-partition local bottom-k exactly like the top_k aggregate. */
+  /** The distinct (source, word-3-gram, h) set shared by the two
+    * cardinality-sketch auditors ([[qKmvCardinality]],
+    * [[qHllCardinality]]) — both built it verbatim, each paying the
+    * corpus gram explode + distinct privately. Memoized per
+    * (session, dir); grams assemble scan-side from zipped slices of
+    * the filtered word array (adjacent non-empty words — identical to
+    * the former lead() chain, minus its doc-keyed sort+window
+    * exchange). Gram-TYPE-sized, like the suffix/bigram spines (r16). */
+  private val trigramSetMemo = new graft.Memo("profiling-source-trigrams")
+
+  private def sourceTrigramSet(s: SparkSession, d: String): DataFrame =
+    trigramSetMemo(s, d) {
+      val fws = filter(split(col("text"), " "), w => length(w) > 0)
+      val n = size(col("ws"))
+      Tables.spread(Tables.documents(s, d).filter(col("text").isNotNull)
+          .select(col("source"), fws.as("ws")))
+        .filter(size(col("ws")) >= 3)
+        .select(col("source"),
+          explode(arrays_zip(
+            slice(col("ws"), lit(1), n - 2).as("a"),
+            slice(col("ws"), lit(2), n - 2).as("b"),
+            slice(col("ws"), lit(3), n - 2).as("c"))).as("p"))
+        .select(col("source"),
+          concat_ws(" ", col("p.a"), col("p.b"), col("p.c")).as("gram"))
+        .distinct()
+        .withColumn("h", shiftrightunsigned(md5Long(col("gram")), 20))
+    }
+
   val qKmvCardinality: Q = (s, d) => {
-    // grams from a lead-chain over exploded words (split once, one
-    // digest per gram — the X79/X81 rewrite rule for computed arrays)
-    val words = Tables.spread(Tables.documents(s, d).filter(col("text").isNotNull))
-      .select(col("source"), col("doc_id"),
-        posexplode(filter(split(col("text"), " "), w => length(w) > 0)))
-      .select(col("source"), col("doc_id"), col("pos"), col("col").as("w"))
-    val wd = Window.partitionBy("doc_id").orderBy("pos")
-    val grams = words
-      .withColumn("w2", lead(col("w"), 1).over(wd))
-      .withColumn("w3", lead(col("w"), 2).over(wd))
-      .filter(col("w3").isNotNull)
-      .select(col("source"),
-        concat_ws(" ", col("w"), col("w2"), col("w3")).as("gram"))
-      .distinct()
-      .withColumn("h", shiftrightunsigned(md5Long(col("gram")), 20))
+    val grams = sourceTrigramSet(s, d) // memoized spine (r16)
     val w = Window.partitionBy("source").orderBy(col("h"), col("gram"))
     val kth = grams
       .withColumn("rn", row_number().over(w))
@@ -147,15 +161,22 @@ object Profiling {
     * window (split once); totals and distincts aggregate per source in
     * one two-phase pass. */
   val qBigramTtr: Q = (s, d) => {
-    val words = Tables.spread(Tables.documents(s, d).filter(col("text").isNotNull))
-      .select(col("source"), col("doc_id"),
-        posexplode(filter(split(col("text"), " "), w => length(w) > 0)))
-      .select(col("source"), col("doc_id"), col("pos"), col("col").as("w"))
-    val wd = Window.partitionBy("doc_id").orderBy("pos")
-    words
-      .withColumn("w2", lead(col("w"), 1).over(wd))
-      .filter(col("w2").isNotNull)
-      .select(col("source"), concat(col("w"), lit(" "), col("w2")).as("bigram"))
+    // bigrams assemble scan-side from zipped slices of the filtered
+    // word array — same adjacent-non-empty pairing as the former
+    // lead() chain, minus its doc-keyed sort+window exchange (r16).
+    // (NOT the sourceBigramCounts spine: that one pairs RAW positions
+    // and drops empty-adjacent pairs; this operator pairs the
+    // filtered sequence — different multiset on double-spaced text.)
+    val fws = filter(split(col("text"), " "), w => length(w) > 0)
+    val n = size(col("ws"))
+    Tables.spread(Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(col("source"), fws.as("ws")))
+      .filter(size(col("ws")) >= 2)
+      .select(col("source"),
+        explode(arrays_zip(
+          slice(col("ws"), lit(1), n - 1).as("a"),
+          slice(col("ws"), lit(2), n - 1).as("b"))).as("p"))
+      .select(col("source"), concat(col("p.a"), lit(" "), col("p.b")).as("bigram"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_bigrams"),
         countDistinct(col("bigram")).as("n_distinct"))
@@ -331,19 +352,7 @@ object Profiling {
     * The exact side is corpus-priced and exists only to grade the
     * sketch. */
   val qHllCardinality: Q = (s, d) => {
-    val words = Tables.spread(Tables.documents(s, d).filter(col("text").isNotNull))
-      .select(col("source"), col("doc_id"),
-        posexplode(filter(split(col("text"), " "), w => length(w) > 0)))
-      .select(col("source"), col("doc_id"), col("pos"), col("col").as("w"))
-    val wd = Window.partitionBy("doc_id").orderBy("pos")
-    val grams = words
-      .withColumn("w2", lead(col("w"), 1).over(wd))
-      .withColumn("w3", lead(col("w"), 2).over(wd))
-      .filter(col("w3").isNotNull)
-      .select(col("source"),
-        concat_ws(" ", col("w"), col("w2"), col("w3")).as("gram"))
-      .distinct()
-      .withColumn("h", shiftrightunsigned(md5Long(col("gram")), 20))
+    val grams = sourceTrigramSet(s, d) // memoized spine (r16)
     val regs = grams
       .withColumn("j", (col("h") % 64).cast(LongType))
       .withColumn("v", expr("h div 64").cast(LongType))
