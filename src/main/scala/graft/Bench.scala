@@ -140,24 +140,27 @@ object Bench {
       // (PERF.md "codegen class cache" section).
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
-      // Scale-adaptive post-shuffle sizing (r16, guide §2.2): partition
-      // counts derive from DATA SIZE, not the core-count constant.
-      // parallelismFirst=true (the Spark default) floors AQE coalescing
-      // at defaultParallelism, so at local[32] a 10 KB shuffle still
-      // schedules 32 tasks — ~0.15 s of pure task overhead per stage,
-      // paid by every one of the ~200 sub-second queries' 3-8 stages.
-      // false is the setting Spark's own docs recommend for production
-      // clusters (respect advisoryPartitionSizeInBytes); the advisory
-      // size is deliberately SMALL (4 MB) so compute-dense medium
-      // shuffles (gram/decimal-dot aggregations, MBs at sf0.1) keep
-      // multi-task parallelism while metadata-sized shuffles collapse
-      // to one task. At 100 TB the same pair yields size-derived
-      // partition counts on every exchange — nothing here encodes the
-      // local core count. Env knobs are the A/B levers (PERF.md r16).
+      // AQE post-shuffle sizing knobs (r16). The defaults are Spark's
+      // own (parallelismFirst=true, 64m advisory) because the
+      // alternative was MEASURED AND REJECTED: parallelismFirst=false
+      // + a 4m advisory — the "respect the advisory size" production
+      // recipe — coalesced the post-shuffle side of compute-dense
+      // medium shuffles (gram explodes, per-doc windows: a few MB of
+      // compressed bytes carrying seconds of downstream CPU) onto a
+      // handful of tasks, and a 7-query isolated A/B measured walls
+      // 2-2.5× WORSE at equal-or-higher load (q_winnowing 1.21→2.96 s,
+      // q_ngram_containment 2.46→5.05 s, q_kruskal_wallis 0.81→2.11 s)
+      // for a modest CPU saving — bytes are the wrong proxy for work
+      // on these frames, and the parallelism floor is what keeps the
+      // cores fed. On a production cluster with genuinely small
+      // metadata shuffles the env knobs below flip the trade without
+      // a rebuild; at 100 TB every corpus exchange exceeds any
+      // advisory and AQE sizes them from data either way (PERF.md
+      // r16 records the A/B).
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"))
+        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"))
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION", "4m"))
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION", "64m"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
