@@ -521,9 +521,46 @@ object Bench {
     val memoBuilds = Memo.buildEvents().map(e =>
       f"""{"memo":"${e.memo}","thread":"${e.thread}","ms":${e.ms}%.1f,"won":${e.won}}""")
       .mkString("[", ",", "]")
+    // Per-FAMILY spine economics (VERDICT r16 #2): with once-per-JVM
+    // memos, a spine build lands in one pass of one query and the
+    // 5-pass median DISCARDS it — Σ of seq medians systematically
+    // undercounts the workload by Σ builds, and a rider's "14× win"
+    // is partly cost MOVED to a shared build. This block makes the
+    // honest number first-class: per memo family, the total build
+    // wall actually paid (won + lost races) and the Σ of its riders'
+    // steady-state medians, plus a query→memos map so round-over-
+    // round tables can separate "plan got faster" from "became a
+    // spine rider". Riders are attributed via thread names: Bench's
+    // query threads are "bench-seq:<query>#k" and Memo.readEvents
+    // strips the "#k", so a seq-pass read maps 1:1 to a query name.
+    val riderPrefix = "bench-seq:"
+    val memoRiders: Map[String, Seq[String]] = Memo.readEvents()
+      .collect { case (m, t) if t.startsWith(riderPrefix) =>
+        m -> t.stripPrefix(riderPrefix) }
+      .groupBy(_._1).map { case (m, xs) => m -> xs.map(_._2).distinct.sorted }
+    val buildSecByMemo: Map[String, Double] = Memo.buildEvents()
+      .groupBy(_.memo).map { case (m, es) => m -> es.map(_.ms).sum / 1e3 }
+    val memoFamilies = (memoRiders.keySet ++ buildSecByMemo.keySet).toSeq.sorted.map { m =>
+      val riders = memoRiders.getOrElse(m, Seq.empty)
+      val riderSum = seqResults.map(sr =>
+        riders.flatMap(sr.get).sum).getOrElse(0.0)
+      val rjs = riders.map("\"" + _ + "\"").mkString("[", ",", "]")
+      f""""$m":{"build_sec":${buildSecByMemo.getOrElse(m, 0.0)}%.3f,"riders":$rjs,"riders_sum_sec":$riderSum%.3f}"""
+    }.mkString("{", ",", "}")
+    val queriesMemos = memoRiders.toSeq.flatMap { case (m, qs) => qs.map(_ -> m) }
+      .groupBy(_._1).toSeq.sortBy(_._1).map { case (q, ms) =>
+        "\"" + q + "\":" + ms.map("\"" + _._2 + "\"").sorted.mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    // Effective session config (VERDICT r16 #1: both r16 cg closes
+    // predate the AQE revert and the artifact could not say which
+    // config they ran — never ambiguous again). Values read back from
+    // the LIVE session, not from the env defaults that fed it.
+    def conf(k: String): String = scala.util.Try(spark.conf.get(k)).getOrElse("unset")
+    val sessionConfig =
+      s"""{"master":"local[$cpus]","shuffle_partitions":"${conf("spark.sql.shuffle.partitions")}","aqe_enabled":"${conf("spark.sql.adaptive.enabled")}","aqe_parallelism_first":"${conf("spark.sql.adaptive.coalescePartitions.parallelismFirst")}","aqe_advisory_partition":"${conf("spark.sql.adaptive.advisoryPartitionSizeInBytes")}","codegen_cache_max_entries":"${conf("spark.sql.codegen.cache.maxEntries")}"}"""
     val belowJson = mediansBelowGate.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full =
-      f"""{"metric":"total","value":$total,"unit":"sec","value_kind":"$kind","queries_concurrent":${js(results)},"queries_seq":${seqResults.map(js).getOrElse("null")},"queries_seq_passes":${jsArr(seqPasses)},"queries_gc_sec_passes":${jsArr(gcPasses)},"queries_load_passes":${jsArr(loadQueryPasses)},"queries_cpu_seq":${cpuMedians.map(js).getOrElse("null")},"queries_cpu_sec_passes":${jsArr(cpuPasses)},"queries_run_sec_passes":${jsArr(runPasses)},"queries_peakmem_mb":${memMedians.map(js).getOrElse("null")},"queries_peakmem_mb_passes":${jsArr(memPasses)},"gc_between_queries":$gcBetween,"seq_order":"shuffled_per_pass","seq_repeat":$seqRepeat,"regressions":${regressions.mkString("{", ",", "}")},"load_avg_start":$loadStart%.2f,"load_avg_per_pass":$loadJson,"load_avg_end":$loadEnd%.2f,"load_gate":$loadGate%.2f,"pass_load_gate":$passLoadGate%.2f,"medians_commit_grade":$mediansCommitGrade,"medians_below_gate":$belowJson,"memo_builds":$memoBuilds,"commit_grade":$commitGrade,"host_cpus":$hostCpus,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total,"unit":"sec","value_kind":"$kind","queries_concurrent":${js(results)},"queries_seq":${seqResults.map(js).getOrElse("null")},"queries_seq_passes":${jsArr(seqPasses)},"queries_gc_sec_passes":${jsArr(gcPasses)},"queries_load_passes":${jsArr(loadQueryPasses)},"queries_cpu_seq":${cpuMedians.map(js).getOrElse("null")},"queries_cpu_sec_passes":${jsArr(cpuPasses)},"queries_run_sec_passes":${jsArr(runPasses)},"queries_peakmem_mb":${memMedians.map(js).getOrElse("null")},"queries_peakmem_mb_passes":${jsArr(memPasses)},"gc_between_queries":$gcBetween,"seq_order":"shuffled_per_pass","seq_repeat":$seqRepeat,"regressions":${regressions.mkString("{", ",", "}")},"load_avg_start":$loadStart%.2f,"load_avg_per_pass":$loadJson,"load_avg_end":$loadEnd%.2f,"load_gate":$loadGate%.2f,"pass_load_gate":$passLoadGate%.2f,"medians_commit_grade":$mediansCommitGrade,"medians_below_gate":$belowJson,"memo_builds":$memoBuilds,"memo_families":$memoFamilies,"queries_memos":$queriesMemos,"session_config":$sessionConfig,"commit_grade":$commitGrade,"host_cpus":$hostCpus,"sf":"$sfDir"}"""
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, (full + "\n").getBytes("UTF-8"))

@@ -212,3 +212,45 @@ case class BloomContainsExpr(first: Expression, second: Expression, third: Expre
 
   override def prettyName: String = "bloom_contains"
 }
+
+/** Membership probe against a filter shipped as a BROADCAST VARIABLE
+  * instead of a foldable Literal (ADVICE r16): a Literal filter lives
+  * in the plan's reference objects, which serialize into EVERY task
+  * binary — fine for the KB-scale filters the bench builds, ~128 MB
+  * per task at the aggregate's 2^30-bit cap on a real cluster. This
+  * variant serializes only the broadcast HANDLE with the task; the
+  * bytes ship once per executor via the broadcast machinery. Same
+  * probe semantics as [[BloomContainsExpr]] (one shared
+  * [[BloomUtil.mightContain]]); codegen fetches the bytes once into
+  * per-plan mutable state, zero per-row copies either way.
+  */
+case class BloomContainsBcastExpr(
+    bcast: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+    child: Expression, numHashes: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"bloom_contains_bcast hash must be BIGINT, got ${child.dataType.simpleString}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override protected def nullSafeEval(h: Any): Any =
+    BloomUtil.mightContain(bcast.value, h.asInstanceOf[Long], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bRef = ctx.addReferenceObj("bloomBcast", bcast,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    val bytes = ctx.addMutableState("byte[]", "bloomBcastBytes",
+      v => s"$v = (byte[]) $bRef.value();")
+    nullSafeCodeGen(ctx, ev, h =>
+      s"${ev.value} = graft.functions.BloomUtil.mightContain($bytes, $h, $numHashes);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomContainsBcastExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "bloom_contains_bcast"
+}

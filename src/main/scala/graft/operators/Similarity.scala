@@ -1256,7 +1256,14 @@ object Similarity {
     // scale the same walk runs over banded-LSH layer edges with the
     // sample bound unchanged — the inputs stay sample-sized at any
     // corpus size, which is what makes the in-memory form legal.
-    val simRows = cosv.collect()
+    // null guard (ADVICE r16): a zero-norm sample vector makes
+    // cosMicrosPre null (divide-by-zero → null decimal cast), which
+    // the old left-join/window plan tolerated; dropping those rows
+    // here and scoring absent pairs Long.MinValue in the walk keeps
+    // degenerate vectors degrading (never chosen) instead of NPEing
+    // at query-build time. On non-degenerate data no pair is absent,
+    // so behavior is unchanged.
+    val simRows = cosv.collect().filter(!_.isNullAt(2))
     val lvlRows = nodes.collect()
     val levels: Array[(Long, Long)] =
       lvlRows.map(r => (r.getLong(0), r.getLong(1)))
@@ -1300,13 +1307,15 @@ object Similarity {
             // candidates = {current} ∪ out-neighbors; argmax by
             // (score, -cand), score(probe itself) = 1000001 > any sim
             var bestC = c
-            var bestS = if (c == probe) 1000001L else sims((probe, c))
+            var bestS = if (c == probe) 1000001L
+              else sims.getOrElse((probe, c), Long.MinValue)
             val nbrs = edges.getOrElse((l.toLong, c), Array.empty[Long])
             var i = 0
             while (i < nbrs.length) {
               val nb = nbrs(i)
               seen += nb
-              val sc = if (nb == probe) 1000001L else sims((probe, nb))
+              val sc = if (nb == probe) 1000001L
+                else sims.getOrElse((probe, nb), Long.MinValue)
               if (sc > bestS || (sc == bestS && nb < bestC)) {
                 bestS = sc; bestC = nb
               }
@@ -1321,7 +1330,8 @@ object Similarity {
         val pool = seen ++ edges.getOrElse((0L, c), Array.empty[Long])
         pool -= probe
         val top3 = pool.toArray
-          .map(x => (sims((probe, x)), x)).sortBy(t => (-t._1, t._2))
+          .map(x => (sims.getOrElse((probe, x), Long.MinValue), x))
+          .sortBy(t => (-t._1, t._2))
           .take(3).map(_._2)
         val truth = truths.getOrElse(probe, Array.empty[Long])
         (probe, c, top3.count(truth.contains).toLong)

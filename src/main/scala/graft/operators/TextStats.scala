@@ -891,6 +891,30 @@ object TextStats {
     * broadcasts, but the probe side is now sliver-sized. False
     * negatives are impossible, so the output is byte-identical to the
     * exact variant — one oracle pins both. */
+  /** Probe-regime switch for a finished bloom filter (ADVICE r16). At
+    * or below `literalMax` bytes the filter embeds as a foldable
+    * Literal — one resident byte[] per plan, zero per-row copies, the
+    * r16 fast path. Above it (a real cluster's 10s-of-MB filter) the
+    * bytes go through a broadcast variable so each TASK serializes a
+    * handle, not the payload. Default 4 MB: a Literal that size adds
+    * ~4 MB to every task binary, which is where per-task ship cost
+    * starts to rival the probe's own work. Semantics identical on
+    * both paths (shared BloomUtil.mightContain). */
+  private[graft] val BloomLiteralMaxBytes: Int = 4 << 20
+
+  private[graft] def bloomProbe(s: SparkSession, bfBytes: Array[Byte],
+      hash: Column, k: Int, literalMax: Int = BloomLiteralMaxBytes): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    if (bfBytes.length <= literalMax)
+      GraftSqlBridge.column(graft.functions.BloomContainsExpr(
+        Literal(bfBytes, org.apache.spark.sql.types.BinaryType),
+        GraftSqlBridge.expression(hash), Literal(k)))
+    else
+      GraftSqlBridge.column(graft.functions.BloomContainsBcastExpr(
+        s.sparkContext.broadcast(bfBytes), GraftSqlBridge.expression(hash), k))
+  }
+
   val qBloomDecontaminate: Q = (s, d) => {
     import org.apache.spark.sql.GraftSqlBridge
     import org.apache.spark.sql.catalyst.expressions.Literal
@@ -963,13 +987,16 @@ object TextStats {
     // (ctx.addReferenceObj), zero per-row copies. Driver exposure is
     // unchanged: a BroadcastExchange collected the same bytes to the
     // driver anyway; the 2^30-bit cap bounds it at 128 MB.
+    // Above bloomLiteralMaxBytes the probe switches to a broadcast
+    // handle (ADVICE r16): a Literal's byte[] serializes into every
+    // TASK binary — ~128 MB/task at the 2^30-bit cap on a real
+    // cluster — where a broadcast ships the bytes once per executor.
+    // Identical probe semantics; the bench's KB-scale filters stay on
+    // the Literal fast path (BloomProbeRegimeSpec pins both).
     val bfBytes = bloomRow.head().getAs[Array[Byte]](0)
     val prefiltered = gramRows.filter(!col("is_eval"))
       .select(col("doc_id"), col("gh"))
-      .filter(GraftSqlBridge.column(graft.functions.BloomContainsExpr(
-        Literal(bfBytes, org.apache.spark.sql.types.BinaryType),
-        GraftSqlBridge.expression(col("gh")),
-        Literal(bloomK))))
+      .filter(bloomProbe(s, bfBytes, col("gh"), bloomK))
     val shared = prefiltered
       .join(evalKeys.hint("shuffle_hash"), Seq("gh"))
       .distinct()

@@ -41,7 +41,11 @@ class BroadcastRegimeSpec extends SparkSpec {
     "q_retrieval_eval" -> 2)
 
   private def planCounts(df: org.apache.spark.sql.DataFrame): (Int, Int, Seq[String]) = {
-    val rows = df.collect().map(_.toString).toSeq
+    // sorted: the jaccard SPINE ends in a plain select (no orderBy), so
+    // its row order is plan-dependent across the two regimes (ADVICE
+    // r16). The comparison is set-equality in intent; sorting both
+    // sides makes it order-insensitive without weakening it.
+    val rows = df.collect().map(_.toString).toSeq.sorted
     val plan = df.queryExecution.executedPlan.toString
     spark.catalog.clearCache()
     ("BroadcastHashJoin".r.findAllIn(plan).length,
