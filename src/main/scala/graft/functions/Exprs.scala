@@ -83,6 +83,14 @@ object Exprs {
   def md5LongSeeded(c: Column, seed: Column): Column =
     md5Long(concat(c, lit("|"), seed.cast("string")))
 
+  /** Content-defined-chunking boundary END positions of a document —
+    * see [[CdcBoundsExpr]]. One O(len) pass replacing the per-position
+    * explode + substr + md5Long probe (r17). */
+  def cdcBounds(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(CdcBoundsExpr(ColumnBridge.expression(c)))
+  }
+
   /** Reference st_mode rendering: 19-char zero-padded binary string
     * ("{0:019b}".format(st_mode), storcrawl.py:361). */
   def modeBits(c: Column): Column = lpad(bin(c), 19, "0")

@@ -28,18 +28,34 @@ object Md5Util {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  /** Reusable 16-byte digest output buffer: `MessageDigest.digest()`
+    * allocates its result array per call, which matters on the
+    * per-character-position call sites (r17; VERDICT-r16 #4). */
+  private val outBuf = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](16)
+  }
+
   /** 60 bits of md5(bytes) as a non-negative long. half = 0 reads hex
     * chars [1,15] (nibbles 0-14 = bytes 0-7 >>> 4); half = 1 reads hex
     * chars [17,31] (nibbles 16-30 = bytes 8-15 >>> 4) — the two
     * substring windows the draw-style call sites use. */
-  def long60(bytes: Array[Byte], half: Int): Long = {
+  def long60(bytes: Array[Byte], half: Int): Long =
+    long60(bytes, 0, bytes.length, half)
+
+  /** Slice variant with a reusable output buffer: digests
+    * `bytes[off, off+len)` with zero allocation per call — the inner
+    * loop of [[CdcBoundsExpr]], which digests every 4-char window of a
+    * document. */
+  def long60(bytes: Array[Byte], off: Int, len: Int, half: Int): Long = {
     val d = md.get()
     d.reset()
-    val dg = d.digest(bytes)
-    val off = half * 8
+    d.update(bytes, off, len)
+    val dg = outBuf.get()
+    d.digest(dg, 0, 16)
+    val dgOff = half * 8
     var v = 0L
     var i = 0
-    while (i < 8) { v = (v << 8) | (dg(off + i) & 0xffL); i += 1 }
+    while (i < 8) { v = (v << 8) | (dg(dgOff + i) & 0xffL); i += 1 }
     v >>> 4
   }
 

@@ -246,15 +246,32 @@ object CorpusOps {
     * occurrences in corpus (doc_id, pos) order). Islands are disjoint
     * by construction: a new island only starts past the previous
     * island's end. */
+  /** The merged duplicate-span table (doc_id, s, e), memoized per
+    * (session, dir): [[qSubstringSpans]] and [[qDedupRewrite]] each
+    * paid the identical gram-window spine build (posexplode + doc-keyed
+    * lead window + gram-keyed first-occurrence window) — the entry is
+    * narrow (3 longs, bounded by merged islands, never corpus-sized)
+    * and the second consumer rides it (r17; the r16 memo-family
+    * pattern, guide §1 "don't recompute shared spines"). */
+  private val spansMemo = new graft.Memo("corpusops-dup-spans")
+
   private def dupSpans(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
+    val base = dupBase(s, d)
+    (base, spansMemo(s, d)(computeDupSpans(base)))
+  }
+
+  private def dupBase(s: SparkSession, d: String): DataFrame = {
     val ws = filter(split(col("text"), " "), w => length(w) > 0)
     // spread before the per-word fan-out for the same single-split
     // reason as q_winnowing — scan-side cost must spread first
-    val base = Tables.spread(
+    Tables.spread(
       Tables.documents(s, d)
         .filter(col("text").isNotNull)
         .select(col("doc_id"), ws.as("ws")))
+  }
+
+  private def computeDupSpans(base: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wordRows = base
       .filter(size(col("ws")) >= 8)
       .select(col("doc_id"), posexplode(col("ws")).as(Seq("p0", "word")))
@@ -285,7 +302,7 @@ object CorpusOps {
     // distinct and ascending, so the running max of covered ends is
     // simply lag(pos)+7 — a new island starts when the gap exceeds it
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    val spans = dup
+    dup
       .withColumn("brk",
         when(lag(col("pos"), 1).over(w).isNull
           .or(col("pos") > lag(col("pos"), 1).over(w) + 7L), 1L).otherwise(0L))
@@ -294,7 +311,6 @@ object CorpusOps {
       .groupBy("doc_id", "isl")
       .agg(min("pos").as("s"), (max("pos") + 7L).as("e"))
       .select("doc_id", "s", "e")
-    (base, spans)
   }
 
   val qSubstringSpans: Q = (s, d) => {
@@ -329,24 +345,40 @@ object CorpusOps {
     * document length (the same bound every per-doc array op in this
     * file already carries). */
   val qDedupRewrite: Q = (s, d) => {
+    // Survivors reassemble DOC-SIDE from the gaps between the merged
+    // islands (disjoint and ascending by construction — see
+    // [[computeDupSpans]]): per document, slice the word array between
+    // consecutive span boundaries and flatten — O(words + spans) per
+    // doc, zero per-word rows. The r15/r16 form exploded every word to
+    // a (doc, pos, word) row, anti-joined the exploded covered
+    // positions, and re-grouped with a collect_list sort — three
+    // corpus-scale exchanges carrying word STRINGS that this form
+    // never pays (r17, guide §2.3/§2.4 shuffle bytes; VERDICT-r16 #5 —
+    // NOT the rejected exists-per-word mask, which was O(words×spans)).
+    // Value identity: the gaps enumerate exactly the non-covered
+    // positions in ascending order, so n_kept and the rebuilt text are
+    // unchanged (DedupSpec + the oracle hash gate).
     val (base, spanRows) = dupSpans(s, d)
-    val words = base
-      .select(col("doc_id"), posexplode(col("ws")).as(Seq("p0", "word")))
-      .select(col("doc_id"), (col("p0") + 1).cast(LongType).as("pos"), col("word"))
-    val covered = spanRows
-      .select(col("doc_id"), explode(sequence(col("s"), col("e"))).as("pos"))
-    val rebuilt = words
-      .join(covered, Seq("doc_id", "pos"), "left_anti")
+    val spansAgg = spanRows
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_kept"),
-        md5(concat_ws(" ",
-          transform(array_sort(collect_list(struct(col("pos"), col("word")))),
-            x => x.getField("word")))).as("clean_md5"))
-    base.select(col("doc_id"), size(col("ws")).cast(LongType).as("n_words"))
-      .join(rebuilt, Seq("doc_id"), "left")
+      .agg(array_sort(collect_list(struct(col("s"), col("e")))).as("sp"))
+    val kept = expr("""
+      flatten(transform(sequence(1, size(sp) + 1),
+        i -> slice(ws,
+          CAST((CASE WHEN i = 1 THEN 0L
+                ELSE element_at(sp, i - 1).e END) + 1 AS INT),
+          CAST((CASE WHEN i = size(sp) + 1 THEN size(ws) + 1
+                ELSE element_at(sp, i).s END)
+            - (CASE WHEN i = 1 THEN 0L
+               ELSE element_at(sp, i - 1).e END) - 1 AS INT))))""")
+    base.join(spansAgg, Seq("doc_id"), "left")
+      .withColumn("sp", coalesce(col("sp"),
+        expr("CAST(array() AS ARRAY<STRUCT<s: BIGINT, e: BIGINT>>)")))
+      .select(col("doc_id"), size(col("ws")).cast(LongType).as("n_words"),
+        kept.as("kept"))
       .select(col("doc_id"), col("n_words"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+        size(col("kept")).cast(LongType).as("n_kept"),
+        md5(concat_ws(" ", col("kept"))).as("clean_md5"))
       .orderBy("doc_id")
   }
 
@@ -378,7 +410,13 @@ object CorpusOps {
     // as long as the hash is injective on the corpus's grams (the X4
     // xxhash64 precedent — ~2^-21 collision odds corpus-wide at sf0.1,
     // deterministic, and the oracle hash gate would catch the
-    // astronomically unlucky corpus rather than flake).
+    // astronomically unlucky corpus rather than flake). Scale caveat
+    // (ADVICE r16): birthday odds grow quadratically in distinct
+    // grams, so past ~2^28 gram types a 60-bit key expects collisions
+    // — a 100 TB deployment of THIS counting operator should widen the
+    // key (both md5 halves = 120 bits, same digest cost, or the full
+    // hex) and accept the wider shuffle; the 60-bit key is the
+    // at-this-scale trade, not a scale-free one.
     val n = size(col("ws"))
     val grams = base
       .filter(size(col("ws")) >= 3)
@@ -914,12 +952,15 @@ object CorpusOps {
         .filter(col("text").isNotNull && length(col("text")) > 0)
         .select(col("doc_id"), col("source"), col("text"),
           length(col("text")).as("len")))
+    // boundary scan: one O(len) native pass per document (CdcBoundsExpr
+    // walks code points once, digesting each 4-char window in place)
+    // instead of explode(sequence(1, len-3)) + md5Long(substr(i, 4)) —
+    // the substr re-scanned from byte 0 per position (O(len²)/doc) and
+    // the generator emitted 64× the surviving rows (r17, guide §4;
+    // value-identical by CdcBoundsSpec + the oracle hash gate)
     val bounds = docs.filter(col("len") >= 4)
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), col("len") - 3)).as("i"))
-      .filter(graft.functions.Exprs.md5Long(
-        col("text").substr(col("i"), lit(4))) % 64 === 0)
-      .select(col("doc_id"), (col("i") + 3).as("e"))
+      .select(col("doc_id"),
+        explode(graft.functions.Exprs.cdcBounds(col("text"))).as("e"))
       .union(docs.select(col("doc_id"), col("len").as("e")))
       .distinct()
     val wE = Window.partitionBy("doc_id").orderBy("e")
@@ -992,20 +1033,56 @@ object CorpusOps {
 
   private def computeSuffixRanks(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
     val Radix = 16
     val toks = Tables.spread(Tables.documents(s, d)
         .filter(col("text").isNotNull))
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p0", "w")))
       .select(col("doc_id"), (col("p0") + 1).cast(LongType).as("pos"), col("w"))
       .localCheckpoint()
-    var cur = Ranking.globalDenseRank(toks, Seq(col("w")), "__dr")
-      .select(col("doc_id"), col("pos"), col("__dr").as("r"))
+    // Per-round materialization policy (r17, VERDICT-r16 #3 / guide
+    // §5): the doubling rounds' frames go DISK_ONLY — they are read
+    // exactly once by the next round, so buying MemoryStore residency
+    // for them only evicts (or spills) the blocks that ARE hot, which
+    // was the ×100 super-linear wall. Round N−1 is unpersisted as soon
+    // as round N is materialized, so peak storage is two rounds, not
+    // ⌈log₁₆ maxlen⌉. Partition count for the per-round range
+    // exchanges is sized from the token count (~200 B/row tupled
+    // frame → 64 MB targets), floored at the session's shuffle
+    // partitions so the local bench keeps its plan shape (scale-
+    // adaptive upward only; guide §2.2).
+    val nToks = toks.count()
+    val confParts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val parts = math.max(confParts,
+      math.min(4096L, nToks * 200L / (64L << 20)).toInt)
+    // Round-frame storage level, data-derived (guide §2 "scale-
+    // adaptive, not a constant"): while BOTH live rounds (~200 B/row —
+    // peak is two, see the unpersist protocol below) fit comfortably
+    // in a conservative share of the heap's storage region, keep the
+    // default MEMORY_AND_DISK; past that, DISK_ONLY — the frames are
+    // read exactly once by the next round, so MemoryStore residency
+    // only evicts blocks that ARE hot and the ×100 run spent its time
+    // spill-thrashing exactly here (VERDICT-r16 #5).
+    // spark.graft.suffix.roundLevel overrides either way.
+    val roundBytesEst = 2L * nToks * 200L
+    val storageBudget = (Runtime.getRuntime.maxMemory * 0.3).toLong
+    val roundLvl = Some(StorageLevel.fromString(
+      s.conf.get("spark.graft.suffix.roundLevel",
+        if (roundBytesEst < storageBudget) "MEMORY_AND_DISK"
+        else "DISK_ONLY")))
+    val (ranked0, ck0) = Ranking.globalDenseRankManaged(
+      toks, Seq(col("w")), "__dr", Some(parts), roundLvl)
+    var cur = ranked0.select(col("doc_id"), col("pos"), col("__dr").as("r"))
+    var prevCk = ck0
     // max() over an empty/all-null-text corpus is NULL — short-circuit
     // to the round-1 ranks (which are themselves empty then) instead of
     // NPE-ing on getLong, matching every other query's empty-input
     // behavior.
     val maxRow = toks.groupBy("doc_id").count().agg(max("count")).head()
     val maxLen = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    // toks is consumed: round 1's frame persists every column it
+    // carried, and maxLen is computed — free its blocks now.
+    toks.unpersist()
     var h = 1L
     while (h < maxLen) {
       val wDoc = Window.partitionBy("doc_id").orderBy("pos")
@@ -1022,12 +1099,22 @@ object CorpusOps {
             coalesce(lead(col("r"), (j * h).toInt).over(wDoc), lit(-1L))
               .as(s"r$j")
           }): _*)
-      cur = Ranking.globalDenseRank(tupled,
-          col("r") +: (1 until Radix).map(j => col(s"r$j")), "__dr")
-        .select(col("doc_id"), col("pos"), col("__dr").as("r"))
+      val (ranked, ckN) = Ranking.globalDenseRankManaged(tupled,
+        col("r") +: (1 until Radix).map(j => col(s"r$j")), "__dr",
+        Some(parts), roundLvl)
+      cur = ranked.select(col("doc_id"), col("pos"), col("__dr").as("r"))
+      // round N's eager checkpoint just consumed round N−1's frame —
+      // nothing reads it again
+      prevCk.unpersist()
+      prevCk = ckN
       h *= Radix
     }
-    cur
+    // Materialize the NARROW final ranks (3 longs) and free the last
+    // round's wide frame; Memo adopts a compute that already ends in a
+    // persisted localCheckpoint as-is.
+    val res = cur.localCheckpoint()
+    prevCk.unpersist()
+    res
   }
 
   val qSuffixRanks: Q = (s, d) =>

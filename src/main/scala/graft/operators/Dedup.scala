@@ -733,12 +733,23 @@ object Dedup {
     // t = 4/5: prefix length n − ⌈4n/5⌉ + 1, exact integer arithmetic
     val prefix = ranked
       .filter(col("rk") <= col("n") - expr("(4 * n + 4) div 5") + 1)
-      .select("doc_id", "source", "gram")
+      .select(col("doc_id"), col("source"), col("gram"), col("n").as("na"))
+    // size prefilter on the candidate stream (r17, guide §3.2 regime:
+    // drop provably-failing pairs before the expensive work):
+    // |A∩B| ≥ ⌈4·na/5⌉ and |A∩B| ≤ nb force 5·nb ≥ 4·na — any pair
+    // failing it can never verify, so filtering BEFORE the distinct
+    // and the two gram-array joins is lossless (the verify filter
+    // below is unchanged). nb attaches from the per-doc gram counts —
+    // a doc-count frame the planner broadcasts at this scale.
+    val gn = g.groupBy("doc_id").agg(count(lit(1)).as("nb"))
     val cand = prefix.as("pa")
       .join(g.as("pb"),
         col("pa.source") === col("pb.source") && col("pa.gram") === col("pb.gram") &&
         col("pa.doc_id") =!= col("pb.doc_id"))
-      .select(col("pa.doc_id").as("a"), col("pb.doc_id").as("b"))
+      .select(col("pa.doc_id").as("a"), col("pb.doc_id").as("b"), col("na"))
+      .join(gn.select(col("doc_id").as("b"), col("nb")), Seq("b"))
+      .filter(col("nb") * 5 >= col("na") * 4)
+      .select("a", "b")
       .distinct()
     // PPJoin-style verification: intersect the two gram SETS per
     // candidate pair (array_intersect over per-doc gram arrays), not a

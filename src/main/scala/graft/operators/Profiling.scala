@@ -245,14 +245,22 @@ object Profiling {
     * the (n, gram) aggregate collapses map-side before its shuffle.
     * The second aggregate is 8 groups. */
   val qGramDupCurve: Q = (s, d) => {
-    val words = Tables.spread(Tables.documents(s, d).filter(col("text").isNotNull))
-      .select(col("doc_id"),
-        posexplode(filter(split(col("text"), " "), w => length(w) > 0)))
-      .select(col("doc_id"), col("pos"), col("col").as("w0"))
-    val wd = Window.partitionBy("doc_id").orderBy("pos")
-    val withLeads = (1 to 7).foldLeft(words) { (df, i) =>
-      df.withColumn(s"w$i", lead(col("w0"), i).over(wd))
-    }
+    // The w0..w7 lead chain assembles SCAN-SIDE from 8 shifted slices
+    // of the word array (r17; the r16 q_gram_novelty zip treatment —
+    // legal here because the (n, gram) aggregate is global and
+    // position-insensitive): arrays_zip pads the shorter shifted
+    // slices with null, which is exactly lead()'s past-doc-end
+    // semantics, so the stacked gram multiset is unchanged while the
+    // doc-keyed Sort+Window exchange — the query's only corpus-text
+    // shuffle — disappears (guide §2.4).
+    val nW = size(col("ws"))
+    val withLeads = Tables.spread(
+      Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(filter(split(col("text"), " "), w => length(w) > 0).as("ws")))
+      .filter(nW >= 1)
+      .select(explode(arrays_zip(
+        (0 until 8).map(k => slice(col("ws"), lit(k + 1), nW).as(s"w$k")): _*)).as("z"))
+      .select((0 until 8).map(i => col(s"z.w$i").as(s"w$i")): _*)
     // gram of order n exists at a position iff lead n-1 is non-null;
     // concat_ws never sees a null interior lead (doc positions are
     // contiguous, so lead k null ⇒ lead k+1 null)

@@ -97,9 +97,27 @@ object Ranking {
     * prefix-doubling runs it ⌈log₂ maxdoclen⌉ times, where the
     * join-back form priced 3 shuffles per round). Row-preserving:
     * returns `df` plus the `out` column. */
-  def globalDenseRank(df: DataFrame, orderCols: Seq[Column], out: String = "dr"): DataFrame = {
+  def globalDenseRank(df: DataFrame, orderCols: Seq[Column], out: String = "dr"): DataFrame =
+    globalDenseRankManaged(df, orderCols, out, None, None)._1
+
+  /** [[globalDenseRank]] with caller-managed materialization: also
+    * returns the internal checkpointed frame so ITERATED callers
+    * ([[graft.operators.CorpusOps]]' prefix-doubling rounds) can
+    * unpersist round N−1 once round N is materialized — without this,
+    * every round's frame stays persisted for the query's lifetime and
+    * the rounds evict each other from the MemoryStore at scale
+    * (VERDICT-r16 #3, guide §5). `numParts` overrides the range-
+    * exchange fan-out (scale-adaptive callers size it from data);
+    * `storage` overrides the checkpoint storage level (DISK_ONLY keeps
+    * bulky inter-round frames out of execution memory's way). */
+  def globalDenseRankManaged(
+      df: DataFrame, orderCols: Seq[Column], out: String,
+      numParts: Option[Int],
+      storage: Option[org.apache.spark.storage.StorageLevel])
+      : (DataFrame, DataFrame) = {
     val spark = df.sparkSession
-    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val parts = numParts.getOrElse(
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
     val ranged = df.repartitionByRange(parts, orderCols: _*)
     val wLoc = Window.partitionBy("__pid").orderBy(orderCols: _*)
     // localCheckpoint UNCONDITIONALLY, unlike globalRowNumber's
@@ -111,20 +129,30 @@ object Ranking {
     // silently inconsistent pid/ldr vs offsets). Materializing pins
     // one sampling, and both consumers read the same blocks instead
     // of recomputing the sort+window.
-    val local = ranged.sortWithinPartitions(orderCols: _*)
-      .withColumn("__key", struct(orderCols: _*))
+    //
+    // The persisted row is kept NARROW (r17): the boundary-key struct
+    // is built in the offsets aggregation below from the persisted
+    // source columns (orderCols are deterministic, so re-evaluating
+    // them post-checkpoint is value-identical), and __mid drops before
+    // the checkpoint — for a 16-long key that halves the bytes every
+    // prefix-doubling round must hold.
+    val pre = ranged.sortWithinPartitions(orderCols: _*)
       .withColumn("__mid", monotonically_increasing_id())
       .withColumn("__pid", shiftrightunsigned(col("__mid"), 33))
       .withColumn("__lrn", col("__mid").bitwiseAND(lit((1L << 33) - 1)) + 1L)
       .withColumn("__ldr", dense_rank().over(wLoc).cast(LongType))
-      .localCheckpoint()
+      .drop("__mid")
+    val local = storage match {
+      case Some(lvl) => pre.localCheckpoint(true, lvl)
+      case None => pre.localCheckpoint()
+    }
     // P rows: per-partition group count + boundary keys; the only
     // un-partitioned windows below run over these P rows
     val wOrd = Window.orderBy("__pid")
     val offsets = local.groupBy(col("__pid"))
       .agg(max(col("__ldr")).as("__ng"),
-        min_by(col("__key"), col("__lrn")).as("__first"),
-        max_by(col("__key"), col("__lrn")).as("__last"))
+        min_by(struct(orderCols: _*), col("__lrn")).as("__first"),
+        max_by(struct(orderCols: _*), col("__lrn")).as("__last"))
       .withColumn("__merge",
         when(col("__first") === lag(col("__last"), 1).over(wOrd), 1L)
           .otherwise(0L))
@@ -134,9 +162,10 @@ object Ranking {
       .withColumn("__cummerge",
         sum(col("__merge")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
       .select(col("__pid"), (col("__cumng") - col("__cummerge")).as("__off"))
-    local.join(broadcast(offsets), "__pid")
+    val ranked = local.join(broadcast(offsets), "__pid")
       .withColumn(out, (col("__off") + col("__ldr")).cast(LongType))
-      .drop("__key", "__mid", "__pid", "__lrn", "__ldr", "__off")
+      .drop("__pid", "__lrn", "__ldr", "__off")
+    (ranked, local)
   }
 
   /** Per-group `row_number() OVER (PARTITION BY keys ORDER BY ...)`
